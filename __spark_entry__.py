@@ -1,38 +1,646 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction+redaction pipeline on
+sf0.001. ``queries()``/``oracle_sql()`` cover the operator inventory of
+SURVEY.md §2 — each Spark query has a DuckDB-ANSI oracle unless the op is
+genuinely non-SQL-expressible (those are rows-only, marked below).
+
+Column-name/value parity rules used throughout: every computed column is
+aliased identically on both sides; doubles are rounded on both sides; all
+regex patterns are restricted to the Java/RE2/Python-re common subset.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.config import PipelineConfig
+from doc_redaction_spark.functions.clean import clean_text_col, duckdb_clean_sql
+from doc_redaction_spark.functions.recognizers import (
+    EMAIL_PATTERN,
+    IP_PATTERN,
+    PHONE_PATTERN,
+    STREETNAME_PATTERN,
+    TITLES_PATTERN,
+    UKPOSTCODE_PATTERN,
+)
+from doc_redaction_spark.functions.textstats import (
+    EN_STOPWORDS,
+    duckdb_fingerprint,
+    duckdb_punct_count,
+    duckdb_stopword_hits,
+    duckdb_token_count,
+    fingerprint_col,
+    lang_id_col,
+    quality_score_cols,
+    token_count_col,
+)
+from doc_redaction_spark.operators import dedup as dd
+from doc_redaction_spark.operators import joins as oj
+from doc_redaction_spark.operators import layout as ol
+from doc_redaction_spark.operators import similarity as osim
+from doc_redaction_spark.plans.pipeline import extract_and_redact, span_table
+from doc_redaction_spark.synth import (
+    DENY_TERMS,
+    transcripts_from_documents,
+    transcripts_sql,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+PIPE_CFG = PipelineConfig(deny_terms=DENY_TERMS)
+
+# entity → (python/RE2-shared pattern, needs-ignorecase) used for redaction
+# oracles. CUSTOM deny terms use \b guards (≡ the engine's lookarounds for
+# word-char-bounded literals).
+_DENY_ORACLE = r"\b(?:Project Alpha)\b|\b(?:secret)\b"
+ORACLE_ENTITY_PATTERNS: list[tuple[str, str, bool]] = [
+    ("EMAIL_ADDRESS", EMAIL_PATTERN, False),
+    ("UKPOSTCODE", UKPOSTCODE_PATTERN, False),
+    ("TITLES", TITLES_PATTERN, False),
+    ("STREETNAME", STREETNAME_PATTERN, True),
+    ("PHONE_NUMBER", PHONE_PATTERN, False),
+    ("IP_ADDRESS", IP_PATTERN, False),
+    ("CUSTOM", _DENY_ORACLE, True),
+]
+
+
+def _sq(pat: str) -> str:
+    return pat.replace("'", "''")
+
+
+def _oracle_redact(expr: str, repl_of=lambda e: "'REDACTED'") -> str:
+    out = expr
+    for etype, pat, icase in ORACLE_ENTITY_PATTERNS:
+        flags = "gi" if icase else "g"
+        out = f"regexp_replace({out}, '{_sq(pat)}', {repl_of(etype)}, '{flags}')"
+    return out
+
+
+def _oracle_span_count(expr: str) -> str:
+    parts = []
+    for _etype, pat, icase in ORACLE_ENTITY_PATTERNS:
+        p = ("(?i)" + pat) if icase else pat  # extract_all has no options arg
+        parts.append(f"len(regexp_extract_all({expr}, '{_sq(p)}'))")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _tr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_documents(spark, sf_dir)
+
+
+TR_CTE = f"WITH transcripts AS ({transcripts_sql('documents')})"
+CLEAN_SQL = duckdb_clean_sql("text")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction+redaction over transcripts built from sf0.001."""
+    turns = _tr(spark, "/root/testdata/sf0.001")
+    out = extract_and_redact(turns, PIPE_CFG)
+    return out.drop("spans")  # stable flat schema for the smoke check
+
+
+# ---------------------------------------------------------------------------
+# queries — transcripts / extraction / redaction core
+# ---------------------------------------------------------------------------
+
+
+def q_transcripts_pipeline(spark, sf_dir):
+    out = extract_and_redact(_tr(spark, sf_dir), PIPE_CFG)
+    return out.select(
+        "conv_id", "turn_idx", "role", "clean_text", "redacted_text", "n_spans", "rn"
+    )
+
+
+def o_transcripts_pipeline():
+    red = _oracle_redact(CLEAN_SQL)
+    return f"""
+    {TR_CTE}
+    SELECT conv_id, turn_idx, role,
+           {CLEAN_SQL} AS clean_text,
+           {red} AS redacted_text,
+           {_oracle_span_count(CLEAN_SQL)} AS n_spans,
+           CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INTEGER) AS rn
+    FROM transcripts
+    """
+
+
+def q_transcripts_clean(spark, sf_dir):
+    return _tr(spark, sf_dir).select(
+        "conv_id", "turn_idx", clean_text_col("text").alias("clean_text")
+    )
+
+
+def o_transcripts_clean():
+    return f"{TR_CTE} SELECT conv_id, turn_idx, {CLEAN_SQL} AS clean_text FROM transcripts"
+
+
+def q_redact_entity_label(spark, sf_dir):
+    cfg = PipelineConfig(deny_terms=DENY_TERMS, strategy="entity_type")
+    out = extract_and_redact(_tr(spark, sf_dir), cfg, with_row_number=False)
+    return out.select("conv_id", "turn_idx", "redacted_text")
+
+
+def o_redact_entity_label():
+    red = _oracle_redact(CLEAN_SQL, repl_of=lambda e: f"'<{e}>'")
+    return f"{TR_CTE} SELECT conv_id, turn_idx, {red} AS redacted_text FROM transcripts"
+
+
+def q_redact_hash_email(spark, sf_dir):
+    cfg = PipelineConfig(entities=("EMAIL_ADDRESS",), strategy="hash")
+    out = extract_and_redact(_tr(spark, sf_dir), cfg, with_row_number=False)
+    return out.select("conv_id", "turn_idx", "redacted_text")
+
+
+def o_redact_hash_email():
+    # exactly one email per turn by construction → dynamic replacement is
+    # expressible as replace(text, match, sha256(match))
+    m = f"regexp_extract({CLEAN_SQL}, '{_sq(EMAIL_PATTERN)}')"
+    return f"""
+    {TR_CTE}
+    SELECT conv_id, turn_idx,
+           CASE WHEN {m} = '' THEN {CLEAN_SQL}
+                ELSE replace({CLEAN_SQL}, {m}, sha256({m})) END AS redacted_text
+    FROM transcripts
+    """
+
+
+def q_redact_mask_postcode(spark, sf_dir):
+    cfg = PipelineConfig(entities=("UKPOSTCODE",), strategy="mask")
+    out = extract_and_redact(_tr(spark, sf_dir), cfg, with_row_number=False)
+    return out.select("conv_id", "turn_idx", "redacted_text")
+
+
+def o_redact_mask_postcode():
+    m = f"regexp_extract({CLEAN_SQL}, '{_sq(UKPOSTCODE_PATTERN)}')"
+    return f"""
+    {TR_CTE}
+    SELECT conv_id, turn_idx,
+           CASE WHEN {m} = '' THEN {CLEAN_SQL}
+                ELSE replace({CLEAN_SQL}, {m}, repeat('*', length({m}))) END AS redacted_text
+    FROM transcripts
+    """
+
+
+def q_detect_entity_counts(spark, sf_dir):
+    out = extract_and_redact(_tr(spark, sf_dir), PIPE_CFG, with_row_number=False)
+    spans = span_table(out)
+    return spans.groupBy("entity_type").agg(F.count("*").alias("n")).orderBy("entity_type")
+
+
+def o_detect_entity_counts():
+    parts = []
+    for etype, pat, icase in ORACLE_ENTITY_PATTERNS:
+        p = ("(?i)" + pat) if icase else pat
+        parts.append(
+            f"SELECT '{etype}' AS entity_type,"
+            f" sum(len(regexp_extract_all({CLEAN_SQL}, '{_sq(p)}'))) AS n"
+            f" FROM transcripts"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"{TR_CTE} SELECT entity_type, n FROM ({union}) WHERE n > 0 ORDER BY entity_type"
+
+
+def q_allow_list_filter(spark, sf_dir):
+    """Allow-listed surfaces are dropped post-detection (reference
+    tools/custom_image_analyser_engine.py:11229-11263)."""
+    cfg = PipelineConfig(
+        entities=("UKPOSTCODE", "IP_ADDRESS"), allow_list=("SW1A 1AA",)
+    )
+    out = extract_and_redact(_tr(spark, sf_dir), cfg, with_row_number=False)
+    return span_table(out).groupBy("entity_type").agg(F.count("*").alias("n"))
+
+
+def o_allow_list_filter():
+    parts = []
+    for etype, pat in [("UKPOSTCODE", UKPOSTCODE_PATTERN), ("IP_ADDRESS", IP_PATTERN)]:
+        parts.append(
+            f"SELECT '{etype}' AS entity_type, m AS surface FROM transcripts,"
+            f" unnest(regexp_extract_all({CLEAN_SQL}, '{_sq(pat)}')) AS t(m)"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+    {TR_CTE}
+    SELECT entity_type, count(*) AS n FROM ({union})
+    WHERE lower(trim(surface)) <> lower('SW1A 1AA')
+    GROUP BY entity_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# queries — relational core over the star schema
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def o_q1_pricing_summary():
+    return """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def q_q3_shipping_priority(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+              orders.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def o_q3_shipping_priority():
+    return """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """
+
+
+def q_q5_nation_revenue(spark, sf_dir):
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def o_q5_nation_revenue():
+    return """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """
+
+
+def q_top3_orders_per_customer(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rank")
+    )
+
+
+def o_top3_orders_per_customer():
+    return """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders)
+    WHERE rank <= 3
+    """
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gaps-and-islands sessionization (SURVEY.md §2.4 consecutive-run
+    grouping, reference tools/find_duplicate_pages.py:1186-1211)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    df = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    df = df.withColumn("sess_id", F.sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        df.groupBy("user_id", "sess_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("double")), 2).alias("sess_value"),
+        )
+        .select("user_id", F.col("sess_id").cast("long").alias("sess_id"), "n_events", "sess_value")
+    )
+
+
+def o_sessionize_events():
+    return """
+    WITH g AS (
+      SELECT user_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, value,
+             sum(new_sess) OVER (PARTITION BY user_id ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM g
+    )
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+           round(sum(CAST(value AS DOUBLE)), 2) AS sess_value
+    FROM s GROUP BY user_id, sess_id
+    """
+
+
+def q_anti_join_customers_no_orders(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def o_anti_join_customers_no_orders():
+    return """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+
+def q_semi_join_parts(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hot = li.filter(F.col("l_quantity") >= 49)
+    return part.join(hot, part.p_partkey == hot.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+def o_semi_join_parts():
+    return """
+    SELECT p_partkey, p_brand FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 49)
+    """
+
+
+def q_union_dedup_names(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    a = cust.select(F.col("c_nationkey").alias("nationkey"))
+    b = supp.select(F.col("s_nationkey").alias("nationkey"))
+    return a.unionByName(b).dropDuplicates().orderBy("nationkey")
+
+
+def o_union_dedup_names():
+    return """
+    SELECT DISTINCT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL SELECT s_nationkey FROM supplier) ORDER BY nationkey
+    """
+
+
+def q_events_daily_rollup(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("value").cast("double")), 2).alias("avg_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def o_events_daily_rollup():
+    return """
+    SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+           round(avg(CAST(value AS DOUBLE)), 2) AS avg_value
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# queries — band / proximity joins (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+def q_band_join_acctbal(spark, sf_dir):
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pairs = oj.band_join(
+        supp.select("s_suppkey", F.col("s_acctbal").alias("a")),
+        cust.select("c_custkey", F.col("c_acctbal").alias("b")),
+        "a",
+        "b",
+        tol=1.0,
+    )
+    return pairs.select("s_suppkey", "c_custkey")
+
+
+def o_band_join_acctbal():
+    return """
+    SELECT s_suppkey, c_custkey FROM supplier, customer
+    WHERE abs(s_acctbal - c_acctbal) <= 1.0
+    """
+
+
+def q_nearest_acctbal(spark, sf_dir):
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    res = oj.nearest_join(
+        supp.select(F.col("s_suppkey").alias("left_id"), F.col("s_acctbal").alias("a")),
+        cust.select(F.col("c_custkey").alias("right_id"), F.col("c_acctbal").alias("b")),
+        "a",
+        "b",
+        tol=5.0,
+    )
+    return res.select(
+        F.col("left_id").alias("s_suppkey"),
+        F.col("right_id").alias("c_custkey"),
+        F.round("dist", 4).alias("dist"),
+    )
+
+
+def o_nearest_acctbal():
+    return """
+    SELECT s_suppkey, c_custkey, round(dist, 4) AS dist FROM (
+      SELECT s_suppkey, c_custkey, abs(s_acctbal - c_acctbal) AS dist,
+             row_number() OVER (PARTITION BY s_suppkey
+                 ORDER BY abs(s_acctbal - c_acctbal), c_custkey) AS rn
+      FROM supplier, customer
+      WHERE abs(s_acctbal - c_acctbal) <= 5.0)
+    WHERE rn = 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# queries — text stats / dedup / similarity over documents
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_count(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", token_count_col("text"))
+
+
+def o_doc_token_count():
+    return f"SELECT doc_id, {duckdb_token_count('text')} AS n_tokens FROM documents"
+
+
+def q_doc_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", *quality_score_cols("text"))
+
+
+def o_doc_quality():
+    toks = duckdb_token_count("text")
+    punct = duckdb_punct_count("text")
+    stop = duckdb_stopword_hits("text")
+    return f"""
+    SELECT doc_id,
+      length(coalesce(text, '')) AS n_chars_calc,
+      {toks} AS n_tokens,
+      round(CASE WHEN length(coalesce(text,'')) > 0
+            THEN {punct} / length(coalesce(text,'')) ELSE 0.0 END, 4) AS punct_ratio,
+      round(CASE WHEN {toks} > 0 THEN {stop} / {toks} ELSE 0.0 END, 4) AS stop_ratio,
+      round((CASE WHEN {toks} BETWEEN 5 AND 100000 THEN 0.4e0 ELSE 0.0e0 END)
+          + (CASE WHEN (CASE WHEN length(coalesce(text,'')) > 0
+                  THEN {punct} / length(coalesce(text,'')) ELSE 0.0 END) <= 0.2
+                  THEN 0.3e0 ELSE 0.0e0 END)
+          + (CASE WHEN (CASE WHEN {toks} > 0 THEN {stop} / {toks} ELSE 0.0 END) >= 0.05
+                  THEN 0.3e0 ELSE 0.0e0 END), 4) AS quality_score
+    FROM documents
+    """
+
+
+def q_doc_lang_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", lang_id_col("text"))
+
+
+def o_doc_lang_id():
+    toks = duckdb_token_count("text")
+    stop = duckdb_stopword_hits("text")
+    return f"""
+    SELECT doc_id,
+      CASE WHEN (CASE WHEN {toks} > 0 THEN {stop} * 1.0 / {toks} ELSE 0.0 END) >= 0.12
+           THEN 'en' ELSE 'other' END AS lang_pred
+    FROM documents
+    """
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.exact_duplicates(docs, "text")
+
+
+def o_dedup_exact():
+    fp = duckdb_fingerprint("text")
+    return f"""
+    SELECT fingerprint, count(*) AS dup_count, min(doc_id) AS keeper
+    FROM (SELECT doc_id, {fp} AS fingerprint FROM documents)
+    GROUP BY fingerprint HAVING count(*) > 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable] = {
+    "transcripts_pipeline": q_transcripts_pipeline,
+    "transcripts_clean": q_transcripts_clean,
+    "redact_entity_label": q_redact_entity_label,
+    "redact_hash_email": q_redact_hash_email,
+    "redact_mask_postcode": q_redact_mask_postcode,
+    "detect_entity_counts": q_detect_entity_counts,
+    "allow_list_filter": q_allow_list_filter,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q5_nation_revenue": q_q5_nation_revenue,
+    "top3_orders_per_customer": q_top3_orders_per_customer,
+    "sessionize_events": q_sessionize_events,
+    "anti_join_customers_no_orders": q_anti_join_customers_no_orders,
+    "semi_join_parts": q_semi_join_parts,
+    "union_dedup_names": q_union_dedup_names,
+    "events_daily_rollup": q_events_daily_rollup,
+    "band_join_acctbal": q_band_join_acctbal,
+    "nearest_acctbal": q_nearest_acctbal,
+    "doc_token_count": q_doc_token_count,
+    "doc_quality": q_doc_quality,
+    "doc_lang_id": q_doc_lang_id,
+    "dedup_exact": q_dedup_exact,
+}
+
+_ORACLES: dict[str, Callable[[], str]] = {
+    "transcripts_pipeline": o_transcripts_pipeline,
+    "transcripts_clean": o_transcripts_clean,
+    "redact_entity_label": o_redact_entity_label,
+    "redact_hash_email": o_redact_hash_email,
+    "redact_mask_postcode": o_redact_mask_postcode,
+    "detect_entity_counts": o_detect_entity_counts,
+    "allow_list_filter": o_allow_list_filter,
+    "q1_pricing_summary": o_q1_pricing_summary,
+    "q3_shipping_priority": o_q3_shipping_priority,
+    "q5_nation_revenue": o_q5_nation_revenue,
+    "top3_orders_per_customer": o_top3_orders_per_customer,
+    "sessionize_events": o_sessionize_events,
+    "anti_join_customers_no_orders": o_anti_join_customers_no_orders,
+    "semi_join_parts": o_semi_join_parts,
+    "union_dedup_names": o_union_dedup_names,
+    "events_daily_rollup": o_events_daily_rollup,
+    "band_join_acctbal": o_band_join_acctbal,
+    "nearest_acctbal": o_nearest_acctbal,
+    "doc_token_count": o_doc_token_count,
+    "doc_quality": o_doc_quality,
+    "doc_lang_id": o_doc_lang_id,
+    "dedup_exact": o_dedup_exact,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: fn() for name, fn in _ORACLES.items()}

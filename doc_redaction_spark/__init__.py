@@ -1,0 +1,26 @@
+"""doc_redaction_spark — a PySpark-native extraction + redaction engine.
+
+Brand-new implementation (not a port) of the query/data-processing
+capabilities of the reference single-machine app
+``seanpedrick-case/doc_redaction``:
+
+* main-content extraction: boilerplate strip + unicode fold
+  (reference semantics: ``tools/data_anonymise.py:221-283``,
+  ``tools/helper_functions.py:1436-1472``)
+* PII span detection: regex recognizers, deny lists, fuzzy deny lists,
+  checksum validators (``tools/load_spacy_model_custom_recognisers.py``)
+* span algebra + redaction strategies (``tools/data_anonymise.py:2133-2189``)
+* layout ops: words→lines rollups, reading order
+  (``tools/file_conversion.py:921-979``, ``tools/ocr_reading_order.py``)
+* duplicate detection (``tools/find_duplicate_pages.py:1099-1246``) plus
+  web-scale extensions: MinHash-LSH, SimHash, n-gram Jaccard,
+  embedding-cosine similarity search.
+
+Everything is expressed Spark-first: native ``pyspark.sql.functions``
+column expressions wherever possible, Arrow-batched pandas UDFs for the
+offset-producing regex work, window functions for stable
+``(conv_id, turn_idx)`` ordering, salted repartitioning for skew, and a
+parquet/Iceberg lineage side table for idempotent resume.
+"""
+
+__version__ = "0.1.0"

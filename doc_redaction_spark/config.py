@@ -1,0 +1,45 @@
+"""Pipeline configuration — the analog of the reference's
+``RedactionOptions`` frozen dataclass (``/root/reference/tools/redaction_types.py:44-114``).
+
+Frozen + hashable so it broadcasts cleanly into UDF closures and keys the
+per-executor compiled-recognizer cache.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # which recognizers run (names from recognizers.BUILTIN_RECOGNIZERS)
+    entities: tuple = (
+        "EMAIL_ADDRESS",
+        "UKPOSTCODE",
+        "TITLES",
+        "STREETNAME",
+        "PHONE_NUMBER",
+        "IP_ADDRESS",
+    )
+    deny_terms: tuple = ()
+    fuzzy_terms: tuple = ()
+    fuzzy_max_edits: int = 1
+    allow_list: tuple = ()  # case-insensitive post-filter (reference :11229-11263)
+    score_threshold: float = 0.001  # reference default, load_spacy...py:35
+    strategy: str = "redact_replace"
+    salt: str = "s42"
+    merge_adjacent_gap: int = -1  # <0 → merging off (reference MERGE_BOUNDING_BOXES flag)
+    # scale knobs
+    salt_buckets: int = 16  # skew-defusing shuffle salt on conv_id
+    num_partitions: int = 0  # 0 → leave to AQE / input partitioning
+
+    def key(self) -> tuple:
+        return (
+            self.entities,
+            self.deny_terms,
+            self.fuzzy_terms,
+            self.fuzzy_max_edits,
+            self.allow_list,
+            self.score_threshold,
+            self.merge_adjacent_gap,
+        )

@@ -1,0 +1,14 @@
+from doc_redaction_spark.functions.clean import (  # noqa: F401
+    CLEAN_PATTERNS,
+    SMART_PUNCT_FOLD,
+    clean_text_col,
+    duckdb_clean_sql,
+    nfkc_fold_udf,
+    python_clean,
+)
+from doc_redaction_spark.functions.textstats import (  # noqa: F401
+    fingerprint_col,
+    lang_id_col,
+    quality_score_cols,
+    token_count_col,
+)

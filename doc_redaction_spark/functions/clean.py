@@ -1,0 +1,152 @@
+"""Boilerplate-strip / unicode-fold stage ("clean").
+
+Re-expresses the reference's ``initial_clean`` battery
+(``/root/reference/tools/data_anonymise.py:221-283``) and
+``clean_unicode_text`` (``/root/reference/tools/helper_functions.py:1436-1472``)
+as a single shared pattern SPEC rendered into three dialects:
+
+* **Spark native** (``regexp_replace`` → Java regex, whole-stage codegen —
+  the hot path; no Python in the loop),
+* **DuckDB SQL** (RE2) for the correctness oracle,
+* **pure Python** (``re``) for unit-test golden oracles.
+
+The reference's NFKC loop is dead code (its loop variable is never written
+back to the series); we pin the *intended* semantics: per-element NFKC +
+smart-punct fold, then strip, then the ordered regex battery. Pattern ORDER
+is semantics-bearing and preserved exactly.
+
+Dialect caution: every pattern below is deliberately restricted to the
+syntax subset Java regex, RE2 and Python ``re`` all interpret identically
+(no lookaround, no backrefs, `\\p{P}` only in the Java/RE2 dialects with a
+Python character-class equivalent).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# --- smart punctuation fold (reference replacements dict) -------------------
+SMART_PUNCT_FOLD: list[tuple[str, str]] = [
+    ("‘", "'"),  # ‘
+    ("’", "'"),  # ’
+    ("“", '"'),  # “
+    ("”", '"'),  # ”
+    ("–", "-"),  # –
+    ("—", "-"),  # —
+    ("…", "..."),  # …
+    ("•", "*"),  # •
+]
+
+# --- ordered regex battery ---------------------------------------------------
+# (name, pattern, replacement) — replacement uses $1-style group refs; the
+# duckdb renderer converts to \1. Patterns are shared verbatim across
+# dialects except PUNCT_RUN (\p{P} has no Python-re equivalent; we substitute
+# an ASCII punctuation class — identical behaviour because the non-ASCII
+# strip pass runs first).
+URL_PATTERN = (
+    r"http[s]?://(?:[a-zA-Z]|[0-9]|[$-_@.&+]|[!*\\(\\),]|"
+    r"(?:%[0-9a-fA-F][0-9a-fA-F]))+|(?:www\.)[a-zA-Z0-9._-]+\.[a-zA-Z]{2,}"
+)
+HTML_PATTERN = r"<.*?>|&([a-z0-9]+|#[0-9]{1,6}|#x[0-9a-f]{1,6});|\xa0|&nbsp;"
+HTML_TRUNC_PATTERN = r"<(.*?)\.\."
+NON_ASCII_PATTERN = r"[^\x00-\x7F]+"
+MULTI_SPACE_PATTERN = r"\s{2,}"
+MULTI_NEWLINE_PATTERN = r"(\r\n|\n)+"
+PUNCT_RUN_PATTERN = r"(\p{P})\p{P}+"  # Java / RE2
+# ASCII punctuation general-category-P members (subset of ASCII; symbols
+# $+<=>^`|~ are category S and correctly excluded, matching \p{P}):
+_ASCII_P = r"!\"#%&'()*,\-./:;?@\[\\\]_{}"
+PUNCT_RUN_PATTERN_PY = rf"([{_ASCII_P}])[{_ASCII_P}]+"
+
+CLEAN_PATTERNS: list[tuple[str, str, str]] = [
+    ("multi_newline", MULTI_NEWLINE_PATTERN, "  "),
+    ("carriage_return", r"\r", ""),
+    ("url", URL_PATTERN, " "),
+    ("html", HTML_PATTERN, " "),
+    ("html_trunc", HTML_TRUNC_PATTERN, " "),
+    ("non_ascii", NON_ASCII_PATTERN, " "),
+    ("multi_space", MULTI_SPACE_PATTERN, " "),
+    ("punct_run", PUNCT_RUN_PATTERN, "$1"),
+    ("and_sign", r"&", "and"),
+]
+
+_STRIP_EDGE = r"^\s+|\s+$"  # polars strip_chars equivalent, pre-battery
+
+
+def clean_text_col(col: Column | str) -> Column:
+    """Native-Spark clean battery: smart-punct fold + strip + regex passes.
+
+    Stays fully inside whole-stage codegen (no UDF). NFKC is NOT applied
+    here (no JVM builtin); callers needing full NFKC compose
+    ``nfkc_fold_udf`` in front — the battery itself is byte-stable on any
+    input already free of decomposable forms.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
+    for old, new in SMART_PUNCT_FOLD:
+        c = F.replace(c, F.lit(old), F.lit(new))
+    c = F.regexp_replace(c, _STRIP_EDGE, "")
+    for _, pat, repl in CLEAN_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def duckdb_clean_sql(expr: str) -> str:
+    """Render the same battery as a DuckDB SQL expression over ``expr``."""
+    out = f"coalesce({expr}, '')"
+    for old, new in SMART_PUNCT_FOLD:
+        o, n = old.replace("'", "''"), new.replace("'", "''")
+        out = f"replace({out}, '{o}', '{n}')"
+    out = f"regexp_replace({out}, '{_STRIP_EDGE}', '', 'g')"
+    for _, pat, repl in CLEAN_PATTERNS:
+        # DuckDB standard string literals keep backslashes verbatim — only
+        # single quotes need doubling. Replacement group refs are \1-style.
+        p = pat.replace("'", "''")
+        r = repl.replace("$1", "\\1")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return out
+
+
+def python_clean(text: str | None, nfkc: bool = True) -> str:
+    """Pure-Python oracle for the full clean stage (unit-test golden)."""
+    if text is None:
+        return ""
+    if nfkc:
+        text = unicodedata.normalize("NFKC", text)
+    for old, new in SMART_PUNCT_FOLD:
+        text = text.replace(old, new)
+    text = text.strip()
+    for name, pat, repl in CLEAN_PATTERNS:
+        if name == "punct_run":
+            pat = PUNCT_RUN_PATTERN_PY
+        text = re.sub(pat, repl.replace("$1", r"\1"), text)
+    return text
+
+
+def nfkc_fold_udf():
+    """Arrow-batched pandas UDF: NFKC normalize + smart-punct fold.
+
+    The only clean-stage piece with no JVM builtin. Vectorized over the
+    Arrow batch (``Series.map`` of a C-level libc call); everything else
+    in the battery stays native.
+    """
+
+    @F.pandas_udf(StringType())
+    def _nfkc(s: pd.Series) -> pd.Series:
+        def fold(x):
+            if x is None:
+                return ""
+            x = unicodedata.normalize("NFKC", x)
+            for old, new in SMART_PUNCT_FOLD:
+                x = x.replace(old, new)
+            return x
+
+        return s.map(fold)
+
+    return _nfkc

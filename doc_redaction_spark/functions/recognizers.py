@@ -1,0 +1,241 @@
+"""PII recognizer registry — the pluggable span-producing surface.
+
+Semantics mirror the reference's Presidio recognizer stack
+(``/root/reference/tools/load_spacy_model_custom_recognisers.py``):
+
+* TITLES — 13-title alternation, DOTALL|MULTILINE, case-sensitive (:503-527)
+* UKPOSTCODE — ``\\b([A-Z]{1,2}\\d[A-Z\\d]? ?\\d[A-Z]{2}|GIR ?0AA)\\b`` (:533-542)
+* STREETNAME — digit-word + name + ~70 street types, +IGNORECASE (:547-697)
+* CUSTOM deny list — literal terms wrapped in word boundaries, longest-first
+  so longer phrases win the alternation (:355-496; ordering semantics
+  ``tools/data_anonymise.py:1626``); regex-looking terms pass through raw
+* CUSTOM_FUZZY — Levenshtein ≤ k sliding-window phrase match (:700-769)
+* EMAIL/PHONE/URL/IP/CREDIT_CARD/IBAN — Presidio-style public patterns with
+  Luhn / mod-97 checksum validators (``FULL_ENTITY_LIST``
+  ``tools/config.py:2105-2108``)
+
+Each recognizer compiles once per executor (module-level cache) and yields
+``(entity_type, start, end, score)`` char spans via ``re.finditer`` —
+Python ``re`` is the single offset-producing engine so offsets are
+byte-stable (SURVEY.md §7.4.1). Patterns used in DuckDB oracles are kept
+RE2-safe (no lookaround); the deny-list uses lookarounds internally which
+reduce to ``\\b`` for word-char-bounded terms.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# pattern constants (shared with oracle SQL — keep RE2-compatible)
+# ---------------------------------------------------------------------------
+
+TITLES_LIST = [
+    "Sir", "Ma'am", "Madam", "Mr", "Mr.", "Mrs", "Mrs.", "Ms", "Ms.",
+    "Miss", "Dr", "Dr.", "Professor",
+]
+TITLES_PATTERN = "\\b" + "\\b|\\b".join(re.escape(t) for t in TITLES_LIST) + "\\b"
+
+UKPOSTCODE_PATTERN = r"\b([A-Z]{1,2}\d[A-Z\d]? ?\d[A-Z]{2}|GIR ?0AA)\b"
+
+STREET_TYPES = [
+    "Street", "St", "Boulevard", "Blvd", "Highway", "Hwy", "Broadway",
+    "Freeway", "Causeway", "Cswy", "Expressway", "Way", "Walk", "Lane",
+    "Ln", "Road", "Rd", "Avenue", "Ave", "Circle", "Cir", "Cove", "Cv",
+    "Drive", "Dr", "Parkway", "Pkwy", "Park", "Court", "Ct", "Square",
+    "Sq", "Loop", "Place", "Pl", "Parade", "Estate", "Alley", "Arcade",
+    "Bay", "Bend", "Brae", "Byway", "Close", "Corner", "Crescent", "Cres",
+    "Cul-de-sac", "Dell", "Esplanade", "Glen", "Green", "Grove", "Heights",
+    "Hts", "Mews", "Path", "Piazza", "Promenade", "Quay", "Ridge", "Row",
+    "Terrace", "Ter", "Track", "Trail", "View", "Villas", "Marsh",
+    "Embankment", "Cut", "Hill", "Passage", "Rise", "Vale", "Side",
+]
+STREETNAME_PATTERN = (
+    r"(\w*\d\w*)\s*(\w+\s*\b(?:" + "|".join(re.escape(s) for s in STREET_TYPES) + r")\b)"
+)
+
+EMAIL_PATTERN = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+PHONE_PATTERN = r"\+\d{1,3}[ ]?\d{2,4}[ ]?\d{3,4}[ ]?\d{3,4}\b"
+IP_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+URL_SPAN_PATTERN = (
+    r"http[s]?://[A-Za-z0-9$\-_@.&+!*\\(\\),%/?=:#~]+"
+    r"|www\.[A-Za-z0-9._-]+\.[A-Za-z]{2,}[A-Za-z0-9$\-_@.&+!*\\(\\),%/?=:#~]*"
+)
+CREDIT_CARD_PATTERN = r"\b(?:\d[ -]?){12,18}\d\b"
+IBAN_PATTERN = r"\b[A-Z]{2}\d{2}[A-Z0-9]{10,30}\b"
+
+_PY_FLAGS_DEFAULT = re.DOTALL | re.MULTILINE
+
+
+def luhn_ok(digits: str) -> bool:
+    """Luhn mod-10 checksum (public algorithm) for CREDIT_CARD validation."""
+    ds = [int(c) for c in digits if c.isdigit()]
+    if len(ds) < 13:
+        return False
+    total, parity = 0, len(ds) % 2
+    for i, d in enumerate(ds):
+        if i % 2 == parity:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def iban_ok(s: str) -> bool:
+    """ISO 13616 mod-97 IBAN check (public algorithm)."""
+    s = s.replace(" ", "").upper()
+    if len(s) < 15 or not s[:2].isalpha() or not s[2:4].isdigit():
+        return False
+    rearranged = s[4:] + s[:4]
+    num = "".join(str(int(c, 36)) for c in rearranged)
+    return int(num) % 97 == 1
+
+
+@dataclass(frozen=True)
+class RegexRecognizer:
+    """One pattern recognizer: compiled once per executor in the detect UDF."""
+
+    entity_type: str
+    pattern: str
+    flags: int = _PY_FLAGS_DEFAULT
+    score: float = 1.0
+    group: int = 0  # span = match.span(group)
+    validator: object = None  # Callable[[str], bool] | None
+
+    def compiled(self):
+        return re.compile(self.pattern, self.flags)
+
+
+BUILTIN_RECOGNIZERS: dict[str, RegexRecognizer] = {
+    r.entity_type: r
+    for r in [
+        RegexRecognizer("TITLES", TITLES_PATTERN),
+        RegexRecognizer("UKPOSTCODE", UKPOSTCODE_PATTERN),
+        RegexRecognizer(
+            "STREETNAME", STREETNAME_PATTERN, _PY_FLAGS_DEFAULT | re.IGNORECASE
+        ),
+        RegexRecognizer("EMAIL_ADDRESS", EMAIL_PATTERN),
+        RegexRecognizer("PHONE_NUMBER", PHONE_PATTERN),
+        RegexRecognizer("IP_ADDRESS", IP_PATTERN),
+        RegexRecognizer("URL", URL_SPAN_PATTERN),
+        RegexRecognizer(
+            "CREDIT_CARD", CREDIT_CARD_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
+            staticmethod(luhn_ok),
+        ),
+        RegexRecognizer(
+            "IBAN_CODE", IBAN_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
+            staticmethod(iban_ok),
+        ),
+    ]
+}
+
+FULL_ENTITY_LIST = list(BUILTIN_RECOGNIZERS) + ["CUSTOM", "CUSTOM_FUZZY"]
+
+
+# ---------------------------------------------------------------------------
+# deny list (CUSTOM) — reference :355-496
+# ---------------------------------------------------------------------------
+
+_REGEX_METACHARS = set(".^$*+?{}[]|()\\")
+
+
+def _is_regex_pattern(term: str) -> bool:
+    """Term is treated as raw regex iff it compiles AND contains metachars
+    (reference ``_is_regex_pattern``)."""
+    if not any(c in _REGEX_METACHARS for c in term):
+        return False
+    try:
+        re.compile(term)
+        return True
+    except re.error:
+        return False
+
+
+def _quote_tolerant_escape(term: str) -> str:
+    """Escape a literal, making straight quotes match curly variants too
+    (reference :443-496)."""
+    out = []
+    for ch in term:
+        if ch == "'":
+            out.append("['’‘]")
+        elif ch == '"':
+            out.append("[\"“”]")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def build_deny_list_pattern(terms: list[str]) -> str | None:
+    """One alternation, longest-first (longer phrases win), literals wrapped
+    in ``(?<!\\w)...(?!\\w)`` word guards; regex-like terms pass raw."""
+    terms = [t for t in (t.strip() for t in terms) if t]
+    if not terms:
+        return None
+    terms = sorted(set(terms), key=lambda t: (-len(t), t))
+    parts = []
+    for t in terms:
+        if _is_regex_pattern(t):
+            parts.append(f"(?:{t})")
+        else:
+            parts.append(rf"(?<!\w)(?:{_quote_tolerant_escape(t)})(?!\w)")
+    return "|".join(parts)
+
+
+def deny_list_recognizer(terms: list[str]) -> RegexRecognizer | None:
+    pat = build_deny_list_pattern(terms)
+    if pat is None:
+        return None
+    return RegexRecognizer("CUSTOM", pat, _PY_FLAGS_DEFAULT | re.IGNORECASE)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy deny list (CUSTOM_FUZZY) — reference :700-769, accept rule :961-983
+# ---------------------------------------------------------------------------
+
+
+def _levenshtein(a: str, b: str, cap: int) -> int:
+    """Bounded edit distance; early-exits past ``cap`` (banded DP)."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        best = cur[0]
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            best = min(best, cur[j])
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
+@dataclass(frozen=True)
+class FuzzyRecognizer:
+    """Whole-phrase fuzzy matcher: slide a token window of phrase length ±1
+    over the text; accept when edit distance ≤ max_edits (case-folded)."""
+
+    phrases: tuple
+    max_edits: int = 1
+    entity_type: str = "CUSTOM_FUZZY"
+    score: float = 1.0
+    _token_re: object = field(default=None, compare=False)
+
+    def find_spans(self, text: str):
+        spans = []
+        toks = [(m.start(), m.end(), m.group(0)) for m in re.finditer(r"\S+", text)]
+        low = text.lower()
+        for phrase in self.phrases:
+            p = phrase.lower().strip()
+            n = max(1, len(p.split()))
+            for width in {max(1, n - 1), n, n + 1}:
+                for i in range(0, len(toks) - width + 1):
+                    s, e = toks[i][0], toks[i + width - 1][1]
+                    cand = low[s:e]
+                    if abs(len(cand) - len(p)) > self.max_edits:
+                        continue
+                    if _levenshtein(cand, p, self.max_edits) <= self.max_edits:
+                        spans.append((self.entity_type, s, e, self.score))
+        return spans

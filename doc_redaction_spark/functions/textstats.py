@@ -1,0 +1,111 @@
+"""Text-analysis columns for training-data pipelines — all native Spark.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / punct /
+stopword ratios, reference-style word-count gating
+``/root/reference/tools/find_duplicate_pages.py:1139`` +
+``EFFICIENT_OCR_MIN_WORDS`` route gating
+``/root/reference/tools/file_redaction.py:10900-10979``), token counting,
+and document fingerprinting (normalized-text md5, the exact-dedup key).
+
+Every function returns pure Column expressions (whole-stage codegen; no
+UDF) and each has a matching DuckDB rendering used by the oracle SQL in
+``__spark_entry__.py`` — formulas are defined ONCE here as constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small fixed stopword list (shared with oracle SQL)
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this", "are",
+]
+
+TOKEN_PATTERN = r"\S+"
+PUNCT_CLASS = r"[!\"#%&'()*,\-./:;?@\[\]_{}]"
+
+
+def token_count_col(col: str = "text") -> Column:
+    """Whitespace token count; 0 for empty/null."""
+    return F.coalesce(
+        F.regexp_count(F.coalesce(F.col(col), F.lit("")), F.lit(TOKEN_PATTERN)),
+        F.lit(0),
+    ).alias("n_tokens")
+
+
+def fingerprint_col(col: str = "text") -> Column:
+    """Exact-dedup fingerprint: md5 of lowercased whitespace-normalized text."""
+    norm = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(F.coalesce(F.col(col), F.lit("")), r"\s+", " "),
+            r"^\s+|\s+$",
+            "",
+        )
+    )
+    return F.md5(norm).alias("fingerprint")
+
+
+def _stopword_hits(col: str) -> Column:
+    pat = r"\b(?:" + "|".join(EN_STOPWORDS) + r")\b"
+    return F.regexp_count(F.lower(F.coalesce(F.col(col), F.lit(""))), F.lit(pat))
+
+
+def lang_id_col(col: str = "text", threshold: float = 0.12) -> Column:
+    """'en' when stopword-hit/token ratio ≥ threshold, else 'other'.
+
+    N-gram-free heuristic chosen so the identical formula runs in DuckDB.
+    """
+    toks = token_count_col(col)
+    ratio = F.when(toks > 0, _stopword_hits(col) / toks).otherwise(F.lit(0.0))
+    return F.when(ratio >= F.lit(threshold), F.lit("en")).otherwise(F.lit("other")).alias(
+        "lang_pred"
+    )
+
+
+def quality_score_cols(col: str = "text") -> list[Column]:
+    """(n_chars, n_tokens, punct_ratio, stop_ratio, quality_score) rounded to
+    4dp so Spark/DuckDB float hashes agree."""
+    c = F.coalesce(F.col(col), F.lit(""))
+    n_chars = F.length(c)
+    n_tokens = token_count_col(col)
+    punct = F.regexp_count(c, F.lit(PUNCT_CLASS))
+    stop = _stopword_hits(col)
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tokens >= 5) & (n_tokens <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return [
+        n_chars.alias("n_chars_calc"),
+        n_tokens,
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    ]
+
+
+# --- DuckDB renderings (used by oracle_sql) ---------------------------------
+
+def duckdb_token_count(expr: str) -> str:
+    return f"len(regexp_extract_all(coalesce({expr}, ''), '\\S+'))"
+
+
+def duckdb_fingerprint(expr: str) -> str:
+    return (
+        "md5(lower(regexp_replace(regexp_replace(coalesce(" + expr + ", ''),"
+        " '\\s+', ' ', 'g'), '^\\s+|\\s+$', '', 'g')))"
+    )
+
+
+def duckdb_stopword_hits(expr: str) -> str:
+    pat = r"\b(?:" + "|".join(EN_STOPWORDS) + r")\b"
+    return f"len(regexp_extract_all(lower(coalesce({expr}, '')), '{pat}'))"
+
+
+def duckdb_punct_count(expr: str) -> str:
+    pat = PUNCT_CLASS.replace("'", "''")
+    return f"len(regexp_extract_all(coalesce({expr}, ''), '{pat}'))"

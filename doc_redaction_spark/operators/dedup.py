@@ -1,0 +1,333 @@
+"""Deduplication suite — exact, MinHash-LSH, SimHash, n-gram Jaccard,
+TF-IDF cosine (the reference's duplicate-page analysis,
+``/root/reference/tools/find_duplicate_pages.py:1099-1246``, generalized
+to web-scale training-data dedup).
+
+Scale notes:
+* everything is expressed with native higher-order functions
+  (``transform``/``aggregate``/``explode``) — no Python in the hot path;
+* MinHash signatures use md5 (deterministic, engine-portable — the DuckDB
+  oracle computes bit-identical signatures); banding turns candidate
+  generation into an equi-join on ``(band, band_hash)``, the classic
+  shuffle-friendly LSH plan;
+* pair enumeration always keys ``id1 < id2`` and dedups candidates before
+  the (expensive) verify stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.functions.textstats import fingerprint_col
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (whitespace/case-normalized) docs."""
+    return (
+        df.select(F.col(id_col), fingerprint_col(text_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keeper"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingle_col(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles as array<string> — pure column expr."""
+    toks = F.split(
+        F.lower(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")),
+        " ",
+    )
+    toks = F.filter(toks, lambda x: x != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
+    )
+    return F.array_distinct(sh)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over word n-grams via the sparse self-join:
+    explode(shingle) → equi-join on shingle → |∩| per pair → J = |∩|/(|A|+|B|-|∩|).
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"), shingle_col(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sizes = docs.select("id", F.size("shingles").alias("sz"))
+    ex = docs.select("id", F.explode("shingles").alias("sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("id1", "id2", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles_col, num_hashes: int = 32):
+    """array<string> of per-seed min md5 values. md5 is deterministic and
+    identical across Spark/DuckDB → oracle-checkable signatures."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles_col, lambda x, s=s: F.md5(F.concat(x, F.lit(f":{s}"))))
+            )
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs whose signatures collide in ≥1 LSH band, scored by
+    estimated Jaccard = fraction of matching minhashes."""
+    rows_per_band = num_hashes // bands
+    docs = df.select(
+        F.col(id_col).alias("id"), shingle_col(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sigs = docs.select("id", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
+    band_rows = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.slice(F.col("sig"), bnd * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda eq: eq
+            )
+        )
+        / F.lit(num_hashes),
+        4,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_col(text_col: str = "text", bits: int = 32):
+    """32-bit SimHash from token md5s — per-bit majority vote, all native.
+
+    bit b of token hash = (hash >> b) & 1; simhash bit = 1 iff
+    sum(2*bit-1) > 0. Uses conv(md5[:8], 16, 10) for a 32-bit int hash.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    bit_sums = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_sums,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda s, b: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates by SimHash: block on each of 4 hash bytes
+    (pigeonhole: ≤3 differing bits ⇒ ≥1 identical byte), verify Hamming."""
+    docs = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
+    blocks = docs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("sh", i * 8).bitwiseAND(F.lit(255)).alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sh", "b.blk", "b.bv")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+            F.col("a.sh").alias("sh1"), F.col("b.sh").alias("sh2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    xor = F.col("sh1").bitwiseXOR(F.col("sh2"))
+    ham = F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0),
+        lambda acc, i: acc + F.shiftright(xor, i).bitwiseAND(F.lit(1)).cast("int"),
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine similar pairs (reference find_duplicate_pages semantics)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    min_word_count: int = 1,
+) -> DataFrame:
+    """Sparse cosine self-join: tf-idf weights per (doc, term), join on
+    term, sum products, normalize — the shuffle-friendly form of the
+    reference's dense ``cosine_similarity`` (:1162-1182)."""
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"[^a-z0-9 ]", " ")), r"\s+"),
+        lambda x: x != "",
+    )
+    docs = df.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
+        F.size("toks") >= min_word_count
+    )
+    n_docs = docs.count()
+    tf = (
+        docs.select("id", F.explode("toks").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(
+        (F.log((F.lit(n_docs) + 1.0) / (F.count("*") + 1.0)) + 1.0).alias("idf")
+    )
+    w = tf.join(F.broadcast(idf), "term").withColumn("w", F.col("tf") * F.col("idf"))
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    a = w.select(F.col("id").alias("id1"), "term", F.col("w").alias("w1"))
+    b = w.select(F.col("id").alias("id2"), "term", F.col("w").alias("w2"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    sims = (
+        dots.join(norms.withColumnRenamed("id", "id1").withColumnRenamed("norm", "n1"), "id1")
+        .join(norms.withColumnRenamed("id", "id2").withColumnRenamed("norm", "n2"), "id2")
+        .withColumn("sim", F.round(F.col("dot") / (F.col("n1") * F.col("n2")), 4))
+        .filter(F.col("sim") >= threshold)
+    )
+    return sims.select("id1", "id2", "sim")
+
+
+def consecutive_islands(
+    pairs: DataFrame, file1: str = "id1", file2: str = "id2"
+) -> DataFrame:
+    """Gaps-and-islands over matched page pairs (reference :1186-1211):
+    group consecutive (id1+1, id2+1) runs into (start1, end1, start2, end2, length)."""
+    w = Window.orderBy(file1, file2)
+    df = pairs.withColumn(
+        "brk",
+        F.when(
+            (F.col(file1) - F.lag(file1).over(w) == 1)
+            & (F.col(file2) - F.lag(file2).over(w) == 1),
+            0,
+        ).otherwise(1),
+    )
+    df = df.withColumn("grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return df.groupBy("grp").agg(
+        F.min(file1).alias("start1"),
+        F.max(file1).alias("end1"),
+        F.min(file2).alias("start2"),
+        F.max(file2).alias("end2"),
+        F.count("*").alias("match_length"),
+    ).drop("grp").select("start1", "end1", "start2", "end2", "match_length")

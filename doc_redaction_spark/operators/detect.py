@@ -1,0 +1,147 @@
+"""PII span detection stage — one Arrow-batched pandas UDF.
+
+``detect_spans(text) -> array<struct<entity_type,start,end,score>>``
+
+Mirrors the reference's per-text analyze loop
+(``/root/reference/tools/custom_image_analyser_engine.py:11452-11595``:
+run recognizers → score-threshold → allow-list filter). Python ``re`` is
+the single offset engine (byte-stable offsets; SURVEY.md §7.4.1); the
+compiled registry is built once per executor per config (module cache),
+which is the Spark analog of the reference's module-level compiled
+regexes and thread-local model caches (``tools/file_conversion.py:64-80``).
+
+No per-row Python UDFs anywhere — this is a vectorized Series→Series UDF
+over Arrow batches (input_hint requirement).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from doc_redaction_spark.config import PipelineConfig
+from doc_redaction_spark.functions.recognizers import (
+    BUILTIN_RECOGNIZERS,
+    FuzzyRecognizer,
+    deny_list_recognizer,
+)
+from doc_redaction_spark.operators.spans import apply_spans as _apply_spans
+from doc_redaction_spark.operators.spans import merge_adjacent, resolve_overlaps
+
+SPAN_TYPE = StructType(
+    [
+        StructField("entity_type", StringType(), False),
+        StructField("start", IntegerType(), False),
+        StructField("end", IntegerType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+SPANS_TYPE = ArrayType(SPAN_TYPE)
+
+# per-executor compiled registries, keyed by config.key()
+_REGISTRY_CACHE: dict = {}
+
+
+def _registry(cfg: PipelineConfig):
+    key = cfg.key()
+    reg = _REGISTRY_CACHE.get(key)
+    if reg is None:
+        compiled = []
+        for name in cfg.entities:
+            rec = BUILTIN_RECOGNIZERS.get(name)
+            if rec is not None:
+                compiled.append((rec.entity_type, rec.compiled(), rec.score, rec.group, rec.validator))
+        deny = deny_list_recognizer(list(cfg.deny_terms))
+        if deny is not None:
+            compiled.append((deny.entity_type, deny.compiled(), deny.score, 0, None))
+        fuzzy = (
+            FuzzyRecognizer(tuple(cfg.fuzzy_terms), cfg.fuzzy_max_edits)
+            if cfg.fuzzy_terms
+            else None
+        )
+        allow = frozenset(t.strip().lower() for t in cfg.allow_list)
+        reg = (compiled, fuzzy, allow)
+        _REGISTRY_CACHE[key] = reg
+    return reg
+
+
+def detect_spans_py(text: str | None, cfg: PipelineConfig) -> list[tuple]:
+    """Single-text detection — shared by the UDF and the pytest oracle."""
+    if not text:
+        return []
+    compiled, fuzzy, allow = _registry(cfg)
+    spans: list[tuple] = []
+    for etype, pat, score, group, validator in compiled:
+        if score < cfg.score_threshold:
+            continue
+        for m in pat.finditer(text):
+            s, e = m.span(group)
+            if s == e:
+                continue
+            if validator is not None:
+                fn = validator.__func__ if hasattr(validator, "__func__") else validator
+                if not fn(m.group(group)):
+                    continue
+            spans.append((etype, s, e, float(score)))
+    if fuzzy is not None:
+        spans.extend(fuzzy.find_spans(text))
+    if allow:
+        spans = [sp for sp in spans if text[sp[1] : sp[2]].strip().lower() not in allow]
+    spans.sort(key=lambda sp: (sp[1], sp[2], sp[0]))
+    return spans
+
+
+def detect_spans_udf(cfg: PipelineConfig):
+    """pandas UDF: Series[str] → Series[list[span-dict]]."""
+
+    @F.pandas_udf(SPANS_TYPE)
+    def _detect(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            out.append(
+                [
+                    {"entity_type": e, "start": s, "end": x, "score": sc}
+                    for (e, s, x, sc) in detect_spans_py(t, cfg)
+                ]
+            )
+        return pd.Series(out)
+
+    return _detect
+
+
+def apply_spans_udf(cfg: PipelineConfig):
+    """pandas UDF: (Series[str], Series[list[span]]) → Series[str]."""
+    strategy, salt, gap = cfg.strategy, cfg.salt, cfg.merge_adjacent_gap
+
+    @F.pandas_udf(StringType())
+    def _apply(texts: pd.Series, spans: pd.Series) -> pd.Series:
+        out = []
+        for t, sp in zip(texts, spans):
+            tuples = (
+                [(d["entity_type"], d["start"], d["end"], d["score"]) for d in sp]
+                if sp is not None and len(sp) > 0
+                else []
+            )
+            if gap >= 0 and tuples:
+                tuples = merge_adjacent(resolve_overlaps(tuples), gap)
+            out.append(_apply_spans(t, tuples, strategy, salt))
+        return pd.Series(out)
+
+    return _apply
+
+
+def detect_and_apply(
+    df, cfg: PipelineConfig, text_col: str = "clean_text"
+) -> tuple[Column, Column]:
+    """Convenience: returns (spans_col, redacted_col) expressions."""
+    spans = detect_spans_udf(cfg)(F.col(text_col))
+    return spans, apply_spans_udf(cfg)(F.col(text_col), F.col("spans"))

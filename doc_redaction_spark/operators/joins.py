@@ -1,0 +1,64 @@
+"""Scale-aware band / proximity joins (SURVEY.md §2.3).
+
+The reference does these with a cross-join + filter
+(``join_values_within_threshold`` ``/root/reference/tools/file_conversion.py:2105-2139``)
+and a per-page cKDTree (``:2582-2715``). Neither survives 100 TB: a naive
+theta-join plans as BroadcastNestedLoop, and a KDTree needs all rows on one
+node. Both are re-expressed as **grid-bucketed equi-joins**: bucket each
+side by ``floor(val/tol)``, explode the left side to its ±1 neighbor
+buckets, equi-join on the bucket id (hash shuffle — AQE-skew-splittable),
+then apply the exact predicate as a post-filter. Semantics are identical;
+the plan is a plain SortMergeJoin/ShuffledHashJoin on an int key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def band_join(
+    left: DataFrame, right: DataFrame, lcol: str, rcol: str, tol: float
+) -> DataFrame:
+    """All pairs with ``abs(left.lcol - right.rcol) <= tol``."""
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col(lcol) / tol).cast("long") - 1,
+                F.floor(F.col(lcol) / tol).cast("long"),
+                F.floor(F.col(lcol) / tol).cast("long") + 1,
+            )
+        ),
+    )
+    rb = right.withColumn("_bucket", F.floor(F.col(rcol) / tol).cast("long"))
+    return (
+        lb.join(rb, "_bucket")
+        .filter(F.abs(F.col(lcol) - F.col(rcol)) <= tol)
+        .drop("_bucket")
+    )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    lcol: str,
+    rcol: str,
+    tol: float,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+) -> DataFrame:
+    """Nearest right row per left row within ``tol`` (KDTree replacement).
+
+    Ties broken by ``right_id`` asc — deterministic, unlike scipy's
+    internal ordering.
+    """
+    pairs = band_join(left, right, lcol, rcol, tol).withColumn(
+        "dist", F.abs(F.col(lcol) - F.col(rcol))
+    )
+    w = Window.partitionBy(left_id).orderBy("dist", right_id)
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

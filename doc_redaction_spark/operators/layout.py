@@ -1,0 +1,88 @@
+"""Layout operators: words→lines rollup, reading order, line renumbering.
+
+Reference semantics:
+* words→line rollup: groupby (page, line): text = space-join of words in
+  order, bbox = (min x0, min y0, max x1, max y1), conf = mean word conf
+  (``/root/reference/tools/file_conversion.py:946-979``).
+* reading order (single-column mode): sort lines by (top, left), renumber
+  1..n (``tools/ocr_reading_order.py:266-280``, ``:1143-1146``).
+
+Both are pure groupBy/window plans — shuffle on (doc, page), which is the
+natural partition key for document corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def words_to_lines(words: DataFrame) -> DataFrame:
+    """words(page, line, word_idx, word_text, x0, y0, x1, y1, conf) →
+    lines(page, line, text, left, top, width, height, conf)."""
+    ordered = F.sort_array(
+        F.collect_list(F.struct(F.col("word_idx"), F.col("word_text")))
+    )
+    return (
+        words.groupBy("page", "line")
+        .agg(
+            F.concat_ws(" ", F.transform(ordered, lambda s: s.word_text)).alias("text"),
+            F.round(F.min("x0"), 4).alias("left"),
+            F.round(F.min("y0"), 4).alias("top"),
+            F.round(F.max("x1") - F.min("x0"), 4).alias("width"),
+            F.round(F.max("y1") - F.min("y0"), 4).alias("height"),
+            F.round(F.avg("conf"), 2).alias("conf"),
+        )
+    )
+
+
+def reading_order(lines: DataFrame, page_col: str = "page") -> DataFrame:
+    """Renumber lines 1..n per page in (top, left) reading order."""
+    w = Window.partitionBy(page_col).orderBy("top", "left")
+    return lines.withColumn("line_no", F.row_number().over(w).cast("int"))
+
+
+def lines_to_words(lines: DataFrame) -> DataFrame:
+    """Inverse derivation: posexplode line text into word rows with
+    proportional bbox allocation (reference word builder
+    ``tools/file_conversion.py:872-918`` round-trip partner)."""
+    toks = F.split(F.col("text"), " ")
+    df = lines.select(
+        "page",
+        "line",
+        "left",
+        "top",
+        "width",
+        "height",
+        "conf",
+        F.size(toks).alias("n_words"),
+        F.length("text").alias("text_len"),
+        F.posexplode(toks).alias("word_idx", "word_text"),
+    )
+    # proportional horizontal allocation by char position
+    w_char = F.col("width") / F.greatest(F.col("text_len"), F.lit(1))
+    # char offset of word start: sum of previous word lengths + separators
+    # computed via a window over word_idx
+    win = Window.partitionBy("page", "line").orderBy("word_idx")
+    df = df.withColumn(
+        "char_start",
+        F.coalesce(
+            F.sum(F.length("word_text") + 1).over(
+                win.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return df.select(
+        "page",
+        "line",
+        "word_idx",
+        "word_text",
+        F.round(F.col("left") + w_char * F.col("char_start"), 4).alias("x0"),
+        F.col("top").alias("y0"),
+        F.round(
+            F.col("left") + w_char * (F.col("char_start") + F.length("word_text")), 4
+        ).alias("x1"),
+        F.round(F.col("top") + F.col("height"), 4).alias("y1"),
+        F.col("conf"),
+    )

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k (the exact baseline) and an LSH-bucketed ANN
+variant (the scale path). Dot products run as native ``zip_with`` /
+``aggregate`` higher-order functions — JVM-side, no Python.
+
+At 100 TB the brute-force form is a broadcast of the (small) query set
+against the (huge) corpus — a map-only stage with a per-query top-k
+``row_number`` window on ``(qid)``; the ANN form prunes the corpus to
+matching hyperplane-sign buckets first, turning the scan into an
+equi-join on the bucket signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Exact top-k by cosine; deterministic ties via (sim desc, id asc)."""
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(qid_col))
+    sim = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    scored = joined.withColumn("sim", sim)
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.round("sim", 4).alias("sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def hyperplane_signature(vec_col, n_planes: int = 8, dim: int = 64, seed: int = 42):
+    """Deterministic random-hyperplane LSH signature (bit string).
+
+    Plane p component j = hash-derived value in [-1,1): uses md5 of
+    (seed,p,j) → first 8 hex digits → uniform. Fully portable/deterministic.
+    """
+    planes = []
+    for p in range(n_planes):
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j, p=p: (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(",", F.lit(seed), F.lit(p), j)), 1, 8),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(2147483648.0)
+                - 1.0
+            ),
+        )
+        dot = F.aggregate(
+            F.zip_with(vec_col, comps, lambda x, h: x * h),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        planes.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*planes)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Approximate top-k: candidates share the hyperplane-sign bucket."""
+    sig = hyperplane_signature(F.col(vec_col), n_planes, dim)
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"), sig.alias("bucket"))
+    q = queries.select(
+        F.col(qid_col),
+        F.col(vec_col).alias("qvec"),
+        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    joined = c.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col(qid_col))
+    sim = _dot(F.col("qvec"), F.col("cvec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("cvec"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col(qid_col), F.col(id_col), F.round("sim", 4).alias("sim"))
+    )

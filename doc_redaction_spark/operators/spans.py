@@ -1,0 +1,116 @@
+"""Span algebra: overlap resolution, adjacency merge, redaction apply.
+
+Deterministic reimplementation of the reference's anonymizer conflict
+handling (Presidio ``BatchAnonymizerEngine.anonymize_dict`` at
+``/root/reference/tools/data_anonymise.py:2133-2189``; merge semantics
+``tools/custom_image_analyser_engine.py:12912-13037``) — SURVEY.md §2.9.
+
+Pinned invariants:
+* **resolve_overlaps** — drop spans fully contained in (or equal to)
+  another; ties broken by (higher score, longer span, earlier start,
+  entity_type asc). Partially-overlapping survivors are trimmed right
+  (later span starts where the earlier ends) so application is
+  well-defined.
+* **merge_adjacent** — sorted by start; merge when gap ≤ ``max_gap``
+  chars; merged entity_type = ``"A - B"`` when types differ (reference
+  keeps originals ∪ merged for *review*; for application we use the
+  resolved set).
+* **apply_spans** — replacements applied right-to-left so earlier
+  offsets stay valid. Strategies mirror the reference operator configs:
+  ``redact_replace``→"REDACTED", ``entity_type``→"<TYPE>", ``redact``→
+  delete, ``hash``→sha256 hex of covered text, ``mask``→'*'×len (cap
+  100), ``pseudonym``→deterministic salted token (replaces the
+  reference's non-deterministic Faker, SURVEY.md §7.4.2).
+
+All pure Python on plain tuples — shared by the pandas UDFs (executor
+side) and the unit-test oracle (driver side): one spec, one impl.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+Span = tuple  # (entity_type: str, start: int, end: int, score: float)
+
+STRATEGIES = ("redact_replace", "entity_type", "redact", "hash", "mask", "pseudonym")
+
+
+def resolve_overlaps(spans: list[Span]) -> list[Span]:
+    """Deterministic conflict resolution; returns non-overlapping spans
+    sorted by start."""
+    if not spans:
+        return []
+    # priority order: higher score, longer, earlier, type asc
+    ordered = sorted(
+        spans, key=lambda s: (-s[3], -(s[2] - s[1]), s[1], s[0])
+    )
+    kept: list[Span] = []
+    for cand in ordered:
+        contained = False
+        for k in kept:
+            if cand[1] >= k[1] and cand[2] <= k[2]:
+                contained = True
+                break
+        if not contained:
+            kept.append(cand)
+    kept.sort(key=lambda s: (s[1], s[2], s[0]))
+    out: list[Span] = []
+    last_end = -1
+    for etype, start, end, score in kept:
+        if start < last_end:  # partial overlap with previous survivor: trim
+            start = last_end
+            if start >= end:
+                continue
+        out.append((etype, start, end, score))
+        last_end = end
+    return out
+
+
+def merge_adjacent(spans: list[Span], max_gap: int = 1) -> list[Span]:
+    """Merge resolved spans whose gap ≤ max_gap chars (char-offset analog of
+    the reference's |Δy|≤5 / gap≤20px box merge)."""
+    if not spans:
+        return []
+    spans = sorted(spans, key=lambda s: (s[1], s[2]))
+    out = [spans[0]]
+    for s in spans[1:]:
+        prev = out[-1]
+        if s[1] - prev[2] <= max_gap:
+            etype = prev[0] if prev[0] == s[0] else f"{prev[0]} - {s[0]}"
+            out[-1] = (etype, prev[1], max(prev[2], s[2]), max(prev[3], s[3]))
+        else:
+            out.append(s)
+    return out
+
+
+def _replacement(text: str, span: Span, strategy: str, salt: str) -> str:
+    etype, start, end, _ = span
+    covered = text[start:end]
+    if strategy == "redact_replace":
+        return "REDACTED"
+    if strategy == "entity_type":
+        return f"<{etype}>"
+    if strategy == "redact":
+        return ""
+    if strategy == "hash":
+        return hashlib.sha256(covered.encode("utf-8")).hexdigest()
+    if strategy == "mask":
+        return "*" * min(end - start, 100)
+    if strategy == "pseudonym":
+        h = hashlib.sha256(f"{salt}|{covered.lower()}".encode("utf-8")).hexdigest()[:8]
+        return f"{etype.lower()}_{h}"
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def apply_spans(
+    text: str, spans: list[Span], strategy: str = "redact_replace", salt: str = "s42"
+) -> str:
+    """Apply resolved spans right-to-left. Input spans may be unresolved."""
+    if text is None:
+        return ""
+    if not spans:
+        return text
+    resolved = resolve_overlaps(list(spans))
+    for etype, start, end, score in reversed(resolved):
+        text = text[:start] + _replacement(text, (etype, start, end, score), strategy, salt) + text[end:]
+    return text

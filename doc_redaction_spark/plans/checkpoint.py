@@ -1,0 +1,96 @@
+"""Checkpoint / lineage / resume protocol (the north rule's resume gate).
+
+Spark analog of the reference's resume machinery — ``latest_file_completed``
+loop re-entry (``/root/reference/tools/data_anonymise.py:959-982``),
+``current_loop_page``/``PAGE_BREAK_VALUE`` page checkpoints
+(``tools/file_redaction.py:11404-11417``) and the Textract persisted
+job store (``tools/textract_batch_call.py``) — re-expressed as a
+**side table + anti-join**:
+
+* work is split into deterministic **chunks** (``pmod(xxhash64(conv_id), C)``);
+* each completed chunk writes its output under ``out/chunk=<k>/`` and a
+  lineage row ``(run_id, chunk, n_turns, n_spans, status, ts)`` to the
+  side table — write-output-then-commit-lineage ordering makes a crash
+  leave at worst an orphan data dir that the resume pass overwrites
+  (dynamic partition overwrite ⇒ idempotent);
+* resume = ``left_anti`` join of the chunk list against committed lineage
+  rows (SURVEY.md §2.3 semi/anti), so a restarted run re-processes only
+  missing chunks — exactly-once output per chunk.
+
+Storage is plain partitioned parquet here (no Iceberg jars in the
+sandbox); the table layout and commit protocol are Iceberg-shaped — on a
+real cluster swap ``_write_chunk``/``_append_lineage`` for
+``writeTo(...).overwritePartitions()`` / ``MERGE INTO`` keyed on
+``(run_id, chunk)``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = "run_id string, chunk int, n_turns long, n_spans long, status string, ts timestamp"
+
+
+def chunk_col(n_chunks: int):
+    return F.pmod(F.xxhash64("conv_id"), F.lit(n_chunks)).cast("int")
+
+
+def committed_chunks(spark: SparkSession, lineage_dir: str, run_id: str) -> list[int]:
+    if not os.path.isdir(lineage_dir) or not os.listdir(lineage_dir):
+        return []
+    df = spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_dir)
+    rows = (
+        df.filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+        .select("chunk")
+        .distinct()
+        .collect()
+    )
+    return sorted(r.chunk for r in rows)
+
+
+def run_with_checkpoints(
+    spark: SparkSession,
+    turns: DataFrame,
+    pipeline_fn,
+    out_dir: str,
+    lineage_dir: str,
+    run_id: str = "run1",
+    n_chunks: int = 8,
+    fail_after_chunk: int | None = None,
+) -> list[int]:
+    """Run ``pipeline_fn(chunk_df)`` per pending chunk with commit protocol.
+
+    Returns the chunks processed in THIS invocation. ``fail_after_chunk``
+    injects a mid-run crash for the resume test. Chunk count bounds driver
+    iteration (n_chunks ≈ tens, not partitions); within a chunk all
+    parallelism is Spark's.
+    """
+    done = set(committed_chunks(spark, lineage_dir, run_id))
+    turns = turns.withColumn("chunk", chunk_col(n_chunks))
+    processed = []
+    for k in range(n_chunks):
+        if k in done:
+            continue
+        chunk_df = turns.filter(F.col("chunk") == k).drop("chunk")
+        out = pipeline_fn(chunk_df)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"chunk={k}"))
+        stats = out.agg(
+            F.count("*").alias("n_turns"),
+            F.coalesce(F.sum("n_spans"), F.lit(0)).alias("n_spans"),
+        ).collect()[0]
+        lineage = spark.createDataFrame(
+            [(run_id, k, stats.n_turns, int(stats.n_spans), "done")],
+            "run_id string, chunk int, n_turns long, n_spans long, status string",
+        ).withColumn("ts", F.current_timestamp())
+        lineage.write.mode("append").parquet(lineage_dir)
+        processed.append(k)
+        if fail_after_chunk is not None and k >= fail_after_chunk:
+            raise RuntimeError(f"injected failure after chunk {k}")
+    return processed
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "chunk=*"))

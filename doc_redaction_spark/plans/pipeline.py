@@ -1,0 +1,106 @@
+"""The flagship extraction+redaction pipeline (SURVEY.md §7.2).
+
+turns → salted repartition(conv_id) → clean (native battery [+NFKC UDF])
+→ detect_spans (Arrow UDF) → apply_spans (Arrow UDF) → stable ordering
+window → output (+ per-partition lineage/metrics rows).
+
+Scale design:
+* detection/redaction is **per-turn independent**, so the salted
+  repartition ``(conv_id, pmod(xxhash64(turn_idx), S))`` is safe: a
+  10^6-turn conversation spreads over S buckets instead of pinning one
+  executor (SURVEY.md §4 "skew defusal"). Only the ordering window needs
+  conv-locality, and ``row_number`` over (conv_id ORDER BY turn_idx)
+  re-shuffles by conv_id alone — Spark's window exchange handles it, and
+  AQE splits residual skew.
+* all heavy text work is Arrow-batched; ``maxRecordsPerBatch`` bounded in
+  session.py.
+* no collect(), no driver loops — the plan is a straight-line DataFrame
+  chain Catalyst can pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.config import PipelineConfig
+from doc_redaction_spark.functions.clean import clean_text_col, nfkc_fold_udf
+from doc_redaction_spark.operators.detect import apply_spans_udf, detect_spans_udf
+
+
+def extract_and_redact(
+    turns: DataFrame,
+    cfg: PipelineConfig | None = None,
+    nfkc: bool = False,
+    with_row_number: bool = True,
+) -> DataFrame:
+    """turns(conv_id, turn_idx, role, text, tool, ts) → turns_out.
+
+    Output: conv_id, turn_idx, role, tool, ts, clean_text, spans,
+    redacted_text, n_spans [, rn].
+
+    ``nfkc=False`` keeps the whole clean stage JVM-native (correct for
+    ASCII-dominant input already folded by the battery); ``nfkc=True``
+    prepends the NFKC pandas UDF (full reference parity on arbitrary
+    unicode).
+    """
+    cfg = cfg or PipelineConfig()
+    df = turns
+    if cfg.salt_buckets > 1 and cfg.num_partitions > 0:
+        df = df.repartition(
+            cfg.num_partitions,
+            F.col("conv_id"),
+            F.pmod(F.xxhash64("turn_idx"), F.lit(cfg.salt_buckets)),
+        )
+    text = F.col("text")
+    if nfkc:
+        text = nfkc_fold_udf()(text)
+    df = df.withColumn("clean_text", clean_text_col(text))
+    df = df.withColumn("spans", detect_spans_udf(cfg)(F.col("clean_text")))
+    df = df.withColumn(
+        "redacted_text", apply_spans_udf(cfg)(F.col("clean_text"), F.col("spans"))
+    )
+    df = df.withColumn("n_spans", F.size("spans"))
+    if with_row_number:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        df = df.withColumn("rn", F.row_number().over(w))
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        "clean_text",
+        "spans",
+        "redacted_text",
+        "n_spans",
+        *(["rn"] if with_row_number else []),
+    )
+
+
+def span_table(out: DataFrame) -> DataFrame:
+    """Exploded review-file analog (FIXTURES.md §7): one row per span with a
+    deterministic id (replaces the reference's random 12-char ids,
+    ``tools/helper_functions.py:1477-1512``)."""
+    s = out.select(
+        "conv_id", "turn_idx", F.posexplode_outer("spans").alias("span_idx", "span")
+    ).filter(F.col("span").isNotNull())
+    return s.select(
+        "conv_id",
+        "turn_idx",
+        F.col("span.entity_type").alias("entity_type"),
+        F.col("span.start").alias("start"),
+        F.col("span.end").alias("end"),
+        F.col("span.score").alias("score"),
+        F.sha2(
+            F.concat_ws(
+                "|",
+                "conv_id",
+                F.col("turn_idx").cast("string"),
+                F.col("span.start").cast("string"),
+                F.col("span.end").cast("string"),
+                F.col("span.entity_type"),
+            ),
+            256,
+        ).alias("id"),
+    )

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the extraction+redaction workload.
+
+Scale notes (100 TB target):
+* AQE on — runtime coalescing + skew-join splitting.
+* Arrow on — every custom stage is an Arrow-batched pandas UDF.
+* ``maxRecordsPerBatch`` bounded so pathological long-text turns cannot
+  blow a single Arrow column buffer past 2 GB (SURVEY.md §7.4.5).
+* ``shuffle.partitions`` defaults to cores locally; on a real cluster it
+  is set ≈ 2-3× total executor cores by the submitter (see bench.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "doc_redaction_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession.
+
+    ``cores=None`` → ``local[*]``. On a real cluster this module is not
+    used; the job is launched via ``spark-submit --py-files`` and the
+    session comes from ``SparkSession.builder.getOrCreate()``.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(env) if env else 0
+    master = f"local[{cores}]" if cores and cores > 0 else "local[*]"
+    n_shuffle = shuffle_partitions or (cores if cores and cores > 0 else 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,151 @@
+"""Deterministic synthetic `transcripts` inputs (BASELINE.json input_hint).
+
+Schema: ``(conv_id string, turn_idx int, role string, text string,
+tool string, ts timestamp)``.
+
+Two constructions:
+
+1. ``transcripts_from_documents`` — derives transcripts from the driver's
+   ``documents.parquet`` with planted PII/boilerplate via pure column
+   arithmetic. The *identical* construction is rendered as DuckDB SQL by
+   ``transcripts_sql`` so every pipeline query has a byte-equal oracle.
+
+2. ``synth_transcripts`` — scale generator from ``spark.range`` with
+   hash-derived pseudo-randomness (no Python RNG, no driver loops) and
+   Zipf-skewed conversation lengths to exercise salting (SURVEY.md §7.4.3).
+   Used by tests and bench.py at arbitrary row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_CONVS = 37  # documents-construction fan-in
+
+ROLES = ["user", "assistant", "tool", "system"]
+
+# planted-PII templates, cycled by doc_id % 5 — each exercises a different
+# recognizer + the clean battery (FIXTURES.md §2). Shared verbatim with the
+# SQL rendering below.
+PII_TEMPLATES = [
+    " My postcode is SW1A 1AA.",
+    " Dr Smith lives at 221b Baker Street.",
+    " Call +44 20 7946 0958 now.",
+    " <b>Project&nbsp;Alpha</b> is secret…",
+    " Server at 192.168.0.1 — nothing else!!",
+]
+
+DENY_TERMS = ("Project Alpha", "secret")
+
+
+def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcripts derived from documents.parquet."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("long")
+    templates = F.array(*[F.lit(t) for t in PII_TEMPLATES])
+    text = F.concat(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120),
+        F.lit(" Contact me at user"),
+        d.cast("string"),
+        F.lit("@example.com or visit https://example.com/page?id="),
+        d.cast("string"),
+        F.lit(" soon."),
+        F.element_at(templates, (d % 5).cast("int") + 1),
+    )
+    role = F.element_at(F.array(*[F.lit(r) for r in ROLES]), (d % 4).cast("int") + 1)
+    return docs.select(
+        F.concat(F.lit("c"), (d % N_CONVS).cast("string")).alias("conv_id"),
+        (d / N_CONVS).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        F.when(role == "tool", F.lit("search")).otherwise(F.lit("")).alias("tool"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=d)
+        ).alias("ts"),
+    )
+
+
+def transcripts_sql(scan: str = "documents") -> str:
+    """DuckDB SQL mirror of ``transcripts_from_documents`` (same text bytes)."""
+    tpl = ", ".join("'" + t.replace("'", "''") + "'" for t in PII_TEMPLATES)
+    roles = ", ".join(f"'{r}'" for r in ROLES)
+    return f"""
+    SELECT
+      'c' || CAST(doc_id % {N_CONVS} AS VARCHAR) AS conv_id,
+      CAST(doc_id // {N_CONVS} AS INTEGER) AS turn_idx,
+      ([{roles}])[CAST(doc_id % 4 AS INTEGER) + 1] AS role,
+      substr(coalesce(text, ''), 1, 120)
+        || ' Contact me at user' || CAST(doc_id AS VARCHAR)
+        || '@example.com or visit https://example.com/page?id='
+        || CAST(doc_id AS VARCHAR) || ' soon.'
+        || ([{tpl}])[CAST(doc_id % 5 AS INTEGER) + 1] AS text,
+      CASE WHEN ([{roles}])[CAST(doc_id % 4 AS INTEGER) + 1] = 'tool'
+           THEN 'search' ELSE '' END AS tool,
+      TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(doc_id AS BIGINT)) AS ts
+    FROM {scan}
+    """
+
+
+def synth_transcripts(
+    spark: SparkSession,
+    n_turns: int = 100_000,
+    n_convs: int = 1_000,
+    zipf_exp: float = 1.2,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale generator: ~n_turns rows, Zipf-skewed turns per conversation.
+
+    conv rank r (1-based) gets weight r^-zipf_exp; everything is derived
+    from ``spark.range`` + xxhash64 so generation is fully distributed,
+    deterministic, and re-runnable (the 10^9-turn stand-in: crank n_turns).
+    """
+    # deterministic per-conv turn counts computed via column math
+    convs = (
+        spark.range(n_convs)
+        .withColumn("rank", F.col("id") + 1)
+        .withColumn("w", F.pow(F.col("rank").cast("double"), -float(zipf_exp)))
+    )
+    total_w = convs.agg(F.sum("w")).collect()[0][0]  # tiny: n_convs rows
+    convs = convs.withColumn(
+        "n_turns", F.greatest(F.lit(1), F.round(F.col("w") * (n_turns / total_w)).cast("int"))
+    )
+    h = F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.lit(seed))
+    templates = F.array(*[F.lit(t) for t in PII_TEMPLATES])
+    fillers = F.array(
+        F.lit("The quick brown fox jumps over the lazy dog."),
+        F.lit("We agreed to review the contract terms tomorrow."),
+        F.lit("Meeting notes: action items assigned to the team."),
+        F.lit("Please see   the attached\r\nreport for details."),
+        F.lit("Summary of the discussion and next steps follow."),
+    )
+    turns = (
+        convs.select(
+            F.concat(F.lit("conv"), F.col("id").cast("string")).alias("conv_id"),
+            F.posexplode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias(
+                "turn_idx", "_x"
+            ),
+        )
+        .drop("_x")
+        .withColumn("h", h)
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.element_at(
+                F.array(*[F.lit(r) for r in ROLES]), (F.pmod(F.col("h"), 4)).cast("int") + 1
+            ).alias("role"),
+            F.concat(
+                F.element_at(fillers, F.pmod(F.col("h"), 5).cast("int") + 1),
+                F.lit(" Contact user"),
+                F.pmod(F.col("h"), 100000).cast("string"),
+                F.lit("@example.com."),
+                F.element_at(templates, F.pmod(F.col("h"), 5).cast("int") + 1),
+            ).alias("text"),
+            F.lit("").alias("tool"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("turn_idx").cast("double"))
+            ).alias("ts"),
+        )
+    )
+    return turns

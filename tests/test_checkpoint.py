@@ -1,0 +1,63 @@
+"""Resume gate: idempotent restart after mid-run kill, lineage rows
+(north rule; reference analog tools/data_anonymise.py:959-982)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.config import PipelineConfig
+from doc_redaction_spark.plans.checkpoint import (
+    committed_chunks,
+    read_output,
+    run_with_checkpoints,
+)
+from doc_redaction_spark.plans.pipeline import extract_and_redact
+from doc_redaction_spark.synth import synth_transcripts
+
+CFG = PipelineConfig()
+
+
+def pipe(df):
+    return extract_and_redact(df, CFG, with_row_number=False)
+
+
+def test_resume_after_injected_failure(spark, tmp_path):
+    turns = synth_transcripts(spark, n_turns=400, n_convs=12).cache()
+    out_dir, lin_dir = str(tmp_path / "out"), str(tmp_path / "lineage")
+    expected = turns.count()
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_with_checkpoints(
+            spark, turns, pipe, out_dir, lin_dir, run_id="r1", n_chunks=4,
+            fail_after_chunk=1,
+        )
+    done_after_crash = committed_chunks(spark, lin_dir, "r1")
+    assert 0 < len(done_after_crash) < 4
+
+    # resume: processes ONLY the missing chunks
+    processed = run_with_checkpoints(
+        spark, turns, pipe, out_dir, lin_dir, run_id="r1", n_chunks=4
+    )
+    assert set(processed).isdisjoint(done_after_crash)
+    assert sorted(committed_chunks(spark, lin_dir, "r1")) == [0, 1, 2, 3]
+
+    # exactly-once: total output rows == input rows, no dupes
+    out = read_output(spark, out_dir)
+    assert out.count() == expected
+    assert out.select("conv_id", "turn_idx").distinct().count() == expected
+
+    # third run is a no-op
+    assert run_with_checkpoints(
+        spark, turns, pipe, out_dir, lin_dir, run_id="r1", n_chunks=4
+    ) == []
+
+
+def test_lineage_metrics_rows(spark, tmp_path):
+    turns = synth_transcripts(spark, n_turns=200, n_convs=6)
+    out_dir, lin_dir = str(tmp_path / "o"), str(tmp_path / "l")
+    run_with_checkpoints(spark, turns, pipe, out_dir, lin_dir, run_id="r2", n_chunks=2)
+    lin = spark.read.parquet(lin_dir).filter(F.col("run_id") == "r2")
+    rows = lin.collect()
+    assert {r.chunk for r in rows} == {0, 1}
+    assert all(r.status == "done" and r.ts is not None for r in rows)
+    assert sum(r.n_turns for r in rows) == turns.count()
+    assert sum(r.n_spans for r in rows) > 0

@@ -1,0 +1,68 @@
+"""Clean battery goldens — each pattern pinned, Spark == Python == DuckDB."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.functions.clean import (
+    clean_text_col,
+    duckdb_clean_sql,
+    nfkc_fold_udf,
+    python_clean,
+)
+
+CASES = [
+    # (raw, expected-after-clean)  — goldens derived from the reference
+    # semantics (initial_clean, tools/data_anonymise.py:221-283)
+    ("hello\r\nworld", "hello world"),  # \r\n run → two spaces → one
+    ("a\n\n\nb", "a b"),
+    ("see https://example.com/x?q=1 now", "see now"),
+    ("go www.example.co.uk today", "go today"),
+    # strip runs BEFORE the battery (reference order) ⇒ the space that the
+    # tag-strip introduces at position 0 survives
+    ("<b>bold</b> text", " bold text"),
+    ("a &nbsp; b", "a b"),
+    ("a &#8217; b", "a b"),
+    ("x <div cl.. y", "x y"),
+    ("café", "caf "),  # non-ascii strip (é survives NFKC, stripped by battery)
+    ("a   b", "a b"),
+    ("wait!!! what??", "wait! what?"),
+    ("fish & chips", "fish and chips"),
+    ("‘quoted’ “double” – — … •", "'quoted' \"double\" - - . *"),
+    ("  padded  ", "padded"),
+    (None, ""),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_python_clean_golden(raw, expected):
+    assert python_clean(raw) == expected
+
+
+def test_spark_matches_python(spark):
+    rows = [(i, c[0]) for i, c in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: r.c
+        for r in df.select("id", clean_text_col("text").alias("c")).collect()
+    }
+    for i, (raw, _) in enumerate(CASES):
+        assert got[i] == python_clean(raw, nfkc=False), f"case {i}: {raw!r}"
+
+
+def test_duckdb_matches_python():
+    con = duckdb.connect()
+    for i, (raw, _) in enumerate(CASES):
+        if raw is None:
+            continue
+        sql = duckdb_clean_sql("?::VARCHAR")
+        got = con.execute(f"SELECT {sql}", [raw]).fetchone()[0]
+        assert got == python_clean(raw, nfkc=False), f"case {i}: {raw!r}"
+
+
+def test_nfkc_udf(spark):
+    df = spark.createDataFrame([("ﬁle £ ½",), ("’smart’",)], "text string")
+    out = df.select(nfkc_fold_udf()(F.col("text")).alias("t")).collect()
+    assert out[0].t == "file £ 1⁄2"  # NFKC decompositions
+    assert out[1].t == "'smart'"

@@ -1,0 +1,116 @@
+"""Recognizer fixtures — reference semantics pinned per entity
+(patterns: /root/reference/tools/load_spacy_model_custom_recognisers.py)."""
+
+from doc_redaction_spark.config import PipelineConfig
+from doc_redaction_spark.functions.recognizers import (
+    FuzzyRecognizer,
+    build_deny_list_pattern,
+    iban_ok,
+    luhn_ok,
+)
+from doc_redaction_spark.operators.detect import detect_spans_py
+
+
+def spans_of(text, **kw):
+    cfg = PipelineConfig(**kw)
+    return detect_spans_py(text, cfg)
+
+
+def surfaces(text, **kw):
+    return [(e, text[s:x]) for (e, s, x, _) in spans_of(text, **kw)]
+
+
+def test_ukpostcode():
+    got = surfaces("I live at SW1A 1AA and GIR 0AA.", entities=("UKPOSTCODE",))
+    assert got == [("UKPOSTCODE", "SW1A 1AA"), ("UKPOSTCODE", "GIR 0AA")]
+
+
+def test_postcode_no_space_form():
+    got = surfaces("code M11AE here", entities=("UKPOSTCODE",))
+    assert got == [("UKPOSTCODE", "M11AE")]
+
+
+def test_titles_case_sensitive():
+    got = surfaces("Dr Jones met mr smith and Professor X", entities=("TITLES",))
+    assert got == [("TITLES", "Dr"), ("TITLES", "Professor")]
+
+
+def test_streetname_needs_digit_word():
+    got = surfaces("at 221b Baker Street today", entities=("STREETNAME",))
+    assert got == [("STREETNAME", "221b Baker Street")]
+    assert surfaces("on Baker Street", entities=("STREETNAME",)) == []
+
+
+def test_email_phone_ip():
+    t = "mail a.b+c@d.org call +44 20 7946 0958 host 10.0.0.1"
+    got = surfaces(t, entities=("EMAIL_ADDRESS", "PHONE_NUMBER", "IP_ADDRESS"))
+    assert ("EMAIL_ADDRESS", "a.b+c@d.org") in got
+    assert ("PHONE_NUMBER", "+44 20 7946 0958") in got
+    assert ("IP_ADDRESS", "10.0.0.1") in got
+
+
+def test_credit_card_luhn_gate():
+    ok = "pay 4532015112830366 now"  # Luhn-valid
+    bad = "pay 4532015112830367 now"  # Luhn-invalid
+    assert surfaces(ok, entities=("CREDIT_CARD",)) == [
+        ("CREDIT_CARD", "4532015112830366")
+    ]
+    assert surfaces(bad, entities=("CREDIT_CARD",)) == []
+    assert luhn_ok("4532015112830366") and not luhn_ok("4532015112830367")
+
+
+def test_iban():
+    assert iban_ok("GB82WEST12345698765432")
+    assert not iban_ok("GB82WEST12345698765431")
+    got = surfaces("acct GB82WEST12345698765432 x", entities=("IBAN_CODE",))
+    assert got == [("IBAN_CODE", "GB82WEST12345698765432")]
+
+
+def test_deny_list_word_boundaries_and_case():
+    got = surfaces(
+        "the SECRET plan; secretive; Project Alpha wins",
+        entities=(),
+        deny_terms=("secret", "Project Alpha"),
+    )
+    assert got == [("CUSTOM", "SECRET"), ("CUSTOM", "Project Alpha")]
+
+
+def test_deny_list_longest_first():
+    # longer phrase must win over its prefix term
+    got = surfaces(
+        "Project Alpha here", entities=(), deny_terms=("Project", "Project Alpha")
+    )
+    assert got == [("CUSTOM", "Project Alpha")]
+
+
+def test_deny_list_curly_quote_tolerance():
+    got = surfaces("it’s o’brien", entities=(), deny_terms=("o'brien",))
+    assert got == [("CUSTOM", "o’brien")]
+
+
+def test_deny_list_regex_term():
+    pat = build_deny_list_pattern([r"\d\d\d-\d\d\d"])
+    assert r"\d\d\d-\d\d\d" in pat
+    got = surfaces("id 123-456 ok", entities=(), deny_terms=(r"\d\d\d-\d\d\d",))
+    assert got == [("CUSTOM", "123-456")]
+
+
+def test_fuzzy_levenshtein_accept():
+    fz = FuzzyRecognizer(("confidential memo",), max_edits=2)
+    spans = fz.find_spans("see the confidental memo today")
+    assert any("confidental memo" == "see the confidental memo today"[s:e] for _, s, e, _ in spans)
+    assert fz.find_spans("nothing related here") == []
+
+
+def test_allow_list_filters_surface():
+    got = surfaces(
+        "SW1A 1AA and M1 1AE",
+        entities=("UKPOSTCODE",),
+        allow_list=("sw1a 1aa",),
+    )
+    assert got == [("UKPOSTCODE", "M1 1AE")]
+
+
+def test_score_threshold():
+    got = spans_of("SW1A 1AA", entities=("UKPOSTCODE",), score_threshold=1.5)
+    assert got == []

@@ -1,0 +1,75 @@
+"""End-to-end per-turn equality: Spark pipeline vs pure-Python oracle
+(the BASELINE.json correctness gate — text + span equality under stable
+(conv_id, turn_idx) ordering)."""
+
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.config import PipelineConfig
+from doc_redaction_spark.functions.clean import python_clean
+from doc_redaction_spark.operators.detect import detect_spans_py
+from doc_redaction_spark.operators.spans import apply_spans
+from doc_redaction_spark.plans.pipeline import extract_and_redact, span_table
+from doc_redaction_spark.synth import DENY_TERMS, synth_transcripts
+
+CFG = PipelineConfig(deny_terms=DENY_TERMS, salt_buckets=4, num_partitions=8)
+
+
+def oracle_turn(text: str):
+    clean = python_clean(text, nfkc=False)
+    spans = detect_spans_py(clean, CFG)
+    return clean, spans, apply_spans(clean, spans, CFG.strategy, CFG.salt)
+
+
+def test_per_turn_equality(spark):
+    turns = synth_transcripts(spark, n_turns=600, n_convs=20)
+    out = extract_and_redact(turns, CFG)
+    rows = out.orderBy("conv_id", "turn_idx").collect()
+    src = {(r.conv_id, r.turn_idx): r.text for r in turns.collect()}
+    assert len(rows) >= 600
+    for r in rows:
+        clean, spans, redacted = oracle_turn(src[(r.conv_id, r.turn_idx)])
+        assert r.clean_text == clean, (r.conv_id, r.turn_idx)
+        assert r.redacted_text == redacted, (r.conv_id, r.turn_idx)
+        got_spans = [(s.entity_type, s.start, s.end, s.score) for s in r.spans]
+        assert got_spans == spans, (r.conv_id, r.turn_idx)
+
+
+def test_stable_row_numbering(spark):
+    turns = synth_transcripts(spark, n_turns=300, n_convs=7)
+    out = extract_and_redact(turns, CFG)
+    bad = out.filter(F.col("rn") != F.col("turn_idx") + 1).count()
+    assert bad == 0  # dense turn_idx ⇒ rn ≡ turn_idx+1 regardless of shuffle
+
+
+def test_zipf_skew_distributes(spark):
+    """The salted repartition must spread the biggest conversation."""
+    turns = synth_transcripts(spark, n_turns=2000, n_convs=10, zipf_exp=1.5)
+    biggest = (
+        turns.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    )
+    assert biggest["count"] > 400  # skew actually present in the fixture
+    df = turns.repartition(
+        8, F.col("conv_id"), F.pmod(F.xxhash64("turn_idx"), F.lit(4))
+    )
+    sizes = df.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    counts = [r["count"] for r in sizes]
+    assert max(counts) < biggest["count"]  # no partition pinned by one conv
+
+
+def test_span_table_deterministic_ids(spark):
+    turns = synth_transcripts(spark, n_turns=100, n_convs=5)
+    out = extract_and_redact(turns, CFG)
+    s1 = {r.id for r in span_table(out).collect()}
+    s2 = {r.id for r in span_table(extract_and_redact(turns, CFG)).collect()}
+    assert s1 == s2 and len(s1) > 0
+
+
+def test_nfkc_path(spark):
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "ﬁnd ‘me’ at SW1A 1AA", "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = extract_and_redact(df, PipelineConfig(entities=("UKPOSTCODE",)), nfkc=True)
+    r = out.collect()[0]
+    assert r.clean_text == "find 'me' at SW1A 1AA"
+    assert r.redacted_text == "find 'me' at REDACTED"

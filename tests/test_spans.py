@@ -1,0 +1,59 @@
+"""Span algebra invariants (SURVEY.md §2.9 — the byte-equality risk area)."""
+
+from doc_redaction_spark.operators.spans import (
+    apply_spans,
+    merge_adjacent,
+    resolve_overlaps,
+)
+
+
+def test_contained_span_dropped():
+    spans = [("A", 0, 10, 1.0), ("B", 2, 5, 1.0)]
+    assert resolve_overlaps(spans) == [("A", 0, 10, 1.0)]
+
+
+def test_equal_spans_tiebreak_entity_asc():
+    spans = [("ZED", 0, 5, 1.0), ("ALPHA", 0, 5, 1.0)]
+    assert resolve_overlaps(spans) == [("ALPHA", 0, 5, 1.0)]
+
+
+def test_higher_score_wins():
+    spans = [("LOW", 0, 5, 0.5), ("HIGH", 0, 5, 0.9)]
+    assert resolve_overlaps(spans) == [("HIGH", 0, 5, 0.9)]
+
+
+def test_partial_overlap_trimmed_right():
+    spans = [("A", 0, 6, 1.0), ("B", 4, 10, 1.0)]
+    assert resolve_overlaps(spans) == [("A", 0, 6, 1.0), ("B", 6, 10, 1.0)]
+
+
+def test_merge_adjacent_types_combined():
+    spans = [("A", 0, 4, 1.0), ("B", 5, 8, 1.0), ("B", 20, 22, 1.0)]
+    merged = merge_adjacent(spans, max_gap=1)
+    assert merged == [("A - B", 0, 8, 1.0), ("B", 20, 22, 1.0)]
+
+
+def test_apply_strategies():
+    text = "call john at x"
+    spans = [("PERSON", 5, 9, 1.0)]
+    assert apply_spans(text, spans, "redact_replace") == "call REDACTED at x"
+    assert apply_spans(text, spans, "entity_type") == "call <PERSON> at x"
+    assert apply_spans(text, spans, "redact") == "call  at x"
+    assert apply_spans(text, spans, "mask") == "call **** at x"
+    hashed = apply_spans(text, spans, "hash")
+    assert len(hashed) == len("call  at x") + 64
+    p1 = apply_spans(text, spans, "pseudonym")
+    p2 = apply_spans("ring JOHN now", [("PERSON", 5, 9, 1.0)], "pseudonym")
+    # deterministic + case-insensitive consistent pseudonym
+    assert p1.split()[1] == p2.split()[1]
+
+
+def test_apply_right_to_left_offsets_stable():
+    text = "a@b.c and d@e.f"
+    spans = [("E", 0, 5, 1.0), ("E", 10, 15, 1.0)]
+    assert apply_spans(text, spans) == "REDACTED and REDACTED"
+
+
+def test_apply_empty_and_none():
+    assert apply_spans(None, [("A", 0, 1, 1.0)]) == ""
+    assert apply_spans("text", []) == "text"

@@ -1,0 +1,116 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` via DuckDB on
+the same parquet tables: row count, column names, and an order-insensitive
+value hash must match. Usage::
+
+    python tools_selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NULL"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import __spark_entry__ as entrymod
+    from doc_redaction_spark.session import get_spark
+
+    spark = get_spark(cores=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok?  {name}: rows-only ({len(srows)} rows, no oracle)")
+            continue
+        try:
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {e}")
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        elif value_hash(srows, scols) != value_hash(orows, ocols):
+            problems.append("value-hash mismatch")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            if "value-hash mismatch" in problems and len(srows) == len(orows):
+                order = sorted(range(len(scols)), key=lambda i: scols[i])
+                oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                sset = sorted("\x1f".join(_norm_cell(r[i]) for i in order) for r in srows)
+                oset = sorted("\x1f".join(_norm_cell(r[i]) for i in oorder) for r in orows)
+                shown = 0
+                for a, b in zip(sset, oset):
+                    if a != b and shown < 3:
+                        print(f"  spark : {a[:300]}")
+                        print(f"  oracle: {b[:300]}")
+                        shown += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("\nall queries PASS")
+
+
+if __name__ == "__main__":
+    main()
