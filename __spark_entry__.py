@@ -45,6 +45,8 @@ from doc_redaction_spark.operators import similarity as osim
 from doc_redaction_spark.plans.pipeline import extract_and_redact, span_table
 from doc_redaction_spark.synth import (
     DENY_TERMS,
+    documents_plus,
+    documents_plus_sql,
     transcripts_from_documents,
     transcripts_sql,
 )
@@ -570,16 +572,308 @@ def o_doc_lang_id():
 
 
 def q_dedup_exact(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dd.exact_duplicates(docs, "text")
+    return dd.exact_duplicates(documents_plus(spark, sf_dir), "text")
 
 
 def o_dedup_exact():
     fp = duckdb_fingerprint("text")
     return f"""
+    WITH docs_plus AS ({documents_plus_sql()})
     SELECT fingerprint, count(*) AS dup_count, min(doc_id) AS keeper
-    FROM (SELECT doc_id, {fp} AS fingerprint FROM documents)
+    FROM (SELECT doc_id, {fp} AS fingerprint FROM docs_plus)
     GROUP BY fingerprint HAVING count(*) > 1
+    """
+
+
+# --- shared DuckDB fragments for shingle-based dedup ------------------------
+
+_DD_TOKS = (
+    "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+    " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+)
+_DD_SHINGLES = (
+    f"CASE WHEN len({_DD_TOKS}) >= 3 THEN "
+    f"list_distinct(list_transform(generate_series(1, len({_DD_TOKS}) - 2),"
+    f" i -> {_DD_TOKS}[i] || ' ' || {_DD_TOKS}[i+1] || ' ' || {_DD_TOKS}[i+2]))"
+    f" ELSE [] END"
+)
+
+_MH_HASHES = 16
+_MH_BANDS = 4  # 4 rows per band
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dd.minhash_lsh_pairs(
+        documents_plus(spark, sf_dir), num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        threshold=0.5,
+    )
+
+
+def o_dedup_minhash_lsh():
+    rows = _MH_HASHES // _MH_BANDS
+    sig = (
+        "["
+        + ", ".join(
+            f"list_min(list_transform(shingles, x -> md5(x || ':{s}')))"
+            for s in range(_MH_HASHES)
+        )
+        + "]"
+    )
+    bands = ", ".join(
+        f"md5(array_to_string(sig[{b * rows + 1}:{(b + 1) * rows}], '|')) AS bh{b}"
+        for b in range(_MH_BANDS)
+    )
+    band_match = " OR ".join(f"a.bh{b} = b.bh{b}" for b in range(_MH_BANDS))
+    est = (
+        f"round(list_sum(list_transform(generate_series(1, {_MH_HASHES}),"
+        f" i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))"
+        f" / {_MH_HASHES}.0e0, 4)"
+    )
+    return f"""
+    WITH docs_plus AS ({documents_plus_sql()}),
+    sh AS (SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM docs_plus),
+    sigs AS (SELECT id, {sig} AS sig, {bands}
+             FROM (SELECT id, shingles FROM sh WHERE len(shingles) > 0))
+    SELECT a.id AS id1, b.id AS id2, {est} AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.id < b.id AND ({band_match})
+    WHERE {est} >= 0.5
+    """
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(documents_plus(spark, sf_dir), threshold=0.7)
+
+
+def o_dedup_ngram_jaccard():
+    return f"""
+    WITH docs_plus AS ({documents_plus_sql()}),
+    sh AS (SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM docs_plus
+           WHERE len({_DD_SHINGLES}) > 0),
+    ex AS (SELECT id, unnest(shingles) AS s FROM sh),
+    inter AS (SELECT a.id AS id1, b.id AS id2, count(*) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+              GROUP BY a.id, b.id),
+    sz AS (SELECT id, len(shingles) AS sz FROM sh)
+    SELECT id1, id2,
+           round(i / (s1.sz + s2.sz - i), 4) AS jaccard
+    FROM inter JOIN sz s1 ON s1.id = id1 JOIN sz s2 ON s2.id = id2
+    WHERE round(i / (s1.sz + s2.sz - i), 4) >= 0.7
+    """
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates — rows-only (bit arithmetic is not
+    portably SQL-expressible)."""
+    return dd.simhash_near_pairs(documents_plus(spark, sf_dir), max_hamming=3)
+
+
+def q_dedup_tfidf_cosine(spark, sf_dir):
+    """TF-IDF cosine similar pairs (reference find_duplicate_pages
+    semantics) — rows-only (log-idf float chain too fragile for hashing)."""
+    return dd.tfidf_cosine_pairs(documents_plus(spark, sf_dir), threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# queries — embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return osim.cosine_topk(emb, qs, k=10)
+
+
+def o_embedding_cosine_topk():
+    dot = "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    na = "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"""
+    WITH scored AS (
+      SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+             {dot} / ({na} * {nb}) AS sim_full
+      FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+    ), ranked AS (
+      SELECT qid, vec_id, sim_full,
+             row_number() OVER (PARTITION BY qid ORDER BY sim_full DESC, vec_id) AS rk
+      FROM scored)
+    SELECT qid, vec_id, round(sim_full, 4) AS sim, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 10
+    """
+
+
+def q_embedding_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate NN — rows-only (hyperplane construction is
+    deterministic but the md5→float chain is impractical to mirror in SQL)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return osim.ann_lsh_topk(emb, qs, k=5, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# queries — layout ops (words→lines rollup, reading order)
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = f"""
+    SELECT doc_id AS page,
+           CAST((idx - 1) // 10 AS INTEGER) AS line,
+           CAST((idx - 1) % 10 AS INTEGER) AS word_idx,
+           word_text,
+           round(((idx - 1) % 10) * 0.1e0, 4) AS x0,
+           round(((doc_id * 31 + ((idx - 1) // 10) * 17) % 100) / 100.0e0, 4) AS y0,
+           round(((idx - 1) % 10) * 0.1e0 + 0.09e0, 4) AS x1,
+           round(((doc_id * 31 + ((idx - 1) // 10) * 17) % 100) / 100.0e0 + 0.015e0, 4) AS y1,
+           95.0e0 AS conf
+    FROM (SELECT doc_id, unnest({_DD_TOKS}) AS word_text,
+                 generate_subscripts({_DD_TOKS}, 1) AS idx
+          FROM documents)
+"""
+
+
+def _words_df(spark, sf_dir):
+    """Synthetic word-level table from documents — deterministic geometry
+    (mirrors _WORDS_SQL)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " ")),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    df = docs.select(F.col("doc_id"), F.posexplode(toks).alias("pos", "word_text"))
+    line = (F.col("pos") / 10).cast("int")
+    widx = (F.col("pos") % 10).cast("int")
+    y0 = ((F.col("doc_id") * 31 + line * 17) % 100) / F.lit(100.0)
+    return df.select(
+        F.col("doc_id").alias("page"),
+        line.alias("line"),
+        widx.alias("word_idx"),
+        "word_text",
+        F.round(widx * F.lit(0.1), 4).alias("x0"),
+        F.round(y0, 4).alias("y0"),
+        F.round(widx * F.lit(0.1) + 0.09, 4).alias("x1"),
+        F.round(y0 + 0.015, 4).alias("y1"),
+        F.lit(95.0).alias("conf"),
+    )
+
+
+def q_words_to_lines_rollup(spark, sf_dir):
+    return ol.words_to_lines(_words_df(spark, sf_dir))
+
+
+def o_words_to_lines_rollup():
+    return f"""
+    WITH words AS ({_WORDS_SQL})
+    SELECT page, line,
+           string_agg(word_text, ' ' ORDER BY word_idx) AS text,
+           round(min(x0), 4) AS left,
+           round(min(y0), 4) AS top,
+           round(max(x1) - min(x0), 4) AS width,
+           round(max(y1) - min(y0), 4) AS height,
+           round(avg(conf), 2) AS conf
+    FROM words GROUP BY page, line
+    """
+
+
+def q_reading_order_lines(spark, sf_dir):
+    lines = ol.words_to_lines(_words_df(spark, sf_dir))
+    return ol.reading_order(lines).select("page", "line", "line_no")
+
+
+def o_reading_order_lines():
+    return f"""
+    WITH words AS ({_WORDS_SQL}),
+    lines AS (SELECT page, line, min(y0) AS l_top, min(x0) AS l_left
+              FROM words GROUP BY page, line)
+    SELECT page, line,
+           CAST(row_number() OVER (PARTITION BY page ORDER BY l_top, l_left) AS INTEGER) AS line_no
+    FROM lines
+    """
+
+
+# ---------------------------------------------------------------------------
+# queries — consecutive-duplicate islands over transcripts
+# ---------------------------------------------------------------------------
+
+
+def q_island_runs(spark, sf_dir):
+    """Gaps-and-islands over per-turn template ids (the duplicate-page
+    consecutive-run grouping, reference find_duplicate_pages.py:1186-1211)."""
+    t = _tr(spark, sf_dir).withColumn(
+        "tpl",
+        F.pmod(
+            F.floor(F.regexp_extract("text", r"id=(\d+)", 1).cast("long") / 74), 5
+        ),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    brk = F.when(
+        F.lag("tpl").over(w).isNull() | (F.lag("tpl").over(w) != F.col("tpl")), 1
+    ).otherwise(0)
+    t = t.withColumn("brk", brk).withColumn(
+        "grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        t.groupBy("conv_id", "grp", "tpl")
+        .agg(
+            F.min("turn_idx").alias("start_turn"),
+            F.max("turn_idx").alias("end_turn"),
+            F.count("*").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= 2)
+        .select("conv_id", F.col("tpl").cast("long").alias("tpl"),
+                "start_turn", "end_turn", "run_len")
+    )
+
+
+def o_island_runs():
+    return f"""
+    {TR_CTE},
+    t AS (SELECT conv_id, turn_idx,
+                 (CAST(regexp_extract(text, 'id=(\\d+)', 1) AS BIGINT) // 74) % 5 AS tpl
+          FROM transcripts),
+    g AS (SELECT *, CASE WHEN lag(tpl) OVER w IS NULL
+                              OR lag(tpl) OVER w <> tpl THEN 1 ELSE 0 END AS brk
+          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+          FROM g)
+    SELECT conv_id, tpl, min(turn_idx) AS start_turn, max(turn_idx) AS end_turn,
+           count(*) AS run_len
+    FROM s GROUP BY conv_id, grp, tpl HAVING count(*) >= 2
+    """
+
+
+def q_transcripts_spans(spark, sf_dir):
+    """Exploded span/review table with char offsets + deterministic ids —
+    rows-only (match offsets are not expressible in portable SQL)."""
+    out = extract_and_redact(_tr(spark, sf_dir), PIPE_CFG, with_row_number=False)
+    return span_table(out)
+
+
+def q_redact_pseudonym_email(spark, sf_dir):
+    cfg = PipelineConfig(entities=("EMAIL_ADDRESS",), strategy="pseudonym", salt="s42")
+    out = extract_and_redact(_tr(spark, sf_dir), cfg, with_row_number=False)
+    return out.select("conv_id", "turn_idx", "redacted_text")
+
+
+def o_redact_pseudonym_email():
+    m = f"regexp_extract({CLEAN_SQL}, '{_sq(EMAIL_PATTERN)}')"
+    token = f"'email_address_' || substr(sha256('s42|' || lower({m})), 1, 8)"
+    return f"""
+    {TR_CTE}
+    SELECT conv_id, turn_idx,
+           CASE WHEN {m} = '' THEN {CLEAN_SQL}
+                ELSE replace({CLEAN_SQL}, {m}, {token}) END AS redacted_text
+    FROM transcripts
     """
 
 
@@ -610,6 +904,17 @@ _QUERIES: dict[str, Callable] = {
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+    "words_to_lines_rollup": q_words_to_lines_rollup,
+    "reading_order_lines": q_reading_order_lines,
+    "island_runs": q_island_runs,
+    "transcripts_spans": q_transcripts_spans,
+    "redact_pseudonym_email": q_redact_pseudonym_email,
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
@@ -635,6 +940,15 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "doc_quality": o_doc_quality,
     "doc_lang_id": o_doc_lang_id,
     "dedup_exact": o_dedup_exact,
+    "dedup_minhash_lsh": o_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
+    # dedup_simhash, dedup_tfidf_cosine, embedding_ann_lsh,
+    # transcripts_spans: rows-only (see their docstrings)
+    "embedding_cosine_topk": o_embedding_cosine_topk,
+    "words_to_lines_rollup": o_words_to_lines_rollup,
+    "reading_order_lines": o_reading_order_lines,
+    "island_runs": o_island_runs,
+    "redact_pseudonym_email": o_redact_pseudonym_email,
 }
 
 

@@ -1,0 +1,168 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: turns/sec of the flagship extraction+redaction pipeline
+over a deterministic synthetic transcripts table (BASELINE.json), plus
+per-query wall times for representative operators at $SPARK_GRAFT_SF_DIR.
+
+Scaling gate evidence (north rule, sandbox proxy): the same pipeline job
+runs at local[8] and local[32] on the same parquet input via
+subprocesses; efficiency = (thr_32 / thr_8) / 4. Results land in the
+"scaling" key and BENCH/BASELINE.md.
+
+Usage:
+  python bench.py                      # full bench (one JSON line on stdout)
+  python bench.py --pipeline-only --cores N --input DIR   # internal helper
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "200000"))
+TRANSCRIPTS_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_INPUT", "/tmp/spark_graft_bench_transcripts"
+)
+
+
+def _spark(cores: int):
+    from doc_redaction_spark.session import get_spark
+
+    return get_spark(app_name=f"bench{cores}", cores=cores, shuffle_partitions=2 * cores)
+
+
+def ensure_transcripts(spark, n_turns: int, path: str):
+    """Materialize the deterministic synthetic transcripts once (parquet)."""
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    from doc_redaction_spark.synth import synth_transcripts
+
+    synth_transcripts(spark, n_turns=n_turns, n_convs=max(64, n_turns // 200)).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def run_pipeline(spark, input_path: str) -> tuple[float, int]:
+    """Time the full extract+redact over the parquet transcripts."""
+    from doc_redaction_spark.config import PipelineConfig
+    from doc_redaction_spark.plans.pipeline import extract_and_redact
+    from doc_redaction_spark.synth import DENY_TERMS
+
+    from pyspark.sql import functions as F
+
+    turns = spark.read.parquet(input_path)
+    cfg = PipelineConfig(deny_terms=DENY_TERMS)
+    t0 = time.perf_counter()
+    out = extract_and_redact(turns, cfg)
+    # force full materialization of every column incl. redacted_text
+    agg = out.agg(
+        F.count("*").alias("n"), F.sum(F.length("redacted_text")).alias("chars")
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    return dt, agg.n
+
+
+def pipeline_only(cores: int, input_path: str):
+    spark = _spark(cores)
+    # warm the JVM/UDF path once on a slice, then measure
+    run_pipeline(spark, input_path)
+    dt, n = run_pipeline(spark, input_path)
+    spark.stop()
+    print(json.dumps({"cores": cores, "sec": dt, "turns": n}))
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    picks = [
+        "transcripts_pipeline",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_nation_revenue",
+        "top3_orders_per_customer",
+        "sessionize_events",
+        "band_join_acctbal",
+        "nearest_acctbal",
+        "doc_quality",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "embedding_cosine_topk",
+        "words_to_lines_rollup",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in picks:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument("--input", default=TRANSCRIPTS_DIR)
+    ap.add_argument("--skip-scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.pipeline_only:
+        pipeline_only(args.cores, args.input)
+        return
+
+    spark = _spark(CPUS)
+    ensure_transcripts(spark, BENCH_TURNS, TRANSCRIPTS_DIR)
+
+    # headline: turns/sec at CPUS
+    run_pipeline(spark, TRANSCRIPTS_DIR)  # warm
+    dt, n_turns = run_pipeline(spark, TRANSCRIPTS_DIR)
+    queries = run_queries(spark, SF_DIR)
+    spark.stop()
+
+    result = {
+        "metric": "extract_redact_pipeline_sec",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / dt, 1),
+        "cpus": CPUS,
+    }
+
+    if not args.skip_scaling:
+        scaling = {}
+        for cores in (8, 32):
+            p = subprocess.run(
+                [sys.executable, __file__, "--pipeline-only", "--cores", str(cores),
+                 "--input", TRANSCRIPTS_DIR],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+            r = json.loads(line)
+            scaling[f"local[{cores}]"] = {
+                "sec": round(r["sec"], 3),
+                "turns_per_sec": round(r["turns"] / r["sec"], 1),
+            }
+        thr8 = scaling["local[8]"]["turns_per_sec"]
+        thr32 = scaling["local[32]"]["turns_per_sec"]
+        scaling["efficiency_8_to_32"] = round((thr32 / thr8) / 4.0, 3)
+        result["scaling"] = scaling
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

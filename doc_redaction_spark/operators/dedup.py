@@ -42,17 +42,23 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingle_col(text_col: str, n: int = 3):
-    """Distinct word n-gram shingles as array<string> — pure column expr."""
+    """Distinct word n-gram shingles as array<string> — pure column expr.
+
+    Guarded for short texts (``sequence`` reverses direction when
+    start > stop, so the < n case must short-circuit to []).
+    """
     toks = F.split(
         F.lower(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")),
         " ",
     )
     toks = F.filter(toks, lambda x: x != "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
     sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])
     )
-    return F.array_distinct(sh)
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -96,14 +102,21 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(shingles_col, num_hashes: int = 32):
     """array<string> of per-seed min md5 values. md5 is deterministic and
-    identical across Spark/DuckDB → oracle-checkable signatures."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles_col, lambda x, s=s: F.md5(F.concat(x, F.lit(f":{s}"))))
+    identical across Spark/DuckDB → oracle-checkable signatures.
+
+    NOTE: built as ONE nested transform over a seed sequence. Emitting
+    num_hashes separate ``transform`` calls inside one expression cross-binds
+    their identically-named lambda variables in Spark 4 (observed: wrong
+    minima), so the two lambda scopes here use distinct parameter names.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                shingles_col,
+                lambda x: F.md5(F.concat(x, F.lit(":"), s.cast("string"))),
             )
-            for s in range(num_hashes)
-        ]
+        ),
     )
 
 
@@ -186,28 +199,35 @@ def simhash_col(text_col: str = "text", bits: int = 32):
     """
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda x: x != "",
+        lambda w: w != "",
     )
     h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    # shiftright/shiftleft take only literal shift amounts, so bit b is
+    # extracted arithmetically: floor(x / 2^b) % 2 (exact in double for
+    # 32-bit values). All lambda params distinctly named — same-named
+    # lambdas in one expression cross-bind (see minhash_signature).
     bit_sums = F.transform(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda b: F.aggregate(
             h,
             F.lit(0),
             lambda acc, x: acc
-            + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            + F.when(
+                F.floor(x / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2 == 1,
+                1,
+            ).otherwise(-1),
         ),
     )
     return F.aggregate(
         F.zip_with(
             bit_sums,
             F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda s, b: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            ),
+            lambda sgn, pos: F.when(
+                sgn > 0, F.pow(F.lit(2.0), pos.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+        lambda acc2, v: acc2 + v,
     )
 
 
@@ -246,12 +266,7 @@ def simhash_near_pairs(
         )
         .dropDuplicates(["id1", "id2"])
     )
-    xor = F.col("sh1").bitwiseXOR(F.col("sh2"))
-    ham = F.aggregate(
-        F.sequence(F.lit(0), F.lit(31)),
-        F.lit(0),
-        lambda acc, i: acc + F.shiftright(xor, i).bitwiseAND(F.lit(1)).cast("int"),
-    )
+    ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int")
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

@@ -87,6 +87,33 @@ def transcripts_sql(scan: str = "documents") -> str:
     """
 
 
+def documents_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted near-dups (doc_id+100000, text || ' tail') ∪
+    planted exact dups (doc_id+200000) — dedup fixtures with ground truth.
+    Mirrored by ``documents_plus_sql``."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    near = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    )
+    exact = (
+        docs.filter(F.col("doc_id") % 50 == 1)
+        .select((F.col("doc_id") + 200000).alias("doc_id"), F.col("text"))
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+def documents_plus_sql(scan: str = "documents") -> str:
+    return f"""
+    SELECT doc_id, text FROM {scan}
+    UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' tail' AS text
+      FROM {scan} WHERE doc_id % 50 = 0
+    UNION ALL SELECT doc_id + 200000 AS doc_id, text
+      FROM {scan} WHERE doc_id % 50 = 1
+    """
+
+
 def synth_transcripts(
     spark: SparkSession,
     n_turns: int = 100_000,

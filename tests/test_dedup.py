@@ -1,0 +1,104 @@
+"""Dedup operators vs hand-computed / numpy oracles."""
+
+import hashlib
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators import dedup as dd
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different text about spark engines here"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "short text"),  # < 3 tokens for trigrams? (2 tokens)
+    (5, ""),  # empty
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def py_shingles(text, n=3):
+    toks = [t for t in text.lower().split() if t]
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+
+def test_shingle_col_matches_python(spark, docs_df):
+    rows = docs_df.select("doc_id", dd.shingle_col("text").alias("sh")).collect()
+    got = {r.doc_id: list(r.sh) for r in rows}
+    for i, t in DOCS:
+        assert sorted(got[i]) == sorted(py_shingles(t)), i
+    assert got[4] == [] and got[5] == []
+
+
+def test_exact_duplicates(spark, docs_df):
+    out = dd.exact_duplicates(docs_df).collect()
+    assert len(out) == 1
+    assert out[0].dup_count == 2 and out[0].keeper == 0
+
+
+def test_ngram_jaccard(spark, docs_df):
+    out = {(r.id1, r.id2): r.jaccard for r in dd.ngram_jaccard_pairs(docs_df, threshold=0.3).collect()}
+    # python oracle
+    for (i, a), (j, b) in itertools.combinations(DOCS, 2):
+        sa, sb = set(py_shingles(a)), set(py_shingles(b))
+        if not sa or not sb:
+            continue
+        jac = round(len(sa & sb) / len(sa | sb), 4)
+        if jac >= 0.3:
+            assert out.get((i, j)) == jac, (i, j)
+        else:
+            assert (i, j) not in out
+
+
+def test_minhash_signature_python_parity(spark, docs_df):
+    rows = (
+        docs_df.filter(F.col("doc_id") == 0)
+        .select(dd.minhash_signature(dd.shingle_col("text"), 8).alias("sig"))
+        .collect()
+    )
+    sh = py_shingles(DOCS[0][1])
+    expected = [
+        min(hashlib.md5(f"{x}:{s}".encode()).hexdigest() for x in sh) for s in range(8)
+    ]
+    assert list(rows[0].sig) == expected
+
+
+def test_minhash_lsh_finds_exact_dup(spark, docs_df):
+    pairs = {(r.id1, r.id2): r.est_jaccard for r in dd.minhash_lsh_pairs(docs_df, threshold=0.4).collect()}
+    assert pairs.get((0, 3)) == 1.0  # identical docs: all minhashes equal
+    assert (0, 2) not in pairs
+
+
+def test_simhash_identical_and_distance(spark, docs_df):
+    out = {(r.id1, r.id2): r.hamming for r in dd.simhash_near_pairs(docs_df, max_hamming=10).collect()}
+    assert out.get((0, 3)) == 0  # identical text → same simhash
+    sh = {r.doc_id: r.s for r in docs_df.select("doc_id", dd.simhash_col().alias("s")).collect()}
+    assert 0 <= sh[0] < 2**32
+    # near-dup differs in few bits, unrelated differs in more
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])
+
+
+def test_tfidf_cosine_pairs(spark, docs_df):
+    pairs = {(r.id1, r.id2): r.sim for r in dd.tfidf_cosine_pairs(docs_df, threshold=0.5).collect()}
+    assert pairs.get((0, 3)) == pytest.approx(1.0, abs=1e-4)
+    assert pairs.get((0, 1), 0) > 0.5  # near-dup
+    assert (0, 2) not in pairs
+
+
+def test_consecutive_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 11), (2, 12), (3, 13), (7, 20), (8, 21), (40, 50)],
+        "id1 long, id2 long",
+    )
+    out = {
+        (r.start1, r.end1, r.start2, r.end2): r.match_length
+        for r in dd.consecutive_islands(pairs).collect()
+    }
+    assert out == {(1, 3, 11, 13): 3, (7, 8, 20, 21): 2, (40, 40, 50, 50): 1}

@@ -1,0 +1,54 @@
+"""Layout rollups: words→lines, reading order, lines→words round-trip."""
+
+from doc_redaction_spark.operators import layout as ol
+
+WORDS = [
+    # page, line, word_idx, word_text, x0, y0, x1, y1, conf
+    (1, 1, 0, "hello", 0.10, 0.10, 0.20, 0.12, 90.0),
+    (1, 1, 1, "world", 0.22, 0.10, 0.30, 0.12, 100.0),
+    (1, 2, 0, "second", 0.10, 0.20, 0.25, 0.22, 80.0),
+    (2, 1, 0, "page2", 0.50, 0.05, 0.60, 0.07, 95.0),
+]
+SCHEMA = (
+    "page int, line int, word_idx int, word_text string,"
+    " x0 double, y0 double, x1 double, y1 double, conf double"
+)
+
+
+def test_words_to_lines(spark):
+    words = spark.createDataFrame(WORDS, SCHEMA)
+    got = {(r.page, r.line): r for r in ol.words_to_lines(words).collect()}
+    l11 = got[(1, 1)]
+    assert l11.text == "hello world"
+    assert (l11.left, l11.top) == (0.10, 0.10)
+    assert l11.width == 0.20 and l11.height == 0.02  # max(x1)-min(x0)
+    assert l11.conf == 95.0
+    assert got[(1, 2)].text == "second"
+    assert got[(2, 1)].text == "page2"
+
+
+def test_reading_order(spark):
+    lines = spark.createDataFrame(
+        [(1, 10, 0.9, 0.1), (1, 11, 0.1, 0.5), (1, 12, 0.1, 0.2), (2, 13, 0.3, 0.3)],
+        "page int, line int, top double, left double",
+    )
+    got = {r.line: r.line_no for r in ol.reading_order(lines).collect()}
+    # page 1: (0.1,0.2) → 1, (0.1,0.5) → 2, (0.9,0.1) → 3; page 2 restarts
+    assert got == {12: 1, 11: 2, 10: 3, 13: 1}
+
+
+def test_lines_to_words_roundtrip(spark):
+    words = spark.createDataFrame(WORDS, SCHEMA)
+    lines = ol.words_to_lines(words)
+    back = ol.lines_to_words(lines)
+    rows = {(r.page, r.line, r.word_idx): r for r in back.collect()}
+    assert rows[(1, 1, 0)].word_text == "hello"
+    assert rows[(1, 1, 1)].word_text == "world"
+    # geometry is proportional allocation inside the line bbox
+    r = rows[(1, 1, 1)]
+    assert r.x0 > rows[(1, 1, 0)].x1 - 1e-9
+    # roundtrip: words→lines→words→lines preserves line text/bbox
+    again = ol.words_to_lines(back)
+    a = {(r.page, r.line): (r.text, r.left, r.top) for r in again.collect()}
+    b = {(r.page, r.line): (r.text, r.left, r.top) for r in lines.collect()}
+    assert a == b

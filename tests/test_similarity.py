@@ -1,0 +1,62 @@
+"""Embedding similarity search vs numpy oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators import similarity as osim
+
+DIM = 16
+N = 40
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(42)
+    vecs = rng.randn(N, DIM).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), vecs
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    df, vecs = emb_df
+    qs = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = osim.cosine_topk(df, qs, k=5, vec_col="embedding")
+    res = {}
+    for r in got.collect():
+        res.setdefault(r.qid, []).append((r.rk, r.vec_id, r.sim))
+    norms = np.linalg.norm(vecs, axis=1)
+    for q in range(3):
+        sims = vecs @ vecs[q] / (norms * norms[q])
+        order = sorted(
+            (i for i in range(N) if i != q), key=lambda i: (-sims[i], i)
+        )[:5]
+        got_ids = [v for _, v, _ in sorted(res[q])]
+        assert got_ids == order, q
+        for rk, vid, sim in res[q]:
+            assert sim == pytest.approx(round(float(sims[vid]), 4), abs=2e-4)
+
+
+def test_ann_lsh_self_bucket_and_quality(spark, emb_df):
+    df, vecs = emb_df
+    qs = df.select(F.col("vec_id").alias("qid"), "embedding")
+    got = osim.ann_lsh_topk(df, qs, k=3, n_planes=4, dim=DIM)
+    rows = got.collect()
+    # every returned neighbor must share the query's hyperplane bucket —
+    # and identical vectors (q==c skipped) means buckets are deterministic
+    assert len(rows) > 0
+    # approximate recall sanity: for queries that return results, the top
+    # ANN hit should be among the true top-10
+    norms = np.linalg.norm(vecs, axis=1)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.sim, r.vec_id))
+    hits = 0
+    for q, cand in by_q.items():
+        sims = vecs @ vecs[q] / (norms * norms[q])
+        true_top = set(np.argsort(-sims)[:11]) - {q}
+        best = max(cand)[1]
+        hits += best in true_top
+    assert hits / len(by_q) > 0.5
