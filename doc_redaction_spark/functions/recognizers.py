@@ -55,6 +55,50 @@ STREETNAME_PATTERN = (
     r"(\w*\d\w*)\s*(\w+\s*\b(?:" + "|".join(re.escape(s) for s in STREET_TYPES) + r")\b)"
 )
 
+# fast-path helpers for the STREETNAME scan (see detect.py): a full match's
+# street TYPE always falls on the 1st or 2nd word after the digit-word
+# candidate (the \w+ name cannot cross whitespace), so membership of those
+# words in this set is a sound quick-reject. Hyphenated types contribute
+# their first word ("cul-de-sac" → "cul").
+STREET_TYPE_WORDS = frozenset(
+    {t.lower() for t in STREET_TYPES} | {t.lower().split("-")[0] for t in STREET_TYPES}
+)
+_DIGIT_RUN_RE = re.compile(r"\d\w*")
+_NEXT2_RE = re.compile(r"\W*(\w+)(?:\W*(\w+))?")
+_WORD_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+)
+
+
+def street_candidates(text: str):
+    """(start, end) of digit-containing words, cheap scan + backtrack."""
+    out = []
+    last_end = -1
+    for m in _DIGIT_RUN_RE.finditer(text):
+        s = m.start()
+        if s < last_end:
+            continue
+        while s > 0 and text[s - 1] in _WORD_CHARS:
+            s -= 1
+        if out and out[-1][0] == s:
+            continue
+        out.append((s, m.end()))
+        last_end = m.end()
+    return out
+
+
+def street_quick_reject(text: str, cand_end: int) -> bool:
+    """True when no street type can follow → skip the expensive match."""
+    m2 = _NEXT2_RE.match(text, cand_end)
+    if m2 is None:
+        return True
+    w1, w2 = m2.group(1), m2.group(2)
+    if w1 is not None and w1.lower() in STREET_TYPE_WORDS:
+        return False
+    if w2 is not None and w2.lower() in STREET_TYPE_WORDS:
+        return False
+    return True
+
 EMAIL_PATTERN = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
 PHONE_PATTERN = r"\+\d{1,3}[ ]?\d{2,4}[ ]?\d{3,4}[ ]?\d{3,4}\b"
 IP_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
@@ -95,7 +139,17 @@ def iban_ok(s: str) -> bool:
 
 @dataclass(frozen=True)
 class RegexRecognizer:
-    """One pattern recognizer: compiled once per executor in the detect UDF."""
+    """One pattern recognizer: compiled once per executor in the detect UDF.
+
+    ``candidate_pattern`` is an optional cheap pre-scan: when set, the
+    detect loop runs ``candidate.finditer`` and anchors the full pattern
+    with ``match()`` at each candidate start instead of a full
+    ``finditer`` scan. Sound whenever the full pattern's leftmost-match
+    positions are a subset of candidate starts AND failure at a candidate
+    start implies failure at every position inside that candidate (true
+    for prefix-anchored shapes like STREETNAME's ``\\w*\\d\\w*...`` —
+    see test_detect.py::test_streetname_candidate_equivalence).
+    """
 
     entity_type: str
     pattern: str
@@ -103,9 +157,13 @@ class RegexRecognizer:
     score: float = 1.0
     group: int = 0  # span = match.span(group)
     validator: object = None  # Callable[[str], bool] | None
+    candidate_pattern: str | None = None
 
     def compiled(self):
         return re.compile(self.pattern, self.flags)
+
+    def compiled_candidate(self):
+        return self.candidate_pattern  # "street_fast" marker or None
 
 
 BUILTIN_RECOGNIZERS: dict[str, RegexRecognizer] = {
@@ -114,7 +172,10 @@ BUILTIN_RECOGNIZERS: dict[str, RegexRecognizer] = {
         RegexRecognizer("TITLES", TITLES_PATTERN),
         RegexRecognizer("UKPOSTCODE", UKPOSTCODE_PATTERN),
         RegexRecognizer(
-            "STREETNAME", STREETNAME_PATTERN, _PY_FLAGS_DEFAULT | re.IGNORECASE
+            "STREETNAME",
+            STREETNAME_PATTERN,
+            _PY_FLAGS_DEFAULT | re.IGNORECASE,
+            candidate_pattern="street_fast",  # digit-word candidates + type quick-reject
         ),
         RegexRecognizer("EMAIL_ADDRESS", EMAIL_PATTERN),
         RegexRecognizer("PHONE_NUMBER", PHONE_PATTERN),

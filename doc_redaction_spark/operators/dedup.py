@@ -71,9 +71,13 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over word n-grams via the sparse self-join:
     explode(shingle) → equi-join on shingle → |∩| per pair → J = |∩|/(|A|+|B|-|∩|).
     """
-    docs = df.select(
-        F.col(id_col).alias("id"), shingle_col(text_col, n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    sc = df.sparkSession.sparkContext
+    docs = (
+        df.select(F.col(id_col).alias("id"), shingle_col(text_col, n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .repartition(sc.defaultParallelism * 2, "id")
+        .persist()
+    )
     sizes = docs.select("id", F.size("shingles").alias("sz"))
     ex = docs.select("id", F.explode("shingles").alias("sh"))
     a = ex.alias("a")
@@ -132,10 +136,17 @@ def minhash_lsh_pairs(
     """Candidate pairs whose signatures collide in ≥1 LSH band, scored by
     estimated Jaccard = fraction of matching minhashes."""
     rows_per_band = num_hashes // bands
-    docs = df.select(
-        F.col(id_col).alias("id"), shingle_col(text_col, n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    sigs = docs.select("id", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
+    sc = df.sparkSession.sparkContext
+    docs = (
+        df.select(F.col(id_col).alias("id"), shingle_col(text_col, n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .repartition(sc.defaultParallelism * 2, "id")  # signature compute is the hot stage
+    )
+    # materialize signatures once — BOTH sides of the self-join read them,
+    # and the md5 fan-out (num_hashes × shingles) must not run twice
+    sigs = docs.select(
+        "id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    ).persist()
     band_rows = sigs.select(
         "id",
         "sig",
@@ -179,11 +190,12 @@ def minhash_lsh_pairs(
         / F.lit(num_hashes),
         4,
     )
-    return (
+    out = (
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id1", "id2", "est_jaccard")
     )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -293,8 +305,12 @@ def tfidf_cosine_pairs(
         F.split(F.lower(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"[^a-z0-9 ]", " ")), r"\s+"),
         lambda x: x != "",
     )
-    docs = df.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
-        F.size("toks") >= min_word_count
+    sc = df.sparkSession.sparkContext
+    docs = (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .filter(F.size("toks") >= min_word_count)
+        .repartition(sc.defaultParallelism * 2, "id")
+        .persist()
     )
     n_docs = docs.count()
     tf = (

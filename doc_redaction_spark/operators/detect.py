@@ -33,6 +33,8 @@ from doc_redaction_spark.functions.recognizers import (
     BUILTIN_RECOGNIZERS,
     FuzzyRecognizer,
     deny_list_recognizer,
+    street_candidates,
+    street_quick_reject,
 )
 from doc_redaction_spark.operators.spans import apply_spans as _apply_spans
 from doc_redaction_spark.operators.spans import merge_adjacent, resolve_overlaps
@@ -59,10 +61,13 @@ def _registry(cfg: PipelineConfig):
         for name in cfg.entities:
             rec = BUILTIN_RECOGNIZERS.get(name)
             if rec is not None:
-                compiled.append((rec.entity_type, rec.compiled(), rec.score, rec.group, rec.validator))
+                compiled.append(
+                    (rec.entity_type, rec.compiled(), rec.score, rec.group,
+                     rec.validator, rec.compiled_candidate())
+                )
         deny = deny_list_recognizer(list(cfg.deny_terms))
         if deny is not None:
-            compiled.append((deny.entity_type, deny.compiled(), deny.score, 0, None))
+            compiled.append((deny.entity_type, deny.compiled(), deny.score, 0, None, None))
         fuzzy = (
             FuzzyRecognizer(tuple(cfg.fuzzy_terms), cfg.fuzzy_max_edits)
             if cfg.fuzzy_terms
@@ -80,10 +85,27 @@ def detect_spans_py(text: str | None, cfg: PipelineConfig) -> list[tuple]:
         return []
     compiled, fuzzy, allow = _registry(cfg)
     spans: list[tuple] = []
-    for etype, pat, score, group, validator in compiled:
+    for etype, pat, score, group, validator, candidate in compiled:
         if score < cfg.score_threshold:
             continue
-        for m in pat.finditer(text):
+        if candidate == "street_fast":
+            # digit-word-anchored scan with type quick-reject: equivalent to
+            # pat.finditer (see recognizers.street_candidates docstring and
+            # test_detect.py::test_streetname_candidate_equivalence)
+            matches = []
+            pos = 0
+            for cs, ce in street_candidates(text):
+                if cs < pos:
+                    continue
+                if street_quick_reject(text, ce):
+                    continue
+                m = pat.match(text, cs)
+                if m is not None:
+                    matches.append(m)
+                    pos = m.end()
+        else:
+            matches = pat.finditer(text)
+        for m in matches:
             s, e = m.span(group)
             if s == e:
                 continue
@@ -145,3 +167,41 @@ def detect_and_apply(
     """Convenience: returns (spans_col, redacted_col) expressions."""
     spans = detect_spans_udf(cfg)(F.col(text_col))
     return spans, apply_spans_udf(cfg)(F.col(text_col), F.col("spans"))
+
+
+DETECT_APPLY_TYPE = StructType(
+    [
+        StructField("spans", SPANS_TYPE, False),
+        StructField("redacted_text", StringType(), False),
+    ]
+)
+
+
+def detect_apply_fused_udf(cfg: PipelineConfig):
+    """Fused detect+apply in ONE Arrow round-trip.
+
+    The two-UDF form ships the text to Python twice and round-trips the
+    span array through Arrow in between; fusing halves serialization and
+    Python-worker overhead on the hot path (the spans still come back for
+    the span_table sink). Semantics identical to detect→apply.
+    """
+    strategy, salt, gap = cfg.strategy, cfg.salt, cfg.merge_adjacent_gap
+
+    @F.pandas_udf(DETECT_APPLY_TYPE)
+    def _fused(texts: pd.Series) -> pd.DataFrame:
+        spans_out, red_out = [], []
+        detect, apply_ = detect_spans_py, _apply_spans  # local binds (hot loop)
+        for t in texts.tolist():
+            tuples = detect(t, cfg)
+            if gap >= 0 and tuples:
+                tuples = merge_adjacent(resolve_overlaps(tuples), gap)
+            spans_out.append(
+                [
+                    {"entity_type": e, "start": s, "end": x, "score": sc}
+                    for (e, s, x, sc) in tuples
+                ]
+            )
+            red_out.append(apply_(t, tuples, strategy, salt))
+        return pd.DataFrame({"spans": spans_out, "redacted_text": red_out})
+
+    return _fused

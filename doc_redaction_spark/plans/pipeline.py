@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from doc_redaction_spark.config import PipelineConfig
 from doc_redaction_spark.functions.clean import clean_text_col, nfkc_fold_udf
-from doc_redaction_spark.operators.detect import apply_spans_udf, detect_spans_udf
+from doc_redaction_spark.operators.detect import detect_apply_fused_udf
 
 
 def extract_and_redact(
@@ -46,6 +46,15 @@ def extract_and_redact(
     """
     cfg = cfg or PipelineConfig()
     df = turns
+    # ordering window FIRST, while rows are slim: a window after detection
+    # would shuffle the fat rows (clean_text + spans + redacted_text, ~4×
+    # the raw size); here it moves only the raw turn columns
+    if with_row_number:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        df = df.withColumn("rn", F.row_number().over(w))
+    # salted repartition AFTER the window: the window exchange clusters
+    # whole conversations (hash(conv_id)), which would pin a 10^6-turn
+    # conversation's detection onto one task — re-spread by (conv_id, salt)
     if cfg.salt_buckets > 1 and cfg.num_partitions > 0:
         df = df.repartition(
             cfg.num_partitions,
@@ -56,14 +65,14 @@ def extract_and_redact(
     if nfkc:
         text = nfkc_fold_udf()(text)
     df = df.withColumn("clean_text", clean_text_col(text))
-    df = df.withColumn("spans", detect_spans_udf(cfg)(F.col("clean_text")))
-    df = df.withColumn(
-        "redacted_text", apply_spans_udf(cfg)(F.col("clean_text"), F.col("spans"))
+    # one fused Arrow round-trip for detect+apply (see detect.py)
+    df = df.withColumn("_da", detect_apply_fused_udf(cfg)(F.col("clean_text")))
+    df = (
+        df.withColumn("spans", F.col("_da.spans"))
+        .withColumn("redacted_text", F.col("_da.redacted_text"))
+        .drop("_da")
     )
     df = df.withColumn("n_spans", F.size("spans"))
-    if with_row_number:
-        w = Window.partitionBy("conv_id").orderBy("turn_idx")
-        df = df.withColumn("rn", F.row_number().over(w))
     return df.select(
         "conv_id",
         "turn_idx",

@@ -102,6 +102,30 @@ def test_fuzzy_levenshtein_accept():
     assert fz.find_spans("nothing related here") == []
 
 
+def test_streetname_candidate_equivalence():
+    """The candidate-anchored scan must equal plain finditer byte-for-byte
+    (it is the hot-path optimization for the STREETNAME recognizer)."""
+    import itertools
+    import re
+
+    from doc_redaction_spark.functions.recognizers import BUILTIN_RECOGNIZERS
+
+    rec = BUILTIN_RECOGNIZERS["STREETNAME"]
+    pat = rec.compiled()
+    words = ["221b", "Baker", "Street", "x9", "St", "dr", "9", "ab", "Cul-de-sac",
+             "Streets", "1a2b", "on", ".", "12", "Hill"]
+    for combo in itertools.product(words, repeat=3):
+        text = " ".join(combo)
+        plain = [m.span() for m in pat.finditer(text)]
+        got = [(s, e) for (t, s, e, _) in spans_of(text, entities=("STREETNAME",))]
+        assert got == plain, text
+    # no-space and punctuation-adjacent forms
+    for text in ["221bBaker Street", "x 9Hill", "a1 b Street2 Road", "9 9 St St"]:
+        plain = [m.span() for m in pat.finditer(text)]
+        got = [(s, e) for (t, s, e, _) in spans_of(text, entities=("STREETNAME",))]
+        assert got == plain, text
+
+
 def test_allow_list_filters_surface():
     got = surfaces(
         "SW1A 1AA and M1 1AE",
