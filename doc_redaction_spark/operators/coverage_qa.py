@@ -1,0 +1,93 @@
+"""Redaction coverage QA — must_redact / must_not_redact audit.
+
+Re-expression of ``/root/reference/tools/verify_redaction_coverage.py``
+(regex lists vs word boxes ∩ review boxes, :142-158, :231-327, :363-524)
+for char-offset spans: a must_redact regex hit in the CLEAN text that is
+not fully covered by some span is a *miss*; a must_not_redact hit that IS
+covered is an *overreach*. Pure DataFrame checks (the regex hits come
+from the detect machinery itself run with a one-off pattern), emitting QA
+metric rows the lineage table can absorb.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HITS_SCHEMA = "conv_id string, turn_idx int, pattern string, start int, end int"
+
+
+def _regex_hits(out: DataFrame, patterns: list[str]) -> DataFrame:
+    """Offsets of each QA pattern in clean_text (Arrow-batched)."""
+    pats = [(p, re.compile(p, re.IGNORECASE)) for p in patterns]
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, tix, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["clean_text"]):
+                for raw, pat in pats:
+                    for m in pat.finditer(text or ""):
+                        rows.append(
+                            {"conv_id": cid, "turn_idx": int(tix),
+                             "pattern": raw, "start": m.start(), "end": m.end()}
+                        )
+            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "pattern", "start", "end"])
+
+    return out.select("conv_id", "turn_idx", "clean_text").mapInPandas(scan, HITS_SCHEMA)
+
+
+def coverage_report(
+    out: DataFrame,
+    must_redact: list[str],
+    must_not_redact: list[str] | None = None,
+) -> DataFrame:
+    """out = extract_and_redact result (needs conv_id, turn_idx,
+    clean_text, spans). Returns one row per QA hit with its verdict plus
+    can be aggregated into pass_strict.
+
+    Columns: conv_id, turn_idx, kind, pattern, start, end, covered(bool),
+    ok(bool)."""
+    spans = out.select(
+        "conv_id", "turn_idx", F.explode_outer("spans").alias("sp")
+    ).select(
+        "conv_id", "turn_idx",
+        F.col("sp.start").alias("s_start"), F.col("sp.end").alias("s_end"),
+    )
+
+    def judge(hits: DataFrame, kind: str, ok_when_covered: bool) -> DataFrame:
+        j = hits.join(
+            spans,
+            (hits.conv_id == spans.conv_id)
+            & (hits.turn_idx == spans.turn_idx)
+            & (spans.s_start <= hits.start)
+            & (spans.s_end >= hits.end),
+            "left",
+        )
+        agg = j.groupBy(hits.conv_id, hits.turn_idx, "pattern", "start", "end").agg(
+            F.max(F.col("s_start").isNotNull()).alias("covered")
+        )
+        return agg.select(
+            "conv_id", "turn_idx", F.lit(kind).alias("kind"), "pattern",
+            "start", "end", "covered",
+            (F.col("covered") == F.lit(ok_when_covered)).alias("ok"),
+        )
+
+    parts = []
+    if must_redact:
+        parts.append(judge(_regex_hits(out, must_redact), "must_redact", True))
+    if must_not_redact:
+        parts.append(judge(_regex_hits(out, must_not_redact), "must_not_redact", False))
+    if not parts:
+        raise ValueError("no QA patterns given")
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+def pass_strict(report: DataFrame) -> bool:
+    return report.filter(~F.col("ok")).limit(1).count() == 0

@@ -1,0 +1,146 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video/PDF payloads travel as ``binary`` columns with a
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages. The decode libs (PIL, ffmpeg,
+pymupdf, tesseract — the reference's pixel pipelines, SURVEY.md §2.12)
+are NOT in this container, so the decode step is STUBBED: by default it
+raises ``NotImplementedError``; with ``fake=True`` it produces a
+deterministic fake (hash-derived dimensions + features) so the Spark-side
+plumbing — schema, batching, partitioning, UDF signatures — is real and
+tested end-to-end.
+
+Reference data contract being reproduced: document blob → pages → lines/
+words tables (``tools/file_redaction.py:10732-10835``); here the blob
+column is the carrier and the extraction UDF emits the nested page rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id string, media_type string, payload binary,"
+    " meta struct<mime:string, n_bytes:long, source:string>"
+)
+
+DECODED_SCHEMA = (
+    "doc_id string, media_type string, width int, height int,"
+    " n_frames int, duration_s double, feature array<double>"
+)
+
+PAGES_SCHEMA = (
+    "doc_id string, page int, text string,"
+    " lines array<struct<line:int, text:string, x0:double, y0:double,"
+    " x1:double, y1:double>>"
+)
+
+
+def make_media_df(spark, docs: DataFrame, media_type: str = "image") -> DataFrame:
+    """Wrap a text table into the media schema with deterministic fake
+    payloads (bytes of the text) — the test/bench carrier."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(media_type).alias("media_type"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_bytes"),
+            F.lit("synthetic").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(doc_id: str, media_type: str, payload: bytes) -> dict:
+    """Deterministic stand-in for the real decoder: every output derives
+    from sha256(payload), so tests are stable and partition-independent."""
+    h = hashlib.sha256(payload or b"").digest()
+    width = 64 + h[0]
+    height = 64 + h[1]
+    n_frames = 1 if media_type == "image" else 1 + h[2] % 32
+    duration = 0.0 if media_type == "image" else round(n_frames / 24.0, 4)
+    feature = [round(b / 255.0, 6) for b in h[:16]]
+    return {
+        "doc_id": doc_id,
+        "media_type": media_type,
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "duration_s": duration,
+        "feature": feature,
+    }
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """mapInPandas decode stage. Real decode requires PIL/ffmpeg — not in
+    this container → NotImplementedError unless ``fake=True``."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode needs PIL/ffmpeg/pymupdf — unavailable here; "
+                    "pass fake=True for the deterministic stub"
+                )
+            rows = [
+                _fake_decode(d, m, p)
+                for d, m, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 8) -> DataFrame:
+    """Frame sampling: explode sampled frame indices (native, no UDF)."""
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+    return decoded.select(
+        "doc_id", "media_type", F.explode(idx).alias("frame_idx"), "feature"
+    )
+
+
+def extract_pages(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Document-blob → structured pages (the PyMuPDF rawdict contract,
+    reference tools/file_redaction.py:10753-10787) as mapInPandas.
+
+    The fake path treats the payload as UTF-8 text, splits into pages of
+    5 lines × whatever whitespace lines exist, with synthetic geometry —
+    schema-faithful to the real extractor."""
+
+    def pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("PDF parse needs pymupdf; use fake=True")
+            out = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                text = (bytes(p) if p is not None else b"").decode("utf-8", "replace")
+                toks = text.split()
+                lines = [" ".join(toks[i : i + 8]) for i in range(0, len(toks), 8)]
+                for pg in range(0, max(1, (len(lines) + 4) // 5)):
+                    chunk = lines[pg * 5 : pg * 5 + 5]
+                    out.append(
+                        {
+                            "doc_id": d,
+                            "page": pg + 1,
+                            "text": " ".join(chunk),
+                            "lines": [
+                                {
+                                    "line": i + 1,
+                                    "text": ln,
+                                    "x0": 0.1,
+                                    "y0": round(0.05 + i * 0.18, 4),
+                                    "x1": 0.9,
+                                    "y1": round(0.05 + i * 0.18 + 0.04, 4),
+                                }
+                                for i, ln in enumerate(chunk)
+                            ],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["doc_id", "page", "text", "lines"])
+
+    return media.mapInPandas(pages, PAGES_SCHEMA)

@@ -1,0 +1,88 @@
+"""Sources — the Spark re-expression of the reference's file dispatch.
+
+Reference: extension dispatch ``tools/helper_functions.py:969-999``,
+tabular read ``:1002-1020``, open-text source
+``tools/data_anonymise.py:994-998``, single-column list loader
+``tools/helper_functions.py:1034-1056``, OCR-CSV re-ingest
+``tools/find_duplicate_pages.py:582-597``.
+
+All readers return DataFrames; the extension dispatch becomes a format
+branch. XLSX is intentionally out of core scope (driver-side convenience
+in the reference); at scale inputs are parquet/Iceberg.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+OCR_LINES_SCHEMA = (
+    "page int, text string, left double, top double, width double,"
+    " height double, line int, conf double, model string"
+)
+
+TABULAR_EXTENSIONS = {".csv", ".csv.gz", ".parquet", ".json", ".jsonl"}
+
+
+def detect_format(path: str) -> str:
+    p = path.lower()
+    if p.endswith((".csv", ".csv.gz")):
+        return "csv"
+    if p.endswith(".parquet") or os.path.isdir(path):
+        return "parquet"
+    if p.endswith((".json", ".jsonl")):
+        return "json"
+    if p.endswith((".pdf", ".png", ".jpg", ".jpeg", ".docx")):
+        return "binary"
+    raise ValueError(f"unsupported input format: {path}")
+
+
+def read_tabular(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    fmt = fmt or detect_format(path)
+    if fmt == "csv":
+        return spark.read.csv(path, header=True, inferSchema=False)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "json":
+        return spark.read.json(path)
+    if fmt == "binary":
+        # document blobs: opaque bytes + typed metadata (multimodal.py)
+        return spark.read.format("binaryFile").load(path)
+    raise ValueError(fmt)
+
+
+def read_open_text(spark: SparkSession, text: str) -> DataFrame:
+    """Single string → 1-row 1-col DataFrame (reference :994-998)."""
+    return spark.createDataFrame([(text,)], "text string")
+
+
+def read_word_list(spark: SparkSession, path: str) -> list[str]:
+    """Allow/deny list: first column of a headerless CSV, trimmed,
+    empties dropped (reference loader :1034-1056). Driver-side (tiny)."""
+    df = spark.read.csv(path, header=False)
+    first = df.columns[0]
+    rows = df.select(F.trim(F.col(first)).alias("t")).collect()
+    return [r.t for r in rows if r.t]
+
+
+def read_ocr_lines_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Re-ingest our own line-level OCR sink (round-trip contract)."""
+    return spark.read.schema(OCR_LINES_SCHEMA).csv(path, header=True)
+
+
+def write_ocr_lines_csv(df: DataFrame, path: str) -> None:
+    """Line-level OCR sink with the golden column order
+    (FIXTURES.md §5; reference LINE_LEVEL_OCR_DF_COLUMNS
+    ``tools/helper_functions.py:1774-1784``)."""
+    cols = ["page", "text", "left", "top", "width", "height", "line", "conf", "model"]
+    df.select(*cols).write.mode("overwrite").csv(path, header=True)
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", coalesce: int = 0):
+    """General sink. ``coalesce=1`` mirrors the reference's single-file CSV
+    outputs for small results; large outputs stay partitioned."""
+    if coalesce > 0:
+        df = df.coalesce(coalesce)
+    df.write.mode("overwrite").format(fmt).option("header", True).save(path)

@@ -1,0 +1,68 @@
+"""Structured Streaming wrapper over the batch pipeline.
+
+The reference has no streaming (SURVEY.md §2.10); this is the thin
+web-scale extension: ``readStream`` on the turns table → the SAME stage
+functions via ``foreachBatch`` → sink + per-batch lineage rows. Using
+foreachBatch keeps one code path for batch and streaming (the window/rn
+column is per-microbatch and therefore omitted here; streaming consumers
+order by (conv_id, turn_idx) directly).
+
+``run_stream_once`` uses availableNow/processingTime triggers and is
+exercised by tests/test_streaming.py with a file source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.config import PipelineConfig
+from doc_redaction_spark.plans.pipeline import extract_and_redact
+
+TURNS_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string,"
+    " tool string, ts timestamp"
+)
+
+
+def stream_turns(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def run_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+) -> None:
+    """Process all available input once (availableNow) through the batch
+    pipeline via foreachBatch, writing parquet + lineage rows."""
+    cfg = cfg or PipelineConfig()
+    stream = stream_turns(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_and_redact(batch_df, cfg, with_row_number=False)
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{out_dir}/data")
+        )
+        out.agg(
+            F.count("*").alias("n_turns"),
+            F.coalesce(F.sum("n_spans"), F.lit(0)).alias("n_spans"),
+        ).withColumn("batch_id", F.lit(batch_id)).withColumn(
+            "ts", F.current_timestamp()
+        ).write.mode("append").parquet(f"{out_dir}/lineage")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,65 @@
+"""spark-submit entry point — the north rule's launch mode.
+
+Usage (local proxy for a multi-executor cluster):
+
+    python jobs/package.py                       # builds /tmp/doc_redaction_spark.zip
+    spark-submit --master local[32] \\
+        --py-files /tmp/doc_redaction_spark.zip \\
+        jobs/run_pipeline.py \\
+        --input /path/to/turns_parquet --output /tmp/out \\
+        --lineage /tmp/out_lineage --run-id r1 --chunks 8
+
+On a real cluster: same command with --master yarn/k8s and
+--num-executors N; the job resumes idempotently if resubmitted after a
+failure (chunks already committed in the lineage table are skipped).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lineage", required=True)
+    ap.add_argument("--run-id", default="run1")
+    ap.add_argument("--chunks", type=int, default=8)
+    ap.add_argument("--salt-buckets", type=int, default=16)
+    ap.add_argument("--partitions", type=int, default=0)
+    ap.add_argument("--deny-terms", default="")
+    ap.add_argument("--strategy", default="redact_replace")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("doc_redaction_spark.pipeline").getOrCreate()
+
+    from doc_redaction_spark.config import PipelineConfig
+    from doc_redaction_spark.plans.checkpoint import run_with_checkpoints
+    from doc_redaction_spark.plans.pipeline import extract_and_redact
+
+    cfg = PipelineConfig(
+        deny_terms=tuple(t for t in args.deny_terms.split(",") if t),
+        strategy=args.strategy,
+        salt_buckets=args.salt_buckets,
+        num_partitions=args.partitions
+        or 2 * spark.sparkContext.defaultParallelism,
+    )
+    turns = spark.read.parquet(args.input)
+    done = run_with_checkpoints(
+        spark,
+        turns,
+        lambda df: extract_and_redact(df, cfg, with_row_number=True),
+        out_dir=args.output,
+        lineage_dir=args.lineage,
+        run_id=args.run_id,
+        n_chunks=args.chunks,
+    )
+    print(f"processed chunks: {done}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

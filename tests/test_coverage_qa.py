@@ -1,0 +1,34 @@
+"""Coverage QA audit (reference verify_redaction_coverage semantics)."""
+
+from doc_redaction_spark.config import PipelineConfig
+from doc_redaction_spark.operators.coverage_qa import coverage_report, pass_strict
+from doc_redaction_spark.plans.pipeline import extract_and_redact
+
+
+def _out(spark):
+    rows = [
+        ("c1", 0, "user", "email a@b.com and codeword OMEGA", "", None),
+        ("c1", 1, "user", "plain text nothing here", "", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    return extract_and_redact(df, PipelineConfig(entities=("EMAIL_ADDRESS",)))
+
+
+def test_must_redact_detects_miss(spark):
+    out = _out(spark)
+    rep = coverage_report(out, must_redact=[r"a@b\.com", r"OMEGA"])
+    rows = {(r.pattern, r.kind): r for r in rep.collect()}
+    assert rows[(r"a@b\.com", "must_redact")].ok  # covered by EMAIL span
+    assert not rows[(r"OMEGA", "must_redact")].ok  # nothing detects OMEGA
+    assert not pass_strict(rep)
+
+
+def test_must_not_redact_overreach(spark):
+    out = _out(spark)
+    rep = coverage_report(out, must_redact=[], must_not_redact=[r"plain text", r"a@b\.com"])
+    rows = {r.pattern: r for r in rep.collect()}
+    assert rows[r"plain text"].ok  # not covered → ok
+    assert not rows[r"a@b\.com"].ok  # covered but must-not → overreach

@@ -1,0 +1,77 @@
+"""Sources, sinks, round-trips, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.sources import multimodal as mm
+from doc_redaction_spark.sources import readers as rd
+
+
+def test_detect_format():
+    assert rd.detect_format("x.csv") == "csv"
+    assert rd.detect_format("x.csv.gz") == "csv"
+    assert rd.detect_format("x.parquet") == "parquet"
+    assert rd.detect_format("x.jsonl") == "json"
+    assert rd.detect_format("x.pdf") == "binary"
+    with pytest.raises(ValueError):
+        rd.detect_format("x.xyz")
+
+
+def test_open_text_source(spark):
+    df = rd.read_open_text(spark, "hello SW1A 1AA")
+    assert df.count() == 1 and df.columns == ["text"]
+
+
+def test_word_list_loader(spark, tmp_path):
+    p = tmp_path / "deny.csv"
+    p.write_text("secret\n Project Alpha \n\nx,ignored-second-col\n")
+    assert rd.read_word_list(spark, str(p)) == ["secret", "Project Alpha", "x"]
+
+
+def test_ocr_lines_roundtrip(spark, tmp_path):
+    rows = [
+        (1, "hello world", 0.1, 0.1, 0.2, 0.02, 1, 100.0, "pymupdf"),
+        (2, "second page", 0.1, 0.5, 0.3, 0.02, 1, 95.5, "pymupdf"),
+    ]
+    df = spark.createDataFrame(rows, rd.OCR_LINES_SCHEMA)
+    path = str(tmp_path / "ocr")
+    rd.write_ocr_lines_csv(df, path)
+    back = rd.read_ocr_lines_csv(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_media_decode_stub_raises(spark):
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    media = mm.make_media_df(spark, docs)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        mm.decode_media(media, fake=False).collect()
+
+
+def test_media_fake_decode_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "defg"), (3, None)], "doc_id long, text string"
+    )
+    media = mm.make_media_df(spark, docs, media_type="video")
+    d1 = {r.doc_id: r for r in mm.decode_media(media, fake=True).collect()}
+    d2 = {r.doc_id: r for r in mm.decode_media(media.repartition(3), fake=True).collect()}
+    assert set(d1) == {"1", "2", "3"}
+    for k in d1:
+        assert (d1[k].width, d1[k].n_frames, list(d1[k].feature)) == (
+            d2[k].width, d2[k].n_frames, list(d2[k].feature),
+        )
+    assert all(len(r.feature) == 16 for r in d1.values())
+    frames = mm.frame_sample(mm.decode_media(media, fake=True), every_n=8)
+    assert frames.count() >= 3  # at least one frame per doc
+
+
+def test_extract_pages_fake(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100)))], "doc_id long, text string"
+    )
+    media = mm.make_media_df(spark, docs, media_type="pdf")
+    pages = mm.extract_pages(media, fake=True)
+    rows = pages.orderBy("page").collect()
+    assert [r.page for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[0].lines[0]["line"] == 1
+    total_words = sum(len(r.text.split()) for r in rows)
+    assert total_words == 100

@@ -1,0 +1,31 @@
+"""Structured Streaming wrapper: availableNow over a file source, same
+results as the batch pipeline, idempotent restart via checkpoint."""
+
+from doc_redaction_spark.config import PipelineConfig
+from doc_redaction_spark.plans.pipeline import extract_and_redact
+from doc_redaction_spark.streaming.stream import run_stream_once
+from doc_redaction_spark.synth import synth_transcripts
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    turns = synth_transcripts(spark, n_turns=300, n_convs=9)
+    inp = str(tmp_path / "in")
+    turns.write.parquet(inp)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    run_stream_once(spark, inp, out, ckpt)
+
+    got = spark.read.parquet(f"{out}/data")
+    batch = extract_and_redact(spark.read.parquet(inp), PipelineConfig(), with_row_number=False)
+    key = lambda r: (r.conv_id, r.turn_idx)
+    g = {key(r): r.redacted_text for r in got.collect()}
+    b = {key(r): r.redacted_text for r in batch.collect()}
+    assert g == b
+
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert lineage.count() >= 1
+
+    # restart with same checkpoint: no new data → no duplicate output
+    run_stream_once(spark, inp, out, ckpt)
+    assert spark.read.parquet(f"{out}/data").count() == len(b)
