@@ -859,6 +859,107 @@ def q_transcripts_spans(spark, sf_dir):
     return span_table(out)
 
 
+def q_coord_normalize(spark, sf_dir):
+    """Abs→rel coordinate normalization with broadcast page-size join
+    (reference divide_coordinates_by_page_sizes_pl)."""
+    from doc_redaction_spark.operators.coords import divide_by_page_sizes
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    boxes = supp.select(
+        (F.col("s_suppkey") % 5).cast("int").alias("page"),
+        F.round(F.col("s_acctbal"), 2).alias("xmin"),
+        F.round(F.col("s_acctbal") / 10, 2).alias("ymin"),
+        F.round(F.col("s_acctbal") + 100, 2).alias("xmax"),
+        F.round(F.col("s_acctbal") / 10 + 50, 2).alias("ymax"),
+    )
+    sizes = spark.createDataFrame(
+        [(p, 10000.0, 1000.0) for p in range(5)],
+        "page int, image_width double, image_height double",
+    )
+    return divide_by_page_sizes(boxes, sizes)
+
+
+def o_coord_normalize():
+    return """
+    WITH boxes AS (
+      SELECT CAST(s_suppkey % 5 AS INTEGER) AS page,
+             round(s_acctbal, 2) AS xmin, round(s_acctbal / 10, 2) AS ymin,
+             round(s_acctbal + 100, 2) AS xmax, round(s_acctbal / 10 + 50, 2) AS ymax
+      FROM supplier),
+    sizes AS (SELECT p AS page, 10000.0e0 AS w, 1000.0e0 AS h
+              FROM (VALUES (0),(1),(2),(3),(4)) t(p)),
+    j AS (SELECT b.*, s.w, s.h,
+                 (xmin > 1 OR ymin > 1 OR xmax > 1 OR ymax > 1) AS is_abs
+          FROM boxes b LEFT JOIN sizes s USING (page))
+    SELECT page,
+      CASE WHEN is_abs AND w IS NOT NULL THEN round(xmin / w, 6) ELSE xmin END AS xmin,
+      CASE WHEN is_abs AND h IS NOT NULL THEN round(ymin / h, 6) ELSE ymin END AS ymin,
+      CASE WHEN is_abs AND w IS NOT NULL THEN round(xmax / w, 6) ELSE xmax END AS xmax,
+      CASE WHEN is_abs AND h IS NOT NULL THEN round(ymax / h, 6) ELSE ymax END AS ymax
+    FROM j
+    """
+
+
+def q_route_gate(spark, sf_dir):
+    """Text-vs-OCR routing predicate at ≥20 extractable words (reference
+    EFFICIENT_OCR_MIN_WORDS gating)."""
+    from doc_redaction_spark.operators.coords import route_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return route_gate(docs.select("doc_id", "text")).select("doc_id", "route")
+
+
+def o_route_gate():
+    toks = duckdb_token_count("text")
+    return f"""
+    SELECT doc_id, CASE WHEN {toks} >= 20 THEN 'text' ELSE 'ocr' END AS route
+    FROM documents
+    """
+
+
+def q_tabular_anonymise(spark, sf_dir):
+    """Column-subset redaction over a case-notes-shaped table (reference
+    tabular_anonymise_wrapper_func; FIXTURES.md §4)."""
+    from doc_redaction_spark.operators.tabular import anonymise_columns
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    notes = cust.select(
+        F.col("c_custkey").alias("row_key"),
+        F.concat(
+            F.lit("Client mail c"), F.col("c_custkey").cast("string"),
+            F.lit("@example.org about "), F.col("c_mktsegment"),
+        ).alias("note"),
+        F.col("c_name").alias("untouched"),
+    )
+    cfg = PipelineConfig(entities=("EMAIL_ADDRESS",))
+    scrubbed, _log = anonymise_columns(notes, ["note"], cfg, row_id_col="row_key")
+    return scrubbed.select("row_key", "note", "untouched")
+
+
+def o_tabular_anonymise():
+    note = ("'Client mail c' || CAST(c_custkey AS VARCHAR)"
+            " || '@example.org about ' || c_mktsegment")
+    clean = duckdb_clean_sql(note)
+    return f"""
+    SELECT c_custkey AS row_key,
+           regexp_replace({clean}, '{_sq(EMAIL_PATTERN)}', 'REDACTED', 'g') AS note,
+           c_name AS untouched
+    FROM customer
+    """
+
+
+def q_ner_fake(spark, sf_dir):
+    """Deterministic NER-stage stub over transcripts (rows-only: the real
+    spaCy leg is config-gated and excluded from the equality gate)."""
+    from doc_redaction_spark.operators.ner import ner_spans
+
+    out = extract_and_redact(_tr(spark, sf_dir), PIPE_CFG, with_row_number=False)
+    n = ner_spans(out, fake=True)
+    return n.select(
+        "conv_id", "turn_idx", F.size("ner_spans").alias("n_ner")
+    )
+
+
 def q_redact_pseudonym_email(spark, sf_dir):
     cfg = PipelineConfig(entities=("EMAIL_ADDRESS",), strategy="pseudonym", salt="s42")
     out = extract_and_redact(_tr(spark, sf_dir), cfg, with_row_number=False)
@@ -915,6 +1016,10 @@ _QUERIES: dict[str, Callable] = {
     "island_runs": q_island_runs,
     "transcripts_spans": q_transcripts_spans,
     "redact_pseudonym_email": q_redact_pseudonym_email,
+    "coord_normalize": q_coord_normalize,
+    "route_gate": q_route_gate,
+    "tabular_anonymise": q_tabular_anonymise,
+    "ner_fake": q_ner_fake,
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
@@ -949,6 +1054,10 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "reading_order_lines": o_reading_order_lines,
     "island_runs": o_island_runs,
     "redact_pseudonym_email": o_redact_pseudonym_email,
+    "coord_normalize": o_coord_normalize,
+    "route_gate": o_route_gate,
+    "tabular_anonymise": o_tabular_anonymise,
+    # ner_fake: rows-only (model-dependent leg, excluded from equality gate)
 }
 
 

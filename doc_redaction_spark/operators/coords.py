@@ -1,0 +1,94 @@
+"""Coordinate-space normalization (SURVEY.md §1.2, §2.2-2.3).
+
+Reference: ``divide_coordinates_by_page_sizes_pl``
+(``/root/reference/tools/file_conversion.py:2170-2379``) and its inverse
+``multiply_coordinates_by_page_sizes`` (``:2464``) — convert between
+absolute pixel/point coords and relative [0,1] coords via a left join to
+a per-page size table; rows already relative (all coords ≤ 1) pass
+through. The abs-vs-rel split (``:2199-2206``) becomes a single
+when/otherwise pass — no partition split needed.
+
+Also: the route-gating predicate (text-vs-OCR per page at ≥20 extractable
+words, ``tools/file_redaction.py:10900-10979``, config
+``EFFICIENT_OCR_MIN_WORDS`` ``tools/config.py:653``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+COORD_COLS = ("xmin", "ymin", "xmax", "ymax")
+EFFICIENT_OCR_MIN_WORDS = 20
+
+
+def _is_absolute():
+    # reference predicate: any coordinate > 1 ⇒ absolute space
+    c = None
+    for col in COORD_COLS:
+        e = F.col(col) > 1
+        c = e if c is None else (c | e)
+    return c
+
+
+def divide_by_page_sizes(boxes: DataFrame, page_sizes: DataFrame) -> DataFrame:
+    """absolute → relative [0,1]; page_sizes(page, image_width,
+    image_height) broadcasts (small dim table). Already-relative rows are
+    untouched. Results rounded to 6dp like the reference."""
+    j = boxes.join(F.broadcast(page_sizes), "page", "left")
+    # materialize the predicate BEFORE mutating coords — the unresolved
+    # expression would otherwise re-evaluate against already-divided columns
+    out = j.withColumn("_abs", _is_absolute())
+    for col, dim in zip(COORD_COLS, ("image_width", "image_height") * 2):
+        out = out.withColumn(
+            col,
+            F.when(
+                F.col("_abs") & F.col(dim).isNotNull(),
+                F.round(F.col(col) / F.col(dim), 6),
+            ).otherwise(F.col(col)),
+        )
+    return out.drop("image_width", "image_height", "_abs")
+
+
+def multiply_by_page_sizes(boxes: DataFrame, page_sizes: DataFrame) -> DataFrame:
+    """relative → absolute (inverse)."""
+    j = boxes.join(F.broadcast(page_sizes), "page", "left")
+    out = j.withColumn("_rel", ~_is_absolute())  # materialize before mutating
+    for col, dim in zip(COORD_COLS, ("image_width", "image_height") * 2):
+        out = out.withColumn(
+            col,
+            F.when(
+                F.col("_rel") & F.col(dim).isNotNull(),
+                F.round(F.col(col) * F.col(dim), 2),
+            ).otherwise(F.col(col)),
+        )
+    return out.drop("image_width", "image_height", "_rel")
+
+
+def route_gate(pages: DataFrame, text_col: str = "text", min_words: int = EFFICIENT_OCR_MIN_WORDS) -> DataFrame:
+    """Add route = 'text' | 'ocr' per page by extractable word count."""
+    words = F.regexp_count(F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+"))
+    return pages.withColumn(
+        "route", F.when(words >= min_words, F.lit("text")).otherwise(F.lit("ocr"))
+    )
+
+
+def composite_key_merge(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Exact multi-column equi join on (xmin,ymin,xmax,ymax,label,page) to
+    carry text — the reference builds a string key
+    (``tools/file_conversion.py:2592-2607``); Spark just joins the columns."""
+    keys = ["xmin", "ymin", "xmax", "ymax", "label", "page"]
+    return left.join(right, keys, "left")
+
+
+def dedup_pick_per_image(df: DataFrame) -> DataFrame:
+    """Per image keep the row with the most boxes (reference
+    ``tools/file_conversion.py:2141-2167``)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("image").orderBy(
+        F.desc(F.size("boxes")), F.col("row_id")
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )

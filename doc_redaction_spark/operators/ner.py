@@ -1,0 +1,96 @@
+"""NER span stage — the spaCy/Presidio leg, config-gated.
+
+Reference: spaCy ``en_core_web_lg`` via Presidio ``SpacyNlpEngine``
+(``/root/reference/tools/load_spacy_model_custom_recognisers.py:40-47``),
+batched with ``nlp.pipe`` (``tools/presidio_analyzer_custom.py:36-72``),
+CARDINAL/ORDINAL labels ignored.
+
+spaCy is not in this container, so the stage is an iterator-form
+``mapInPandas`` that loads the model ONCE per executor when available and
+otherwise (a) raises, or (b) with ``fake=True`` emits a deterministic
+capitalized-bigram PERSON heuristic so the distributed plumbing is
+testable. NER is excluded from the byte-equality gate by design
+(SURVEY.md §7.4.4) — model outputs are version-dependent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+NER_SCHEMA = (
+    "conv_id string, turn_idx int,"
+    " ner_spans array<struct<entity_type:string, start:int, end:int, score:double>>"
+)
+
+IGNORED_LABELS = {"CARDINAL", "ORDINAL"}  # reference behavior
+
+_MODEL = None  # per-executor lazy singleton
+
+
+def _load_spacy():
+    global _MODEL
+    if _MODEL is None:
+        import spacy  # noqa: F401 — gated; absent in this container
+
+        for name in ("en_core_web_lg", "en_core_web_sm"):
+            try:
+                _MODEL = spacy.load(name)
+                break
+            except OSError:
+                continue
+        if _MODEL is None:
+            raise RuntimeError("no spaCy model installed")
+    return _MODEL
+
+
+def _fake_ner(text: str) -> list[dict]:
+    """Deterministic heuristic: Capitalized-word bigrams → PERSON."""
+    import re
+
+    out = []
+    for m in re.finditer(r"\b([A-Z][a-z]+) ([A-Z][a-z]+)\b", text or ""):
+        out.append(
+            {"entity_type": "PERSON", "start": m.start(), "end": m.end(), "score": 0.85}
+        )
+    return out
+
+
+def ner_spans(turns: DataFrame, text_col: str = "clean_text", fake: bool = False) -> DataFrame:
+    """(conv_id, turn_idx, ner_spans) via iterator mapInPandas — the model
+    loads once per executor, batches flow through ``nlp.pipe``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nlp = None
+        if not fake:
+            nlp = _load_spacy()
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").tolist()
+            if fake:
+                spans = [_fake_ner(t) for t in texts]
+            else:
+                spans = []
+                for doc in nlp.pipe(texts, batch_size=256):
+                    spans.append(
+                        [
+                            {
+                                "entity_type": e.label_,
+                                "start": e.start_char,
+                                "end": e.end_char,
+                                "score": 1.0,
+                            }
+                            for e in doc.ents
+                            if e.label_ not in IGNORED_LABELS
+                        ]
+                    )
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "ner_spans": spans,
+                }
+            )
+
+    return turns.select("conv_id", "turn_idx", text_col).mapInPandas(run, NER_SCHEMA)

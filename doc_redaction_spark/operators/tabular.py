@@ -1,0 +1,82 @@
+"""Tabular anonymisation — the reference's CSV/XLSX column-subset path.
+
+Reference: ``tabular_anonymise_wrapper_func``
+(``/root/reference/tools/data_anonymise.py:1255-1511``): user picks
+``chosen_cols`` (∩ actual columns, :1315-1330), those string columns are
+cleaned/detected/redacted, everything else passes through untouched, and
+original column order is restored (:1423-1430). The decision-process log
+(:286-380) becomes a per-cell span table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.config import PipelineConfig
+from doc_redaction_spark.functions.clean import clean_text_col
+from doc_redaction_spark.operators.detect import detect_apply_fused_udf
+
+
+def get_common_strings(chosen: list[str], actual: list[str]) -> list[str]:
+    """chosen ∩ actual, preserving the actual table's column order."""
+    chosen_set = set(chosen)
+    return [c for c in actual if c in chosen_set]
+
+
+def anonymise_columns(
+    df: DataFrame,
+    chosen_cols: list[str],
+    cfg: PipelineConfig | None = None,
+    clean_first: bool = True,
+    row_id_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Redact selected string columns; returns (scrubbed_df, decision_log).
+
+    decision_log: one row per detected entity —
+    (row_id, column, entity_type, start, end) — the audit-trail analog of
+    the reference's decision-process table.
+    """
+    cfg = cfg or PipelineConfig()
+    cols = get_common_strings(chosen_cols, df.columns)
+    original_order = df.columns
+    fused = detect_apply_fused_udf(cfg)
+
+    if row_id_col is None:
+        row_id_col = "_row_id"
+        from pyspark.sql import Window
+
+        # deterministic dense row id (monotonically_increasing_id is not
+        # stable across runs; the reference uses the pandas index)
+        df = df.withColumn(
+            "_row_id",
+            F.row_number().over(Window.orderBy(*original_order)) - 1,
+        )
+
+    logs = []
+    out = df
+    for c in cols:
+        base = clean_text_col(F.col(c)) if clean_first else F.coalesce(F.col(c), F.lit(""))
+        out = out.withColumn(f"_da_{c}", fused(base))
+        logs.append(
+            out.select(
+                F.col(row_id_col).alias("row_id"),
+                F.lit(c).alias("column"),
+                F.explode_outer(f"_da_{c}.spans").alias("sp"),
+            )
+            .filter(F.col("sp").isNotNull())
+            .select(
+                "row_id",
+                "column",
+                F.col("sp.entity_type").alias("entity_type"),
+                F.col("sp.start").alias("start"),
+                F.col("sp.end").alias("end"),
+            )
+        )
+        out = out.withColumn(c, F.col(f"_da_{c}.redacted_text")).drop(f"_da_{c}")
+
+    decision_log = logs[0] if logs else None
+    for lg in (logs[1:] if logs else []):
+        decision_log = decision_log.unionByName(lg)
+    keep = [c for c in original_order] + ([row_id_col] if row_id_col == "_row_id" else [])
+    return out.select(*keep), decision_log

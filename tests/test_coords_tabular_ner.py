@@ -1,0 +1,90 @@
+"""Coordinate normalization, route gating, tabular anonymisation, NER stub."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.config import PipelineConfig
+from doc_redaction_spark.operators import coords as oc
+from doc_redaction_spark.operators.ner import ner_spans
+from doc_redaction_spark.operators.tabular import anonymise_columns, get_common_strings
+
+
+def test_divide_multiply_roundtrip(spark):
+    boxes = spark.createDataFrame(
+        [
+            (1, 100.0, 50.0, 200.0, 150.0),   # absolute
+            (1, 0.1, 0.2, 0.3, 0.4),          # already relative → untouched
+            (2, 300.0, 300.0, 600.0, 600.0),
+        ],
+        "page int, xmin double, ymin double, xmax double, ymax double",
+    )
+    sizes = spark.createDataFrame(
+        [(1, 1000.0, 500.0), (2, 1200.0, 1200.0)],
+        "page int, image_width double, image_height double",
+    )
+    rel = oc.divide_by_page_sizes(boxes, sizes)
+    rows = sorted(map(tuple, rel.collect()))
+    assert (1, 0.1, 0.1, 0.2, 0.3) in rows
+    assert (1, 0.1, 0.2, 0.3, 0.4) in rows  # untouched
+    assert (2, 0.25, 0.25, 0.5, 0.5) in rows
+    back = oc.multiply_by_page_sizes(rel, sizes)
+    b = sorted(map(tuple, back.collect()))
+    assert (1, 100.0, 50.0, 200.0, 150.0) in b
+    assert (2, 300.0, 300.0, 600.0, 600.0) in b
+
+
+def test_route_gate(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 25)), (2, "too few words"), (3, None)],
+        "page int, text string",
+    )
+    got = {r.page: r.route for r in oc.route_gate(df).collect()}
+    assert got == {1: "text", 2: "ocr", 3: "ocr"}
+
+
+def test_dedup_pick_per_image(spark):
+    df = spark.createDataFrame(
+        [("a.png", 1, [0.1, 0.2]), ("a.png", 2, [0.1]), ("b.png", 3, [])],
+        "image string, row_id int, boxes array<double>",
+    )
+    got = {r.image: r.row_id for r in oc.dedup_pick_per_image(df).collect()}
+    assert got == {"a.png": 1, "b.png": 3}
+
+
+def test_get_common_strings_order():
+    assert get_common_strings(["b", "z", "a"], ["a", "b", "c"]) == ["a", "b"]
+
+
+def test_anonymise_columns(spark):
+    df = spark.createDataFrame(
+        [
+            ("2023-01-03", "note: mail a@b.com", "keep a@b.com here"),
+            ("2023-01-04", "postcode SW1A 1AA", "nothing"),
+        ],
+        "date string, note string, other string",
+    )
+    cfg = PipelineConfig(entities=("EMAIL_ADDRESS", "UKPOSTCODE"))
+    scrubbed, log = anonymise_columns(df, ["note"], cfg)
+    rows = sorted(map(tuple, scrubbed.select("date", "note", "other").collect()))
+    # chosen column redacted, other column untouched, order preserved
+    assert rows[0] == ("2023-01-03", "note: mail REDACTED", "keep a@b.com here")
+    assert rows[1] == ("2023-01-04", "postcode REDACTED", "nothing")
+    assert scrubbed.columns[:3] == ["date", "note", "other"]
+    lg = log.collect()
+    assert {(r.column, r.entity_type) for r in lg} == {
+        ("note", "EMAIL_ADDRESS"), ("note", "UKPOSTCODE"),
+    }
+
+
+def test_ner_stub_fake_and_gated(spark):
+    df = spark.createDataFrame(
+        [("c1", 0, "met John Smith and bob"), ("c1", 1, "no names")],
+        "conv_id string, turn_idx int, clean_text string",
+    )
+    got = {(r.conv_id, r.turn_idx): r.ner_spans for r in ner_spans(df, fake=True).collect()}
+    assert [s["entity_type"] for s in got[("c1", 0)]] == ["PERSON"]
+    s = got[("c1", 0)][0]
+    assert "met John Smith and bob"[s["start"] : s["end"]] == "John Smith"
+    assert got[("c1", 1)] == []
+    with pytest.raises(Exception):  # spaCy absent → real path raises
+        ner_spans(df, fake=False).collect()
