@@ -960,6 +960,49 @@ def q_ner_fake(spark, sf_dir):
     )
 
 
+def q_tokenize_stopword_strip(spark, sf_dir):
+    """Tokenize + stopword-strip (the light variant of the reference's
+    clean_and_stem_text_series, find_duplicate_pages.py:618-644 — spaCy
+    lemmatization is config-gated like NER)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"[^a-z0-9 ]", " ")), r"\s+"),
+        lambda x: (x != "") & ~x.isin(*EN_STOPWORDS),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", toks).alias("text_clean"),
+        F.size(toks).alias("n_kept"),
+    )
+
+
+def o_tokenize_stopword_strip():
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    toks = (
+        "list_filter(string_split_regex(lower(regexp_replace(coalesce(text, ''),"
+        " '[^a-z0-9 ]', ' ', 'g')), '\\s+'),"
+        f" x -> x <> '' AND x NOT IN ({stop}))"
+    )
+    return f"""
+    SELECT doc_id, array_to_string({toks}, ' ') AS text_clean,
+           len({toks}) AS n_kept
+    FROM documents
+    """
+
+
+def q_redact_merge_adjacent(spark, sf_dir):
+    """Adjacent-span merge before application (reference
+    merge_text_bounding_boxes semantics, char-offset analog) — rows-only
+    (merged 'A - B' labels and union spans aren't SQL-expressible)."""
+    cfg = PipelineConfig(
+        entities=("EMAIL_ADDRESS", "UKPOSTCODE", "IP_ADDRESS"),
+        strategy="entity_type",
+        merge_adjacent_gap=1,
+    )
+    out = extract_and_redact(_tr(spark, sf_dir), cfg, with_row_number=False)
+    return out.select("conv_id", "turn_idx", "redacted_text", "n_spans")
+
+
 def q_redact_pseudonym_email(spark, sf_dir):
     cfg = PipelineConfig(entities=("EMAIL_ADDRESS",), strategy="pseudonym", salt="s42")
     out = extract_and_redact(_tr(spark, sf_dir), cfg, with_row_number=False)
@@ -1020,6 +1063,8 @@ _QUERIES: dict[str, Callable] = {
     "route_gate": q_route_gate,
     "tabular_anonymise": q_tabular_anonymise,
     "ner_fake": q_ner_fake,
+    "tokenize_stopword_strip": q_tokenize_stopword_strip,
+    "redact_merge_adjacent": q_redact_merge_adjacent,
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
@@ -1057,7 +1102,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "coord_normalize": o_coord_normalize,
     "route_gate": o_route_gate,
     "tabular_anonymise": o_tabular_anonymise,
-    # ner_fake: rows-only (model-dependent leg, excluded from equality gate)
+    # ner_fake, redact_merge_adjacent: rows-only (see docstrings)
+    "tokenize_stopword_strip": o_tokenize_stopword_strip,
 }
 
 

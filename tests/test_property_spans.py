@@ -1,0 +1,88 @@
+"""Property-based invariants for the span algebra (hypothesis).
+
+These pin the §2.9 semantics against randomized inputs — the area the
+reference itself never property-tests.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from doc_redaction_spark.operators.spans import (
+    apply_spans,
+    merge_adjacent,
+    resolve_overlaps,
+)
+
+span_st = st.tuples(
+    st.sampled_from(["A", "B", "EMAIL_ADDRESS", "UKPOSTCODE"]),
+    st.integers(0, 50),
+    st.integers(1, 60),
+    st.sampled_from([0.3, 0.5, 1.0]),
+).map(lambda t: (t[0], min(t[1], t[2] - 1) if t[2] > t[1] else t[1], max(t[2], t[1] + 1), t[3]))
+
+spans_st = st.lists(span_st, max_size=12)
+
+
+@given(spans_st)
+@settings(max_examples=300, deadline=None)
+def test_resolved_spans_are_sorted_and_disjoint(spans):
+    out = resolve_overlaps(spans)
+    for i in range(1, len(out)):
+        assert out[i - 1][2] <= out[i][1]  # disjoint, sorted
+    for s in out:
+        assert s[1] < s[2]
+
+
+@given(spans_st)
+@settings(max_examples=300, deadline=None)
+def test_resolve_idempotent(spans):
+    once = resolve_overlaps(spans)
+    assert resolve_overlaps(once) == once
+
+
+@given(spans_st, st.integers(0, 5))
+@settings(max_examples=300, deadline=None)
+def test_merge_adjacent_disjoint_with_gap(spans, gap):
+    merged = merge_adjacent(resolve_overlaps(spans), gap)
+    for i in range(1, len(merged)):
+        assert merged[i][1] - merged[i - 1][2] > gap
+
+
+@given(st.text(min_size=0, max_size=80), spans_st)
+@settings(max_examples=300, deadline=None)
+def test_apply_redact_replace_length_math(text, spans):
+    valid = [s for s in spans if s[2] <= len(text)]
+    out = apply_spans(text, valid, "redact_replace")
+    resolved = resolve_overlaps(valid)
+    covered = sum(e - s for (_, s, e, _) in resolved)
+    assert len(out) == len(text) - covered + 8 * len(resolved)
+
+
+@given(st.text(min_size=0, max_size=80), spans_st)
+@settings(max_examples=300, deadline=None)
+def test_apply_mask_preserves_length(text, spans):
+    valid = [s for s in spans if s[2] <= len(text) and (s[2] - s[1]) <= 100]
+    out = apply_spans(text, valid, "mask")
+    assert len(out) == len(text)
+    # uncovered chars unchanged
+    resolved = resolve_overlaps(valid)
+    cov = set()
+    for _, s, e, _ in resolved:
+        cov.update(range(s, e))
+    for i, ch in enumerate(text):
+        if i not in cov:
+            assert out[i] == ch
+        else:
+            assert out[i] == "*"
+
+
+@given(st.text(min_size=0, max_size=80), spans_st)
+@settings(max_examples=200, deadline=None)
+def test_apply_redact_removes_covered(text, spans):
+    valid = [s for s in spans if s[2] <= len(text)]
+    out = apply_spans(text, valid, "redact")
+    resolved = resolve_overlaps(valid)
+    expect = list(text)
+    for _, s, e, _ in reversed(resolved):
+        del expect[s:e]
+    assert out == "".join(expect)
