@@ -960,6 +960,73 @@ def q_ner_fake(spark, sf_dir):
     )
 
 
+def q_sequence_match(spark, sf_dir):
+    """Ordered consecutive-line sequence search of file A inside file B
+    (diagonal gaps-and-islands re-expression of the reference's
+    punctuation-tolerant sequence matcher)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").cast("long").alias("idx"), "text"
+    )
+    b = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 150)).select(
+        (F.col("doc_id") - 50).cast("long").alias("idx"), "text"
+    )
+    return dd.sequence_matches(a, b, min_len=3)
+
+
+def o_sequence_match():
+    norm = (
+        "lower(regexp_replace(coalesce(text, ''), '[^a-z0-9 ]|\\s+', ' ', 'g'))"
+    )
+    return f"""
+    WITH a AS (SELECT CAST(doc_id AS BIGINT) AS a_idx, {norm} AS t
+               FROM documents WHERE doc_id < 100),
+    b AS (SELECT CAST(doc_id - 50 AS BIGINT) AS b_idx, {norm} AS t
+          FROM documents WHERE doc_id >= 50 AND doc_id < 150),
+    pairs AS (SELECT a_idx, b_idx, a_idx - b_idx AS diag FROM a JOIN b USING (t)),
+    g AS (SELECT *, CASE WHEN a_idx - lag(a_idx) OVER w = 1 THEN 0 ELSE 1 END AS brk
+          FROM pairs WINDOW w AS (PARTITION BY diag ORDER BY a_idx)),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY diag ORDER BY a_idx
+                                   ROWS UNBOUNDED PRECEDING) AS grp FROM g)
+    SELECT min(a_idx) AS a_start, max(a_idx) AS a_end,
+           min(b_idx) AS b_start, max(b_idx) AS b_end,
+           count(*) AS match_length
+    FROM s GROUP BY diag, grp HAVING count(*) >= 3
+    """
+
+
+def q_whole_turn_redaction(spark, sf_dir):
+    """Dedup-driven whole-turn redaction: duplicated fingerprints get a
+    full-cover 'Whole page' span (reference whole-page redaction feed)."""
+    docs = documents_plus(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    fp = docs.select("doc_id", fingerprint_col("text"))
+    dup_keys = (
+        fp.groupBy("fingerprint")
+        .agg(F.collect_list("doc_id").alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select(F.explode("ids").alias("doc_id"))
+    )
+    return dd.whole_unit_redaction(docs, dup_keys, ["doc_id"]).select(
+        "doc_id", "redacted_text", "label", "span_end"
+    )
+
+
+def o_whole_turn_redaction():
+    fp = duckdb_fingerprint("text")
+    return f"""
+    WITH docs_plus AS ({documents_plus_sql()}),
+    d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, {fp} AS f FROM docs_plus),
+    dups AS (SELECT f FROM d GROUP BY f HAVING count(*) > 1)
+    SELECT doc_id,
+           CASE WHEN f IN (SELECT f FROM dups) THEN '' ELSE coalesce(text,'') END AS redacted_text,
+           CASE WHEN f IN (SELECT f FROM dups) THEN 'Whole page' END AS label,
+           CASE WHEN f IN (SELECT f FROM dups) THEN length(coalesce(text,'')) END AS span_end
+    FROM d
+    """
+
+
 def q_tokenize_stopword_strip(spark, sf_dir):
     """Tokenize + stopword-strip (the light variant of the reference's
     clean_and_stem_text_series, find_duplicate_pages.py:618-644 — spaCy
@@ -1065,6 +1132,8 @@ _QUERIES: dict[str, Callable] = {
     "ner_fake": q_ner_fake,
     "tokenize_stopword_strip": q_tokenize_stopword_strip,
     "redact_merge_adjacent": q_redact_merge_adjacent,
+    "sequence_match": q_sequence_match,
+    "whole_turn_redaction": q_whole_turn_redaction,
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
@@ -1104,6 +1173,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "tabular_anonymise": o_tabular_anonymise,
     # ner_fake, redact_merge_adjacent: rows-only (see docstrings)
     "tokenize_stopword_strip": o_tokenize_stopword_strip,
+    "sequence_match": o_sequence_match,
+    "whole_turn_redaction": o_whole_turn_redaction,
 }
 
 

@@ -340,6 +340,71 @@ def tfidf_cosine_pairs(
     return sims.select("id1", "id2", "sim")
 
 
+def sequence_matches(
+    a: DataFrame,
+    b: DataFrame,
+    min_len: int = 2,
+    id_col: str = "idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Order-dependent consecutive-sequence search of table A inside
+    table B (reference ``find_duplicate_pages.py:820-1097``).
+
+    a/b: (idx int ordered, text string). Normalized-equal lines join into
+    (a_idx, b_idx) pairs; runs lie on diagonals a_idx - b_idx = const —
+    gaps-and-islands per diagonal finds maximal consecutive matches.
+    Output: (a_start, a_end, b_start, b_end, match_length) with
+    match_length ≥ min_len.
+    """
+    norm = lambda c: F.lower(F.regexp_replace(F.coalesce(c, F.lit("")), r"[^a-z0-9 ]|\s+", " "))
+    an = a.select(F.col(id_col).alias("a_idx"), norm(F.col(text_col)).alias("t"))
+    bn = b.select(F.col(id_col).alias("b_idx"), norm(F.col(text_col)).alias("t"))
+    pairs = an.join(bn, "t").select("a_idx", "b_idx").withColumn(
+        "diag", F.col("a_idx") - F.col("b_idx")
+    )
+    w = Window.partitionBy("diag").orderBy("a_idx")
+    runs = pairs.withColumn(
+        "brk",
+        F.when(F.col("a_idx") - F.lag("a_idx").over(w) == 1, 0).otherwise(1),
+    ).withColumn("grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        runs.groupBy("diag", "grp")
+        .agg(
+            F.min("a_idx").alias("a_start"),
+            F.max("a_idx").alias("a_end"),
+            F.min("b_idx").alias("b_start"),
+            F.max("b_idx").alias("b_end"),
+            F.count("*").alias("match_length"),
+        )
+        .filter(F.col("match_length") >= min_len)
+        .select("a_start", "a_end", "b_start", "b_end", "match_length")
+    )
+
+
+def whole_unit_redaction(
+    df: DataFrame, dup_keys: DataFrame, key_cols: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Whole-page/turn redaction driven by a duplicate list (reference
+    ``file_redaction.py:5108-5165`` + dedup feed ``:1644+``): units in
+    ``dup_keys`` get one full-cover span labeled 'Whole page' and empty
+    redacted text."""
+    marked = df.join(F.broadcast(dup_keys.distinct()), key_cols, "left_semi").withColumn(
+        "_dup", F.lit(True)
+    )
+    rest = df.join(F.broadcast(dup_keys.distinct()), key_cols, "left_anti").withColumn(
+        "_dup", F.lit(False)
+    )
+    u = marked.unionByName(rest)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return u.select(
+        *key_cols,
+        text.alias(text_col),
+        F.when(F.col("_dup"), F.lit("")).otherwise(text).alias("redacted_text"),
+        F.when(F.col("_dup"), F.lit("Whole page")).otherwise(F.lit(None)).alias("label"),
+        F.when(F.col("_dup"), F.length(text)).otherwise(F.lit(None)).alias("span_end"),
+    )
+
+
 def consecutive_islands(
     pairs: DataFrame, file1: str = "id1", file2: str = "id2"
 ) -> DataFrame:

@@ -92,6 +92,32 @@ def test_tfidf_cosine_pairs(spark, docs_df):
     assert (0, 2) not in pairs
 
 
+def test_sequence_matches(spark):
+    a = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta"), (4, "zz")],
+        "idx long, text string",
+    )
+    b = spark.createDataFrame(
+        [(10, "x"), (11, "Beta!"), (12, "GAMMA"), (13, "delta,"), (14, "alpha")],
+        "idx long, text string",
+    )
+    # punctuation/case-tolerant: beta,gamma,delta align on diagonal -10
+    out = [tuple(r) for r in dd.sequence_matches(a, b, min_len=2).collect()]
+    assert out == [(1, 3, 11, 13, 3)]
+
+
+def test_whole_unit_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "keep me"), (2, "dup text"), (3, "dup text")], "doc_id long, text string"
+    )
+    dups = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    got = {r.doc_id: r for r in dd.whole_unit_redaction(df, dups, ["doc_id"]).collect()}
+    assert got[1].redacted_text == "keep me" and got[1].label is None
+    for k in (2, 3):
+        assert got[k].redacted_text == "" and got[k].label == "Whole page"
+        assert got[k].span_end == len("dup text")
+
+
 def test_consecutive_islands(spark):
     pairs = spark.createDataFrame(
         [(1, 11), (2, 12), (3, 13), (7, 20), (8, 21), (40, 50)],
