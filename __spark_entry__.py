@@ -976,7 +976,7 @@ def q_sequence_match(spark, sf_dir):
 
 def o_sequence_match():
     norm = (
-        "lower(regexp_replace(coalesce(text, ''), '[^a-z0-9 ]|\\s+', ' ', 'g'))"
+        "trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))"
     )
     return f"""
     WITH a AS (SELECT CAST(doc_id AS BIGINT) AS a_idx, {norm} AS t

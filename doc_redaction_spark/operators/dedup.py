@@ -356,7 +356,9 @@ def sequence_matches(
     Output: (a_start, a_end, b_start, b_end, match_length) with
     match_length ≥ min_len.
     """
-    norm = lambda c: F.lower(F.regexp_replace(F.coalesce(c, F.lit("")), r"[^a-z0-9 ]|\s+", " "))
+    norm = lambda c: F.trim(
+        F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"[^a-z0-9]+", " ")
+    )
     an = a.select(F.col(id_col).alias("a_idx"), norm(F.col(text_col)).alias("t"))
     bn = b.select(F.col(id_col).alias("b_idx"), norm(F.col(text_col)).alias("t"))
     pairs = an.join(bn, "t").select("a_idx", "b_idx").withColumn(
