@@ -1027,6 +1027,42 @@ def o_whole_turn_redaction():
     """
 
 
+def q_deny_list_aho(spark, sf_dir):
+    """Large-deny-list scale path: Aho–Corasick automaton, output identical
+    to the reference's regex alternation (tests/test_aho.py). Oracle uses
+    the \\b-guarded alternation — the equality IS the check."""
+    cfg = PipelineConfig(entities=(), deny_terms=DENY_TERMS, deny_engine="aho")
+    out = extract_and_redact(_tr(spark, sf_dir), cfg, with_row_number=False)
+    return out.select("conv_id", "turn_idx", "redacted_text", "n_spans")
+
+
+def o_deny_list_aho():
+    red = f"regexp_replace({CLEAN_SQL}, '(?i){_sq(_DENY_ORACLE)}', 'REDACTED', 'g')"
+    cnt = f"len(regexp_extract_all({CLEAN_SQL}, '(?i){_sq(_DENY_ORACLE)}'))"
+    return f"""
+    {TR_CTE}
+    SELECT conv_id, turn_idx, {red} AS redacted_text, {cnt} AS n_spans
+    FROM transcripts
+    """
+
+
+def q_fuzzy_deny(spark, sf_dir):
+    """CUSTOM_FUZZY: Levenshtein ≤ 1 whole-phrase deny match over text with
+    planted typos — rows-only (edit distance is not portable SQL)."""
+    t = _tr(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" see the confidental memo")),
+        ).otherwise(F.col("text")),
+    )
+    cfg = PipelineConfig(
+        entities=(), fuzzy_terms=("confidential memo",), fuzzy_max_edits=1
+    )
+    out = extract_and_redact(t, cfg, with_row_number=False)
+    return span_table(out).select("conv_id", "turn_idx", "entity_type", "start", "end")
+
+
 def q_tokenize_stopword_strip(spark, sf_dir):
     """Tokenize + stopword-strip (the light variant of the reference's
     clean_and_stem_text_series, find_duplicate_pages.py:618-644 — spaCy
@@ -1134,6 +1170,8 @@ _QUERIES: dict[str, Callable] = {
     "redact_merge_adjacent": q_redact_merge_adjacent,
     "sequence_match": q_sequence_match,
     "whole_turn_redaction": q_whole_turn_redaction,
+    "deny_list_aho": q_deny_list_aho,
+    "fuzzy_deny": q_fuzzy_deny,
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
@@ -1175,6 +1213,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "tokenize_stopword_strip": o_tokenize_stopword_strip,
     "sequence_match": o_sequence_match,
     "whole_turn_redaction": o_whole_turn_redaction,
+    "deny_list_aho": o_deny_list_aho,
+    # fuzzy_deny: rows-only (Levenshtein not portable SQL)
 }
 
 

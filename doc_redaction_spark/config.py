@@ -22,6 +22,7 @@ class PipelineConfig:
         "IP_ADDRESS",
     )
     deny_terms: tuple = ()
+    deny_engine: str = "regex"  # "regex" (reference-faithful) | "aho" (scale path)
     fuzzy_terms: tuple = ()
     fuzzy_max_edits: int = 1
     allow_list: tuple = ()  # case-insensitive post-filter (reference :11229-11263)
@@ -37,6 +38,7 @@ class PipelineConfig:
         return (
             self.entities,
             self.deny_terms,
+            self.deny_engine,
             self.fuzzy_terms,
             self.fuzzy_max_edits,
             self.allow_list,

@@ -1,0 +1,110 @@
+"""Aho–Corasick automaton for large deny lists (SURVEY.md §2.8).
+
+The reference compiles deny terms into one regex alternation
+(``/root/reference/tools/load_spacy_model_custom_recognisers.py:443-496``),
+which scans in O(text × terms). For web-scale deny lists (10k-1M terms)
+this module provides a pure-Python Aho–Corasick automaton — O(text +
+matches) — with post-hoc word-boundary checks and longest-first overlap
+resolution so its output is IDENTICAL to the alternation recognizer on
+literal terms (pinned by test_aho.py equivalence tests).
+
+pyahocorasick is not in this container; this implementation is plain
+dict-based trie + BFS failure links, case-folded. It compiles once per
+executor (keyed by the terms tuple) exactly like the regex registry.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+_WORD_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+)
+
+# curly-quote tolerance (reference _quote_tolerant_escape)
+_QUOTE_FOLD = str.maketrans({"’": "'", "‘": "'", "“": '"', "”": '"'})
+
+
+class AhoCorasick:
+    """Case-insensitive multi-pattern matcher with word-boundary guards."""
+
+    def __init__(self, terms: list[str]):
+        self._goto: list[dict] = [{}]
+        self._out: list[list] = [[]]
+        self._fail: list[int] = [0]
+        for t in sorted(set(terms), key=lambda x: (-len(x), x)):
+            folded = t.lower().translate(_QUOTE_FOLD)
+            if folded:
+                self._insert(folded, len(t))
+        self._build_links()
+
+    def _insert(self, word: str, orig_len: int) -> None:
+        node = 0
+        for ch in word:
+            nxt = self._goto[node].get(ch)
+            if nxt is None:
+                nxt = len(self._goto)
+                self._goto.append({})
+                self._out.append([])
+                self._fail.append(0)
+                self._goto[node][ch] = nxt
+            node = nxt
+        self._out[node].append(len(word))
+
+    def _build_links(self) -> None:
+        q = deque()
+        for ch, nxt in self._goto[0].items():
+            self._fail[nxt] = 0
+            q.append(nxt)
+        while q:
+            node = q.popleft()
+            for ch, nxt in self._goto[node].items():
+                q.append(nxt)
+                f = self._fail[node]
+                while f and ch not in self._goto[f]:
+                    f = self._fail[f]
+                self._fail[nxt] = self._goto[f].get(ch, 0)
+                if self._fail[nxt] == nxt:
+                    self._fail[nxt] = 0
+                self._out[nxt] = self._out[nxt] + self._out[self._fail[nxt]]
+
+    def find_spans(self, text: str) -> list[tuple]:
+        """(start, end) matches with (?<!\\w)…(?!\\w) word guards, longest
+        wins on overlap, scan continues after each accepted match —
+        mirroring the leftmost-longest-alternation + finditer semantics of
+        the reference's compiled deny regex."""
+        folded = text.lower().translate(_QUOTE_FOLD)
+        node = 0
+        raw: list[tuple] = []
+        for i, ch in enumerate(folded):
+            while node and ch not in self._goto[node]:
+                node = self._fail[node]
+            node = self._goto[node].get(ch, 0)
+            for length in self._out[node]:
+                s, e = i - length + 1, i + 1
+                # word guards on the ORIGINAL text offsets
+                if s > 0 and text[s - 1] in _WORD_CHARS:
+                    continue
+                if e < len(text) and text[e] in _WORD_CHARS:
+                    continue
+                raw.append((s, e))
+        # longest-first at same start, then leftmost non-overlapping scan
+        raw.sort(key=lambda p: (p[0], -(p[1] - p[0])))
+        out: list[tuple] = []
+        last_end = -1
+        for s, e in raw:
+            if s >= last_end:
+                out.append((s, e))
+                last_end = e
+        return out
+
+
+_AHO_CACHE: dict = {}
+
+
+def aho_for(terms: tuple) -> AhoCorasick:
+    a = _AHO_CACHE.get(terms)
+    if a is None:
+        a = AhoCorasick(list(terms))
+        _AHO_CACHE[terms] = a
+    return a

@@ -29,9 +29,11 @@ from pyspark.sql.types import (
 )
 
 from doc_redaction_spark.config import PipelineConfig
+from doc_redaction_spark.functions.aho import aho_for
 from doc_redaction_spark.functions.recognizers import (
     BUILTIN_RECOGNIZERS,
     FuzzyRecognizer,
+    _is_regex_pattern,
     deny_list_recognizer,
     street_candidates,
     street_quick_reject,
@@ -65,9 +67,16 @@ def _registry(cfg: PipelineConfig):
                     (rec.entity_type, rec.compiled(), rec.score, rec.group,
                      rec.validator, rec.compiled_candidate())
                 )
-        deny = deny_list_recognizer(list(cfg.deny_terms))
-        if deny is not None:
-            compiled.append((deny.entity_type, deny.compiled(), deny.score, 0, None, None))
+        if cfg.deny_terms and cfg.deny_engine == "aho" and not any(
+            _is_regex_pattern(t) for t in cfg.deny_terms
+        ):
+            # scale path: O(text+matches) automaton, identical output to the
+            # alternation on literal terms (tests/test_aho.py equivalence)
+            compiled.append(("CUSTOM", aho_for(tuple(cfg.deny_terms)), 1.0, 0, None, "aho"))
+        else:
+            deny = deny_list_recognizer(list(cfg.deny_terms))
+            if deny is not None:
+                compiled.append((deny.entity_type, deny.compiled(), deny.score, 0, None, None))
         fuzzy = (
             FuzzyRecognizer(tuple(cfg.fuzzy_terms), cfg.fuzzy_max_edits)
             if cfg.fuzzy_terms
@@ -87,6 +96,10 @@ def detect_spans_py(text: str | None, cfg: PipelineConfig) -> list[tuple]:
     spans: list[tuple] = []
     for etype, pat, score, group, validator, candidate in compiled:
         if score < cfg.score_threshold:
+            continue
+        if candidate == "aho":
+            for s, e in pat.find_spans(text):
+                spans.append((etype, s, e, float(score)))
             continue
         if candidate == "street_fast":
             # digit-word-anchored scan with type quick-reject: equivalent to

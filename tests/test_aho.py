@@ -1,0 +1,77 @@
+"""Aho–Corasick deny-list ↔ regex-alternation equivalence + scale check."""
+
+import random
+import re
+import time
+
+from doc_redaction_spark.config import PipelineConfig
+from doc_redaction_spark.functions.aho import AhoCorasick
+from doc_redaction_spark.functions.recognizers import build_deny_list_pattern
+from doc_redaction_spark.operators.detect import detect_spans_py
+
+TERMS = ["secret", "Project Alpha", "Alpha", "o'brien", "top secret plan", "x1"]
+
+
+def regex_spans(text, terms):
+    pat = re.compile(build_deny_list_pattern(terms), re.DOTALL | re.MULTILINE | re.IGNORECASE)
+    return [m.span() for m in pat.finditer(text)]
+
+
+def test_equivalence_fixtures():
+    cases = [
+        "the SECRET plan; secretive; Project Alpha wins",
+        "top secret plan beats secret",
+        "it’s o’brien and O'BRIEN",
+        "Alpha Project Alpha alpha",
+        "x1 x1x x1 x1",
+        "",
+        "no hits at all",
+        "secret" * 5,
+        "secret secret secret",
+    ]
+    aho = AhoCorasick(TERMS)
+    for text in cases:
+        assert aho.find_spans(text) == regex_spans(text, TERMS), text
+
+
+def test_equivalence_randomized():
+    rng = random.Random(11)
+    vocab = TERMS + ["filler", "words", "the", "x", "secrets", "alpha.", "plan,", "’", "-"]
+    aho = AhoCorasick(TERMS)
+    for _ in range(3000):
+        text = " ".join(rng.choices(vocab, k=rng.randint(0, 10)))
+        if rng.random() < 0.3:
+            text = text.replace(" ", "", 1)
+        assert aho.find_spans(text) == regex_spans(text, TERMS), repr(text)
+
+
+def test_detect_uses_aho_engine():
+    cfg = PipelineConfig(entities=(), deny_terms=tuple(TERMS), deny_engine="aho")
+    ref = PipelineConfig(entities=(), deny_terms=tuple(TERMS), deny_engine="regex")
+    for text in ["Project Alpha is secret", "o’brien met x1"]:
+        assert detect_spans_py(text, cfg) == detect_spans_py(text, ref)
+
+
+def test_aho_regex_terms_fall_back():
+    # a regex-like term forces the reference-faithful alternation path
+    cfg = PipelineConfig(entities=(), deny_terms=(r"\d\d\d-\d\d\d", "secret"), deny_engine="aho")
+    spans = detect_spans_py("id 123-456 secret", cfg)
+    assert [(s, e) for (_, s, e, _) in spans] == [(3, 10), (11, 17)]
+
+
+def test_aho_scales_past_alternation():
+    terms = [f"needle{i:05d} phrase" for i in range(20000)] + ["hit me"]
+    text = ("lots of haystack words " * 40) + "and hit me once"
+    aho = AhoCorasick(terms)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        got = aho.find_spans(text)
+    aho_dt = time.perf_counter() - t0
+    assert len(got) == 1
+    pat = re.compile(build_deny_list_pattern(terms), re.I | re.S | re.M)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        assert len(pat.findall(text)) == 1
+    re_dt = time.perf_counter() - t0
+    # the automaton must beat the 20k-way alternation decisively
+    assert aho_dt * 5 < re_dt, (aho_dt, re_dt)
