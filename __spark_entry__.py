@@ -865,12 +865,15 @@ def q_coord_normalize(spark, sf_dir):
     from doc_redaction_spark.operators.coords import divide_by_page_sizes
 
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    # floor-based construction: round() on doubles lands on .xx5 boundaries
+    # where Spark and DuckDB disagree; floor is bit-exact in both
+    a = F.floor(F.col("s_acctbal") * 100) / 100.0
     boxes = supp.select(
         (F.col("s_suppkey") % 5).cast("int").alias("page"),
-        F.round(F.col("s_acctbal"), 2).alias("xmin"),
-        F.round(F.col("s_acctbal") / 10, 2).alias("ymin"),
-        F.round(F.col("s_acctbal") + 100, 2).alias("xmax"),
-        F.round(F.col("s_acctbal") / 10 + 50, 2).alias("ymax"),
+        a.alias("xmin"),
+        (F.floor(F.col("s_acctbal") * 10) / 100.0).alias("ymin"),
+        (a + 100.0).alias("xmax"),
+        (F.floor(F.col("s_acctbal") * 10) / 100.0 + 50.0).alias("ymax"),
     )
     sizes = spark.createDataFrame(
         [(p, 10000.0, 1000.0) for p in range(5)],
@@ -883,8 +886,10 @@ def o_coord_normalize():
     return """
     WITH boxes AS (
       SELECT CAST(s_suppkey % 5 AS INTEGER) AS page,
-             round(s_acctbal, 2) AS xmin, round(s_acctbal / 10, 2) AS ymin,
-             round(s_acctbal + 100, 2) AS xmax, round(s_acctbal / 10 + 50, 2) AS ymax
+             floor(s_acctbal * 100) / 100.0 AS xmin,
+             floor(s_acctbal * 10) / 100.0 AS ymin,
+             floor(s_acctbal * 100) / 100.0 + 100.0 AS xmax,
+             floor(s_acctbal * 10) / 100.0 + 50.0 AS ymax
       FROM supplier),
     sizes AS (SELECT p AS page, 10000.0e0 AS w, 1000.0e0 AS h
               FROM (VALUES (0),(1),(2),(3),(4)) t(p)),
@@ -1063,6 +1068,25 @@ def q_fuzzy_deny(spark, sf_dir):
     return span_table(out).select("conv_id", "turn_idx", "entity_type", "start", "end")
 
 
+def q_reading_order_columns(spark, sf_dir):
+    """Column-aware reading order (two-column gutter detection) — rows-only
+    (the per-page gutter heuristic is not SQL-expressible)."""
+    from doc_redaction_spark.operators.layout import reading_order_columns
+
+    lines = ol.words_to_lines(_words_df(spark, sf_dir))
+    # re-layout deterministic two-column pages: even lines left, odd right
+    two_col = lines.select(
+        "page",
+        "line",
+        "text",
+        F.when(F.col("line") % 2 == 0, 0.05).otherwise(0.55).alias("left"),
+        F.round((F.col("line") / 2).cast("int") * 0.04 + 0.05, 4).alias("top"),
+        F.lit(0.35).alias("width"),
+        F.lit(0.02).alias("height"),
+    )
+    return reading_order_columns(two_col).select("page", "line", "line_no")
+
+
 def q_tokenize_stopword_strip(spark, sf_dir):
     """Tokenize + stopword-strip (the light variant of the reference's
     clean_and_stem_text_series, find_duplicate_pages.py:618-644 — spaCy
@@ -1172,6 +1196,7 @@ _QUERIES: dict[str, Callable] = {
     "whole_turn_redaction": q_whole_turn_redaction,
     "deny_list_aho": q_deny_list_aho,
     "fuzzy_deny": q_fuzzy_deny,
+    "reading_order_columns": q_reading_order_columns,
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {

@@ -42,6 +42,53 @@ def reading_order(lines: DataFrame, page_col: str = "page") -> DataFrame:
     return lines.withColumn("line_no", F.row_number().over(w).cast("int"))
 
 
+def reading_order_columns(lines: DataFrame, page_col: str = "page") -> DataFrame:
+    """Column-aware reading order (reference ``tools/ocr_reading_order.py``:
+    column detection :140-232, sort :535-590 — single + two-column subset).
+
+    Per page (applyInPandas — gutter detection needs every box of the
+    page, the one grouping in this engine that is genuinely per-unit):
+    1. full-span lines (width ≥ 0.85 of page) are headers → emitted first
+       in (top, left) order;
+    2. remaining lines: if their left edges split into two clusters
+       separated by a gutter ≥ 0.15 with ≥2 lines each, read column-major
+       (left column fully, then right), else single-column (top, left).
+    Output: input columns + ``line_no`` (1-based per page).
+
+    Skew note: pages are small bounded units (≤ a few thousand lines), so
+    per-page grouping cannot pin an executor the way per-conversation
+    grouping can; partitioning is hash(page).
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in lines.schema.fields
+    ) + ", line_no int"
+
+    def order_page(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        is_header = pdf["width"] >= 0.85
+        headers = pdf[is_header].sort_values(["top", "left"])
+        body = pdf[~is_header]
+        if len(body) >= 4:
+            lefts = body["left"].sort_values().to_numpy()
+            gaps = lefts[1:] - lefts[:-1]
+            gi = int(gaps.argmax()) if len(gaps) else -1
+            if gi >= 0 and gaps[gi] >= 0.15 and 2 <= gi + 1 <= len(lefts) - 2:
+                split = (lefts[gi] + lefts[gi + 1]) / 2.0
+                body = body.assign(_col=(body["left"] > split).astype(int))
+                body = body.sort_values(["_col", "top", "left"]).drop(columns="_col")
+            else:
+                body = body.sort_values(["top", "left"])
+        else:
+            body = body.sort_values(["top", "left"])
+        ordered = pd.concat([headers, body], ignore_index=True)
+        ordered["line_no"] = range(1, len(ordered) + 1)
+        return ordered
+
+    return lines.groupBy(page_col).applyInPandas(order_page, out_schema)
+
+
 def lines_to_words(lines: DataFrame) -> DataFrame:
     """Inverse derivation: posexplode line text into word rows with
     proportional bbox allocation (reference word builder

@@ -37,6 +37,36 @@ def test_reading_order(spark):
     assert got == {12: 1, 11: 2, 10: 3, 13: 1}
 
 
+def test_reading_order_columns_two_col(spark):
+    # header spans the page; body is two columns (left 0.05, right 0.55)
+    rows = [
+        (1, 0, "HEADER", 0.05, 0.02, 0.90, 0.03),
+        (1, 1, "L1", 0.05, 0.10, 0.35, 0.02),
+        (1, 2, "L2", 0.05, 0.30, 0.35, 0.02),
+        (1, 3, "R1", 0.55, 0.05, 0.35, 0.02),
+        (1, 4, "R2", 0.55, 0.25, 0.35, 0.02),
+    ]
+    df = spark.createDataFrame(
+        rows, "page int, line int, text string, left double, top double, width double, height double"
+    )
+    got = {r.text: r.line_no for r in ol.reading_order_columns(df).collect()}
+    # header first, then left column top-down, then right column
+    assert got == {"HEADER": 1, "L1": 2, "L2": 3, "R1": 4, "R2": 5}
+
+
+def test_reading_order_columns_single_col(spark):
+    rows = [
+        (2, 1, "B", 0.10, 0.50, 0.30, 0.02),
+        (2, 2, "A", 0.10, 0.10, 0.30, 0.02),
+        (2, 3, "C", 0.12, 0.70, 0.30, 0.02),
+    ]
+    df = spark.createDataFrame(
+        rows, "page int, line int, text string, left double, top double, width double, height double"
+    )
+    got = {r.text: r.line_no for r in ol.reading_order_columns(df).collect()}
+    assert got == {"A": 1, "B": 2, "C": 3}
+
+
 def test_lines_to_words_roundtrip(spark):
     words = spark.createDataFrame(WORDS, SCHEMA)
     lines = ol.words_to_lines(words)
