@@ -33,6 +33,51 @@ def stream_turns(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def windowed_turn_counts(stream: DataFrame, window: str = "10 minutes", watermark: str = "20 minutes") -> DataFrame:
+    """Event-time tumbling-window turn counts with a watermark for late
+    data — the standard streaming rollup the reference lacks (§2.10).
+    Returns a streaming DataFrame: (window, role, n_turns)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "role")
+        .agg(F.count("*").alias("n_turns"))
+    )
+
+
+CONV_STATE_SCHEMA = "n_turns long, max_turn int"
+CONV_OUT_SCHEMA = "conv_id string, n_turns long, max_turn int"
+
+
+def conversation_progress(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: cumulative
+    per-conversation turn count + max turn_idx across micro-batches —
+    the per-conversation checkpointed progress tracker, streaming form."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+        state.update((n, mx))
+        import pandas as pd
+
+        yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [n], "max_turn": [mx]})
+
+    return (
+        stream.select("conv_id", "turn_idx")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CONV_OUT_SCHEMA,
+            stateStructType=CONV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_once(
     spark: SparkSession,
     input_dir: str,

@@ -1,9 +1,16 @@
 """Structured Streaming wrapper: availableNow over a file source, same
 results as the batch pipeline, idempotent restart via checkpoint."""
 
+from pyspark.sql import functions as F
+
 from doc_redaction_spark.config import PipelineConfig
 from doc_redaction_spark.plans.pipeline import extract_and_redact
-from doc_redaction_spark.streaming.stream import run_stream_once
+from doc_redaction_spark.streaming.stream import (
+    conversation_progress,
+    run_stream_once,
+    stream_turns,
+    windowed_turn_counts,
+)
 from doc_redaction_spark.synth import synth_transcripts
 
 
@@ -29,3 +36,54 @@ def test_stream_matches_batch(spark, tmp_path):
     # restart with same checkpoint: no new data → no duplicate output
     run_stream_once(spark, inp, out, ckpt)
     assert spark.read.parquet(f"{out}/data").count() == len(b)
+
+
+def test_windowed_watermark_agg(spark, tmp_path):
+    turns = synth_transcripts(spark, n_turns=200, n_convs=5)
+    inp = str(tmp_path / "in2")
+    turns.write.parquet(inp)
+    q = (
+        windowed_turn_counts(stream_turns(spark, inp), "5 minutes", "10 minutes")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select sum(n_turns) as n from win_counts").collect()[0]
+    # watermark holds back only the final (incomplete) windows; with
+    # availableNow + closed stream, emitted windows cover the closed ones
+    batch = turns.groupBy(F.window("ts", "5 minutes"), "role").count()
+    assert got.n is None or got.n <= batch.agg(F.sum("count")).collect()[0][0]
+
+
+def test_stateful_conversation_progress(spark, tmp_path):
+    turns = synth_transcripts(spark, n_turns=240, n_convs=6).cache()
+    inp = str(tmp_path / "in3")
+    # several files → several micro-batches (maxFilesPerTrigger=8)
+    turns.repartition(16).write.parquet(inp)
+    q = (
+        conversation_progress(stream_turns(spark, inp))
+        .writeStream.format("memory")
+        .queryName("conv_progress")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per conversation must equal the batch totals
+    final = spark.sql(
+        """select conv_id, max(n_turns) as n_turns, max(max_turn) as max_turn
+           from conv_progress group by conv_id"""
+    ).collect()
+    expect = {
+        r.conv_id: (r.n, r.mx)
+        for r in turns.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"))
+        .collect()
+    }
+    got = {r.conv_id: (r.n_turns, r.max_turn) for r in final}
+    assert got == expect
