@@ -33,6 +33,7 @@ class PipelineConfig:
     # scale knobs
     salt_buckets: int = 16  # skew-defusing shuffle salt on conv_id
     num_partitions: int = 0  # 0 → leave to AQE / input partitioning
+    order_engine: str = "window"  # "window" | "salted" (two-phase rank for monster convs)
 
     def key(self) -> tuple:
         return (

@@ -28,6 +28,47 @@ from doc_redaction_spark.functions.clean import clean_text_col, nfkc_fold_udf
 from doc_redaction_spark.operators.detect import detect_apply_fused_udf
 
 
+def salted_row_number(
+    df: DataFrame,
+    part_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    bucket_width: int = 100_000,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Two-phase distributed row_number, exact-equal to
+    ``row_number() over (partition by part_col order by order_col)``.
+
+    A plain window puts a whole conversation in ONE sort task — a
+    10^6-turn conversation pins an executor (AQE cannot split a window
+    partition). Phase 1 ranks within range-buckets
+    ``floor(order_col / bucket_width)`` (salted partitions, bounded size);
+    phase 2 adds per-bucket offsets (a tiny aggregate, broadcast back).
+    Requires unique order_col per partition key (true for turn_idx).
+    """
+    b = F.floor(F.col(order_col) / bucket_width).cast("long")
+    df = df.withColumn("_bkt", b)
+    w = Window.partitionBy(part_col, "_bkt").orderBy(order_col)
+    ranked = df.withColumn("_local_rn", F.row_number().over(w))
+    counts = (
+        df.groupBy(part_col, "_bkt").agg(F.count("*").alias("_n"))
+    )
+    woff = Window.partitionBy(part_col).orderBy("_bkt")
+    offsets = counts.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(woff.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    ).select(part_col, "_bkt", "_offset")
+    # plain equi-join: AQE broadcasts the offsets side when it is small;
+    # at 10^12-turn scale (offsets ~ one row per conv×bucket) it stays a
+    # shuffled join on already-salted keys
+    return (
+        ranked.join(offsets, [part_col, "_bkt"])
+        .withColumn(out_col, (F.col("_local_rn") + F.col("_offset")).cast("int"))
+        .drop("_bkt", "_local_rn", "_offset")
+    )
+
+
 def extract_and_redact(
     turns: DataFrame,
     cfg: PipelineConfig | None = None,
@@ -50,8 +91,11 @@ def extract_and_redact(
     # would shuffle the fat rows (clean_text + spans + redacted_text, ~4×
     # the raw size); here it moves only the raw turn columns
     if with_row_number:
-        w = Window.partitionBy("conv_id").orderBy("turn_idx")
-        df = df.withColumn("rn", F.row_number().over(w))
+        if cfg.order_engine == "salted":
+            df = salted_row_number(df)
+        else:
+            w = Window.partitionBy("conv_id").orderBy("turn_idx")
+            df = df.withColumn("rn", F.row_number().over(w))
     # salted repartition AFTER the window: the window exchange clusters
     # whole conversations (hash(conv_id)), which would pin a 10^6-turn
     # conversation's detection onto one task — re-spread by (conv_id, salt)

@@ -56,6 +56,35 @@ def test_zipf_skew_distributes(spark):
     assert max(counts) < biggest["count"]  # no partition pinned by one conv
 
 
+def test_salted_row_number_equals_window(spark):
+    """Two-phase rank must equal the plain window exactly — including
+    sparse/non-dense turn_idx and bucket boundaries."""
+    from pyspark.sql import Window as W
+
+    from doc_redaction_spark.plans.pipeline import salted_row_number
+
+    rows = []
+    # sparse, shuffled turn indexes crossing bucket boundaries (width 10)
+    for conv, idxs in [("a", [3, 7, 15, 2, 29, 10, 9]), ("b", [100, 5, 55]), ("c", [0])]:
+        rows += [(conv, i) for i in idxs]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int").repartition(5)
+    got = salted_row_number(df, bucket_width=10)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    expect = df.withColumn("rn", F.row_number().over(w))
+    g = {(r.conv_id, r.turn_idx): r.rn for r in got.collect()}
+    e = {(r.conv_id, r.turn_idx): r.rn for r in expect.collect()}
+    assert g == e
+
+
+def test_pipeline_salted_order_engine(spark):
+    turns = synth_transcripts(spark, n_turns=400, n_convs=10)
+    cfg_w = PipelineConfig(deny_terms=DENY_TERMS)
+    cfg_s = PipelineConfig(deny_terms=DENY_TERMS, order_engine="salted")
+    a = {(r.conv_id, r.turn_idx): r.rn for r in extract_and_redact(turns, cfg_w).collect()}
+    b = {(r.conv_id, r.turn_idx): r.rn for r in extract_and_redact(turns, cfg_s).collect()}
+    assert a == b
+
+
 def test_span_table_deterministic_ids(spark):
     turns = synth_transcripts(spark, n_turns=100, n_convs=5)
     out = extract_and_redact(turns, CFG)
