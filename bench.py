@@ -148,7 +148,7 @@ def main():
 
     if not args.skip_scaling:
         scaling = {}
-        for cores in (8, 32):
+        for cores in (2, 8, 32):
             # pin CPU affinity so local[N] really gets N cores — unpinned,
             # an 8-thread JVM + its python workers borrow idle cores and the
             # N vs 4N comparison stops being N vs 4N
@@ -166,8 +166,13 @@ def main():
                 "sec": round(r["sec"], 3),
                 "turns_per_sec": round(r["turns"] / r["sec"], 1),
             }
+        thr2 = scaling["local[2]"]["turns_per_sec"]
         thr8 = scaling["local[8]"]["turns_per_sec"]
         thr32 = scaling["local[32]"]["turns_per_sec"]
+        # two N→4N pairs: 2→8 is the faithful proxy for adding executors
+        # (each pinned run is compute-bound with spare memory bandwidth);
+        # 8→32 additionally measures same-box oversubscription contention
+        scaling["efficiency_2_to_8"] = round((thr8 / thr2) / 4.0, 3)
         scaling["efficiency_8_to_32"] = round((thr32 / thr8) / 4.0, 3)
         result["scaling"] = scaling
 
