@@ -26,6 +26,9 @@ class PipelineConfig:
     fuzzy_terms: tuple = ()
     fuzzy_max_edits: int = 1
     allow_list: tuple = ()  # case-insensitive post-filter (reference :11229-11263)
+    # NER leg (excluded from byte-equality gates — SURVEY §7.4.4):
+    # "off" | "fake" (deterministic capitalized-bigram PERSON) | "spacy"
+    ner_engine: str = "off"
     score_threshold: float = 0.001  # reference default, load_spacy...py:35
     strategy: str = "redact_replace"
     salt: str = "s42"
@@ -45,4 +48,5 @@ class PipelineConfig:
             self.allow_list,
             self.score_threshold,
             self.merge_adjacent_gap,
+            self.ner_engine,
         )

@@ -16,6 +16,8 @@ over Arrow batches (input_hint requirement).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -77,6 +79,13 @@ def _registry(cfg: PipelineConfig):
             deny = deny_list_recognizer(list(cfg.deny_terms))
             if deny is not None:
                 compiled.append((deny.entity_type, deny.compiled(), deny.score, 0, None, None))
+        if cfg.ner_engine == "fake":
+            # deterministic PERSON heuristic (ner.py _fake_ner equivalent)
+            compiled.append(
+                ("PERSON", re.compile(r"\b([A-Z][a-z]+) ([A-Z][a-z]+)\b"), 0.85, 0, None, None)
+            )
+        elif cfg.ner_engine == "spacy":
+            compiled.append(("__SPACY__", None, 1.0, 0, None, "spacy"))
         fuzzy = (
             FuzzyRecognizer(tuple(cfg.fuzzy_terms), cfg.fuzzy_max_edits)
             if cfg.fuzzy_terms
@@ -100,6 +109,13 @@ def detect_spans_py(text: str | None, cfg: PipelineConfig) -> list[tuple]:
         if candidate == "aho":
             for s, e in pat.find_spans(text):
                 spans.append((etype, s, e, float(score)))
+            continue
+        if candidate == "spacy":
+            from doc_redaction_spark.operators.ner import IGNORED_LABELS, _load_spacy
+
+            for ent in _load_spacy()(text).ents:
+                if ent.label_ not in IGNORED_LABELS:
+                    spans.append((ent.label_, ent.start_char, ent.end_char, 1.0))
             continue
         if candidate == "street_fast":
             # digit-word-anchored scan with type quick-reject: equivalent to

@@ -80,6 +80,22 @@ def write_ocr_lines_csv(df: DataFrame, path: str) -> None:
     df.select(*cols).write.mode("overwrite").csv(path, header=True)
 
 
+def read_xlsx(spark: SparkSession, path: str, sheet_name=0) -> DataFrame:
+    """XLSX → DataFrame, pandas-on-driver (the reference's per-sheet read,
+    ``tools/helper_functions.py:1002-1020``) — driver-side convenience for
+    tiny config workbooks only; gated on openpyxl availability."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "XLSX read needs openpyxl (not installed in this container); "
+            "convert to CSV/parquet for scale inputs"
+        ) from e
+    import pandas as pd
+
+    return spark.createDataFrame(pd.read_excel(path, sheet_name=sheet_name))
+
+
 def write_table(df: DataFrame, path: str, fmt: str = "parquet", coalesce: int = 0):
     """General sink. ``coalesce=1`` mirrors the reference's single-file CSV
     outputs for small results; large outputs stay partitioned."""

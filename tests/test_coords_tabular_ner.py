@@ -76,6 +76,36 @@ def test_anonymise_columns(spark):
     }
 
 
+def test_ner_engine_in_pipeline(spark):
+    from doc_redaction_spark.plans.pipeline import extract_and_redact
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "email a@b.com from John Smith", "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    cfg = PipelineConfig(entities=("EMAIL_ADDRESS",), ner_engine="fake",
+                         strategy="entity_type")
+    r = extract_and_redact(df, cfg).collect()[0]
+    assert r.redacted_text == "email <EMAIL_ADDRESS> from <PERSON>"
+    types = [s.entity_type for s in r.spans]
+    assert types == ["EMAIL_ADDRESS", "PERSON"]
+    # spacy engine is gated: absent model → executor error surfaces
+    import pytest as _pytest
+
+    cfg2 = PipelineConfig(entities=(), ner_engine="spacy")
+    with _pytest.raises(Exception):
+        extract_and_redact(df, cfg2).collect()
+
+
+def test_xlsx_reader_gated(spark, tmp_path):
+    import pytest as _pytest
+
+    from doc_redaction_spark.sources.readers import read_xlsx
+
+    with _pytest.raises(Exception, match="openpyxl|NotImplemented"):
+        read_xlsx(spark, str(tmp_path / "x.xlsx"))
+
+
 def test_ner_stub_fake_and_gated(spark):
     df = spark.createDataFrame(
         [("c1", 0, "met John Smith and bob"), ("c1", 1, "no names")],
