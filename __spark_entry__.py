@@ -706,6 +706,47 @@ def o_embedding_cosine_topk():
     """
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup leg): planted exact
+    copies (vec_id+100000) must pair with cosine 1.0; threshold 0.95."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    plus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    a = plus.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    b = plus.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    dot = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    n1 = F.sqrt(F.aggregate(F.transform("v1", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    n2 = F.sqrt(F.aggregate(F.transform("v2", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos", F.round(dot / (n1 * n2), 4))
+        .filter(F.col("cos") >= 0.95)
+    )
+    return pairs.select("id1", "id2", "cos")
+
+
+def o_dedup_embedding_cosine():
+    dot = ("list_sum(list_transform(generate_series(1, len(a.embedding)),"
+           " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))")
+    na = "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"""
+    WITH plus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round({dot} / ({na} * {nb}), 4) AS cos
+    FROM plus a JOIN plus b ON a.vec_id < b.vec_id
+    WHERE round({dot} / ({na} * {nb}), 4) >= 0.95
+    """
+
+
 def q_embedding_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate NN — rows-only (hyperplane construction is
     deterministic but the md5→float chain is impractical to mirror in SQL)."""
@@ -1180,6 +1221,7 @@ _QUERIES: dict[str, Callable] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
     "embedding_cosine_topk": q_embedding_cosine_topk,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "words_to_lines_rollup": q_words_to_lines_rollup,
     "reading_order_lines": q_reading_order_lines,
@@ -1227,6 +1269,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     # dedup_simhash, dedup_tfidf_cosine, embedding_ann_lsh,
     # transcripts_spans: rows-only (see their docstrings)
     "embedding_cosine_topk": o_embedding_cosine_topk,
+    "dedup_embedding_cosine": o_dedup_embedding_cosine,
     "words_to_lines_rollup": o_words_to_lines_rollup,
     "reading_order_lines": o_reading_order_lines,
     "island_runs": o_island_runs,
