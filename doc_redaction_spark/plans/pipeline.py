@@ -90,16 +90,22 @@ def extract_and_redact(
     # ordering window FIRST, while rows are slim: a window after detection
     # would shuffle the fat rows (clean_text + spans + redacted_text, ~4×
     # the raw size); here it moves only the raw turn columns
+    salted_rank = False
     if with_row_number:
         if cfg.order_engine == "salted":
+            # the bucket-rank exchange hashes (conv_id, turn-range bucket):
+            # a monster conversation is already spread across buckets, so
+            # the explicit salted repartition below becomes redundant — one
+            # shuffle of raw rows instead of two
             df = salted_row_number(df)
+            salted_rank = True
         else:
             w = Window.partitionBy("conv_id").orderBy("turn_idx")
             df = df.withColumn("rn", F.row_number().over(w))
     # salted repartition AFTER the window: the window exchange clusters
     # whole conversations (hash(conv_id)), which would pin a 10^6-turn
     # conversation's detection onto one task — re-spread by (conv_id, salt)
-    if cfg.salt_buckets > 1 and cfg.num_partitions > 0:
+    if not salted_rank and cfg.salt_buckets > 1 and cfg.num_partitions > 0:
         df = df.repartition(
             cfg.num_partitions,
             F.col("conv_id"),
