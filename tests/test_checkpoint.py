@@ -51,6 +51,24 @@ def test_resume_after_injected_failure(spark, tmp_path):
     ) == []
 
 
+def test_orphan_output_overwritten_on_resume(spark, tmp_path):
+    """Crash BETWEEN output write and lineage commit leaves an orphan data
+    dir; resume must overwrite it (exactly-once still holds)."""
+    import os
+
+    turns = synth_transcripts(spark, n_turns=200, n_convs=8).cache()
+    out_dir, lin_dir = str(tmp_path / "o"), str(tmp_path / "l")
+    # simulate the orphan: write garbage where chunk 0's output will land,
+    # with NO lineage row committed
+    garbage = spark.createDataFrame([("junk", -1)], "conv_id string, turn_idx int")
+    garbage.write.mode("overwrite").parquet(os.path.join(out_dir, "chunk=0"))
+
+    run_with_checkpoints(spark, turns, pipe, out_dir, lin_dir, run_id="r3", n_chunks=2)
+    out = read_output(spark, out_dir)
+    assert out.count() == turns.count()
+    assert out.filter(F.col("conv_id") == "junk").count() == 0
+
+
 def test_lineage_metrics_rows(spark, tmp_path):
     turns = synth_transcripts(spark, n_turns=200, n_convs=6)
     out_dir, lin_dir = str(tmp_path / "o"), str(tmp_path / "l")

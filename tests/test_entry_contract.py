@@ -1,0 +1,41 @@
+"""Driver-contract guards: queries/oracles aligned, oracles parse, entry runs."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def test_oracle_keys_subset_of_queries():
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert set(o).issubset(set(q))
+    assert len(q) >= 40 and len(o) >= 30
+
+
+def test_all_oracles_parse_and_plan(con):
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:
+            raise AssertionError(f"oracle {name} failed to plan: {e}") from e
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(rows) > 0
+    assert {"conv_id", "turn_idx", "redacted_text"} <= set(df.columns)
