@@ -759,6 +759,18 @@ def q_embedding_ann_lsh(spark, sf_dir):
     return osim.ann_lsh_topk(emb, qs, k=5, n_planes=6)
 
 
+def q_embedding_ivf(spark, sf_dir):
+    """IVF ANN (coarse quantizer + nprobe buckets) — rows-only (argmin
+    assignment chains are impractical to hash-match in SQL)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return osim.ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # queries — layout ops (words→lines rollup, reading order)
 # ---------------------------------------------------------------------------
@@ -1223,6 +1235,7 @@ _QUERIES: dict[str, Callable] = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_ivf": q_embedding_ivf,
     "words_to_lines_rollup": q_words_to_lines_rollup,
     "reading_order_lines": q_reading_order_lines,
     "island_runs": q_island_runs,

@@ -89,6 +89,63 @@ def hyperplane_signature(vec_col, n_planes: int = 8, dim: int = 64, seed: int = 
     return F.concat(*planes)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer (first n_centroids
+    corpus vectors as centroids — hash-free, rerun-stable), corpus
+    assigned to its nearest centroid, queries probe the ``nprobe``
+    nearest centroid buckets and score exactly within them.
+
+    The assignment/probing joins broadcast the (tiny) centroid table; the
+    expensive exact scoring touches only ~nprobe/n_centroids of the
+    corpus — the classic IVF recall/throughput trade.
+    """
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("vec"))
+    # nearest centroid per corpus vector
+    sim_c = _dot(F.col("vec"), F.col("cvec")) / (_norm(F.col("vec")) * _norm(F.col("cvec")))
+    assign_w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("cid"))
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("csim", sim_c)
+        .withColumn("crk", F.row_number().over(assign_w))
+        .filter(F.col("crk") == 1)
+        .select(id_col, "vec", "cid")
+    )
+    # queries probe their nprobe nearest centroids
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qvec"))
+    qsim = _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+    probe_w = Window.partitionBy(qid_col).orderBy(F.desc("qsim"), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("qsim", qsim)
+        .withColumn("prk", F.row_number().over(probe_w))
+        .filter(F.col("prk") <= nprobe)
+        .select(qid_col, "qvec", "cid")
+    )
+    cand = assigned.join(probes, "cid").filter(F.col(id_col) != F.col(qid_col))
+    sim = _dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col(qid_col), F.col(id_col), F.round("sim", 4).alias("sim"))
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

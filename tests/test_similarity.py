@@ -39,6 +39,27 @@ def test_cosine_topk_matches_numpy(spark, emb_df):
             assert sim == pytest.approx(round(float(sims[vid]), 4), abs=2e-4)
 
 
+def test_ivf_topk_recall(spark, emb_df):
+    df, vecs = emb_df
+    qs = df.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("qid"), "embedding")
+    got = osim.ivf_topk(df, qs, k=3, n_centroids=8, nprobe=3)
+    rows = got.collect()
+    assert len(rows) > 0
+    norms = np.linalg.norm(vecs, axis=1)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.sim, r.vec_id))
+    hits = 0
+    for q, cand in by_q.items():
+        sims = vecs @ vecs[q] / (norms * norms[q])
+        true_top = set(np.argsort(-sims)[:9]) - {q}
+        hits += max(cand)[1] in true_top
+    assert hits / len(by_q) >= 0.5  # nprobe=3/8 buckets → decent recall
+    # determinism across reruns
+    again = {(r.qid, r.vec_id, r.sim) for r in osim.ivf_topk(df, qs, k=3, n_centroids=8, nprobe=3).collect()}
+    assert again == {(r.qid, r.vec_id, r.sim) for r in rows}
+
+
 def test_ann_lsh_self_bucket_and_quality(spark, emb_df):
     df, vecs = emb_df
     qs = df.select(F.col("vec_id").alias("qid"), "embedding")
