@@ -466,6 +466,54 @@ def o_events_daily_rollup():
 # ---------------------------------------------------------------------------
 
 
+def q_events_pivot(spark, sf_dir):
+    """Wide conditional aggregation (pivot by event_type) per user."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("click", "view", "signup", "error")
+    ]
+    return ev.groupBy("user_id").agg(*agg).orderBy("user_id")
+
+
+def o_events_pivot():
+    cols = ", ".join(
+        f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+        for t in ("click", "view", "signup", "error")
+    )
+    return f"SELECT user_id, {cols} FROM events GROUP BY user_id ORDER BY user_id"
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles of document length (training-data
+    length-distribution stat; Spark `percentile` ≡ DuckDB quantile_cont)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double")
+    return docs.agg(
+        F.round(F.expr(
+            "percentile(cast(length(coalesce(text, '')) as double), 0.5)"
+        ), 4).alias("p50"),
+        F.round(F.expr(
+            "percentile(cast(length(coalesce(text, '')) as double), 0.9)"
+        ), 4).alias("p90"),
+        F.round(F.expr(
+            "percentile(cast(length(coalesce(text, '')) as double), 0.99)"
+        ), 4).alias("p99"),
+        F.max(n).alias("max_len"),
+    )
+
+
+def o_doc_length_quantiles():
+    ln = "CAST(length(coalesce(text, '')) AS DOUBLE)"
+    return f"""
+    SELECT round(quantile_cont({ln}, 0.5), 4) AS p50,
+           round(quantile_cont({ln}, 0.9), 4) AS p90,
+           round(quantile_cont({ln}, 0.99), 4) AS p99,
+           max({ln}) AS max_len
+    FROM documents
+    """
+
+
 def q_band_join_acctbal(spark, sf_dir):
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -1222,6 +1270,8 @@ _QUERIES: dict[str, Callable] = {
     "semi_join_parts": q_semi_join_parts,
     "union_dedup_names": q_union_dedup_names,
     "events_daily_rollup": q_events_daily_rollup,
+    "events_pivot": q_events_pivot,
+    "doc_length_quantiles": q_doc_length_quantiles,
     "band_join_acctbal": q_band_join_acctbal,
     "nearest_acctbal": q_nearest_acctbal,
     "doc_token_count": q_doc_token_count,
@@ -1271,6 +1321,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "semi_join_parts": o_semi_join_parts,
     "union_dedup_names": o_union_dedup_names,
     "events_daily_rollup": o_events_daily_rollup,
+    "events_pivot": o_events_pivot,
+    "doc_length_quantiles": o_doc_length_quantiles,
     "band_join_acctbal": o_band_join_acctbal,
     "nearest_acctbal": o_nearest_acctbal,
     "doc_token_count": o_doc_token_count,
