@@ -25,7 +25,7 @@ reduce to ``\\b`` for word-char-bounded terms.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # ---------------------------------------------------------------------------
 # pattern constants (shared with oracle SQL — keep RE2-compatible)
@@ -282,7 +282,6 @@ class FuzzyRecognizer:
     max_edits: int = 1
     entity_type: str = "CUSTOM_FUZZY"
     score: float = 1.0
-    _token_re: object = field(default=None, compare=False)
 
     def find_spans(self, text: str):
         spans = []

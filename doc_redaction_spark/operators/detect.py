@@ -19,7 +19,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import Column
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -188,14 +188,6 @@ def apply_spans_udf(cfg: PipelineConfig):
         return pd.Series(out)
 
     return _apply
-
-
-def detect_and_apply(
-    df, cfg: PipelineConfig, text_col: str = "clean_text"
-) -> tuple[Column, Column]:
-    """Convenience: returns (spans_col, redacted_col) expressions."""
-    spans = detect_spans_udf(cfg)(F.col(text_col))
-    return spans, apply_spans_udf(cfg)(F.col(text_col), F.col("spans"))
 
 
 DETECT_APPLY_TYPE = StructType(

@@ -23,9 +23,6 @@ OCR_LINES_SCHEMA = (
     " height double, line int, conf double, model string"
 )
 
-TABULAR_EXTENSIONS = {".csv", ".csv.gz", ".parquet", ".json", ".jsonl"}
-
-
 def detect_format(path: str) -> str:
     p = path.lower()
     if p.endswith((".csv", ".csv.gz")):
