@@ -960,6 +960,101 @@ def q_transcripts_spans(spark, sf_dir):
     return span_table(out)
 
 
+_CARD_TEMPLATES = [
+    ("4532015112830366", 1),  # Luhn-valid Visa
+    ("4532015112830367", 0),  # invalid (last digit off)
+    ("5425233430109903", 1),  # Luhn-valid MC
+    ("1234567812345678", 0),  # invalid
+]
+_IBAN_TEMPLATES = [
+    ("GB82WEST12345698765432", 1),  # mod-97 valid
+    ("GB82WEST12345698765431", 0),  # invalid
+]
+
+
+def q_checksum_entities(spark, sf_dir):
+    """CREDIT_CARD (Luhn) + IBAN (mod-97) validators: planted valid and
+    invalid numbers — only checksum-valid ones may produce spans. The
+    oracle knows validity per template, so it needs no checksum in SQL."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    card = F.element_at(
+        F.array(*[F.lit(c) for c, _ in _CARD_TEMPLATES]),
+        (F.col("c_custkey") % 4).cast("int") + 1,
+    )
+    iban = F.element_at(
+        F.array(*[F.lit(i) for i, _ in _IBAN_TEMPLATES]),
+        (F.col("c_custkey") % 2).cast("int") + 1,
+    )
+    t = cust.select(
+        F.col("c_custkey").alias("row_key"),
+        F.concat(F.lit("pay "), card, F.lit(" to acct "), iban).alias("text"),
+    )
+    cfg = PipelineConfig(entities=("CREDIT_CARD", "IBAN_CODE"))
+    from doc_redaction_spark.operators.detect import detect_spans_udf
+
+    spans = t.withColumn("spans", detect_spans_udf(cfg)(F.col("text")))
+    ex = spans.select(
+        "row_key", F.explode_outer("spans").alias("sp")
+    ).filter(F.col("sp").isNotNull())
+    return ex.select(
+        "row_key",
+        F.col("sp.entity_type").alias("entity_type"),
+        F.col("sp.start").alias("start"),
+        F.col("sp.end").alias("end"),
+    )
+
+
+def o_checksum_entities():
+    card_valid = ", ".join(str(v) for _, v in _CARD_TEMPLATES)
+    iban_valid = ", ".join(str(v) for _, v in _IBAN_TEMPLATES)
+    cards = ", ".join(f"'{c}'" for c, _ in _CARD_TEMPLATES)
+    ibans = ", ".join(f"'{i}'" for i, _ in _IBAN_TEMPLATES)
+    # span offsets are deterministic: 'pay ' = 4 chars, card = 16 chars,
+    # ' to acct ' = 9 chars, iban = 22 chars
+    return f"""
+    WITH t AS (
+      SELECT c_custkey AS row_key,
+             ([{cards}])[CAST(c_custkey % 4 AS INTEGER) + 1] AS card,
+             ([{card_valid}])[CAST(c_custkey % 4 AS INTEGER) + 1] AS card_ok,
+             ([{ibans}])[CAST(c_custkey % 2 AS INTEGER) + 1] AS iban,
+             ([{iban_valid}])[CAST(c_custkey % 2 AS INTEGER) + 1] AS iban_ok
+      FROM customer)
+    SELECT row_key, 'CREDIT_CARD' AS entity_type, 4 AS start, 4 + length(card) AS "end"
+    FROM t WHERE card_ok = 1
+    UNION ALL
+    SELECT row_key, 'IBAN_CODE', 4 + length(card) + 9,
+           4 + length(card) + 9 + length(iban)
+    FROM t WHERE iban_ok = 1
+    """
+
+
+def q_url_extraction(spark, sf_dir):
+    """URL span extraction on RAW text (before the clean battery strips
+    boilerplate URLs) — surfaces compared against regexp_extract_all."""
+    cfg = PipelineConfig(entities=("URL",))
+    from doc_redaction_spark.operators.detect import detect_spans_udf
+
+    t = _tr(spark, sf_dir).withColumn("spans", detect_spans_udf(cfg)(F.col("text")))
+    ex = t.select(
+        "conv_id", "turn_idx", "text", F.explode_outer("spans").alias("sp")
+    ).filter(F.col("sp").isNotNull())
+    return ex.select(
+        "conv_id",
+        "turn_idx",
+        F.expr("substring(text, sp.start + 1, sp.end - sp.start)").alias("url"),
+    )
+
+
+def o_url_extraction():
+    from doc_redaction_spark.functions.recognizers import URL_SPAN_PATTERN
+
+    return f"""
+    {TR_CTE}
+    SELECT conv_id, turn_idx, m AS url
+    FROM transcripts, unnest(regexp_extract_all(text, '{_sq(URL_SPAN_PATTERN)}')) AS u(m)
+    """
+
+
 def q_coord_normalize(spark, sf_dir):
     """Abs→rel coordinate normalization with broadcast page-size join
     (reference divide_coordinates_by_page_sizes_pl)."""
@@ -1291,6 +1386,8 @@ _QUERIES: dict[str, Callable] = {
     "island_runs": q_island_runs,
     "transcripts_spans": q_transcripts_spans,
     "redact_pseudonym_email": q_redact_pseudonym_email,
+    "checksum_entities": q_checksum_entities,
+    "url_extraction": q_url_extraction,
     "coord_normalize": q_coord_normalize,
     "route_gate": q_route_gate,
     "tabular_anonymise": q_tabular_anonymise,
@@ -1339,6 +1436,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "reading_order_lines": o_reading_order_lines,
     "island_runs": o_island_runs,
     "redact_pseudonym_email": o_redact_pseudonym_email,
+    "checksum_entities": o_checksum_entities,
+    "url_extraction": o_url_extraction,
     "coord_normalize": o_coord_normalize,
     "route_gate": o_route_gate,
     "tabular_anonymise": o_tabular_anonymise,
