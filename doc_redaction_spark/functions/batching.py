@@ -1,0 +1,96 @@
+"""Phrase-boundary batching for external NER/PII services.
+
+Reference: the AWS Comprehend batcher
+(``/root/reference/tools/custom_image_analyser_engine.py:11668-11840``;
+limits ``tools/config.py:2411-2417``): texts are packed into batches of
+≤ max_chars / ≤ max_words, cut at sentence-ending punctuation, and an
+offset map is kept so returned entity spans rebase to the source texts
+(``map_back_entity_results`` ``:11235-11293``).
+
+In this engine the batcher lives INSIDE a mapInPandas stage (SURVEY §4):
+each executor packs its Arrow batch locally, calls the external service
+per packed batch, and rebases spans — no driver round-trip. The service
+call itself is pluggable (``call_fn``); tests use a deterministic fake.
+"""
+
+from __future__ import annotations
+
+import re
+
+SENTENCE_END = re.compile(r"[.!?]\s")
+
+
+def pack_texts(
+    texts: list[str], max_chars: int = 2500, max_words: int = 500
+) -> list[list[tuple]]:
+    """Pack texts into batches of (text_idx, offset_in_batch, text).
+
+    One text never splits across batches unless it alone exceeds the
+    limits, in which case it is cut at the last sentence boundary before
+    the limit (reference behavior); the join separator is a single space
+    and offsets account for it.
+    """
+    batches: list[list[tuple]] = []
+    cur: list[tuple] = []
+    cur_chars = 0
+    cur_words = 0
+
+    def flush():
+        nonlocal cur, cur_chars, cur_words
+        if cur:
+            batches.append(cur)
+        cur, cur_chars, cur_words = [], 0, 0
+
+    for idx, text in enumerate(texts):
+        text = text or ""
+        pieces = [(0, text)]
+        if len(text) > max_chars or len(text.split()) > max_words:
+            pieces = []
+            start = 0
+            while start < len(text):
+                window = text[start : start + max_chars]
+                cutpoints = [m.end() for m in SENTENCE_END.finditer(window)]
+                cut = cutpoints[-1] if cutpoints and start + max_chars < len(text) else len(window)
+                pieces.append((start, text[start : start + cut]))
+                start += cut
+        for off, piece in pieces:
+            n_chars, n_words = len(piece), len(piece.split())
+            if cur and (cur_chars + 1 + n_chars > max_chars or cur_words + n_words > max_words):
+                flush()
+            batch_off = cur_chars + 1 if cur else 0
+            cur.append((idx, off, batch_off, piece))
+            cur_chars = batch_off + n_chars
+            cur_words += n_words
+    flush()
+    return batches
+
+
+def rebase_spans(batch: list[tuple], batch_spans: list[tuple]) -> dict:
+    """Map spans detected on the joined batch text back to source texts.
+
+    batch: [(text_idx, src_off, batch_off, piece)];
+    batch_spans: [(entity_type, start, end, score)] in batch-text coords.
+    Returns {text_idx: [(entity_type, start, end, score)]} in source
+    coords; spans straddling piece boundaries are clamped (reference
+    overlap rule batch_start < end && batch_end > start)."""
+    out: dict = {}
+    for etype, s, e, score in batch_spans:
+        for idx, src_off, boff, piece in batch:
+            p_start, p_end = boff, boff + len(piece)
+            if p_start < e and p_end > s:
+                rs = max(s, p_start) - boff + src_off
+                re_ = min(e, p_end) - boff + src_off
+                if rs < re_:
+                    out.setdefault(idx, []).append((etype, rs, re_, score))
+    return out
+
+
+def batch_text(batch: list[tuple]) -> str:
+    """The joined text an external service receives for this batch."""
+    parts = []
+    pos = 0
+    for _idx, _src_off, boff, piece in batch:
+        parts.append(" " * (boff - pos))
+        parts.append(piece)
+        pos = boff + len(piece)
+    return "".join(parts)

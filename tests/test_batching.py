@@ -1,0 +1,52 @@
+"""External-service batcher: packing limits, sentence cuts, span rebase."""
+
+import re
+
+from doc_redaction_spark.functions.batching import batch_text, pack_texts, rebase_spans
+
+
+def test_pack_respects_limits():
+    texts = [f"text number {i} with some words." for i in range(50)]
+    batches = pack_texts(texts, max_chars=100, max_words=20)
+    for b in batches:
+        t = batch_text(b)
+        assert len(t) <= 100
+        assert len(t.split()) <= 20
+    # every text appears exactly once
+    seen = [idx for b in batches for (idx, _, _, _) in b]
+    assert sorted(seen) == list(range(50))
+
+
+def test_oversized_text_cut_at_sentence():
+    long = ("A sentence here. " * 40).strip()  # ~680 chars
+    batches = pack_texts([long], max_chars=200, max_words=500)
+    pieces = [(off, p) for b in batches for (_i, off, _b, p) in b]
+    # pieces reassemble exactly and cuts land after sentence ends
+    assert "".join(p for _, p in pieces) == long
+    for off, p in pieces[:-1]:
+        assert p.endswith(". ") or p.endswith(".")
+
+
+def test_rebase_spans_roundtrip():
+    texts = ["mail a@b.com now", "and c@d.org too", "nothing"]
+    batches = pack_texts(texts, max_chars=2500, max_words=500)
+    assert len(batches) == 1
+    bt = batch_text(batches[0])
+    spans = [("EMAIL", m.start(), m.end(), 1.0) for m in re.finditer(r"\S+@\S+\.\w+", bt)]
+    rebased = rebase_spans(batches[0], spans)
+    for idx, sps in rebased.items():
+        for _e, s, e, _sc in sps:
+            assert "@" in texts[idx][s:e]
+    assert texts[0][rebased[0][0][1] : rebased[0][0][2]] == "a@b.com"
+    assert texts[1][rebased[1][0][1] : rebased[1][0][2]] == "c@d.org"
+    assert 2 not in rebased
+
+
+def test_straddling_span_clamped():
+    texts = ["aaaa", "bbbb"]
+    batches = pack_texts(texts)
+    b = batches[0]
+    # span covering the boundary between both pieces (incl. separator)
+    rebased = rebase_spans(b, [("X", 2, 7, 1.0)])
+    assert rebased[0] == [("X", 2, 4, 1.0)]
+    assert rebased[1] == [("X", 0, 2, 1.0)]
