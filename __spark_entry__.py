@@ -60,7 +60,12 @@ PIPE_CFG = PipelineConfig(deny_terms=DENY_TERMS)
 # entity → (python/RE2-shared pattern, needs-ignorecase) used for redaction
 # oracles. CUSTOM deny terms use \b guards (≡ the engine's lookarounds for
 # word-char-bounded literals).
-_DENY_ORACLE = r"\b(?:Project Alpha)\b|\b(?:secret)\b"
+import re as _re
+
+_DENY_ORACLE = "|".join(
+    rf"\b(?:{_re.escape(_t)})\b"
+    for _t in sorted(set(DENY_TERMS), key=lambda t: (-len(t), t))
+)
 ORACLE_ENTITY_PATTERNS: list[tuple[str, str, bool]] = [
     ("EMAIL_ADDRESS", EMAIL_PATTERN, False),
     ("UKPOSTCODE", UKPOSTCODE_PATTERN, False),
@@ -205,8 +210,11 @@ def o_detect_entity_counts():
     for etype, pat, icase in ORACLE_ENTITY_PATTERNS:
         p = ("(?i)" + pat) if icase else pat
         parts.append(
+            # CAST: DuckDB types sum(int) as HUGEINT, which the driver's
+            # pandas fetch renders as float ("9.0") and hash-mismatches
+            # Spark's BIGINT "9".
             f"SELECT '{etype}' AS entity_type,"
-            f" sum(len(regexp_extract_all({CLEAN_SQL}, '{_sq(p)}'))) AS n"
+            f" CAST(sum(len(regexp_extract_all({CLEAN_SQL}, '{_sq(p)}'))) AS BIGINT) AS n"
             f" FROM transcripts"
         )
     union = " UNION ALL ".join(parts)

@@ -49,8 +49,23 @@ def pack_texts(
             start = 0
             while start < len(text):
                 window = text[start : start + max_chars]
+                # word cap: truncate the window after the max_words-th word
+                # so a word-dense text (many short words under the char
+                # limit) still yields pieces a max_words-limited service
+                # accepts
+                wcount = 0
+                for wm in re.finditer(r"\S+", window):
+                    wcount += 1
+                    if wcount == max_words:
+                        if wm.end() < len(window):
+                            window = window[: wm.end()]
+                        break
                 cutpoints = [m.end() for m in SENTENCE_END.finditer(window)]
-                cut = cutpoints[-1] if cutpoints and start + max_chars < len(text) else len(window)
+                cut = (
+                    cutpoints[-1]
+                    if cutpoints and start + len(window) < len(text)
+                    else len(window)
+                )
                 pieces.append((start, text[start : start + cut]))
                 start += cut
         for off, piece in pieces:

@@ -389,14 +389,16 @@ def whole_unit_redaction(
     """Whole-page/turn redaction driven by a duplicate list (reference
     ``file_redaction.py:5108-5165`` + dedup feed ``:1644+``): units in
     ``dup_keys`` get one full-cover span labeled 'Whole page' and empty
-    redacted text."""
-    marked = df.join(F.broadcast(dup_keys.distinct()), key_cols, "left_semi").withColumn(
-        "_dup", F.lit(True)
+    redacted text.
+
+    One left join + flag (not semi+anti+union = two joins and a double
+    scan); no forced broadcast — at corpus scale the duplicate list can be
+    a large fraction of the corpus, so AQE picks the join strategy.
+    """
+    marked = dup_keys.select(*key_cols).distinct().withColumn("_dup", F.lit(True))
+    u = df.join(marked, key_cols, "left").withColumn(
+        "_dup", F.coalesce(F.col("_dup"), F.lit(False))
     )
-    rest = df.join(F.broadcast(dup_keys.distinct()), key_cols, "left_anti").withColumn(
-        "_dup", F.lit(False)
-    )
-    u = marked.unionByName(rest)
     text = F.coalesce(F.col(text_col), F.lit(""))
     return u.select(
         *key_cols,
@@ -411,21 +413,24 @@ def consecutive_islands(
     pairs: DataFrame, file1: str = "id1", file2: str = "id2"
 ) -> DataFrame:
     """Gaps-and-islands over matched page pairs (reference :1186-1211):
-    group consecutive (id1+1, id2+1) runs into (start1, end1, start2, end2, length)."""
-    w = Window.orderBy(file1, file2)
+    group consecutive (id1+1, id2+1) runs into (start1, end1, start2, end2, length).
+
+    A run where BOTH ids advance by 1 has constant ``id1 - id2``, so the
+    window partitions by that diagonal (mirroring ``sequence_matches``) —
+    each diagonal is an independent bounded task instead of one global
+    partition-less sort funneling every pair into a single task.
+    """
+    pairs = pairs.withColumn("_diag", F.col(file1) - F.col(file2))
+    w = Window.partitionBy("_diag").orderBy(file1)
     df = pairs.withColumn(
         "brk",
-        F.when(
-            (F.col(file1) - F.lag(file1).over(w) == 1)
-            & (F.col(file2) - F.lag(file2).over(w) == 1),
-            0,
-        ).otherwise(1),
+        F.when(F.col(file1) - F.lag(file1).over(w) == 1, 0).otherwise(1),
     )
     df = df.withColumn("grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    return df.groupBy("grp").agg(
+    return df.groupBy("_diag", "grp").agg(
         F.min(file1).alias("start1"),
         F.max(file1).alias("end1"),
         F.min(file2).alias("start2"),
         F.max(file2).alias("end2"),
         F.count("*").alias("match_length"),
-    ).drop("grp").select("start1", "end1", "start2", "end2", "match_length")
+    ).select("start1", "end1", "start2", "end2", "match_length")

@@ -44,13 +44,18 @@ def anonymise_columns(
 
     if row_id_col is None:
         row_id_col = "_row_id"
-        from pyspark.sql import Window
-
-        # deterministic dense row id (monotonically_increasing_id is not
-        # stable across runs; the reference uses the pandas index)
+        # deterministic content-derived id: no global partition-less sort
+        # (a row_number over Window.orderBy(*cols) funnels the whole table
+        # into one task at scale). Byte-identical rows share an id — they
+        # are indistinguishable anyway; callers needing dense unique ids
+        # pass a real key (as q_tabular_anonymise does with row_key).
         df = df.withColumn(
             "_row_id",
-            F.row_number().over(Window.orderBy(*original_order)) - 1,
+            F.substring(
+                F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in original_order]), 256),
+                1,
+                16,
+            ),
         )
 
     logs = []

@@ -17,6 +17,20 @@ def test_pack_respects_limits():
     assert sorted(seen) == list(range(50))
 
 
+def test_word_heavy_text_split_by_word_cap():
+    # a single text under max_chars but over max_words must still split:
+    # 600 one-char words = 1199 chars < 2500 chars but > 500 words
+    long = " ".join("a" * 1 for _ in range(600))
+    batches = pack_texts([long], max_chars=2500, max_words=500)
+    pieces = [(off, p) for b in batches for (_i, off, _b, p) in b]
+    assert len(pieces) >= 2
+    assert "".join(p for _, p in pieces) == long
+    for b in batches:
+        t = batch_text(b)
+        assert len(t.split()) <= 500
+        assert len(t) <= 2500
+
+
 def test_oversized_text_cut_at_sentence():
     long = ("A sentence here. " * 40).strip()  # ~680 chars
     batches = pack_texts([long], max_chars=200, max_words=500)
