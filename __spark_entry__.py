@@ -666,17 +666,22 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def o_dedup_minhash_lsh():
+    from doc_redaction_spark.operators.dedup import MINHASH_CONSTS, MINHASH_P
+
     rows = _MH_HASHES // _MH_BANDS
+    # same arithmetic as minhash_signature: one 28-bit md5-derived base
+    # hash per shingle, then per-seed (a*h + c) mod 2^31-1 integer mixes
     sig = (
         "["
         + ", ".join(
-            f"list_min(list_transform(shingles, x -> md5(x || ':{s}')))"
-            for s in range(_MH_HASHES)
+            f"list_min(list_transform(bh, h -> ({a} * h + {c}) % {MINHASH_P}))"
+            for a, c in MINHASH_CONSTS[:_MH_HASHES]
         )
         + "]"
     )
     bands = ", ".join(
-        f"md5(array_to_string(sig[{b * rows + 1}:{(b + 1) * rows}], '|')) AS bh{b}"
+        f"md5(array_to_string(list_transform(sig[{b * rows + 1}:{(b + 1) * rows}],"
+        f" v -> CAST(v AS VARCHAR)), '|')) AS bh{b}"
         for b in range(_MH_BANDS)
     )
     band_match = " OR ".join(f"a.bh{b} = b.bh{b}" for b in range(_MH_BANDS))
@@ -688,16 +693,25 @@ def o_dedup_minhash_lsh():
     return f"""
     WITH docs_plus AS ({documents_plus_sql()}),
     sh AS (SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM docs_plus),
-    sigs AS (SELECT id, {sig} AS sig, {bands}
-             FROM (SELECT id, shingles FROM sh WHERE len(shingles) > 0))
+    bhs AS (SELECT id, list_transform(shingles,
+                x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS bh
+            FROM sh WHERE len(shingles) > 0),
+    sigs AS (SELECT id, {sig} AS sig FROM bhs),
+    banded AS (SELECT id, sig, {bands} FROM sigs)
     SELECT a.id AS id1, b.id AS id2, {est} AS est_jaccard
-    FROM sigs a JOIN sigs b ON a.id < b.id AND ({band_match})
+    FROM banded a JOIN banded b ON a.id < b.id AND ({band_match})
     WHERE {est} >= 0.5
     """
 
 
+_NGRAM_MAX_DF = 100  # shingle document-frequency cap (boilerplate guard)
+_TFIDF_MAX_DF = 200  # term document-frequency cap (stopword-grade terms)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return dd.ngram_jaccard_pairs(documents_plus(spark, sf_dir), threshold=0.7)
+    return dd.ngram_jaccard_pairs(
+        documents_plus(spark, sf_dir), threshold=0.7, max_df=_NGRAM_MAX_DF
+    )
 
 
 def o_dedup_ngram_jaccard():
@@ -705,11 +719,13 @@ def o_dedup_ngram_jaccard():
     WITH docs_plus AS ({documents_plus_sql()}),
     sh AS (SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM docs_plus
            WHERE len({_DD_SHINGLES}) > 0),
-    ex AS (SELECT id, unnest(shingles) AS s FROM sh),
+    ex0 AS (SELECT id, unnest(shingles) AS s FROM sh),
+    keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {_NGRAM_MAX_DF}),
+    ex AS (SELECT id, s FROM ex0 JOIN keep USING (s)),
     inter AS (SELECT a.id AS id1, b.id AS id2, count(*) AS i
               FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
               GROUP BY a.id, b.id),
-    sz AS (SELECT id, len(shingles) AS sz FROM sh)
+    sz AS (SELECT id, count(*) AS sz FROM ex GROUP BY id)
     SELECT id1, id2,
            round(i / (s1.sz + s2.sz - i), 4) AS jaccard
     FROM inter JOIN sz s1 ON s1.id = id1 JOIN sz s2 ON s2.id = id2
@@ -718,15 +734,80 @@ def o_dedup_ngram_jaccard():
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidates — rows-only (bit arithmetic is not
-    portably SQL-expressible)."""
+    """64-bit SimHash near-dup candidates, 4×16-bit pigeonhole blocks."""
     return dd.simhash_near_pairs(documents_plus(spark, sf_dir), max_hamming=3)
+
+
+def o_dedup_simhash():
+    toks = (
+        "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),"
+        " w -> w <> '')"
+    )
+    bit = (
+        "((CASE WHEN b < 32 THEN lo ELSE hi END)"
+        " // CAST(power(2, b % 32) AS BIGINT)) % 2"
+    )
+    return f"""
+    WITH docs_plus AS ({documents_plus_sql()}),
+    d AS (SELECT doc_id AS id, {toks} AS toks FROM docs_plus WHERE len({toks}) > 0),
+    tok AS (SELECT id, unnest(toks) AS t FROM d),
+    th AS (SELECT id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS lo,
+                      ('0x' || substr(md5(t), 9, 8))::BIGINT AS hi FROM tok),
+    bitsum AS (SELECT id, b, sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s
+               FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+               GROUP BY id, b),
+    blocks AS (SELECT id, b // 16 AS blk,
+                 CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, b % 16) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS bv
+               FROM bitsum GROUP BY id, b // 16),
+    bl AS (SELECT id, list(bv ORDER BY blk) AS blks FROM blocks GROUP BY id),
+    cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+             FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bv = b.bv
+                                        AND a.id < b.id)
+    SELECT id1, id2,
+           CAST(bit_count(xor(x1.blks[1], x2.blks[1]))
+              + bit_count(xor(x1.blks[2], x2.blks[2]))
+              + bit_count(xor(x1.blks[3], x2.blks[3]))
+              + bit_count(xor(x1.blks[4], x2.blks[4])) AS INTEGER) AS hamming
+    FROM cand JOIN bl x1 ON x1.id = id1 JOIN bl x2 ON x2.id = id2
+    WHERE bit_count(xor(x1.blks[1], x2.blks[1]))
+        + bit_count(xor(x1.blks[2], x2.blks[2]))
+        + bit_count(xor(x1.blks[3], x2.blks[3]))
+        + bit_count(xor(x1.blks[4], x2.blks[4])) <= 3
+    """
 
 
 def q_dedup_tfidf_cosine(spark, sf_dir):
     """TF-IDF cosine similar pairs (reference find_duplicate_pages
-    semantics) — rows-only (log-idf float chain too fragile for hashing)."""
-    return dd.tfidf_cosine_pairs(documents_plus(spark, sf_dir), threshold=0.9)
+    semantics), stopword-grade terms pruned by document-frequency cap."""
+    return dd.tfidf_cosine_pairs(
+        documents_plus(spark, sf_dir), threshold=0.9, max_df=_TFIDF_MAX_DF
+    )
+
+
+def o_dedup_tfidf_cosine():
+    toks = (
+        "list_filter(string_split_regex(lower(regexp_replace(coalesce(text, ''),"
+        " '[^a-z0-9 ]', ' ', 'g')), '\\s+'), x -> x <> '')"
+    )
+    return f"""
+    WITH docs_plus AS ({documents_plus_sql()}),
+    d AS (SELECT doc_id AS id, {toks} AS toks FROM docs_plus WHERE len({toks}) >= 1),
+    n AS (SELECT count(*) AS n_docs FROM d),
+    tf AS (SELECT id, t AS term, count(*) AS tf
+           FROM (SELECT id, unnest(toks) AS t FROM d) GROUP BY id, t),
+    idf AS (SELECT term, ln((n.n_docs + 1.0e0) / (count(*) + 1.0e0)) + 1.0e0 AS idf
+            FROM tf CROSS JOIN n GROUP BY term, n.n_docs
+            HAVING count(*) <= {_TFIDF_MAX_DF}),
+    w AS (SELECT id, tf.term, tf.tf * idf.idf AS w FROM tf JOIN idf USING (term)),
+    norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+    dots AS (SELECT a.id AS id1, b.id AS id2, sum(a.w * b.w) AS dot
+             FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+             GROUP BY a.id, b.id)
+    SELECT id1, id2, round(dot / (n1.nrm * n2.nrm), 4) AS sim
+    FROM dots JOIN norms n1 ON n1.id = id1 JOIN norms n2 ON n2.id = id2
+    WHERE round(dot / (n1.nrm * n2.nrm), 4) >= 0.9
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -764,7 +845,12 @@ def o_embedding_cosine_topk():
 
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup leg): planted exact
-    copies (vec_id+100000) must pair with cosine 1.0; threshold 0.95."""
+    copies (vec_id+100000) must pair with cosine 1.0; threshold 0.95.
+    Candidates come from the LSH bucket equi-join (no crossJoin in the
+    plan — see tests/test_similarity.py::test_near_dup_plan_no_crossjoin);
+    exact cosine verifies. Random 64-dim embeddings are near-orthogonal,
+    so every ≥0.95 pair is a planted identical copy — which always shares
+    its bucket — and the exact oracle still matches."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -773,18 +859,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
         )
     )
-    a = plus.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
-    b = plus.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
-    dot = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-    n1 = F.sqrt(F.aggregate(F.transform("v1", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    n2 = F.sqrt(F.aggregate(F.transform("v2", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cos", F.round(dot / (n1 * n2), 4))
-        .filter(F.col("cos") >= 0.95)
-    )
-    return pairs.select("id1", "id2", "cos")
+    return osim.embedding_near_dup_pairs(plus, threshold=0.95, n_planes=8, dim=64)
 
 
 def o_dedup_embedding_cosine():
@@ -1436,8 +1511,9 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dedup_exact": o_dedup_exact,
     "dedup_minhash_lsh": o_dedup_minhash_lsh,
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
-    # dedup_simhash, dedup_tfidf_cosine, embedding_ann_lsh,
-    # transcripts_spans: rows-only (see their docstrings)
+    "dedup_simhash": o_dedup_simhash,
+    "dedup_tfidf_cosine": o_dedup_tfidf_cosine,
+    # embedding_ann_lsh, embedding_ivf: rows-only (recall-tested — see docstrings)
     "embedding_cosine_topk": o_embedding_cosine_topk,
     "dedup_embedding_cosine": o_dedup_embedding_cosine,
     "words_to_lines_rollup": o_words_to_lines_rollup,

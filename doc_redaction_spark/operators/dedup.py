@@ -46,18 +46,33 @@ def shingle_col(text_col: str, n: int = 3):
 
     Guarded for short texts (``sequence`` reverses direction when
     start > stop, so the < n case must short-circuit to []).
+
+    The token array is bound ONCE via a single-element ``transform``
+    (let-binding): referencing the split/filter subexpression directly
+    inside the per-shingle lambda re-evaluates the O(len(text)) tokenize
+    per shingle position — measured 10× of this operator's runtime.
     """
     toks = F.split(
         F.lower(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")),
         " ",
     )
     toks = F.filter(toks, lambda x: x != "")
-    idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
+    return F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.when(
+                F.size(tk) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - n + 1),
+                        lambda i: F.concat_ws(
+                            " ", *[F.element_at(tk, i + k) for k in range(n)]
+                        ),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        1,
     )
 
 
@@ -67,9 +82,17 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-grams via the sparse self-join:
     explode(shingle) → equi-join on shingle → |∩| per pair → J = |∩|/(|A|+|B|-|∩|).
+
+    ``max_df`` drops shingles whose document frequency exceeds the cap
+    before the pair join — a boilerplate 3-gram shared by 10^6 docs would
+    otherwise create 10^12 join rows. With a cap, Jaccard is computed over
+    the capped shingle sets on BOTH the intersection and the sizes, so the
+    measure stays internally consistent (standard production near-dup
+    practice; leave ``None`` for the exact-verify-stage use).
     """
     sc = df.sparkSession.sparkContext
     docs = (
@@ -78,8 +101,17 @@ def ngram_jaccard_pairs(
         .repartition(sc.defaultParallelism * 2, "id")
         .persist()
     )
-    sizes = docs.select("id", F.size("shingles").alias("sz"))
     ex = docs.select("id", F.explode("shingles").alias("sh"))
+    if max_df is not None:
+        keep = ex.groupBy("sh").agg(F.count("*").alias("_df")).filter(
+            F.col("_df") <= max_df
+        )
+        # map-side-combinable agg + equi-join; the dropped hot shingles are
+        # exactly the ones that would have dominated the pair shuffle
+        ex = ex.join(keep.select("sh"), "sh")
+        sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    else:
+        sizes = docs.select("id", F.size("shingles").alias("sz"))
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -104,22 +136,62 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingles_col, num_hashes: int = 32):
-    """array<string> of per-seed min md5 values. md5 is deterministic and
-    identical across Spark/DuckDB → oracle-checkable signatures.
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime modulus)
 
-    NOTE: built as ONE nested transform over a seed sequence. Emitting
-    num_hashes separate ``transform`` calls inside one expression cross-binds
-    their identically-named lambda variables in Spark 4 (observed: wrong
-    minima), so the two lambda scopes here use distinct parameter names.
+
+def _mh_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, c) mixing constants per hash seed — fixed LCG so
+    the identical literals render into the DuckDB oracle."""
+    out = []
+    x = 123456789
+    for _ in range(k):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = (x % (MINHASH_P - 1)) + 1
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append((a, x % MINHASH_P))
+    return out
+
+
+MINHASH_CONSTS: list[tuple[int, int]] = _mh_consts(64)
+
+
+def minhash_signature(shingles_col, num_hashes: int = 32):
+    """array<long> MinHash signature: ONE md5 per shingle (28-bit base
+    hash from the first 7 hex digits), then ``num_hashes`` cheap integer
+    mixes ``(a_i*h + c_i) mod (2^31-1)`` — standard MinHash practice, ~16×
+    less hash work than hashing every shingle per seed. ``a_i*h < 2^59``
+    so the arithmetic is overflow-free in both Spark longs and DuckDB
+    BIGINT → the oracle computes bit-identical signatures.
+
+    Expression shape: the base hash is bound ONCE per shingle via a
+    single-element ``transform`` (a let-binding — referencing the md5
+    subexpression directly inside the per-seed lambda would re-evaluate
+    it per seed). Lambda params are globally distinct: Spark 4
+    cross-binds same-named lambda vars across sibling higher-order
+    functions.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                shingles_col,
-                lambda x: F.md5(F.concat(x, F.lit(":"), s.cast("string"))),
+    consts = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(c).cast("long").alias("c")
             )
+            for a, c in MINHASH_CONSTS[:num_hashes]
+        ]
+    )
+    init = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(num_hashes)])
+    return F.aggregate(
+        shingles_col,
+        init,
+        lambda acc, x: F.element_at(
+            F.transform(
+                F.array(F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long")),
+                lambda hv: F.zip_with(
+                    acc,
+                    consts,
+                    lambda m, s: F.least(m, (s["a"] * hv + s["c"]) % MINHASH_P),
+                ),
+            ),
+            1,
         ),
     )
 
@@ -143,7 +215,7 @@ def minhash_lsh_pairs(
         .repartition(sc.defaultParallelism * 2, "id")  # signature compute is the hot stage
     )
     # materialize signatures once — BOTH sides of the self-join read them,
-    # and the md5 fan-out (num_hashes × shingles) must not run twice
+    # and the per-shingle hash pass must not run twice
     sigs = docs.select(
         "id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
     ).persist()
@@ -157,7 +229,11 @@ def minhash_lsh_pairs(
                     bnd.alias("band"),
                     F.md5(
                         F.concat_ws(
-                            "|", F.slice(F.col("sig"), bnd * rows_per_band + 1, rows_per_band)
+                            "|",
+                            F.transform(
+                                F.slice(F.col("sig"), bnd * rows_per_band + 1, rows_per_band),
+                                lambda sv: sv.cast("string"),
+                            ),
                         )
                     ).alias("bh"),
                 ),
@@ -203,67 +279,98 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_col(text_col: str = "text", bits: int = 32):
-    """32-bit SimHash from token md5s — per-bit majority vote, all native.
+def simhash64_blocks(text_col: str = "text"):
+    """4×16-bit pigeonhole blocks of a 64-bit SimHash (array<int>, len 4).
 
-    bit b of token hash = (hash >> b) & 1; simhash bit = 1 iff
-    sum(2*bit-1) > 0. Uses conv(md5[:8], 16, 10) for a 32-bit int hash.
+    Token hash = two 32-bit halves of md5 (hex chars 1-8 / 9-16); bit b of
+    the 64-bit hash comes from lo when b<32 else hi (extracted
+    arithmetically — shiftright takes only literal shifts; floor(x/2^b)%2
+    is exact in double for 32-bit values). SimHash bit = majority vote over
+    tokens; block k packs bits 16k..16k+15. 16-bit blocks give 65,536
+    bucket values per block — a 32-bit simhash with 8-bit blocks (256
+    values) goes quadratic at corpus scale.
+
+    Single expression with let-bindings (single-element transforms) so the
+    md5 halves are computed once per token and the 64 bit-sums once per
+    row; all lambda params distinct (Spark 4 sibling-lambda cross-bind).
     """
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda w: w != "",
     )
-    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
-    # shiftright/shiftleft take only literal shift amounts, so bit b is
-    # extracted arithmetically: floor(x / 2^b) % 2 (exact in double for
-    # 32-bit values). All lambda params distinctly named — same-named
-    # lambdas in one expression cross-bind (see minhash_signature).
-    bit_sums = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
-            h,
-            F.lit(0),
-            lambda acc, x: acc
-            + F.when(
-                F.floor(x / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2 == 1,
-                1,
-            ).otherwise(-1),
+    init = F.array(*[F.lit(0) for _ in range(64)])
+    sums = F.aggregate(
+        toks,
+        init,
+        lambda acc, t: F.element_at(
+            F.transform(
+                F.array(
+                    F.struct(
+                        F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                        .cast("long")
+                        .alias("lo"),
+                        F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
+                        .cast("long")
+                        .alias("hi"),
+                    )
+                ),
+                lambda hs: F.zip_with(
+                    acc,
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda sgn, b: sgn
+                    + F.when(
+                        F.floor(
+                            F.when(b < 32, hs["lo"]).otherwise(hs["hi"])
+                            / F.pow(F.lit(2.0), (b % 32).cast("double"))
+                        ).cast("long")
+                        % 2
+                        == 1,
+                        1,
+                    ).otherwise(-1),
+                ),
+            ),
+            1,
         ),
     )
-    return F.aggregate(
-        F.zip_with(
-            bit_sums,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda sgn, pos: F.when(
-                sgn > 0, F.pow(F.lit(2.0), pos.cast("double")).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
+    return F.element_at(
+        F.transform(
+            F.array(sums),
+            lambda sarr: F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda k: F.aggregate(
+                    F.zip_with(
+                        F.slice(sarr, k * 16 + 1, 16),
+                        F.sequence(F.lit(0), F.lit(15)),
+                        lambda sv, j: F.when(
+                            sv > 0, F.pow(F.lit(2.0), j.cast("double")).cast("int")
+                        ).otherwise(F.lit(0)),
+                    ),
+                    F.lit(0),
+                    lambda accb, bv: accb + bv,
+                ),
+            ),
         ),
-        F.lit(0).cast("long"),
-        lambda acc2, v: acc2 + v,
+        1,
     )
 
 
 def simhash_near_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup candidates by SimHash: block on each of 4 hash bytes
-    (pigeonhole: ≤3 differing bits ⇒ ≥1 identical byte), verify Hamming."""
-    docs = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
-    blocks = docs.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftright("sh", i * 8).bitwiseAND(F.lit(255)).alias("bv"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "sh", "b.blk", "b.bv")
+    """Near-dup candidates by 64-bit SimHash: block on each of the 4
+    16-bit blocks (pigeonhole: ≤3 differing bits ⇒ ≥1 identical block),
+    verify Hamming over all blocks. Token-less docs are excluded (they
+    would all collide on the all-zero hash)."""
+    toks_sz = F.size(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda w: w != "",
+        )
+    )
+    docs = df.filter(toks_sz > 0).select(
+        F.col(id_col).alias("id"), simhash64_blocks(text_col).alias("blks")
+    )
+    blocks = docs.select("id", "blks", F.posexplode("blks").alias("blk", "bv"))
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
@@ -274,11 +381,15 @@ def simhash_near_pairs(
         )
         .select(
             F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
-            F.col("a.sh").alias("sh1"), F.col("b.sh").alias("sh2"),
+            F.col("a.blks").alias("blks1"), F.col("b.blks").alias("blks2"),
         )
         .dropDuplicates(["id1", "id2"])
     )
-    ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int")
+    ham = F.aggregate(
+        F.zip_with("blks1", "blks2", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda hacc, hv: hacc + hv,
+    ).cast("int")
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
@@ -297,10 +408,16 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.9,
     min_word_count: int = 1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Sparse cosine self-join: tf-idf weights per (doc, term), join on
     term, sum products, normalize — the shuffle-friendly form of the
-    reference's dense ``cosine_similarity`` (:1162-1182)."""
+    reference's dense ``cosine_similarity`` (:1162-1182).
+
+    ``max_df`` drops terms appearing in more than that many docs before
+    the pair join (stopword-grade terms dominate the term-join fan-out at
+    corpus scale but contribute near-zero idf weight); norms are computed
+    over the kept terms so the cosine stays internally consistent."""
     toks = F.filter(
         F.split(F.lower(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"[^a-z0-9 ]", " ")), r"\s+"),
         lambda x: x != "",
@@ -318,8 +435,11 @@ def tfidf_cosine_pairs(
         .groupBy("id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    idf = tf.groupBy("term").agg(
-        (F.log((F.lit(n_docs) + 1.0) / (F.count("*") + 1.0)) + 1.0).alias("idf")
+    idf = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    if max_df is not None:
+        idf = idf.filter(F.col("_df") <= max_df)
+    idf = idf.select(
+        "term", (F.log((F.lit(n_docs) + 1.0) / (F.col("_df") + 1.0)) + 1.0).alias("idf")
     )
     w = tf.join(F.broadcast(idf), "term").withColumn("w", F.col("tf") * F.col("idf"))
     norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))

@@ -146,6 +146,37 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via LSH candidates + exact verify.
+
+    Candidate generation is an equi-join on the hyperplane-sign bucket —
+    no all-pairs crossJoin (O(n²) dot products is a scale-killer); the
+    exact cosine check keeps precision exact. Identical vectors always
+    share a bucket, so exact-copy recall is 1; recall for non-identical
+    pairs above the threshold is the standard LSH trade (raise by
+    lowering ``n_planes`` or adding probe tables)."""
+    sig = hyperplane_signature(F.col(vec_col), n_planes, dim)
+    d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"))
+    a = d.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "bucket")
+    b = d.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("id1") < F.col("id2"))
+    cos = F.round(
+        _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 4
+    )
+    return (
+        cand.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

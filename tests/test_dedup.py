@@ -63,8 +63,10 @@ def test_minhash_signature_python_parity(spark, docs_df):
         .collect()
     )
     sh = py_shingles(DOCS[0][1])
+    base = [int(hashlib.md5(x.encode()).hexdigest()[:7], 16) for x in sh]
     expected = [
-        min(hashlib.md5(f"{x}:{s}".encode()).hexdigest() for x in sh) for s in range(8)
+        min((a * h + c) % dd.MINHASH_P for h in base)
+        for a, c in dd.MINHASH_CONSTS[:8]
     ]
     assert list(rows[0].sig) == expected
 
@@ -78,11 +80,35 @@ def test_minhash_lsh_finds_exact_dup(spark, docs_df):
 def test_simhash_identical_and_distance(spark, docs_df):
     out = {(r.id1, r.id2): r.hamming for r in dd.simhash_near_pairs(docs_df, max_hamming=10).collect()}
     assert out.get((0, 3)) == 0  # identical text → same simhash
-    sh = {r.doc_id: r.s for r in docs_df.select("doc_id", dd.simhash_col().alias("s")).collect()}
-    assert 0 <= sh[0] < 2**32
+    blks = {
+        r.doc_id: list(r.b)
+        for r in docs_df.select("doc_id", dd.simhash64_blocks().alias("b")).collect()
+    }
+    assert all(len(b) == 4 and all(0 <= v < 2**16 for v in b) for b in blks.values())
     # near-dup differs in few bits, unrelated differs in more
-    ham = lambda a, b: bin(a ^ b).count("1")
-    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])
+    ham = lambda a, b: sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    assert ham(blks[0], blks[1]) < ham(blks[0], blks[2])
+
+
+def test_simhash_python_parity(spark, docs_df):
+    """simhash64_blocks ≡ the reference bit-majority definition in Python."""
+    blks = {
+        r.doc_id: list(r.b)
+        for r in docs_df.select("doc_id", dd.simhash64_blocks().alias("b")).collect()
+    }
+    for doc_id, text in DOCS:
+        toks = [w for w in text.lower().split() if w]
+        sums = [0] * 64
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            lo, hi = int(hx[:8], 16), int(hx[8:16], 16)
+            for b in range(64):
+                h = lo if b < 32 else hi
+                sums[b] += 1 if (h >> (b % 32)) & 1 else -1
+        expect = [
+            sum((1 << j) for j in range(16) if sums[k * 16 + j] > 0) for k in range(4)
+        ]
+        assert blks[doc_id] == expect, doc_id
 
 
 def test_tfidf_cosine_pairs(spark, docs_df):

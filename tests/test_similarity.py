@@ -81,3 +81,29 @@ def test_ann_lsh_self_bucket_and_quality(spark, emb_df):
         best = max(cand)[1]
         hits += best in true_top
     assert hits / len(by_q) > 0.5
+
+
+def test_near_dup_plan_no_crossjoin(spark, emb_df):
+    from doc_redaction_spark.operators.similarity import embedding_near_dup_pairs
+
+    df, _ = emb_df
+    out = embedding_near_dup_pairs(df, threshold=0.95, dim=DIM)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dup_finds_planted_copies(spark, emb_df):
+    from pyspark.sql import functions as F
+
+    from doc_redaction_spark.operators.similarity import embedding_near_dup_pairs
+
+    df, _ = emb_df
+    plus = df.unionByName(
+        df.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+    )
+    pairs = {(r.id1, r.id2): r.cos for r in embedding_near_dup_pairs(plus, dim=DIM).collect()}
+    for vid in range(0, N, 10):
+        assert pairs.get((vid, vid + 1000)) == 1.0
