@@ -45,6 +45,7 @@ from doc_redaction_spark.operators import similarity as osim
 from doc_redaction_spark.plans.pipeline import extract_and_redact, span_table
 from doc_redaction_spark.synth import (
     DENY_TERMS,
+    PII_TEMPLATES,
     documents_plus,
     documents_plus_sql,
     transcripts_from_documents,
@@ -1037,10 +1038,71 @@ def o_island_runs():
 
 
 def q_transcripts_spans(spark, sf_dir):
-    """Exploded span/review table with char offsets + deterministic ids —
-    rows-only (match offsets are not expressible in portable SQL)."""
+    """Exploded span/review table with char offsets + deterministic ids.
+
+    Oracled via planted-offset arithmetic: every span in the synthetic
+    transcripts is planted (the driver-doc prefix contributes none —
+    guarded by tests/test_entry_contract.py::test_spans_all_planted), so
+    each offset is strpos of a deterministic surface/marker plus a
+    relative offset computed from the SAME Python spec (python_clean +
+    detect_spans_py) that defines engine semantics."""
     out = extract_and_redact(_tr(spark, sf_dir), PIPE_CFG, with_row_number=False)
     return span_table(out)
+
+
+def _template_span_info():
+    """Per-template (marker, [(etype, rel_start, rel_end)]) — the cleaned
+    template string (with its leading space) and entity spans relative to
+    the marker start, derived from the shared Python spec. The 'X'
+    sentinel defeats python_clean's edge strip; entities never start at
+    the marker's leading space, so \\b context is unaffected."""
+    from doc_redaction_spark.functions.clean import python_clean
+    from doc_redaction_spark.operators.detect import detect_spans_py
+
+    out = []
+    for i, tpl in enumerate(PII_TEMPLATES):
+        cleaned = python_clean("X" + tpl)
+        marker = cleaned[1:]
+        spans = [
+            (e, s - 1, x - 1) for (e, s, x, _sc) in detect_spans_py(cleaned, PIPE_CFG)
+        ]
+        out.append((i, marker, spans))
+    return out
+
+
+def o_transcripts_spans():
+    marks = ", ".join(
+        f"({i}, '{m.replace(chr(39), chr(39) * 2)}')" for i, m, _ in _template_span_info()
+    )
+    tspans = ", ".join(
+        f"({i}, '{e}', {rs}, {re_})"
+        for i, _, spans in _template_span_info()
+        for (e, rs, re_) in spans
+    )
+    sid = (
+        "sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|' ||"
+        " CAST(s AS VARCHAR) || '|' || CAST(e AS VARCHAR) || '|' || etype)"
+    )
+    return f"""
+    {TR_CTE},
+    base AS (SELECT conv_id, turn_idx, doc_id AS d, {CLEAN_SQL} AS ct FROM transcripts),
+    marks(tpl, marker) AS (VALUES {marks}),
+    tsp(tpl, etype, rs, re_) AS (VALUES {tspans}),
+    allspans AS (
+      SELECT conv_id, turn_idx, 'EMAIL_ADDRESS' AS etype,
+             CAST(strpos(ct, 'user' || CAST(d AS VARCHAR) || '@example.com') - 1 AS INTEGER) AS s,
+             CAST(strpos(ct, 'user' || CAST(d AS VARCHAR) || '@example.com') - 1
+                  + length('user' || CAST(d AS VARCHAR) || '@example.com') AS INTEGER) AS e
+      FROM base
+      UNION ALL
+      SELECT b.conv_id, b.turn_idx, t.etype,
+             CAST(strpos(b.ct, m.marker) - 1 + t.rs AS INTEGER) AS s,
+             CAST(strpos(b.ct, m.marker) - 1 + t.re_ AS INTEGER) AS e
+      FROM base b JOIN marks m ON m.tpl = b.d % 5 JOIN tsp t ON t.tpl = m.tpl)
+    SELECT conv_id, turn_idx, etype AS entity_type, s AS start, e AS "end",
+           1.0e0 AS score, {sid} AS id
+    FROM allspans
+    """
 
 
 _CARD_TEMPLATES = [
@@ -1233,8 +1295,11 @@ def o_tabular_anonymise():
 
 
 def q_ner_fake(spark, sf_dir):
-    """Deterministic NER-stage stub over transcripts (rows-only: the real
-    spaCy leg is config-gated and excluded from the equality gate)."""
+    """Deterministic NER-stage stub over transcripts. The capitalized-
+    bigram PERSON heuristic is RE2-expressible, so the distributed
+    plumbing (iterator mapInPandas, per-executor model cache) is fully
+    oracled; the real spaCy leg stays config-gated and excluded from the
+    equality gate (SURVEY §7.4.4)."""
     from doc_redaction_spark.operators.ner import ner_spans
 
     out = extract_and_redact(_tr(spark, sf_dir), PIPE_CFG, with_row_number=False)
@@ -1242,6 +1307,16 @@ def q_ner_fake(spark, sf_dir):
     return n.select(
         "conv_id", "turn_idx", F.size("ner_spans").alias("n_ner")
     )
+
+
+def o_ner_fake():
+    pat = r"\b([A-Z][a-z]+) ([A-Z][a-z]+)\b"
+    return f"""
+    {TR_CTE}
+    SELECT conv_id, turn_idx,
+           len(regexp_extract_all({CLEAN_SQL}, '{_sq(pat)}')) AS n_ner
+    FROM transcripts
+    """
 
 
 def q_sequence_match(spark, sf_dir):
@@ -1332,7 +1407,8 @@ def o_deny_list_aho():
 
 def q_fuzzy_deny(spark, sf_dir):
     """CUSTOM_FUZZY: Levenshtein ≤ 1 whole-phrase deny match over text with
-    planted typos — rows-only (edit distance is not portable SQL)."""
+    planted typos. Oracled: DuckDB ``levenshtein`` over the same sliding
+    token windows (widths n-1..n+1) with the same length pre-filter."""
     t = _tr(spark, sf_dir).withColumn(
         "text",
         F.when(
@@ -1347,9 +1423,49 @@ def q_fuzzy_deny(spark, sf_dir):
     return span_table(out).select("conv_id", "turn_idx", "entity_type", "start", "end")
 
 
+def o_fuzzy_deny():
+    # mirrors FuzzyRecognizer.find_spans: \S+ token windows of widths
+    # {n-1, n, n+1} around the phrase word count n=2, length pre-filter
+    # |len(cand) - len(phrase)| ≤ max_edits, then levenshtein ≤ 1 on the
+    # lower-cased window slice. Token offsets via cumulative sum — the
+    # clean battery collapses whitespace runs, so ' '-split offsets are
+    # exact. Spans land unresolved in the spans column (merge gap < 0),
+    # so no overlap-resolution SQL is needed.
+    phrase = "confidential memo"
+    mod = (
+        "CASE WHEN turn_idx % 3 = 0 THEN text || ' see the confidental memo'"
+        " ELSE text END"
+    )
+    clean = duckdb_clean_sql(mod)
+    return f"""
+    {TR_CTE},
+    c AS (SELECT conv_id, turn_idx, {clean} AS ct FROM transcripts),
+    toks AS (SELECT conv_id, turn_idx, i, tok FROM (
+               SELECT conv_id, turn_idx,
+                      generate_subscripts(ts, 1) AS i, unnest(ts) AS tok
+               FROM (SELECT conv_id, turn_idx, string_split(ct, ' ') AS ts FROM c))),
+    offs AS (SELECT conv_id, turn_idx, i, tok,
+                    CAST(coalesce(sum(length(tok) + 1) OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS st
+             FROM toks),
+    wins AS (SELECT a.conv_id, a.turn_idx, a.st AS s,
+                    b.st + CAST(length(b.tok) AS INTEGER) AS e
+             FROM offs a JOIN offs b
+               ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+              AND b.i - a.i IN (0, 1, 2))
+    SELECT w.conv_id, w.turn_idx, 'CUSTOM_FUZZY' AS entity_type,
+           w.s AS start, w.e AS "end"
+    FROM wins w JOIN c ON c.conv_id = w.conv_id AND c.turn_idx = w.turn_idx
+    WHERE abs((w.e - w.s) - {len(phrase)}) <= 1
+      AND levenshtein(lower(substr(c.ct, w.s + 1, w.e - w.s)), '{phrase}') <= 1
+    """
+
+
 def q_reading_order_columns(spark, sf_dir):
-    """Column-aware reading order (two-column gutter detection) — rows-only
-    (the per-page gutter heuristic is not SQL-expressible)."""
+    """Column-aware reading order over a deterministic two-column layout
+    (even lines left, odd right). The synthetic geometry makes the gutter
+    decision CASE-expressible, so the per-page heuristic is oracled."""
     from doc_redaction_spark.operators.layout import reading_order_columns
 
     lines = ol.words_to_lines(_words_df(spark, sf_dir))
@@ -1364,6 +1480,27 @@ def q_reading_order_columns(spark, sf_dir):
         F.lit(0.02).alias("height"),
     )
     return reading_order_columns(two_col).select("page", "line", "line_no")
+
+
+def o_reading_order_columns():
+    # fixture geometry: no headers (width 0.35 < 0.85); any page with ≥4
+    # lines has ≥2 even and ≥2 odd lines, a 0.5 gutter between left-edge
+    # clusters {0.05, 0.55}, and both split sides ≥2 → column-major order
+    # (even lines by top, then odd lines); pages with <4 lines sort
+    # single-column (top,left) = line order
+    return f"""
+    WITH words AS ({_WORDS_SQL}),
+    lines AS (SELECT page, line FROM words GROUP BY page, line),
+    cnt AS (SELECT page, count(*) AS n,
+                   sum(CASE WHEN line % 2 = 0 THEN 1 ELSE 0 END) AS n_even
+            FROM lines GROUP BY page)
+    SELECT l.page, l.line,
+           CAST(CASE WHEN c.n >= 4 THEN
+                  CASE WHEN l.line % 2 = 0 THEN l.line // 2 + 1
+                       ELSE c.n_even + (l.line - 1) // 2 + 1 END
+                ELSE l.line + 1 END AS INTEGER) AS line_no
+    FROM lines l JOIN cnt c USING (page)
+    """
 
 
 def q_tokenize_stopword_strip(spark, sf_dir):
@@ -1396,17 +1533,141 @@ def o_tokenize_stopword_strip():
     """
 
 
+# planted adjacent-entity tail: IP then UKPOSTCODE with a 1-char gap →
+# one merged 'IP_ADDRESS - UKPOSTCODE' span under merge_adjacent_gap=1.
+# Relative offsets inside the 27-char tail: IP [6,14), postcode [15,23).
+_MERGE_TAIL = " ping 10.0.0.1 SW1A 1AA end"
+
+
+def _merge_turns(spark, sf_dir):
+    return _tr(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") % 4 == 0, F.concat(F.col("text"), F.lit(_MERGE_TAIL))
+        ).otherwise(F.col("text")),
+    )
+
+
+_MERGE_CFG = PipelineConfig(
+    entities=("EMAIL_ADDRESS", "UKPOSTCODE", "IP_ADDRESS"),
+    strategy="entity_type",
+    merge_adjacent_gap=1,
+)
+
+
 def q_redact_merge_adjacent(spark, sf_dir):
     """Adjacent-span merge before application (reference
-    merge_text_bounding_boxes semantics, char-offset analog) — rows-only
-    (merged 'A - B' labels and union spans aren't SQL-expressible)."""
-    cfg = PipelineConfig(
-        entities=("EMAIL_ADDRESS", "UKPOSTCODE", "IP_ADDRESS"),
-        strategy="entity_type",
-        merge_adjacent_gap=1,
-    )
-    out = extract_and_redact(_tr(spark, sf_dir), cfg, with_row_number=False)
+    merge_text_bounding_boxes semantics, char-offset analog). Planted
+    IP+postcode tails exercise the merge; the oracle replaces the
+    deterministic tail as one unit, then the per-entity patterns."""
+    out = extract_and_redact(_merge_turns(spark, sf_dir), _MERGE_CFG, with_row_number=False)
     return out.select("conv_id", "turn_idx", "redacted_text", "n_spans")
+
+
+def o_redact_merge_adjacent():
+    mod = (
+        f"CASE WHEN turn_idx % 4 = 0 THEN text || '{_MERGE_TAIL}' ELSE text END"
+    )
+    clean = duckdb_clean_sql(mod)
+    planted = "turn_idx % 4 = 0"
+    tail_in = _MERGE_TAIL.strip()  # clean battery never alters the tail
+    tail_out = " ping <IP_ADDRESS - UKPOSTCODE> end".strip()
+    red0 = (
+        f"CASE WHEN {planted} THEN replace({clean}, '{tail_in}', '{tail_out}')"
+        f" ELSE {clean} END"
+    )
+    red = red0
+    for etype, pat in [
+        ("EMAIL_ADDRESS", EMAIL_PATTERN),
+        ("UKPOSTCODE", UKPOSTCODE_PATTERN),
+        ("IP_ADDRESS", IP_PATTERN),
+    ]:
+        red = f"regexp_replace({red}, '{_sq(pat)}', '<{etype}>', 'g')"
+    n = " + ".join(
+        f"len(regexp_extract_all({red0}, '{_sq(p)}'))"
+        for p in (EMAIL_PATTERN, UKPOSTCODE_PATTERN, IP_PATTERN)
+    )
+    return f"""
+    {TR_CTE}
+    SELECT conv_id, turn_idx, {red} AS redacted_text,
+           CAST({n} + CASE WHEN {planted} THEN 1 ELSE 0 END AS INTEGER) AS n_spans
+    FROM transcripts
+    """
+
+
+def q_redact_merge_review(spark, sf_dir):
+    """Review-file contract: originals ∪ merged span rows (the reference
+    keeps BOTH the original boxes and the merged box for review —
+    merge_text_bounding_boxes, SURVEY §2.9)."""
+    from doc_redaction_spark.functions.clean import clean_text_col
+    from doc_redaction_spark.operators.detect import merge_review_udf
+
+    t = _merge_turns(spark, sf_dir).withColumn("clean_text", clean_text_col(F.col("text")))
+    t = t.withColumn("rsp", merge_review_udf(_MERGE_CFG)(F.col("clean_text")))
+    ex = t.select("conv_id", "turn_idx", F.explode_outer("rsp").alias("sp")).filter(
+        F.col("sp").isNotNull()
+    )
+    return ex.select(
+        "conv_id",
+        "turn_idx",
+        F.col("sp.entity_type").alias("entity_type"),
+        F.col("sp.start").alias("start"),
+        F.col("sp.end").alias("end"),
+        F.col("sp.origin").alias("origin"),
+    )
+
+
+def o_redact_merge_review():
+    mod = (
+        f"CASE WHEN turn_idx % 4 = 0 THEN text || '{_MERGE_TAIL}' ELSE text END"
+    )
+    clean = duckdb_clean_sql(mod)
+    email = "'user' || CAST(d AS VARCHAR) || '@example.com'"
+    tail_len = len(_MERGE_TAIL)
+    return f"""
+    {TR_CTE},
+    base AS (SELECT conv_id, turn_idx, doc_id AS d, {clean} AS ct,
+                    turn_idx % 4 = 0 AS planted
+             FROM transcripts),
+    sp AS (
+      -- email original (every turn)
+      SELECT conv_id, turn_idx, 'EMAIL_ADDRESS' AS entity_type,
+             CAST(strpos(ct, {email}) - 1 AS INTEGER) AS start,
+             CAST(strpos(ct, {email}) - 1 + length({email}) AS INTEGER) AS "end",
+             'original' AS origin
+      FROM base
+      UNION ALL
+      -- template UKPOSTCODE (d%5=0): marker ' My postcode is SW1A 1AA.'
+      SELECT conv_id, turn_idx, 'UKPOSTCODE',
+             CAST(strpos(ct, ' My postcode is SW1A 1AA.') - 1 + 16 AS INTEGER),
+             CAST(strpos(ct, ' My postcode is SW1A 1AA.') - 1 + 24 AS INTEGER),
+             'original'
+      FROM base WHERE d % 5 = 0
+      UNION ALL
+      -- template IP (d%5=4): marker ' Server at 192.168.0.1 - nothing else!'
+      SELECT conv_id, turn_idx, 'IP_ADDRESS',
+             CAST(strpos(ct, ' Server at 192.168.0.1') - 1 + 11 AS INTEGER),
+             CAST(strpos(ct, ' Server at 192.168.0.1') - 1 + 22 AS INTEGER),
+             'original'
+      FROM base WHERE d % 5 = 4
+      UNION ALL
+      -- planted tail: IP + postcode originals and the merged product
+      SELECT conv_id, turn_idx, 'IP_ADDRESS',
+             CAST(length(ct) - {tail_len} + 6 AS INTEGER),
+             CAST(length(ct) - {tail_len} + 14 AS INTEGER), 'original'
+      FROM base WHERE planted
+      UNION ALL
+      SELECT conv_id, turn_idx, 'UKPOSTCODE',
+             CAST(length(ct) - {tail_len} + 15 AS INTEGER),
+             CAST(length(ct) - {tail_len} + 23 AS INTEGER), 'original'
+      FROM base WHERE planted
+      UNION ALL
+      SELECT conv_id, turn_idx, 'IP_ADDRESS - UKPOSTCODE',
+             CAST(length(ct) - {tail_len} + 6 AS INTEGER),
+             CAST(length(ct) - {tail_len} + 23 AS INTEGER), 'merged'
+      FROM base WHERE planted)
+    SELECT conv_id, turn_idx, entity_type, start, "end", origin FROM sp
+    """
 
 
 def q_redact_pseudonym_email(spark, sf_dir):
@@ -1477,6 +1738,7 @@ _QUERIES: dict[str, Callable] = {
     "ner_fake": q_ner_fake,
     "tokenize_stopword_strip": q_tokenize_stopword_strip,
     "redact_merge_adjacent": q_redact_merge_adjacent,
+    "redact_merge_review": q_redact_merge_review,
     "sequence_match": q_sequence_match,
     "whole_turn_redaction": q_whole_turn_redaction,
     "deny_list_aho": q_deny_list_aho,
@@ -1518,19 +1780,23 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dedup_embedding_cosine": o_dedup_embedding_cosine,
     "words_to_lines_rollup": o_words_to_lines_rollup,
     "reading_order_lines": o_reading_order_lines,
+    "reading_order_columns": o_reading_order_columns,
     "island_runs": o_island_runs,
+    "transcripts_spans": o_transcripts_spans,
     "redact_pseudonym_email": o_redact_pseudonym_email,
     "checksum_entities": o_checksum_entities,
     "url_extraction": o_url_extraction,
     "coord_normalize": o_coord_normalize,
     "route_gate": o_route_gate,
     "tabular_anonymise": o_tabular_anonymise,
-    # ner_fake, redact_merge_adjacent: rows-only (see docstrings)
+    "ner_fake": o_ner_fake,
+    "redact_merge_adjacent": o_redact_merge_adjacent,
+    "redact_merge_review": o_redact_merge_review,
     "tokenize_stopword_strip": o_tokenize_stopword_strip,
     "sequence_match": o_sequence_match,
     "whole_turn_redaction": o_whole_turn_redaction,
     "deny_list_aho": o_deny_list_aho,
-    # fuzzy_deny: rows-only (Levenshtein not portable SQL)
+    "fuzzy_deny": o_fuzzy_deny,
 }
 
 

@@ -41,7 +41,11 @@ from doc_redaction_spark.functions.recognizers import (
     street_quick_reject,
 )
 from doc_redaction_spark.operators.spans import apply_spans as _apply_spans
-from doc_redaction_spark.operators.spans import merge_adjacent, resolve_overlaps
+from doc_redaction_spark.operators.spans import (
+    merge_adjacent,
+    merge_adjacent_review,
+    resolve_overlaps,
+)
 
 SPAN_TYPE = StructType(
     [
@@ -188,6 +192,38 @@ def apply_spans_udf(cfg: PipelineConfig):
         return pd.Series(out)
 
     return _apply
+
+
+REVIEW_SPAN_TYPE = StructType(
+    [
+        StructField("entity_type", StringType(), False),
+        StructField("start", IntegerType(), False),
+        StructField("end", IntegerType(), False),
+        StructField("score", DoubleType(), False),
+        StructField("origin", StringType(), False),
+    ]
+)
+
+
+def merge_review_udf(cfg: PipelineConfig):
+    """pandas UDF: Series[str] → review span list (originals ∪ merged) —
+    the reference's review-file output shape (see merge_adjacent_review)."""
+    gap = cfg.merge_adjacent_gap
+
+    @F.pandas_udf(ArrayType(REVIEW_SPAN_TYPE))
+    def _review(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.tolist():
+            review = merge_adjacent_review(detect_spans_py(t, cfg), gap)
+            out.append(
+                [
+                    {"entity_type": e, "start": s, "end": x, "score": sc, "origin": o}
+                    for (e, s, x, sc, o) in review
+                ]
+            )
+        return pd.Series(out)
+
+    return _review
 
 
 DETECT_APPLY_TYPE = StructType(

@@ -83,6 +83,24 @@ def merge_adjacent(spans: list[Span], max_gap: int = 1) -> list[Span]:
     return out
 
 
+def merge_adjacent_review(spans: list[Span], max_gap: int = 1) -> list[tuple]:
+    """originals ∪ merged — the reference's review-file contract
+    (``merge_text_bounding_boxes`` keeps BOTH the original boxes and the
+    merged box, ``tools/custom_image_analyser_engine.py:12912-13037``;
+    SURVEY §2.9 must-match). Returns
+    ``[(entity_type, start, end, score, origin)]`` with origin
+    'original' for every resolved span and 'merged' for each true merge
+    product (groups of ≥2), sorted by (start, end, origin)."""
+    resolved = resolve_overlaps(list(spans))
+    merged = merge_adjacent(resolved, max_gap)
+    out = [(e, s, x, sc, "original") for (e, s, x, sc) in resolved]
+    originals = set(resolved)
+    out.extend((e, s, x, sc, "merged") for (e, s, x, sc) in merged
+               if (e, s, x, sc) not in originals)
+    out.sort(key=lambda t: (t[1], t[2], t[4], t[0]))
+    return out
+
+
 def _replacement(text: str, span: Span, strategy: str, salt: str) -> str:
     etype, start, end, _ = span
     covered = text[start:end]

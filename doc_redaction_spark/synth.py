@@ -72,6 +72,7 @@ def transcripts_sql(scan: str = "documents") -> str:
     roles = ", ".join(f"'{r}'" for r in ROLES)
     return f"""
     SELECT
+      doc_id,
       'c' || CAST(doc_id % {N_CONVS} AS VARCHAR) AS conv_id,
       CAST(doc_id // {N_CONVS} AS INTEGER) AS turn_idx,
       ([{roles}])[CAST(doc_id % 4 AS INTEGER) + 1] AS role,

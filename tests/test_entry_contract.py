@@ -39,3 +39,32 @@ def test_entry_smoke(spark):
     rows = df.limit(5).collect()
     assert len(rows) > 0
     assert {"conv_id", "turn_idx", "redacted_text"} <= set(df.columns)
+
+
+def test_spans_all_planted(spark):
+    """Guard for the planted-offset span oracle AND the per-entity redact
+    oracles' non-overlap assumption (ADVICE r1): every span in the
+    synthetic transcripts comes from the deterministic suffix/template —
+    the driver-doc prefix contributes none — and no two spans from
+    different entity types overlap."""
+    from collections import Counter
+
+    out = entrymod.q_transcripts_spans(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    # expected planted count: 1 email per turn + per-template spans
+    per_tpl = {i: len(s) for i, _m, s in entrymod._template_span_info()}
+    turns = entrymod._tr(spark, "/root/testdata/sf0.001").select("turn_idx").count()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tpl_counts = Counter(
+        r.t for r in docs.selectExpr("CAST(doc_id % 5 AS INT) AS t").collect()
+    )
+    expected = turns + sum(tpl_counts[i] * n for i, n in per_tpl.items())
+    assert len(rows) == expected
+    # non-overlap within each turn
+    by_turn = {}
+    for r in rows:
+        by_turn.setdefault((r.conv_id, r.turn_idx), []).append((r.start, r.end))
+    for spans in by_turn.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 <= s2, f"overlapping planted spans {(s1, e1)} {(s2, e2)}"

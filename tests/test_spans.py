@@ -57,3 +57,28 @@ def test_apply_right_to_left_offsets_stable():
 def test_apply_empty_and_none():
     assert apply_spans(None, [("A", 0, 1, 1.0)]) == ""
     assert apply_spans("text", []) == "text"
+
+
+def test_merge_adjacent_review_originals_and_merged():
+    from doc_redaction_spark.operators.spans import merge_adjacent_review
+
+    spans = [("IP_ADDRESS", 6, 14, 1.0), ("UKPOSTCODE", 15, 23, 1.0),
+             ("EMAIL_ADDRESS", 40, 50, 1.0)]
+    rev = merge_adjacent_review(spans, max_gap=1)
+    origins = [(e, s, x, o) for (e, s, x, _sc, o) in rev]
+    assert ("IP_ADDRESS", 6, 14, "original") in origins
+    assert ("UKPOSTCODE", 15, 23, "original") in origins
+    assert ("IP_ADDRESS - UKPOSTCODE", 6, 23, "merged") in origins
+    assert ("EMAIL_ADDRESS", 40, 50, "original") in origins
+    # no merged row for the isolated span
+    assert sum(1 for *_x, o in origins if o == "merged") == 1
+
+
+def test_merge_adjacent_review_no_merge_no_extra_rows():
+    from doc_redaction_spark.operators.spans import merge_adjacent_review
+
+    spans = [("A", 0, 3, 1.0), ("B", 10, 12, 1.0)]
+    rev = merge_adjacent_review(spans, max_gap=1)
+    assert [(e, s, x, o) for (e, s, x, _sc, o) in rev] == [
+        ("A", 0, 3, "original"), ("B", 10, 12, "original")
+    ]
