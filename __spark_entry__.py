@@ -986,6 +986,178 @@ def o_reading_order_lines():
 
 
 # ---------------------------------------------------------------------------
+# queries — PDF char→word decomposition (rawdict-shaped synthetic chars)
+# ---------------------------------------------------------------------------
+
+
+def _chars_df(spark, sf_dir):
+    """Deterministic rawdict-shaped char table: first 40 chars of each
+    document on one line; char width 5, advance 6, an extra 4.0 gap every
+    7th char (> the 0.25*size=2.5 threshold → geometric word break).
+    Mirrored by the SQL in o_pdf_chars_to_words."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
+    df = docs.select(
+        F.col("doc_id"), F.posexplode(F.split(s, "")).alias("pos", "t")
+    ).filter(F.col("t") != "")
+    i = F.col("pos").cast("long")
+    x0 = i * 6.0 + F.floor(i / 7) * 4.0
+    return df.select(
+        "doc_id",
+        F.lit(0).alias("page"),
+        F.lit(0).alias("line"),
+        i.alias("char_idx"),
+        "t",
+        x0.alias("x0"),
+        F.lit(700.0).alias("y0"),
+        (x0 + 5.0).alias("x1"),
+        F.lit(710.0).alias("y1"),
+        F.lit(10.0).alias("size"),
+    )
+
+
+_CHARS_SQL = """
+    SELECT doc_id, 0 AS page, 0 AS line, i - 1 AS char_idx,
+           substr(s, CAST(i AS INTEGER), 1) AS t,
+           (i-1) * 6.0e0 + ((i-1) // 7) * 4.0e0 AS x0, 700.0e0 AS y0,
+           (i-1) * 6.0e0 + ((i-1) // 7) * 4.0e0 + 5.0e0 AS x1, 710.0e0 AS y1,
+           10.0e0 AS size
+    FROM (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS i
+          FROM (SELECT doc_id, substr(coalesce(text, ''), 1, 40) AS s
+                FROM documents))
+"""
+
+_PUNCT_SQL = ", ".join(
+    "'" + p + "'" for p in
+    [".", ",", "?", "!", ":", ";", "(", ")", "[", "]", "{", "}"]
+)
+
+_WORDS_FROM_CHARS_SQL = f"""
+    chars AS ({_CHARS_SQL}),
+    flags AS (SELECT *, lag(t) OVER w AS pt, lag(x1) OVER w AS px1,
+                     lag(size) OVER w AS psz
+              FROM chars WINDOW w AS (PARTITION BY doc_id ORDER BY char_idx)),
+    b AS (SELECT *, CASE WHEN pt IS NULL THEN 1
+                         WHEN t IN ({_PUNCT_SQL}) THEN 1
+                         WHEN pt IN ({_PUNCT_SQL}) THEN 1
+                         WHEN regexp_matches(pt, '^\\s$') THEN 1
+                         WHEN x0 - px1 > greatest(psz * 0.25e0, 1.0e0) THEN 1
+                         ELSE 0 END AS brk
+          FROM flags),
+    g AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY char_idx
+                                   ROWS UNBOUNDED PRECEDING) AS wid FROM b),
+    wrd AS (SELECT doc_id, page, line, wid,
+                   string_agg(t, '' ORDER BY char_idx) AS text,
+                   round(min(x0), 2) AS x0, round(min(y0), 2) AS y0,
+                   round(max(x1), 2) AS x1, round(max(y1), 2) AS y1
+            FROM g WHERE NOT regexp_matches(t, '^\\s$')
+            GROUP BY doc_id, page, line, wid),
+    words AS (SELECT doc_id, page, line,
+                     CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wid)
+                          AS INTEGER) AS word_idx,
+                     text, x0, y0, x1, y1, 100.0e0 AS conf
+              FROM wrd)
+"""
+
+
+def q_pdf_chars_to_words(spark, sf_dir):
+    """Reference generate_words_for_line semantics as a native window +
+    gaps-and-islands plan (file_redaction.py:10368-10484): punctuation
+    chars are standalone words, spaces separate, geometric gaps
+    > max(0.25*size, 1.0) break words."""
+    from doc_redaction_spark.operators.pdf_words import chars_to_words
+
+    return chars_to_words(_chars_df(spark, sf_dir)).select(
+        "doc_id", "page", "line", "word_idx", "text", "x0", "y0", "x1", "y1", "conf"
+    )
+
+
+def o_pdf_chars_to_words():
+    return f"""
+    WITH {_WORDS_FROM_CHARS_SQL}
+    SELECT doc_id, page, line, word_idx, text, x0, y0, x1, y1, conf FROM words
+    """
+
+
+def q_pdf_word_punct_split(spark, sf_dir):
+    """Word/punct split with proportional bbox allocation (reference
+    split_words_and_punctuation_from_line,
+    custom_image_analyser_engine.py:13089-13186) over OCR-style
+    whitespace tokens — these carry attached punctuation ('soon.',
+    '(x)'), so the split path is actually exercised (chars_to_words
+    output would not: it already isolates punctuation)."""
+    from doc_redaction_spark.operators.pdf_words import split_words_and_punctuation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " "), " "
+    )
+    words = (
+        docs.select(F.col("doc_id"), F.posexplode(toks).alias("pos", "text"))
+        .filter(F.col("text") != "")
+        .select(
+            "doc_id",
+            F.col("pos").alias("word_idx"),
+            "text",
+            (F.col("pos") * 100.0).alias("left"),
+            F.lit(0.0).alias("top"),
+            (F.length("text") * 9.0).alias("width"),
+            F.lit(12.0).alias("height"),
+            F.lit(95.0).alias("conf"),
+        )
+    )
+    return split_words_and_punctuation(words).select(
+        "doc_id", "word_idx", "part_idx", "text", "left", "width"
+    )
+
+
+def o_pdf_word_punct_split():
+    from doc_redaction_spark.operators.pdf_words import WORD_PUNCT_SPLIT_PATTERN
+
+    pat = _sq(WORD_PUNCT_SPLIT_PATTERN)
+    fl2 = lambda c: f"floor(({c}) * 100) / 100.0e0"
+    toks = "string_split(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'), ' ')"
+    return f"""
+    WITH w2 AS (
+      SELECT doc_id, pos - 1 AS word_idx, t AS text,
+             (pos - 1) * 100.0e0 AS "left", length(t) * 9.0e0 AS width
+      FROM (SELECT doc_id, generate_subscripts({toks}, 1) AS pos,
+                   unnest({toks}) AS t
+            FROM documents)
+      WHERE t <> ''),
+    sp AS (SELECT *, regexp_extract(text, '{pat}', 1) AS lead0,
+                  regexp_extract(text, '{pat}', 2) AS core0,
+                  regexp_extract(text, '{pat}', 3) AS trail0 FROM w2),
+    nm AS (SELECT *, contains(text, '-') AND core0 = '' AS hy FROM sp),
+    n2 AS (SELECT doc_id, word_idx, text, "left", width,
+                  CASE WHEN hy THEN '' ELSE lead0 END AS lead,
+                  CASE WHEN hy THEN text ELSE core0 END AS core,
+                  CASE WHEN hy THEN '' ELSE trail0 END AS trail,
+                  width / length(text) AS avgw
+           FROM nm),
+    keepers AS (SELECT * FROM n2
+                WHERE (lead = '' AND trail = '')
+                   OR (text <> '' AND width <> 0))
+    SELECT doc_id, word_idx, 1 AS part_idx, text,
+           {fl2('"left"')} AS "left", {fl2("width")} AS width
+    FROM keepers WHERE lead = '' AND trail = ''
+    UNION ALL
+    SELECT doc_id, word_idx, 0, lead,
+           {fl2('"left"')}, {fl2("avgw * length(lead)")}
+    FROM keepers WHERE NOT (lead = '' AND trail = '') AND lead <> ''
+    UNION ALL
+    SELECT doc_id, word_idx, 1, core,
+           {fl2('"left" + avgw * length(lead)')}, {fl2("avgw * length(core)")}
+    FROM keepers WHERE NOT (lead = '' AND trail = '') AND core <> ''
+    UNION ALL
+    SELECT doc_id, word_idx, 2, trail,
+           {fl2('"left" + avgw * (length(lead) + length(core))')},
+           {fl2("avgw * length(trail)")}
+    FROM keepers WHERE NOT (lead = '' AND trail = '') AND trail <> ''
+    """
+
+
+# ---------------------------------------------------------------------------
 # queries — consecutive-duplicate islands over transcripts
 # ---------------------------------------------------------------------------
 
@@ -1725,6 +1897,8 @@ _QUERIES: dict[str, Callable] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ivf": q_embedding_ivf,
+    "pdf_chars_to_words": q_pdf_chars_to_words,
+    "pdf_word_punct_split": q_pdf_word_punct_split,
     "words_to_lines_rollup": q_words_to_lines_rollup,
     "reading_order_lines": q_reading_order_lines,
     "island_runs": q_island_runs,
@@ -1778,6 +1952,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     # embedding_ann_lsh, embedding_ivf: rows-only (recall-tested — see docstrings)
     "embedding_cosine_topk": o_embedding_cosine_topk,
     "dedup_embedding_cosine": o_dedup_embedding_cosine,
+    "pdf_chars_to_words": o_pdf_chars_to_words,
+    "pdf_word_punct_split": o_pdf_word_punct_split,
     "words_to_lines_rollup": o_words_to_lines_rollup,
     "reading_order_lines": o_reading_order_lines,
     "reading_order_columns": o_reading_order_columns,

@@ -1,0 +1,173 @@
+"""PDF char→word decomposition + word/punctuation splitting.
+
+Re-expresses the reference's pdfminer-side word builder and the OCR-side
+word/punct splitter as NATIVE Spark plans (no Python in the loop):
+
+* ``chars_to_words`` — the geometric word-break heuristic of
+  ``/root/reference/tools/file_redaction.py:10368-10484``
+  (``generate_words_for_line``): splitting punctuation is a standalone
+  word, spaces are primary separators, and a gap
+  ``> max(0.25*prev_char_size, 1.0)`` between consecutive chars is a
+  secondary separator. The sequential accumulation loop becomes a
+  lag-window break flag + gaps-and-islands word id + groupBy rollup —
+  partitioned by (doc, page, line), i.e. bounded units, shuffle on the
+  natural document key.
+
+  Deviation pinned intentionally: the reference's in-loop bbox update
+  mixes y-indices (``min(current[3], y0)`` / ``max(current[1], y1)``);
+  we pin the evident intent — word bbox = union of char bboxes —
+  which equals the reference output whenever chars share a baseline.
+
+* ``split_words_and_punctuation`` —
+  ``tools/custom_image_analyser_engine.py:13089-13186``: a word splits
+  into (leading bracket punct)(core)(trailing punct) groups via
+  ``^([(\\[{]*)(.*?)_?([.,?!:;)\\}\\]]*)$`` with proportional bbox
+  allocation by average char width; hyphenated words with an empty core
+  pass through whole; a split-needing word with zero width or empty
+  text is dropped (reference failsafe).
+
+Both are pure column/window plans the DuckDB oracle mirrors exactly
+(``__spark_entry__.o_pdf_chars_to_words`` / ``o_pdf_word_punct_split``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# hyphen intentionally excluded (keeps 'high-tech' together) — reference set
+PUNCTUATION_TO_SPLIT = [".", ",", "?", "!", ":", ";", "(", ")", "[", "]", "{", "}"]
+
+# leading bracket-punct / lazy core (optional trailing '_' dropped) /
+# trailing punct — shared Java/RE2/Python subset (lazy quantifiers are in
+# all three dialects)
+WORD_PUNCT_SPLIT_PATTERN = r"^([(\[{]*)(.*?)_?([.,?!:;)\}\]]*)$"
+
+_SPACE_RE = r"^\s$"
+
+
+def chars_to_words(
+    chars: DataFrame,
+    keys: tuple = ("doc_id", "page", "line"),
+    char_order: str = "char_idx",
+) -> DataFrame:
+    """chars(keys…, char_idx, t, x0, y0, x1, y1, size) → words.
+
+    Output: keys… + (word_idx int, text string, x0, y0, x1, y1 double,
+    conf double) with bbox values rounded to 2 (reference rounding).
+    ``char_order`` must presort chars horizontally (the reference sorts
+    by bbox x0; a deterministic index avoids float-tie ambiguity).
+    """
+    kcols = [F.col(k) for k in keys]
+    w = Window.partitionBy(*kcols).orderBy(char_order)
+    is_punct = F.col("t").isin(*PUNCTUATION_TO_SPLIT)
+    is_space = F.col("t").rlike(_SPACE_RE)
+    prev_t = F.lag("t").over(w)
+    prev_x1 = F.lag("x1").over(w)
+    prev_size = F.lag("size").over(w)
+    brk = (
+        F.when(prev_t.isNull(), 1)
+        .when(is_punct, 1)
+        .when(prev_t.isin(*PUNCTUATION_TO_SPLIT), 1)
+        .when(prev_t.rlike(_SPACE_RE), 1)
+        .when(
+            F.col("x0") - prev_x1 > F.greatest(prev_size * 0.25, F.lit(1.0)), 1
+        )
+        .otherwise(0)
+    )
+    flagged = chars.withColumn("_brk", brk).withColumn(
+        "_wid", F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    words = (
+        flagged.filter(~is_space)
+        .groupBy(*kcols, "_wid")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col(char_order), F.col("t")))),
+                    lambda s: s["t"],
+                ),
+            ).alias("text"),
+            F.round(F.min("x0"), 2).alias("x0"),
+            F.round(F.min("y0"), 2).alias("y0"),
+            F.round(F.max("x1"), 2).alias("x1"),
+            F.round(F.max("y1"), 2).alias("y1"),
+        )
+    )
+    order_w = Window.partitionBy(*kcols).orderBy("_wid")
+    return (
+        words.withColumn("word_idx", F.row_number().over(order_w).cast("int"))
+        .withColumn("conf", F.lit(100.0))
+        .drop("_wid")
+    )
+
+
+def split_words_and_punctuation(words: DataFrame) -> DataFrame:
+    """words(…, text, left, top, width, height, conf) → split parts.
+
+    Same columns out, one row per emitted part, plus ``part_idx`` (0
+    lead / 1 core / 2 trail) for deterministic ordering. Proportional
+    width allocation by average char width; lefts/widths floored to 2
+    decimals on BOTH engines (floor is bit-exact across Spark/DuckDB
+    where round() half-cases differ).
+    """
+    lead = F.regexp_extract("text", WORD_PUNCT_SPLIT_PATTERN, 1)
+    core = F.regexp_extract("text", WORD_PUNCT_SPLIT_PATTERN, 2)
+    trail = F.regexp_extract("text", WORD_PUNCT_SPLIT_PATTERN, 3)
+    hyphen_whole = F.col("text").contains("-") & (core == "")
+    lead = F.when(hyphen_whole, F.lit("")).otherwise(lead)
+    trail = F.when(hyphen_whole, F.lit("")).otherwise(trail)
+    core = F.when(hyphen_whole, F.col("text")).otherwise(core)
+    no_split = (lead == "") & (trail == "")
+    avg = F.col("width") / F.length("text")
+    fl2 = lambda c: F.floor(c * 100) / 100.0
+    parts = F.array(
+        F.struct(
+            F.lit(0).alias("part_idx"),
+            lead.alias("ptext"),
+            fl2(F.col("left")).alias("pleft"),
+            fl2(avg * F.length(lead)).alias("pwidth"),
+        ),
+        F.struct(
+            F.lit(1).alias("part_idx"),
+            core.alias("ptext"),
+            fl2(F.col("left") + avg * F.length(lead)).alias("pleft"),
+            fl2(avg * F.length(core)).alias("pwidth"),
+        ),
+        F.struct(
+            F.lit(2).alias("part_idx"),
+            trail.alias("ptext"),
+            fl2(F.col("left") + avg * (F.length(lead) + F.length(core))).alias("pleft"),
+            fl2(avg * F.length(trail)).alias("pwidth"),
+        ),
+    )
+    whole = F.array(
+        F.struct(
+            F.lit(1).alias("part_idx"),
+            F.col("text").alias("ptext"),
+            fl2(F.col("left")).alias("pleft"),
+            fl2(F.col("width")).alias("pwidth"),
+        )
+    )
+    # reference failsafe: a split-needing word with empty text or zero
+    # width is dropped entirely
+    empty = F.array().cast(
+        "array<struct<part_idx:int,ptext:string,pleft:double,pwidth:double>>"
+    )
+    chosen = (
+        F.when(no_split, whole)
+        .when((F.col("text") == "") | (F.col("width") == 0), empty)
+        .otherwise(parts)
+    )
+    other = [c for c in words.columns if c not in ("text", "left", "width")]
+    ex = words.select(*other, F.explode(chosen).alias("p")).filter(
+        F.col("p.ptext") != ""
+    )
+    return ex.select(
+        *other,
+        F.col("p.part_idx").alias("part_idx"),
+        F.col("p.ptext").alias("text"),
+        F.col("p.pleft").alias("left"),
+        F.col("p.pwidth").alias("width"),
+    )

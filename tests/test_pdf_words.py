@@ -1,0 +1,176 @@
+"""PDF char→word decomposition vs a direct Python rendering of the
+reference algorithm (file_redaction.py:10368-10484 /
+custom_image_analyser_engine.py:13089-13186) on crafted char lines."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.pdf_words import (
+    PUNCTUATION_TO_SPLIT,
+    WORD_PUNCT_SPLIT_PATTERN,
+    chars_to_words,
+    split_words_and_punctuation,
+)
+
+PUNCT = set(PUNCTUATION_TO_SPLIT)
+
+
+def py_words(chars):
+    """Reference generate_words_for_line re-rendered in Python: chars =
+    [(t, x0, y0, x1, y1, size)] sorted; returns [(text, x0, y0, x1, y1)]."""
+    words = []
+    cur = None  # (text, x0, y0, x1, y1)
+    prev = None
+
+    def fin():
+        nonlocal cur
+        if cur and cur[0].strip():
+            words.append((cur[0], round(cur[1], 2), round(cur[2], 2),
+                          round(cur[3], 2), round(cur[4], 2)))
+        cur = None
+
+    for t, x0, y0, x1, y1, size in chars:
+        if t in PUNCT:
+            fin()
+            words.append((t, round(x0, 2), round(y0, 2), round(x1, 2), round(y1, 2)))
+            prev = (t, x0, y0, x1, y1, size)
+            continue
+        if t.isspace():
+            fin()
+            prev = (t, x0, y0, x1, y1, size)
+            continue
+        if prev is not None and x0 - prev[3] > max(prev[5] * 0.25, 1.0):
+            fin()
+        if cur is None:
+            cur = (t, x0, y0, x1, y1)
+        else:
+            cur = (cur[0] + t, min(cur[1], x0), min(cur[2], y0),
+                   max(cur[3], x1), max(cur[4], y1))
+        prev = (t, x0, y0, x1, y1, size)
+    fin()
+    return words
+
+
+def _line(texts_with_geometry):
+    """[(t, x0)] with width 5, y = 0..10, size 10."""
+    return [
+        (t, float(x0), 0.0, float(x0) + 5.0, 10.0, 10.0)
+        for t, x0 in texts_with_geometry
+    ]
+
+
+CASES = {
+    # "ab, (cd)" with a geometric gap before 'gap' and hyphen kept whole
+    0: _line([("a", 0), ("b", 6), (",", 12), (" ", 18), ("(", 24), ("c", 30),
+              ("d", 36), (")", 42)]),
+    # geometric gap: normal advance 6 (gap 1 ≤ 2.5), then jump (gap 7 > 2.5)
+    1: _line([("x", 0), ("y", 6), ("z", 18), ("w", 24)]),
+    # hyphenated word stays together; trailing period splits
+    2: _line([("h", 0), ("i", 6), ("-", 12), ("t", 18), ("e", 24), ("c", 30),
+              ("h", 36), (".", 42)]),
+    # leading/trailing spaces only → nothing
+    3: _line([(" ", 0), (" ", 6)]),
+}
+
+
+def _chars_df(spark):
+    rows = [
+        (doc, i, t, x0, y0, x1, y1, sz)
+        for doc, chars in CASES.items()
+        for i, (t, x0, y0, x1, y1, sz) in enumerate(chars)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, char_idx long, t string, x0 double, y0 double,"
+        " x1 double, y1 double, size double",
+    ).withColumn("page", F.lit(0)).withColumn("line", F.lit(0))
+
+
+def test_chars_to_words_matches_reference_python(spark):
+    got = {}
+    for r in chars_to_words(_chars_df(spark)).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.word_idx, r.text, r.x0, r.y0, r.x1, r.y1)
+        )
+    for doc, chars in CASES.items():
+        expect = [
+            (i + 1, t, x0, y0, x1, y1)
+            for i, (t, x0, y0, x1, y1) in enumerate(py_words(chars))
+        ]
+        assert sorted(got.get(doc, [])) == expect, doc
+
+
+def test_chars_to_words_specifics(spark):
+    out = {
+        r.doc_id: None for r in chars_to_words(_chars_df(spark)).collect()
+    }
+    texts = {}
+    for r in chars_to_words(_chars_df(spark)).collect():
+        texts.setdefault(r.doc_id, []).append((r.word_idx, r.text))
+    as_list = lambda d: [t for _i, t in sorted(texts[d])]
+    assert as_list(0) == ["ab", ",", "(", "cd", ")"]
+    assert as_list(1) == ["xy", "zw"]
+    assert as_list(2) == ["hi-tech", "."]
+    assert 3 not in texts  # all-space line yields no words
+    assert out is not None
+
+
+def py_split(words):
+    """Reference split_words_and_punctuation re-rendered: words =
+    [(text, left, width)]; returns [(part_idx, text, left, width)]."""
+    out = []
+    rx = re.compile(WORD_PUNCT_SPLIT_PATTERN)
+    fl2 = lambda v: int(v * 100) / 100.0 if v >= 0 else None
+    for text, left, width in words:
+        m = rx.match(text)
+        if "-" in text and not m.group(2):
+            lead, core, trail = "", text, ""
+        else:
+            lead, core, trail = m.groups()
+        if not lead and not trail:
+            out.append((1, text, fl2(left), fl2(width)))
+            continue
+        if not text or width == 0:
+            continue
+        avg = width / len(text)
+        cur = left
+        if lead:
+            out.append((0, lead, fl2(cur), fl2(avg * len(lead))))
+            cur += avg * len(lead)
+        if core:
+            out.append((1, core, fl2(cur), fl2(avg * len(core))))
+            cur += avg * len(core)
+        if trail:
+            out.append((2, trail, fl2(cur), fl2(avg * len(trail))))
+    return out
+
+
+def test_split_words_matches_reference_python(spark):
+    words = [
+        ("example.", 0.0, 80.0),
+        ("(word).", 100.0, 70.0),
+        ("high-tech", 200.0, 90.0),
+        ("plain", 300.0, 50.0),
+        ("end!?", 400.0, 50.0),
+        ("x_.", 500.0, 30.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, l, w) for i, (t, l, w) in enumerate(words)],
+        "word_idx long, text string, left double, width double",
+    ).withColumn("top", F.lit(0.0)).withColumn("height", F.lit(12.0)).withColumn(
+        "conf", F.lit(95.0)
+    )
+    got = sorted(
+        (r.word_idx, r.part_idx, r.text, r.left, r.width)
+        for r in split_words_and_punctuation(df).collect()
+    )
+    expect = sorted(
+        (i, pi, t, l, w)
+        for i, (wt, wl, ww) in enumerate(words)
+        for (pi, t, l, w) in py_split([(wt, wl, ww)])
+    )
+    assert got == expect
+    # the underscore before trailing punct is consumed (reference regex)
+    assert any(t == "x" for (_i, _p, t, _l, _w) in got)
+    assert not any("_" in t for (_i, _p, t, _l, _w) in got)
