@@ -8,14 +8,17 @@ job store (``tools/textract_batch_call.py``) — re-expressed as a
 **side table + anti-join**:
 
 * work is split into deterministic **chunks** (``pmod(xxhash64(conv_id), C)``);
-* each completed chunk writes its output under ``out/chunk=<k>/`` and a
-  lineage row ``(run_id, chunk, n_turns, n_spans, status, ts)`` to the
-  side table — write-output-then-commit-lineage ordering makes a crash
-  leave at worst an orphan data dir that the resume pass overwrites
-  (dynamic partition overwrite ⇒ idempotent);
+* a **fresh run writes every chunk in ONE Spark job** —
+  ``partitionBy("chunk")`` overwrite, a single scan of the input — then
+  commits one lineage row per chunk ``(run_id, chunk, n_turns, n_spans,
+  status, ts)``; at 100 TB an n_chunks-iteration driver loop would mean
+  n_chunks full input scans, so the loop is reserved for resume;
+* **resume** (committed lineage rows exist) re-processes only the missing
+  chunks, one bounded job each, write-output-then-commit-lineage ordering:
+  a crash leaves at worst an orphan data dir the next pass overwrites
+  (partition overwrite ⇒ idempotent);
 * resume = ``left_anti`` join of the chunk list against committed lineage
-  rows (SURVEY.md §2.3 semi/anti), so a restarted run re-processes only
-  missing chunks — exactly-once output per chunk.
+  rows (SURVEY.md §2.3 semi/anti) — exactly-once output per chunk.
 
 Storage is plain partitioned parquet here (no Iceberg jars in the
 sandbox); the table layout and commit protocol are Iceberg-shaped — on a
@@ -61,14 +64,22 @@ def run_with_checkpoints(
     n_chunks: int = 8,
     fail_after_chunk: int | None = None,
 ) -> list[int]:
-    """Run ``pipeline_fn(chunk_df)`` per pending chunk with commit protocol.
+    """Run ``pipeline_fn`` over pending chunks with commit protocol.
 
-    Returns the chunks processed in THIS invocation. ``fail_after_chunk``
-    injects a mid-run crash for the resume test. Chunk count bounds driver
-    iteration (n_chunks ≈ tens, not partitions); within a chunk all
-    parallelism is Spark's.
+    Fresh run (no committed lineage, no fail injection): ONE job writes all
+    chunks via ``partitionBy("chunk")`` — a single input scan — then one
+    lineage append covers every chunk. Resume: per-chunk loop over only the
+    missing chunks. Returns the chunks processed in THIS invocation.
+    ``fail_after_chunk`` injects a mid-run crash (forces the loop path).
+    Chunk count bounds driver iteration (n_chunks ≈ tens, not partitions).
+    ``pipeline_fn`` output must preserve ``conv_id`` (the per-turn pipeline
+    contract) — chunk ids are recomputed from it on the output side.
     """
     done = set(committed_chunks(spark, lineage_dir, run_id))
+    if not done and fail_after_chunk is None:
+        return _run_fresh_single_job(
+            spark, turns, pipeline_fn, out_dir, lineage_dir, run_id, n_chunks
+        )
     turns = turns.withColumn("chunk", chunk_col(n_chunks))
     processed = []
     for k in range(n_chunks):
@@ -90,6 +101,46 @@ def run_with_checkpoints(
         if fail_after_chunk is not None and k >= fail_after_chunk:
             raise RuntimeError(f"injected failure after chunk {k}")
     return processed
+
+
+def _run_fresh_single_job(
+    spark: SparkSession,
+    turns: DataFrame,
+    pipeline_fn,
+    out_dir: str,
+    lineage_dir: str,
+    run_id: str,
+    n_chunks: int,
+) -> list[int]:
+    """Fresh-run fast path: all chunks in one write job, then one lineage
+    append (write-output-then-commit ordering preserved). Stats are read
+    back from the committed parquet so lineage reflects what actually
+    landed; chunks with zero rows still get a lineage row (resume must see
+    them as done)."""
+    out = pipeline_fn(turns).withColumn("chunk", chunk_col(n_chunks))
+    (
+        out.write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(out_dir)
+    )
+    committed = spark.read.parquet(out_dir)
+    stats = (
+        committed.groupBy("chunk")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.coalesce(F.sum("n_spans"), F.lit(0)).alias("n_spans"),
+        )
+        .collect()
+    )
+    by_chunk = {int(r.chunk): (r.n_turns, int(r.n_spans)) for r in stats}
+    rows = [
+        (run_id, k, *by_chunk.get(k, (0, 0)), "done") for k in range(n_chunks)
+    ]
+    lineage = spark.createDataFrame(
+        rows, "run_id string, chunk int, n_turns long, n_spans long, status string"
+    ).withColumn("ts", F.current_timestamp())
+    lineage.write.mode("append").parquet(lineage_dir)
+    return list(range(n_chunks))
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:

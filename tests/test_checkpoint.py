@@ -69,6 +69,34 @@ def test_orphan_output_overwritten_on_resume(spark, tmp_path):
     assert out.filter(F.col("conv_id") == "junk").count() == 0
 
 
+def test_fresh_run_is_single_job(spark, tmp_path):
+    """A fresh run must invoke the pipeline ONCE over the whole input (one
+    scan, partitionBy chunk write) — not once per chunk — and still commit
+    a lineage row for every chunk, including empty ones, so a later resume
+    is a no-op."""
+    turns = synth_transcripts(spark, n_turns=200, n_convs=3).cache()
+    out_dir, lin_dir = str(tmp_path / "o"), str(tmp_path / "l")
+    calls = []
+
+    def counting_pipe(df):
+        calls.append(1)
+        return pipe(df)
+
+    # 3 convs into 16 chunks → some chunks are necessarily empty
+    processed = run_with_checkpoints(
+        spark, turns, counting_pipe, out_dir, lin_dir, run_id="rf", n_chunks=16
+    )
+    assert len(calls) == 1
+    assert processed == list(range(16))
+    assert committed_chunks(spark, lin_dir, "rf") == list(range(16))
+    assert read_output(spark, out_dir).count() == turns.count()
+    # resume sees everything done — no pipeline invocation at all
+    assert run_with_checkpoints(
+        spark, turns, counting_pipe, out_dir, lin_dir, run_id="rf", n_chunks=16
+    ) == []
+    assert len(calls) == 1
+
+
 def test_lineage_metrics_rows(spark, tmp_path):
     turns = synth_transcripts(spark, n_turns=200, n_convs=6)
     out_dir, lin_dir = str(tmp_path / "o"), str(tmp_path / "l")
