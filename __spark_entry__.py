@@ -1158,6 +1158,173 @@ def o_pdf_word_punct_split():
 
 
 # ---------------------------------------------------------------------------
+# queries — HTML main-content extraction (DOM text-density heuristics)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic page wrapping each document's text in realistic
+# chrome: head with style/script (pre-stripped), nav/promo/aside/footer
+# (dropped by link density), a span-soup div (dropped by text density),
+# and an <article> whose h1/p blocks are substrings of the document text
+# (kept). Both engines build the SAME string, so the oracle exercises the
+# full extraction, not a planted answer.
+_HTML_TEMPLATE: list[tuple] = [
+    (
+        "lit",
+        '<html><head><title>Synthetic page</title>'
+        "<style>body{margin:0;color:#111}</style>"
+        '<script type="text/javascript">var t="tracking-beacon-0123456789";'
+        "</script></head><body>",
+    ),
+    (
+        "lit",
+        '<nav><ul><li><a href="/">Home</a></li>'
+        '<li><a href="/about">About us</a></li>'
+        '<li><a href="/contact">Contact</a></li></ul></nav>',
+    ),
+    ("lit", '<div class="promo"><a href="/buy">Buy now - limited time offer!</a></div>'),
+    ("lit", "<div>" + "".join(f"<span>{c}</span>" for c in "abcdefghijkl") + "</div>"),
+    ("lit", "<!-- ad slot 42 --><article><h1>"),
+    ("sub", 1, 60),
+    ("lit", "</h1><P>"),
+    ("sub", 61, 400),
+    ("lit", '</P><p>See <a href="/ref">the full report</a> for details. '),
+    ("sub", 461, 400),
+    ("lit", "</p></article>"),
+    ("lit", '<aside><a href="/r1">Related one</a> <a href="/r2">Related two</a></aside>'),
+    (
+        "lit",
+        '<footer>(c) 2026 Example Corp <a href="/terms">Terms</a> '
+        '<a href="/privacy">Privacy</a></footer></body></html>',
+    ),
+]
+
+
+def _html_page_spark() -> F.Column:
+    text = F.coalesce(F.col("text"), F.lit(""))
+    parts = [
+        F.lit(a[0]) if kind == "lit" else F.substring(text, a[0], a[1])
+        for kind, *a in _HTML_TEMPLATE
+    ]
+    return F.concat(*parts)
+
+
+def _html_page_sql() -> str:
+    parts = [
+        "'" + a[0].replace("'", "''") + "'"
+        if kind == "lit"
+        else f"substr(coalesce(text, ''), {a[0]}, {a[1]})"
+        for kind, *a in _HTML_TEMPLATE
+    ]
+    return " || ".join(parts)
+
+
+def q_html_main_content(spark, sf_dir):
+    """Boilerplate removal by DOM text-density (north-star HTML stage):
+    block segmentation + integer density/link-density thresholds, map-only
+    higher-order functions — see operators/html_extract.py."""
+    from doc_redaction_spark.operators.html_extract import extract_main_content
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select("doc_id", _html_page_spark().alias("html"))
+    out = extract_main_content(pages)
+    return out.select(
+        "doc_id",
+        "main_text",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
+def _html_oracle_cte() -> str:
+    from doc_redaction_spark.operators.html_extract import (
+        ANCHOR_PATTERN,
+        BLOCK_SPLIT_PATTERN,
+        LINK_DEN,
+        MIN_DENSITY,
+        MIN_TEXT_LEN,
+        PRESTRIP_PATTERN,
+        STRIP_PATTERN,
+        TAG_PATTERN,
+    )
+
+    return f"""
+    raw AS (SELECT doc_id, {_html_page_sql()} AS html FROM documents),
+    pre AS (SELECT doc_id,
+                   regexp_split_to_array(
+                       regexp_replace(html, '{_sq(PRESTRIP_PATTERN)}', ' ', 'g'),
+                       '{_sq(BLOCK_SPLIT_PATTERN)}') AS arr
+            FROM raw),
+    b AS (SELECT doc_id, len(arr) AS n_blocks,
+                 generate_subscripts(arr, 1) AS ord, unnest(arr) AS blk
+          FROM pre),
+    m AS (SELECT doc_id, n_blocks, ord,
+                 trim(regexp_replace(regexp_replace(blk,
+                      '{_sq(STRIP_PATTERN)}', ' ', 'g'), '\\s+', ' ', 'g')) AS txt,
+                 coalesce(list_aggregate(list_transform(
+                     regexp_extract_all(blk, '{_sq(ANCHOR_PATTERN)}', 1),
+                     anc -> length(regexp_replace(anc, '{_sq(STRIP_PATTERN)}', '', 'g'))),
+                     'sum'), 0) AS anchor_len,
+                 len(regexp_extract_all(blk, '{_sq(TAG_PATTERN)}')) AS tag_count
+          FROM b),
+    k AS (SELECT * FROM m
+          WHERE length(txt) >= {MIN_TEXT_LEN}
+            AND anchor_len * {LINK_DEN} <= length(txt)
+            AND length(txt) >= {MIN_DENSITY} * (1 + tag_count))
+    """
+
+
+def o_html_main_content():
+    return f"""
+    WITH {_html_oracle_cte()}
+    SELECT p.doc_id,
+           coalesce(agg.main_text, '') AS main_text,
+           len(p.arr) AS n_blocks,
+           coalesce(agg.n_kept, 0) AS n_kept
+    FROM pre p
+    LEFT JOIN (SELECT doc_id,
+                      string_agg(txt, chr(10) ORDER BY ord) AS main_text,
+                      count(*) AS n_kept
+               FROM k GROUP BY doc_id) agg USING (doc_id)
+    """
+
+
+def q_html_block_metrics(spark, sf_dir):
+    """Per-block density metrics (QA surface for the extraction spec)."""
+    from doc_redaction_spark.operators.html_extract import block_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select("doc_id", _html_page_spark().alias("html"))
+    m = block_metrics(pages)
+    return m.select(
+        "doc_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.col("text_len").cast("long").alias("text_len"),
+        F.col("anchor_len").cast("long").alias("anchor_len"),
+        F.col("tag_count").cast("long").alias("tag_count"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+def o_html_block_metrics():
+    from doc_redaction_spark.operators.html_extract import (
+        LINK_DEN,
+        MIN_DENSITY,
+        MIN_TEXT_LEN,
+    )
+
+    return f"""
+    WITH {_html_oracle_cte()}
+    SELECT doc_id, ord - 1 AS block_idx, length(txt) AS text_len,
+           anchor_len, tag_count,
+           CAST(length(txt) >= {MIN_TEXT_LEN}
+                AND anchor_len * {LINK_DEN} <= length(txt)
+                AND length(txt) >= {MIN_DENSITY} * (1 + tag_count)
+                AS INTEGER) AS kept
+    FROM m
+    """
+
+
+# ---------------------------------------------------------------------------
 # queries — consecutive-duplicate islands over transcripts
 # ---------------------------------------------------------------------------
 
@@ -1899,6 +2066,8 @@ _QUERIES: dict[str, Callable] = {
     "embedding_ivf": q_embedding_ivf,
     "pdf_chars_to_words": q_pdf_chars_to_words,
     "pdf_word_punct_split": q_pdf_word_punct_split,
+    "html_main_content": q_html_main_content,
+    "html_block_metrics": q_html_block_metrics,
     "words_to_lines_rollup": q_words_to_lines_rollup,
     "reading_order_lines": q_reading_order_lines,
     "island_runs": q_island_runs,
@@ -1954,6 +2123,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dedup_embedding_cosine": o_dedup_embedding_cosine,
     "pdf_chars_to_words": o_pdf_chars_to_words,
     "pdf_word_punct_split": o_pdf_word_punct_split,
+    "html_main_content": o_html_main_content,
+    "html_block_metrics": o_html_block_metrics,
     "words_to_lines_rollup": o_words_to_lines_rollup,
     "reading_order_lines": o_reading_order_lines,
     "reading_order_columns": o_reading_order_columns,

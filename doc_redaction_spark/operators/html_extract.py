@@ -1,0 +1,199 @@
+"""HTML main-content extraction via DOM text-density heuristics.
+
+The reference strips HTML with a flat regex battery
+(``/root/reference/tools/helper_functions.py`` CUSTOM_BOX / html patterns
+used by the clean stage — mirrored here in ``functions/clean.py``). For
+web-scale transcript extraction a flat tag-strip keeps navigation chrome,
+ads, and footers in the "clean" text; this module adds the classic
+boilerplate-removal step (Boilerpipe / CETD-style text density,
+Kohlschütter et al. 2010, Sun et al. 2011) as a **map-only native Spark
+plan** — block segmentation + per-block density scoring with higher-order
+functions, no UDF, no shuffle:
+
+1. pre-strip ``<script>``/``<style>`` elements and HTML comments;
+2. split the page into blocks at block-level tag boundaries
+   (``p/div/h1-6/li/table/…`` — the DOM-block analog without a parser);
+3. per block compute, in pure integer arithmetic (bit-exact across
+   Spark / DuckDB / Python — the repo's three-dialect invariant):
+   * ``text_len``   — length of the tag+entity-stripped,
+     whitespace-collapsed, trimmed block text,
+   * ``tag_count``  — remaining inline tags in the block,
+   * ``anchor_len`` — total stripped length of ``<a>…</a>`` inner text;
+4. keep a block iff
+   * ``text_len >= min_text_len``                      (substance)
+   * ``anchor_len * link_den <= text_len``             (link density ≤ 1/link_den)
+   * ``text_len >= min_density * (1 + tag_count)``     (text density)
+5. main content = kept block texts joined with ``\\n`` in document order.
+
+Every pattern/threshold below is the single source of truth; the DuckDB
+oracle (``__spark_entry__.o_html_main_content``) and the pure-Python
+golden (``extract_main_content_py``, used by the 3-way test) render the
+SAME constants. Patterns stay in the Java/RE2/Python-``re`` common
+subset: inline ``(?i)``/``(?is)`` flags, lazy quantifiers, no lookaround.
+
+Scale shape: one projection over the corpus — whole-stage codegen
+friendly, zero shuffle, anchors/blocks bounded per document. At 100 TB
+this is embarrassingly parallel; the only knob is input split size.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- pattern spec (ONE home; rendered to Spark/DuckDB/Python) -------------
+
+# script/style elements and comments vanish wholesale before block split
+PRESTRIP_PATTERN = (
+    r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->"
+)
+
+# block-level boundaries — the DOM-block analog of a parser's block nodes
+BLOCK_SPLIT_PATTERN = (
+    r"(?i)</?(?:html|head|body|title|meta|link|p|div|h[1-6]|li|ul|ol|dl|dt|dd"
+    r"|table|thead|tbody|tfoot|tr|td|th|article|section|main|header|footer"
+    r"|nav|aside|blockquote|pre|form|fieldset|hr|br)\b[^>]*>"
+)
+
+# inline tag or HTML entity → stripped from text (entities count as noise,
+# same class as functions/clean.py HTML_PATTERN)
+STRIP_PATTERN = r"(?i)<[^>]*>|&(?:[a-z0-9]+|#[0-9]{1,6}|#x[0-9a-f]{1,6});"
+
+# remaining inline tags (density denominator)
+TAG_PATTERN = r"<[^>]*>"
+
+# anchor inner text (group 1) — link-density numerator
+ANCHOR_PATTERN = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+WS_PATTERN = r"\s+"
+
+# --- thresholds (integers only — cross-engine bit-exact) -------------------
+
+MIN_TEXT_LEN = 20  # blocks shorter than this are chrome
+LINK_DEN = 3  # keep iff anchor_len * 3 <= text_len (≤ 1/3 links)
+MIN_DENSITY = 8  # keep iff text_len >= 8 * (1 + tag_count)
+
+
+def extract_main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    min_text_len: int = MIN_TEXT_LEN,
+    link_den: int = LINK_DEN,
+    min_density: int = MIN_DENSITY,
+) -> DataFrame:
+    """Add ``main_text`` / ``n_blocks`` / ``n_kept`` columns.
+
+    Map-only: split → transform(score) → filter → array_join, all native
+    higher-order functions (distinct lambda param names per scope — Spark 4
+    cross-binds same-named vars across sibling lambdas).
+    """
+    pre = F.regexp_replace(F.col(html_col), PRESTRIP_PATTERN, " ")
+    blocks = F.split(pre, BLOCK_SPLIT_PATTERN)
+
+    def _score(blk: Column) -> Column:
+        txt = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(blk, STRIP_PATTERN, " "), WS_PATTERN, " "
+            )
+        )
+        anchor_len = F.aggregate(
+            F.regexp_extract_all(blk, F.lit(ANCHOR_PATTERN), 1),
+            F.lit(0),
+            lambda acc, anc: acc
+            + F.length(F.regexp_replace(anc, STRIP_PATTERN, "")),
+        )
+        return F.struct(
+            txt.alias("txt"),
+            F.length(txt).alias("text_len"),
+            anchor_len.alias("anchor_len"),
+            F.size(F.regexp_extract_all(blk, F.lit(TAG_PATTERN), 0)).alias(
+                "tag_count"
+            ),
+        )
+
+    def _keep(s: Column) -> Column:
+        return (
+            (s["text_len"] >= F.lit(min_text_len))
+            & (s["anchor_len"] * F.lit(link_den) <= s["text_len"])
+            & (s["text_len"] >= F.lit(min_density) * (F.lit(1) + s["tag_count"]))
+        )
+
+    out = df.withColumn("_scored", F.transform(blocks, _score))
+    out = out.withColumn("_kept", F.filter(F.col("_scored"), _keep))
+    return (
+        out.withColumn(
+            "main_text",
+            F.array_join(F.transform(F.col("_kept"), lambda kb: kb["txt"]), "\n"),
+        )
+        .withColumn("n_blocks", F.size(F.col("_scored")))
+        .withColumn("n_kept", F.size(F.col("_kept")))
+        .drop("_scored", "_kept")
+    )
+
+
+def block_metrics(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Explode per-block metrics (inspection / QA surface): one row per
+    block with ``block_idx, text_len, anchor_len, tag_count, kept``.
+
+    Same spec as :func:`extract_main_content`; the explode is bounded by
+    blocks-per-document, and the plan stays shuffle-free (posexplode is a
+    generator, not an exchange)."""
+    pre = F.regexp_replace(F.col(html_col), PRESTRIP_PATTERN, " ")
+    blocks = F.split(pre, BLOCK_SPLIT_PATTERN)
+    others = [c for c in df.columns if c != html_col]
+    ex = df.select(*others, F.posexplode(blocks).alias("block_idx", "_blk"))
+    txt = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_blk"), STRIP_PATTERN, " "), WS_PATTERN, " "
+        )
+    )
+    anchor_len = F.aggregate(
+        F.regexp_extract_all(F.col("_blk"), F.lit(ANCHOR_PATTERN), 1),
+        F.lit(0),
+        lambda acc2, anc2: acc2
+        + F.length(F.regexp_replace(anc2, STRIP_PATTERN, "")),
+    )
+    tag_count = F.size(F.regexp_extract_all(F.col("_blk"), F.lit(TAG_PATTERN), 0))
+    m = (
+        ex.withColumn("text_len", F.length(txt))
+        .withColumn("anchor_len", anchor_len)
+        .withColumn("tag_count", tag_count)
+        .drop("_blk")
+    )
+    kept = (
+        (F.col("text_len") >= MIN_TEXT_LEN)
+        & (F.col("anchor_len") * LINK_DEN <= F.col("text_len"))
+        & (F.col("text_len") >= MIN_DENSITY * (1 + F.col("tag_count")))
+    )
+    return m.withColumn("kept", kept)
+
+
+# --- pure-Python golden rendering (3-way test harness) ---------------------
+
+
+def extract_main_content_py(
+    html: str,
+    min_text_len: int = MIN_TEXT_LEN,
+    link_den: int = LINK_DEN,
+    min_density: int = MIN_DENSITY,
+) -> str:
+    """Reference rendering of the same spec with Python ``re`` — used by
+    tests to pin Spark (Java regex) and DuckDB (RE2) to one semantics."""
+    pre = re.sub(PRESTRIP_PATTERN, " ", html)
+    kept: list[str] = []
+    for blk in re.split(BLOCK_SPLIT_PATTERN, pre):
+        txt = re.sub(WS_PATTERN, " ", re.sub(STRIP_PATTERN, " ", blk)).strip()
+        anchor_len = sum(
+            len(re.sub(STRIP_PATTERN, "", a))
+            for a in re.findall(ANCHOR_PATTERN, blk)
+        )
+        tag_count = len(re.findall(TAG_PATTERN, blk))
+        if (
+            len(txt) >= min_text_len
+            and anchor_len * link_den <= len(txt)
+            and len(txt) >= min_density * (1 + tag_count)
+        ):
+            kept.append(txt)
+    return "\n".join(kept)

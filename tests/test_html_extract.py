@@ -1,0 +1,115 @@
+"""HTML main-content extraction (DOM text-density boilerplate removal).
+
+3-way pinning: the Spark plan (Java regex), the pure-Python rendering of
+the same spec (`extract_main_content_py`), and hand-computed expectations;
+the DuckDB (RE2) side is pinned by the driver oracle + tools_selfcheck.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.html_extract import (
+    LINK_DEN,
+    MIN_DENSITY,
+    MIN_TEXT_LEN,
+    block_metrics,
+    extract_main_content,
+    extract_main_content_py,
+)
+
+ARTICLE = (
+    "The committee met on Tuesday to review the annual budget proposal "
+    "and approved seven of the nine items on the published agenda."
+)
+
+PAGE = (
+    '<html><head><title>T</title><style>p{color:red}</style>'
+    '<script>var x = "a very long tracking payload 0123456789";</script></head>'
+    "<body>"
+    '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+    "<article><h1>Budget review outcome</h1>"
+    f"<p>{ARTICLE}</p>"
+    '<p>Read <a href="/r">the minutes</a> for the full roll-call vote record.</p>'
+    "</article>"
+    '<footer>(c) 2026 <a href="/t">Terms</a> <a href="/p">Privacy</a></footer>'
+    "</body></html>"
+)
+
+
+def _spark_extract(spark, html):
+    df = spark.createDataFrame([(html,)], "html string")
+    return extract_main_content(df).select("main_text", "n_kept").first()
+
+
+def test_keeps_article_drops_chrome(spark):
+    row = _spark_extract(spark, PAGE)
+    got = row.main_text.split("\n")
+    assert got[0] == "Budget review outcome"
+    assert got[1] == ARTICLE
+    assert got[2] == "Read the minutes for the full roll-call vote record."
+    assert len(got) == 3  # nav/footer/title/script/style all dropped
+    assert row.n_kept == 3
+
+
+def test_matches_python_rendering(spark):
+    assert _spark_extract(spark, PAGE).main_text == extract_main_content_py(PAGE)
+
+
+@pytest.mark.parametrize(
+    "html,expect",
+    [
+        # link-density prong: long enough text but all anchor
+        ('<div><a href="/x">' + "buy " * 10 + "</a></div>", ""),
+        # density prong: >=20 chars but drowned in inline tags
+        ("<div>" + "".join(f"<b>{c}</b>" for c in "abcdefghijklmnopqrstu") + "</div>", ""),
+        # min-length prong
+        ("<p>too short</p>", ""),
+        # entities stripped before measuring; plain text long enough kept
+        ("<p>alpha&nbsp;beta&#160;gamma delta epsilon zeta</p>",
+         "alpha beta gamma delta epsilon zeta"),
+        # mixed-case block tags + <BR/> split
+        ("<P>The quick brown fox jumps over the lazy dog twice.</P>",
+         "The quick brown fox jumps over the lazy dog twice."),
+        # script content never leaks even when long
+        ('<script>console.log("' + "x" * 100 + '")</script><p>'
+         "A real paragraph of genuine readable content here.</p>",
+         "A real paragraph of genuine readable content here."),
+    ],
+)
+def test_prongs(spark, html, expect):
+    assert _spark_extract(spark, html).main_text == expect
+    assert extract_main_content_py(html) == expect
+
+
+def test_anchor_text_is_kept_in_output(spark):
+    html = '<p>Start words here <a href="/x">kept anchor</a> and many more trailing words to pass.</p>'
+    out = _spark_extract(spark, html).main_text
+    assert "kept anchor" in out
+
+
+def test_block_metrics_consistent_with_thresholds(spark):
+    df = spark.createDataFrame([("d1", PAGE)], "doc_id string, html string")
+    rows = block_metrics(df).collect()
+    for r in rows:
+        manual = (
+            r.text_len >= MIN_TEXT_LEN
+            and r.anchor_len * LINK_DEN <= r.text_len
+            and r.text_len >= MIN_DENSITY * (1 + r.tag_count)
+        )
+        assert r.kept == manual
+    assert sum(r.kept for r in rows) == 3
+
+
+def test_plan_is_map_only(spark):
+    """The extraction must be a single projection — no Exchange, no UDF."""
+    df = spark.createDataFrame([(PAGE,)], "html string")
+    plan = extract_main_content(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no pandas/py UDF on this path
+
+
+def test_empty_and_null_html(spark):
+    df = spark.createDataFrame([("",), (None,)], "html string")
+    df = df.withColumn("html", F.coalesce("html", F.lit("")))
+    out = extract_main_content(df).select("main_text", "n_kept").collect()
+    assert all(r.main_text == "" and r.n_kept == 0 for r in out)
