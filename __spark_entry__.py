@@ -1802,10 +1802,15 @@ def o_fuzzy_deny():
 
 
 def q_reading_order_columns(spark, sf_dir):
-    """Column-aware reading order over a deterministic two-column layout
-    (even lines left, odd right). The synthetic geometry makes the gutter
-    decision CASE-expressible, so the per-page heuristic is oracled."""
-    from doc_redaction_spark.operators.layout import reading_order_columns
+    """Full N-column reading order (operators/reading_order.py) over a
+    deterministic two-column layout (even lines left, odd right). The
+    synthetic geometry makes every gate of the reference algorithm
+    CASE-expressible: each text row is a left/right pair with a 0.15
+    gutter (≥ the 0.08 page-fraction threshold), rows are 0.04 apart
+    (≤ the 0.1 consecutive-cluster gap) and start at 0.05 (above the
+    0.75 footer zone), so column mode triggers iff the page has ≥3
+    complete pairs (the min-gutter-rows gate) — i.e. ≥6 lines."""
+    from doc_redaction_spark.operators.reading_order import reading_order_ncolumns
 
     lines = ol.words_to_lines(_words_df(spark, sf_dir))
     # re-layout deterministic two-column pages: even lines left, odd right
@@ -1818,15 +1823,17 @@ def q_reading_order_columns(spark, sf_dir):
         F.lit(0.35).alias("width"),
         F.lit(0.02).alias("height"),
     )
-    return reading_order_columns(two_col).select("page", "line", "line_no")
+    return reading_order_ncolumns(two_col).select("page", "line", "line_no")
 
 
 def o_reading_order_columns():
-    # fixture geometry: no headers (width 0.35 < 0.85); any page with ≥4
-    # lines has ≥2 even and ≥2 odd lines, a 0.5 gutter between left-edge
-    # clusters {0.05, 0.55}, and both split sides ≥2 → column-major order
-    # (even lines by top, then odd lines); pages with <4 lines sort
-    # single-column (top,left) = line order
+    # fixture geometry: no full-span boxes (width 0.35 < 0.6); line i sits
+    # in row i//2 (top 0.05+0.04*row), even lines left (0.05), odd right
+    # (0.55). A complete pair is a gutter row (gap 0.15 ≥ 0.08); pairs =
+    # n//2; column mode iff n//2 ≥ 3 (min_gutter_rows). In column mode the
+    # split x=0.475 applies from the first row, no box spans it → even
+    # lines (col 0) by top, then odd (col 1). Otherwise (top,left) = line
+    # order.
     return f"""
     WITH words AS ({_WORDS_SQL}),
     lines AS (SELECT page, line FROM words GROUP BY page, line),
@@ -1834,10 +1841,71 @@ def o_reading_order_columns():
                    sum(CASE WHEN line % 2 = 0 THEN 1 ELSE 0 END) AS n_even
             FROM lines GROUP BY page)
     SELECT l.page, l.line,
-           CAST(CASE WHEN c.n >= 4 THEN
+           CAST(CASE WHEN c.n // 2 >= 3 THEN
                   CASE WHEN l.line % 2 = 0 THEN l.line // 2 + 1
                        ELSE c.n_even + (l.line - 1) // 2 + 1 END
                 ELSE l.line + 1 END AS INTEGER) AS line_no
+    FROM lines l JOIN cnt c USING (page)
+    """
+
+
+def q_reading_order_3col(spark, sf_dir):
+    """N-column reading order on a 3-column + full-width-header layout:
+    line 0 is a full-span header (width 0.9 ≥ 0.6); body line ℓ sits in
+    column (ℓ-1)%3 at left 0.05+0.33*col (width 0.24 → gutters 0.09) and
+    row (ℓ-1)//3 (top 0.1+0.05*row). Exercises full-span hoisting, the
+    two split points, and the sub-gutter run gates of the reference
+    algorithm (ocr_reading_order.py:283-420,535-590)."""
+    from doc_redaction_spark.operators.reading_order import reading_order_ncolumns
+
+    lines = ol.words_to_lines(_words_df(spark, sf_dir))
+    r = F.col("line") - 1
+    three_col = lines.select(
+        "page",
+        "line",
+        F.when(F.col("line") == 0, 0.05)
+        .otherwise(0.05 + (r % 3).cast("double") * 0.33)
+        .alias("left"),
+        F.when(F.col("line") == 0, 0.02)
+        .otherwise(F.round(0.1 + (r / 3).cast("int") * 0.05, 4))
+        .alias("top"),
+        F.when(F.col("line") == 0, 0.90).otherwise(0.24).alias("width"),
+        F.lit(0.02).alias("height"),
+    )
+    return reading_order_ncolumns(three_col).select("page", "line", "line_no")
+
+
+def o_reading_order_3col():
+    # nb = n-1 body lines; body line ℓ: r=ℓ-1, col=r%3, row=r//3.
+    # gutter rows (≥2 boxes in row) g = nb//3 + (nb%3=2); column mode iff
+    # g ≥ 3 ⟺ nb ≥ 8. Split 1 (x=0.335) qualifies with column mode
+    # (same rows); split 2 (x=0.665) needs ≥3 FULL rows ⟺ nb ≥ 9.
+    # nb ≥ 9: header, col0 (r%3=0), col1 (r%3=1), col2 (r%3=2), each by
+    #   top; col c count = (nb - c + 2) // 3.
+    # nb = 8: header, col0 (r%3=0, 3 lines), then the rest by (row, col):
+    #   idx = 2*row + (col-1).
+    # nb ≤ 7: single-column (top,left): header (top 0.02) first, body in
+    #   (row, col) = line order → line_no = line + 1.
+    return f"""
+    WITH words AS ({_WORDS_SQL}),
+    lines AS (SELECT page, line FROM words GROUP BY page, line),
+    cnt AS (SELECT page, count(*) AS n FROM lines GROUP BY page)
+    SELECT l.page, l.line,
+           CAST(CASE
+             WHEN c.n - 1 >= 9 THEN
+               CASE WHEN l.line = 0 THEN 1
+                    WHEN (l.line - 1) % 3 = 0 THEN 2 + (l.line - 1) // 3
+                    WHEN (l.line - 1) % 3 = 1 THEN
+                         2 + (c.n + 1) // 3 + (l.line - 1) // 3
+                    ELSE 2 + (c.n + 1) // 3 + (c.n) // 3 + (l.line - 1) // 3
+               END
+             WHEN c.n - 1 = 8 THEN
+               CASE WHEN l.line = 0 THEN 1
+                    WHEN (l.line - 1) % 3 = 0 THEN 2 + (l.line - 1) // 3
+                    ELSE 2 + 3 + 2 * ((l.line - 1) // 3) + ((l.line - 1) % 3 - 1)
+               END
+             ELSE l.line + 1
+           END AS INTEGER) AS line_no
     FROM lines l JOIN cnt c USING (page)
     """
 
@@ -2087,6 +2155,7 @@ _QUERIES: dict[str, Callable] = {
     "deny_list_aho": q_deny_list_aho,
     "fuzzy_deny": q_fuzzy_deny,
     "reading_order_columns": q_reading_order_columns,
+    "reading_order_3col": q_reading_order_3col,
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
@@ -2128,6 +2197,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "words_to_lines_rollup": o_words_to_lines_rollup,
     "reading_order_lines": o_reading_order_lines,
     "reading_order_columns": o_reading_order_columns,
+    "reading_order_3col": o_reading_order_3col,
     "island_runs": o_island_runs,
     "transcripts_spans": o_transcripts_spans,
     "redact_pseudonym_email": o_redact_pseudonym_email,

@@ -5,7 +5,9 @@ Reference semantics:
   order, bbox = (min x0, min y0, max x1, max y1), conf = mean word conf
   (``/root/reference/tools/file_conversion.py:946-979``).
 * reading order (single-column mode): sort lines by (top, left), renumber
-  1..n (``tools/ocr_reading_order.py:266-280``, ``:1143-1146``).
+  1..n (``tools/ocr_reading_order.py:266-280``, ``:1143-1146``). The full
+  N-column/gutter/split-point algorithm lives in
+  ``operators/reading_order.py``.
 
 Both are pure groupBy/window plans — shuffle on (doc, page), which is the
 natural partition key for document corpora.
@@ -40,53 +42,6 @@ def reading_order(lines: DataFrame, page_col: str = "page") -> DataFrame:
     """Renumber lines 1..n per page in (top, left) reading order."""
     w = Window.partitionBy(page_col).orderBy("top", "left")
     return lines.withColumn("line_no", F.row_number().over(w).cast("int"))
-
-
-def reading_order_columns(lines: DataFrame, page_col: str = "page") -> DataFrame:
-    """Column-aware reading order (reference ``tools/ocr_reading_order.py``:
-    column detection :140-232, sort :535-590 — single + two-column subset).
-
-    Per page (applyInPandas — gutter detection needs every box of the
-    page, the one grouping in this engine that is genuinely per-unit):
-    1. full-span lines (width ≥ 0.85 of page) are headers → emitted first
-       in (top, left) order;
-    2. remaining lines: if their left edges split into two clusters
-       separated by a gutter ≥ 0.15 with ≥2 lines each, read column-major
-       (left column fully, then right), else single-column (top, left).
-    Output: input columns + ``line_no`` (1-based per page).
-
-    Skew note: pages are small bounded units (≤ a few thousand lines), so
-    per-page grouping cannot pin an executor the way per-conversation
-    grouping can; partitioning is hash(page).
-    """
-    import pandas as pd
-
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in lines.schema.fields
-    ) + ", line_no int"
-
-    def order_page(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.copy()
-        is_header = pdf["width"] >= 0.85
-        headers = pdf[is_header].sort_values(["top", "left"])
-        body = pdf[~is_header]
-        if len(body) >= 4:
-            lefts = body["left"].sort_values().to_numpy()
-            gaps = lefts[1:] - lefts[:-1]
-            gi = int(gaps.argmax()) if len(gaps) else -1
-            if gi >= 0 and gaps[gi] >= 0.15 and 2 <= gi + 1 <= len(lefts) - 2:
-                split = (lefts[gi] + lefts[gi + 1]) / 2.0
-                body = body.assign(_col=(body["left"] > split).astype(int))
-                body = body.sort_values(["_col", "top", "left"]).drop(columns="_col")
-            else:
-                body = body.sort_values(["top", "left"])
-        else:
-            body = body.sort_values(["top", "left"])
-        ordered = pd.concat([headers, body], ignore_index=True)
-        ordered["line_no"] = range(1, len(ordered) + 1)
-        return ordered
-
-    return lines.groupBy(page_col).applyInPandas(order_page, out_schema)
 
 
 def lines_to_words(lines: DataFrame) -> DataFrame:

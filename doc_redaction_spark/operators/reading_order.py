@@ -1,0 +1,300 @@
+"""Full N-column reading order (reference parity).
+
+Re-expresses ``/root/reference/tools/ocr_reading_order.py`` — column-mode
+gating (:140-232), split-point detection (:283-420), layout assignment +
+centre-gap fallback (:418-535), and the final full-span-first column-major
+sort (:535-590) — as a per-page pandas kernel under ``applyInPandas``.
+
+Semantics implemented (thresholds = the reference config defaults,
+``tools/config.py:1350-1421``):
+
+1. **Full-span boxes** (width ≥ 0.6 × page width) are layout headers —
+   excluded from column detection and emitted first.
+2. **Column-mode gate**: group non-full-span, non-tall boxes into text
+   rows (top within a y-threshold), find rows with a horizontal gap
+   ≥ max(0.08 × page width, 0.2 × median box width); column mode is ON
+   only when ≥ 3 such gutter rows form a consecutive vertical cluster
+   (y-gap ≤ 0.1 × page height) whose top is above the footer zone
+   (0.75 × page height).
+3. **Split points**: collect ALL gaps ≥ max(0.03 × page width, 0.05 ×
+   median width), cluster by gap midpoint (tolerance 0.06 × page width),
+   and for each x-cluster take the longest consecutive run; a qualifying
+   run yields ``split_x = (max right edge + min next-left edge) / 2`` — a
+   stable midpoint — and ``y_min`` = the run's topmost row: splits apply
+   only to boxes at or below ``y_min``.
+4. **Assignment**: a box extending ≥ 0.01 × page width past BOTH sides of
+   an active split is full-span; otherwise its column index = number of
+   active splits at or left of its x-center.
+5. **Fallback** (column mode on, no split points): centre-gap clustering
+   of x-centers with rolling-max cluster edges; boxes wider than
+   max(0.2 × page width, 1.25 × median width) bridge columns → full-span.
+6. **Order**: full-span boxes by (top, left), then each column 0..N-1 by
+   (top, left). Non-column pages sort everything by (top, left) — no
+   header hoisting (reference: letters/memos would misorder).
+
+Spark shape: ``groupBy(page keys).applyInPandas`` — detection needs every
+box of a page, and pages are small bounded units (≤ a few thousand
+lines), so hash partitioning by page is skew-free and embarrassingly
+parallel at corpus scale; there is exactly one shuffle, on the natural
+page key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+FULL_SPAN_WIDTH_RATIO = 0.6
+COLUMN_GUTTER_MIN_FRACTION = 0.08
+COLUMN_SUBGUTTER_MIN_FRACTION = 0.03
+COLUMN_MIN_GUTTER_ROWS = 3
+COLUMN_MAX_BOX_HEIGHT_RATIO = 4.0
+COLUMN_MAX_CONSECUTIVE_GUTTER_GAP = 0.1
+COLUMN_FOOTER_ZONE_FRACTION = 0.75
+COLUMN_GAP_MIN_FRACTION = 0.08
+LINE_Y_THRESHOLD_FRACTION = 0.013
+LINE_Y_THRESHOLD_MIN_PX = 12.0
+X_CLUSTER_TOLERANCE_FRACTION = 0.06
+SPAN_MARGIN_FRACTION = 0.01
+
+
+def _y_threshold(page_w: float, page_h: float, heights: np.ndarray) -> float:
+    from_fraction = LINE_Y_THRESHOLD_FRACTION * page_h
+    from_median = 0.5 * float(np.median(heights)) if len(heights) else 0.0
+    if page_w <= 2.0 and page_h <= 2.0:  # normalized 0-1 coordinates
+        return max(from_fraction, from_median, 0.001)
+    return max(LINE_Y_THRESHOLD_MIN_PX, from_fraction, from_median)
+
+
+def _text_rows(tops: np.ndarray, order: np.ndarray, y_thresh: float) -> list[np.ndarray]:
+    """Indices grouped into rows: boxes joining a row while their top is
+    within y_thresh of the row's FIRST box (reference row grouping)."""
+    rows: list[np.ndarray] = []
+    i = 0
+    while i < len(order):
+        j = i + 1
+        row_top = tops[order[i]]
+        while j < len(order) and tops[order[j]] - row_top <= y_thresh:
+            j += 1
+        rows.append(order[i:j])
+        i = j
+    return rows
+
+
+def _gutter_observations(
+    rows: list[np.ndarray],
+    lefts: np.ndarray,
+    rights: np.ndarray,
+    tops: np.ndarray,
+    gutter_min: float,
+    first_per_row: bool,
+) -> list[tuple[float, float, float]]:
+    """(row_top, right_edge, next_left) for qualifying horizontal gaps."""
+    obs: list[tuple[float, float, float]] = []
+    for row in rows:
+        if len(row) < 2:
+            continue
+        row_top = float(tops[row].min())
+        by_left = row[np.argsort(lefts[row], kind="stable")]
+        for a, b in zip(by_left[:-1], by_left[1:]):
+            r, nl = float(rights[a]), float(lefts[b])
+            if nl >= r and (nl - r) + 1e-6 >= gutter_min:
+                obs.append((row_top, r, nl))
+                if first_per_row:
+                    break
+    return obs
+
+
+def _consecutive_run_ok(
+    tops: list[float], max_gap: float, footer_start: float
+) -> tuple[int, int] | None:
+    """Longest-first scan: first consecutive run (gap ≤ max_gap) with
+    ≥ MIN_GUTTER_ROWS members topping above the footer zone; returns the
+    (start, end) indices into the sorted tops, else None."""
+    i = 0
+    while i < len(tops):
+        j = i
+        while j + 1 < len(tops) and tops[j + 1] - tops[j] <= max_gap:
+            j += 1
+        if j - i + 1 >= COLUMN_MIN_GUTTER_ROWS and tops[i] < footer_start:
+            return i, j
+        i = j + 1
+    return None
+
+
+def _column_body(
+    lefts, tops, widths, heights, page_w
+) -> np.ndarray | None:
+    """Indices of boxes eligible for column analysis: not full-span, not
+    abnormally tall. None when fewer than 2 remain."""
+    body = np.flatnonzero(widths / page_w < FULL_SPAN_WIDTH_RATIO)
+    if len(body) < 2:
+        return None
+    max_h = COLUMN_MAX_BOX_HEIGHT_RATIO * float(np.median(heights[body]))
+    body = body[heights[body] <= max_h]
+    return body if len(body) >= 2 else None
+
+
+def _has_columns(lefts, tops, widths, heights, page_w, page_h) -> bool:
+    body = _column_body(lefts, tops, widths, heights, page_w)
+    if body is None:
+        return False
+    y_thresh = _y_threshold(page_w, page_h, heights[body])
+    gutter_min = max(
+        COLUMN_GUTTER_MIN_FRACTION * page_w,
+        0.2 * float(np.median(widths[body])),
+    )
+    order = body[np.lexsort((lefts[body], tops[body]))]
+    rows = _text_rows(tops, order, y_thresh)
+    obs = _gutter_observations(
+        rows, lefts, lefts + widths, tops, gutter_min, first_per_row=True
+    )
+    if len(obs) < COLUMN_MIN_GUTTER_ROWS:
+        return False
+    gutter_tops = sorted(o[0] for o in obs)
+    run = _consecutive_run_ok(
+        gutter_tops,
+        COLUMN_MAX_CONSECUTIVE_GUTTER_GAP * page_h,
+        COLUMN_FOOTER_ZONE_FRACTION * page_h,
+    )
+    return run is not None
+
+
+def _split_xpoints(
+    lefts, tops, widths, heights, page_w, page_h
+) -> list[tuple[float, float]]:
+    """Sorted (split_x, y_min) pairs — stable midpoints of qualifying
+    gutter-observation clusters (reference detect_column_split_xpoints)."""
+    body = _column_body(lefts, tops, widths, heights, page_w)
+    if body is None:
+        return []
+    y_thresh = _y_threshold(page_w, page_h, heights[body])
+    gutter_min = max(
+        COLUMN_SUBGUTTER_MIN_FRACTION * page_w,
+        0.05 * float(np.median(widths[body])),
+    )
+    order = body[np.lexsort((lefts[body], tops[body]))]
+    rows = _text_rows(tops, order, y_thresh)
+    obs = _gutter_observations(
+        rows, lefts, lefts + widths, tops, gutter_min, first_per_row=False
+    )
+    if len(obs) < COLUMN_MIN_GUTTER_ROWS:
+        return []
+
+    # cluster observations by gap midpoint
+    x_tol = X_CLUSTER_TOLERANCE_FRACTION * page_w
+    by_mid = sorted(obs, key=lambda o: (o[1] + o[2]) / 2.0)
+    clusters: list[list[tuple[float, float, float]]] = [[by_mid[0]]]
+    for o in by_mid[1:]:
+        prev = clusters[-1][-1]
+        if (o[1] + o[2]) / 2.0 - (prev[1] + prev[2]) / 2.0 <= x_tol:
+            clusters[-1].append(o)
+        else:
+            clusters.append([o])
+
+    max_gap = COLUMN_MAX_CONSECUTIVE_GUTTER_GAP * page_h
+    footer_start = COLUMN_FOOTER_ZONE_FRACTION * page_h
+    out: list[tuple[float, float]] = []
+    for cl in clusters:
+        ctops = sorted(o[0] for o in cl)
+        run = _consecutive_run_ok(ctops, max_gap, footer_start)
+        if run is None:
+            continue
+        lo, hi = ctops[run[0]], ctops[run[1]]
+        in_run = [o for o in cl if lo <= o[0] <= hi]
+        split = (max(o[1] for o in in_run) + min(o[2] for o in in_run)) / 2.0
+        out.append((split, lo))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def _assign_columns(
+    lefts, tops, widths, heights, page_w, page_h
+) -> np.ndarray:
+    """Column index per box: -1 full-span, else 0..N-1. Implements the
+    primary split-point path and the centre-gap clustering fallback.
+    Caller gates on ``_has_columns`` (column mode already confirmed)."""
+    n = len(lefts)
+    col = np.zeros(n, dtype=np.int64)
+    full = widths / page_w >= FULL_SPAN_WIDTH_RATIO
+    col[full] = -1
+    cand = np.flatnonzero(~full)
+    if len(cand) == 0:
+        return col
+
+    splits = _split_xpoints(lefts, tops, widths, heights, page_w, page_h)
+    if splits:
+        margin = SPAN_MARGIN_FRACTION * page_w
+        for i in cand:
+            left, right = lefts[i], lefts[i] + widths[i]
+            center = lefts[i] + widths[i] / 2.0
+            active = [x for x, y_min in splits if tops[i] >= y_min]
+            if any(left < x - margin and right > x + margin for x in active):
+                col[i] = -1
+            else:
+                col[i] = sum(1 for x in active if center >= x)
+        return col
+
+    # fallback: centre-gap clustering with rolling-max cluster edge
+    median_w = float(np.median(widths[cand]))
+    bridge = max(0.2 * page_w, 1.25 * median_w)
+    wide = cand[widths[cand] > bridge]
+    col[wide] = -1
+    narrow = cand[widths[cand] <= bridge]
+    if len(narrow) == 0:
+        return col
+    gap_min = max(COLUMN_GAP_MIN_FRACTION * page_w, 1.2 * median_w)
+    by_c = narrow[np.argsort(lefts[narrow] + widths[narrow] / 2.0, kind="stable")]
+    cluster_id = np.zeros(len(by_c), dtype=np.int64)
+    cur, cur_max = 0, float(lefts[by_c[0]] + widths[by_c[0]] / 2.0)
+    for k in range(1, len(by_c)):
+        c = float(lefts[by_c[k]] + widths[by_c[k]] / 2.0)
+        if c - cur_max > gap_min:
+            cur += 1
+            cur_max = c
+        else:
+            cur_max = max(cur_max, c)
+        cluster_id[k] = cur
+    # order clusters left-to-right by mean center (ids are already built
+    # in ascending-center order, so they are the column indices)
+    col[by_c] = cluster_id
+    return col
+
+
+def order_page_boxes(pdf: pd.DataFrame, page_w: float = 1.0, page_h: float = 1.0) -> pd.DataFrame:
+    """Pure per-page kernel: returns ``pdf`` reordered for reading with a
+    1-based ``line_no`` column. Column mode per the module docstring;
+    non-column pages sort everything by (top, left)."""
+    lefts = pdf["left"].to_numpy(dtype=np.float64)
+    tops = pdf["top"].to_numpy(dtype=np.float64)
+    widths = pdf["width"].to_numpy(dtype=np.float64)
+    heights = pdf["height"].to_numpy(dtype=np.float64)
+
+    if not _has_columns(lefts, tops, widths, heights, page_w, page_h):
+        order = np.lexsort((lefts, tops))
+    else:
+        col = _assign_columns(lefts, tops, widths, heights, page_w, page_h)
+        # sort key: full-span (-1) first, then column index; (top, left)
+        # within each zone — lexsort uses last key as primary
+        order = np.lexsort((lefts, tops, col))
+    out = pdf.iloc[order].copy()
+    out["line_no"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return out
+
+
+def reading_order_ncolumns(
+    lines: DataFrame,
+    page_cols: tuple = ("page",),
+    page_w: float = 1.0,
+    page_h: float = 1.0,
+) -> DataFrame:
+    """Spark wrapper: N-column reading order per page via applyInPandas."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in lines.schema.fields
+    ) + ", line_no int"
+
+    def _order(pdf: pd.DataFrame) -> pd.DataFrame:
+        return order_page_boxes(pdf, page_w=page_w, page_h=page_h)
+
+    return lines.groupBy(*page_cols).applyInPandas(_order, out_schema)

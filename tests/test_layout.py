@@ -38,23 +38,27 @@ def test_reading_order(spark):
 
 
 def test_reading_order_columns_two_col(spark):
-    # header spans the page; body is two columns (left 0.05, right 0.55)
-    rows = [
-        (1, 0, "HEADER", 0.05, 0.02, 0.90, 0.03),
-        (1, 1, "L1", 0.05, 0.10, 0.35, 0.02),
-        (1, 2, "L2", 0.05, 0.30, 0.35, 0.02),
-        (1, 3, "R1", 0.55, 0.05, 0.35, 0.02),
-        (1, 4, "R2", 0.55, 0.25, 0.35, 0.02),
-    ]
+    # header spans the page; body is two ALIGNED columns (3 gutter rows —
+    # the reference's min_gutter_rows gate; operators/reading_order.py)
+    from doc_redaction_spark.operators.reading_order import reading_order_ncolumns
+
+    rows = [(1, 0, "HEADER", 0.05, 0.02, 0.90, 0.03)]
+    for r in range(3):
+        rows.append((1, 1 + 2 * r, f"L{r}", 0.05, 0.10 + r * 0.05, 0.35, 0.02))
+        rows.append((1, 2 + 2 * r, f"R{r}", 0.55, 0.10 + r * 0.05, 0.35, 0.02))
     df = spark.createDataFrame(
         rows, "page int, line int, text string, left double, top double, width double, height double"
     )
-    got = {r.text: r.line_no for r in ol.reading_order_columns(df).collect()}
+    got = {r.text: r.line_no for r in reading_order_ncolumns(df).collect()}
     # header first, then left column top-down, then right column
-    assert got == {"HEADER": 1, "L1": 2, "L2": 3, "R1": 4, "R2": 5}
+    assert got == {
+        "HEADER": 1, "L0": 2, "L1": 3, "L2": 4, "R0": 5, "R1": 6, "R2": 7,
+    }
 
 
 def test_reading_order_columns_single_col(spark):
+    from doc_redaction_spark.operators.reading_order import reading_order_ncolumns
+
     rows = [
         (2, 1, "B", 0.10, 0.50, 0.30, 0.02),
         (2, 2, "A", 0.10, 0.10, 0.30, 0.02),
@@ -63,7 +67,7 @@ def test_reading_order_columns_single_col(spark):
     df = spark.createDataFrame(
         rows, "page int, line int, text string, left double, top double, width double, height double"
     )
-    got = {r.text: r.line_no for r in ol.reading_order_columns(df).collect()}
+    got = {r.text: r.line_no for r in reading_order_ncolumns(df).collect()}
     assert got == {"A": 1, "B": 2, "C": 3}
 
 

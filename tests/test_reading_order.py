@@ -1,0 +1,148 @@
+"""N-column reading order — reference-parity kernel tests
+(tools/ocr_reading_order.py gates: full-span, gutter rows, footer zone,
+split y_min activation, spans-gutter margin, tall-box exclusion,
+centre-gap fallback)."""
+
+import numpy as np
+import pandas as pd
+
+from doc_redaction_spark.operators.reading_order import (
+    _assign_columns,
+    _has_columns,
+    _split_xpoints,
+    order_page_boxes,
+    reading_order_ncolumns,
+)
+
+
+def _page(rows):
+    return pd.DataFrame(rows, columns=["name", "left", "top", "width", "height"])
+
+
+def _ordered_names(pdf, **kw):
+    out = order_page_boxes(pdf, **kw)
+    return list(out.sort_values("line_no")["name"])
+
+
+def three_col_page():
+    rows = [("H", 0.05, 0.02, 0.90, 0.02)]  # full-span header
+    for r in range(12):  # 4 full rows of 3 columns
+        col, row = r % 3, r // 3
+        rows.append((f"c{col}r{row}", 0.05 + col * 0.33, 0.1 + row * 0.05, 0.24, 0.02))
+    return _page(rows)
+
+
+def test_three_columns_with_header():
+    got = _ordered_names(three_col_page())
+    expect = (
+        ["H"]
+        + [f"c0r{i}" for i in range(4)]
+        + [f"c1r{i}" for i in range(4)]
+        + [f"c2r{i}" for i in range(4)]
+    )
+    assert got == expect
+
+
+def test_split_points_found_at_gutters():
+    pdf = three_col_page()
+    splits = _split_xpoints(
+        pdf["left"].to_numpy(), pdf["top"].to_numpy(),
+        pdf["width"].to_numpy(), pdf["height"].to_numpy(), 1.0, 1.0,
+    )
+    assert len(splits) == 2
+    assert abs(splits[0][0] - 0.335) < 1e-9 and abs(splits[1][0] - 0.665) < 1e-9
+    assert splits[0][1] == splits[1][1] == 0.1  # y_min = first gutter row
+
+
+def test_single_column_page_no_header_hoisting():
+    # a memo: full-width sentences + short salutation — reference pins
+    # that single-column pages are NOT full-span-hoisted
+    pdf = _page([
+        ("body", 0.05, 0.30, 0.90, 0.02),  # would be "full span"
+        ("salutation", 0.05, 0.10, 0.20, 0.02),
+        ("subject", 0.05, 0.20, 0.30, 0.02),
+    ])
+    assert _ordered_names(pdf) == ["salutation", "subject", "body"]
+
+
+def test_footer_signature_blocks_do_not_trigger_columns():
+    # single-column body; two side-by-side signature blocks at y >= 0.75
+    rows = [(f"b{i}", 0.05, 0.10 + i * 0.05, 0.5, 0.02) for i in range(6)]
+    rows += [(f"sigL{i}", 0.1, 0.78 + i * 0.03, 0.2, 0.02) for i in range(3)]
+    rows += [(f"sigR{i}", 0.7, 0.78 + i * 0.03, 0.2, 0.02) for i in range(3)]
+    pdf = _page(rows)
+    lefts = pdf["left"].to_numpy(); tops = pdf["top"].to_numpy()
+    widths = pdf["width"].to_numpy(); heights = pdf["height"].to_numpy()
+    assert not _has_columns(lefts, tops, widths, heights, 1.0, 1.0)
+    # order = plain (top, left): body, then alternating sig pairs L,R
+    got = _ordered_names(pdf)
+    assert got[:6] == [f"b{i}" for i in range(6)]
+    assert got[6:] == ["sigL0", "sigR0", "sigL1", "sigR1", "sigL2", "sigR2"]
+
+
+def test_split_y_min_protects_content_above_columns():
+    # narrow centered box ABOVE the two-column section straddles the
+    # future split x but must stay column 0 (split active only below y_min)
+    rows = [("intro", 0.35, 0.05, 0.3, 0.02)]  # center 0.5, crosses 0.475
+    for r in range(3):
+        rows.append((f"L{r}", 0.05, 0.2 + r * 0.05, 0.35, 0.02))
+        rows.append((f"R{r}", 0.55, 0.2 + r * 0.05, 0.35, 0.02))
+    pdf = _page(rows)
+    got = _ordered_names(pdf)
+    # intro top 0.05 < y_min 0.2 → no active split → column 0, first by top
+    assert got == ["intro", "L0", "L1", "L2", "R0", "R1", "R2"]
+
+
+def test_box_spanning_gutter_below_y_min_is_full_span():
+    rows = []
+    for r in range(3):
+        rows.append((f"L{r}", 0.05, 0.1 + r * 0.05, 0.35, 0.02))
+        rows.append((f"R{r}", 0.55, 0.1 + r * 0.05, 0.35, 0.02))
+    # width 0.5 < 0.6 (not width-full-span) but crosses split 0.475 by
+    # more than the 0.01 margin on both sides → full-span zone, hoisted
+    rows.append(("straddle", 0.2, 0.3, 0.5, 0.02))
+    pdf = _page(rows)
+    got = _ordered_names(pdf)
+    assert got == ["straddle", "L0", "L1", "L2", "R0", "R1", "R2"]
+
+
+def test_tall_image_box_excluded_from_gutter_scan():
+    # a tall misdetected image next to body text must not create gutter rows
+    rows = [(f"b{i}", 0.05, 0.1 + i * 0.05, 0.4, 0.02) for i in range(6)]
+    rows.append(("img", 0.6, 0.1, 0.3, 0.5))  # height 25x median
+    pdf = _page(rows)
+    lefts = pdf["left"].to_numpy(); tops = pdf["top"].to_numpy()
+    widths = pdf["width"].to_numpy(); heights = pdf["height"].to_numpy()
+    assert not _has_columns(lefts, tops, widths, heights, 1.0, 1.0)
+
+
+def test_centre_gap_fallback_when_midpoints_drift():
+    # gutter-row midpoints drift > 0.06/row → no split cluster run → the
+    # centre-gap fallback still produces two columns
+    rows = []
+    for i, left in enumerate([0.05, 0.19, 0.33]):
+        rows.append((f"L{i}", left, 0.1 + i * 0.08,0.10, 0.02))
+        rows.append((f"R{i}", 0.70, 0.1 + i * 0.08,0.15, 0.02))
+    pdf = _page(rows)
+    lefts = pdf["left"].to_numpy(); tops = pdf["top"].to_numpy()
+    widths = pdf["width"].to_numpy(); heights = pdf["height"].to_numpy()
+    assert _has_columns(lefts, tops, widths, heights, 1.0, 1.0)
+    assert _split_xpoints(lefts, tops, widths, heights, 1.0, 1.0) == []
+    col = _assign_columns(lefts, tops, widths, heights, 1.0, 1.0)
+    assert list(col) == [0, 1, 0, 1, 0, 1]
+    assert _ordered_names(pdf) == ["L0", "L1", "L2", "R0", "R1", "R2"]
+
+
+def test_spark_wrapper_matches_kernel(spark):
+    pdf = three_col_page().assign(page=1)
+    sdf = spark.createDataFrame(
+        pdf[["page", "name", "left", "top", "width", "height"]]
+    )
+    got = (
+        reading_order_ncolumns(sdf)
+        .orderBy("line_no")
+        .select("name")
+        .toPandas()["name"]
+        .tolist()
+    )
+    assert got == _ordered_names(three_col_page())
