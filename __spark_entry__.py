@@ -811,6 +811,72 @@ def o_dedup_tfidf_cosine():
     """
 
 
+_TABULAR_TEXT_COLS = ["p_name", "p_brand", "p_type"]
+_TABULAR_MAX_DF = 300
+_TABULAR_CAP = 2000  # row cap (mirrors the reference's MAX_TABLE_ROWS gate)
+
+
+def q_dedup_tabular_rows(spark, sf_dir):
+    """Row-level tabular duplicate detection (reference
+    find_duplicate_tabular.py:96-246): text columns are fillna('') +
+    space-joined into one combined cell per row, rows under 3 words are
+    dropped, and TF-IDF cosine pairs >= 0.95 are duplicates. Ten planted
+    copies (row_id + 1000000) guarantee hits at sim 1.0. Same sparse
+    term-join engine as dedup_tfidf_cosine — no dense matrix."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_partkey") <= _TABULAR_CAP
+    )
+    combined = F.concat_ws(
+        " ", *[F.coalesce(F.col(c), F.lit("")) for c in _TABULAR_TEXT_COLS]
+    )
+    base = part.select(
+        F.col("p_partkey").cast("long").alias("row_id"), combined.alias("text")
+    )
+    dup = base.filter(F.col("row_id") <= 10).select(
+        (F.col("row_id") + 1000000).alias("row_id"), "text"
+    )
+    rows = base.unionByName(dup)
+    return dd.tfidf_cosine_pairs(
+        rows,
+        id_col="row_id",
+        threshold=0.95,
+        min_word_count=3,
+        max_df=_TABULAR_MAX_DF,
+    )
+
+
+def o_dedup_tabular_rows():
+    combined = ", ".join(f"coalesce({c}, '')" for c in _TABULAR_TEXT_COLS)
+    toks = (
+        "list_filter(string_split_regex(lower(regexp_replace(coalesce(text, ''),"
+        " '[^a-z0-9 ]', ' ', 'g')), '\\s+'), x -> x <> '')"
+    )
+    return f"""
+    WITH base AS (SELECT CAST(p_partkey AS BIGINT) AS row_id,
+                         concat_ws(' ', {combined}) AS text
+                  FROM part WHERE p_partkey <= {_TABULAR_CAP}),
+    rows_all AS (SELECT * FROM base
+                 UNION ALL
+                 SELECT row_id + 1000000, text FROM base WHERE row_id <= 10),
+    d AS (SELECT row_id AS id, {toks} AS toks FROM rows_all
+          WHERE len({toks}) >= 3),
+    n AS (SELECT count(*) AS n_docs FROM d),
+    tf AS (SELECT id, t AS term, count(*) AS tf
+           FROM (SELECT id, unnest(toks) AS t FROM d) GROUP BY id, t),
+    idf AS (SELECT term, ln((n.n_docs + 1.0e0) / (count(*) + 1.0e0)) + 1.0e0 AS idf
+            FROM tf CROSS JOIN n GROUP BY term, n.n_docs
+            HAVING count(*) <= {_TABULAR_MAX_DF}),
+    w AS (SELECT id, tf.term, tf.tf * idf.idf AS w FROM tf JOIN idf USING (term)),
+    norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+    dots AS (SELECT a.id AS id1, b.id AS id2, sum(a.w * b.w) AS dot
+             FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+             GROUP BY a.id, b.id)
+    SELECT id1, id2, round(dot / (n1.nrm * n2.nrm), 4) AS sim
+    FROM dots JOIN norms n1 ON n1.id = id1 JOIN norms n2 ON n2.id = id2
+    WHERE round(dot / (n1.nrm * n2.nrm), 4) >= 0.95e0
+    """
+
+
 # ---------------------------------------------------------------------------
 # queries — embedding similarity search
 # ---------------------------------------------------------------------------
@@ -2128,6 +2194,7 @@ _QUERIES: dict[str, Callable] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
+    "dedup_tabular_rows": q_dedup_tabular_rows,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -2187,6 +2254,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
     "dedup_simhash": o_dedup_simhash,
     "dedup_tfidf_cosine": o_dedup_tfidf_cosine,
+    "dedup_tabular_rows": o_dedup_tabular_rows,
     # embedding_ann_lsh, embedding_ivf: rows-only (recall-tested — see docstrings)
     "embedding_cosine_topk": o_embedding_cosine_topk,
     "dedup_embedding_cosine": o_dedup_embedding_cosine,
