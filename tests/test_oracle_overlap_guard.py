@@ -1,0 +1,43 @@
+"""Guard: the redaction oracles apply per-entity regexp_replace
+SEQUENTIALLY, while the engine resolves overlapping spans (containment
+drop) before one replacement pass. The two only agree when no two
+entity types match overlapping spans on the fixture text. This test pins
+that assumption on the exact cleaned text the oracled redact queries see
+at both driver scales — if a future scale factor or synth change plants
+a 'Dr'/'St'-style TITLES-inside-STREETNAME collision, this fails loudly
+instead of the driver hash failing mysteriously (ADVICE.md round 1)."""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+from doc_redaction_spark.functions.clean import python_clean
+
+
+def _spans(pat: str, icase: bool, text: str):
+    flags = re.IGNORECASE if icase else 0
+    return [(m.start(), m.end()) for m in re.finditer(pat, text, flags)]
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_no_cross_entity_overlap_on_fixture(spark, sf_dir):
+    rows = entry._tr(spark, sf_dir).select("text").collect()
+    assert rows
+    collisions = []
+    for r in rows:
+        text = python_clean(r.text or "")
+        all_spans = []
+        for etype, pat, icase in entry.ORACLE_ENTITY_PATTERNS:
+            all_spans.extend(
+                (s, e, etype) for s, e in _spans(pat, icase, text)
+            )
+        all_spans.sort()
+        for (s1, e1, t1), (s2, e2, t2) in zip(all_spans, all_spans[1:]):
+            if s2 < e1 and t1 != t2:
+                collisions.append((t1, t2, text[s1:e2][:80]))
+    assert collisions == [], (
+        f"{len(collisions)} cross-entity span overlaps on fixture text — "
+        "sequential-replace oracles are no longer equivalent to the "
+        f"engine's overlap resolution; first: {collisions[:3]}"
+    )
