@@ -5,9 +5,14 @@ over a deterministic synthetic transcripts table (BASELINE.json), plus
 per-query wall times for representative operators at $SPARK_GRAFT_SF_DIR.
 
 Scaling gate evidence (north rule, sandbox proxy): the same pipeline job
-runs at local[8] and local[32] on the same parquet input via
-subprocesses; efficiency = (thr_32 / thr_8) / 4. Results land in the
-"scaling" key and BENCH/BASELINE.md.
+runs pinned (taskset) at local[2] / local[8] / local[32] on the same
+parquet input via subprocesses; efficiency = (thr_4N / thr_N) / 4 for the
+2→8 and 8→32 pairs. The scaling input is 4× the headline input so
+per-job fixed costs (stage launch, Python worker spin-up) do not masquerade
+as scaling loss — at 100 TB those costs are noise, and the gate should
+measure the steady-state slope. See BENCH/BASELINE.md for the phase-level
+breakdown separating memory-bandwidth saturation (single-box artifact)
+from genuine scaling loss.
 
 Usage:
   python bench.py                      # full bench (one JSON line on stdout)
@@ -74,7 +79,7 @@ def run_pipeline(spark, input_path: str) -> tuple[float, int]:
     return dt, agg.n
 
 
-def pipeline_only(cores: int, input_path: str, reps: int = 3):
+def pipeline_only(cores: int, input_path: str, reps: int = 2):
     spark = _spark(cores)
     run_pipeline(spark, input_path)  # warm the JVM/UDF path
     best, n = min(run_pipeline(spark, input_path) for _ in range(reps))
@@ -147,13 +152,21 @@ def main():
     }
 
     if not args.skip_scaling:
+        # scaling input: 4× the headline turns (amortizes fixed per-job
+        # costs; the gate measures the steady-state slope, not stage-launch
+        # overhead at 5-second job sizes)
+        scaling_turns = 4 * BENCH_TURNS
+        scaling_input = f"/tmp/spark_graft_bench_transcripts_{scaling_turns}"
+        sp2 = _spark(CPUS)
+        ensure_transcripts(sp2, scaling_turns, scaling_input)
+        sp2.stop()
         scaling = {}
         for cores in (2, 8, 32):
             # pin CPU affinity so local[N] really gets N cores — unpinned,
             # an 8-thread JVM + its python workers borrow idle cores and the
             # N vs 4N comparison stops being N vs 4N
             cmd = [sys.executable, __file__, "--pipeline-only", "--cores", str(cores),
-                   "--input", TRANSCRIPTS_DIR]
+                   "--input", scaling_input]
             if os.path.exists("/usr/bin/taskset") or os.path.exists("/bin/taskset"):
                 cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             p = subprocess.run(
@@ -171,9 +184,11 @@ def main():
         thr32 = scaling["local[32]"]["turns_per_sec"]
         # two N→4N pairs: 2→8 is the faithful proxy for adding executors
         # (each pinned run is compute-bound with spare memory bandwidth);
-        # 8→32 additionally measures same-box oversubscription contention
+        # 8→32 additionally measures same-socket memory-bandwidth saturation
+        # of the JVM clean battery — see BENCH/BASELINE.md phase breakdown
         scaling["efficiency_2_to_8"] = round((thr8 / thr2) / 4.0, 3)
         scaling["efficiency_8_to_32"] = round((thr32 / thr8) / 4.0, 3)
+        scaling["turns"] = scaling_turns
         result["scaling"] = scaling
 
     print(json.dumps(result))

@@ -177,6 +177,27 @@ def embedding_near_dup_pairs(
     )
 
 
+def probe_signatures(sig, n_planes: int, hamming: int = 1):
+    """Multi-probe bucket set: the signature itself plus every signature
+    within Hamming distance ``hamming`` (only 0/1 supported — distance 1
+    is the standard multi-probe LSH sweet spot: n_planes extra probes
+    recover most near-misses where one hyperplane sign flips near the
+    decision boundary, at probe-side-only cost)."""
+    probes = [sig]
+    if hamming >= 1:
+        for i in range(1, n_planes + 1):
+            ch = F.substring(sig, i, 1)
+            flipped = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+            probes.append(
+                F.concat(
+                    F.substring(sig, 1, i - 1),
+                    flipped,
+                    F.substring(sig, i + 1, n_planes - i),
+                )
+            )
+    return F.array(*probes)
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -186,14 +207,22 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     qid_col: str = "qid",
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the hyperplane-sign bucket."""
+    """Approximate top-k: candidates share the hyperplane-sign bucket.
+
+    ``multiprobe=1`` explodes the (small, broadcast) QUERY side into its
+    Hamming-≤1 probe set — n_planes+1 buckets per query — so recall no
+    longer collapses when a neighbor sits just across one hyperplane. The
+    corpus side stays one row per vector; a candidate can match at most
+    one probe (probes are distinct signatures), so no dedup is needed."""
     sig = hyperplane_signature(F.col(vec_col), n_planes, dim)
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"), sig.alias("bucket"))
+    qsig = hyperplane_signature(F.col(vec_col), n_planes, dim)
     q = queries.select(
         F.col(qid_col),
         F.col(vec_col).alias("qvec"),
-        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+        F.explode(probe_signatures(qsig, n_planes, multiprobe)).alias("bucket"),
     )
     joined = c.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col(qid_col))
     sim = _dot(F.col("qvec"), F.col("cvec")) / (

@@ -46,7 +46,11 @@ def get_spark(
         # cores (large-cluster inputs dwarf the advisory anyway)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # measured on the 1M-turn pipeline bench (pinned local[32]):
+        # 8192 → 7.1 s, 32768 → 6.2 s, 65536 → 5.4 s; larger batches
+        # amortize the Arrow serialization + Python dispatch per batch
+        # (~64k rows ≈ 15-60 MB/batch — far under executor memory)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # local test files are tiny; split aggressively so operators
         # actually parallelize (a 100 TB table brings its own splits)
         .config("spark.sql.files.maxPartitionBytes", "8m")

@@ -107,3 +107,34 @@ def test_near_dup_finds_planted_copies(spark, emb_df):
     pairs = {(r.id1, r.id2): r.cos for r in embedding_near_dup_pairs(plus, dim=DIM).collect()}
     for vid in range(0, N, 10):
         assert pairs.get((vid, vid + 1000)) == 1.0
+
+
+def test_ann_lsh_multiprobe_improves_recall(spark, emb_df):
+    """Hamming-1 multi-probe must dominate single-probe recall@5 — the
+    query-side probe explosion reaches neighbors one hyperplane flip away
+    without touching the corpus side."""
+    df, vecs = emb_df
+    n_q = 20
+    qs = df.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    norms = np.linalg.norm(vecs, axis=1)
+
+    def recall(mp):
+        got = osim.ann_lsh_topk(
+            df, qs, k=5, n_planes=6, dim=DIM, multiprobe=mp
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.qid, set()).add(r.vec_id)
+        hit = tot = 0
+        for q in range(n_q):
+            sims = vecs @ vecs[q] / (norms * norms[q])
+            order = [i for i in np.argsort(-sims) if i != q]
+            hit += len(set(order[:5]) & by_q.get(q, set()))
+            tot += 5
+        return hit / tot
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0
+    assert r1 > 0.3
