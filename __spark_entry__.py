@@ -1223,6 +1223,85 @@ def o_pdf_word_punct_split():
     """
 
 
+def _rawdict_page_spark():
+    """Synthetic PyMuPDF-rawdict page struct: first 80 chars of the
+    document text in 2 text blocks × 2 lines × 1 span × 20 chars, plus a
+    type=1 (image) block carrying a decoy char slice that the traversal
+    must skip. Geometry is closed-form in the global char index (one
+    transform lambda; sibling lambda params distinct — Spark 4 cross-binds
+    same-named lambda vars across sibling higher-order functions)."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    s = F.substring(text, 1, 80)
+    all_chars = F.transform(
+        F.filter(F.split(s, ""), lambda ch0: ch0 != ""),
+        lambda ch, i: F.struct(
+            ch.alias("c"),
+            ((i % 20).cast("double") * 6.0).alias("x0"),
+            (700.0 - F.floor(i / 20).cast("double") * 12.0).alias("y0"),
+            ((i % 20).cast("double") * 6.0 + 5.0).alias("x1"),
+            (710.0 - F.floor(i / 20).cast("double") * 12.0).alias("y1"),
+        ),
+    )
+
+    def _line(gl: int):
+        span = F.struct(
+            F.lit(10.0).alias("size"),
+            F.slice(all_chars, gl * 20 + 1, 20).alias("chars"),
+        )
+        return F.struct(F.array(span).alias("spans"))
+
+    def _block(btype: int, lines):
+        return F.struct(F.lit(btype).alias("type"), lines.alias("lines"))
+
+    decoy = F.struct(
+        F.array(
+            F.struct(F.lit(10.0).alias("size"), F.slice(all_chars, 1, 5).alias("chars"))
+        ).alias("spans")
+    )
+    return F.struct(
+        F.array(
+            _block(0, F.array(_line(0), _line(1))),
+            _block(1, F.array(decoy)),
+            _block(0, F.array(_line(2), _line(3))),
+        ).alias("blocks")
+    )
+
+
+def q_pdf_rawdict_chars(spark, sf_dir):
+    """rawdict page-struct traversal (reference file_redaction.py:
+    10732-10835: blocks→lines→spans→chars, non-text blocks skipped) as a
+    native posexplode chain — operators/pdf_words.rawdict_to_chars."""
+    from doc_redaction_spark.operators.pdf_words import rawdict_to_chars
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select("doc_id", _rawdict_page_spark().alias("page"))
+    return rawdict_to_chars(pages).select(
+        "doc_id", "block_no", "line_no", "span_no", "char_no",
+        "t", "x0", "y0", "x1", "y1", "size",
+    )
+
+
+def o_pdf_rawdict_chars():
+    # global line gl = (i-1)//20; text blocks are blocks 0 and 2 (block 1
+    # is the skipped image decoy), so block_no = 2*(gl//2); line_no = gl%2
+    return """
+    SELECT doc_id,
+           2 * (((i-1) // 20) // 2) AS block_no,
+           ((i-1) // 20) % 2 AS line_no,
+           CAST(0 AS BIGINT) AS span_no,
+           (i-1) % 20 AS char_no,
+           substr(s, CAST(i AS INTEGER), 1) AS t,
+           ((i-1) % 20) * 6.0e0 AS x0,
+           700.0e0 - ((i-1) // 20) * 12.0e0 AS y0,
+           ((i-1) % 20) * 6.0e0 + 5.0e0 AS x1,
+           710.0e0 - ((i-1) // 20) * 12.0e0 AS y1,
+           10.0e0 AS size
+    FROM (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS i
+          FROM (SELECT doc_id, substr(coalesce(text, ''), 1, 80) AS s
+                FROM documents))
+    """
+
+
 # ---------------------------------------------------------------------------
 # queries — HTML main-content extraction (DOM text-density heuristics)
 # ---------------------------------------------------------------------------
@@ -2201,6 +2280,7 @@ _QUERIES: dict[str, Callable] = {
     "embedding_ivf": q_embedding_ivf,
     "pdf_chars_to_words": q_pdf_chars_to_words,
     "pdf_word_punct_split": q_pdf_word_punct_split,
+    "pdf_rawdict_chars": q_pdf_rawdict_chars,
     "html_main_content": q_html_main_content,
     "html_block_metrics": q_html_block_metrics,
     "words_to_lines_rollup": q_words_to_lines_rollup,
@@ -2260,6 +2340,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dedup_embedding_cosine": o_dedup_embedding_cosine,
     "pdf_chars_to_words": o_pdf_chars_to_words,
     "pdf_word_punct_split": o_pdf_word_punct_split,
+    "pdf_rawdict_chars": o_pdf_rawdict_chars,
     "html_main_content": o_html_main_content,
     "html_block_metrics": o_html_block_metrics,
     "words_to_lines_rollup": o_words_to_lines_rollup,

@@ -46,6 +46,71 @@ WORD_PUNCT_SPLIT_PATTERN = r"^([(\[{]*)(.*?)_?([.,?!:;)\}\]]*)$"
 _SPACE_RE = r"^\s$"
 
 
+def rawdict_to_chars(
+    df: DataFrame,
+    page_col: str = "page",
+    keys: tuple = ("doc_id",),
+) -> DataFrame:
+    """PyMuPDF-rawdict page struct → one row per character.
+
+    The reference walks ``page.get_text("rawdict")`` nested dicts in
+    Python (``/root/reference/tools/file_redaction.py:10732-10835``:
+    blocks → lines → spans → chars, skipping non-text blocks). Here the
+    same traversal is a native posexplode chain over a nested struct
+    column — generators, not exchanges: zero shuffle, and Catalyst prunes
+    unaccessed struct fields at the parquet scan.
+
+    Expected schema of ``page_col``::
+
+        struct<blocks: array<struct<
+            type: int,                      -- 0 = text (others skipped)
+            lines: array<struct<
+                spans: array<struct<
+                    size: double,
+                    chars: array<struct<c: string,
+                                        x0,y0,x1,y1: double>>>>>>>>>
+
+    Output: keys… + (block_no, line_no, span_no, char_no long, t string,
+    x0,y0,x1,y1,size double) — ``*_no`` are 0-based positions within the
+    parent, ready for :func:`chars_to_words` keyed on
+    ``(*keys, block_no, line_no)``.
+    """
+    kcols = [F.col(k) for k in keys]
+    ex = df.select(
+        *kcols, F.posexplode(f"{page_col}.blocks").alias("block_no", "_blk")
+    ).filter(F.col("_blk.type") == 0)
+    ex = ex.select(
+        *kcols, "block_no", F.posexplode("_blk.lines").alias("line_no", "_ln")
+    )
+    ex = ex.select(
+        *kcols,
+        "block_no",
+        "line_no",
+        F.posexplode("_ln.spans").alias("span_no", "_sp"),
+    )
+    ex = ex.select(
+        *kcols,
+        "block_no",
+        "line_no",
+        "span_no",
+        F.col("_sp.size").alias("size"),
+        F.posexplode("_sp.chars").alias("char_no", "_ch"),
+    )
+    return ex.select(
+        *kcols,
+        F.col("block_no").cast("long").alias("block_no"),
+        F.col("line_no").cast("long").alias("line_no"),
+        F.col("span_no").cast("long").alias("span_no"),
+        F.col("char_no").cast("long").alias("char_no"),
+        F.col("_ch.c").alias("t"),
+        F.col("_ch.x0").alias("x0"),
+        F.col("_ch.y0").alias("y0"),
+        F.col("_ch.x1").alias("x1"),
+        F.col("_ch.y1").alias("y1"),
+        "size",
+    )
+
+
 def chars_to_words(
     chars: DataFrame,
     keys: tuple = ("doc_id", "page", "line"),

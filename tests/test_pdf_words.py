@@ -174,3 +174,42 @@ def test_split_words_matches_reference_python(spark):
     # the underscore before trailing punct is consumed (reference regex)
     assert any(t == "x" for (_i, _p, t, _l, _w) in got)
     assert not any("_" in t for (_i, _p, t, _l, _w) in got)
+
+
+def test_rawdict_chain_end_to_end(spark):
+    """rawdict struct → chars → words, chained: traversal indices feed the
+    geometric word builder directly (the reference's extraction loop shape,
+    file_redaction.py:10732-10835 then :10368-10484)."""
+    import __spark_entry__ as entry
+    from doc_redaction_spark.operators.pdf_words import (
+        chars_to_words,
+        rawdict_to_chars,
+    )
+
+    lines = [
+        "Quick brown fox jump",
+        "ed over the lazy dog",
+        " Pack my box with fi",
+        "ve dozen quick jugs.",
+    ]
+    assert all(len(ln) == 20 for ln in lines)
+    df = spark.createDataFrame([(1, "".join(lines))], "doc_id int, text string")
+    pages = df.select("doc_id", entry._rawdict_page_spark().alias("page"))
+    chars = rawdict_to_chars(pages).withColumnRenamed("char_no", "char_idx")
+    words = chars_to_words(
+        chars, keys=("doc_id", "block_no", "line_no"), char_order="char_idx"
+    )
+    rows = sorted(
+        words.collect(), key=lambda r: (r.block_no, r.line_no, r.word_idx)
+    )
+    got = [(r.block_no, r.line_no, r.text) for r in rows]
+    expect = []
+    for gl, ln in enumerate(lines):
+        for w in ln.split():
+            block, line = 2 * (gl // 2), gl % 2
+            if w == "jugs.":  # trailing punct is a standalone word
+                expect.append((block, line, "jugs"))
+                expect.append((block, line, "."))
+            else:
+                expect.append((block, line, w))
+    assert got == expect
