@@ -1223,6 +1223,48 @@ def o_pdf_word_punct_split():
     """
 
 
+def q_coverage_qa(spark, sf_dir):
+    """Redaction coverage QA (reference verify_redaction_coverage.py):
+    must-redact regex hits in clean text must be fully covered by a span;
+    must-not hits must not be. Aggregated per kind so the oracle is
+    closed-form: every planted email is detected by the same pattern →
+    covered; 'window' is fixture vocabulary and never an entity →
+    uncovered."""
+    from doc_redaction_spark.operators.coverage_qa import coverage_report
+    from doc_redaction_spark.plans.pipeline import extract_and_redact as _er
+
+    out = _er(_tr(spark, sf_dir), PIPE_CFG, with_row_number=False)
+    rep = coverage_report(
+        out, must_redact=[EMAIL_PATTERN], must_not_redact=[r"\bwindow\b"]
+    )
+    return (
+        rep.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.sum(F.col("covered").cast("long")).alias("n_covered"),
+            F.sum(F.col("ok").cast("long")).alias("n_ok"),
+        )
+        .orderBy("kind")
+    )
+
+
+def o_coverage_qa():
+    email = _sq("(?i)" + EMAIL_PATTERN)
+    wnd = _sq(r"(?i)\bwindow\b")
+    return f"""
+    {TR_CTE},
+    c AS (SELECT {CLEAN_SQL} AS clean FROM transcripts),
+    agg AS (SELECT CAST(sum(len(regexp_extract_all(clean, '{email}'))) AS BIGINT) AS e,
+                   CAST(sum(len(regexp_extract_all(clean, '{wnd}'))) AS BIGINT) AS w
+            FROM c)
+    SELECT 'must_not_redact' AS kind, w AS n_hits,
+           CAST(0 AS BIGINT) AS n_covered, w AS n_ok FROM agg
+    UNION ALL
+    SELECT 'must_redact', e, e, e FROM agg
+    ORDER BY kind
+    """
+
+
 def _rawdict_page_spark():
     """Synthetic PyMuPDF-rawdict page struct: first 80 chars of the
     document text in 2 text blocks × 2 lines × 1 span × 20 chars, plus a
@@ -2281,6 +2323,7 @@ _QUERIES: dict[str, Callable] = {
     "pdf_chars_to_words": q_pdf_chars_to_words,
     "pdf_word_punct_split": q_pdf_word_punct_split,
     "pdf_rawdict_chars": q_pdf_rawdict_chars,
+    "coverage_qa": q_coverage_qa,
     "html_main_content": q_html_main_content,
     "html_block_metrics": q_html_block_metrics,
     "words_to_lines_rollup": q_words_to_lines_rollup,
@@ -2341,6 +2384,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "pdf_chars_to_words": o_pdf_chars_to_words,
     "pdf_word_punct_split": o_pdf_word_punct_split,
     "pdf_rawdict_chars": o_pdf_rawdict_chars,
+    "coverage_qa": o_coverage_qa,
     "html_main_content": o_html_main_content,
     "html_block_metrics": o_html_block_metrics,
     "words_to_lines_rollup": o_words_to_lines_rollup,

@@ -105,6 +105,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_ngram_jaccard",
         "embedding_cosine_topk",
         "words_to_lines_rollup",
+        "html_main_content",
+        "reading_order_3col",
+        "pdf_rawdict_chars",
+        "dedup_tabular_rows",
     ]
     qs = entrymod.queries()
     out = {}
