@@ -1223,6 +1223,52 @@ def o_pdf_word_punct_split():
     """
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal binary-column plumbing, driver-checked end-to-end: text
+    wrapped as binary payloads (sources/multimodal.make_media_df), decoded
+    by the deterministic sha256-derived fake inside the real mapInPandas
+    stage (the decoder libs are absent; the Spark-side schema/batching is
+    what this pins). Every output is closed-form in sha256(payload), so
+    DuckDB reproduces it exactly."""
+    from doc_redaction_spark.sources.multimodal import decode_media, make_media_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    decoded = decode_media(make_media_df(spark, docs, media_type="video"), fake=True)
+    return decoded.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "duration_s",
+        F.element_at("feature", 1).alias("f0"),
+        F.element_at("feature", 8).alias("f7"),
+        F.element_at("feature", 16).alias("f15"),
+    )
+
+
+def o_multimodal_decode():
+    def b(k: int) -> str:  # k-th byte of the sha256 digest, from hex chars
+        hi, lo = 2 * k + 1, 2 * k + 2
+        return (
+            f"(16*(instr('0123456789abcdef', substr(hx, {hi}, 1))-1)"
+            f" + (instr('0123456789abcdef', substr(hx, {lo}, 1))-1))"
+        )
+
+    return f"""
+    WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                      sha256(coalesce(text, '')) AS hx FROM documents)
+    SELECT doc_id,
+           CAST(64 + {b(0)} AS BIGINT) AS width,
+           CAST(64 + {b(1)} AS BIGINT) AS height,
+           CAST(1 + {b(2)} % 32 AS BIGINT) AS n_frames,
+           round((1 + {b(2)} % 32) / 24.0e0, 4) AS duration_s,
+           round({b(0)} / 255.0e0, 6) AS f0,
+           round({b(7)} / 255.0e0, 6) AS f7,
+           round({b(15)} / 255.0e0, 6) AS f15
+    FROM h
+    """
+
+
 def q_coverage_qa(spark, sf_dir):
     """Redaction coverage QA (reference verify_redaction_coverage.py):
     must-redact regex hits in clean text must be fully covered by a span;
@@ -2324,6 +2370,7 @@ _QUERIES: dict[str, Callable] = {
     "pdf_word_punct_split": q_pdf_word_punct_split,
     "pdf_rawdict_chars": q_pdf_rawdict_chars,
     "coverage_qa": q_coverage_qa,
+    "multimodal_decode": q_multimodal_decode,
     "html_main_content": q_html_main_content,
     "html_block_metrics": q_html_block_metrics,
     "words_to_lines_rollup": q_words_to_lines_rollup,
@@ -2385,6 +2432,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "pdf_word_punct_split": o_pdf_word_punct_split,
     "pdf_rawdict_chars": o_pdf_rawdict_chars,
     "coverage_qa": o_coverage_qa,
+    "multimodal_decode": o_multimodal_decode,
     "html_main_content": o_html_main_content,
     "html_block_metrics": o_html_block_metrics,
     "words_to_lines_rollup": o_words_to_lines_rollup,
