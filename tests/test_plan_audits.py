@@ -1,0 +1,68 @@
+"""Physical-plan audits — the 100 TB invariants, pinned as tests.
+
+These assert the *shape* of the plans Catalyst produces, not results:
+filters reach the parquet scan, unused columns are pruned at the scan,
+small dimensions broadcast, the flagship pipeline has exactly one
+shuffle and one Python stage, and generator-only operators never
+shuffle. A regression here is invisible at sf0.001 and fatal at 100 TB.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+def test_q1_scan_prunes_and_pushes(spark, queries):
+    plan = _plan(queries["q1_pricing_summary"](spark, SF))
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln.lower() or ("FileScan" in ln and "l_quantity" in ln)]
+    assert scans, plan
+    scan = scans[0]
+    # column pruning: untouched lineitem columns never reach the scan
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_tax"):
+        assert col not in scan, scan
+    # predicate pushdown: the shipdate filter is evaluated at the scan
+    assert "l_shipdate" in scan and ("DataFilters" in scan or "PushedFilters" in scan)
+
+
+def test_q3_broadcasts_dimensions(spark, queries):
+    plan = _plan(queries["q3_shipping_priority"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims are small → no shuffle join
+
+
+def test_pipeline_one_shuffle_one_python_stage(spark, queries):
+    """The flagship pipeline: ordering/salt = exactly ONE exchange of slim
+    raw rows; detect+apply = exactly ONE fused Arrow round-trip."""
+    plan = _plan(queries["transcripts_pipeline"](spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    n_python = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+    assert n_python == 1, plan
+
+
+def test_rawdict_traversal_is_shuffle_free(spark, queries):
+    plan = _plan(queries["pdf_rawdict_chars"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # posexplode chain = generators, not joins
+
+
+def test_html_extraction_is_map_only_no_python(spark, queries):
+    plan = _plan(queries["html_main_content"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_near_dup_routes_through_buckets(spark, queries):
+    """Embedding near-dup must never plan a cartesian product."""
+    plan = _plan(queries["dedup_embedding_cosine"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
