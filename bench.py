@@ -127,12 +127,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--input", default=TRANSCRIPTS_DIR)
     ap.add_argument("--skip-scaling", action="store_true")
     args = ap.parse_args()
 
     if args.pipeline_only:
-        pipeline_only(args.cores, args.input)
+        pipeline_only(args.cores, args.input, reps=args.reps)
         return
 
     spark = _spark(CPUS)
@@ -169,8 +170,11 @@ def main():
             # pin CPU affinity so local[N] really gets N cores — unpinned,
             # an 8-thread JVM + its python workers borrow idle cores and the
             # N vs 4N comparison stops being N vs 4N
+            # local[2] on the 4× input is the long pole (~3 min/rep); one
+            # timed rep after warm-up keeps the whole bench inside ~15 min
+            reps = 1 if cores == 2 else 2
             cmd = [sys.executable, __file__, "--pipeline-only", "--cores", str(cores),
-                   "--input", scaling_input]
+                   "--reps", str(reps), "--input", scaling_input]
             if os.path.exists("/usr/bin/taskset") or os.path.exists("/bin/taskset"):
                 cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             p = subprocess.run(
