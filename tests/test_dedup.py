@@ -154,3 +154,29 @@ def test_consecutive_islands(spark):
         for r in dd.consecutive_islands(pairs).collect()
     }
     assert out == {(1, 3, 11, 13): 3, (7, 8, 20, 21): 2, (40, 40, 50, 50): 1}
+
+
+def test_simhash_bucket_distribution(spark):
+    """The 64-bit/4×16-bit pigeonhole blocks must actually use the 16-bit
+    bucket space: every block position yields far more than the 256
+    distinct values an 8-bit block could ever produce (the round-1
+    quadratic-bucket failure mode), and no bucket collects a meaningful
+    fraction of the corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n_docs = docs.count()
+    b = docs.select(
+        F.posexplode(dd.simhash64_blocks("text")).alias("block_idx", "val")
+    )
+    sizes = b.groupBy("block_idx", "val").count()
+    stats = sizes.groupBy("block_idx").agg(
+        F.countDistinct("val").alias("n_buckets"),
+        F.max("count").alias("max_bucket"),
+    ).collect()
+    assert len(stats) == 4
+    # measured on the fixed sf0.01 fixture (500 docs): 290-413 distinct
+    # buckets per block, max bucket 28 — the 8-bit design capped at 256
+    # buckets TOTAL, so any block exceeding 256 proves the 16-bit space
+    # is live; the max-bucket bound catches a collapse to few buckets
+    for r in stats:
+        assert r.n_buckets > 256, (r.block_idx, r.n_buckets)
+        assert r.max_bucket <= 0.06 * n_docs, (r.block_idx, r.max_bucket)
