@@ -101,7 +101,12 @@ def ngram_jaccard_pairs(
         .repartition(sc.defaultParallelism * 2, "id")
         .persist()
     )
-    ex = docs.select("id", F.explode("shingles").alias("sh"))
+    # join on the 64-bit shingle hash, not the shingle string: the pair
+    # shuffle moves 8-byte keys instead of ~20-byte text (collision odds
+    # ~|shingles|²/2^65 — immaterial, and the key never reaches output)
+    ex = docs.select("id", F.explode("shingles").alias("_sh_txt")).select(
+        "id", F.xxhash64("_sh_txt").alias("sh")
+    )
     if max_df is not None:
         keep = ex.groupBy("sh").agg(F.count("*").alias("_df")).filter(
             F.col("_df") <= max_df
