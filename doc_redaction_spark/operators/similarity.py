@@ -98,32 +98,50 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     qid_col: str = "qid",
+    dim: int | None = None,
+    refine_iters: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: deterministic coarse quantizer (first n_centroids
-    corpus vectors as centroids — hash-free, rerun-stable), corpus
-    assigned to its nearest centroid, queries probe the ``nprobe``
-    nearest centroid buckets and score exactly within them.
+    corpus vectors seed the centroids — hash-free, rerun-stable), refined
+    by ``refine_iters`` Lloyd iterations (assign → per-cluster mean,
+    rounded to 6 decimals so distributed-sum float jitter cannot flip
+    assignments), corpus assigned to its nearest centroid, queries probe
+    the ``nprobe`` nearest centroid buckets and score exactly within them.
 
     The assignment/probing joins broadcast the (tiny) centroid table; the
-    expensive exact scoring touches only ~nprobe/n_centroids of the
-    corpus — the classic IVF recall/throughput trade.
+    refinement adds one groupBy over the corpus per iteration (map-side
+    combinable — 64 avg columns); the expensive exact scoring touches
+    only ~nprobe/n_centroids of the corpus — the classic IVF
+    recall/throughput trade.
     """
+    if dim is None and refine_iters > 0:
+        dim = corpus.select(F.size(vec_col)).first()[0]  # tiny one-row job
     cent = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("vec"))
-    # nearest centroid per corpus vector
     sim_c = _dot(F.col("vec"), F.col("cvec")) / (_norm(F.col("vec")) * _norm(F.col("cvec")))
     assign_w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("cid"))
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .withColumn("csim", sim_c)
-        .withColumn("crk", F.row_number().over(assign_w))
-        .filter(F.col("crk") == 1)
-        .select(id_col, "vec", "cid")
-    )
+
+    def _assign(cent_df):
+        return (
+            c.crossJoin(F.broadcast(cent_df))
+            .withColumn("csim", sim_c)
+            .withColumn("crk", F.row_number().over(assign_w))
+            .filter(F.col("crk") == 1)
+            .select(id_col, "vec", "cid")
+        )
+
+    for _ in range(refine_iters):
+        assigned = _assign(cent)
+        cent = assigned.groupBy("cid").agg(
+            F.array(
+                *[F.round(F.avg(F.col("vec")[i]), 6) for i in range(dim)]
+            ).alias("cvec")
+        )
+    assigned = _assign(cent)
     # queries probe their nprobe nearest centroids
     q = queries.select(F.col(qid_col), F.col(vec_col).alias("qvec"))
     qsim = _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
