@@ -1223,6 +1223,38 @@ def o_pdf_word_punct_split():
     """
 
 
+def q_per_image_pick(spark, sf_dir):
+    """Per-image dedup pick (reference file_conversion.py:2141-2167):
+    among duplicate OCR rows for one image keep the row with the most
+    boxes, ties by lowest row id. Exercised as: per page, the line whose
+    box list is largest."""
+    from doc_redaction_spark.operators.coords import dedup_pick_per_image
+
+    words = _words_df(spark, sf_dir)
+    rows = (
+        words.groupBy("page", "line")
+        .agg(F.collect_list(F.struct("word_idx", "x0")).alias("boxes"))
+        .select(
+            F.col("page").alias("image"), F.col("line").alias("row_id"), "boxes"
+        )
+    )
+    return dedup_pick_per_image(rows).select(
+        "image", "row_id", F.size("boxes").cast("long").alias("n_boxes")
+    )
+
+
+def o_per_image_pick():
+    return f"""
+    WITH words AS ({_WORDS_SQL}),
+    cnt AS (SELECT page AS image, line AS row_id, count(*) AS n_boxes
+            FROM words GROUP BY page, line),
+    r AS (SELECT *, row_number() OVER (PARTITION BY image
+                                       ORDER BY n_boxes DESC, row_id) AS rk
+          FROM cnt)
+    SELECT image, row_id, n_boxes FROM r WHERE rk = 1
+    """
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal binary-column plumbing, driver-checked end-to-end: text
     wrapped as binary payloads (sources/multimodal.make_media_df), decoded
@@ -2371,6 +2403,7 @@ _QUERIES: dict[str, Callable] = {
     "pdf_rawdict_chars": q_pdf_rawdict_chars,
     "coverage_qa": q_coverage_qa,
     "multimodal_decode": q_multimodal_decode,
+    "per_image_pick": q_per_image_pick,
     "html_main_content": q_html_main_content,
     "html_block_metrics": q_html_block_metrics,
     "words_to_lines_rollup": q_words_to_lines_rollup,
@@ -2433,6 +2466,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "pdf_rawdict_chars": o_pdf_rawdict_chars,
     "coverage_qa": o_coverage_qa,
     "multimodal_decode": o_multimodal_decode,
+    "per_image_pick": o_per_image_pick,
     "html_main_content": o_html_main_content,
     "html_block_metrics": o_html_block_metrics,
     "words_to_lines_rollup": o_words_to_lines_rollup,
