@@ -29,6 +29,11 @@ class PipelineConfig:
     # NER leg (excluded from byte-equality gates — SURVEY §7.4.4):
     # "off" | "fake" (deterministic capitalized-bigram PERSON) | "spacy"
     ner_engine: str = "off"
+    # per-turn DOM text-density main-content extraction BEFORE the clean
+    # battery (north-star HTML stage; operators/html_extract.py). Off by
+    # default: the reference's clean stage is a flat tag strip, and the
+    # byte-equality gates pin that; turn on for web-scraped turns.
+    html_extract: bool = False
     score_threshold: float = 0.001  # reference default, load_spacy...py:35
     strategy: str = "redact_replace"
     salt: str = "s42"

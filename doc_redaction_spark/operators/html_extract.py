@@ -76,20 +76,14 @@ LINK_DEN = 3  # keep iff anchor_len * 3 <= text_len (≤ 1/3 links)
 MIN_DENSITY = 8  # keep iff text_len >= 8 * (1 + tag_count)
 
 
-def extract_main_content(
-    df: DataFrame,
-    html_col: str = "html",
-    min_text_len: int = MIN_TEXT_LEN,
-    link_den: int = LINK_DEN,
-    min_density: int = MIN_DENSITY,
-) -> DataFrame:
-    """Add ``main_text`` / ``n_blocks`` / ``n_kept`` columns.
+def _scored_blocks(html: Column) -> Column:
+    """Array of per-block score structs for an HTML column expression.
 
-    Map-only: split → transform(score) → filter → array_join, all native
-    higher-order functions (distinct lambda param names per scope — Spark 4
-    cross-binds same-named vars across sibling lambdas).
+    Map-only: split → transform(score), all native higher-order functions
+    (distinct lambda param names per scope — Spark 4 cross-binds
+    same-named vars across sibling lambdas).
     """
-    pre = F.regexp_replace(F.col(html_col), PRESTRIP_PATTERN, " ")
+    pre = F.regexp_replace(html, PRESTRIP_PATTERN, " ")
     blocks = F.split(pre, BLOCK_SPLIT_PATTERN)
 
     def _score(blk: Column) -> Column:
@@ -113,6 +107,10 @@ def extract_main_content(
             ),
         )
 
+    return F.transform(blocks, _score)
+
+
+def _keep_pred(min_text_len: int, link_den: int, min_density: int):
     def _keep(s: Column) -> Column:
         return (
             (s["text_len"] >= F.lit(min_text_len))
@@ -120,8 +118,36 @@ def extract_main_content(
             & (s["text_len"] >= F.lit(min_density) * (F.lit(1) + s["tag_count"]))
         )
 
-    out = df.withColumn("_scored", F.transform(blocks, _score))
-    out = out.withColumn("_kept", F.filter(F.col("_scored"), _keep))
+    return _keep
+
+
+def main_content_col(
+    html: Column,
+    min_text_len: int = MIN_TEXT_LEN,
+    link_den: int = LINK_DEN,
+    min_density: int = MIN_DENSITY,
+) -> Column:
+    """Column-level main-content extraction — composable into any plan
+    (e.g. the per-turn pipeline's pre-clean stage)."""
+    kept = F.filter(
+        _scored_blocks(html), _keep_pred(min_text_len, link_den, min_density)
+    )
+    return F.array_join(F.transform(kept, lambda kb: kb["txt"]), "\n")
+
+
+def extract_main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    min_text_len: int = MIN_TEXT_LEN,
+    link_den: int = LINK_DEN,
+    min_density: int = MIN_DENSITY,
+) -> DataFrame:
+    """Add ``main_text`` / ``n_blocks`` / ``n_kept`` columns."""
+    out = df.withColumn("_scored", _scored_blocks(F.col(html_col)))
+    out = out.withColumn(
+        "_kept",
+        F.filter(F.col("_scored"), _keep_pred(min_text_len, link_den, min_density)),
+    )
     return (
         out.withColumn(
             "main_text",

@@ -112,6 +112,12 @@ def extract_and_redact(
             F.pmod(F.xxhash64("turn_idx"), F.lit(cfg.salt_buckets)),
         )
     text = F.col("text")
+    if cfg.html_extract:
+        # DOM text-density boilerplate removal first (map-only HOFs), then
+        # the reference clean battery over the extracted main content
+        from doc_redaction_spark.operators.html_extract import main_content_col
+
+        text = main_content_col(F.coalesce(text, F.lit("")))
     if nfkc:
         text = nfkc_fold_udf()(text)
     df = df.withColumn("clean_text", clean_text_col(text))

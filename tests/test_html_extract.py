@@ -113,3 +113,23 @@ def test_empty_and_null_html(spark):
     df = df.withColumn("html", F.coalesce("html", F.lit("")))
     out = extract_main_content(df).select("main_text", "n_kept").collect()
     assert all(r.main_text == "" and r.n_kept == 0 for r in out)
+
+
+def test_pipeline_html_extract_stage(spark):
+    """PipelineConfig(html_extract=True): per-turn DOM-density extraction
+    runs before the clean battery, equal to the Python renderings chained
+    (north-star HTML stage inside the flagship pipeline)."""
+    from doc_redaction_spark.config import PipelineConfig
+    from doc_redaction_spark.functions.clean import python_clean
+    from doc_redaction_spark.plans.pipeline import extract_and_redact
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", PAGE, "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = extract_and_redact(
+        turns, PipelineConfig(html_extract=True), with_row_number=False
+    ).first()
+    expect = python_clean(extract_main_content_py(PAGE), nfkc=False)
+    assert out.clean_text == expect
+    assert "Terms" not in out.clean_text and "Budget review outcome" in out.clean_text
