@@ -3,7 +3,9 @@
 Re-expresses ``/root/reference/tools/ocr_reading_order.py`` — column-mode
 gating (:140-232), split-point detection (:283-420), layout assignment +
 centre-gap fallback (:418-535), and the final full-span-first column-major
-sort (:535-590) — as a per-page pandas kernel under ``applyInPandas``.
+sort (:535-590) — as a per-page pandas kernel streamed through
+``mapInPandas`` (see :func:`reading_order_ncolumns` for why not
+``applyInPandas``).
 
 Semantics implemented (thresholds = the reference config defaults,
 ``tools/config.py:1350-1421``):
@@ -32,11 +34,12 @@ Semantics implemented (thresholds = the reference config defaults,
    (top, left). Non-column pages sort everything by (top, left) — no
    header hoisting (reference: letters/memos would misorder).
 
-Spark shape: ``groupBy(page keys).applyInPandas`` — detection needs every
-box of a page, and pages are small bounded units (≤ a few thousand
-lines), so hash partitioning by page is skew-free and embarrassingly
-parallel at corpus scale; there is exactly one shuffle, on the natural
-page key.
+Spark shape: hash-repartition by page key → sortWithinPartitions →
+ONE ``mapInPandas`` streaming thousands of contiguous page groups per
+Python call — detection needs every box of a page, pages are small
+bounded units (≤ a few thousand lines), so this is skew-free and
+embarrassingly parallel at corpus scale; exactly one shuffle, on the
+natural page key, and no per-page JVM↔Python round-trip.
 """
 
 from __future__ import annotations
