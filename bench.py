@@ -181,21 +181,34 @@ def main():
                 cmd,
                 capture_output=True, text=True, timeout=1800,
             )
-            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-            r = json.loads(line)
+            lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+            if not lines:
+                # a failed level must degrade the scaling section, never
+                # swallow the whole bench JSON line
+                print(
+                    f"scaling subprocess local[{cores}] failed: "
+                    f"{p.stderr.strip().splitlines()[-3:]}",
+                    file=sys.stderr,
+                )
+                scaling[f"local[{cores}]"] = {"sec": None, "turns_per_sec": None}
+                continue
+            r = json.loads(lines[-1])
             scaling[f"local[{cores}]"] = {
                 "sec": round(r["sec"], 3),
                 "turns_per_sec": round(r["turns"] / r["sec"], 1),
             }
-        thr2 = scaling["local[2]"]["turns_per_sec"]
-        thr8 = scaling["local[8]"]["turns_per_sec"]
-        thr32 = scaling["local[32]"]["turns_per_sec"]
+        def _thr(k):
+            v = scaling.get(k, {})
+            return v.get("turns_per_sec") or None
+        thr2, thr8, thr32 = _thr("local[2]"), _thr("local[8]"), _thr("local[32]")
         # two N→4N pairs: 2→8 is the faithful proxy for adding executors
         # (each pinned run is compute-bound with spare memory bandwidth);
         # 8→32 additionally measures same-socket memory-bandwidth saturation
         # of the JVM clean battery — see BENCH/BASELINE.md phase breakdown
-        scaling["efficiency_2_to_8"] = round((thr8 / thr2) / 4.0, 3)
-        scaling["efficiency_8_to_32"] = round((thr32 / thr8) / 4.0, 3)
+        if thr2 and thr8:
+            scaling["efficiency_2_to_8"] = round((thr8 / thr2) / 4.0, 3)
+        if thr8 and thr32:
+            scaling["efficiency_8_to_32"] = round((thr32 / thr8) / 4.0, 3)
         scaling["turns"] = scaling_turns
         result["scaling"] = scaling
 
