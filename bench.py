@@ -116,6 +116,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         fn = qs.get(name)
         if fn is None:
             continue
+        # dedup operators persist intermediates; drop leftovers so each
+        # pick is measured from a clean cache state, not under the memory
+        # pressure of every previous query's cache
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
