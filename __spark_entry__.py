@@ -1674,7 +1674,9 @@ def _template_span_info():
     return out
 
 
-def o_transcripts_spans():
+def _spans_oracle_cte() -> str:
+    """Shared planted-offset span CTE (ends with ``allspans``; ``base``
+    carries the clean text as ``ct``)."""
     marks = ", ".join(
         f"({i}, '{m.replace(chr(39), chr(39) * 2)}')" for i, m, _ in _template_span_info()
     )
@@ -1682,10 +1684,6 @@ def o_transcripts_spans():
         f"({i}, '{e}', {rs}, {re_})"
         for i, _, spans in _template_span_info()
         for (e, rs, re_) in spans
-    )
-    sid = (
-        "sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|' ||"
-        " CAST(s AS VARCHAR) || '|' || CAST(e AS VARCHAR) || '|' || etype)"
     )
     return f"""
     {TR_CTE},
@@ -1702,10 +1700,59 @@ def o_transcripts_spans():
       SELECT b.conv_id, b.turn_idx, t.etype,
              CAST(strpos(b.ct, m.marker) - 1 + t.rs AS INTEGER) AS s,
              CAST(strpos(b.ct, m.marker) - 1 + t.re_ AS INTEGER) AS e
-      FROM base b JOIN marks m ON m.tpl = b.d % 5 JOIN tsp t ON t.tpl = m.tpl)
+      FROM base b JOIN marks m ON m.tpl = b.d % 5 JOIN tsp t ON t.tpl = m.tpl)"""
+
+
+def o_transcripts_spans():
+    sid = (
+        "sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|' ||"
+        " CAST(s AS VARCHAR) || '|' || CAST(e AS VARCHAR) || '|' || etype)"
+    )
+    return f"""
+    {_spans_oracle_cte()}
     SELECT conv_id, turn_idx, etype AS entity_type, s AS start, e AS "end",
            1.0e0 AS score, {sid} AS id
     FROM allspans
+    """
+
+
+def q_review_prune(spark, sf_dir):
+    """Suspicious-review-row pruning (reference
+    verify_redaction_coverage.py:231-299 via post_redaction_pass1_qa):
+    short no-digit fragments and empty TITLES rows are flagged prunable.
+    The fixture's TITLES spans ('Dr', 2 chars) exercise the short-fragment
+    arm; everything else stays."""
+    from doc_redaction_spark.operators.coverage_qa import prune_suspicious_spans
+    from doc_redaction_spark.plans.pipeline import extract_and_redact as _er
+
+    out = _er(_tr(spark, sf_dir), PIPE_CFG, with_row_number=False)
+    spans = span_table(out).join(
+        out.select("conv_id", "turn_idx", "clean_text"), ["conv_id", "turn_idx"]
+    )
+    review = spans.withColumn(
+        "span_text", F.expr("substring(clean_text, start + 1, end - start)")
+    )
+    flagged = prune_suspicious_spans(review)
+    return flagged.select(
+        "conv_id", "turn_idx", "entity_type", "start", "end", "span_text",
+        F.col("pruned").cast("int").alias("pruned"),
+    )
+
+
+def o_review_prune():
+    return f"""
+    {_spans_oracle_cte()},
+    rev AS (SELECT a.conv_id, a.turn_idx, a.etype, a.s, a.e,
+                   substr(b.ct, a.s + 1, a.e - a.s) AS span_text
+            FROM allspans a JOIN base b USING (conv_id, turn_idx))
+    SELECT conv_id, turn_idx, etype AS entity_type, s AS start, e AS "end",
+           span_text,
+           CAST(CASE
+             WHEN trim(span_text) = '' AND upper(etype) = 'TITLES' THEN 1
+             WHEN trim(span_text) <> '' AND length(trim(span_text)) < 3
+                  AND NOT regexp_matches(trim(span_text), '\\d') THEN 1
+             ELSE 0 END AS INTEGER) AS pruned
+    FROM rev
     """
 
 
@@ -2402,6 +2449,7 @@ _QUERIES: dict[str, Callable] = {
     "pdf_word_punct_split": q_pdf_word_punct_split,
     "pdf_rawdict_chars": q_pdf_rawdict_chars,
     "coverage_qa": q_coverage_qa,
+    "review_prune": q_review_prune,
     "multimodal_decode": q_multimodal_decode,
     "per_image_pick": q_per_image_pick,
     "html_main_content": q_html_main_content,
@@ -2465,6 +2513,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "pdf_word_punct_split": o_pdf_word_punct_split,
     "pdf_rawdict_chars": o_pdf_rawdict_chars,
     "coverage_qa": o_coverage_qa,
+    "review_prune": o_review_prune,
     "multimodal_decode": o_multimodal_decode,
     "per_image_pick": o_per_image_pick,
     "html_main_content": o_html_main_content,

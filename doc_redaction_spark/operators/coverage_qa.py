@@ -91,3 +91,30 @@ def coverage_report(
 
 def pass_strict(report: DataFrame) -> bool:
     return report.filter(~F.col("ok")).limit(1).count() == 0
+
+
+def prune_suspicious_spans(
+    review: DataFrame,
+    text_col: str = "span_text",
+    label_col: str = "entity_type",
+    must_redact: tuple = (),
+    min_word_length: int = 3,
+) -> DataFrame:
+    """Flag prunable suspicious review rows (reference
+    ``tools/verify_redaction_coverage.py:231-299`` /
+    ``post_redaction_pass1_qa.py``): an empty-text TITLES row, or a
+    short no-digit fragment (< ``min_word_length`` chars) — unless the
+    text matches a ``must_redact`` policy pattern, which protects even
+    short hits (e.g. initials). Adds a boolean ``pruned`` column; pure
+    native predicate, no UDF."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    empty_titles = (t == "") & (F.upper(F.col(label_col)) == F.lit("TITLES"))
+    short_fragment = (
+        (t != "") & (F.length(t) < min_word_length) & ~t.rlike(r"\d")
+    )
+    protected = F.lit(False)
+    for p in must_redact:
+        protected = protected | t.rlike(p)
+    return review.withColumn(
+        "pruned", empty_titles | (short_fragment & ~protected)
+    )

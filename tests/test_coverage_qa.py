@@ -32,3 +32,32 @@ def test_must_not_redact_overreach(spark):
     rows = {r.pattern: r for r in rep.collect()}
     assert rows[r"plain text"].ok  # not covered → ok
     assert not rows[r"a@b\.com"].ok  # covered but must-not → overreach
+
+
+def test_prune_suspicious_spans_rules(spark):
+    """Reference verify_redaction_coverage.py:231-299: empty TITLES rows
+    and short no-digit fragments are prunable; must_redact protects even
+    short hits; digits and normal-length rows always stay."""
+    from pyspark.sql import functions as F
+
+    from doc_redaction_spark.operators.coverage_qa import prune_suspicious_spans
+
+    rows = [
+        ("", "TITLES"),          # empty TITLES → pruned
+        ("", "EMAIL_ADDRESS"),   # empty other label → kept
+        ("Dr", "TITLES"),        # short, no digit → pruned
+        ("JB", "CUSTOM"),        # short but protected below → kept
+        ("A1", "CUSTOM"),        # short WITH digit → kept
+        ("Baker", "STREETNAME"), # normal length → kept
+    ]
+    df = spark.createDataFrame(rows, "span_text string, entity_type string")
+    got = {
+        (r.span_text, r.entity_type): r.pruned
+        for r in prune_suspicious_spans(df, must_redact=(r"^JB$",)).collect()
+    }
+    assert got[("", "TITLES")] is True
+    assert got[("", "EMAIL_ADDRESS")] is False
+    assert got[("Dr", "TITLES")] is True
+    assert got[("JB", "CUSTOM")] is False
+    assert got[("A1", "CUSTOM")] is False
+    assert got[("Baker", "STREETNAME")] is False
