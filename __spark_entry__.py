@@ -1223,6 +1223,39 @@ def o_pdf_word_punct_split():
     """
 
 
+def q_events_json_extract(spark, sf_dir):
+    """Typed extraction from a JSON-string props column (the metadata
+    side-channel every training-data pipeline carries): get_json_object
+    stays JVM-side, grouped rollup per event_type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).cast("long").alias("n_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def o_events_json_extract():
+    return """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
 def q_per_image_pick(spark, sf_dir):
     """Per-image dedup pick (reference file_conversion.py:2141-2167):
     among duplicate OCR rows for one image keep the row with the most
@@ -2452,6 +2485,7 @@ _QUERIES: dict[str, Callable] = {
     "review_prune": q_review_prune,
     "multimodal_decode": q_multimodal_decode,
     "per_image_pick": q_per_image_pick,
+    "events_json_extract": q_events_json_extract,
     "html_main_content": q_html_main_content,
     "html_block_metrics": q_html_block_metrics,
     "words_to_lines_rollup": q_words_to_lines_rollup,
@@ -2516,6 +2550,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "review_prune": o_review_prune,
     "multimodal_decode": o_multimodal_decode,
     "per_image_pick": o_per_image_pick,
+    "events_json_extract": o_events_json_extract,
     "html_main_content": o_html_main_content,
     "html_block_metrics": o_html_block_metrics,
     "words_to_lines_rollup": o_words_to_lines_rollup,
