@@ -1,0 +1,63 @@
+"""Property test: the HTML main-content spec means the SAME thing in
+Python ``re`` and DuckDB RE2 on adversarial inputs.
+
+The driver oracle only exercises the fixture's HTML; regex-dialect
+divergence (lazy quantifiers, inline flags, ``\\s`` classes, entity
+patterns) would bite first on weird inputs. Hypothesis feeds both
+renderings tag-soup built from the spec's own alphabet — no Spark in the
+loop, so hundreds of examples are cheap. (Spark's Java-regex rendering is
+pinned separately by test_html_extract's 3-way golden.)
+"""
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from doc_redaction_spark.operators.html_extract import (
+    ANCHOR_PATTERN,
+    BLOCK_SPLIT_PATTERN,
+    LINK_DEN,
+    MIN_DENSITY,
+    MIN_TEXT_LEN,
+    PRESTRIP_PATTERN,
+    STRIP_PATTERN,
+    TAG_PATTERN,
+    extract_main_content_py,
+)
+
+_SQL = f"""
+WITH pre AS (SELECT regexp_split_to_array(
+                 regexp_replace(?, '{PRESTRIP_PATTERN}', ' ', 'g'),
+                 '{BLOCK_SPLIT_PATTERN}') AS arr),
+b AS (SELECT generate_subscripts(arr, 1) AS ord, unnest(arr) AS blk FROM pre),
+m AS (SELECT ord,
+        trim(regexp_replace(regexp_replace(blk, '{STRIP_PATTERN}', ' ', 'g'),
+             '\\s+', ' ', 'g')) AS txt,
+        coalesce(list_aggregate(list_transform(
+            regexp_extract_all(blk, '{ANCHOR_PATTERN}', 1),
+            anc -> length(regexp_replace(anc, '{STRIP_PATTERN}', '', 'g'))),
+            'sum'), 0) AS anchor_len,
+        len(regexp_extract_all(blk, '{TAG_PATTERN}')) AS tag_count
+      FROM b)
+SELECT coalesce(string_agg(txt, chr(10) ORDER BY ord), '')
+FROM m WHERE length(txt) >= {MIN_TEXT_LEN}
+  AND anchor_len * {LINK_DEN} <= length(txt)
+  AND length(txt) >= {MIN_DENSITY} * (1 + tag_count)
+"""
+
+_PIECES = st.sampled_from([
+    "<p>", "</p>", "<div>", "</div>", "<DIV>", "<a href='/x'>", "</a>",
+    "<b>", "</b>", "<br/>", "<script>", "</script>", "<style>", "</style>",
+    "<!--", "-->", "<li>", "</li>", "&nbsp;", "&#160;", "&amp;", "< ",
+    "some readable words here and there to pass the length gate ",
+    "short", " ", "\t", "\n", "x" * 30, "buy now! ", "1 2 3 ",
+    "<h1>", "</h1>", "<table>", "<td>", "</td>", "<p class='x y'>",
+])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_PIECES, min_size=0, max_size=25))
+def test_python_and_duckdb_agree(pieces):
+    html = "".join(pieces)
+    got_sql = duckdb.execute(_SQL, [html]).fetchone()[0]
+    assert got_sql == extract_main_content_py(html)
