@@ -1223,6 +1223,66 @@ def o_pdf_word_punct_split():
     """
 
 
+_DOCX_HEAD = (
+    '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml'
+    '/2006/main"><w:body><w:p><w:r><w:t>Fish &amp; Chips</w:t></w:r></w:p>'
+)
+
+
+def _docx_xml_spark():
+    """Synthetic WordprocessingML: an entity-escaped header paragraph plus
+    4 paragraphs of 2 runs × 4 words each (the second run carries an
+    xml:space leading space, as python-docx emits). The oracle reconstructs
+    the expected paragraphs from the same token arithmetic — the Spark side
+    genuinely parses."""
+    san = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"[&<>\"']", " "
+    )
+    toks = F.filter(F.split(san, r"\s+"), lambda tk: tk != "")
+    parts = [F.lit(_DOCX_HEAD)]
+    for p in range(4):
+        parts += [
+            F.lit("<w:p><w:r><w:t>"),
+            F.array_join(F.slice(toks, 8 * p + 1, 4), " "),
+            F.lit('</w:t></w:r><w:r><w:t xml:space="preserve"> '),
+            F.array_join(F.slice(toks, 8 * p + 5, 4), " "),
+            F.lit("</w:t></w:r></w:p>"),
+        ]
+    parts.append(F.lit("</w:body></w:document>"))
+    return F.concat(*parts)
+
+
+def q_docx_paragraphs(spark, sf_dir):
+    """DOCX paragraph scan (WordprocessingML w:p/w:r/w:t decomposition,
+    reference file_conversion dispatch) — sources/docx_xml.py: paragraph
+    split + run-text concat + XML unescape, map-only, no parser lib."""
+    from doc_redaction_spark.sources.docx_xml import docx_paragraphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    xml = docs.select("doc_id", _docx_xml_spark().alias("xml"))
+    return docx_paragraphs(xml)
+
+
+def o_docx_paragraphs():
+    toks = (
+        "list_filter(string_split_regex(regexp_replace(coalesce(text, ''),"
+        " '[&<>\"'']', ' ', 'g'), '\\s+'), tk -> tk <> '')"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+    ps AS (SELECT unnest(generate_series(1, 4)) AS p)
+    SELECT doc_id, CAST(0 AS BIGINT) AS para_idx,
+           'Fish & Chips' AS para_text FROM documents
+    UNION ALL
+    SELECT d.doc_id, ps.p AS para_idx,
+           coalesce(array_to_string(d.toks[8*(ps.p-1)+1 : 8*(ps.p-1)+4], ' '), '')
+           || ' ' ||
+           coalesce(array_to_string(d.toks[8*(ps.p-1)+5 : 8*(ps.p-1)+8], ' '), '')
+           AS para_text
+    FROM d CROSS JOIN ps
+    """
+
+
 def q_events_json_extract(spark, sf_dir):
     """Typed extraction from a JSON-string props column (the metadata
     side-channel every training-data pipeline carries): get_json_object
@@ -2486,6 +2546,7 @@ _QUERIES: dict[str, Callable] = {
     "multimodal_decode": q_multimodal_decode,
     "per_image_pick": q_per_image_pick,
     "events_json_extract": q_events_json_extract,
+    "docx_paragraphs": q_docx_paragraphs,
     "html_main_content": q_html_main_content,
     "html_block_metrics": q_html_block_metrics,
     "words_to_lines_rollup": q_words_to_lines_rollup,
@@ -2551,6 +2612,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "multimodal_decode": o_multimodal_decode,
     "per_image_pick": o_per_image_pick,
     "events_json_extract": o_events_json_extract,
+    "docx_paragraphs": o_docx_paragraphs,
     "html_main_content": o_html_main_content,
     "html_block_metrics": o_html_block_metrics,
     "words_to_lines_rollup": o_words_to_lines_rollup,

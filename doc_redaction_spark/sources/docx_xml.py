@@ -1,0 +1,74 @@
+"""DOCX (WordprocessingML) paragraph scan — XML-as-data, no parser libs.
+
+The reference reads .docx through python-docx / file conversion
+(``/root/reference/tools/file_conversion.py`` dispatch; paragraphs are
+``document.xml`` ``<w:p>`` elements whose text is the concatenation of
+their ``<w:t>`` run texts). python-docx is absent here, and at corpus
+scale a DOM parse per document is the slow path anyway — machine-written
+WordprocessingML is regular enough to decompose with the same pattern
+machinery as the HTML extractor:
+
+1. split ``document.xml`` at ``</w:p>`` boundaries (one fragment per
+   paragraph, the trailing fragment holds only envelope markup);
+2. per fragment, concatenate the ``<w:t …>…</w:t>`` run texts in order;
+3. unescape the five XML entities (``&lt; &gt; &quot; &apos;`` first,
+   ``&amp;`` LAST so ``&amp;lt;`` round-trips correctly);
+4. drop fragments with no run text.
+
+All patterns below are the single source of truth, restricted to the
+Java/RE2/Python-``re`` common subset; the driver oracle reconstructs the
+expected paragraphs arithmetically from the same synthetic construction.
+Map-only plan: split → posexplode → regexp_extract_all → array_join —
+no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PARA_SPLIT_PATTERN = r"(?is)</w:p\s*>"
+RUN_TEXT_PATTERN = r"(?is)<w:t(?:\s[^>]*)?>(.*?)</w:t\s*>"
+
+# order matters: &amp; must be unescaped LAST
+XML_UNESCAPES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def _unescape(c: Column) -> Column:
+    for ent, ch in XML_UNESCAPES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def docx_paragraphs(
+    df: DataFrame, xml_col: str = "xml", keys: tuple = ("doc_id",)
+) -> DataFrame:
+    """keys… + xml → one row per paragraph: keys… + (para_idx long,
+    para_text string). ``para_idx`` is the paragraph's position in the
+    document (fragments with no run text — e.g. the trailing envelope —
+    are dropped but do not renumber the rest)."""
+    frags = F.split(F.col(xml_col), PARA_SPLIT_PATTERN)
+    ex = df.select(
+        *[F.col(k) for k in keys],
+        F.posexplode(frags).alias("para_idx", "_frag"),
+    )
+    text = _unescape(
+        F.array_join(
+            F.regexp_extract_all(F.col("_frag"), F.lit(RUN_TEXT_PATTERN), 1), ""
+        )
+    )
+    return (
+        ex.withColumn("para_text", text)
+        .filter(F.col("para_text") != "")
+        .select(
+            *[F.col(k) for k in keys],
+            F.col("para_idx").cast("long").alias("para_idx"),
+            "para_text",
+        )
+    )

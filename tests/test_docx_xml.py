@@ -1,0 +1,30 @@
+"""DOCX (WordprocessingML) paragraph scan — sources/docx_xml.py."""
+
+from doc_redaction_spark.sources.docx_xml import docx_paragraphs
+
+
+def test_docx_paragraphs(spark):
+    xml = (
+        '<w:document xmlns:w="http://x"><w:body>'
+        "<w:p><w:r><w:t>Hello</w:t></w:r>"
+        '<w:r><w:t xml:space="preserve"> world</w:t></w:r></w:p>'
+        "<w:p><w:r><w:rPr/></w:r></w:p>"  # run without text → dropped
+        "<w:p><w:r><w:t>A &amp;lt; B &amp; C &lt;tag&gt;</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    df = spark.createDataFrame([("d1", xml)], "doc_id string, xml string")
+    rows = sorted(docx_paragraphs(df).collect(), key=lambda r: r.para_idx)
+    got = [(r.para_idx, r.para_text) for r in rows]
+    # para 1 (no w:t) and the trailing envelope fragment are dropped;
+    # &amp; unescapes LAST so '&amp;lt;' round-trips to '&lt;'
+    assert got == [
+        (0, "Hello world"),
+        (2, "A &lt; B & C <tag>"),
+    ]
+
+
+def test_docx_empty_and_null(spark):
+    df = spark.createDataFrame(
+        [("d1", ""), ("d2", "<w:document/>")], "doc_id string, xml string"
+    )
+    assert docx_paragraphs(df).count() == 0
