@@ -78,19 +78,24 @@ def write_ocr_lines_csv(df: DataFrame, path: str) -> None:
 
 
 def read_xlsx(spark: SparkSession, path: str, sheet_name=0) -> DataFrame:
-    """XLSX → DataFrame, pandas-on-driver (the reference's per-sheet read,
+    """XLSX → DataFrame (the reference's per-sheet read,
     ``tools/helper_functions.py:1002-1020``) — driver-side convenience for
-    tiny config workbooks only; gated on openpyxl availability."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "XLSX read needs openpyxl (not installed in this container); "
-            "convert to CSV/parquet for scale inputs"
-        ) from e
-    import pandas as pd
+    tiny config workbooks only. Dependency-free: stdlib SpreadsheetML
+    reader (``sources/xlsx_lite.py``), no openpyxl needed."""
+    from doc_redaction_spark.sources.xlsx_lite import read_xlsx_lite
 
-    return spark.createDataFrame(pd.read_excel(path, sheet_name=sheet_name))
+    return spark.createDataFrame(read_xlsx_lite(path, sheet_name=sheet_name))
+
+
+def write_xlsx_sheets(path: str, sheets: dict) -> None:
+    """Per-sheet anonymised-workbook sink (reference
+    ``tools/data_anonymise.py:1444-1462``): ``{sheet_name: Spark
+    DataFrame}`` collected on the driver and written as one workbook.
+    Small tables only — the reference itself caps tabular inputs at
+    MAX_TABLE_ROWS; scale outputs stay parquet."""
+    from doc_redaction_spark.sources.xlsx_lite import write_xlsx
+
+    write_xlsx(path, {name: df.toPandas() for name, df in sheets.items()})
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet", coalesce: int = 0):

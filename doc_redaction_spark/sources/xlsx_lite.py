@@ -1,0 +1,214 @@
+"""Dependency-free XLSX sheet sink/source (stdlib zipfile + ElementTree).
+
+The reference writes anonymised workbooks back per sheet
+(``/root/reference/tools/data_anonymise.py:1444-1462``) and loads config
+workbooks per sheet (``tools/helper_functions.py:1002-1020``) via
+pandas+openpyxl. openpyxl is absent in this container — but .xlsx is a
+zip of SpreadsheetML parts, so a minimal OOXML writer/reader needs only
+the standard library:
+
+* writer: ``[Content_Types].xml`` + rels + ``workbook.xml`` + one
+  ``sheetN.xml`` per sheet; numeric cells as ``<v>``, everything else as
+  ``inlineStr`` (no sharedStrings table needed);
+* reader: namespace-agnostic ElementTree walk; supports ``inlineStr``,
+  ``<v>`` numerics, and ``t="s"`` sharedStrings so externally-produced
+  simple workbooks load too.
+
+Driver-side convenience for SMALL tables (config lists, per-sheet
+anonymise outputs) — the reference itself caps tabular inputs at
+MAX_TABLE_ROWS. Scale data stays in parquet.
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+_CT = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+{overrides}
+</Types>"""
+
+_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_WB = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<sheets>{sheets}</sheets>
+</workbook>"""
+
+_WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+{rels}
+</Relationships>"""
+
+
+def _col_letter(idx: int) -> str:
+    """0-based column index → A1-style letters."""
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _cell_xml(ref: str, value) -> str:
+    if value is None:
+        return f'<c r="{ref}"/>'
+    if isinstance(value, bool):
+        return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, (int, float)):
+        if isinstance(value, float) and value != value:  # NaN
+            return f'<c r="{ref}"/>'
+        return f'<c r="{ref}"><v>{value!r}</v></c>'
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
+
+
+def write_xlsx(path: str, sheets: dict) -> None:
+    """``sheets``: ordered ``{sheet_name: pandas.DataFrame}``. Header row
+    from the frame's columns, then values."""
+    sheet_tags, rel_tags, overrides = [], [], []
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for i, (name, pdf) in enumerate(sheets.items(), start=1):
+            rows_xml = []
+            header = [f"{_col_letter(c)}1" for c in range(len(pdf.columns))]
+            rows_xml.append(
+                '<row r="1">'
+                + "".join(_cell_xml(ref, str(col)) for ref, col in zip(header, pdf.columns))
+                + "</row>"
+            )
+            for rix, row in enumerate(pdf.itertuples(index=False), start=2):
+                cells = "".join(
+                    _cell_xml(f"{_col_letter(c)}{rix}", v) for c, v in enumerate(row)
+                )
+                rows_xml.append(f'<row r="{rix}">{cells}</row>')
+            sheet_xml = (
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                f"<sheetData>{''.join(rows_xml)}</sheetData></worksheet>"
+            )
+            z.writestr(f"xl/worksheets/sheet{i}.xml", sheet_xml)
+            sheet_tags.append(
+                f'<sheet name="{escape(str(name))}" sheetId="{i}" r:id="rId{i}"/>'
+            )
+            rel_tags.append(
+                f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/'
+                f'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i}.xml"/>'
+            )
+            overrides.append(
+                f'<Override PartName="/xl/worksheets/sheet{i}.xml" ContentType='
+                '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            )
+        z.writestr("[Content_Types].xml", _CT.format(overrides="".join(overrides)))
+        z.writestr("_rels/.rels", _RELS)
+        z.writestr("xl/workbook.xml", _WB.format(sheets="".join(sheet_tags)))
+        z.writestr("xl/_rels/workbook.xml.rels", _WB_RELS.format(rels="".join(rel_tags)))
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _cell_value(cell, shared: list[str]):
+    t = cell.get("t", "")
+    if t == "inlineStr":
+        parts = [el.text or "" for el in cell.iter() if _local(el.tag) == "t"]
+        return "".join(parts)
+    v = next((el for el in cell if _local(el.tag) == "v"), None)
+    if v is None or v.text is None:
+        return None
+    if t == "s":
+        return shared[int(v.text)]
+    if t == "b":
+        return bool(int(v.text))
+    if t == "str":
+        return v.text
+    txt = v.text
+    try:
+        return int(txt)
+    except ValueError:
+        try:
+            return float(txt)
+        except ValueError:
+            return txt
+
+
+def read_xlsx_lite(path: str, sheet_name=None):
+    """Return ``{sheet_name: pandas.DataFrame}`` (or one frame when
+    ``sheet_name`` is given as a name or 0-based index). First row =
+    header, reference-loader style."""
+    import pandas as pd
+
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        names = [
+            s.get("name")
+            for s in wb.iter()
+            if _local(s.tag) == "sheet"
+        ]
+        rid_of = {
+            s.get("name"): (
+                s.get("{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id")
+                or s.get("r:id")
+            )
+            for s in wb.iter()
+            if _local(s.tag) == "sheet"
+        }
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        target_of = {
+            r.get("Id"): r.get("Target") for r in rels.iter() if _local(r.tag) == "Relationship"
+        }
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in ss:
+                shared.append(
+                    "".join(el.text or "" for el in si.iter() if _local(el.tag) == "t")
+                )
+        out = {}
+        for nm in names:
+            target = target_of[rid_of[nm]]
+            if not target.startswith("/"):
+                target = "xl/" + target
+            sheet = ET.fromstring(z.read(target.lstrip("/")))
+            grid: dict[int, dict[int, object]] = {}
+            for row in sheet.iter():
+                if _local(row.tag) != "row":
+                    continue
+                for cell in row:
+                    if _local(cell.tag) != "c":
+                        continue
+                    ref = cell.get("r", "")
+                    m = re.match(r"([A-Z]+)([0-9]+)", ref)
+                    if not m:
+                        continue
+                    cix = 0
+                    for ch in m.group(1):
+                        cix = cix * 26 + (ord(ch) - ord("A") + 1)
+                    grid.setdefault(int(m.group(2)), {})[cix - 1] = _cell_value(
+                        cell, shared
+                    )
+            if not grid:
+                out[nm] = pd.DataFrame()
+                continue
+            ncols = max(max(r.keys()) for r in grid.values()) + 1
+            header_row = grid.get(min(grid.keys()), {})
+            cols = [str(header_row.get(c, f"col{c}")) for c in range(ncols)]
+            body = [
+                [grid[r].get(c) for c in range(ncols)]
+                for r in sorted(grid.keys())[1:]
+            ]
+            out[nm] = pd.DataFrame(body, columns=cols)
+    if sheet_name is None:
+        return out
+    if isinstance(sheet_name, int):
+        return out[names[sheet_name]]
+    return out[sheet_name]

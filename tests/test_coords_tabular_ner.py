@@ -97,13 +97,33 @@ def test_ner_engine_in_pipeline(spark):
         extract_and_redact(df, cfg2).collect()
 
 
-def test_xlsx_reader_gated(spark, tmp_path):
-    import pytest as _pytest
+def test_xlsx_roundtrip(spark, tmp_path):
+    """Per-sheet workbook sink + reader (stdlib SpreadsheetML, no
+    openpyxl): types, escaping, empty cells, multi-sheet order."""
+    from doc_redaction_spark.sources.readers import read_xlsx, write_xlsx_sheets
+    from doc_redaction_spark.sources.xlsx_lite import read_xlsx_lite
 
-    from doc_redaction_spark.sources.readers import read_xlsx
+    a = spark.createDataFrame(
+        [("x <&> 'quoted'", 1, 2.5, True, None), ("plain", -3, 0.0, False, "z")],
+        "text string, n int, f double, b boolean, maybe string",
+    )
+    b = spark.createDataFrame([("row",)], "only string")
+    path = str(tmp_path / "out.xlsx")
+    write_xlsx_sheets(path, {"anonymised": a, "log": b})
 
-    with _pytest.raises(Exception, match="openpyxl|NotImplemented"):
-        read_xlsx(spark, str(tmp_path / "x.xlsx"))
+    sheets = read_xlsx_lite(path)
+    assert list(sheets) == ["anonymised", "log"]
+    pa = sheets["anonymised"]
+    assert list(pa.columns) == ["text", "n", "f", "b", "maybe"]
+    assert pa.iloc[0]["text"] == "x <&> 'quoted'"
+    assert pa.iloc[0]["n"] == 1 and pa.iloc[0]["f"] == 2.5
+    assert bool(pa.iloc[0]["b"]) and not bool(pa.iloc[1]["b"])
+    assert pa.iloc[0]["maybe"] is None
+    assert pa.iloc[1]["maybe"] == "z"
+
+    # Spark-facing reader (reference per-sheet load shape)
+    back = read_xlsx(spark, path, sheet_name="log")
+    assert [r.only for r in back.collect()] == ["row"]
 
 
 def test_ner_stub_fake_and_gated(spark):
