@@ -1035,6 +1035,37 @@ def o_words_to_lines_rollup():
     """
 
 
+def q_first_page_preview(spark, sf_dir):
+    """First-page preview analog (reference shows page-1 as an image in
+    review UIs; the data analog is the first lines of page text,
+    truncated): first 3 lines in line order, joined, capped at 120
+    chars."""
+    lines = ol.words_to_lines(_words_df(spark, sf_dir))
+    first = lines.filter(F.col("line") < 3)
+    ordered = F.sort_array(F.collect_list(F.struct(F.col("line"), F.col("text"))))
+    return (
+        first.groupBy("page")
+        .agg(
+            F.substring(
+                F.concat_ws(" ", F.transform(ordered, lambda ln: ln["text"])), 1, 120
+            ).alias("preview")
+        )
+        .orderBy("page")
+    )
+
+
+def o_first_page_preview():
+    return f"""
+    WITH words AS ({_WORDS_SQL}),
+    lines AS (SELECT page, line,
+                     string_agg(word_text, ' ' ORDER BY word_idx) AS text
+              FROM words WHERE line < 3 GROUP BY page, line)
+    SELECT page,
+           substr(string_agg(text, ' ' ORDER BY line), 1, 120) AS preview
+    FROM lines GROUP BY page ORDER BY page
+    """
+
+
 def q_reading_order_lines(spark, sf_dir):
     lines = ol.words_to_lines(_words_df(spark, sf_dir))
     return ol.reading_order(lines).select("page", "line", "line_no")
@@ -2550,6 +2581,7 @@ _QUERIES: dict[str, Callable] = {
     "html_main_content": q_html_main_content,
     "html_block_metrics": q_html_block_metrics,
     "words_to_lines_rollup": q_words_to_lines_rollup,
+    "first_page_preview": q_first_page_preview,
     "reading_order_lines": q_reading_order_lines,
     "island_runs": q_island_runs,
     "transcripts_spans": q_transcripts_spans,
@@ -2616,6 +2648,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "html_main_content": o_html_main_content,
     "html_block_metrics": o_html_block_metrics,
     "words_to_lines_rollup": o_words_to_lines_rollup,
+    "first_page_preview": o_first_page_preview,
     "reading_order_lines": o_reading_order_lines,
     "reading_order_columns": o_reading_order_columns,
     "reading_order_3col": o_reading_order_3col,
