@@ -1649,10 +1649,10 @@ def _html_oracle_cte() -> str:
     m AS (SELECT doc_id, n_blocks, ord,
                  trim(regexp_replace(regexp_replace(blk,
                       '{_sq(STRIP_PATTERN)}', ' ', 'g'), '\\s+', ' ', 'g')) AS txt,
-                 coalesce(list_aggregate(list_transform(
+                 CAST(coalesce(list_aggregate(list_transform(
                      regexp_extract_all(blk, '{_sq(ANCHOR_PATTERN)}', 1),
                      anc -> length(regexp_replace(anc, '{_sq(STRIP_PATTERN)}', '', 'g'))),
-                     'sum'), 0) AS anchor_len,
+                     'sum'), 0) AS BIGINT) AS anchor_len,
                  len(regexp_extract_all(blk, '{_sq(TAG_PATTERN)}')) AS tag_count
           FROM b),
     k AS (SELECT * FROM m

@@ -23,12 +23,22 @@ TABLES = [
 def _norm_cell(v):
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
     if isinstance(v, float):
         if v != v:
             return "NULL"
+        # Keep integral floats distinct from ints: DuckDB widens BIGINT
+        # aggregates (HUGEINT, list_aggregate sums) to float64 through the
+        # Arrow fetch the driver uses, and the driver hashes 5.0 != 5.  The
+        # mirror must reproduce that sensitivity (round-2 html_block_metrics
+        # red row), so an un-CAST oracle aggregate fails HERE, not at the
+        # driver.
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.1f}"
         return f"{v:.6g}"
-    if isinstance(v, bool):
-        return str(int(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + "|".join(_norm_cell(x) for x in v) + "]"
     return str(v)
 
 
@@ -77,7 +87,14 @@ def main():
         try:
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Arrow-typed fetch: mirrors the driver's pandas/Arrow view in
+            # which DuckDB HUGEINT (widened BIGINT aggregates) comes back as
+            # float64.  fetchall() returns Python ints and hides that class
+            # of hash mismatch (round-2 html_block_metrics).
+            tbl = res.arrow()
+            orows = [
+                tuple(d[c] for c in ocols) for d in tbl.to_pylist()
+            ]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {e}")
