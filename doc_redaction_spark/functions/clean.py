@@ -78,6 +78,33 @@ CLEAN_PATTERNS: list[tuple[str, str, str]] = [
 
 _STRIP_EDGE = r"^\s+|\s+$"  # polars strip_chars equivalent, pre-battery
 
+# --- dirty-row gate (Spark hot path only) ------------------------------------
+# The sequential battery above IS the spec (and stays the oracle rendering in
+# DuckDB/Python). The Spark-native path gates it on a cheap "dirty" test:
+# every skipped pass has a pattern that CANNOT match unless the raw text
+# contains one of these markers, so on marker-free rows the full battery
+# reduces to strip + multi_space + punct_run (the three passes whose patterns
+# need no marker). contains() runs directly on UTF8String (no regex machinery,
+# no String conversion, no output allocation), while every regexp_replace
+# pays a UTF8String→String→UTF8String round-trip plus a full copy EVEN WHEN
+# NOTHING MATCHES — on mostly-clean text the gate skips ~7 of 10 rewrites.
+#
+# Implication table (pass → marker that its pattern requires):
+#   multi_newline (\r\n|\n)+  → "\n"          carriage_return \r → "\r"
+#   url  http...|((?:www\.)…) → "http"/"www." and_sign &         → "&"
+#   html <.*?>|&…;|\xa0|&nbsp;→ "<" / "&" / non-ASCII (\xa0)
+#   html_trunc <(.*?)\.\.     → "<"
+#   non_ascii + every smart-punct fold        → any non-ASCII byte
+# Proven output-equal by hypothesis (tests/test_clean_gate_property.py) and
+# a 0-mismatch sweep over the 4M-turn bench corpus.
+#
+# Measured (pinned, 4M turns, warm min-of-3, 40% dirty rows): 8 cores
+# 14.9→9.1 s (1.63×), 32 cores 4.7→3.5 s (1.32×). A fused-alternation
+# variant (merging html/html_trunc/non_ascii into one pass) was measured at
+# 0.94–0.99× — alternation attempts per position cost as much as the saved
+# passes — and rejected; see BENCH/BASELINE.md round 3.
+DIRTY_MARKERS = ("<", "&", "http", "www.", "\n", "\r")
+
 
 def clean_text_col(col: Column | str) -> Column:
     """Native-Spark clean battery: smart-punct fold + strip + regex passes.
@@ -86,15 +113,29 @@ def clean_text_col(col: Column | str) -> Column:
     here (no JVM builtin); callers needing full NFKC compose
     ``nfkc_fold_udf`` in front — the battery itself is byte-stable on any
     input already free of decomposable forms.
+
+    Output-identical to the sequential spec; marker-free rows take the
+    light path (see DIRTY_MARKERS implication table above).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    c = F.coalesce(c, F.lit(""))
+    src = F.col(col) if isinstance(col, str) else col
+    base = F.coalesce(src, F.lit(""))
+    dirty = base.rlike(NON_ASCII_PATTERN)
+    for m in DIRTY_MARKERS:
+        dirty = dirty | base.contains(m)
+    heavy = base
     for old, new in SMART_PUNCT_FOLD:
-        c = F.replace(c, F.lit(old), F.lit(new))
-    c = F.regexp_replace(c, _STRIP_EDGE, "")
+        heavy = F.replace(heavy, F.lit(old), F.lit(new))
+    heavy = F.regexp_replace(heavy, _STRIP_EDGE, "")
     for _, pat, repl in CLEAN_PATTERNS:
-        c = F.regexp_replace(c, pat, repl)
-    return c
+        heavy = F.regexp_replace(heavy, pat, repl)
+    light = F.regexp_replace(base, _STRIP_EDGE, "")
+    light = F.regexp_replace(light, MULTI_SPACE_PATTERN, " ")
+    light = F.regexp_replace(light, PUNCT_RUN_PATTERN, "$1")
+    # NOTE: do NOT gate per-pass with when(guard, replace(c)).otherwise(c) —
+    # each pass referencing the growing chain triples the expression tree
+    # (3^9 nodes) and codegen OOMs. One gate, two flat branches, every
+    # contains() referencing only the tiny base column.
+    return F.when(dirty, heavy).otherwise(light)
 
 
 def duckdb_clean_sql(expr: str) -> str:
@@ -126,6 +167,28 @@ def python_clean(text: str | None, nfkc: bool = True) -> str:
         if name == "punct_run":
             pat = PUNCT_RUN_PATTERN_PY
         text = re.sub(pat, repl.replace("$1", r"\1"), text)
+    return text
+
+
+def python_clean_gated(text: str | None, nfkc: bool = True) -> str:
+    """Python rendering of the GATED battery (clean_text_col's shape).
+
+    Exists so the gate's output-equivalence to the sequential spec can be
+    hypothesis-proven engine-free (tests/test_clean_gate_property.py);
+    production oracles keep the sequential rendering.
+    """
+    if text is None:
+        return ""
+    if nfkc:
+        text = unicodedata.normalize("NFKC", text)
+    dirty = any(ord(ch) > 0x7F for ch in text) or any(
+        m in text for m in DIRTY_MARKERS
+    )
+    if dirty:
+        return python_clean(text, nfkc=False)
+    text = text.strip()
+    text = re.sub(MULTI_SPACE_PATTERN, " ", text)
+    text = re.sub(PUNCT_RUN_PATTERN_PY, r"\1", text)
     return text
 
 

@@ -1,0 +1,53 @@
+"""Property proof: the dirty-row-GATED clean battery (Spark hot path) is
+output-equivalent to the sequential spec battery.
+
+The gate (clean.py DIRTY_MARKERS) skips 7 of the 10 full-string rewrites on
+rows containing no marker; legality rests on the implication "pattern can
+match ⇒ a marker is present" for every skipped pass (table in clean.py).
+Hypothesis hunts counterexamples over the battery's own alphabet; boundary
+cases sit right at the gate (a lone "w" vs "www.", "htt" vs "http", a
+marker appearing only AFTER NFKC folding — e.g. U+FE64 SMALL LESS-THAN
+normalizes to "<").
+
+No Spark in the loop (pure ``re`` vs ``re``); Spark's Java rendering of
+the gated battery is pinned by the 3-way goldens in test_clean.py, the
+transcripts_clean driver oracle, and a 0-mismatch sweep over the 4M-turn
+bench corpus (BENCH/BASELINE.md round 3).
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from doc_redaction_spark.functions.clean import python_clean, python_clean_gated
+
+_PIECES = st.sampled_from([
+    "<p>", "</p>", "<a href='x'>", "</a>", "< ", ">", "<",
+    "&amp;", "&nbsp;", "&#160;", "&", ";",
+    "http://ex.com/a?b=c", "www.site.org", "http", "htt", "www.", "w",
+    "..", "...", ". .", "!!", "?!",
+    "\xa0", "é", "üü", "東京", "’", "“", "…", "—", "﹤",
+    " ", "  ", "\n", "\r\n", "\r", "\n\n", "\t", "\t\t",
+    "plain words", "x9", "-",
+])
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_PIECES, min_size=0, max_size=20))
+def test_gated_equals_sequential(pieces):
+    s = "".join(pieces)
+    assert python_clean_gated(s) == python_clean(s)
+    assert python_clean_gated(s, nfkc=False) == python_clean(s, nfkc=False)
+
+
+def test_gate_boundary_corners():
+    for s in [
+        "",                      # empty
+        "   ",                   # whitespace-only, clean path
+        "a  b!!c",               # clean path exercises all 3 light passes
+        "h t t p www x",         # marker fragments that must NOT trip... or trip harmlessly
+        "www.x",                 # url marker, heavy path
+        "tab\t\there",           # \t\t is multi_space but NOT a dirty marker
+        "﹤tag﹥",       # markers born from NFKC
+    ]:
+        assert python_clean_gated(s) == python_clean(s), repr(s)
+        assert python_clean_gated(s, nfkc=False) == python_clean(s, nfkc=False), repr(s)
