@@ -1683,6 +1683,88 @@ def o_pdf_rawdict_chars():
     """
 
 
+def q_pdf_bytes_extract(spark, sf_dir):
+    """Byte-level PDF text extraction, end to end: each document's text is
+    rendered to a REAL multi-page PDF (FlateDecode content streams, Courier
+    metrics) by an Arrow UDF, then parsed back by the dependency-free
+    stdlib parser (sources/pdf_lite.py: object scan → page tree → zlib
+    inflate → content-stream operand interpreter), chars rolled up to
+    lines by their parsed baselines. The oracle recomputes the layout
+    arithmetic from the source text — so the Spark side only matches if
+    the round trip through actual PDF bytes is faithful (reference parse
+    paths: tools/file_redaction.py:10572-10609, 10737-10787)."""
+    from doc_redaction_spark.sources.pdf_lite import (
+        LEADING,
+        LINES_PER_PAGE,
+        TOP_Y,
+        parse_pdf_chars,
+        render_pdf_udf,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    blobs = docs.select("doc_id", render_pdf_udf()(F.col("text")).alias("pdf"))
+    chars = parse_pdf_chars(blobs)
+    lines = (
+        chars.groupBy("doc_id", "page", "y0")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("char_idx", "c"))),
+                    lambda s: s["c"],
+                ),
+                "",
+            ).alias("line_text"),
+            F.min("x0").alias("x0"),
+            F.max("x1").alias("x1"),
+        )
+    )
+    line_in_page = ((F.lit(TOP_Y) - F.col("y0")) / F.lit(LEADING)).cast("long")
+    return lines.select(
+        "doc_id",
+        F.col("page").cast("long").alias("page"),
+        (F.col("page") * LINES_PER_PAGE + line_in_page).alias("line_no"),
+        "line_text",
+        F.round("x0", 2).alias("x0"),
+        F.round("x1", 2).alias("x1"),
+        F.round("y0", 2).alias("y0"),
+    )
+
+
+def o_pdf_bytes_extract():
+    from doc_redaction_spark.sources.pdf_lite import (
+        COURIER_ADVANCE,
+        FONT_SIZE,
+        LEADING,
+        LINES_PER_PAGE,
+        MARGIN_X,
+        TOP_Y,
+        WORDS_PER_LINE,
+    )
+
+    adv = COURIER_ADVANCE * FONT_SIZE
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                  w -> w <> '') AS toks
+               FROM documents),
+    ln AS (SELECT doc_id, i AS line_no,
+                  regexp_replace(
+                      array_to_string(toks[(i * {WORDS_PER_LINE} + 1):
+                                           ((i + 1) * {WORDS_PER_LINE})], ' '),
+                      '[^ -~]', '?', 'g') AS line_text
+           FROM d, (SELECT unnest(generate_series(0, 1000)) AS i)
+           WHERE i * {WORDS_PER_LINE} < len(toks))
+    SELECT doc_id,
+           line_no // {LINES_PER_PAGE} AS page,
+           line_no,
+           line_text,
+           {MARGIN_X:.1f}e0 AS x0,
+           round({MARGIN_X:.1f}e0 + {adv:.1f}e0 * length(line_text), 2) AS x1,
+           round({TOP_Y:.1f}e0 - {LEADING:.1f}e0 * (line_no % {LINES_PER_PAGE}), 2) AS y0
+    FROM ln
+    """
+
+
 # ---------------------------------------------------------------------------
 # queries — HTML main-content extraction (DOM text-density heuristics)
 # ---------------------------------------------------------------------------
@@ -2709,6 +2791,7 @@ _QUERIES: dict[str, Callable] = {
     "pdf_chars_to_words": q_pdf_chars_to_words,
     "pdf_word_punct_split": q_pdf_word_punct_split,
     "pdf_rawdict_chars": q_pdf_rawdict_chars,
+    "pdf_bytes_extract": q_pdf_bytes_extract,
     "coverage_qa": q_coverage_qa,
     "review_prune": q_review_prune,
     "multimodal_decode": q_multimodal_decode,
@@ -2777,6 +2860,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "pdf_chars_to_words": o_pdf_chars_to_words,
     "pdf_word_punct_split": o_pdf_word_punct_split,
     "pdf_rawdict_chars": o_pdf_rawdict_chars,
+    "pdf_bytes_extract": o_pdf_bytes_extract,
     "coverage_qa": o_coverage_qa,
     "review_prune": o_review_prune,
     "multimodal_decode": o_multimodal_decode,

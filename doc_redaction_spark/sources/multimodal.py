@@ -115,7 +115,12 @@ def extract_pages(media: DataFrame, fake: bool = False) -> DataFrame:
     def pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError("PDF parse needs pymupdf; use fake=True")
+                raise NotImplementedError(
+                    "pixel-accurate PDF parse needs pymupdf; use fake=True — "
+                    "or sources/pdf_lite.py, which REALLY parses classic "
+                    "Flate/uncompressed PDFs with the stdlib (the "
+                    "pdf_bytes_extract driver query runs that path)"
+                )
             out = []
             for d, p in zip(pdf["doc_id"], pdf["payload"]):
                 text = (bytes(p) if p is not None else b"").decode("utf-8", "replace")

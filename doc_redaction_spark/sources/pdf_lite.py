@@ -1,0 +1,446 @@
+"""Dependency-free PDF text extraction (and a writer for test payloads).
+
+The reference opens real PDFs through pdfminer
+(``/root/reference/tools/file_redaction.py:10572-10609``) and PyMuPDF
+(``:10737-10787``); neither library exists in this container, so — the same
+way ``xlsx_lite.py``/``docx_xml.py`` closed XLSX/DOCX with the stdlib — this
+module implements the PDF leg for the formats a deterministic pipeline can
+honestly cover: classic (non-xref-stream) PDFs whose content streams are
+uncompressed or FlateDecode (stdlib ``zlib``).
+
+Parser (``extract_pdf_chars``): object scan → page tree walk (Kids order) →
+content-stream inflate → a real operand-stack interpreter for the text
+subset (BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, ', TJ) with literal- and
+hex-string decoding and per-char advance from the font width table
+(Courier: 600/1000 em — the monospace metric, so positions are exact
+without embedded font programs). Output is one row per character with its
+box — the same char-level contract ``operators/pdf_words.py`` consumes from
+the rawdict path.
+
+Writer (``make_pdf``): a minimal but genuine PDF 1.4 (Catalog → Pages →
+Page → FlateDecode Contents + Courier font), used by tests and the
+``pdf_bytes_extract`` driver query to build byte payloads that the parser
+must then REALLY parse back (no fake decode).
+
+Scale shape: both directions run inside ``mapInPandas`` — map-only, no
+shuffle; a 100 TB corpus of PDF blobs partitions by file and never moves.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+PAGE_W = 612.0
+PAGE_H = 792.0
+MARGIN_X = 72.0
+TOP_Y = 720.0
+FONT_SIZE = 12.0
+LEADING = 14.0
+COURIER_ADVANCE = 0.6  # Courier width = 600/1000 em, all glyphs
+WORDS_PER_LINE = 8
+LINES_PER_PAGE = 30
+
+_PRINTABLE = re.compile(r"[^ -~]")
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def _esc_pdf_string(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def layout_lines(text: str) -> list[str]:
+    """Deterministic text → lines chunking shared with the SQL oracle:
+    whitespace-split words, WORDS_PER_LINE per line, non-printable-ASCII
+    folded to '?'. Empty text → no lines."""
+    toks = [w for w in re.split(r"\s+", text or "") if w]
+    lines = []
+    for i in range(0, len(toks), WORDS_PER_LINE):
+        lines.append(_PRINTABLE.sub("?", " ".join(toks[i : i + WORDS_PER_LINE])))
+    return lines
+
+
+def make_pdf(text: str) -> bytes:
+    """Build a real multi-page PDF (FlateDecode content streams) laying
+    ``text`` out as Courier lines — the deterministic payload generator."""
+    lines = layout_lines(text)
+    pages = [lines[i : i + LINES_PER_PAGE] for i in range(0, len(lines), LINES_PER_PAGE)]
+    if not pages:
+        pages = [[]]
+
+    objs: list[bytes] = []  # 1-indexed object bodies (without N 0 obj wrapper)
+    font_num = 3 + 2 * len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(len(pages)))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(pages)} >>".encode()
+    )  # 2
+    for i, page_lines in enumerate(pages):
+        content_num = 4 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} {PAGE_H:g}] "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+                f"/Contents {content_num} 0 R >>"
+            ).encode()
+        )
+        ops = [f"BT /F1 {FONT_SIZE:g} Tf {LEADING:g} TL {MARGIN_X:g} {TOP_Y:g} Td"]
+        for j, ln in enumerate(page_lines):
+            if j > 0:
+                ops.append("T*")
+            ops.append(f"({_esc_pdf_string(ln)}) Tj")
+        ops.append("ET")
+        raw = " ".join(ops).encode("latin-1")
+        comp = zlib.compress(raw)
+        objs.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+            % (len(comp), comp)
+        )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier /Encoding /WinAnsiEncoding >>"
+    )  # font
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_NUM_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+_TOKEN_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)"  # literal string (with escapes)
+    rb"|<[0-9A-Fa-f\s]*>"  # hex string
+    rb"|\[|\]"
+    rb"|/[^\s\[\]()<>/]*"  # name
+    rb"|[-+]?\d*\.?\d+"  # number
+    rb"|[A-Za-z'\"*]+"  # operator
+)
+
+_LIT_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _decode_literal(tok: bytes) -> str:
+    body = tok[1:-1]
+    out = []
+    i = 0
+    while i < len(body):
+        ch = body[i : i + 1]
+        if ch == b"\\" and i + 1 < len(body):
+            nxt = body[i + 1 : i + 2]
+            if nxt in _LIT_ESCAPES:
+                out.append(_LIT_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():  # octal \ddd (1-3 digits)
+                j = i + 1
+                while j < min(i + 4, len(body)) and body[j : j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(body[i + 1 : j], 8)))
+                i = j
+                continue
+            i += 1  # line continuation / unknown escape: drop backslash
+            continue
+        out.append(ch.decode("latin-1"))
+        i += 1
+    return "".join(out)
+
+
+def _decode_hex(tok: bytes) -> str:
+    hexs = re.sub(rb"\s", b"", tok[1:-1])
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii")).decode("latin-1")
+
+
+def _parse_obj_at(pdf: bytes, off: int) -> tuple[int, bytes, bytes | None] | None:
+    """Parse one object starting at ``off`` → (num, head, stream_or_None).
+
+    The stream body is sliced by /Length, NOT by searching for the
+    ``endstream`` keyword — compressed bytes can contain ``endstream`` /
+    ``endobj`` sequences, which is exactly why keyword-regex scanning of
+    whole objects corrupts Flate data."""
+    m = _OBJ_HEAD_RE.match(pdf, off)
+    if not m:
+        m = _OBJ_HEAD_RE.search(pdf, off, off + 32)  # tolerate padding
+        if not m:
+            return None
+    num = int(m.group(1))
+    start = m.end()
+    sm = _STREAM_START_RE.search(pdf, start)
+    eo = pdf.find(b"endobj", start)
+    if sm is not None and (eo == -1 or sm.start() < eo):
+        head = pdf[start : sm.start()]
+        lm = _LENGTH_RE.search(head)
+        data_start = sm.end()
+        if lm:
+            data_end = data_start + int(lm.group(1))
+        else:
+            data_end = pdf.find(b"endstream", data_start)
+            if data_end == -1:
+                return num, head, None
+            # strip the EOL the writer puts before 'endstream'
+            while data_end > data_start and pdf[data_end - 1 : data_end] in (b"\r", b"\n"):
+                data_end -= 1
+        return num, head, pdf[data_start:data_end]
+    return num, pdf[start : eo if eo != -1 else len(pdf)], None
+
+
+def _scan_objects(pdf: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Objects by xref table when present (the real protocol), else a
+    header scan; either way streams are /Length-sliced."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    offsets: list[int] = []
+    sx = pdf.rfind(b"startxref")
+    if sx != -1:
+        xm = re.match(rb"startxref\s+(\d+)", pdf[sx:])
+        if xm:
+            xr = int(xm.group(1))
+            if pdf[xr : xr + 4] == b"xref":
+                pos = xr + 4
+                while True:
+                    hm = re.match(rb"\s*(\d+)\s+(\d+)\s*\n", pdf[pos : pos + 64])
+                    if not hm:
+                        break
+                    first, count = int(hm.group(1)), int(hm.group(2))
+                    pos += hm.end()
+                    for k in range(count):
+                        ent = pdf[pos + 20 * k : pos + 20 * (k + 1)]
+                        em = re.match(rb"(\d{10})\s+\d{5}\s+([nf])", ent)
+                        if em and em.group(2) == b"n" and first + k > 0:
+                            offsets.append(int(em.group(1)))
+                    pos += 20 * count
+    for off in offsets:
+        parsed = _parse_obj_at(pdf, off)
+        if parsed:
+            num, head, stream = parsed
+            objs[num] = (head, stream)
+    if not objs:  # xref-less / damaged: sequential header scan
+        for m in _OBJ_HEAD_RE.finditer(pdf):
+            parsed = _parse_obj_at(pdf, m.start())
+            if parsed:
+                num, head, stream = parsed
+                objs.setdefault(num, (head, stream))
+    return objs
+
+
+def _inflate(head: bytes, stream: bytes | None) -> bytes | None:
+    if stream is None:
+        return None
+    if b"/FlateDecode" in head:
+        try:
+            return zlib.decompress(stream)
+        except zlib.error:
+            return None
+    return stream
+
+
+def extract_pdf_chars(pdf: bytes) -> list[tuple[int, int, str, float, float, float, float]]:
+    """Parse PDF bytes → [(page_idx, char_idx_in_page, char, x0, y0, x1, y1)].
+
+    y0 is the baseline, y1 = y0 + font size (the box contract
+    ``operators/pdf_words.py`` consumes); x advance is width(font) * size.
+    Raises ValueError on structurally unparseable input (no page objects) —
+    callers surface that as a per-file error row, never a silent empty.
+    """
+    objs = _scan_objects(pdf)
+    if not objs:
+        raise ValueError("no PDF objects found")
+    pages_obj = next(
+        (
+            h
+            for h, _ in objs.values()
+            if b"/Type" in h and b"/Pages" in h and b"/Kids" in h
+        ),
+        None,
+    )
+    page_nums: list[int] = []
+    if pages_obj is not None:
+        km = _KIDS_RE.search(pages_obj)
+        if km:
+            page_nums = [int(m.group(1)) for m in _NUM_REF_RE.finditer(km.group(1))]
+    if not page_nums:  # fall back to document order of /Type /Page objects
+        page_nums = [
+            n for n, (h, _) in sorted(objs.items())
+            if re.search(rb"/Type\s*/Page\b", h) and b"/Kids" not in h
+        ]
+    if not page_nums:
+        raise ValueError("no page objects found")
+
+    out: list[tuple[int, int, str, float, float, float, float]] = []
+    for pi, pnum in enumerate(page_nums):
+        body = objs.get(pnum, (b"", None))[0]
+        content_nums = []
+        am = _CONTENTS_ARR_RE.search(body)
+        if am:
+            content_nums = [int(m.group(1)) for m in _NUM_REF_RE.finditer(am.group(1))]
+        else:
+            rm = _REF_RE.search(body)
+            if rm:
+                content_nums = [int(rm.group(1))]
+        stream = b"".join(
+            _inflate(*objs.get(cn, (b"", None))) or b"" for cn in content_nums
+        )
+        ci = 0
+        # text state (the subset in play; Tm supported as translation-only)
+        size, leading = 12.0, 0.0
+        lx, ly = 0.0, 0.0  # text line origin
+        x, y = 0.0, 0.0  # current point
+        stack: list = []
+        in_text = False
+
+        def _show(s: str):
+            nonlocal x, ci
+            for c in s:
+                adv = COURIER_ADVANCE * size
+                out.append((pi, ci, c, round(x, 2), round(y, 2), round(x + adv, 2), round(y + size, 2)))
+                x += adv
+                ci += 1
+
+        for tok in _TOKEN_RE.finditer(stream):
+            t = tok.group(0)
+            if t.startswith(b"("):
+                stack.append(_decode_literal(t))
+            elif t.startswith(b"<"):
+                stack.append(_decode_hex(t))
+            elif t in (b"[", b"]"):
+                stack.append(t.decode())
+            elif t.startswith(b"/"):
+                stack.append(t.decode("latin-1"))
+            elif re.fullmatch(rb"[-+]?\d*\.?\d+", t):
+                stack.append(float(t))
+            else:
+                op = t.decode("latin-1")
+                if op == "BT":
+                    in_text, lx, ly, x, y = True, 0.0, 0.0, 0.0, 0.0
+                elif op == "ET":
+                    in_text = False
+                elif op == "Tf" and len(stack) >= 2:
+                    size = float(stack[-1])
+                elif op == "TL" and stack:
+                    leading = float(stack[-1])
+                elif op in ("Td", "TD") and len(stack) >= 2:
+                    tx, ty = float(stack[-2]), float(stack[-1])
+                    if op == "TD":
+                        leading = -ty
+                    lx, ly = lx + tx, ly + ty
+                    x, y = lx, ly
+                elif op == "Tm" and len(stack) >= 6:
+                    lx, ly = float(stack[-2]), float(stack[-1])
+                    x, y = lx, ly
+                elif op == "T*":
+                    ly -= leading
+                    x, y = lx, ly
+                elif op == "Tj" and in_text and stack and isinstance(stack[-1], str):
+                    _show(stack[-1])
+                elif op == "'" and in_text and stack and isinstance(stack[-1], str):
+                    ly -= leading
+                    x, y = lx, ly
+                    _show(stack[-1])
+                elif op == "TJ" and in_text:
+                    # operands since '[': strings shown, numbers kern (x -= n/1000*size)
+                    items = []
+                    while stack and stack[-1] != "[":
+                        items.append(stack.pop())
+                    for it in reversed(items):
+                        if isinstance(it, str) and it not in ("[", "]"):
+                            if it == "]":
+                                continue
+                            _show(it)
+                        elif isinstance(it, float):
+                            x -= it / 1000.0 * size
+                stack.clear()
+        # (chars already appended in stream order)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark integration — map-only, Arrow-batched (no per-row Python UDFs)
+# ---------------------------------------------------------------------------
+
+
+def render_pdf_udf():
+    """Arrow-batched pandas UDF: text → real PDF bytes (binary column)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    def _render(s: "pd.Series") -> "pd.Series":
+        return s.map(lambda t: make_pdf(t if t is not None else ""))
+
+    _render.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_render, BinaryType())
+
+
+PDF_CHAR_SCHEMA = (
+    "doc_id long, page int, char_idx int, c string, "
+    "x0 double, y0 double, x1 double, y1 double"
+)
+
+
+def parse_pdf_chars(df, bytes_col: str = "pdf", id_col: str = "doc_id"):
+    """mapInPandas: (id, pdf binary) → one row per character with its box.
+
+    Map-only — a blob corpus partitions by file and never shuffles; the
+    Arrow batch carries whole files, the kernel loops files (not chars) in
+    Python and appends columnar char arrays.
+    """
+    import pandas as pd
+
+    def _gen(batches):
+        for pdf_batch in batches:
+            ids, pages, idxs, cs, x0s, y0s, x1s, y1s = [], [], [], [], [], [], [], []
+            for doc_id, blob in zip(pdf_batch[id_col], pdf_batch[bytes_col]):
+                if blob is None:
+                    continue
+                for (pg, ci, c, x0, y0, x1, y1) in extract_pdf_chars(bytes(blob)):
+                    ids.append(doc_id)
+                    pages.append(pg)
+                    idxs.append(ci)
+                    cs.append(c)
+                    x0s.append(x0)
+                    y0s.append(y0)
+                    x1s.append(x1)
+                    y1s.append(y1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "page": pd.Series(pages, dtype="int32"),
+                    "char_idx": pd.Series(idxs, dtype="int32"),
+                    "c": pd.Series(cs, dtype="object"),
+                    "x0": pd.Series(x0s, dtype="float64"),
+                    "y0": pd.Series(y0s, dtype="float64"),
+                    "x1": pd.Series(x1s, dtype="float64"),
+                    "y1": pd.Series(y1s, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(_gen, PDF_CHAR_SCHEMA)
