@@ -2167,6 +2167,107 @@ def o_checksum_entities():
     """
 
 
+# (template, checksum-valid?) — validity pinned by tests against the live
+# validators, so a validator change that breaks a template fails loudly
+_SSN_TEMPLATES = [
+    ("536-90-4399", 1), ("001-01-0001", 1), ("666-12-3456", 0), ("123-00-4567", 0),
+]
+_DATE_TEMPLATES = [
+    ("2024-01-31 10:30", 1), ("31/01/2024", 1), ("15 March 2021", 1), ("soonish", 0),
+]
+_NHS_TEMPLATES = [
+    ("943 476 5919", 1), ("401 023 2137", 1), ("123 456 7890", 0),
+]
+_BTC_TEMPLATES = [
+    ("1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa", 1),
+    ("3J98t1WpEZ73CNmQviecrnyiWrnqRhWNLy", 1),
+    ("1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNb", 0),
+]
+
+
+def q_entity_breadth(spark, sf_dir):
+    """Presidio-registry breadth parity (reference tools/config.py:2105-2108
+    FULL_ENTITY_LIST): US_SSN (SSA area/group/serial rules), DATE_TIME
+    (3-format battery), NHS_NUMBER (mod-11), CRYPTO (Base58Check
+    double-SHA256) — planted valid AND invalid templates; only valid ones
+    may produce spans, at exact offsets."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def pick(templates, mod):
+        return F.element_at(
+            F.array(*[F.lit(t) for t, _ in templates]),
+            (F.col("c_custkey") % mod).cast("int") + 1,
+        )
+
+    ssn = pick(_SSN_TEMPLATES, 4)
+    date = pick(_DATE_TEMPLATES, 4)
+    nhs = pick(_NHS_TEMPLATES, 3)
+    btc = pick(_BTC_TEMPLATES, 3)
+    t = cust.select(
+        F.col("c_custkey").alias("row_key"),
+        F.concat(
+            F.lit("id "), ssn, F.lit(" on "), date,
+            F.lit(" ref "), nhs, F.lit(" pay "), btc,
+        ).alias("text"),
+    )
+    cfg = PipelineConfig(entities=("US_SSN", "DATE_TIME", "NHS_NUMBER", "CRYPTO"))
+    from doc_redaction_spark.operators.detect import detect_spans_udf
+
+    spans = t.withColumn("spans", detect_spans_udf(cfg)(F.col("text")))
+    ex = spans.select("row_key", F.explode_outer("spans").alias("sp")).filter(
+        F.col("sp").isNotNull()
+    )
+    return ex.select(
+        "row_key",
+        F.col("sp.entity_type").alias("entity_type"),
+        F.col("sp.start").alias("start"),
+        F.col("sp.end").alias("end"),
+    )
+
+
+def o_entity_breadth():
+    def arr(templates):
+        ts = ", ".join(f"'{t}'" for t, _ in templates)
+        vs = ", ".join(str(v) for _, v in templates)
+        return f"[{ts}]", f"[{vs}]"
+
+    ssns, ssnv = arr(_SSN_TEMPLATES)
+    dates, datev = arr(_DATE_TEMPLATES)
+    nhss, nhsv = arr(_NHS_TEMPLATES)
+    btcs, btcv = arr(_BTC_TEMPLATES)
+    # layout: 'id ' ssn ' on ' date ' ref ' nhs ' pay ' btc
+    return f"""
+    WITH t AS (
+      SELECT c_custkey AS row_key,
+             ({ssns})[CAST(c_custkey % 4 AS INTEGER) + 1] AS ssn,
+             ({ssnv})[CAST(c_custkey % 4 AS INTEGER) + 1] AS ssn_ok,
+             ({dates})[CAST(c_custkey % 4 AS INTEGER) + 1] AS dt,
+             ({datev})[CAST(c_custkey % 4 AS INTEGER) + 1] AS dt_ok,
+             ({nhss})[CAST(c_custkey % 3 AS INTEGER) + 1] AS nhs,
+             ({nhsv})[CAST(c_custkey % 3 AS INTEGER) + 1] AS nhs_ok,
+             ({btcs})[CAST(c_custkey % 3 AS INTEGER) + 1] AS btc,
+             ({btcv})[CAST(c_custkey % 3 AS INTEGER) + 1] AS btc_ok
+      FROM customer)
+    SELECT row_key, 'US_SSN' AS entity_type,
+           3 AS start, 3 + length(ssn) AS "end"
+    FROM t WHERE ssn_ok = 1
+    UNION ALL
+    SELECT row_key, 'DATE_TIME',
+           3 + length(ssn) + 4, 3 + length(ssn) + 4 + length(dt)
+    FROM t WHERE dt_ok = 1
+    UNION ALL
+    SELECT row_key, 'NHS_NUMBER',
+           3 + length(ssn) + 4 + length(dt) + 5,
+           3 + length(ssn) + 4 + length(dt) + 5 + length(nhs)
+    FROM t WHERE nhs_ok = 1
+    UNION ALL
+    SELECT row_key, 'CRYPTO',
+           3 + length(ssn) + 4 + length(dt) + 5 + length(nhs) + 5,
+           3 + length(ssn) + 4 + length(dt) + 5 + length(nhs) + 5 + length(btc)
+    FROM t WHERE btc_ok = 1
+    """
+
+
 def q_url_extraction(spark, sf_dir):
     """URL span extraction on RAW text (before the clean battery strips
     boilerplate URLs) — surfaces compared against regexp_extract_all."""
@@ -2807,6 +2908,7 @@ _QUERIES: dict[str, Callable] = {
     "transcripts_spans": q_transcripts_spans,
     "redact_pseudonym_email": q_redact_pseudonym_email,
     "checksum_entities": q_checksum_entities,
+    "entity_breadth": q_entity_breadth,
     "url_extraction": q_url_extraction,
     "coord_normalize": q_coord_normalize,
     "route_gate": q_route_gate,
@@ -2878,6 +2980,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "transcripts_spans": o_transcripts_spans,
     "redact_pseudonym_email": o_redact_pseudonym_email,
     "checksum_entities": o_checksum_entities,
+    "entity_breadth": o_entity_breadth,
     "url_extraction": o_url_extraction,
     "coord_normalize": o_coord_normalize,
     "route_gate": o_route_gate,

@@ -108,6 +108,21 @@ URL_SPAN_PATTERN = (
 )
 CREDIT_CARD_PATTERN = r"\b(?:\d[ -]?){12,18}\d\b"
 IBAN_PATTERN = r"\b[A-Z]{2}\d{2}[A-Z0-9]{10,30}\b"
+# Presidio-registry parity set (reference tools/config.py:2105-2108 exposes
+# Presidio's FULL_ENTITY_LIST; these four are the regex+checksum members a
+# deterministic engine can close without model deps):
+US_SSN_PATTERN = r"\b\d{3}-\d{2}-\d{4}\b"
+_MONTHS = (
+    "January|February|March|April|May|June|July|August|September|October"
+    "|November|December"
+)
+DATE_TIME_PATTERN = (
+    r"\b\d{4}-\d{2}-\d{2}(?:[ T]\d{2}:\d{2}(?::\d{2})?)?\b"
+    r"|\b\d{1,2}/\d{1,2}/\d{2,4}\b"
+    rf"|\b\d{{1,2}} (?:{_MONTHS}) \d{{4}}\b"
+)
+NHS_NUMBER_PATTERN = r"\b\d{3}[ -]?\d{3}[ -]?\d{4}\b"
+CRYPTO_PATTERN = r"\b[13][a-km-zA-HJ-NP-Z1-9]{25,34}\b"  # base58 P2PKH/P2SH
 
 _PY_FLAGS_DEFAULT = re.DOTALL | re.MULTILINE
 
@@ -135,6 +150,48 @@ def iban_ok(s: str) -> bool:
     rearranged = s[4:] + s[:4]
     num = "".join(str(int(c, 36)) for c in rearranged)
     return int(num) % 97 == 1
+
+
+def ssn_ok(s: str) -> bool:
+    """SSA issuance rules (public): area not 000/666/9xx, group not 00,
+    serial not 0000."""
+    area, group, serial = s.split("-")
+    return (
+        area not in ("000", "666")
+        and area < "900"
+        and group != "00"
+        and serial != "0000"
+    )
+
+
+def nhs_ok(s: str) -> bool:
+    """NHS number mod-11 check digit (public algorithm): weights 10..2
+    over the first 9 digits; 11→0, 10→invalid."""
+    ds = [int(c) for c in s if c.isdigit()]
+    if len(ds) != 10:
+        return False
+    check = 11 - (sum(d * w for d, w in zip(ds[:9], range(10, 1, -1))) % 11)
+    if check == 11:
+        check = 0
+    return check != 10 and check == ds[9]
+
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def btc_ok(s: str) -> bool:
+    """Base58Check validation (public Bitcoin protocol): decode to 25
+    bytes, double-SHA256 of the first 21 must open with the last 4."""
+    import hashlib
+
+    try:
+        n = 0
+        for ch in s:
+            n = n * 58 + _B58_ALPHABET.index(ch)
+        raw = n.to_bytes(25, "big")
+    except (ValueError, OverflowError):
+        return False
+    return hashlib.sha256(hashlib.sha256(raw[:-4]).digest()).digest()[:4] == raw[-4:]
 
 
 @dataclass(frozen=True)
@@ -188,6 +245,19 @@ BUILTIN_RECOGNIZERS: dict[str, RegexRecognizer] = {
         RegexRecognizer(
             "IBAN_CODE", IBAN_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
             staticmethod(iban_ok),
+        ),
+        RegexRecognizer(
+            "US_SSN", US_SSN_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
+            staticmethod(ssn_ok),
+        ),
+        RegexRecognizer("DATE_TIME", DATE_TIME_PATTERN),
+        RegexRecognizer(
+            "NHS_NUMBER", NHS_NUMBER_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
+            staticmethod(nhs_ok),
+        ),
+        RegexRecognizer(
+            "CRYPTO", CRYPTO_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
+            staticmethod(btc_ok),
         ),
     ]
 }

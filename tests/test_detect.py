@@ -138,3 +138,53 @@ def test_allow_list_filters_surface():
 def test_score_threshold():
     got = spans_of("SW1A 1AA", entities=("UKPOSTCODE",), score_threshold=1.5)
     assert got == []
+
+
+def test_entity_breadth_validators_and_templates():
+    """US_SSN / NHS_NUMBER / CRYPTO checksum validators against known
+    cases, and every planted entity_breadth template's validity flag must
+    agree with the live validator — a validator change that silently
+    breaks the oracle fails here first."""
+    import __spark_entry__ as entry
+    from doc_redaction_spark.functions.recognizers import btc_ok, nhs_ok, ssn_ok
+
+    assert ssn_ok("536-90-4399") and ssn_ok("001-01-0001")
+    assert not ssn_ok("666-12-3456")  # area 666 never issued
+    assert not ssn_ok("123-00-4567")  # group 00 invalid
+    assert not ssn_ok("900-11-2222")  # 9xx never issued
+    assert not ssn_ok("123-45-0000")  # serial 0000 invalid
+
+    assert nhs_ok("943 476 5919")  # the published NHS test number
+    assert nhs_ok("9434765919")
+    assert not nhs_ok("123 456 7890")
+    assert not nhs_ok("943 476 591")  # 9 digits
+
+    assert btc_ok("1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa")  # genesis address
+    assert not btc_ok("1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNb")  # 1-char tamper
+    assert not btc_ok("0OIl")  # non-base58 chars
+
+    for tpls, fn in [
+        (entry._SSN_TEMPLATES, ssn_ok),
+        (entry._NHS_TEMPLATES, nhs_ok),
+        (entry._BTC_TEMPLATES, btc_ok),
+    ]:
+        for t, v in tpls:
+            assert fn(t) == bool(v), t
+
+
+def test_date_time_recognizer_formats(spark):
+    """DATE_TIME pattern battery: ISO (optional time), slashed, written
+    month — and no match on bare words."""
+    import re as _re
+
+    from doc_redaction_spark.functions.recognizers import DATE_TIME_PATTERN
+
+    pat = _re.compile(DATE_TIME_PATTERN)
+    assert pat.fullmatch("2024-01-31")
+    assert pat.fullmatch("2024-01-31 10:30")
+    assert pat.fullmatch("2024-01-31T10:30:59")
+    assert pat.fullmatch("31/01/2024")
+    assert pat.fullmatch("1/2/99")
+    assert pat.fullmatch("15 March 2021")
+    assert not pat.search("soonish")
+    assert not pat.fullmatch("15 Marchish 2021")
