@@ -642,6 +642,59 @@ def o_dedup_exact():
     """
 
 
+# inflection pairs chosen so BOTH sides lemmatize to the same lemma under
+# the suffix-rule spec (functions/lemma.py) — pinned in tests/test_lemma.py
+_INFLECT = [
+    ("sort", "sorted"), ("scan", "scans"), ("batch", "batches"),
+    ("window", "windows"), ("query", "queries"), ("join", "joining"),
+]
+
+
+def q_dedup_lemma(spark, sf_dir):
+    """Lemma-parity duplicate detection (reference
+    find_duplicate_pages.py:618-644: lemmatize + stopword-strip before
+    duplicate analysis). Twin docs with INFLECTED text (sorted/batches/
+    queries/...) are planted for every doc_id%7 — raw exact-dedup cannot
+    pair them; the suffix-rule lemma key must."""
+    from doc_redaction_spark.functions.lemma import lemma_tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    inf = F.coalesce(F.col("text"), F.lit(""))
+    for a, b in _INFLECT:
+        inf = F.regexp_replace(inf, rf"\b{a}\b", b)
+    twins = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), inf.alias("text")
+    )
+    plus = docs.unionByName(twins)
+    lem = plus.select(
+        "doc_id", F.md5(F.array_join(lemma_tokens_col("text"), " ")).alias("lemma_key")
+    )
+    return (
+        lem.groupBy("lemma_key")
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def o_dedup_lemma():
+    from doc_redaction_spark.functions.lemma import duckdb_lemma_sql
+
+    inf = "coalesce(text, '')"
+    for a, b in _INFLECT:
+        inf = f"regexp_replace({inf}, '\\b{a}\\b', '{b}', 'g')"
+    return f"""
+    WITH base AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    twins AS (SELECT doc_id + 200000 AS doc_id, {inf} AS text
+              FROM base WHERE doc_id % 7 = 0),
+    plus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+    lem AS (SELECT doc_id,
+                   md5(array_to_string({duckdb_lemma_sql('text')}, ' ')) AS lemma_key
+            FROM plus)
+    SELECT lemma_key, count(*) AS dup_count, min(doc_id) AS keeper
+    FROM lem GROUP BY lemma_key HAVING count(*) > 1
+    """
+
+
 # --- shared DuckDB fragments for shingle-based dedup ------------------------
 
 _DD_TOKS = (
@@ -2880,6 +2933,7 @@ _QUERIES: dict[str, Callable] = {
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "dedup_exact": q_dedup_exact,
+    "dedup_lemma": q_dedup_lemma,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -2950,6 +3004,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "doc_quality": o_doc_quality,
     "doc_lang_id": o_doc_lang_id,
     "dedup_exact": o_dedup_exact,
+    "dedup_lemma": o_dedup_lemma,
     "dedup_minhash_lsh": o_dedup_minhash_lsh,
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
     "dedup_simhash": o_dedup_simhash,

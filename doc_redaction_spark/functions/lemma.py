@@ -1,0 +1,108 @@
+"""Deterministic suffix-rule lemmatizer (spaCy-free) for dedup cleaning.
+
+The reference lemmatizes + stopword-strips page text before duplicate
+analysis (``/root/reference/tools/find_duplicate_pages.py:618-644``: keep
+``token.is_alpha``, drop ``token.is_stop``, emit ``token.lemma_`` via the
+spaCy model). spaCy is absent from this container, so the lemma step is a
+deterministic ordered suffix-rule stripper — the classic Porter-style
+plural/participle folds that account for most inflection-driven recall
+loss — defined ONCE and rendered to the three dialects (Spark native
+higher-order functions, DuckDB SQL, pure Python), like every other
+semantics-bearing spec in this repo.
+
+Pipeline per token stream: lowercase → keep alphabetic-only tokens → drop
+stopwords (textstats.EN_STOPWORDS) → apply the FIRST matching suffix rule
+whose stem keeps >= _MIN_STEM chars.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.functions.textstats import EN_STOPWORDS
+
+# (suffix, replacement) — ORDER is semantics-bearing (longest/most-specific
+# first); first match wins, no cascading.
+LEMMA_RULES: list[tuple[str, str]] = [
+    ("sses", "ss"),   # classes → class
+    ("ies", "y"),     # studies → study
+    ("ations", "ate"),  # aggregations → aggregate
+    ("ation", "ate"),   # aggregation → aggregate
+    ("ing", ""),      # sorting → sort
+    ("ed", ""),       # sorted → sort
+    ("es", ""),       # batches → batch
+    ("s", ""),        # scans → scan  (never after 's': 'ss' keeps)
+]
+_MIN_STEM = 3
+
+
+def lemmatize_token(tok: str) -> str:
+    """Python rendering (unit-test golden + oracle cross-check)."""
+    for suf, rep in LEMMA_RULES:
+        if tok.endswith(suf) and len(tok) - len(suf) >= _MIN_STEM:
+            if suf == "s" and tok.endswith("ss"):
+                continue
+            return tok[: -len(suf)] + rep
+    return tok
+
+
+def python_lemma_tokens(text: str | None) -> list[str]:
+    toks = re.split(r"\s+", (text or "").lower())
+    return [
+        lemmatize_token(t)
+        for t in toks
+        if t and re.fullmatch(r"[a-z]+", t) and t not in EN_STOPWORDS
+    ]
+
+
+def _spark_lemma_one(tok):
+    """Nested when-chain over LEMMA_RULES for one token Column."""
+    out = tok
+    # build from the LAST rule outward so the FIRST rule is the outermost when
+    for suf, rep in reversed(LEMMA_RULES):
+        stem = tok.substr(F.lit(1), F.length(tok) - len(suf))
+        cond = tok.endswith(suf) & (F.length(tok) - len(suf) >= _MIN_STEM)
+        if suf == "s":
+            cond = cond & ~tok.endswith("ss")
+        out = F.when(cond, F.concat(stem, F.lit(rep))).otherwise(out)
+    return out
+
+
+def lemma_tokens_col(col: Column | str) -> Column:
+    """Spark-native rendering: array<string> of lemmatized content tokens.
+
+    One filter + one transform over the split array — map-only, JVM-side,
+    no UDF. Distinct lambda names per scope (Spark 4 cross-binding)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.coalesce(c, F.lit(""))), r"\s+")
+    kept = F.filter(
+        toks,
+        lambda w: w.rlike("^[a-z]+$") & ~w.isin(EN_STOPWORDS),
+    )
+    return F.transform(kept, lambda v: _spark_lemma_one(v))
+
+
+def duckdb_lemma_sql(expr: str) -> str:
+    """DuckDB rendering: list of lemmatized content tokens over ``expr``."""
+    stops = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    case = "w"
+    for suf, rep in reversed(LEMMA_RULES):
+        guard = (
+            f"w LIKE '%{suf}' AND length(w) - {len(suf)} >= {_MIN_STEM}"
+        )
+        if suf == "s":
+            guard += " AND w NOT LIKE '%ss'"
+        case = (
+            f"CASE WHEN {guard} THEN "
+            f"substr(w, 1, length(w) - {len(suf)}) || '{rep}' "
+            f"ELSE {case} END"
+        )
+    return (
+        f"list_transform(list_filter("
+        f"regexp_split_to_array(lower(coalesce({expr}, '')), '\\s+'),"
+        f" w -> regexp_matches(w, '^[a-z]+$') AND w NOT IN ({stops})),"
+        f" w -> {case})"
+    )

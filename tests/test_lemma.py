@@ -1,0 +1,66 @@
+"""Suffix-rule lemmatizer: 3-dialect parity + rule semantics."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.functions.lemma import (
+    duckdb_lemma_sql,
+    lemma_tokens_col,
+    lemmatize_token,
+    python_lemma_tokens,
+)
+
+CASES = [
+    ("sorted", "sort"),
+    ("sorting", "sort"),
+    ("batches", "batch"),
+    ("queries", "query"),
+    ("classes", "class"),
+    ("aggregation", "aggregate"),
+    ("aggregations", "aggregate"),
+    ("scans", "scan"),
+    ("class", "class"),      # 'ss' never stripped by the bare-s rule
+    ("merge", "merge"),      # no rule fires
+    ("is", "is"),            # stem-length guard
+    ("using", "using"),      # 'ing' stem would be 2 chars — guard keeps it
+]
+
+
+def test_rule_semantics():
+    for w, want in CASES:
+        assert lemmatize_token(w) == want, w
+
+
+SAMPLES = [
+    "The sorted batches of queries are joining the windows",
+    "scans and scanned scanning a   scan",
+    "MixedCase Token42 punct! stays-out über",
+    "",
+    None,
+    "the a an and of to in is it",  # all stopwords
+]
+
+
+@pytest.mark.parametrize("s", SAMPLES)
+def test_three_dialect_parity(spark, s):
+    py = python_lemma_tokens(s)
+    sp = (
+        spark.createDataFrame([(s,)], "text string")
+        .select(lemma_tokens_col("text").alias("lems"))
+        .first()["lems"]
+    )
+    assert list(sp) == py, s
+    dk = duckdb.execute(
+        f"SELECT {duckdb_lemma_sql('?')} ", [s]
+    ).fetchone()[0]
+    assert list(dk) == py, s
+
+
+def test_inflection_pairs_share_lemma():
+    """The planted dedup_lemma inflection map must stay lemma-stable —
+    the oracle's group-equality depends on it."""
+    import __spark_entry__ as entry
+
+    for base, inflected in entry._INFLECT:
+        assert lemmatize_token(inflected) == lemmatize_token(base), (base, inflected)
