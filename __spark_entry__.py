@@ -695,6 +695,73 @@ def o_dedup_lemma():
     """
 
 
+def q_subdocument_dup(spark, sf_dir):
+    """File-pair duplicate rollup (reference find_duplicate_pages.py:681-729):
+    documents become a (file, page, text) corpus by index arithmetic —
+    file = doc_id//50, page = doc_id%50 — with files 3 and 7 sourcing
+    pages 10..13 from file 1's pages 20..23, so cross-file consecutive
+    runs exist to FIND (the detection is a genuine hash join + islands,
+    not a planted answer: both engines derive the same pages and must
+    discover the same runs)."""
+    from doc_redaction_spark.operators.dedup import subdocument_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    fil = F.floor(F.col("doc_id") / 50)
+    pg = F.col("doc_id") % 50
+    src = F.when(
+        fil.isin(3, 7) & pg.between(10, 13), F.lit(50 + 20) + (pg - 10)
+    ).otherwise(F.col("doc_id"))
+    keys = docs.select(F.col("doc_id"), fil.alias("file"), pg.alias("page"), src.alias("src"))
+    pages = keys.join(
+        docs.select(F.col("doc_id").alias("src"), F.col("text")), "src"
+    ).select(F.concat(F.lit("f"), F.col("file")).alias("file"), "page", "text")
+    return subdocument_duplicates(pages, min_len=2, preview_length=200)
+
+
+def o_subdocument_dup():
+    return """
+    WITH pages AS (
+      SELECT 'f' || CAST(doc_id // 50 AS VARCHAR) AS file,
+             doc_id % 50 AS page,
+             (SELECT text FROM documents s WHERE s.doc_id =
+                CASE WHEN (d.doc_id // 50) IN (3, 7)
+                          AND d.doc_id % 50 BETWEEN 10 AND 13
+                     THEN 70 + (d.doc_id % 50 - 10)
+                     ELSE d.doc_id END) AS text
+      FROM documents d),
+    p AS (SELECT file, page,
+                 md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g'))) AS h
+          FROM pages),
+    pairs AS (SELECT DISTINCT a.file AS file1, a.page AS page1,
+                     b.file AS file2, b.page AS page2,
+                     a.page - b.page AS diag
+              FROM p a JOIN p b ON a.h = b.h AND a.file < b.file),
+    runs AS (SELECT *,
+                    CASE WHEN page1 - lag(page1) OVER
+                         (PARTITION BY file1, file2, diag ORDER BY page1) = 1
+                         THEN 0 ELSE 1 END AS brk
+             FROM pairs),
+    grps AS (SELECT *, sum(brk) OVER
+                    (PARTITION BY file1, file2, diag ORDER BY page1
+                     ROWS UNBOUNDED PRECEDING) AS grp
+             FROM runs),
+    agg AS (SELECT file1, file2, diag, grp,
+                   min(page1) AS page1_start, max(page1) AS page1_end,
+                   min(page2) AS page2_start, max(page2) AS page2_end,
+                   count(*) AS match_length
+            FROM grps GROUP BY file1, file2, diag, grp
+            HAVING count(*) >= 2)
+    SELECT file1, page1_start, page1_end, file2, page2_start, page2_end,
+           match_length,
+           substr(m1.text, 1, 200) AS page1_text,
+           substr(m2.text, 1, 200) AS page2_text
+    FROM agg
+    JOIN pages m1 ON m1.file = file1 AND m1.page = page1_start
+    JOIN pages m2 ON m2.file = file2 AND m2.page = page2_start
+    """
+
+
 # --- shared DuckDB fragments for shingle-based dedup ------------------------
 
 _DD_TOKS = (
@@ -2934,6 +3001,7 @@ _QUERIES: dict[str, Callable] = {
     "doc_lang_id": q_doc_lang_id,
     "dedup_exact": q_dedup_exact,
     "dedup_lemma": q_dedup_lemma,
+    "subdocument_dup": q_subdocument_dup,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -3005,6 +3073,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "doc_lang_id": o_doc_lang_id,
     "dedup_exact": o_dedup_exact,
     "dedup_lemma": o_dedup_lemma,
+    "subdocument_dup": o_subdocument_dup,
     "dedup_minhash_lsh": o_dedup_minhash_lsh,
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
     "dedup_simhash": o_dedup_simhash,

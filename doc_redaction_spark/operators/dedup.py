@@ -522,6 +522,92 @@ def sequence_matches(
     )
 
 
+def subdocument_duplicates(
+    pages: DataFrame,
+    min_len: int = 2,
+    preview_length: int = 200,
+    file_col: str = "file",
+    page_col: str = "page",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document (file-pair) duplicate rollup (reference
+    ``find_duplicate_pages.py:681-729`` map_metadata_subdocument +
+    the greedy consecutive-match search it summarizes).
+
+    pages: (file, page, text). Cross-file page pairs join on the md5 of
+    normalized text (8-byte-ish key instead of the full page text in the
+    pair shuffle); consecutive runs lie on diagonals page1 - page2 = const
+    per file pair — gaps-and-islands over (file1, file2, diag) finds
+    maximal matches; metadata re-joins attach the reference's output
+    shape: start/end pages per side, match length, and preview_length-char
+    text previews of each side's start page.
+
+    Scale shape: one equi-join on the text hash (hot normalized-text keys
+    are the boilerplate caps' job upstream), windows over bounded
+    (file1, file2, diag) partitions, two slim metadata equi-joins.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z0-9]+", " "
+        )
+    )
+    p = pages.select(
+        F.col(file_col).alias("file"),
+        F.col(page_col).alias("page"),
+        F.md5(norm).alias("h"),
+    )
+    a = p.select(F.col("file").alias("file1"), F.col("page").alias("page1"), "h")
+    b = p.select(F.col("file").alias("file2"), F.col("page").alias("page2"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("file1") < F.col("file2"))
+        .select("file1", "page1", "file2", "page2")
+        .dropDuplicates()
+        .withColumn("diag", F.col("page1") - F.col("page2"))
+    )
+    w = Window.partitionBy("file1", "file2", "diag").orderBy("page1")
+    runs = pairs.withColumn(
+        "brk", F.when(F.col("page1") - F.lag("page1").over(w) == 1, 0).otherwise(1)
+    ).withColumn("grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    agg = (
+        runs.groupBy("file1", "file2", "diag", "grp")
+        .agg(
+            F.min("page1").alias("page1_start"),
+            F.max("page1").alias("page1_end"),
+            F.min("page2").alias("page2_start"),
+            F.max("page2").alias("page2_end"),
+            F.count("*").alias("match_length"),
+        )
+        .filter(F.col("match_length") >= min_len)
+    )
+    meta = pages.select(
+        F.col(file_col).alias("file"),
+        F.col(page_col).alias("page"),
+        F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, preview_length).alias(
+            "preview"
+        ),
+    )
+    m1 = meta.select(
+        F.col("file").alias("file1"),
+        F.col("page").alias("page1_start"),
+        F.col("preview").alias("page1_text"),
+    )
+    m2 = meta.select(
+        F.col("file").alias("file2"),
+        F.col("page").alias("page2_start"),
+        F.col("preview").alias("page2_text"),
+    )
+    return (
+        agg.join(m1, ["file1", "page1_start"])
+        .join(m2, ["file2", "page2_start"])
+        .select(
+            "file1", "page1_start", "page1_end",
+            "file2", "page2_start", "page2_end",
+            "match_length", "page1_text", "page2_text",
+        )
+    )
+
+
 def whole_unit_redaction(
     df: DataFrame, dup_keys: DataFrame, key_cols: list[str], text_col: str = "text"
 ) -> DataFrame:

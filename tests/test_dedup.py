@@ -203,3 +203,29 @@ def test_no_leaked_persists_and_exchange_reuse(spark, docs_df):
     plan = mh._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan or "StageReuse" in plan or "reused" in plan.lower()
+
+
+def test_subdocument_duplicates_rollup(spark):
+    """File-pair rollup: planted cross-file consecutive runs must roll to
+    (start, end, match_length) with preview metadata; a lone matching page
+    (run length 1) is dropped by min_len=2."""
+    rows = []
+    for f in ("A", "B"):
+        for p in range(8):
+            rows.append((f, p, f"unique {f} {p} body text"))
+    # B pages 2..4 duplicate A pages 5..7 (run of 3); B page 7 duplicates
+    # A page 0 (run of 1 — must be dropped)
+    rows = [
+        (f, p, t) for (f, p, t) in rows
+        if not (f == "B" and p in (2, 3, 4, 7))
+    ]
+    rows += [("B", 2 + k, f"unique A {5 + k} body text") for k in range(3)]
+    rows += [("B", 7, "unique A 0 body text")]
+    df = spark.createDataFrame(rows, "file string, page int, text string")
+    got = dd.subdocument_duplicates(df, min_len=2, preview_length=10).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.file1, r.page1_start, r.page1_end) == ("A", 5, 7)
+    assert (r.file2, r.page2_start, r.page2_end) == ("B", 2, 4)
+    assert r.match_length == 3
+    assert r.page1_text == "unique A 5"[:10]
