@@ -21,10 +21,11 @@ MAX_TABLE_ROWS. Scale data stays in parquet.
 
 from __future__ import annotations
 
+import math
 import re
 import zipfile
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _CT = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
@@ -66,7 +67,8 @@ def _cell_xml(ref: str, value) -> str:
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
-        if isinstance(value, float) and value != value:  # NaN
+        # NaN/inf are not valid OOXML numeric cells — emit empty (ADVICE r02)
+        if isinstance(value, float) and not math.isfinite(value):
             return f'<c r="{ref}"/>'
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
@@ -96,8 +98,10 @@ def write_xlsx(path: str, sheets: dict) -> None:
                 f"<sheetData>{''.join(rows_xml)}</sheetData></worksheet>"
             )
             z.writestr(f"xl/worksheets/sheet{i}.xml", sheet_xml)
+            # quoteattr: escape() leaves double quotes intact, which would
+            # silently corrupt the workbook for names like she"et (ADVICE r02)
             sheet_tags.append(
-                f'<sheet name="{escape(str(name))}" sheetId="{i}" r:id="rId{i}"/>'
+                f'<sheet name={quoteattr(str(name))} sheetId="{i}" r:id="rId{i}"/>'
             )
             rel_tags.append(
                 f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/'

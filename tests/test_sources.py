@@ -75,3 +75,20 @@ def test_extract_pages_fake(spark):
     assert rows[0].lines[0]["line"] == 1
     total_words = sum(len(r.text.split()) for r in rows)
     assert total_words == 100
+
+
+def test_xlsx_quoted_sheet_name_and_nonfinite(tmp_path):
+    """ADVICE r02: sheet names containing double quotes must survive the
+    attribute escaping, and NaN/inf floats must become empty cells."""
+    import pandas as pd
+
+    from doc_redaction_spark.sources.xlsx_lite import read_xlsx_lite, write_xlsx
+
+    path = str(tmp_path / "q.xlsx")
+    df = pd.DataFrame({"v": [1.5, float("nan"), float("inf"), float("-inf")]})
+    write_xlsx(path, {'she"et <&>': df})
+    sheets = read_xlsx_lite(path)
+    assert list(sheets) == ['she"et <&>']
+    vals = list(sheets['she"et <&>']["v"])
+    assert float(vals[0]) == 1.5
+    assert all(v is None or v != v for v in vals[1:])
