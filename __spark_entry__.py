@@ -2975,7 +2975,24 @@ def o_redact_pseudonym_email():
 # registry
 # ---------------------------------------------------------------------------
 
+# Registry ORDER is the driver's sampling order (it hash-checks the first
+# 50): never-driver-hashed and newest oracles lead (the likeliest to hide a
+# dialect trap — both round-1 and round-2 red rows lived there); the 19
+# queries green in BOTH r01 and r02 driver runs sit past the sample cap.
 _QUERIES: dict[str, Callable] = {
+    "html_block_metrics": q_html_block_metrics,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_ivf": q_embedding_ivf,
+    "pdf_bytes_extract": q_pdf_bytes_extract,
+    "entity_breadth": q_entity_breadth,
+    "dedup_lemma": q_dedup_lemma,
+    "subdocument_dup": q_subdocument_dup,
+    "fuzzy_deny": q_fuzzy_deny,
+    "ner_fake": q_ner_fake,
+    "redact_merge_adjacent": q_redact_merge_adjacent,
+    "redact_merge_review": q_redact_merge_review,
+    "reading_order_columns": q_reading_order_columns,
+    "reading_order_3col": q_reading_order_3col,
     "transcripts_pipeline": q_transcripts_pipeline,
     "transcripts_clean": q_transcripts_clean,
     "redact_entity_label": q_redact_entity_label,
@@ -2983,6 +3000,36 @@ _QUERIES: dict[str, Callable] = {
     "redact_mask_postcode": q_redact_mask_postcode,
     "detect_entity_counts": q_detect_entity_counts,
     "allow_list_filter": q_allow_list_filter,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
+    "dedup_tabular_rows": q_dedup_tabular_rows,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "pdf_chars_to_words": q_pdf_chars_to_words,
+    "pdf_word_punct_split": q_pdf_word_punct_split,
+    "pdf_rawdict_chars": q_pdf_rawdict_chars,
+    "coverage_qa": q_coverage_qa,
+    "review_prune": q_review_prune,
+    "multimodal_decode": q_multimodal_decode,
+    "per_image_pick": q_per_image_pick,
+    "events_json_extract": q_events_json_extract,
+    "docx_paragraphs": q_docx_paragraphs,
+    "html_main_content": q_html_main_content,
+    "first_page_preview": q_first_page_preview,
+    "reading_order_lines": q_reading_order_lines,
+    "island_runs": q_island_runs,
+    "transcripts_spans": q_transcripts_spans,
+    "redact_pseudonym_email": q_redact_pseudonym_email,
+    "checksum_entities": q_checksum_entities,
+    "url_extraction": q_url_extraction,
+    "coord_normalize": q_coord_normalize,
+    "route_gate": q_route_gate,
+    "tabular_anonymise": q_tabular_anonymise,
+    "tokenize_stopword_strip": q_tokenize_stopword_strip,
+    "sequence_match": q_sequence_match,
+    "whole_turn_redaction": q_whole_turn_redaction,
+    "deny_list_aho": q_deny_list_aho,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_shipping_priority": q_q3_shipping_priority,
     "q5_nation_revenue": q_q5_nation_revenue,
@@ -3000,51 +3047,8 @@ _QUERIES: dict[str, Callable] = {
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "dedup_exact": q_dedup_exact,
-    "dedup_lemma": q_dedup_lemma,
-    "subdocument_dup": q_subdocument_dup,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
-    "dedup_tabular_rows": q_dedup_tabular_rows,
     "embedding_cosine_topk": q_embedding_cosine_topk,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "embedding_ann_lsh": q_embedding_ann_lsh,
-    "embedding_ivf": q_embedding_ivf,
-    "pdf_chars_to_words": q_pdf_chars_to_words,
-    "pdf_word_punct_split": q_pdf_word_punct_split,
-    "pdf_rawdict_chars": q_pdf_rawdict_chars,
-    "pdf_bytes_extract": q_pdf_bytes_extract,
-    "coverage_qa": q_coverage_qa,
-    "review_prune": q_review_prune,
-    "multimodal_decode": q_multimodal_decode,
-    "per_image_pick": q_per_image_pick,
-    "events_json_extract": q_events_json_extract,
-    "docx_paragraphs": q_docx_paragraphs,
-    "html_main_content": q_html_main_content,
-    "html_block_metrics": q_html_block_metrics,
     "words_to_lines_rollup": q_words_to_lines_rollup,
-    "first_page_preview": q_first_page_preview,
-    "reading_order_lines": q_reading_order_lines,
-    "island_runs": q_island_runs,
-    "transcripts_spans": q_transcripts_spans,
-    "redact_pseudonym_email": q_redact_pseudonym_email,
-    "checksum_entities": q_checksum_entities,
-    "entity_breadth": q_entity_breadth,
-    "url_extraction": q_url_extraction,
-    "coord_normalize": q_coord_normalize,
-    "route_gate": q_route_gate,
-    "tabular_anonymise": q_tabular_anonymise,
-    "ner_fake": q_ner_fake,
-    "tokenize_stopword_strip": q_tokenize_stopword_strip,
-    "redact_merge_adjacent": q_redact_merge_adjacent,
-    "redact_merge_review": q_redact_merge_review,
-    "sequence_match": q_sequence_match,
-    "whole_turn_redaction": q_whole_turn_redaction,
-    "deny_list_aho": q_deny_list_aho,
-    "fuzzy_deny": q_fuzzy_deny,
-    "reading_order_columns": q_reading_order_columns,
-    "reading_order_3col": q_reading_order_3col,
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {

@@ -10,7 +10,7 @@ original column order is restored (:1423-1430). The decision-process log
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from doc_redaction_spark.config import PipelineConfig
@@ -42,7 +42,8 @@ def anonymise_columns(
     original_order = df.columns
     fused = detect_apply_fused_udf(cfg)
 
-    if row_id_col is None:
+    content_derived_id = row_id_col is None
+    if content_derived_id:
         row_id_col = "_row_id"
         # deterministic content-derived id: no global partition-less sort
         # (a row_number over Window.orderBy(*cols) funnels the whole table
@@ -57,16 +58,30 @@ def anonymise_columns(
                 16,
             ),
         )
+        # byte-identical rows share an id, so their decision_log rows fan
+        # out across all copies; surface the copy count so audit consumers
+        # can de-weight instead of silently double-counting (ADVICE r02).
+        # One map-side-combinable window on the id, only on this path.
+        df = df.withColumn(
+            "_row_multiplicity",
+            F.count("*").over(Window.partitionBy("_row_id")),
+        )
 
     logs = []
     out = df
     for c in cols:
         base = clean_text_col(F.col(c)) if clean_first else F.coalesce(F.col(c), F.lit(""))
         out = out.withColumn(f"_da_{c}", fused(base))
+        mult = (
+            F.col("_row_multiplicity")
+            if content_derived_id
+            else F.lit(1).cast("long")
+        )
         logs.append(
             out.select(
                 F.col(row_id_col).alias("row_id"),
                 F.lit(c).alias("column"),
+                mult.alias("row_multiplicity"),
                 F.explode_outer(f"_da_{c}.spans").alias("sp"),
             )
             .filter(F.col("sp").isNotNull())
@@ -76,6 +91,7 @@ def anonymise_columns(
                 F.col("sp.entity_type").alias("entity_type"),
                 F.col("sp.start").alias("start"),
                 F.col("sp.end").alias("end"),
+                "row_multiplicity",
             )
         )
         out = out.withColumn(c, F.col(f"_da_{c}.redacted_text")).drop(f"_da_{c}")
@@ -84,4 +100,6 @@ def anonymise_columns(
     for lg in (logs[1:] if logs else []):
         decision_log = decision_log.unionByName(lg)
     keep = [c for c in original_order] + ([row_id_col] if row_id_col == "_row_id" else [])
+    # docstring contract: decision_log rows for byte-identical input rows
+    # carry row_multiplicity = number of copies sharing the content id
     return out.select(*keep), decision_log
