@@ -2388,6 +2388,89 @@ def o_entity_breadth():
     """
 
 
+_NINO_TEMPLATES = [
+    ("AB 12 34 56 C", 1), ("JG103759A", 1), ("BG 12 34 56 A", 0), ("ZZ 99 88 77 B", 0),
+]
+_ITIN_TEMPLATES = [
+    ("912-70-1234", 1), ("900-92-0001", 1), ("912-89-1234", 0),
+]
+_IPV6_TEMPLATES = [
+    ("2001:0db8:85a3:0000:0000:8a2e:0370:7334", 1),
+    ("fe80::1", 1),
+    ("1:2:3:4:5:6::7:8:9", 0),  # matches the regex, rejected by ipaddress
+]
+
+
+def q_entity_breadth2(spark, sf_dir):
+    """Second Presidio-breadth leg: UK_NINO (HMRC prefix rules), US_ITIN
+    (IRS group ranges — note the deliberate US_SSN interplay: every ITIN
+    matches the SSN shape but fails SSA's 9xx area rule), IPV6_ADDRESS
+    (regex candidates + stdlib ipaddress structural validation)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def pick(templates, mod):
+        return F.element_at(
+            F.array(*[F.lit(t) for t, _ in templates]),
+            (F.col("c_custkey") % mod).cast("int") + 1,
+        )
+
+    nino = pick(_NINO_TEMPLATES, 4)
+    itin = pick(_ITIN_TEMPLATES, 3)
+    ip6 = pick(_IPV6_TEMPLATES, 3)
+    t = cust.select(
+        F.col("c_custkey").alias("row_key"),
+        F.concat(
+            F.lit("ni "), nino, F.lit(" tax "), itin, F.lit(" host "), ip6
+        ).alias("text"),
+    )
+    cfg = PipelineConfig(entities=("UK_NINO", "US_ITIN", "IPV6_ADDRESS"))
+    from doc_redaction_spark.operators.detect import detect_spans_udf
+
+    spans = t.withColumn("spans", detect_spans_udf(cfg)(F.col("text")))
+    ex = spans.select("row_key", F.explode_outer("spans").alias("sp")).filter(
+        F.col("sp").isNotNull()
+    )
+    return ex.select(
+        "row_key",
+        F.col("sp.entity_type").alias("entity_type"),
+        F.col("sp.start").alias("start"),
+        F.col("sp.end").alias("end"),
+    )
+
+
+def o_entity_breadth2():
+    def arr(templates):
+        ts = ", ".join(f"'{t}'" for t, _ in templates)
+        vs = ", ".join(str(v) for _, v in templates)
+        return f"[{ts}]", f"[{vs}]"
+
+    ninos, ninov = arr(_NINO_TEMPLATES)
+    itins, itinv = arr(_ITIN_TEMPLATES)
+    ips, ipv = arr(_IPV6_TEMPLATES)
+    # layout: 'ni ' nino ' tax ' itin ' host ' ip6
+    return f"""
+    WITH t AS (
+      SELECT c_custkey AS row_key,
+             ({ninos})[CAST(c_custkey % 4 AS INTEGER) + 1] AS nino,
+             ({ninov})[CAST(c_custkey % 4 AS INTEGER) + 1] AS nino_ok,
+             ({itins})[CAST(c_custkey % 3 AS INTEGER) + 1] AS itin,
+             ({itinv})[CAST(c_custkey % 3 AS INTEGER) + 1] AS itin_ok,
+             ({ips})[CAST(c_custkey % 3 AS INTEGER) + 1] AS ip6,
+             ({ipv})[CAST(c_custkey % 3 AS INTEGER) + 1] AS ip6_ok
+      FROM customer)
+    SELECT row_key, 'UK_NINO' AS entity_type, 3 AS start, 3 + length(nino) AS "end"
+    FROM t WHERE nino_ok = 1
+    UNION ALL
+    SELECT row_key, 'US_ITIN', 3 + length(nino) + 5,
+           3 + length(nino) + 5 + length(itin)
+    FROM t WHERE itin_ok = 1
+    UNION ALL
+    SELECT row_key, 'IPV6_ADDRESS', 3 + length(nino) + 5 + length(itin) + 6,
+           3 + length(nino) + 5 + length(itin) + 6 + length(ip6)
+    FROM t WHERE ip6_ok = 1
+    """
+
+
 def q_url_extraction(spark, sf_dir):
     """URL span extraction on RAW text (before the clean battery strips
     boilerplate URLs) — surfaces compared against regexp_extract_all."""
@@ -2985,6 +3068,7 @@ _QUERIES: dict[str, Callable] = {
     "embedding_ivf": q_embedding_ivf,
     "pdf_bytes_extract": q_pdf_bytes_extract,
     "entity_breadth": q_entity_breadth,
+    "entity_breadth2": q_entity_breadth2,
     "dedup_lemma": q_dedup_lemma,
     "subdocument_dup": q_subdocument_dup,
     "fuzzy_deny": q_fuzzy_deny,
@@ -3109,6 +3193,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "redact_pseudonym_email": o_redact_pseudonym_email,
     "checksum_entities": o_checksum_entities,
     "entity_breadth": o_entity_breadth,
+    "entity_breadth2": o_entity_breadth2,
     "url_extraction": o_url_extraction,
     "coord_normalize": o_coord_normalize,
     "route_gate": o_route_gate,

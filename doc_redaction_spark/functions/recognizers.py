@@ -123,6 +123,14 @@ DATE_TIME_PATTERN = (
 )
 NHS_NUMBER_PATTERN = r"\b\d{3}[ -]?\d{3}[ -]?\d{4}\b"
 CRYPTO_PATTERN = r"\b[13][a-km-zA-HJ-NP-Z1-9]{25,34}\b"  # base58 P2PKH/P2SH
+UK_NINO_PATTERN = r"\b[A-CEGHJ-PR-TW-Z][A-CEGHJ-NPR-TW-Z] ?\d{2} ?\d{2} ?\d{2} ?[A-D]\b"
+US_ITIN_PATTERN = r"\b9\d{2}-\d{2}-\d{4}\b"
+# full 8-group form + single-:: compressed forms that end in a hex group
+# (leading/trailing '::' forms break \b anchoring — out of scope, documented)
+IPV6_PATTERN = (
+    r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+    r"|\b(?:[0-9A-Fa-f]{1,4}:){1,6}:(?:[0-9A-Fa-f]{1,4}:){0,5}[0-9A-Fa-f]{1,4}\b"
+)
 
 _PY_FLAGS_DEFAULT = re.DOTALL | re.MULTILINE
 
@@ -194,6 +202,32 @@ def btc_ok(s: str) -> bool:
     return hashlib.sha256(hashlib.sha256(raw[:-4]).digest()).digest()[:4] == raw[-4:]
 
 
+_NINO_FORBIDDEN_PREFIXES = {"BG", "GB", "NK", "KN", "TN", "NT", "ZZ"}
+
+
+def nino_ok(s: str) -> bool:
+    """HMRC allocation rules (public): prefixes BG/GB/NK/KN/TN/NT/ZZ are
+    never issued (the letter-class exclusions live in the pattern)."""
+    return s.replace(" ", "").upper()[:2] not in _NINO_FORBIDDEN_PREFIXES
+
+
+def itin_ok(s: str) -> bool:
+    """IRS ITIN group ranges (public): middle group 70-88, 90-92, 94-99."""
+    g = int(s[4:6])
+    return 70 <= g <= 88 or 90 <= g <= 92 or 94 <= g <= 99
+
+
+def ipv6_ok(s: str) -> bool:
+    """Structural validation via the stdlib parser (group count, '::'
+    expansion legality) — the regex only proposes candidates."""
+    import ipaddress
+
+    try:
+        return ipaddress.ip_address(s).version == 6
+    except ValueError:
+        return False
+
+
 @dataclass(frozen=True)
 class RegexRecognizer:
     """One pattern recognizer: compiled once per executor in the detect UDF.
@@ -258,6 +292,18 @@ BUILTIN_RECOGNIZERS: dict[str, RegexRecognizer] = {
         RegexRecognizer(
             "CRYPTO", CRYPTO_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
             staticmethod(btc_ok),
+        ),
+        RegexRecognizer(
+            "UK_NINO", UK_NINO_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
+            staticmethod(nino_ok),
+        ),
+        RegexRecognizer(
+            "US_ITIN", US_ITIN_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
+            staticmethod(itin_ok),
+        ),
+        RegexRecognizer(
+            "IPV6_ADDRESS", IPV6_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
+            staticmethod(ipv6_ok),
         ),
     ]
 }

@@ -188,3 +188,38 @@ def test_date_time_recognizer_formats(spark):
     assert pat.fullmatch("15 March 2021")
     assert not pat.search("soonish")
     assert not pat.fullmatch("15 Marchish 2021")
+
+
+def test_entity_breadth2_validators_and_templates():
+    """UK_NINO / US_ITIN / IPV6 validators + template validity pins, and
+    the ITIN/SSN interplay: every ITIN matches the SSN shape but must be
+    rejected by SSA's 9xx area rule."""
+    import re as _re
+
+    import __spark_entry__ as entry
+    from doc_redaction_spark.functions.recognizers import (
+        IPV6_PATTERN,
+        US_SSN_PATTERN,
+        ipv6_ok,
+        itin_ok,
+        nino_ok,
+        ssn_ok,
+    )
+
+    assert nino_ok("AB 12 34 56 C") and nino_ok("JG103759A")
+    assert not nino_ok("BG 12 34 56 A") and not nino_ok("ZZ 99 88 77 B")
+    assert itin_ok("912-70-1234") and itin_ok("900-92-0001")
+    assert not itin_ok("912-89-1234")
+    assert ipv6_ok("fe80::1") and ipv6_ok("2001:0db8:85a3:0000:0000:8a2e:0370:7334")
+    assert not ipv6_ok("1:2:3:4:5:6::7:8:9")  # 9 groups + '::'
+    assert _re.fullmatch(IPV6_PATTERN, "1:2:3:4:5:6::7:8:9")  # regex proposes it
+    # ITIN/SSN separation
+    for itin, _ in entry._ITIN_TEMPLATES:
+        assert _re.fullmatch(US_SSN_PATTERN, itin) and not ssn_ok(itin)
+    for tpls, fn in [
+        (entry._NINO_TEMPLATES, nino_ok),
+        (entry._ITIN_TEMPLATES, itin_ok),
+        (entry._IPV6_TEMPLATES, ipv6_ok),
+    ]:
+        for t, v in tpls:
+            assert fn(t) == bool(v), t
