@@ -1885,6 +1885,88 @@ def o_pdf_bytes_extract():
     """
 
 
+def q_pdf_bytes_to_words(spark, sf_dir):
+    """Full byte-level chain: text → REAL PDF bytes → parsed chars →
+    geometric-gap word builder (operators/pdf_words.chars_to_words — the
+    same operator the rawdict path uses). Proves the parsed char boxes
+    are good enough inputs for the downstream word pipeline."""
+    from doc_redaction_spark.operators.pdf_words import chars_to_words
+    from doc_redaction_spark.sources.pdf_lite import (
+        LEADING,
+        LINES_PER_PAGE,
+        TOP_Y,
+        parse_pdf_chars,
+        render_pdf_udf,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    blobs = docs.select("doc_id", render_pdf_udf()(F.col("text")).alias("pdf"))
+    chars = parse_pdf_chars(blobs).select(
+        "doc_id", "page", "char_idx",
+        F.col("c").alias("t"),
+        F.col("y0").alias("line_y"),
+        "x0", "y0", "x1", "y1",
+        (F.col("y1") - F.col("y0")).alias("size"),
+    )
+    words = chars_to_words(chars, keys=("doc_id", "page", "line_y"))
+    line_in_page = ((F.lit(TOP_Y) - F.col("line_y")) / F.lit(LEADING)).cast("long")
+    return words.select(
+        "doc_id",
+        F.col("page").cast("long").alias("page"),
+        (F.col("page") * LINES_PER_PAGE + line_in_page).alias("line_no"),
+        F.col("word_idx").cast("int").alias("word_idx"),
+        "text",
+        "x0",
+        "x1",
+        F.col("y0").alias("y0"),
+    )
+
+
+def o_pdf_bytes_to_words():
+    from doc_redaction_spark.sources.pdf_lite import (
+        COURIER_ADVANCE,
+        FONT_SIZE,
+        LEADING,
+        LINES_PER_PAGE,
+        MARGIN_X,
+        TOP_Y,
+        WORDS_PER_LINE,
+    )
+
+    adv = COURIER_ADVANCE * FONT_SIZE
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                  w -> w <> '') AS toks
+               FROM documents),
+    ln AS (SELECT doc_id, i AS line_no,
+                  regexp_replace(
+                      array_to_string(toks[(i * {WORDS_PER_LINE} + 1):
+                                           ((i + 1) * {WORDS_PER_LINE})], ' '),
+                      '[^ -~]', '?', 'g') AS line_text
+           FROM d, (SELECT unnest(generate_series(0, 1000)) AS i)
+           WHERE i * {WORDS_PER_LINE} < len(toks)),
+    wd AS (SELECT doc_id, line_no,
+                  string_split(line_text, ' ') AS words,
+                  generate_subscripts(string_split(line_text, ' '), 1) AS j,
+                  unnest(string_split(line_text, ' ')) AS word
+           FROM ln)
+    SELECT doc_id,
+           line_no // {LINES_PER_PAGE} AS page,
+           line_no,
+           CAST(j AS INTEGER) AS word_idx,
+           word AS text,
+           round({MARGIN_X:.1f}e0 + {adv:.1f}e0 *
+                 (coalesce(length(array_to_string(words[1:j-1], ' ')), 0)
+                  + CASE WHEN j > 1 THEN 1 ELSE 0 END), 2) AS x0,
+           round({MARGIN_X:.1f}e0 + {adv:.1f}e0 *
+                 (coalesce(length(array_to_string(words[1:j-1], ' ')), 0)
+                  + CASE WHEN j > 1 THEN 1 ELSE 0 END + length(word)), 2) AS x1,
+           round({TOP_Y:.1f}e0 - {LEADING:.1f}e0 * (line_no % {LINES_PER_PAGE}), 2) AS y0
+    FROM wd
+    """
+
+
 # ---------------------------------------------------------------------------
 # queries — HTML main-content extraction (DOM text-density heuristics)
 # ---------------------------------------------------------------------------
@@ -3067,6 +3149,7 @@ _QUERIES: dict[str, Callable] = {
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ivf": q_embedding_ivf,
     "pdf_bytes_extract": q_pdf_bytes_extract,
+    "pdf_bytes_to_words": q_pdf_bytes_to_words,
     "entity_breadth": q_entity_breadth,
     "entity_breadth2": q_entity_breadth2,
     "dedup_lemma": q_dedup_lemma,
@@ -3175,6 +3258,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "pdf_word_punct_split": o_pdf_word_punct_split,
     "pdf_rawdict_chars": o_pdf_rawdict_chars,
     "pdf_bytes_extract": o_pdf_bytes_extract,
+    "pdf_bytes_to_words": o_pdf_bytes_to_words,
     "coverage_qa": o_coverage_qa,
     "review_prune": o_review_prune,
     "multimodal_decode": o_multimodal_decode,

@@ -112,18 +112,63 @@ def extract_pages(media: DataFrame, fake: bool = False) -> DataFrame:
     5 lines × whatever whitespace lines exist, with synthetic geometry —
     schema-faithful to the real extractor."""
 
+    def _real_pdf_rows(d: str, blob: bytes) -> list[dict]:
+        """%PDF payloads parse for REAL via pdf_lite (stdlib zlib); line
+        grouping by parsed baselines, coordinates in PDF points."""
+        from collections import defaultdict
+
+        from doc_redaction_spark.sources.pdf_lite import extract_pdf_chars
+
+        by_line: dict = defaultdict(list)
+        for (pg, ci, c, x0, y0, x1, y1) in extract_pdf_chars(blob):
+            by_line[(pg, y0)].append((ci, c, x0, x1, y1))
+        rows = []
+        pages_seen = sorted({pg for pg, _ in by_line})
+        for pg in pages_seen:
+            lines = []
+            ys = sorted((y for p2, y in by_line if p2 == pg), reverse=True)
+            for li, y in enumerate(ys, start=1):
+                cs = sorted(by_line[(pg, y)])
+                lines.append(
+                    {
+                        "line": li,
+                        "text": "".join(c for _, c, _, _, _ in cs),
+                        "x0": cs[0][2],
+                        "y0": y,
+                        "x1": cs[-1][3],
+                        "y1": cs[0][4],
+                    }
+                )
+            rows.append(
+                {
+                    "doc_id": d,
+                    "page": pg + 1,
+                    "text": " ".join(ln["text"] for ln in lines),
+                    "lines": lines,
+                }
+            )
+        return rows
+
     def pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "pixel-accurate PDF parse needs pymupdf; use fake=True — "
-                    "or sources/pdf_lite.py, which REALLY parses classic "
-                    "Flate/uncompressed PDFs with the stdlib (the "
-                    "pdf_bytes_extract driver query runs that path)"
-                )
             out = []
+            real_rows = []
+            fake_items = []
             for d, p in zip(pdf["doc_id"], pdf["payload"]):
-                text = (bytes(p) if p is not None else b"").decode("utf-8", "replace")
+                blob = bytes(p) if p is not None else b""
+                if blob.startswith(b"%PDF-"):
+                    real_rows.extend(_real_pdf_rows(d, blob))
+                else:
+                    fake_items.append((d, blob))
+            if fake_items and not fake:
+                raise NotImplementedError(
+                    "pixel-accurate parse of non-PDF blobs needs "
+                    "pymupdf/PIL; use fake=True — real %PDF payloads are "
+                    "parsed by sources/pdf_lite.py regardless"
+                )
+            out.extend(real_rows)
+            for d, blob in fake_items:
+                text = blob.decode("utf-8", "replace")
                 toks = text.split()
                 lines = [" ".join(toks[i : i + 8]) for i in range(0, len(toks), 8)]
                 for pg in range(0, max(1, (len(lines) + 4) // 5)):

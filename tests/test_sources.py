@@ -92,3 +92,23 @@ def test_xlsx_quoted_sheet_name_and_nonfinite(tmp_path):
     vals = list(sheets['she"et <&>']["v"])
     assert float(vals[0]) == 1.5
     assert all(v is None or v != v for v in vals[1:])
+
+
+def test_extract_pages_real_pdf_payloads(spark):
+    """%PDF payloads go through the REAL pdf_lite parser inside
+    extract_pages (no fake flag needed), yielding genuine page/line rows
+    with PDF-point geometry."""
+    from doc_redaction_spark.sources.multimodal import extract_pages
+    from doc_redaction_spark.sources.pdf_lite import layout_lines, make_pdf
+
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    pdf = make_pdf(text)
+    media = spark.createDataFrame(
+        [("d1", "pdf", bytearray(pdf))],
+        "doc_id string, media_type string, payload binary",
+    )
+    rows = extract_pages(media, fake=False).collect()  # no NotImplementedError
+    assert rows and rows[0].page == 1
+    got_lines = [ln["text"] for r in rows for ln in r.lines]
+    assert got_lines == layout_lines(text)
+    assert rows[0].lines[0]["x0"] == 72.0 and rows[0].lines[0]["y0"] == 720.0
