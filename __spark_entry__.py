@@ -2553,6 +2553,66 @@ def o_entity_breadth2():
     """
 
 
+_TITLED_TEMPLATES = [
+    ("Mr", "Alice Smith", 1),
+    ("Mrs.", "Bob", 1),
+    ("Professor", "Carol Jones", 1),
+    ("mr", "Dave Brown", 0),  # title is case-sensitive (reference parity)
+    ("Dr", "van Gogh", 0),    # lowercase first name word — pattern rejects
+]
+
+
+def q_person_titled(spark, sf_dir):
+    """Deterministic high-precision PERSON path: title-context names
+    (reference's spaCy PERSON is model-dependent; this closes the
+    rule-expressible slice — TITLES_LIST + TitleCase words — with exact
+    spans over the NAME only)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    title = F.element_at(
+        F.array(*[F.lit(t) for t, _, _ in _TITLED_TEMPLATES]),
+        (F.col("c_custkey") % 5).cast("int") + 1,
+    )
+    name = F.element_at(
+        F.array(*[F.lit(n) for _, n, _ in _TITLED_TEMPLATES]),
+        (F.col("c_custkey") % 5).cast("int") + 1,
+    )
+    t = cust.select(
+        F.col("c_custkey").alias("row_key"),
+        F.concat(F.lit("call "), title, F.lit(" "), name, F.lit(" now")).alias("text"),
+    )
+    cfg = PipelineConfig(entities=("PERSON_TITLED",), score_threshold=0.9)
+    from doc_redaction_spark.operators.detect import detect_spans_udf
+
+    spans = t.withColumn("spans", detect_spans_udf(cfg)(F.col("text")))
+    ex = spans.select("row_key", F.explode_outer("spans").alias("sp")).filter(
+        F.col("sp").isNotNull()
+    )
+    return ex.select(
+        "row_key",
+        F.col("sp.entity_type").alias("entity_type"),
+        F.col("sp.start").alias("start"),
+        F.col("sp.end").alias("end"),
+    )
+
+
+def o_person_titled():
+    titles = ", ".join(f"'{t}'" for t, _, _ in _TITLED_TEMPLATES)
+    names = ", ".join(f"'{n}'" for _, n, _ in _TITLED_TEMPLATES)
+    valid = ", ".join(str(v) for _, _, v in _TITLED_TEMPLATES)
+    return f"""
+    WITH t AS (
+      SELECT c_custkey AS row_key,
+             ([{titles}])[CAST(c_custkey % 5 AS INTEGER) + 1] AS title,
+             ([{names}])[CAST(c_custkey % 5 AS INTEGER) + 1] AS name,
+             ([{valid}])[CAST(c_custkey % 5 AS INTEGER) + 1] AS ok
+      FROM customer)
+    SELECT row_key, 'PERSON_TITLED' AS entity_type,
+           5 + length(title) + 1 AS start,
+           5 + length(title) + 1 + length(name) AS "end"
+    FROM t WHERE ok = 1
+    """
+
+
 def q_url_extraction(spark, sf_dir):
     """URL span extraction on RAW text (before the clean battery strips
     boilerplate URLs) — surfaces compared against regexp_extract_all."""
@@ -3152,6 +3212,7 @@ _QUERIES: dict[str, Callable] = {
     "pdf_bytes_to_words": q_pdf_bytes_to_words,
     "entity_breadth": q_entity_breadth,
     "entity_breadth2": q_entity_breadth2,
+    "person_titled": q_person_titled,
     "dedup_lemma": q_dedup_lemma,
     "subdocument_dup": q_subdocument_dup,
     "fuzzy_deny": q_fuzzy_deny,
@@ -3278,6 +3339,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "checksum_entities": o_checksum_entities,
     "entity_breadth": o_entity_breadth,
     "entity_breadth2": o_entity_breadth2,
+    "person_titled": o_person_titled,
     "url_extraction": o_url_extraction,
     "coord_normalize": o_coord_normalize,
     "route_gate": o_route_gate,

@@ -131,6 +131,16 @@ IPV6_PATTERN = (
     r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
     r"|\b(?:[0-9A-Fa-f]{1,4}:){1,6}:(?:[0-9A-Fa-f]{1,4}:){0,5}[0-9A-Fa-f]{1,4}\b"
 )
+# Deterministic high-precision PERSON path: a title from the reference's
+# 13-title list (longest-first so 'Mrs.' wins over 'Mr') immediately
+# followed by one or two TitleCase words; the SPAN is the name (group 1),
+# the title stays for the TITLES recognizer. Case-sensitive like the
+# reference's titles recognizer; no lookaround (3-dialect subset).
+PERSON_TITLED_PATTERN = (
+    r"\b(?:"
+    + "|".join(re.escape(t) for t in sorted(TITLES_LIST, key=len, reverse=True))
+    + r")\.? ?([A-Z][a-z]+(?: [A-Z][a-z]+)?)"
+)
 
 _PY_FLAGS_DEFAULT = re.DOTALL | re.MULTILINE
 
@@ -305,6 +315,7 @@ BUILTIN_RECOGNIZERS: dict[str, RegexRecognizer] = {
             "IPV6_ADDRESS", IPV6_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
             staticmethod(ipv6_ok),
         ),
+        RegexRecognizer("PERSON_TITLED", PERSON_TITLED_PATTERN, group=1, score=0.95),
     ]
 }
 

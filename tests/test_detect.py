@@ -223,3 +223,30 @@ def test_entity_breadth2_validators_and_templates():
     ]:
         for t, v in tpls:
             assert fn(t) == bool(v), t
+
+
+def test_person_titled_recognizer():
+    """Title-context PERSON: span covers the NAME (group 1), title is
+    case-sensitive, lowercase name words reject, longest title wins."""
+    import re as _re
+
+    from doc_redaction_spark.functions.recognizers import PERSON_TITLED_PATTERN
+
+    pat = _re.compile(PERSON_TITLED_PATTERN)
+    m = pat.search("call Mr Alice Smith now")
+    assert m and m.group(1) == "Alice Smith"
+    assert m.span(1) == (8, 19)
+    m = pat.search("ping Mrs. Bob today")
+    assert m and m.group(1) == "Bob"
+    assert pat.search("call mr Dave Brown now") is None
+    assert pat.search("ask Dr van Gogh") is None
+    m = pat.search("Professor Carol Jones spoke")
+    assert m and m.group(1) == "Carol Jones"
+    import __spark_entry__ as entry
+    for title, name, v in entry._TITLED_TEMPLATES:
+        s = f"call {title} {name} now"
+        m = pat.search(s)
+        if v:
+            assert m is not None and m.group(1) == name, s
+        else:
+            assert m is None, s

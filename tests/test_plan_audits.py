@@ -66,3 +66,47 @@ def test_near_dup_routes_through_buckets(spark, queries):
     """Embedding near-dup must never plan a cartesian product."""
     plan = _plan(queries["dedup_embedding_cosine"](spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pdf_bytes_chain_is_map_only_until_rollup(spark, queries):
+    """Bytes→chars parsing must be map-only (blob corpora partition by
+    file and never move); the only exchanges are the line/word rollup
+    aggregation. No SortMergeJoin anywhere — there is nothing to join."""
+    plan = _plan(queries["pdf_bytes_extract"](spark, SF))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 1  # parse stage
+    assert plan.count("ArrowEvalPython") == 1  # render stage
+
+
+def test_subdocument_dup_no_crossjoin_and_hash_keys(spark, queries):
+    """File-pair rollup: candidate generation is an equi-join on the md5
+    text hash — never a cartesian pair enumeration."""
+    plan = _plan(queries["subdocument_dup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "md5" in plan  # join key is the hash, not raw page text
+
+
+def test_dedup_lemma_no_python_stage(spark, queries):
+    """The lemmatizer is higher-order functions — no Python in the plan."""
+    plan = _plan(queries["dedup_lemma"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_no_driver_side_jobs(spark, queries):
+    """ivf_topk with dim+seed_mod must build its whole plan lazily — the
+    round-2 version ran a first() probe and a full-corpus TakeOrdered on
+    the driver before returning."""
+    from doc_redaction_spark.operators import similarity as osim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    store = spark.sparkContext._jsc.sc().statusStore()
+    before = store.jobsList(None).size()
+    osim.ivf_topk(emb, qs, k=3, n_centroids=8, nprobe=2, dim=64, seed_mod=4)
+    after = store.jobsList(None).size()
+    assert after == before  # constructing the plan launched zero jobs
