@@ -109,6 +109,11 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "reading_order_3col",
         "pdf_rawdict_chars",
         "dedup_tabular_rows",
+        "pdf_bytes_extract",
+        "dedup_lemma",
+        "subdocument_dup",
+        "entity_breadth",
+        "embedding_ivf",
     ]
     qs = entrymod.queries()
     out = {}
@@ -116,9 +121,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         fn = qs.get(name)
         if fn is None:
             continue
-        # dedup operators persist intermediates; drop leftovers so each
-        # pick is measured from a clean cache state, not under the memory
-        # pressure of every previous query's cache
+        # measure each pick from a clean cache state (operators no longer
+        # persist — round 3 — but a stray cache from any pick must not
+        # shade the next one's memory)
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

@@ -110,3 +110,36 @@ def test_ivf_no_driver_side_jobs(spark, queries):
     osim.ivf_topk(emb, qs, k=3, n_centroids=8, nprobe=2, dim=64, seed_mod=4)
     after = store.jobsList(None).size()
     assert after == before  # constructing the plan launched zero jobs
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing = the co-located-join story at 100 TB: two tables
+    bucketed+sorted on the join key must SortMergeJoin with ZERO Exchange
+    (pre-shuffled data layout replaces the runtime shuffle)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    for name in ("bj_left", "bj_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, "k").sortBy("k")
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the fixture tables are tiny, so Catalyst would broadcast (which
+        # also skips the shuffle, but proves nothing about bucketing);
+        # force the shuffle-join path a 100 TB fact table would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bj_left").join(spark.table("bj_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bj_left", "bj_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
