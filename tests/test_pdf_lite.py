@@ -115,3 +115,50 @@ def test_layout_lines_matches_oracle_chunking():
     ]
     assert layout_lines("tab\tand\nnewline") == ["tab and newline"]
     assert layout_lines("naïve café") == ["na?ve caf?"]
+
+
+def test_roundtrip_property_fuzz():
+    """Hypothesis: ANY text round-trips text→PDF→chars→lines losslessly
+    (modulo the documented whitespace/ASCII-fold chunking), and arbitrary
+    byte garbage raises ValueError instead of crashing — at corpus scale
+    a malformed blob must become a per-file error row, not an executor
+    death."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+            max_size=400,
+        )
+    )
+    def roundtrip(text):
+        chars = extract_pdf_chars(make_pdf(text))
+        assert _rebuild_lines(chars) == layout_lines(text)
+
+    roundtrip()
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=300))
+    def garbage(blob):
+        try:
+            extract_pdf_chars(blob)
+        except ValueError:
+            pass  # the contract: unparseable → ValueError
+
+    garbage()
+
+    # mutated REAL pdfs: truncations and byte flips never crash the parser
+    base = make_pdf("some ordinary words here " * 8)
+    for cut in (10, len(base) // 2, len(base) - 5):
+        try:
+            extract_pdf_chars(base[:cut])
+        except ValueError:
+            pass
+    for pos in range(0, len(base), 97):
+        mutated = base[:pos] + bytes([base[pos] ^ 0xFF]) + base[pos + 1 :]
+        try:
+            extract_pdf_chars(mutated)
+        except ValueError:
+            pass
