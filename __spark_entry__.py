@@ -1659,6 +1659,51 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """Multimodal resize stage (brief: decode/feature-extract/RESIZE/
+    frame-sample): aspect-fit dims math real (longest side → 160, no
+    upscale, floor division), pixel resample stubbed; source dims come
+    from the sha256 fake decoder so the oracle is closed-form."""
+    from doc_redaction_spark.sources.multimodal import make_media_df, resize_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = resize_media(make_media_df(spark, docs, media_type="image"), target=160, fake=True)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("new_width").cast("long").alias("new_width"),
+        F.col("new_height").cast("long").alias("new_height"),
+        "n_bytes",
+    )
+
+
+def o_media_resize():
+    def b(k: int) -> str:
+        hi, lo = 2 * k + 1, 2 * k + 2
+        return (
+            f"(16*(instr('0123456789abcdef', substr(hx, {hi}, 1))-1)"
+            f" + (instr('0123456789abcdef', substr(hx, {lo}, 1))-1))"
+        )
+
+    return f"""
+    WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                      sha256(coalesce(text, '')) AS hx,
+                      length(coalesce(text, '')) AS n_bytes FROM documents),
+    d AS (SELECT doc_id, n_bytes,
+                 64 + {b(0)} AS w, 64 + {b(1)} AS h FROM h),
+    m AS (SELECT *, greatest(w, h) AS mx FROM d)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(CASE WHEN mx <= 160 THEN w
+                     ELSE greatest(1, (w * 160) // mx) END AS BIGINT) AS new_width,
+           CAST(CASE WHEN mx <= 160 THEN h
+                     ELSE greatest(1, (h * 160) // mx) END AS BIGINT) AS new_height,
+           CAST(n_bytes AS BIGINT) AS n_bytes
+    FROM m
+    """
+
+
 def o_multimodal_decode():
     def b(k: int) -> str:  # k-th byte of the sha256 digest, from hex chars
         hi, lo = 2 * k + 1, 2 * k + 2
@@ -3213,6 +3258,7 @@ _QUERIES: dict[str, Callable] = {
     "entity_breadth": q_entity_breadth,
     "entity_breadth2": q_entity_breadth2,
     "person_titled": q_person_titled,
+    "media_resize": q_media_resize,
     "dedup_lemma": q_dedup_lemma,
     "subdocument_dup": q_subdocument_dup,
     "fuzzy_deny": q_fuzzy_deny,
@@ -3340,6 +3386,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "entity_breadth": o_entity_breadth,
     "entity_breadth2": o_entity_breadth2,
     "person_titled": o_person_titled,
+    "media_resize": o_media_resize,
     "url_extraction": o_url_extraction,
     "coord_normalize": o_coord_normalize,
     "route_gate": o_route_gate,

@@ -96,6 +96,50 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id string, width int, height int,"
+    " new_width int, new_height int, n_bytes long"
+)
+
+
+def resize_media(media: DataFrame, target: int = 224, fake: bool = False) -> DataFrame:
+    """mapInPandas resize stage: the aspect-fit dimension math is REAL
+    (longest side clamped to ``target``, never upscaled, floor division);
+    the pixel resample itself is stubbed (PIL/ffmpeg absent) — ``fake=True``
+    derives source dims from the sha256 fake decoder so the whole stage is
+    closed-form-checkable end to end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "pixel resample needs PIL/ffmpeg — unavailable here; "
+                    "pass fake=True for the deterministic dims-only stub"
+                )
+            rows = []
+            for d, m, p in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                blob = bytes(p) if p is not None else b""
+                meta = _fake_decode(d, m, blob)
+                w, h = meta["width"], meta["height"]
+                mx = max(w, h)
+                if mx <= target:
+                    nw, nh = w, h
+                else:
+                    nw, nh = max(1, w * target // mx), max(1, h * target // mx)
+                rows.append(
+                    {
+                        "doc_id": d, "width": w, "height": h,
+                        "new_width": nw, "new_height": nh, "n_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "new_width", "new_height", "n_bytes"],
+            )
+
+    return media.mapInPandas(gen, RESIZED_SCHEMA)
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame sampling: explode sampled frame indices (native, no UDF)."""
     idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))

@@ -112,3 +112,24 @@ def test_extract_pages_real_pdf_payloads(spark):
     got_lines = [ln["text"] for r in rows for ln in r.lines]
     assert got_lines == layout_lines(text)
     assert rows[0].lines[0]["x0"] == 72.0 and rows[0].lines[0]["y0"] == 720.0
+
+
+def test_resize_media_dims_math(spark):
+    """Aspect-fit: longest side clamps to target with floor division,
+    never upscales, floors at 1."""
+    from doc_redaction_spark.sources.multimodal import make_media_df, resize_media
+
+    docs = spark.createDataFrame([(1, "abc"), (2, "different text")], "doc_id long, text string")
+    rows = resize_media(make_media_df(spark, docs), target=100, fake=True).collect()
+    for r in rows:
+        mx = max(r.width, r.height)
+        if mx <= 100:
+            assert (r.new_width, r.new_height) == (r.width, r.height)
+        else:
+            assert r.new_width == max(1, r.width * 100 // mx)
+            assert r.new_height == max(1, r.height * 100 // mx)
+            assert max(r.new_width, r.new_height) == 100
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):  # real pixel path absent in container
+        resize_media(make_media_df(spark, docs), fake=False).collect()
