@@ -387,14 +387,19 @@ def q_sessionize_events(spark, sf_dir):
 def o_sessionize_events():
     return """
     WITH g AS (
-      SELECT user_id, value,
+      SELECT user_id, value, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS new_sess
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
+      -- the running sum MUST order by (ts, event_id): an orderless ROWS
+      -- UNBOUNDED PRECEDING sums in incidental row order, which happened
+      -- to match at sf<=0.01 and silently diverged at sf0.1 (caught by
+      -- the round-3 full-SF sweep)
       SELECT user_id, value,
-             sum(new_sess) OVER (PARTITION BY user_id ROWS UNBOUNDED PRECEDING) AS sess_id
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM g
     )
     SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
