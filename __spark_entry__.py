@@ -1922,6 +1922,8 @@ def o_pdf_bytes_extract():
                       array_to_string(toks[(i * {WORDS_PER_LINE} + 1):
                                            ((i + 1) * {WORDS_PER_LINE})], ' '),
                       '[^ -~]', '?', 'g') AS line_text
+           -- 1000-line cap is NOT silent: the Spark side is uncapped, so a doc
+           -- beyond 8000 words would hash-mismatch loudly (fixture max ~80 words)
            FROM d, (SELECT unnest(generate_series(0, 1000)) AS i)
            WHERE i * {WORDS_PER_LINE} < len(toks))
     SELECT doc_id,
@@ -1994,6 +1996,8 @@ def o_pdf_bytes_to_words():
                       array_to_string(toks[(i * {WORDS_PER_LINE} + 1):
                                            ((i + 1) * {WORDS_PER_LINE})], ' '),
                       '[^ -~]', '?', 'g') AS line_text
+           -- 1000-line cap is NOT silent: the Spark side is uncapped, so a doc
+           -- beyond 8000 words would hash-mismatch loudly (fixture max ~80 words)
            FROM d, (SELECT unnest(generate_series(0, 1000)) AS i)
            WHERE i * {WORDS_PER_LINE} < len(toks)),
     wd AS (SELECT doc_id, line_no,
