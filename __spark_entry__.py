@@ -734,10 +734,13 @@ def o_subdocument_dup():
                      THEN 70 + (d.doc_id % 50 - 10)
                      ELSE d.doc_id END) AS text
       FROM documents d),
-    p AS (SELECT file, page,
-                 md5(trim(regexp_replace(lower(coalesce(text, '')),
-                                         '[^a-z0-9]+', ' ', 'g'))) AS h
-          FROM pages),
+    p0 AS (SELECT file, page,
+                  trim(regexp_replace(lower(coalesce(text, '')),
+                                      '[^a-z0-9]+', ' ', 'g')) AS n
+           FROM pages),
+    p1 AS (SELECT file, page, md5(n) AS h FROM p0 WHERE n <> ''),
+    keep AS (SELECT h FROM p1 GROUP BY h HAVING count(*) <= 1000),
+    p AS (SELECT p1.* FROM p1 JOIN keep USING (h)),
     pairs AS (SELECT DISTINCT a.file AS file1, a.page AS page1,
                      b.file AS file2, b.page AS page2,
                      a.page - b.page AS diag

@@ -529,6 +529,7 @@ def subdocument_duplicates(
     file_col: str = "file",
     page_col: str = "page",
     text_col: str = "text",
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Sub-document (file-pair) duplicate rollup (reference
     ``find_duplicate_pages.py:681-729`` map_metadata_subdocument +
@@ -542,20 +543,33 @@ def subdocument_duplicates(
     shape: start/end pages per side, match length, and preview_length-char
     text previews of each side's start page.
 
-    Scale shape: one equi-join on the text hash (hot normalized-text keys
-    are the boilerplate caps' job upstream), windows over bounded
-    (file1, file2, diag) partitions, two slim metadata equi-joins.
+    Scale guards: empty-after-normalization pages are dropped (every
+    blank page in a 10^9-page corpus shares ONE hash — a quadratic pair
+    bomb), and ``max_df`` drops any page-text whose corpus frequency
+    exceeds the cap (boilerplate cover/disclaimer pages — same bomb,
+    smaller fuse; a key at frequency f costs O(f²) join rows). Windows
+    run over bounded (file1, file2, diag) partitions; metadata re-joins
+    are slim equi-joins.
     """
     norm = F.trim(
         F.regexp_replace(
             F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z0-9]+", " "
         )
     )
-    p = pages.select(
-        F.col(file_col).alias("file"),
-        F.col(page_col).alias("page"),
-        F.md5(norm).alias("h"),
+    p = (
+        pages.select(
+            F.col(file_col).alias("file"),
+            F.col(page_col).alias("page"),
+            norm.alias("_n"),
+        )
+        .filter(F.col("_n") != "")
+        .select("file", "page", F.md5(F.col("_n")).alias("h"))
     )
+    if max_df is not None:
+        keep = p.groupBy("h").agg(F.count("*").alias("_df")).filter(
+            F.col("_df") <= max_df
+        )
+        p = p.join(keep.select("h"), "h")
     a = p.select(F.col("file").alias("file1"), F.col("page").alias("page1"), "h")
     b = p.select(F.col("file").alias("file2"), F.col("page").alias("page2"), "h")
     pairs = (

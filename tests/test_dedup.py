@@ -229,3 +229,23 @@ def test_subdocument_duplicates_rollup(spark):
     assert (r.file2, r.page2_start, r.page2_end) == ("B", 2, 4)
     assert r.match_length == 3
     assert r.page1_text == "unique A 5"[:10]
+
+
+def test_subdocument_duplicates_scale_guards(spark):
+    """Blank pages and over-cap boilerplate pages must never enter the
+    pair join — each shared hash at frequency f costs O(f^2) join rows,
+    the quadratic bomb at corpus scale."""
+    rows = []
+    for f in range(6):
+        rows.append((f"F{f}", 0, "   . , !"))          # normalizes to empty
+        rows.append((f"F{f}", 1, "standard disclaimer page"))  # boilerplate
+        rows.append((f"F{f}", 2, f"unique body {f}"))
+    df = spark.createDataFrame(rows, "file string, page int, text string")
+    # cap 3 < 6 copies of the disclaimer: the boilerplate hash is dropped,
+    # blanks are dropped, uniques never pair → empty result
+    got = dd.subdocument_duplicates(df, min_len=1, max_df=3).collect()
+    assert got == []
+    # with the cap lifted the disclaimer pages pair up (runs of length 1)
+    got2 = dd.subdocument_duplicates(df, min_len=1, max_df=None).collect()
+    assert len(got2) == 15  # C(6,2) file pairs, one 1-run each
+    assert all(r.page1_start == 1 and r.match_length == 1 for r in got2)
