@@ -1,0 +1,77 @@
+"""Parallelism-independence check: every picked query must produce the
+IDENTICAL value hash under different core counts and shuffle-partition
+counts. Catches order-dependent results (unordered running windows,
+first()-style picks, float reduction-order leaks through rounding) that
+the DuckDB oracle comparison cannot see when both sides happen to agree
+at one configuration — the class of bug the round-3 full-SF sweep caught
+in the sessionize ORACLE, checked here on the SPARK side.
+
+Runs two sequential SparkSessions (separate configs need separate JVMs'
+worth of settings; sessions are stopped between), so this lives as a
+tool, not a pytest over the shared session fixture. Usage::
+
+    python tools_determinism.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+
+DEFAULT_PICKS = [
+    "transcripts_pipeline", "sessionize_events", "top3_orders_per_customer",
+    "subdocument_dup", "dedup_lemma", "dedup_minhash_lsh",
+    "reading_order_3col", "pdf_bytes_to_words", "embedding_ivf",
+    "tabular_anonymise",
+]
+
+CONFIGS = [(4, 7), (16, 48)]  # (cores, shuffle partitions) — coprime-ish
+
+
+def value_hash(rows, cols) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        return str(v)
+
+    lines = sorted("\x1f".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    picks = sys.argv[2:] or DEFAULT_PICKS
+
+    import __spark_entry__ as entrymod
+    from doc_redaction_spark.session import get_spark
+
+    hashes: dict[str, list[str]] = {}
+    for cores, parts in CONFIGS:
+        spark = get_spark(app_name=f"det{cores}", cores=cores, shuffle_partitions=parts)
+        qs = entrymod.queries()
+        for name in picks:
+            df = qs[name](spark, sf_dir)
+            hashes.setdefault(name, []).append(
+                value_hash([tuple(r) for r in df.collect()], df.columns)
+            )
+        spark.stop()
+    bad = [n for n, hs in hashes.items() if len(set(hs)) != 1]
+    for n in picks:
+        print(("FAIL " if n in bad else "PASS ") + n)
+    if bad:
+        print(f"\n{len(bad)} NONDETERMINISTIC: {bad}")
+        sys.exit(1)
+    print(f"\nall {len(picks)} picks identical across {CONFIGS}")
+
+
+if __name__ == "__main__":
+    main()
