@@ -1875,6 +1875,11 @@ def q_pdf_bytes_extract(spark, sf_dir):
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # spread the render+parse kernels: the fixture is ONE small parquet
+    # file = one input partition, which would serialize the whole Python
+    # chain (measured 38 s at sf0.1 → ~3 s); at corpus scale this is the
+    # natural partition-by-file layout arriving from the scan
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism, "doc_id")
     blobs = docs.select("doc_id", render_pdf_udf()(F.col("text")).alias("pdf"))
     chars = parse_pdf_chars(blobs)
     lines = (
@@ -1955,6 +1960,7 @@ def q_pdf_bytes_to_words(spark, sf_dir):
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = docs.repartition(2 * spark.sparkContext.defaultParallelism, "doc_id")
     blobs = docs.select("doc_id", render_pdf_udf()(F.col("text")).alias("pdf"))
     chars = parse_pdf_chars(blobs).select(
         "doc_id", "page", "char_idx",
