@@ -833,6 +833,64 @@ def o_dedup_minhash_lsh():
     """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup (the 100 TB shape): a NEW batch —
+    copies of every doc_id%11==0 under fresh ids — joins its band table
+    against the corpus index, finding its source docs at est_jaccard 1.0
+    without any corpus all-pairs work."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    new = base.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    return dd.incremental_minhash_pairs(
+        new, base, num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=0.5
+    )
+
+
+def o_dedup_incremental():
+    from doc_redaction_spark.operators.dedup import MINHASH_CONSTS, MINHASH_P
+
+    rows = _MH_HASHES // _MH_BANDS
+    sig = (
+        "["
+        + ", ".join(
+            f"list_min(list_transform(bh, h -> ({a} * h + {c}) % {MINHASH_P}))"
+            for a, c in MINHASH_CONSTS[:_MH_HASHES]
+        )
+        + "]"
+    )
+    bands = ", ".join(
+        f"md5(array_to_string(list_transform(sig[{b * rows + 1}:{(b + 1) * rows}],"
+        f" v -> CAST(v AS VARCHAR)), '|')) AS bh{b}"
+        for b in range(_MH_BANDS)
+    )
+    band_match = " OR ".join(f"a.bh{b} = b.bh{b}" for b in range(_MH_BANDS))
+    est = (
+        f"round(list_sum(list_transform(generate_series(1, {_MH_HASHES}),"
+        f" i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))"
+        f" / {_MH_HASHES}.0e0, 4)"
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    newb AS (SELECT doc_id + 500000 AS doc_id, text FROM base WHERE doc_id % 11 = 0),
+    sh_b AS (SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM base),
+    sh_n AS (SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM newb),
+    bh_b AS (SELECT id, list_transform(shingles,
+                 x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS bh
+             FROM sh_b WHERE len(shingles) > 0),
+    bh_n AS (SELECT id, list_transform(shingles,
+                 x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS bh
+             FROM sh_n WHERE len(shingles) > 0),
+    sg_b AS (SELECT id, {sig} AS sig FROM bh_b),
+    sg_n AS (SELECT id, {sig} AS sig FROM bh_n),
+    bd_b AS (SELECT id, sig, {bands} FROM sg_b),
+    bd_n AS (SELECT id, sig, {bands} FROM sg_n)
+    SELECT a.id AS new_id, b.id AS base_id, {est} AS est_jaccard
+    FROM bd_n a JOIN bd_b b ON ({band_match})
+    WHERE {est} >= 0.5
+    """
+
+
 _NGRAM_MAX_DF = 100  # shingle document-frequency cap (boilerplate guard)
 _TFIDF_MAX_DF = 200  # term document-frequency cap (stopword-grade terms)
 
@@ -3279,6 +3337,7 @@ _QUERIES: dict[str, Callable] = {
     "media_resize": q_media_resize,
     "dedup_lemma": q_dedup_lemma,
     "subdocument_dup": q_subdocument_dup,
+    "dedup_incremental": q_dedup_incremental,
     "fuzzy_deny": q_fuzzy_deny,
     "ner_fake": q_ner_fake,
     "redact_merge_adjacent": q_redact_merge_adjacent,
@@ -3370,6 +3429,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dedup_exact": o_dedup_exact,
     "dedup_lemma": o_dedup_lemma,
     "subdocument_dup": o_subdocument_dup,
+    "dedup_incremental": o_dedup_incremental,
     "dedup_minhash_lsh": o_dedup_minhash_lsh,
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
     "dedup_simhash": o_dedup_simhash,

@@ -205,17 +205,19 @@ def minhash_signature(shingles_col, num_hashes: int = 32):
     )
 
 
-def minhash_lsh_pairs(
+def minhash_band_table(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """Candidate pairs whose signatures collide in ≥1 LSH band, scored by
-    estimated Jaccard = fraction of matching minhashes."""
+    """The storable LSH index of a corpus: (id, sig, band, bh) — one row
+    per (document, band). At ingestion scale this table is what you
+    PERSIST (bucketed by (band, bh)); a new batch then dedups against the
+    corpus by joining its own band table against this one without ever
+    recomputing corpus signatures (incremental_minhash_pairs)."""
     rows_per_band = num_hashes // bands
     sc = df.sparkSession.sparkContext
     docs = (
@@ -254,6 +256,31 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    return band_rows
+
+
+def _est_jaccard(num_hashes: int):
+    return F.round(
+        F.size(
+            F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda eq: eq)
+        )
+        / F.lit(num_hashes),
+        4,
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs whose signatures collide in ≥1 LSH band, scored by
+    estimated Jaccard = fraction of matching minhashes."""
+    band_rows = minhash_band_table(df, text_col, id_col, n, num_hashes, bands)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (
@@ -271,21 +298,55 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id1", "id2"])
     )
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda eq: eq
-            )
-        )
-        / F.lit(num_hashes),
-        4,
-    )
-    out = (
-        cand.withColumn("est_jaccard", est)
+    return (
+        cand.withColumn("est_jaccard", _est_jaccard(num_hashes))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id1", "id2", "est_jaccard")
     )
-    return out
+
+
+def incremental_minhash_pairs(
+    new: DataFrame,
+    base: DataFrame | None = None,
+    base_bands: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental ingestion dedup: (new_id, base_id, est_jaccard) pairs
+    of a NEW batch against an EXISTING corpus — the 100 TB shape, where
+    recomputing the corpus's signatures (or its all-pairs) per batch is
+    not an option. Pass ``base_bands`` = a stored minhash_band_table to
+    skip corpus signature compute entirely; the join cost is then
+    |new_bands| probing the (bucketable) corpus index. ``base`` is only
+    shingled when no stored index is supplied."""
+    if base_bands is None:
+        if base is None:
+            raise ValueError("need base or base_bands")
+        base_bands = minhash_band_table(base, text_col, id_col, n, num_hashes, bands)
+    new_bands = minhash_band_table(new, text_col, id_col, n, num_hashes, bands)
+    cand = (
+        new_bands.alias("a")
+        .join(
+            base_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("base_id"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["new_id", "base_id"])
+    )
+    return (
+        cand.withColumn("est_jaccard", _est_jaccard(num_hashes))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "base_id", "est_jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -249,3 +249,30 @@ def test_subdocument_duplicates_scale_guards(spark):
     got2 = dd.subdocument_duplicates(df, min_len=1, max_df=None).collect()
     assert len(got2) == 15  # C(6,2) file pairs, one 1-run each
     assert all(r.page1_start == 1 and r.match_length == 1 for r in got2)
+
+
+def test_incremental_minhash_pairs(spark, docs_df):
+    """New-batch-vs-corpus dedup: a copied doc must hit its source at
+    est 1.0; a stored band table must give identical results to
+    recomputing the base; unrelated new docs stay silent."""
+    new = spark.createDataFrame(
+        [(100, DOCS[0][1]), (101, "entirely novel content never seen before ok")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.new_id, r.base_id): r.est_jaccard
+        for r in dd.incremental_minhash_pairs(
+            new, docs_df, num_hashes=16, bands=4, threshold=0.4
+        ).collect()
+    }
+    assert got.get((100, 0)) == 1.0 and got.get((100, 3)) == 1.0  # both copies of doc 0
+    assert not any(nid == 101 for nid, _ in got)
+    # stored-index path ≡ recompute path
+    idx = dd.minhash_band_table(docs_df, num_hashes=16, bands=4)
+    got2 = {
+        (r.new_id, r.base_id): r.est_jaccard
+        for r in dd.incremental_minhash_pairs(
+            new, base_bands=idx, num_hashes=16, bands=4, threshold=0.4
+        ).collect()
+    }
+    assert got2 == got
