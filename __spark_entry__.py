@@ -2260,6 +2260,51 @@ def o_html_block_metrics():
 # ---------------------------------------------------------------------------
 
 
+def q_merge_boxes(spark, sf_dir):
+    """Horizontal bbox merge within a visual line (reference
+    redaction_review.py:886-958): word boxes with deterministically
+    modulated widths (every 4th word narrowed so the following gap
+    exceeds the threshold) must merge into exactly the islands the gap
+    rule dictates — bbox union + space-joined text."""
+    from doc_redaction_spark.operators.layout import merge_adjacent_boxes
+
+    words = _words_df(spark, sf_dir).withColumn(
+        "x1",
+        F.when(
+            F.col("word_idx") % 4 == 0, F.round(F.col("x0") + 0.05, 4)
+        ).otherwise(F.col("x1")),
+    )
+    out = merge_adjacent_boxes(words, x_merge_threshold=0.02)
+    return out.select(
+        "page", "line", "text",
+        F.round("x0", 4).alias("x0"), F.round("y0", 4).alias("y0"),
+        F.round("x1", 4).alias("x1"), F.round("y1", 4).alias("y1"),
+    )
+
+
+def o_merge_boxes():
+    return f"""
+    WITH words AS ({_WORDS_SQL}),
+    mod AS (SELECT page, line, word_idx, word_text, x0, y0, y1,
+                   CASE WHEN word_idx % 4 = 0 THEN round(x0 + 0.05e0, 4)
+                        ELSE x1 END AS x1
+            FROM words),
+    g AS (SELECT *,
+                 CASE WHEN lag(x1) OVER w IS NULL
+                           OR x0 - lag(x1) OVER w > 0.02e0
+                      THEN 1 ELSE 0 END AS brk
+          FROM mod WINDOW w AS (PARTITION BY page, line ORDER BY x0)),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY page, line ORDER BY x0
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+          FROM g)
+    SELECT page, line,
+           string_agg(word_text, ' ' ORDER BY x0) AS text,
+           round(min(x0), 4) AS x0, round(min(y0), 4) AS y0,
+           round(max(x1), 4) AS x1, round(max(y1), 4) AS y1
+    FROM s GROUP BY page, line, grp
+    """
+
+
 def q_island_runs(spark, sf_dir):
     """Gaps-and-islands over per-turn template ids (the duplicate-page
     consecutive-run grouping, reference find_duplicate_pages.py:1186-1211)."""
@@ -3338,6 +3383,7 @@ _QUERIES: dict[str, Callable] = {
     "dedup_lemma": q_dedup_lemma,
     "subdocument_dup": q_subdocument_dup,
     "dedup_incremental": q_dedup_incremental,
+    "merge_boxes": q_merge_boxes,
     "fuzzy_deny": q_fuzzy_deny,
     "ner_fake": q_ner_fake,
     "redact_merge_adjacent": q_redact_merge_adjacent,
@@ -3430,6 +3476,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dedup_lemma": o_dedup_lemma,
     "subdocument_dup": o_subdocument_dup,
     "dedup_incremental": o_dedup_incremental,
+    "merge_boxes": o_merge_boxes,
     "dedup_minhash_lsh": o_dedup_minhash_lsh,
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
     "dedup_simhash": o_dedup_simhash,

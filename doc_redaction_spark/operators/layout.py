@@ -88,3 +88,56 @@ def lines_to_words(lines: DataFrame) -> DataFrame:
         F.round(F.col("top") + F.col("height"), 4).alias("y1"),
         F.col("conf"),
     )
+
+
+def merge_adjacent_boxes(
+    boxes: DataFrame,
+    x_merge_threshold: float = 0.02,
+    keys: tuple = ("page", "line"),
+    order_col: str = "x0",
+    text_col: str = "word_text",
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Horizontal bbox merge within a visual line (reference
+    ``redaction_review.py:886-958`` _merge_horizontally_adjacent_boxes):
+    boxes sorted by (keys..., xmin) merge with their predecessor when the
+    x-gap ``xmin - prev_xmax <= x_merge_threshold``; each merged group
+    emits the bbox union, the space-joined text, and the FIRST value of
+    every carry column — exactly the reference's agg dict.
+
+    Spark shape: the reference's pandas shift()/cumsum() is one lag
+    window + running-sum islands over bounded (keys...) partitions, then
+    a map-side-combinable group agg — no driver work, no skew (a visual
+    line holds at most a page-width of boxes).
+    """
+    kcols = [F.col(k) for k in keys]
+    w = Window.partitionBy(*kcols).orderBy(order_col)
+    gap = F.col("x0") - F.lag("x1").over(w)
+    brk = F.when(gap.isNull() | (gap > x_merge_threshold), 1).otherwise(0)
+    grouped = boxes.withColumn("_brk", brk).withColumn(
+        "_grp", F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    first_cols = [
+        F.min(F.struct(F.col(order_col), F.col(c))).getField(c).alias(c)
+        for c in carry_cols
+    ]
+    return (
+        grouped.groupBy(*kcols, "_grp")
+        .agg(
+            F.min("x0").alias("x0"),
+            F.min("y0").alias("y0"),
+            F.max("x1").alias("x1"),
+            F.max("y1").alias("y1"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias("text"),
+            *first_cols,
+        )
+        .drop("_grp")
+    )

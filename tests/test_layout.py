@@ -86,3 +86,34 @@ def test_lines_to_words_roundtrip(spark):
     a = {(r.page, r.line): (r.text, r.left, r.top) for r in again.collect()}
     b = {(r.page, r.line): (r.text, r.left, r.top) for r in lines.collect()}
     assert a == b
+
+
+def test_merge_adjacent_boxes_reference_semantics(spark):
+    """Reference redaction_review.py:886-958: same-line boxes merge when
+    the x-gap <= threshold; bbox union, space-joined text, first label
+    carried; other lines untouched."""
+    from doc_redaction_spark.operators.layout import merge_adjacent_boxes
+
+    rows = [
+        # page, line, word_idx, word_text, x0, y0, x1, y1, label
+        (1, 0, 0, "a", 0.10, 0.5, 0.15, 0.52, "L1"),
+        (1, 0, 1, "b", 0.16, 0.5, 0.20, 0.53, "L2"),   # gap 0.01 → merge
+        (1, 0, 2, "c", 0.40, 0.5, 0.45, 0.52, "L3"),   # gap 0.20 → break
+        (1, 1, 0, "d", 0.16, 0.6, 0.20, 0.62, "L4"),   # other line
+        (2, 0, 0, "e", 0.16, 0.1, 0.20, 0.12, "L5"),   # other page
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "page int, line int, word_idx int, word_text string,"
+        " x0 double, y0 double, x1 double, y1 double, label string",
+    )
+    got = sorted(
+        merge_adjacent_boxes(df, 0.02, carry_cols=("label",)).collect(),
+        key=lambda r: (r.page, r.line, r.x0),
+    )
+    assert [(r.page, r.line, r.text, r.x0, r.x1, r.y1, r.label) for r in got] == [
+        (1, 0, "a b", 0.10, 0.20, 0.53, "L1"),
+        (1, 0, "c", 0.40, 0.45, 0.52, "L3"),
+        (1, 1, "d", 0.16, 0.20, 0.62, "L4"),
+        (2, 0, "e", 0.16, 0.20, 0.12, "L5"),
+    ]
