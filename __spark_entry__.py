@@ -891,6 +891,27 @@ def o_dedup_incremental():
     """
 
 
+def q_dedup_remove_rows(spark, sf_dir):
+    """Keep-first duplicate-row removal (reference
+    find_duplicate_tabular.py:483-530): the corpus minus every row that
+    appears as the duplicate side of a MinHash-detected pair — the
+    composition a dedup pipeline actually ships (detect → drop)."""
+    base = documents_plus(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(
+        base, num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=0.5
+    )
+    return dd.remove_duplicate_rows(base, pairs).select("doc_id")
+
+
+def o_dedup_remove_rows():
+    return f"""
+    WITH docs_plus AS ({documents_plus_sql()}),
+    pairs AS (SELECT * FROM ({o_dedup_minhash_lsh()}))
+    SELECT doc_id FROM docs_plus
+    WHERE doc_id NOT IN (SELECT id2 FROM pairs)
+    """
+
+
 _NGRAM_MAX_DF = 100  # shingle document-frequency cap (boilerplate guard)
 _TFIDF_MAX_DF = 200  # term document-frequency cap (stopword-grade terms)
 
@@ -3384,6 +3405,7 @@ _QUERIES: dict[str, Callable] = {
     "subdocument_dup": q_subdocument_dup,
     "dedup_incremental": q_dedup_incremental,
     "merge_boxes": q_merge_boxes,
+    "dedup_remove_rows": q_dedup_remove_rows,
     "fuzzy_deny": q_fuzzy_deny,
     "ner_fake": q_ner_fake,
     "redact_merge_adjacent": q_redact_merge_adjacent,
@@ -3477,6 +3499,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "subdocument_dup": o_subdocument_dup,
     "dedup_incremental": o_dedup_incremental,
     "merge_boxes": o_merge_boxes,
+    "dedup_remove_rows": o_dedup_remove_rows,
     "dedup_minhash_lsh": o_dedup_minhash_lsh,
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
     "dedup_simhash": o_dedup_simhash,

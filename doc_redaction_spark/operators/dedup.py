@@ -734,3 +734,19 @@ def consecutive_islands(
         F.max(file2).alias("end2"),
         F.count("*").alias("match_length"),
     ).select("start1", "end1", "start2", "end2", "match_length")
+
+
+def remove_duplicate_rows(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", dup_id_col: str = "id2"
+) -> DataFrame:
+    """Duplicate-row removal (reference
+    ``find_duplicate_tabular.py:483-530`` remove_duplicate_rows_from_tabular_data):
+    drop every row whose id appears as the DUPLICATE side of a detected
+    pair (the pair generators key id1 < id2 / base < new, so the kept row
+    is always the lowest id — the reference's keep-first contract).
+
+    One left-anti join on a distinct id list — no window, no sort; at
+    corpus scale the duplicate list is typically a small fraction of the
+    corpus and AQE picks broadcast."""
+    dups = pairs.select(F.col(dup_id_col).alias(id_col)).distinct()
+    return df.join(dups, id_col, "left_anti")

@@ -276,3 +276,13 @@ def test_incremental_minhash_pairs(spark, docs_df):
         ).collect()
     }
     assert got2 == got
+
+
+def test_remove_duplicate_rows_keep_first(spark, docs_df):
+    """Keep-first removal driven by detected pairs: doc 3 (the exact
+    duplicate of doc 0) must drop; everything else survives."""
+    pairs = dd.ngram_jaccard_pairs(docs_df, threshold=0.9)
+    kept = sorted(
+        r.doc_id for r in dd.remove_duplicate_rows(docs_df, pairs).collect()
+    )
+    assert kept == [0, 1, 2, 4, 5]
