@@ -111,3 +111,33 @@ def run_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+def windowed_entity_counts(
+    stream: DataFrame,
+    cfg: PipelineConfig | None = None,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Streaming PII detection as a PURE Structured Streaming plan (no
+    foreachBatch): clean → Arrow detect UDF → explode spans → watermarked
+    event-time tumbling-window counts per entity type. The detect UDF is
+    stateless per turn, so it composes with streaming aggregation the
+    same way any projection does; late turns beyond the watermark drop
+    from the window state exactly like the built-in aggs.
+
+    Returns a streaming DataFrame: (window, entity_type, n_spans)."""
+    from doc_redaction_spark.functions.clean import clean_text_col
+    from doc_redaction_spark.operators.detect import detect_spans_udf
+
+    cfg = cfg or PipelineConfig()
+    spans = (
+        stream.withColumn("clean_text", clean_text_col(F.col("text")))
+        .withColumn("sp", detect_spans_udf(cfg)(F.col("clean_text")))
+        .select("ts", F.explode("sp").alias("s"))
+    )
+    return (
+        spans.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("s.entity_type").alias("entity_type"))
+        .agg(F.count("*").alias("n_spans"))
+    )

@@ -87,3 +87,53 @@ def test_stateful_conversation_progress(spark, tmp_path):
     }
     got = {r.conv_id: (r.n_turns, r.max_turn) for r in final}
     assert got == expect
+
+
+def test_windowed_entity_counts_stream_equals_batch(spark, tmp_path):
+    """The streaming detect+window plan must agree with the identical
+    batch computation over the same files."""
+    from pyspark.sql import functions as F
+
+    from doc_redaction_spark.config import PipelineConfig
+    from doc_redaction_spark.functions.clean import clean_text_col
+    from doc_redaction_spark.operators.detect import detect_spans_udf
+    from doc_redaction_spark.streaming.stream import (
+        stream_turns,
+        windowed_entity_counts,
+    )
+
+    src = str(tmp_path / "in")
+    rows = [
+        ("c1", i, "user", f"mail user{i}@example.com at 10.0.0.{i}", "", f"2024-01-01 09:{i:02d}:00")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.write.mode("overwrite").parquet(src)
+
+    cfg = PipelineConfig(entities=("EMAIL_ADDRESS", "IP_ADDRESS"))
+    q = (
+        windowed_entity_counts(stream_turns(spark, src), cfg)
+        .writeStream.format("memory")
+        .queryName("wec")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r.window.start), r.entity_type): r.n_spans
+        for r in spark.table("wec").collect()
+    }
+    batch = (
+        df.withColumn("clean_text", clean_text_col(F.col("text")))
+        .withColumn("sp", detect_spans_udf(cfg)(F.col("clean_text")))
+        .select("ts", F.explode("sp").alias("s"))
+        .groupBy(F.window("ts", "10 minutes"), F.col("s.entity_type").alias("entity_type"))
+        .agg(F.count("*").alias("n_spans"))
+    )
+    want = {
+        (str(r.window.start), r.entity_type): r.n_spans for r in batch.collect()
+    }
+    assert got == want and len(want) == 8  # 4 windows × 2 entity types
