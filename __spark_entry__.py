@@ -912,6 +912,42 @@ def o_dedup_remove_rows():
     """
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """Suffix-array-style exact substring dedup at fixed n-gram width
+    (Lee et al.): maximal token ranges whose every 8-gram occurs >= 2
+    times corpus-wide, over the planted-copy corpus — copies light up
+    end to end, template echoes surface as partial ranges."""
+    return dd.duplicated_ngram_spans(documents_plus(spark, sf_dir), n=8)
+
+
+def o_dedup_substring_spans():
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH docs_plus AS ({documents_plus_sql()}),
+    tk AS (SELECT doc_id AS id, {toks} AS t FROM docs_plus),
+    pos AS (SELECT id, i - 1 AS pos,
+                   md5(array_to_string(t[i:i+7], ' ')) AS g
+            FROM tk, unnest(generate_series(1, len(t) - 7)) AS u(i)
+            WHERE len(t) >= 8),
+    hot AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+    dup AS (SELECT id, pos FROM pos JOIN hot USING (g)),
+    runs AS (SELECT *,
+                    CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) = 1
+                         THEN 0 ELSE 1 END AS brk
+             FROM dup),
+    grps AS (SELECT *, sum(brk) OVER (PARTITION BY id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+             FROM runs)
+    SELECT id, CAST(min(pos) AS BIGINT) AS start_tok,
+           CAST(max(pos) + 8 AS BIGINT) AS end_tok,
+           CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens
+    FROM grps GROUP BY id, grp
+    """
+
+
 _NGRAM_MAX_DF = 100  # shingle document-frequency cap (boilerplate guard)
 _TFIDF_MAX_DF = 200  # term document-frequency cap (stopword-grade terms)
 
@@ -3406,6 +3442,7 @@ _QUERIES: dict[str, Callable] = {
     "dedup_incremental": q_dedup_incremental,
     "merge_boxes": q_merge_boxes,
     "dedup_remove_rows": q_dedup_remove_rows,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "fuzzy_deny": q_fuzzy_deny,
     "ner_fake": q_ner_fake,
     "redact_merge_adjacent": q_redact_merge_adjacent,
@@ -3500,6 +3537,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dedup_incremental": o_dedup_incremental,
     "merge_boxes": o_merge_boxes,
     "dedup_remove_rows": o_dedup_remove_rows,
+    "dedup_substring_spans": o_dedup_substring_spans,
     "dedup_minhash_lsh": o_dedup_minhash_lsh,
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
     "dedup_simhash": o_dedup_simhash,

@@ -750,3 +750,69 @@ def remove_duplicate_rows(
     corpus and AQE picks broadcast."""
     dups = pairs.select(F.col(dup_id_col).alias(id_col)).distinct()
     return df.join(dups, id_col, "left_anti")
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-overlap spans — the suffix-array training-data
+    dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better") approximated at fixed n-gram width, the standard distributed
+    form: a token position is duplicated iff the n-gram starting there
+    occurs >= min_count times in the whole corpus; consecutive duplicated
+    positions merge into maximal token ranges [start, end) per document
+    (end = last position + n).
+
+    Plan: position-explode n-grams → md5 key → corpus-frequency filter
+    (map-side-combinable agg + semi join, same shape as the shingle df
+    caps) → per-doc gaps-and-islands on positions. No all-pairs, no
+    driver work; the hot-key guard is the frequency threshold itself
+    (positions of a boilerplate n-gram are enumerated, never paired).
+
+    Output: (id, start_tok, end_tok, n_tokens) with 0-based token offsets.
+    """
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")),
+            " ",
+        ),
+        lambda w: w != "",
+    )
+    grams = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.when(
+                F.size(tk) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - n + 1),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", *[F.element_at(tk, i + k) for k in range(n)])
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        1,
+    )
+    pos = df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "g"))
+    hot = pos.groupBy("g").agg(F.count("*").alias("_cnt")).filter(
+        F.col("_cnt") >= min_count
+    )
+    dup_pos = pos.join(hot.select("g"), "g").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    runs = dup_pos.withColumn(
+        "_brk", F.when(F.col("pos") - F.lag("pos").over(w) == 1, 0).otherwise(1)
+    ).withColumn("_grp", F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        runs.groupBy("id", "_grp")
+        .agg(F.min("pos").alias("start_tok"), F.max("pos").alias("_last"))
+        .select(
+            F.col("id"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            (F.col("_last") + n).cast("long").alias("end_tok"),
+            (F.col("_last") + n - F.col("start_tok")).cast("long").alias("n_tokens"),
+        )
+    )

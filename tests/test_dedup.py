@@ -286,3 +286,29 @@ def test_remove_duplicate_rows_keep_first(spark, docs_df):
         r.doc_id for r in dd.remove_duplicate_rows(docs_df, pairs).collect()
     )
     assert kept == [0, 1, 2, 4, 5]
+
+
+def test_duplicated_ngram_spans_exact_ranges(spark):
+    """Hand-built corpus: an 11-token shared run must surface in BOTH
+    docs as one maximal range covering exactly the shared tokens; unique
+    prefixes/suffixes stay out; short docs never emit."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    df = spark.createDataFrame(
+        [
+            (1, f"aaa bbb {shared} ccc"),
+            (2, f"{shared} zzz yyy xxx qqq rrr sss ttt"),
+            (3, "totally different words that never repeat anywhere here at all"),
+            (4, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: (r.start_tok, r.end_tok, r.n_tokens)
+        for r in dd.duplicated_ngram_spans(df, n=8).collect()
+    }
+    # doc1: shared run occupies tokens 2..12 (0-based) → positions 2..5
+    # start 8-grams inside it → range [2, 13)
+    assert got[1] == (2, 13, 11)
+    # doc2: shared run at tokens 0..10 → range [0, 11)
+    assert got[2] == (0, 11, 11)
+    assert 3 not in got and 4 not in got
