@@ -633,6 +633,111 @@ def o_doc_lang_id():
     """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/C4-style rule battery (the production form of quality
+    filtering — per-rule flags + keep, not just a score): word-count
+    bounds, mean-word-length bounds, stopword-presence, and top-2-gram
+    repetition fraction. Thresholds calibrated to split the fixture so
+    every flag exercises both branches."""
+    from doc_redaction_spark.functions.textstats import _stopword_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " ")), " "),
+        lambda x: x != "",
+    )
+    base = docs.select("doc_id", toks.alias("t"), _stopword_hits("text").alias("stop_hits"))
+    n = F.size("t")
+    # floor-to-2-decimals, not round: sum/n lands on exact .xx5 halves
+    # (e.g. 179/40 = 4.475) where Spark HALF_UPs the shortest decimal repr
+    # while DuckDB rounds the binary double — floor is bit-exact in both
+    mwl = (
+        F.floor(
+            F.aggregate(F.transform("t", lambda w: F.length(w)), F.lit(0).cast("long"),
+                        lambda acc, x: acc + x).cast("double")
+            * 100.0 / F.greatest(n, F.lit(1))
+        ) / 100.0
+    )
+    stats = base.select("doc_id", "t", n.alias("n_words"), mwl.alias("mean_word_len"), "stop_hits")
+    grams = stats.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top2"))
+    )
+    out = stats.join(top, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        (
+            F.floor(
+                F.coalesce(F.col("top2"), F.lit(0)) * 20000.0
+                / F.greatest(F.col("n_words"), F.lit(1))
+            ) / 10000.0
+        ).alias("top2_frac"),
+    )
+    flags = out.select(
+        "doc_id", "n_words", "mean_word_len", "stop_hits", "top2_frac",
+        (F.col("n_words").between(40, 100000)).cast("int").alias("word_count_ok"),
+        (F.col("mean_word_len").between(3.0, 4.5)).cast("int").alias("mean_len_ok"),
+        (F.col("stop_hits") >= 3).cast("int").alias("stopwords_ok"),
+        (F.col("top2_frac") <= 0.1).cast("int").alias("repetition_ok"),
+    )
+    return flags.withColumn(
+        "keep",
+        (
+            (F.col("word_count_ok") == 1) & (F.col("mean_len_ok") == 1)
+            & (F.col("stopwords_ok") == 1) & (F.col("repetition_ok") == 1)
+        ).cast("int"),
+    )
+
+
+def o_gopher_quality():
+    from doc_redaction_spark.functions.textstats import duckdb_stopword_hits
+
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    stop = duckdb_stopword_hits("text")
+    return f"""
+    WITH d AS (SELECT doc_id, {toks} AS t, CAST({stop} AS BIGINT) AS stop_hits
+               FROM documents),
+    s AS (SELECT doc_id, t, stop_hits, CAST(len(t) AS BIGINT) AS n_words,
+                 floor(CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE)
+                       * 100.0e0 / greatest(len(t), 1)) / 100.0e0 AS mean_word_len
+          FROM d),
+    tg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+           FROM d, unnest(generate_series(1, len(t) - 1)) AS u(i)
+           WHERE len(t) >= 2),
+    tc AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top2
+           FROM (SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY doc_id, gram)
+           GROUP BY doc_id),
+    f AS (SELECT s.doc_id, n_words, mean_word_len, stop_hits,
+                 floor(coalesce(top2, 0) * 20000.0e0 / greatest(n_words, 1)) / 10000.0e0 AS top2_frac
+          FROM s LEFT JOIN tc ON s.doc_id = tc.doc_id)
+    SELECT doc_id, n_words, mean_word_len, stop_hits, top2_frac,
+           CAST(n_words BETWEEN 40 AND 100000 AS INTEGER) AS word_count_ok,
+           CAST(mean_word_len BETWEEN 3.0e0 AND 4.5e0 AS INTEGER) AS mean_len_ok,
+           CAST(stop_hits >= 3 AS INTEGER) AS stopwords_ok,
+           CAST(top2_frac <= 0.1e0 AS INTEGER) AS repetition_ok,
+           CAST(n_words BETWEEN 40 AND 100000 AND mean_word_len BETWEEN 3.0e0 AND 4.5e0
+                AND stop_hits >= 3 AND top2_frac <= 0.1e0 AS INTEGER) AS keep
+    FROM f
+    """
+
+
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_duplicates(documents_plus(spark, sf_dir), "text")
 
@@ -3443,6 +3548,7 @@ _QUERIES: dict[str, Callable] = {
     "merge_boxes": q_merge_boxes,
     "dedup_remove_rows": q_dedup_remove_rows,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "gopher_quality": q_gopher_quality,
     "fuzzy_deny": q_fuzzy_deny,
     "ner_fake": q_ner_fake,
     "redact_merge_adjacent": q_redact_merge_adjacent,
@@ -3538,6 +3644,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "merge_boxes": o_merge_boxes,
     "dedup_remove_rows": o_dedup_remove_rows,
     "dedup_substring_spans": o_dedup_substring_spans,
+    "gopher_quality": o_gopher_quality,
     "dedup_minhash_lsh": o_dedup_minhash_lsh,
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
     "dedup_simhash": o_dedup_simhash,
