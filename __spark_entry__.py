@@ -164,6 +164,39 @@ def o_redact_entity_label():
     return f"{TR_CTE} SELECT conv_id, turn_idx, {red} AS redacted_text FROM transcripts"
 
 
+def q_role_routed_redaction(spark, sf_dir):
+    """Policy routing on the transcripts schema's role/tool columns: tool
+    turns get WHOLE-TURN redaction (tool outputs carry secrets the entity
+    recognizers cannot enumerate — the reference's whole-page redaction
+    contract, file_redaction.py:5108-5165, keyed by role instead of a
+    duplicate list); every other role gets the standard entity pass. One
+    pipeline run + a policy overlay — no per-role re-detection."""
+    cfg = PipelineConfig(deny_terms=DENY_TERMS, strategy="entity_type")
+    out = extract_and_redact(_tr(spark, sf_dir), cfg, with_row_number=False)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.when(F.col("role") == "tool", F.lit("")).otherwise(
+            F.col("redacted_text")
+        ).alias("redacted_text"),
+        F.when(F.col("role") == "tool", F.lit("Whole turn")).otherwise(
+            F.lit(None).cast("string")
+        ).alias("label"),
+    )
+
+
+def o_role_routed_redaction():
+    red = _oracle_redact(CLEAN_SQL, repl_of=lambda e: f"'<{e}>'")
+    return f"""
+    {TR_CTE}
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN role = 'tool' THEN '' ELSE {red} END AS redacted_text,
+           CASE WHEN role = 'tool' THEN 'Whole turn' ELSE NULL END AS label
+    FROM transcripts
+    """
+
+
 def q_redact_hash_email(spark, sf_dir):
     cfg = PipelineConfig(entities=("EMAIL_ADDRESS",), strategy="hash")
     out = extract_and_redact(_tr(spark, sf_dir), cfg, with_row_number=False)
@@ -3549,6 +3582,7 @@ _QUERIES: dict[str, Callable] = {
     "dedup_remove_rows": q_dedup_remove_rows,
     "dedup_substring_spans": q_dedup_substring_spans,
     "gopher_quality": q_gopher_quality,
+    "role_routed_redaction": q_role_routed_redaction,
     "fuzzy_deny": q_fuzzy_deny,
     "ner_fake": q_ner_fake,
     "redact_merge_adjacent": q_redact_merge_adjacent,
@@ -3645,6 +3679,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dedup_remove_rows": o_dedup_remove_rows,
     "dedup_substring_spans": o_dedup_substring_spans,
     "gopher_quality": o_gopher_quality,
+    "role_routed_redaction": o_role_routed_redaction,
     "dedup_minhash_lsh": o_dedup_minhash_lsh,
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
     "dedup_simhash": o_dedup_simhash,
