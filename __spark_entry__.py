@@ -2560,6 +2560,44 @@ def q_transcripts_spans(spark, sf_dir):
     return span_table(out)
 
 
+def q_conv_pii_summary(spark, sf_dir):
+    """Per-conversation PII risk rollup (the reporting surface a privacy
+    review consumes): span counts per entity type, turns touched, and the
+    touched-turn fraction — one aggregation over the same span table the
+    review file exports."""
+    out = extract_and_redact(_tr(spark, sf_dir), PIPE_CFG, with_row_number=False)
+    spans = span_table(out)
+    turns = _tr(spark, sf_dir).groupBy("conv_id").agg(
+        F.count("*").alias("n_turns")
+    )
+    agg = spans.groupBy("conv_id", "entity_type").agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("turn_idx").alias("turns_touched"),
+    )
+    return agg.join(turns, "conv_id").select(
+        "conv_id",
+        "entity_type",
+        "n_spans",
+        "turns_touched",
+        (
+            F.floor(F.col("turns_touched") * 10000.0 / F.col("n_turns")) / 10000.0
+        ).alias("turn_frac"),
+    )
+
+
+def o_conv_pii_summary():
+    return f"""
+    {_spans_oracle_cte()},
+    agg AS (SELECT conv_id, etype AS entity_type, count(*) AS n_spans,
+                   count(DISTINCT turn_idx) AS turns_touched
+            FROM allspans GROUP BY conv_id, etype),
+    tt AS (SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id)
+    SELECT agg.conv_id, entity_type, n_spans, turns_touched,
+           floor(turns_touched * 10000.0e0 / n_turns) / 10000.0e0 AS turn_frac
+    FROM agg JOIN tt ON agg.conv_id = tt.conv_id
+    """
+
+
 def _template_span_info():
     """Per-template (marker, [(etype, rel_start, rel_end)]) — the cleaned
     template string (with its leading space) and entity spans relative to
@@ -3583,6 +3621,7 @@ _QUERIES: dict[str, Callable] = {
     "dedup_substring_spans": q_dedup_substring_spans,
     "gopher_quality": q_gopher_quality,
     "role_routed_redaction": q_role_routed_redaction,
+    "conv_pii_summary": q_conv_pii_summary,
     "fuzzy_deny": q_fuzzy_deny,
     "ner_fake": q_ner_fake,
     "redact_merge_adjacent": q_redact_merge_adjacent,
@@ -3680,6 +3719,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dedup_substring_spans": o_dedup_substring_spans,
     "gopher_quality": o_gopher_quality,
     "role_routed_redaction": o_role_routed_redaction,
+    "conv_pii_summary": o_conv_pii_summary,
     "dedup_minhash_lsh": o_dedup_minhash_lsh,
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
     "dedup_simhash": o_dedup_simhash,
