@@ -748,7 +748,7 @@ def o_gopher_quality():
     WITH d AS (SELECT doc_id, {toks} AS t, CAST({stop} AS BIGINT) AS stop_hits
                FROM documents),
     s AS (SELECT doc_id, t, stop_hits, CAST(len(t) AS BIGINT) AS n_words,
-                 floor(CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE)
+                 floor(CAST(coalesce(list_sum(list_transform(t, w -> length(w))), 0) AS DOUBLE)
                        * 100.0e0 / greatest(len(t), 1)) / 100.0e0 AS mean_word_len
           FROM d),
     tg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
@@ -1950,7 +1950,7 @@ def o_media_resize():
     return f"""
     WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                       sha256(coalesce(text, '')) AS hx,
-                      length(coalesce(text, '')) AS n_bytes FROM documents),
+                      octet_length(encode(coalesce(text, ''))) AS n_bytes FROM documents),
     d AS (SELECT doc_id, n_bytes,
                  64 + {b(0)} AS w, 64 + {b(1)} AS h FROM h),
     m AS (SELECT *, greatest(w, h) AS mx FROM d)

@@ -50,7 +50,9 @@ def lemmatize_token(tok: str) -> str:
 
 
 def python_lemma_tokens(text: str | None) -> list[str]:
-    toks = re.split(r"\s+", (text or "").lower())
+    # explicit ASCII whitespace class: Python \s is Unicode-aware (\xa0
+    # splits) while Java/RE2 \s is ASCII-only — the 3-dialect subset rule
+    toks = re.split(r"[ \t\n\r\f\x0b]+", (text or "").lower())
     return [
         lemmatize_token(t)
         for t in toks

@@ -94,7 +94,6 @@ def merge_adjacent_boxes(
     boxes: DataFrame,
     x_merge_threshold: float = 0.02,
     keys: tuple = ("page", "line"),
-    order_col: str = "x0",
     text_col: str = "word_text",
     carry_cols: tuple = (),
 ) -> DataFrame:
@@ -111,14 +110,14 @@ def merge_adjacent_boxes(
     line holds at most a page-width of boxes).
     """
     kcols = [F.col(k) for k in keys]
-    w = Window.partitionBy(*kcols).orderBy(order_col)
+    w = Window.partitionBy(*kcols).orderBy("x0")  # gap test reads x0/x1 — ordering is intrinsic
     gap = F.col("x0") - F.lag("x1").over(w)
     brk = F.when(gap.isNull() | (gap > x_merge_threshold), 1).otherwise(0)
     grouped = boxes.withColumn("_brk", brk).withColumn(
         "_grp", F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     first_cols = [
-        F.min(F.struct(F.col(order_col), F.col(c))).getField(c).alias(c)
+        F.min(F.struct(F.col("x0"), F.col(c))).getField(c).alias(c)
         for c in carry_cols
     ]
     return (
@@ -131,7 +130,7 @@ def merge_adjacent_boxes(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t")))
+                        F.collect_list(F.struct(F.col("x0").alias("o"), F.col(text_col).alias("t")))
                     ),
                     lambda s: s["t"],
                 ),

@@ -164,7 +164,11 @@ def extract_pages(media: DataFrame, fake: bool = False) -> DataFrame:
         from doc_redaction_spark.sources.pdf_lite import extract_pdf_chars
 
         by_line: dict = defaultdict(list)
-        for (pg, ci, c, x0, y0, x1, y1) in extract_pdf_chars(blob):
+        try:
+            chars = extract_pdf_chars(blob)
+        except ValueError:
+            return []  # corrupt %PDF blob: zero rows, never a job kill
+        for (pg, ci, c, x0, y0, x1, y1) in chars:
             by_line[(pg, y0)].append((ci, c, x0, x1, y1))
         rows = []
         pages_seen = sorted({pg for pg, _ in by_line})

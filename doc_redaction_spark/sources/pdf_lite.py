@@ -127,7 +127,8 @@ def make_pdf(text: str) -> bytes:
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# (?!...) rejects indirect refs: "/Length 5 0 R" must NOT parse as length 5
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)\b")
 _REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
@@ -372,8 +373,6 @@ def extract_pdf_chars(pdf: bytes) -> list[tuple[int, int, str, float, float, flo
                         items.append(stack.pop())
                     for it in reversed(items):
                         if isinstance(it, str) and it not in ("[", "]"):
-                            if it == "]":
-                                continue
                             _show(it)
                         elif isinstance(it, float):
                             x -= it / 1000.0 * size
@@ -421,7 +420,14 @@ def parse_pdf_chars(df, bytes_col: str = "pdf", id_col: str = "doc_id"):
             for doc_id, blob in zip(pdf_batch[id_col], pdf_batch[bytes_col]):
                 if blob is None:
                     continue
-                for (pg, ci, c, x0, y0, x1, y1) in extract_pdf_chars(bytes(blob)):
+                try:
+                    chars = extract_pdf_chars(bytes(blob))
+                except ValueError:
+                    # one corrupt blob must not kill the job: the file
+                    # contributes zero rows (callers wanting error rows
+                    # join ids against the output to find the gaps)
+                    continue
+                for (pg, ci, c, x0, y0, x1, y1) in chars:
                     ids.append(doc_id)
                     pages.append(pg)
                     idxs.append(ci)

@@ -162,3 +162,20 @@ def test_roundtrip_property_fuzz():
             extract_pdf_chars(mutated)
         except ValueError:
             pass
+
+
+def test_indirect_length_ref_falls_back_to_endstream():
+    """'/Length 5 0 R' (indirect reference — common in generator output)
+    must NOT parse as byte length 5; the parser falls back to the
+    endstream scan and still extracts the text."""
+    content = b"BT /F1 12 Tf 14 TL 72 720 Td (indirect) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 5 0 R >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"5 0 obj\n" + str(len(content)).encode() + b"\nendobj\n"
+    )
+    chars = extract_pdf_chars(pdf)
+    assert "".join(c[2] for c in chars) == "indirect"

@@ -133,3 +133,25 @@ def test_resize_media_dims_math(spark):
 
     with _pytest.raises(Exception):  # real pixel path absent in container
         resize_media(make_media_df(spark, docs), fake=False).collect()
+
+
+def test_corrupt_pdf_blob_never_kills_the_job(spark):
+    """A corrupt %PDF payload yields zero rows for that file (per-file
+    tolerance), not a task failure — in both extract_pages and
+    parse_pdf_chars."""
+    from doc_redaction_spark.sources.multimodal import extract_pages
+    from doc_redaction_spark.sources.pdf_lite import make_pdf, parse_pdf_chars
+
+    good = make_pdf("good words here all fine")
+    media = spark.createDataFrame(
+        [("ok", "pdf", bytearray(good)), ("bad", "pdf", bytearray(b"%PDF-1.4 garbage"))],
+        "doc_id string, media_type string, payload binary",
+    )
+    rows = extract_pages(media, fake=False).collect()
+    assert {r.doc_id for r in rows} == {"ok"}
+    blobs = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"%PDF-nope"))],
+        "doc_id long, pdf binary",
+    )
+    chars = parse_pdf_chars(blobs).collect()
+    assert {r.doc_id for r in chars} == {1}

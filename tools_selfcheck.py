@@ -28,6 +28,8 @@ def _norm_cell(v):
     if isinstance(v, float):
         if v != v:
             return "NULL"
+        if v in (float("inf"), float("-inf")):
+            return str(v)  # int(v) would raise OverflowError
         # Keep integral floats distinct from ints: DuckDB widens BIGINT
         # aggregates (HUGEINT, list_aggregate sums) to float64 through the
         # Arrow fetch the driver uses, and the driver hashes 5.0 != 5.  The
