@@ -3029,6 +3029,44 @@ def q_url_extraction(spark, sf_dir):
     )
 
 
+_HOST_PATTERN = r"^[a-zA-Z]+://(?:www\.)?([^/?#]+)"
+
+
+def q_url_domains(spark, sf_dir):
+    """Corpus-level domain rollup (the web-corpus provenance view a
+    training-data pipeline filters on): URLs from RAW turn text →
+    lowercased registrable-ish host (www-stripped) → counts. One
+    extract + one map-side-combinable aggregation."""
+    from doc_redaction_spark.functions.recognizers import URL_SPAN_PATTERN
+
+    urls = F.expr(
+        f"regexp_extract_all(text, '{URL_SPAN_PATTERN}', 0)"
+    )
+    t = _tr(spark, sf_dir).select(F.explode(urls).alias("url"))
+    host = F.lower(F.regexp_extract("url", _HOST_PATTERN, 1))
+    return (
+        t.select(host.alias("domain"))
+        .filter(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+def o_url_domains():
+    from doc_redaction_spark.functions.recognizers import URL_SPAN_PATTERN
+
+    return f"""
+    {TR_CTE}
+    SELECT domain, count(*) AS n_urls
+    FROM (
+      SELECT lower(regexp_extract(u.m, '{_sq(_HOST_PATTERN)}', 1)) AS domain
+      FROM transcripts,
+           unnest(regexp_extract_all(text, '{_sq(URL_SPAN_PATTERN)}')) AS u(m))
+    WHERE domain <> ''
+    GROUP BY domain
+    """
+
+
 def o_url_extraction():
     from doc_redaction_spark.functions.recognizers import URL_SPAN_PATTERN
 
@@ -3622,6 +3660,7 @@ _QUERIES: dict[str, Callable] = {
     "gopher_quality": q_gopher_quality,
     "role_routed_redaction": q_role_routed_redaction,
     "conv_pii_summary": q_conv_pii_summary,
+    "url_domains": q_url_domains,
     "fuzzy_deny": q_fuzzy_deny,
     "ner_fake": q_ner_fake,
     "redact_merge_adjacent": q_redact_merge_adjacent,
@@ -3720,6 +3759,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "gopher_quality": o_gopher_quality,
     "role_routed_redaction": o_role_routed_redaction,
     "conv_pii_summary": o_conv_pii_summary,
+    "url_domains": o_url_domains,
     "dedup_minhash_lsh": o_dedup_minhash_lsh,
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
     "dedup_simhash": o_dedup_simhash,
