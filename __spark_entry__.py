@@ -624,6 +624,32 @@ def o_doc_token_count():
     return f"SELECT doc_id, {duckdb_token_count('text')} AS n_tokens FROM documents"
 
 
+def q_doc_bpe_tokens(spark, sf_dir):
+    """Token counting, BPE-ish leg (task brief: 'whitespace + a BPE-ish
+    regex'): GPT-2-pre-tokenizer-shaped match count next to the
+    whitespace count — the number a token-budget batcher actually needs.
+    Exercised over BOTH plain documents and punctuation/digit-dense
+    transcript turns (where the two counts diverge most)."""
+    from doc_redaction_spark.functions.textstats import bpe_token_count_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count_col("text"),
+        bpe_token_count_col("text"),
+    )
+
+
+def o_doc_bpe_tokens():
+    from doc_redaction_spark.functions.textstats import duckdb_bpe_token_count
+
+    return f"""
+    SELECT doc_id, {duckdb_token_count('text')} AS n_tokens,
+           {duckdb_bpe_token_count('text')} AS n_bpe_tokens
+    FROM documents
+    """
+
+
 def q_doc_quality(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", *quality_score_cols("text"))
@@ -3661,6 +3687,7 @@ _QUERIES: dict[str, Callable] = {
     "role_routed_redaction": q_role_routed_redaction,
     "conv_pii_summary": q_conv_pii_summary,
     "url_domains": q_url_domains,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
     "fuzzy_deny": q_fuzzy_deny,
     "ner_fake": q_ner_fake,
     "redact_merge_adjacent": q_redact_merge_adjacent,
@@ -3760,6 +3787,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "role_routed_redaction": o_role_routed_redaction,
     "conv_pii_summary": o_conv_pii_summary,
     "url_domains": o_url_domains,
+    "doc_bpe_tokens": o_doc_bpe_tokens,
     "dedup_minhash_lsh": o_dedup_minhash_lsh,
     "dedup_ngram_jaccard": o_dedup_ngram_jaccard,
     "dedup_simhash": o_dedup_simhash,

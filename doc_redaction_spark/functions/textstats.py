@@ -35,6 +35,38 @@ def token_count_col(col: str = "text") -> Column:
     ).alias("n_tokens")
 
 
+# GPT-2-style pre-tokenizer shape (public: contractions, space-prefixed
+# letter runs, digit runs, punct runs, residual whitespace) restricted to
+# the 3-dialect subset — no \p classes, no lookaround. Counting its matches
+# approximates BPE token counts far better than whitespace splits (code,
+# punctuation-dense and digit-dense text especially).
+BPE_ISH_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^ A-Za-z0-9]+|[ ]+"
+)
+
+
+def bpe_token_count_col(col: str = "text") -> Column:
+    """BPE-ish token count (matches of BPE_ISH_PATTERN); 0 for empty/null."""
+    return F.coalesce(
+        F.regexp_count(F.coalesce(F.col(col), F.lit("")), F.lit(BPE_ISH_PATTERN)),
+        F.lit(0),
+    ).alias("n_bpe_tokens")
+
+
+def duckdb_bpe_token_count(expr: str) -> str:
+    return (
+        f"len(regexp_extract_all(coalesce({expr}, ''),"
+        f" '{BPE_ISH_PATTERN.replace(chr(39), chr(39) * 2)}'))"
+    )
+
+
+def python_bpe_token_count(text: str | None) -> int:
+    import re as _re
+
+    return len(_re.findall(BPE_ISH_PATTERN, text or ""))
+
+
 def fingerprint_col(col: str = "text") -> Column:
     """Exact-dedup fingerprint: md5 of lowercased whitespace-normalized text."""
     norm = F.lower(

@@ -66,3 +66,37 @@ def test_nfkc_udf(spark):
     out = df.select(nfkc_fold_udf()(F.col("text")).alias("t")).collect()
     assert out[0].t == "file £ 1⁄2"  # NFKC decompositions
     assert out[1].t == "'smart'"
+
+
+def test_bpe_ish_token_count_three_dialects(spark):
+    """BPE-ish counter: 3-dialect parity on punctuation/digit/contraction
+    heavy samples, and the counts must diverge from whitespace counts
+    exactly where BPE does (digit runs > 3, punct clusters, contractions)."""
+    import duckdb
+
+    from doc_redaction_spark.functions.textstats import (
+        duckdb_bpe_token_count,
+        python_bpe_token_count,
+        bpe_token_count_col,
+    )
+
+    samples = [
+        "hello world",                      # 2 either way
+        "it's can't we'll",                 # contractions split
+        "1234567 42",                       # 7-digit run = 3 bpe chunks
+        "a,b;;c!!!",                        # punct clusters
+        "  leading  and  trailing  ",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = [r.n_bpe_tokens for r in df.select(bpe_token_count_col("text")).collect()]
+    want = [python_bpe_token_count(s) for s in samples]
+    assert got == want
+    dk = [
+        duckdb.execute(f"SELECT {duckdb_bpe_token_count('?')}", [s]).fetchone()[0]
+        for s in samples
+    ]
+    assert dk == want
+    assert python_bpe_token_count("1234567") == 3  # 123|456|7
+    assert python_bpe_token_count("it's") == 2
