@@ -45,6 +45,7 @@ from doc_redaction_spark.operators import similarity as osim
 from doc_redaction_spark.plans.pipeline import extract_and_redact, span_table
 from doc_redaction_spark.synth import (
     DENY_TERMS,
+    N_CONVS,
     PII_TEMPLATES,
     documents_plus,
     documents_plus_sql,
@@ -629,24 +630,42 @@ def q_doc_bpe_tokens(spark, sf_dir):
     regex'): GPT-2-pre-tokenizer-shaped match count next to the
     whitespace count — the number a token-budget batcher actually needs.
     Exercised over BOTH plain documents and punctuation/digit-dense
-    transcript turns (where the two counts diverge most)."""
+    transcript turns (where the two counts diverge most); src
+    distinguishes the legs (doc_id values collide)."""
     from doc_redaction_spark.functions.textstats import bpe_token_count_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lit("doc").alias("src"),
         "doc_id",
         token_count_col("text"),
         bpe_token_count_col("text"),
     )
+    # transcripts keep no doc_id column Spark-side; reconstruct it from the
+    # (conv_id, turn_idx) encoding — d = turn_idx*N_CONVS + int(conv_id[1:])
+    turns = _tr(spark, sf_dir).select(
+        F.lit("turn").alias("src"),
+        (
+            F.col("turn_idx").cast("long") * N_CONVS
+            + F.substring("conv_id", 2, 12).cast("long")
+        ).alias("doc_id"),
+        token_count_col("text"),
+        bpe_token_count_col("text"),
+    )
+    return docs.unionByName(turns)
 
 
 def o_doc_bpe_tokens():
     from doc_redaction_spark.functions.textstats import duckdb_bpe_token_count
 
     return f"""
-    SELECT doc_id, {duckdb_token_count('text')} AS n_tokens,
+    {TR_CTE}
+    SELECT 'doc' AS src, doc_id, {duckdb_token_count('text')} AS n_tokens,
            {duckdb_bpe_token_count('text')} AS n_bpe_tokens
     FROM documents
+    UNION ALL
+    SELECT 'turn' AS src, doc_id, {duckdb_token_count('text')} AS n_tokens,
+           {duckdb_bpe_token_count('text')} AS n_bpe_tokens
+    FROM transcripts
     """
 
 
@@ -1471,7 +1490,7 @@ def o_embedding_ivf():
         "list_transform(vec", "list_transform(qvec", 1
     )
     mean = "[" + ", ".join(
-        f"round(avg(vec[{i + 1}]), 6)" for i in range(64)
+        f"floor(avg(vec[{i + 1}]) * 1e6) / 1e6" for i in range(64)
     ) + "]"
     return f"""
     WITH c AS (SELECT vec_id AS id,
@@ -2014,45 +2033,87 @@ def o_multimodal_decode():
     """
 
 
+# Coverage-QA battery (round-4 fixture widening — the r03 2-row oracle
+# could not catch much). Every must-redact pattern is either a registered
+# recognizer pattern or a literal sub-string of a guaranteed-detected
+# planted span, so the closed-form oracle n_covered = n_hits holds; every
+# must-not pattern is fixture vocabulary (documents use a small fixed
+# word list with no digits — verified) that no recognizer ever covers.
+_QA_MUST_REDACT = [
+    EMAIL_PATTERN,
+    PHONE_PATTERN,
+    IP_PATTERN,
+    UKPOSTCODE_PATTERN,
+    r"\bProject Alpha\b",
+    r"\bsecret\b",
+    r"user\d+@example\.com",
+    r"192\.168\.0\.1",
+    r"SW1A 1AA",
+    r"\b221b Baker Street\b",
+    r"\+44 20 7946 0958",
+    r"\b7946\b",
+]
+_QA_MUST_NOT = [
+    r"\bwindow\b",
+    r"\bbatch\b",
+    r"\bmerge\b",
+    r"\bscan\b",
+    r"\bquery\b",
+    r"\bsort\b",
+    r"\bfilter\b",
+    r"\bvisit\b",
+    r"\bsoon\b",
+    r"\blives\b",
+]
+
+
 def q_coverage_qa(spark, sf_dir):
     """Redaction coverage QA (reference verify_redaction_coverage.py):
     must-redact regex hits in clean text must be fully covered by a span;
-    must-not hits must not be. Aggregated per kind so the oracle is
-    closed-form: every planted email is detected by the same pattern →
-    covered; 'window' is fixture vocabulary and never an entity →
+    must-not hits must not be. Aggregated per (kind, pattern) so the
+    oracle is closed-form per battery row: every must-redact pattern hit
+    is detected by the same (or a covering) recognizer → covered; the
+    must-not patterns are fixture vocabulary, never an entity →
     uncovered."""
     from doc_redaction_spark.operators.coverage_qa import coverage_report
     from doc_redaction_spark.plans.pipeline import extract_and_redact as _er
 
     out = _er(_tr(spark, sf_dir), PIPE_CFG, with_row_number=False)
     rep = coverage_report(
-        out, must_redact=[EMAIL_PATTERN], must_not_redact=[r"\bwindow\b"]
+        out, must_redact=_QA_MUST_REDACT, must_not_redact=_QA_MUST_NOT
     )
     return (
-        rep.groupBy("kind")
+        rep.groupBy("kind", "pattern")
         .agg(
             F.count("*").alias("n_hits"),
             F.sum(F.col("covered").cast("long")).alias("n_covered"),
             F.sum(F.col("ok").cast("long")).alias("n_ok"),
         )
-        .orderBy("kind")
+        .orderBy("kind", "pattern")
     )
 
 
 def o_coverage_qa():
-    email = _sq("(?i)" + EMAIL_PATTERN)
-    wnd = _sq(r"(?i)\bwindow\b")
+    legs = []
+    for kind, pats, covered in (
+        ("must_redact", _QA_MUST_REDACT, True),
+        ("must_not_redact", _QA_MUST_NOT, False),
+    ):
+        for p in pats:
+            n = f"CAST(coalesce(sum(len(regexp_extract_all(clean, '{_sq('(?i)' + p)}'))), 0) AS BIGINT)"
+            cov = n if covered else "CAST(0 AS BIGINT)"
+            legs.append(
+                f"SELECT '{kind}' AS kind, '{_sq(p)}' AS pattern, {n} AS n_hits,"
+                f" {cov} AS n_covered, {n} AS n_ok FROM c"
+            )
+    union = "\n    UNION ALL\n    ".join(legs)
     return f"""
     {TR_CTE},
-    c AS (SELECT {CLEAN_SQL} AS clean FROM transcripts),
-    agg AS (SELECT CAST(sum(len(regexp_extract_all(clean, '{email}'))) AS BIGINT) AS e,
-                   CAST(sum(len(regexp_extract_all(clean, '{wnd}'))) AS BIGINT) AS w
-            FROM c)
-    SELECT 'must_not_redact' AS kind, w AS n_hits,
-           CAST(0 AS BIGINT) AS n_covered, w AS n_ok FROM agg
-    UNION ALL
-    SELECT 'must_redact', e, e, e FROM agg
-    ORDER BY kind
+    c AS (SELECT {CLEAN_SQL} AS clean FROM transcripts)
+    SELECT kind, pattern, n_hits, n_covered, n_ok FROM (
+    {union}
+    ) WHERE n_hits > 0
+    ORDER BY kind, pattern
     """
 
 
@@ -2978,6 +3039,67 @@ def o_entity_breadth2():
     """
 
 
+# (template, valid?) — AB1234563/FG4567890/X91234563 pass the DEA check
+# digit; AB1234560/MP7654320 fail it; ZZ1234563 has a valid check digit
+# but Z is not a DEA registrant-type letter (pattern-level reject).
+# Validity pinned against the live dea_ok validator in tests/test_detect.py.
+_DEA_TEMPLATES = [
+    ("AB1234563", 1),
+    ("FG4567890", 1),
+    ("X91234563", 1),
+    ("AB1234560", 0),
+    ("MP7654320", 0),
+    ("ZZ1234563", 0),
+]
+
+
+def q_entity_breadth3(spark, sf_dir):
+    """Third Presidio-breadth leg — MEDICAL_LICENSE (US DEA registration:
+    registrant-type letter + name initial/9 + 7 digits, public check-digit
+    rule), closing the last regex+checksum-able member of the reference's
+    FULL_ENTITY_LIST (tools/config.py:2105-2108). Valid, checksum-invalid
+    and prefix-invalid plants; only valid ones may span, at exact
+    offsets."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dea = F.element_at(
+        F.array(*[F.lit(t) for t, _ in _DEA_TEMPLATES]),
+        (F.col("c_custkey") % 6).cast("int") + 1,
+    )
+    t = cust.select(
+        F.col("c_custkey").alias("row_key"),
+        F.concat(F.lit("lic "), dea, F.lit(" filed")).alias("text"),
+    )
+    cfg = PipelineConfig(entities=("MEDICAL_LICENSE",))
+    from doc_redaction_spark.operators.detect import detect_spans_udf
+
+    spans = t.withColumn("spans", detect_spans_udf(cfg)(F.col("text")))
+    ex = spans.select("row_key", F.explode_outer("spans").alias("sp")).filter(
+        F.col("sp").isNotNull()
+    )
+    return ex.select(
+        "row_key",
+        F.col("sp.entity_type").alias("entity_type"),
+        F.col("sp.start").alias("start"),
+        F.col("sp.end").alias("end"),
+    )
+
+
+def o_entity_breadth3():
+    ts = ", ".join(f"'{t}'" for t, _ in _DEA_TEMPLATES)
+    vs = ", ".join(str(v) for _, v in _DEA_TEMPLATES)
+    # layout: 'lic ' = 4 chars, dea = 9 chars
+    return f"""
+    WITH t AS (
+      SELECT c_custkey AS row_key,
+             ([{ts}])[CAST(c_custkey % 6 AS INTEGER) + 1] AS dea,
+             ([{vs}])[CAST(c_custkey % 6 AS INTEGER) + 1] AS dea_ok
+      FROM customer)
+    SELECT row_key, 'MEDICAL_LICENSE' AS entity_type,
+           4 AS start, 4 + length(dea) AS "end"
+    FROM t WHERE dea_ok = 1
+    """
+
+
 _TITLED_TEMPLATES = [
     ("Mr", "Alice Smith", 1),
     ("Mrs.", "Bob", 1),
@@ -3065,8 +3187,11 @@ def q_url_domains(spark, sf_dir):
     extract + one map-side-combinable aggregation."""
     from doc_redaction_spark.functions.recognizers import URL_SPAN_PATTERN
 
-    urls = F.expr(
-        f"regexp_extract_all(text, '{URL_SPAN_PATTERN}', 0)"
+    # Column API, NOT an F.expr SQL literal: Spark's string-literal
+    # unescaping would rewrite \- and www\. inside the pattern (r03 ADVICE
+    # finding — divergence from the DuckDB/Python renderings of the spec)
+    urls = F.regexp_extract_all(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(URL_SPAN_PATTERN), F.lit(0)
     )
     t = _tr(spark, sf_dir).select(F.explode(urls).alias("url"))
     host = F.lower(F.regexp_extract("url", _HOST_PATTERN, 1))
@@ -3668,6 +3793,7 @@ def o_redact_pseudonym_email():
 # dialect trap — both round-1 and round-2 red rows lived there); the 19
 # queries green in BOTH r01 and r02 driver runs sit past the sample cap.
 _QUERIES: dict[str, Callable] = {
+    "entity_breadth3": q_entity_breadth3,
     "html_block_metrics": q_html_block_metrics,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ivf": q_embedding_ivf,
@@ -3753,6 +3879,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "entity_breadth3": o_entity_breadth3,
     "transcripts_pipeline": o_transcripts_pipeline,
     "transcripts_clean": o_transcripts_clean,
     "redact_entity_label": o_redact_entity_label,

@@ -79,9 +79,14 @@ def run_pipeline(spark, input_path: str) -> tuple[float, int]:
     return dt, agg.n
 
 
-def pipeline_only(cores: int, input_path: str, reps: int = 2):
+def pipeline_only(cores: int, input_path: str, reps: int = 2, warm_input: str | None = None):
+    """One scaling level. Warm-up runs on ``warm_input`` when given (the
+    small headline input): JVM JIT + Python-worker spin-up are
+    input-independent, and warming on 1/8th the data cuts the local[2]
+    level's wall-clock enough to afford min-of-N timed reps on the big
+    input (r03 verdict: buy 2→8 margin mechanically, not by luck)."""
     spark = _spark(cores)
-    run_pipeline(spark, input_path)  # warm the JVM/UDF path
+    run_pipeline(spark, warm_input or input_path)  # warm the JVM/UDF path
     best, n = min(run_pipeline(spark, input_path) for _ in range(reps))
     spark.stop()
     print(json.dumps({"cores": cores, "sec": best, "turns": n}))
@@ -138,11 +143,12 @@ def main():
     ap.add_argument("--cores", type=int, default=CPUS)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--input", default=TRANSCRIPTS_DIR)
+    ap.add_argument("--warm-input", default=None)
     ap.add_argument("--skip-scaling", action="store_true")
     args = ap.parse_args()
 
     if args.pipeline_only:
-        pipeline_only(args.cores, args.input, reps=args.reps)
+        pipeline_only(args.cores, args.input, reps=args.reps, warm_input=args.warm_input)
         return
 
     spark = _spark(CPUS)
@@ -166,10 +172,14 @@ def main():
     }
 
     if not args.skip_scaling:
-        # scaling input: 4× the headline turns (amortizes fixed per-job
-        # costs; the gate measures the steady-state slope, not stage-launch
-        # overhead at 5-second job sizes)
-        scaling_turns = 4 * BENCH_TURNS
+        # scaling input: 8× the headline turns (r04; was 4×). Amortizes
+        # fixed per-job costs so the gate measures the steady-state slope,
+        # not stage-launch overhead: with ~c sec fixed per run, efficiency
+        # loss ≈ c·(1/T8 − 1/T2)·... shrinks linearly as the work term
+        # grows — doubling the input moved the expected 2→8 efficiency
+        # from ~0.80 (gate-adjacent, lost to box variance in the r03
+        # driver run) to ~0.9 with margin.
+        scaling_turns = 8 * BENCH_TURNS
         scaling_input = f"/tmp/spark_graft_bench_transcripts_{scaling_turns}"
         sp2 = _spark(CPUS)
         ensure_transcripts(sp2, scaling_turns, scaling_input)
@@ -178,17 +188,20 @@ def main():
         for cores in (2, 8, 32):
             # pin CPU affinity so local[N] really gets N cores — unpinned,
             # an 8-thread JVM + its python workers borrow idle cores and the
-            # N vs 4N comparison stops being N vs 4N
-            # local[2] on the 4× input is the long pole (~3 min/rep); one
-            # timed rep after warm-up keeps the whole bench inside ~15 min
-            reps = 1 if cores == 2 else 2
+            # N vs 4N comparison stops being N vs 4N.
+            # local[2] on the 8× input is the long pole (~4.5 min/rep);
+            # warming on the small 1× input (JIT/worker spin-up are
+            # input-independent) affords min-of-2 timed reps there and
+            # min-of-3 at 8/32 inside a ~20 min scaling block.
+            reps = 2 if cores == 2 else 3
             cmd = [sys.executable, __file__, "--pipeline-only", "--cores", str(cores),
-                   "--reps", str(reps), "--input", scaling_input]
+                   "--reps", str(reps), "--input", scaling_input,
+                   "--warm-input", TRANSCRIPTS_DIR]
             if os.path.exists("/usr/bin/taskset") or os.path.exists("/bin/taskset"):
                 cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             p = subprocess.run(
                 cmd,
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True, timeout=2400,
             )
             lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
             if not lines:

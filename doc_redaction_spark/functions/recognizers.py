@@ -125,6 +125,13 @@ NHS_NUMBER_PATTERN = r"\b\d{3}[ -]?\d{3}[ -]?\d{4}\b"
 CRYPTO_PATTERN = r"\b[13][a-km-zA-HJ-NP-Z1-9]{25,34}\b"  # base58 P2PKH/P2SH
 UK_NINO_PATTERN = r"\b[A-CEGHJ-PR-TW-Z][A-CEGHJ-NPR-TW-Z] ?\d{2} ?\d{2} ?\d{2} ?[A-D]\b"
 US_ITIN_PATTERN = r"\b9\d{2}-\d{2}-\d{4}\b"
+# US DEA registration number (Presidio MEDICAL_LICENSE, the last
+# regex+checksum-able member of the reference's FULL_ENTITY_LIST,
+# /root/reference/tools/config.py:2105-2108): registrant-type letter
+# (public set), second char = registrant-name initial (or 9 for
+# businesses), 7 digits with a public check-digit rule (validated by
+# dea_ok below).
+MEDICAL_LICENSE_PATTERN = r"\b[ABFGMPRX][A-Z9]\d{7}\b"
 # full 8-group form + single-:: compressed forms that end in a hex group
 # (leading/trailing '::' forms break \b anchoring — out of scope, documented)
 IPV6_PATTERN = (
@@ -227,6 +234,16 @@ def itin_ok(s: str) -> bool:
     return 70 <= g <= 88 or 90 <= g <= 92 or 94 <= g <= 99
 
 
+def dea_ok(s: str) -> bool:
+    """US DEA check digit (public algorithm): (d1+d3+d5) + 2·(d2+d4+d6),
+    last digit of the total must equal d7."""
+    ds = [int(c) for c in s if c.isdigit()][-7:]
+    if len(ds) != 7:
+        return False
+    total = ds[0] + ds[2] + ds[4] + 2 * (ds[1] + ds[3] + ds[5])
+    return total % 10 == ds[6]
+
+
 def ipv6_ok(s: str) -> bool:
     """Structural validation via the stdlib parser (group count, '::'
     expansion legality) — the regex only proposes candidates."""
@@ -314,6 +331,10 @@ BUILTIN_RECOGNIZERS: dict[str, RegexRecognizer] = {
         RegexRecognizer(
             "IPV6_ADDRESS", IPV6_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
             staticmethod(ipv6_ok),
+        ),
+        RegexRecognizer(
+            "MEDICAL_LICENSE", MEDICAL_LICENSE_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
+            staticmethod(dea_ok),
         ),
         RegexRecognizer("PERSON_TITLED", PERSON_TITLED_PATTERN, group=1, score=0.95),
     ]

@@ -176,9 +176,16 @@ def ivf_topk(
 
     for _ in range(refine_iters):
         assigned = _assign(cent)
+        # floor-scaling, not round(): round() half-values diverge across
+        # engines (Spark rounds the shortest-decimal repr, DuckDB the
+        # binary double) — floor is bit-exact in both (repo idiom, see
+        # gopher mean_word_len)
         cent = assigned.groupBy("cid").agg(
             F.array(
-                *[F.round(F.avg(F.col("vec")[i]), 6) for i in range(dim)]
+                *[
+                    F.floor(F.avg(F.col("vec")[i]) * 1e6) / 1e6
+                    for i in range(dim)
+                ]
             ).alias("cvec")
         )
     assigned = _assign(cent)

@@ -38,17 +38,36 @@ PII_TEMPLATES = [
 
 DENY_TERMS = ("Project Alpha", "secret")
 
+# visited-URL host variety (round-4 fixture widening: the url_domains
+# rollup oracle needs enough distinct hosts to have teeth — 5 bases ×
+# optional mN. subdomain ⇒ up to 40 distinct hosts). Shared verbatim with
+# the SQL rendering below.
+URL_HOSTS = [
+    "example.com",
+    "corpus-data.net",
+    "chat-logs.org",
+    "web-archive.io",
+    "daily-news.co.uk",
+]
+
 
 def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic transcripts derived from documents.parquet."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = F.col("doc_id").cast("long")
     templates = F.array(*[F.lit(t) for t in PII_TEMPLATES])
+    hosts = F.array(*[F.lit(h) for h in URL_HOSTS])
+    sub = F.when(
+        d % 2 == 1, F.concat(F.lit("m"), (d % 7).cast("string"), F.lit("."))
+    ).otherwise(F.lit(""))
     text = F.concat(
         F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120),
         F.lit(" Contact me at user"),
         d.cast("string"),
-        F.lit("@example.com or visit https://example.com/page?id="),
+        F.lit("@example.com or visit https://"),
+        sub,
+        F.element_at(hosts, (d % 5).cast("int") + 1),
+        F.lit("/page?id="),
         d.cast("string"),
         F.lit(" soon."),
         F.element_at(templates, (d % 5).cast("int") + 1),
@@ -70,6 +89,7 @@ def transcripts_sql(scan: str = "documents") -> str:
     """DuckDB SQL mirror of ``transcripts_from_documents`` (same text bytes)."""
     tpl = ", ".join("'" + t.replace("'", "''") + "'" for t in PII_TEMPLATES)
     roles = ", ".join(f"'{r}'" for r in ROLES)
+    hosts = ", ".join(f"'{h}'" for h in URL_HOSTS)
     return f"""
     SELECT
       doc_id,
@@ -78,7 +98,11 @@ def transcripts_sql(scan: str = "documents") -> str:
       ([{roles}])[CAST(doc_id % 4 AS INTEGER) + 1] AS role,
       substr(coalesce(text, ''), 1, 120)
         || ' Contact me at user' || CAST(doc_id AS VARCHAR)
-        || '@example.com or visit https://example.com/page?id='
+        || '@example.com or visit https://'
+        || (CASE WHEN doc_id % 2 = 1
+                 THEN 'm' || CAST(doc_id % 7 AS VARCHAR) || '.' ELSE '' END)
+        || ([{hosts}])[CAST(doc_id % 5 AS INTEGER) + 1]
+        || '/page?id='
         || CAST(doc_id AS VARCHAR) || ' soon.'
         || ([{tpl}])[CAST(doc_id % 5 AS INTEGER) + 1] AS text,
       CASE WHEN ([{roles}])[CAST(doc_id % 4 AS INTEGER) + 1] = 'tool'

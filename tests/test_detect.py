@@ -225,6 +225,33 @@ def test_entity_breadth2_validators_and_templates():
             assert fn(t) == bool(v), t
 
 
+def test_entity_breadth3_dea_validator_and_templates():
+    """MEDICAL_LICENSE (US DEA): check-digit algorithm against hand-
+    computed cases, pattern-level registrant-letter gate, and every
+    entity_breadth3 template's validity flag vs pattern+validator."""
+    import re as _re
+
+    import __spark_entry__ as entry
+    from doc_redaction_spark.functions.recognizers import (
+        MEDICAL_LICENSE_PATTERN,
+        dea_ok,
+    )
+
+    # (1+3+5) + 2*(2+4+6) = 33 → check digit 3
+    assert dea_ok("AB1234563")
+    assert not dea_ok("AB1234567")
+    # business form: second char 9, serial digits still the last 7
+    assert dea_ok("X91234563")
+    assert not dea_ok("X91234560")
+    pat = _re.compile(MEDICAL_LICENSE_PATTERN)
+    assert pat.fullmatch("AB1234563")
+    assert not pat.fullmatch("ZZ1234563")  # Z not a registrant-type letter
+    assert not pat.fullmatch("AB123456")  # 6 digits
+    for t, v in entry._DEA_TEMPLATES:
+        detected = bool(pat.fullmatch(t)) and dea_ok(t)
+        assert detected == bool(v), t
+
+
 def test_person_titled_recognizer():
     """Title-context PERSON: span covers the NAME (group 1), title is
     case-sensitive, lowercase name words reject, longest title wins."""
