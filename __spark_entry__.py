@@ -3100,6 +3100,105 @@ def o_entity_breadth3():
     """
 
 
+# (template, detected-span length): 0 = no span. "Mark watson" pins the
+# no-lowercase-extension rule (bare given name, span len 4); lowercase and
+# out-of-gazetteer plants pin the TitleCase / list gates. Validity pinned
+# against the live engines in tests/test_gazetteer.py (registry leg) and
+# the oracle below (closed-form offsets).
+_GAZ_PERSON_TEMPLATES = [
+    ("Alice Johnson", 13),
+    ("Emma", 4),
+    ("charlie Davis", 0),
+    ("Zorro Quinn", 0),
+    ("Mark watson", 4),
+]
+_GAZ_LOC_TEMPLATES = [
+    ("Paris", 5),
+    ("United Kingdom", 14),
+    ("paris", 0),
+    ("Atlantis", 0),
+]
+_GAZ_NRP_TEMPLATES = [
+    ("French", 6),
+    ("Dutch", 5),
+    ("british", 0),
+]
+
+
+def q_ner_gazetteer(spark, sf_dir):
+    """Deterministic gazetteer NER (PERSON / LOCATION / NRP — the
+    reference's spaCy label surface, load_spacy_model_custom_recognisers
+    .py:40-47, re-expressed as public-list matching with TitleCase
+    guards, functions/gazetteer.py). Planted valid, case-invalid and
+    out-of-gazetteer names; spans at exact offsets; the scale engine is
+    the exact-case Aho–Corasick automaton, regex-equivalence pinned by
+    tests/test_gazetteer.py."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def pick(templates, mod):
+        return F.element_at(
+            F.array(*[F.lit(t) for t, _ in templates]),
+            (F.col("c_custkey") % mod).cast("int") + 1,
+        )
+
+    p = pick(_GAZ_PERSON_TEMPLATES, 5)
+    loc = pick(_GAZ_LOC_TEMPLATES, 4)
+    nrp = pick(_GAZ_NRP_TEMPLATES, 3)
+    t = cust.select(
+        F.col("c_custkey").alias("row_key"),
+        F.concat(
+            F.lit("met "), p, F.lit(" in "), loc, F.lit(" as "), nrp,
+            F.lit(" envoy"),
+        ).alias("text"),
+    )
+    cfg = PipelineConfig(entities=(), ner_engine="gazetteer")
+    from doc_redaction_spark.operators.detect import detect_spans_udf
+
+    spans = t.withColumn("spans", detect_spans_udf(cfg)(F.col("text")))
+    ex = spans.select("row_key", F.explode_outer("spans").alias("sp")).filter(
+        F.col("sp").isNotNull()
+    )
+    return ex.select(
+        "row_key",
+        F.col("sp.entity_type").alias("entity_type"),
+        F.col("sp.start").alias("start"),
+        F.col("sp.end").alias("end"),
+    )
+
+
+def o_ner_gazetteer():
+    def arr(templates):
+        ts = ", ".join(f"'{t}'" for t, _ in templates)
+        ls = ", ".join(str(v) for _, v in templates)
+        return f"[{ts}]", f"[{ls}]"
+
+    ps, plen = arr(_GAZ_PERSON_TEMPLATES)
+    locs, loclen = arr(_GAZ_LOC_TEMPLATES)
+    nrps, nrplen = arr(_GAZ_NRP_TEMPLATES)
+    # layout: 'met ' = 4 chars, p, ' in ' = 4, loc, ' as ' = 4, nrp
+    return f"""
+    WITH t AS (
+      SELECT c_custkey AS row_key,
+             ({ps})[CAST(c_custkey % 5 AS INTEGER) + 1] AS p,
+             ({plen})[CAST(c_custkey % 5 AS INTEGER) + 1] AS p_len,
+             ({locs})[CAST(c_custkey % 4 AS INTEGER) + 1] AS loc,
+             ({loclen})[CAST(c_custkey % 4 AS INTEGER) + 1] AS loc_len,
+             ({nrps})[CAST(c_custkey % 3 AS INTEGER) + 1] AS nrp,
+             ({nrplen})[CAST(c_custkey % 3 AS INTEGER) + 1] AS nrp_len
+      FROM customer)
+    SELECT row_key, 'PERSON' AS entity_type, 4 AS start, 4 + p_len AS "end"
+    FROM t WHERE p_len > 0
+    UNION ALL
+    SELECT row_key, 'LOCATION', 4 + length(p) + 4,
+           4 + length(p) + 4 + loc_len
+    FROM t WHERE loc_len > 0
+    UNION ALL
+    SELECT row_key, 'NRP', 4 + length(p) + 4 + length(loc) + 4,
+           4 + length(p) + 4 + length(loc) + 4 + nrp_len
+    FROM t WHERE nrp_len > 0
+    """
+
+
 _TITLED_TEMPLATES = [
     ("Mr", "Alice Smith", 1),
     ("Mrs.", "Bob", 1),
@@ -3793,6 +3892,7 @@ def o_redact_pseudonym_email():
 # dialect trap — both round-1 and round-2 red rows lived there); the 19
 # queries green in BOTH r01 and r02 driver runs sit past the sample cap.
 _QUERIES: dict[str, Callable] = {
+    "ner_gazetteer": q_ner_gazetteer,
     "entity_breadth3": q_entity_breadth3,
     "html_block_metrics": q_html_block_metrics,
     "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -3879,6 +3979,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "ner_gazetteer": o_ner_gazetteer,
     "entity_breadth3": o_entity_breadth3,
     "transcripts_pipeline": o_transcripts_pipeline,
     "transcripts_clean": o_transcripts_clean,

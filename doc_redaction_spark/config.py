@@ -27,7 +27,9 @@ class PipelineConfig:
     fuzzy_max_edits: int = 1
     allow_list: tuple = ()  # case-insensitive post-filter (reference :11229-11263)
     # NER leg (excluded from byte-equality gates — SURVEY §7.4.4):
-    # "off" | "fake" (deterministic capitalized-bigram PERSON) | "spacy"
+    # "off" | "fake" (deterministic capitalized-bigram PERSON) |
+    # "gazetteer" (public-list PERSON/LOCATION/NRP, deterministic and
+    # oracle-able — functions/gazetteer.py) | "spacy" (gated: model absent)
     ner_engine: str = "off"
     # per-turn DOM text-density main-content extraction BEFORE the clean
     # battery (north-star HTML stage; operators/html_extract.py). Off by

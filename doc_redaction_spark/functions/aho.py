@@ -26,12 +26,21 @@ _QUOTE_FOLD = str.maketrans({"’": "'", "‘": "'", "“": '"', "”": '"'})
 
 
 class AhoCorasick:
-    """Case-insensitive multi-pattern matcher with word-boundary guards."""
+    """Case-insensitive multi-pattern matcher with word-boundary guards.
 
-    def __init__(self, terms: list[str]):
+    ``exact_case=True`` (gazetteer mode, functions/gazetteer.py) keeps the
+    folded-text scan but additionally requires the ORIGINAL text slice to
+    equal one of the original (TitleCase) terms — the filter runs on raw
+    candidates BEFORE overlap resolution, so rejected candidates cannot
+    shadow shorter accepted ones (mirrors how a case-sensitive regex
+    alternation simply fails to match at that position)."""
+
+    def __init__(self, terms: list[str], exact_case: bool = False):
         self._goto: list[dict] = [{}]
         self._out: list[list] = [[]]
         self._fail: list[int] = [0]
+        self._exact_case = exact_case
+        self._originals = frozenset(terms) if exact_case else frozenset()
         for t in sorted(set(terms), key=lambda x: (-len(x), x)):
             folded = t.lower().translate(_QUOTE_FOLD)
             if folded:
@@ -68,11 +77,11 @@ class AhoCorasick:
                     self._fail[nxt] = 0
                 self._out[nxt] = self._out[nxt] + self._out[self._fail[nxt]]
 
-    def find_spans(self, text: str) -> list[tuple]:
-        """(start, end) matches with (?<!\\w)…(?!\\w) word guards, longest
-        wins on overlap, scan continues after each accepted match —
-        mirroring the leftmost-longest-alternation + finditer semantics of
-        the reference's compiled deny regex."""
+    def find_spans_raw(self, text: str) -> list[tuple]:
+        """All word-guarded (and, in exact_case mode, case-checked)
+        candidate (start, end) pairs, UNresolved — callers that post-
+        process candidates (PERSON TitleCase extension) resolve overlaps
+        themselves."""
         folded = text.lower().translate(_QUOTE_FOLD)
         node = 0
         raw: list[tuple] = []
@@ -87,7 +96,17 @@ class AhoCorasick:
                     continue
                 if e < len(text) and text[e] in _WORD_CHARS:
                     continue
+                if self._exact_case and text[s:e] not in self._originals:
+                    continue
                 raw.append((s, e))
+        return raw
+
+    def find_spans(self, text: str) -> list[tuple]:
+        """(start, end) matches with (?<!\\w)…(?!\\w) word guards, longest
+        wins on overlap, scan continues after each accepted match —
+        mirroring the leftmost-longest-alternation + finditer semantics of
+        the reference's compiled deny regex."""
+        raw = self.find_spans_raw(text)
         # longest-first at same start, then leftmost non-overlapping scan
         raw.sort(key=lambda p: (p[0], -(p[1] - p[0])))
         out: list[tuple] = []

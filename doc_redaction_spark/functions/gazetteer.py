@@ -1,0 +1,150 @@
+"""Deterministic gazetteer NER leg — PERSON / LOCATION / NRP.
+
+The reference gets these labels from spaCy ``en_core_web_lg`` via
+Presidio (``/root/reference/tools/load_spacy_model_custom_recognisers.py:
+40-47``; PERSON/NRP/LOCATION in ``FULL_ENTITY_LIST``,
+``tools/config.py:2105-2108``). spaCy is absent from this container; this
+module closes most of the user-visible recall gap with public lists (US
+census top given names, countries/capitals/major cities, nationality
+adjectives) and TitleCase context guards — no model deps, fully
+deterministic, and therefore oracle-able.
+
+Two engines per label, pinned equivalent by tests/test_gazetteer.py:
+
+* **regex** — one generated alternation in the 3-dialect common subset
+  (case-SENSITIVE TitleCase literals, longest-first, ``\\b`` guards); this
+  is what the DuckDB oracle renders.
+* **aho** — the scale path for 100k-entry gazetteers: the existing
+  Aho–Corasick automaton (``functions/aho.py``) in exact-case mode, plus
+  a TitleCase-token extension step for PERSON. O(text + matches) instead
+  of O(text × terms).
+
+PERSON semantics: a gazetteer given name, optionally extended by ONE
+following TitleCase word (the surname — no surname list needed, the
+given-name anchor carries the precision). LOCATION/NRP: exact TitleCase
+phrase match. All matching is case-sensitive; "mark" the verb never
+matches "Mark" the name.
+"""
+
+from __future__ import annotations
+
+import re
+
+from doc_redaction_spark.functions.aho import AhoCorasick
+
+# Public US-census-style top given names (curated, TitleCase).
+GIVEN_NAMES = (
+    "James", "Mary", "John", "Robert", "Patricia", "Jennifer", "Michael",
+    "Linda", "William", "Elizabeth", "David", "Barbara", "Richard",
+    "Susan", "Joseph", "Jessica", "Thomas", "Sarah", "Charles", "Karen",
+    "Christopher", "Nancy", "Daniel", "Lisa", "Matthew", "Betty",
+    "Anthony", "Margaret", "Mark", "Sandra", "Donald", "Ashley",
+    "Steven", "Kimberly", "Paul", "Emily", "Andrew", "Donna", "Joshua",
+    "Michelle", "Kenneth", "Carol", "Kevin", "Amanda", "Brian",
+    "Dorothy", "George", "Melissa", "Emma", "Alice", "Oliver", "Sophia",
+    "Liam", "Noah", "Ava", "Isabella", "Ethan", "Grace", "Jack",
+    "Harry", "Amelia", "Olivia",
+)
+
+# Public countries / capitals / major cities (incl. multiword phrases —
+# longest-first ordering makes "New York" win over any single-word entry).
+LOCATIONS = (
+    "United Kingdom", "United States", "New Zealand", "New York",
+    "South Africa", "Saudi Arabia", "Hong Kong", "San Francisco",
+    "Los Angeles", "Sri Lanka", "Costa Rica", "France", "Paris",
+    "London", "Germany", "Berlin", "Spain", "Madrid", "Italy", "Rome",
+    "Japan", "Tokyo", "China", "Beijing", "India", "Delhi", "Brazil",
+    "Canada", "Ottawa", "Toronto", "Sydney", "Australia", "Egypt",
+    "Cairo", "Russia", "Moscow", "Kenya", "Nairobi", "Mexico",
+    "Chicago", "Boston", "Dublin", "Ireland", "Scotland", "Edinburgh",
+    "Wales", "Cardiff", "Norway", "Oslo", "Sweden", "Stockholm",
+    "Denmark", "Copenhagen", "Finland", "Helsinki", "Poland", "Warsaw",
+    "Greece", "Athens", "Turkey", "Ankara", "Portugal", "Lisbon",
+    "Austria", "Vienna", "Netherlands", "Amsterdam", "Belgium",
+    "Brussels", "Switzerland", "Geneva", "Zurich",
+)
+
+# Nationality / group adjectives (Presidio NRP label surface).
+NATIONALITIES = (
+    "French", "British", "German", "Spanish", "Italian", "Japanese",
+    "Chinese", "Indian", "Brazilian", "Canadian", "Australian",
+    "Egyptian", "Russian", "Kenyan", "Mexican", "American", "Irish",
+    "Scottish", "Welsh", "Norwegian", "Swedish", "Danish", "Finnish",
+    "Polish", "Greek", "Turkish", "Portuguese", "Austrian", "Dutch",
+    "Belgian", "Swiss", "Korean", "Vietnamese", "Thai", "Nigerian",
+    "Moroccan", "Argentine", "Chilean",
+)
+
+GAZETTEER_SCORE = 0.85  # spaCy-leg parity score (below exact-regex 1.0)
+
+_TITLE_EXT = re.compile(r" [A-Z][a-z]+\b")
+
+
+def _alternation(terms: tuple) -> str:
+    """Longest-first escaped alternation — mirrors the deny-list builder's
+    leftmost-longest convention so regex and Aho agree."""
+    return "|".join(
+        re.escape(t) for t in sorted(set(terms), key=lambda t: (-len(t), t))
+    )
+
+
+def person_gaz_pattern(given: tuple = GIVEN_NAMES) -> str:
+    """Given name + optional ONE TitleCase surname word (case-sensitive)."""
+    return r"\b(?:" + _alternation(given) + r")(?: [A-Z][a-z]+)?\b"
+
+
+def term_gaz_pattern(terms: tuple) -> str:
+    """Exact TitleCase phrase alternation (case-sensitive)."""
+    return r"\b(?:" + _alternation(terms) + r")\b"
+
+
+class TermGazetteer:
+    """LOCATION/NRP scale engine: exact-case Aho–Corasick phrase match.
+
+    Equivalent to ``re.finditer(term_gaz_pattern(terms))`` — pinned by
+    tests/test_gazetteer.py randomized equivalence."""
+
+    def __init__(self, terms: tuple):
+        self._aho = AhoCorasick(list(terms), exact_case=True)
+
+    def find_spans(self, text: str) -> list[tuple]:
+        return self._aho.find_spans(text)
+
+
+class PersonGazetteer:
+    """PERSON scale engine: exact-case given-name automaton + TitleCase
+    extension. Equivalent to ``re.finditer(person_gaz_pattern(given))``."""
+
+    def __init__(self, given: tuple = GIVEN_NAMES):
+        self._aho = AhoCorasick(list(given), exact_case=True)
+
+    def find_spans(self, text: str) -> list[tuple]:
+        raw = []
+        for s, e in self._aho.find_spans_raw(text):
+            m = _TITLE_EXT.match(text, e)
+            raw.append((s, m.end() if m else e))
+        # leftmost, longest-at-same-start, non-overlapping — the regex
+        # finditer convention (aho.py resolution, after extension)
+        raw.sort(key=lambda p: (p[0], -(p[1] - p[0])))
+        out, last_end = [], -1
+        for s, e in raw:
+            if s >= last_end:
+                out.append((s, e))
+                last_end = e
+        return out
+
+
+_GAZ_CACHE: dict = {}
+
+
+def gazetteer_recognizers() -> list[tuple]:
+    """[(entity_type, matcher)] — compiled once per executor."""
+    got = _GAZ_CACHE.get("default")
+    if got is None:
+        got = [
+            ("PERSON", PersonGazetteer(GIVEN_NAMES)),
+            ("LOCATION", TermGazetteer(LOCATIONS)),
+            ("NRP", TermGazetteer(NATIONALITIES)),
+        ]
+        _GAZ_CACHE["default"] = got
+    return got

@@ -88,6 +88,17 @@ def _registry(cfg: PipelineConfig):
             compiled.append(
                 ("PERSON", re.compile(r"\b([A-Z][a-z]+) ([A-Z][a-z]+)\b"), 0.85, 0, None, None)
             )
+        elif cfg.ner_engine == "gazetteer":
+            # deterministic public-list PERSON/LOCATION/NRP leg (the
+            # spaCy-recall stand-in; functions/gazetteer.py) — Aho-backed
+            # scale engines, regex-equivalence pinned by test_gazetteer.py
+            from doc_redaction_spark.functions.gazetteer import (
+                GAZETTEER_SCORE,
+                gazetteer_recognizers,
+            )
+
+            for etype, matcher in gazetteer_recognizers():
+                compiled.append((etype, matcher, GAZETTEER_SCORE, 0, None, "aho"))
         elif cfg.ner_engine == "spacy":
             compiled.append(("__SPACY__", None, 1.0, 0, None, "spacy"))
         fuzzy = (

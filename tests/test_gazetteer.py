@@ -1,0 +1,97 @@
+"""Gazetteer NER leg — regex ≡ Aho equivalence and semantics pins.
+
+The deterministic PERSON/LOCATION/NRP gazetteer has two engines
+(functions/gazetteer.py): a generated case-sensitive regex alternation
+(what the DuckDB oracle renders) and an exact-case Aho–Corasick scale
+path. These tests pin them byte-identical on adversarial and randomized
+inputs — the same strategy as tests/test_aho.py for the deny list.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+from doc_redaction_spark.functions.gazetteer import (
+    GIVEN_NAMES,
+    LOCATIONS,
+    NATIONALITIES,
+    PersonGazetteer,
+    TermGazetteer,
+    person_gaz_pattern,
+    term_gaz_pattern,
+)
+
+
+def _regex_spans(pattern: str, text: str) -> list[tuple]:
+    return [m.span() for m in re.finditer(pattern, text)]
+
+
+def test_term_gazetteer_titlecase_guard():
+    g = TermGazetteer(LOCATIONS)
+    assert g.find_spans("flew to Paris then london") == [(8, 13)]  # london: case reject
+    assert g.find_spans("in the United Kingdom today") == [(7, 21)]
+    assert g.find_spans("nothing here") == []
+
+
+def test_term_gazetteer_case_reject_does_not_shadow_inner_match():
+    """'new York' must yield 'York' when both are entries: the case filter
+    runs BEFORE overlap resolution (a case-failing long candidate cannot
+    swallow a shorter valid one) — mirrors regex alternation behavior."""
+    terms = ("New York", "York")
+    g = TermGazetteer(terms)
+    pat = term_gaz_pattern(terms)
+    for text in ("new York is big", "New York is big", "visit york", "in York"):
+        assert g.find_spans(text) == _regex_spans(pat, text), text
+
+
+def test_person_gazetteer_extension_semantics():
+    p = PersonGazetteer(GIVEN_NAMES)
+    assert p.find_spans("met Alice Johnson today") == [(4, 17)]
+    assert p.find_spans("met Alice johnson today") == [(4, 9)]  # no lowercase ext
+    assert p.find_spans("met alice Johnson today") == []  # lowercase given
+    assert p.find_spans("AliceX spoke") == []  # word guard
+    assert p.find_spans("Mary Ann Smith") == [(0, 8)]  # leftmost wins, 1-word ext
+
+
+def test_person_nested_given_names():
+    given = ("Ann", "Anna")
+    p = PersonGazetteer(given)
+    pat = person_gaz_pattern(given)
+    for text in ("Anna Lee", "Ann Lee", "Annax Lee", "Anna", "so Ann said"):
+        assert p.find_spans(text) == _regex_spans(pat, text), text
+
+
+def test_randomized_equivalence_all_three():
+    rng = random.Random(421)
+    noise = ["the", "met", "zorbak", "Zorbak", "Table", "in", "x9", "—", ".", ","]
+    given_pool = list(GIVEN_NAMES) + [g.lower() for g in GIVEN_NAMES[:10]]
+    loc_pool = list(LOCATIONS) + [t.lower() for t in LOCATIONS[:10]]
+    nrp_pool = list(NATIONALITIES) + [t.lower() for t in NATIONALITIES[:8]]
+    engines = [
+        (PersonGazetteer(GIVEN_NAMES), person_gaz_pattern(GIVEN_NAMES)),
+        (TermGazetteer(LOCATIONS), term_gaz_pattern(LOCATIONS)),
+        (TermGazetteer(NATIONALITIES), term_gaz_pattern(NATIONALITIES)),
+    ]
+    for _ in range(300):
+        toks = [
+            rng.choice(rng.choice([noise, given_pool, loc_pool, nrp_pool]))
+            for _ in range(rng.randrange(1, 12))
+        ]
+        text = (" " if rng.random() < 0.9 else "").join(toks)
+        for matcher, pat in engines:
+            assert matcher.find_spans(text) == _regex_spans(pat, text), (
+                text,
+                pat[:60],
+            )
+
+
+def test_detect_integration_gazetteer_engine():
+    from doc_redaction_spark.config import PipelineConfig
+    from doc_redaction_spark.operators.detect import detect_spans_py
+
+    cfg = PipelineConfig(entities=(), ner_engine="gazetteer")
+    spans = detect_spans_py("met Alice Johnson in Paris as French envoy", cfg)
+    assert ("PERSON", 4, 17, 0.85) in spans
+    assert ("LOCATION", 21, 26, 0.85) in spans
+    assert ("NRP", 30, 36, 0.85) in spans
