@@ -421,10 +421,60 @@ def _levenshtein(a: str, b: str, cap: int) -> int:
     return prev[-1]
 
 
+def _deletion_variants(s: str, k: int) -> set:
+    """All strings obtainable from ``s`` by deleting ≤ k characters
+    (including ``s`` itself) — the SymSpell neighborhood key set. For unit
+    edit costs, lev(a, b) ≤ k ⟹ deletions(a, k) ∩ deletions(b, k) ≠ ∅
+    (public SymSpell result), so the intersection test is a sound
+    prefilter before the exact Levenshtein verify."""
+    outs = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1 :])
+        outs |= nxt
+        frontier = nxt
+    return outs
+
+
+# (phrases, max_edits) → (norms, widths, all_widths, deletion index);
+# module-level like _AHO_CACHE — FuzzyRecognizer is a frozen dataclass
+_FUZZY_INDEX_CACHE: dict = {}
+
+
+def _fuzzy_index(phrases: tuple, k: int):
+    key = (phrases, k)
+    got = _FUZZY_INDEX_CACHE.get(key)
+    if got is None:
+        norms, widths = [], []
+        index: dict[str, list] = {}
+        for j, phrase in enumerate(phrases):
+            p = phrase.lower().strip()
+            n = max(1, len(p.split()))
+            norms.append(p)
+            widths.append({max(1, n - 1), n, n + 1})
+            for d in _deletion_variants(p, k):
+                index.setdefault(d, []).append(j)
+        all_widths = sorted(set().union(*widths)) if widths else []
+        got = (norms, widths, all_widths, index)
+        _FUZZY_INDEX_CACHE[key] = got
+    return got
+
+
 @dataclass(frozen=True)
 class FuzzyRecognizer:
     """Whole-phrase fuzzy matcher: slide a token window of phrase length ±1
-    over the text; accept when edit distance ≤ max_edits (case-folded)."""
+    over the text; accept when edit distance ≤ max_edits (case-folded).
+
+    ``find_spans`` is the scale path — a SymSpell deletion-neighborhood
+    index over the phrases makes the scan O(windows × window_len) instead
+    of O(windows × phrases): each window probes the index with its own
+    deletion variants and only Levenshtein-verifies the phrases that share
+    one. Output is the identical multiset of spans as the naive
+    per-phrase scan (``find_spans_naive``, kept as the test oracle —
+    randomized equivalence in tests/test_detect.py)."""
 
     phrases: tuple
     max_edits: int = 1
@@ -432,6 +482,33 @@ class FuzzyRecognizer:
     score: float = 1.0
 
     def find_spans(self, text: str):
+        norms, widths, all_widths, index = _fuzzy_index(self.phrases, self.max_edits)
+        if not norms:
+            return []
+        k = self.max_edits
+        toks = [(m.start(), m.end()) for m in re.finditer(r"\S+", text)]
+        low = text.lower()
+        spans = []
+        for w in all_widths:
+            for i in range(0, len(toks) - w + 1):
+                s, e = toks[i][0], toks[i + w - 1][1]
+                cand = low[s:e]
+                hits: set = set()
+                for d in _deletion_variants(cand, k):
+                    js = index.get(d)
+                    if js:
+                        hits.update(js)
+                for j in hits:
+                    if w not in widths[j]:
+                        continue
+                    p = norms[j]
+                    if abs(len(cand) - len(p)) > k:
+                        continue
+                    if _levenshtein(cand, p, k) <= k:
+                        spans.append((self.entity_type, s, e, self.score))
+        return spans
+
+    def find_spans_naive(self, text: str):
         spans = []
         toks = [(m.start(), m.end(), m.group(0)) for m in re.finditer(r"\S+", text)]
         low = text.lower()

@@ -102,6 +102,47 @@ def test_fuzzy_levenshtein_accept():
     assert fz.find_spans("nothing related here") == []
 
 
+def test_fuzzy_index_equivalence_randomized():
+    """The SymSpell-indexed scan must return the identical span multiset
+    as the naive per-phrase scan (the r03 verdict's fuzzy scale path) —
+    randomized phrases/texts incl. typos, multi-token phrases, duplicate
+    phrases, and max_edits 1 and 2."""
+    import random
+
+    rng = random.Random(77)
+    vocab = ["project", "alpha", "beta", "secret", "memo", "plan", "atlas",
+             "confidential", "report", "banana", "omega", "launch"]
+
+    def typo(w):
+        if len(w) < 2:
+            return w
+        i = rng.randrange(len(w))
+        op = rng.randrange(3)
+        if op == 0:
+            return w[:i] + w[i + 1:]
+        if op == 1:
+            return w[:i] + rng.choice("xyz") + w[i:]
+        return w[:i] + rng.choice("xyz") + w[i + 1:]
+
+    for _ in range(120):
+        phrases = tuple(
+            " ".join(rng.sample(vocab, rng.randrange(1, 3)))
+            for _ in range(rng.randrange(1, 6))
+        )
+        if rng.random() < 0.3:
+            phrases = phrases + (phrases[0],)  # duplicate-phrase multiplicity
+        k = rng.choice([1, 2])
+        fz = FuzzyRecognizer(phrases, max_edits=k)
+        toks = [
+            typo(rng.choice(vocab)) if rng.random() < 0.5 else rng.choice(vocab)
+            for _ in range(rng.randrange(0, 14))
+        ]
+        text = " ".join(toks)
+        assert sorted(fz.find_spans(text)) == sorted(fz.find_spans_naive(text)), (
+            phrases, k, text,
+        )
+
+
 def test_streetname_candidate_equivalence():
     """The candidate-anchored scan must equal plain finditer byte-for-byte
     (it is the hot-path optimization for the STREETNAME recognizer)."""
