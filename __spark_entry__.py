@@ -3199,6 +3199,76 @@ def o_ner_gazetteer():
     """
 
 
+_XFDF_LABELS = ["PERSON", "EMAIL_ADDRESS", "CUSTOM"]
+
+
+def q_xfdf_ingest(spark, sf_dir):
+    """XFDF (Adobe annotation exchange) ingest round trip — the real
+    writer builds one payload per customer (two redact annots: one
+    richtext with XML-escapable text, one contents-attribute fallback),
+    the real mapInPandas reader parses them back to review rows
+    (reference tools/redaction_review.py:4249-4307 semantics: 1-based
+    page rebase, title→label, black default color). Map-only plan; the
+    oracle recomputes every parsed field closed-form."""
+    import pandas as _pd
+
+    from doc_redaction_spark.sources.xfdf_lite import (
+        build_xfdf,
+        xfdf_to_review_rows,
+    )
+
+    labels = _XFDF_LABELS
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for k in pdf["doc_id"]:
+                k = int(k)
+                rows = [
+                    dict(
+                        page=k % 7 + 1, xmin=k % 100, ymin=k % 50 + 0.5,
+                        xmax=k % 100 + 80, ymax=k % 50 + 12.5,
+                        label=labels[k % 3], text=f'name <{k}> & "q"',
+                    ),
+                    dict(
+                        page=k % 5 + 1, xmin=5, ymin=6, xmax=7, ymax=8,
+                        label="TITLES", text=f"t&{k}", use_richtext=False,
+                    ),
+                ]
+                payloads.append(build_xfdf(rows))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "xfdf": payloads})
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    blobs = cust.select(F.col("c_custkey").cast("long").alias("doc_id")).mapInPandas(
+        gen, "doc_id long, xfdf string"
+    )
+    return xfdf_to_review_rows(blobs)
+
+
+def o_xfdf_ingest():
+    lbls = ", ".join(f"'{x}'" for x in _XFDF_LABELS)
+    return f"""
+    SELECT c_custkey AS doc_id,
+           CAST(c_custkey % 7 + 1 AS INTEGER) AS page,
+           ([{lbls}])[CAST(c_custkey % 3 AS INTEGER) + 1] AS label,
+           CAST(c_custkey % 100 AS DOUBLE) AS xmin,
+           CAST(c_custkey % 50 AS DOUBLE) + 0.5e0 AS ymin,
+           CAST(c_custkey % 100 + 80 AS DOUBLE) AS xmax,
+           CAST(c_custkey % 50 AS DOUBLE) + 12.5e0 AS ymax,
+           'name <' || CAST(c_custkey AS VARCHAR) || '> & "q"' AS text,
+           '(0, 0, 0)' AS color
+    FROM customer
+    UNION ALL
+    SELECT c_custkey,
+           CAST(c_custkey % 5 + 1 AS INTEGER),
+           'TITLES',
+           5.0e0, 6.0e0, 7.0e0, 8.0e0,
+           't&' || CAST(c_custkey AS VARCHAR),
+           '(0, 0, 0)'
+    FROM customer
+    """
+
+
 _TITLED_TEMPLATES = [
     ("Mr", "Alice Smith", 1),
     ("Mrs.", "Bob", 1),
@@ -3892,6 +3962,7 @@ def o_redact_pseudonym_email():
 # dialect trap — both round-1 and round-2 red rows lived there); the 19
 # queries green in BOTH r01 and r02 driver runs sit past the sample cap.
 _QUERIES: dict[str, Callable] = {
+    "xfdf_ingest": q_xfdf_ingest,
     "ner_gazetteer": q_ner_gazetteer,
     "entity_breadth3": q_entity_breadth3,
     "html_block_metrics": q_html_block_metrics,
@@ -3979,6 +4050,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "xfdf_ingest": o_xfdf_ingest,
     "ner_gazetteer": o_ner_gazetteer,
     "entity_breadth3": o_entity_breadth3,
     "transcripts_pipeline": o_transcripts_pipeline,

@@ -33,6 +33,10 @@ def detect_format(path: str) -> str:
         return "json"
     if p.endswith((".pdf", ".png", ".jpg", ".jpeg", ".docx")):
         return "binary"
+    if p.endswith(".xfdf"):
+        # Adobe annotation exchange (reference dispatch
+        # tools/helper_functions.py:994-995) — sources/xfdf_lite.py
+        return "xfdf"
     raise ValueError(f"unsupported input format: {path}")
 
 
@@ -47,6 +51,18 @@ def read_tabular(spark: SparkSession, path: str, fmt: str | None = None) -> Data
     if fmt == "binary":
         # document blobs: opaque bytes + typed metadata (multimodal.py)
         return spark.read.format("binaryFile").load(path)
+    if fmt == "xfdf":
+        # whole-file XML payloads → review rows (xfdf_lite)
+        from doc_redaction_spark.sources.xfdf_lite import xfdf_to_review_rows
+
+        blobs = (
+            spark.read.format("binaryFile").load(path)
+            .select(
+                F.xxhash64("path").alias("doc_id"),
+                F.col("content").cast("string").alias("xfdf"),
+            )
+        )
+        return xfdf_to_review_rows(blobs)
     raise ValueError(fmt)
 
 

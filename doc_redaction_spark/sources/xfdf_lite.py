@@ -1,0 +1,126 @@
+"""XFDF (Adobe annotation exchange) ingest/egress — stdlib XML only.
+
+The reference's file dispatch accepts ``.xfdf`` review files
+(``/root/reference/tools/helper_functions.py:994-995``) and converts
+redact annotations into review-file rows (``tools/redaction_review.py:
+4249-4307`` parse_xfdf: page is 0-based in the file and re-based to 1,
+rect → xmin/ymin/xmax/ymax floats, title → label, text from
+``contents-richtext`` with a ``contents``-attribute fallback, border
+color defaulting to black). The writer mirrors
+``_build_one_redact_element`` (:3962-4022) minus the non-deterministic
+uuid/date attributes, so a build→parse round trip is byte-stable and
+oracle-able.
+
+Spark-side: payloads are opaque XML strings in a column;
+``xfdf_to_review_rows`` is an Arrow-batched ``mapInPandas`` (one parse
+per payload, per-payload error tolerance — a corrupt blob yields zero
+rows instead of failing the task 4× and killing the job).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+from xml.sax.saxutils import escape, quoteattr
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+XFDF_NS = "http://ns.adobe.com/xfdf/"
+_NS = {"xfdf": XFDF_NS}
+
+REVIEW_SCHEMA = (
+    "doc_id long, page int, label string, xmin double, ymin double,"
+    " xmax double, ymax double, text string, color string"
+)
+
+
+def build_xfdf(rows: list[dict]) -> str:
+    """Review rows → XFDF string. Each row: page (1-based), xmin/ymin/
+    xmax/ymax (PDF points), label, text, optional use_richtext (default
+    True; False writes the text into the ``contents`` attribute instead,
+    exercising the reader's fallback branch)."""
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        f'<xfdf xmlns="{XFDF_NS}" xml:space="preserve"><annots>',
+    ]
+    for r in rows:
+        rect = (
+            f"{float(r['xmin']):.6f},{float(r['ymin']):.6f},"
+            f"{float(r['xmax']):.6f},{float(r['ymax']):.6f}"
+        )
+        label = quoteattr(str(r.get("label", "Unknown")))
+        page0 = int(r["page"]) - 1
+        text = str(r.get("text", ""))
+        if r.get("use_richtext", True):
+            parts.append(
+                f'<redact opacity="0.500000" interior-color="#000000"'
+                f' page="{page0}" rect="{rect}" subject={label} title={label}>'
+                f'<contents-richtext>'
+                f'<body xmlns="http://www.w3.org/1999/xhtml"><p dir="ltr">'
+                f'<span>{escape(text)}</span></p></body>'
+                f"</contents-richtext></redact>"
+            )
+        else:
+            parts.append(
+                f'<redact opacity="0.500000" interior-color="#000000"'
+                f' page="{page0}" rect="{rect}" subject={label} title={label}'
+                f" contents={quoteattr(text)}></redact>"
+            )
+    parts.append("</annots></xfdf>")
+    return "".join(parts)
+
+
+def parse_xfdf(xml_str: str) -> list[dict]:
+    """XFDF string → review-row dicts (reference parse_xfdf semantics:
+    1-based page, title → label, richtext itertext with contents-attr
+    fallback, black default color)."""
+    root = ET.fromstring(xml_str)
+    out = []
+    for redact in root.findall(".//xfdf:redact", _NS):
+        text = ""
+        rich = redact.find(".//xfdf:contents-richtext", _NS)
+        if rich is not None:
+            text = "".join(rich.itertext()).strip()
+        if not text:
+            text = redact.get("contents", "")
+        rect = redact.get("rect", "0,0,0,0").split(",")
+        out.append(
+            {
+                "page": int(redact.get("page", "0")) + 1,
+                "xmin": float(rect[0]),
+                "ymin": float(rect[1]),
+                "xmax": float(rect[2]),
+                "ymax": float(rect[3]),
+                "label": redact.get("title"),
+                "text": text,
+                "color": redact.get("border-color", "(0, 0, 0)"),
+            }
+        )
+    return out
+
+
+def xfdf_to_review_rows(
+    df: DataFrame, id_col: str = "doc_id", xml_col: str = "xfdf"
+) -> DataFrame:
+    """One review row per redact annotation across all payloads —
+    map-only (no shuffle); malformed payloads contribute zero rows."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "page", "label", "xmin", "ymin", "xmax", "ymax",
+            "text", "color",
+        ]
+        for pdf in batches:
+            rows = []
+            for did, xml_str in zip(pdf[id_col], pdf[xml_col]):
+                try:
+                    parsed = parse_xfdf(xml_str)
+                except ET.ParseError:
+                    continue
+                for r in parsed:
+                    r["doc_id"] = int(did)
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, xml_col).mapInPandas(scan, REVIEW_SCHEMA)

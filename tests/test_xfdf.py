@@ -1,0 +1,71 @@
+"""XFDF ingest — writer/reader round trip + Spark operator + dispatch.
+
+Reference semantics: tools/redaction_review.py:4249-4307 (parse_xfdf),
+:3962-4022 (redact element shape), tools/helper_functions.py:994-995
+(.xfdf dispatch).
+"""
+
+from __future__ import annotations
+
+import os
+
+from doc_redaction_spark.sources.xfdf_lite import (
+    build_xfdf,
+    parse_xfdf,
+    xfdf_to_review_rows,
+)
+
+
+def _rows():
+    return [
+        {
+            "page": 3, "xmin": 10.0, "ymin": 20.5, "xmax": 110.0,
+            "ymax": 32.5, "label": "PERSON", "text": 'a <b> & "c"',
+        },
+        {
+            "page": 1, "xmin": 1.0, "ymin": 2.0, "xmax": 3.0, "ymax": 4.0,
+            "label": "TITLES", "text": "t&7", "use_richtext": False,
+        },
+    ]
+
+
+def test_roundtrip_richtext_and_contents_fallback():
+    xml = build_xfdf(_rows())
+    got = parse_xfdf(xml)
+    assert len(got) == 2
+    a, b = got
+    assert a["page"] == 3 and a["label"] == "PERSON"
+    assert (a["xmin"], a["ymin"], a["xmax"], a["ymax"]) == (10.0, 20.5, 110.0, 32.5)
+    assert a["text"] == 'a <b> & "c"'  # XML escaping round-trips
+    assert a["color"] == "(0, 0, 0)"  # reference default
+    assert b["page"] == 1 and b["text"] == "t&7"  # contents-attr fallback
+
+
+def test_page_rebase_is_reference_faithful():
+    # file stores 0-based pages; parse re-bases to 1 (reference :4295)
+    xml = build_xfdf([{**_rows()[0], "page": 1}])
+    assert 'page="0"' in xml
+    assert parse_xfdf(xml)[0]["page"] == 1
+
+
+def test_spark_operator_and_corrupt_payload_tolerance(spark):
+    xml = build_xfdf(_rows())
+    df = spark.createDataFrame(
+        [(1, xml), (2, "<not-xfdf"), (3, xml)], "doc_id long, xfdf string"
+    )
+    out = xfdf_to_review_rows(df).orderBy("doc_id", "page").collect()
+    # corrupt payload 2 contributes zero rows, others parse fully
+    assert [r.doc_id for r in out] == [1, 1, 3, 3]
+    assert out[1].label == "PERSON" and out[0].label == "TITLES"
+
+
+def test_dispatch_reads_xfdf_files(spark, tmp_path):
+    from doc_redaction_spark.sources.readers import detect_format, read_tabular
+
+    p = tmp_path / "review_a.xfdf"
+    p.write_text(build_xfdf(_rows()), encoding="utf-8")
+    assert detect_format(str(p)) == "xfdf"
+    out = read_tabular(spark, str(p)).collect()
+    assert len(out) == 2
+    assert {r.label for r in out} == {"PERSON", "TITLES"}
+    assert os.path.exists(p)
