@@ -775,6 +775,44 @@ def duplicated_ngram_spans(
 
     Output: (id, start_tok, end_tok, n_tokens) with 0-based token offsets.
     """
+    dup_pos = _duplicated_gram_positions(df, text_col, id_col, n, min_count)
+    return _position_islands(dup_pos, n, max_gap=1)
+
+
+def duplicated_substring_spans_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Boundary-exact duplicated-substring spans (the r03 verdict's
+    missing #4): maximal contiguous runs of tokens that each lie inside
+    SOME corpus-duplicated substring of >= n tokens — exactly the token
+    coverage Lee-et-al suffix-array dedup removes.
+
+    Equivalence used (pinned against a quadratic pairwise-maximal-match
+    reference in tests/test_dedup_spans_exact.py): a token is covered by
+    a pairwise maximal match of length >= n  ⟺  it lies in the [p, p+n)
+    extent of some position p whose n-gram occurs >= min_count times.
+    (⇐: a duplicated n-gram IS a match of length n; ⇒: a maximal match of
+    length L >= n duplicates all its n-grams.) So the exact spans are the
+    islands of duplicated positions with break condition gap > n — the
+    fixed-width variant's `gap > 1` islands fragment/overlap at
+    boundaries; merging up to gap == n yields the maximal coverage runs.
+
+    Same distributed shape as ``duplicated_ngram_spans``: explode →
+    frequency filter → per-doc islands. No pairwise join needed.
+    """
+    dup_pos = _duplicated_gram_positions(df, text_col, id_col, n, min_count)
+    return _position_islands(dup_pos, n, max_gap=n)
+
+
+def _duplicated_gram_positions(
+    df: DataFrame, text_col: str, id_col: str, n: int, min_count: int
+) -> DataFrame:
+    """(id, pos) of every token position whose n-gram occurs >= min_count
+    times corpus-wide."""
     toks = F.filter(
         F.split(
             F.lower(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")),
@@ -801,10 +839,17 @@ def duplicated_ngram_spans(
     hot = pos.groupBy("g").agg(F.count("*").alias("_cnt")).filter(
         F.col("_cnt") >= min_count
     )
-    dup_pos = pos.join(hot.select("g"), "g").select("id", "pos")
+    return pos.join(hot.select("g"), "g").select("id", "pos")
+
+
+def _position_islands(dup_pos: DataFrame, n: int, max_gap: int) -> DataFrame:
+    """Gaps-and-islands over duplicated positions; a new island starts
+    when the position gap exceeds ``max_gap``. Span extent adds the
+    n-gram width to the last position."""
     w = Window.partitionBy("id").orderBy("pos")
     runs = dup_pos.withColumn(
-        "_brk", F.when(F.col("pos") - F.lag("pos").over(w) == 1, 0).otherwise(1)
+        "_brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= max_gap, 0).otherwise(1),
     ).withColumn("_grp", F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     return (
         runs.groupBy("id", "_grp")

@@ -1,0 +1,98 @@
+"""Boundary-exact duplicated-substring spans vs a quadratic reference.
+
+The quadratic reference implements the Lee-et-al definition directly:
+for EVERY pair of token positions across the corpus, compute the common
+prefix length of the two suffixes; if >= n, mark those tokens covered.
+Reported spans are the maximal contiguous runs of covered tokens per
+document. ``duplicated_substring_spans_exact`` must equal this on
+planted and randomized corpora (the fixed-width variant fragments or
+overlaps at boundaries; the exact one must not).
+"""
+
+from __future__ import annotations
+
+import random
+
+from doc_redaction_spark.operators import dedup as dd
+
+
+def _quad_spans(docs: dict, n: int) -> set:
+    """Quadratic pairwise-maximal-match coverage reference."""
+    toks = {d: t.lower().split() for d, t in docs.items()}
+    covered = {d: set() for d in toks}
+    items = [(d, i) for d, t in toks.items() for i in range(len(t))]
+    for ai in range(len(items)):
+        d1, i1 = items[ai]
+        for bi in range(ai + 1, len(items)):
+            d2, i2 = items[bi]
+            t1, t2 = toks[d1], toks[d2]
+            L = 0
+            while (
+                i1 + L < len(t1) and i2 + L < len(t2) and t1[i1 + L] == t2[i2 + L]
+            ):
+                L += 1
+            if L >= n:
+                covered[d1].update(range(i1, i1 + L))
+                covered[d2].update(range(i2, i2 + L))
+    spans = set()
+    for d, cov in covered.items():
+        for p in sorted(cov):
+            if p - 1 not in cov:
+                q = p
+                while q + 1 in cov:
+                    q += 1
+                spans.add((d, p, q + 1, q + 1 - p))
+    return spans
+
+
+def _spark_spans(spark, docs: dict, n: int) -> set:
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    out = dd.duplicated_substring_spans_exact(df, n=n).collect()
+    return {(r.id, r.start_tok, r.end_tok, r.n_tokens) for r in out}
+
+
+def test_planted_exact_boundaries(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = {
+        1: f"one two {shared} three four",
+        2: f"{shared} five six seven",
+        3: "unrelated words only here nothing shared at all",
+    }
+    got = _spark_spans(spark, docs, n=8)
+    assert got == _quad_spans(docs, n=8)
+    # boundary exactness: doc 1's span starts at token 2, ends at 10
+    assert (1, 2, 10, 8) in got and (2, 0, 8, 8) in got
+
+
+def test_nearby_islands_merge_into_one_coverage_run(spark):
+    # two shared 4-gram blocks separated by < n unshared tokens: the
+    # coverage runs must merge where extents touch, not fragment/overlap
+    a = "p q r s"  # shared block A
+    b = "w x y z"  # shared block B
+    docs = {
+        1: f"{a} one two {b} tail0 tail1",
+        2: f"{a} uno dos {b} cola0 cola1",
+    }
+    n = 4
+    got = _spark_spans(spark, docs, n=n)
+    assert got == _quad_spans(docs, n=n)
+
+
+def test_randomized_equivalence(spark):
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(6):
+        shared = " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 9)))
+        docs = {}
+        for d in range(4):
+            toks = [rng.choice(vocab) for _ in range(rng.randrange(6, 18))]
+            if rng.random() < 0.7:
+                at = rng.randrange(0, len(toks))
+                toks[at:at] = shared.split()
+            docs[d] = " ".join(toks)
+        n = rng.choice([3, 4])
+        assert _spark_spans(spark, docs, n=n) == _quad_spans(docs, n=n), (
+            trial, docs, n,
+        )
