@@ -259,6 +259,30 @@ def minhash_band_table(
     return band_rows
 
 
+def save_minhash_band_index(
+    band_rows: DataFrame,
+    table_name: str = "minhash_band_index",
+    buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Persist a minhash_band_table as a REAL bucketed+sorted warehouse
+    table — the stored LSH index of the corpus. Bucketed by the probe
+    keys (band, bh), so every later incremental_minhash_pairs against it
+    reads the corpus side WITHOUT a shuffle (only the small new batch is
+    exchanged to the bucket layout) — pinned by
+    tests/test_plan_audits.py::test_incremental_lsh_corpus_side_is_shuffle_free.
+    At 100 TB this is the difference between re-shuffling the corpus
+    index per ingestion batch and never touching it."""
+    writer = (
+        band_rows.write.mode("overwrite")
+        .bucketBy(buckets, "band", "bh")
+        .sortBy("band", "bh")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def _est_jaccard(num_hashes: int):
     return F.round(
         F.size(

@@ -112,6 +112,50 @@ def test_ivf_no_driver_side_jobs(spark, queries):
     assert after == before  # constructing the plan launched zero jobs
 
 
+def test_incremental_lsh_corpus_side_is_shuffle_free(spark, tmp_path):
+    """The stored LSH index (save_minhash_band_index: bucketBy(band, bh)
+    + sortBy) must let incremental_minhash_pairs read the CORPUS side
+    with zero Exchange — only the small new batch is shuffled into the
+    bucket layout. The r03 audit proved generic bucketed co-location;
+    this pins the actual ingestion-path operator against the actual
+    stored index."""
+    from pyspark.sql import functions as F
+
+    from doc_redaction_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta tok{i % 7} epsilon zeta") for i in range(200)],
+        "doc_id long, text string",
+    )
+    corpus_bands = dd.minhash_band_table(docs, num_hashes=16, bands=4)
+    spark.sql("DROP TABLE IF EXISTS mh_band_idx")
+    dd.save_minhash_band_index(
+        corpus_bands, "mh_band_idx", buckets=8, path=str(tmp_path / "mh_idx")
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"tok{i} alpha beta gamma delta tok{i % 7} epsilon zeta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pairs = dd.incremental_minhash_pairs(
+            new, base_bands=spark.table("mh_band_idx"),
+            num_hashes=16, bands=4, threshold=0.3,
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # the corpus scan reads bucketed
+        assert "Bucketed: true" in plan, plan
+        # exactly ONE exchange into the (band, bh) layout — the new batch;
+        # the corpus side must contribute none
+        assert plan.count("Exchange hashpartitioning(band") == 1, plan
+        assert pairs.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS mh_band_idx")
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Bucketing = the co-located-join story at 100 TB: two tables
     bucketed+sorted on the join key must SortMergeJoin with ZERO Exchange
