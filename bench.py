@@ -119,6 +119,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "subdocument_dup",
         "entity_breadth",
         "embedding_ivf",
+        "dedup_substring_exact",
+        "ner_gazetteer",
+        "xfdf_ingest",
     ]
     qs = entrymod.queries()
     out = {}

@@ -340,6 +340,16 @@ BUILTIN_RECOGNIZERS: dict[str, RegexRecognizer] = {
     ]
 }
 
+# reference-name aliases (tools/config.py:2105-2108 FULL_ENTITY_LIST uses
+# Presidio's UK_NHS label for the NHS-number recognizer) — a user's config
+# written against the reference resolves unchanged
+ENTITY_ALIASES = {"UK_NHS": "NHS_NUMBER"}
+
+
+def resolve_recognizer(name: str) -> RegexRecognizer | None:
+    return BUILTIN_RECOGNIZERS.get(ENTITY_ALIASES.get(name, name))
+
+
 FULL_ENTITY_LIST = list(BUILTIN_RECOGNIZERS) + ["CUSTOM", "CUSTOM_FUZZY"]
 
 

@@ -33,10 +33,10 @@ from pyspark.sql.types import (
 from doc_redaction_spark.config import PipelineConfig
 from doc_redaction_spark.functions.aho import aho_for
 from doc_redaction_spark.functions.recognizers import (
-    BUILTIN_RECOGNIZERS,
     FuzzyRecognizer,
     _is_regex_pattern,
     deny_list_recognizer,
+    resolve_recognizer,
     street_candidates,
     street_quick_reject,
 )
@@ -67,7 +67,7 @@ def _registry(cfg: PipelineConfig):
     if reg is None:
         compiled = []
         for name in cfg.entities:
-            rec = BUILTIN_RECOGNIZERS.get(name)
+            rec = resolve_recognizer(name)
             if rec is not None:
                 compiled.append(
                     (rec.entity_type, rec.compiled(), rec.score, rec.group,

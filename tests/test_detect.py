@@ -266,6 +266,38 @@ def test_entity_breadth2_validators_and_templates():
             assert fn(t) == bool(v), t
 
 
+def test_reference_full_entity_list_parity():
+    """Every name in the reference's FULL_ENTITY_LIST
+    (/root/reference/tools/config.py:2105-2108) must resolve to a leg of
+    this engine: a builtin regex/checksum recognizer (UK_NHS via alias),
+    the gazetteer NER labels, or the deny/fuzzy machinery."""
+    from doc_redaction_spark.config import PipelineConfig
+    from doc_redaction_spark.functions.gazetteer import gazetteer_recognizers
+    from doc_redaction_spark.functions.recognizers import resolve_recognizer
+    from doc_redaction_spark.operators.detect import detect_spans_py
+
+    reference_list = [
+        "TITLES", "PERSON", "PHONE_NUMBER", "EMAIL_ADDRESS", "STREETNAME",
+        "UKPOSTCODE", "CREDIT_CARD", "CRYPTO", "DATE_TIME", "IBAN_CODE",
+        "IP_ADDRESS", "NRP", "LOCATION", "MEDICAL_LICENSE", "URL",
+        "UK_NHS", "CUSTOM", "CUSTOM_FUZZY",
+    ]
+    gaz_labels = {etype for etype, _ in gazetteer_recognizers()}
+    deny_machinery = {"CUSTOM", "CUSTOM_FUZZY"}
+    for name in reference_list:
+        covered = (
+            resolve_recognizer(name) is not None
+            or name in gaz_labels
+            or name in deny_machinery
+        )
+        assert covered, f"reference entity {name} has no leg"
+    # the alias actually routes: a reference-named config detects NHS
+    spans = detect_spans_py(
+        "ref 943 476 5919 ok", PipelineConfig(entities=("UK_NHS",))
+    )
+    assert [(e, s, x) for e, s, x, _ in spans] == [("NHS_NUMBER", 4, 16)]
+
+
 def test_entity_breadth3_dea_validator_and_templates():
     """MEDICAL_LICENSE (US DEA): check-digit algorithm against hand-
     computed cases, pattern-level registrant-letter gate, and every
