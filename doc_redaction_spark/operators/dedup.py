@@ -264,6 +264,7 @@ def save_minhash_band_index(
     table_name: str = "minhash_band_index",
     buckets: int = 64,
     path: str | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Persist a minhash_band_table as a REAL bucketed+sorted warehouse
     table — the stored LSH index of the corpus. Bucketed by the probe
@@ -272,9 +273,12 @@ def save_minhash_band_index(
     exchanged to the bucket layout) — pinned by
     tests/test_plan_audits.py::test_incremental_lsh_corpus_side_is_shuffle_free.
     At 100 TB this is the difference between re-shuffling the corpus
-    index per ingestion batch and never touching it."""
+    index per ingestion batch and never touching it. ``mode="append"``
+    adds a new ingestion batch's band rows with the same bucket spec
+    (saveAsTable append, NOT insertInto — insertInto ignores the bucket
+    metadata for DataSource tables)."""
     writer = (
-        band_rows.write.mode("overwrite")
+        band_rows.write.mode(mode)
         .bucketBy(buckets, "band", "bh")
         .sortBy("band", "bh")
     )
@@ -330,7 +334,7 @@ def minhash_lsh_pairs(
 
 
 def incremental_minhash_pairs(
-    new: DataFrame,
+    new: DataFrame | None = None,
     base: DataFrame | None = None,
     base_bands: DataFrame | None = None,
     text_col: str = "text",
@@ -339,6 +343,7 @@ def incremental_minhash_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingestion dedup: (new_id, base_id, est_jaccard) pairs
     of a NEW batch against an EXISTING corpus — the 100 TB shape, where
@@ -346,12 +351,17 @@ def incremental_minhash_pairs(
     not an option. Pass ``base_bands`` = a stored minhash_band_table to
     skip corpus signature compute entirely; the join cost is then
     |new_bands| probing the (bucketable) corpus index. ``base`` is only
-    shingled when no stored index is supplied."""
+    shingled when no stored index is supplied; pass ``new_bands`` when
+    the caller already built the batch's band table (streaming ingest
+    reuses it for the index append)."""
     if base_bands is None:
         if base is None:
             raise ValueError("need base or base_bands")
         base_bands = minhash_band_table(base, text_col, id_col, n, num_hashes, bands)
-    new_bands = minhash_band_table(new, text_col, id_col, n, num_hashes, bands)
+    if new_bands is None:
+        if new is None:
+            raise ValueError("need new or new_bands")
+        new_bands = minhash_band_table(new, text_col, id_col, n, num_hashes, bands)
     cand = (
         new_bands.alias("a")
         .join(

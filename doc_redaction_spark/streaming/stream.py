@@ -113,6 +113,97 @@ def run_stream_once(
     q.awaitTermination()
 
 
+def run_streaming_incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_table: str = "minhash_band_index",
+    index_path: str | None = None,
+    schema: str = "doc_id long, text string",
+    num_hashes: int = 16,
+    bands: int = 4,
+    buckets: int = 8,
+    threshold: float = 0.5,
+) -> None:
+    """Streaming ingestion dedup — the 100 TB shape end to end: each
+    micro-batch of documents probes the STORED bucketed LSH index
+    (save_minhash_band_index) for near-dups against everything ingested
+    before it, writes the (new_id, base_id, est_jaccard) pairs, and
+    appends only its NOVEL documents' band rows to the index (keep-first:
+    a doc that matched the corpus never enters the index). Corpus band
+    rows are written once at their own ingestion and never recomputed;
+    the probe join reads the corpus side shuffle-free (bucketed layout,
+    plan audit in tests/test_plan_audits.py).
+
+    foreachBatch (not a pure streaming join) because the index is both
+    read and appended per batch — exactly the reference-free extension
+    point SURVEY §2.10 names. Batch≡stream pinned by
+    tests/test_streaming.py::test_streaming_incremental_dedup_matches_batch.
+    """
+    from doc_redaction_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_table,
+        save_minhash_band_index,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch, auto-cleaned materialization: the band table feeds
+        # BOTH the probe join and the index append (no operator persist)
+        new_bands = minhash_band_table(
+            batch_df, num_hashes=num_hashes, bands=bands
+        ).localCheckpoint()
+        have_index = spark.catalog.tableExists(index_table)
+        if have_index:
+            # appends ran through the micro-batch session clone; the
+            # outer session's relation cache still holds the previous
+            # batch's file listing — refresh or the probe reads stale
+            spark.catalog.refreshTable(index_table)
+            pairs = incremental_minhash_pairs(
+                new_bands=new_bands,
+                base_bands=spark.table(index_table),
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+            )
+        else:
+            pairs = spark.createDataFrame(
+                [], "new_id long, base_id long, est_jaccard double"
+            )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(f"{out_dir}/pairs")
+        )
+        # re-read what was just written — the idempotent sink is the
+        # materialization, no second pairs compute
+        dup_ids = (
+            spark.read.parquet(f"{out_dir}/pairs")
+            .filter(F.col("batch_id") == batch_id)
+            .select(F.col("new_id").alias("id"))
+            .distinct()
+        )
+        novel = new_bands.join(dup_ids, "id", "left_anti")
+        save_minhash_band_index(
+            novel, index_table, buckets=buckets,
+            path=None if have_index else index_path,
+            mode="append" if have_index else "overwrite",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_entity_counts(
     stream: DataFrame,
     cfg: PipelineConfig | None = None,

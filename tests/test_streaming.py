@@ -137,3 +137,68 @@ def test_windowed_entity_counts_stream_equals_batch(spark, tmp_path):
         (str(r.window.start), r.entity_type): r.n_spans for r in batch.collect()
     }
     assert got == want and len(want) == 8  # 4 windows × 2 entity types
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """Streaming ingestion dedup: micro-batches probe the stored bucketed
+    LSH index, emit cross-batch near-dup pairs, and append only novel
+    docs' band rows — pairs must equal running incremental_minhash_pairs
+    sequentially batch-by-batch (stream ≡ batch), and a doc that matched
+    the corpus must never enter the index (keep-first)."""
+    from doc_redaction_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_table,
+    )
+    from doc_redaction_spark.streaming.stream import (
+        run_streaming_incremental_dedup,
+    )
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batches = [
+        [(1, base_text), (2, "totally different words here on every axis")],
+        [(3, base_text + " tail"), (4, "novel second batch content entirely")],
+        [(5, base_text + " tail"), (6, "yet more unrelated material found")],
+    ]
+    inp = str(tmp_path / "docs_in")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+    out = str(tmp_path / "dd_out")
+    spark.sql("DROP TABLE IF EXISTS mh_stream_idx")
+    run_streaming_incremental_dedup(
+        spark, inp, out, str(tmp_path / "dd_ckpt"),
+        index_table="mh_stream_idx", index_path=str(tmp_path / "mh_stream_idx"),
+        threshold=0.5,
+    )
+    try:
+        pairs = spark.read.parquet(f"{out}/pairs")
+        got = {(r.new_id, r.base_id) for r in pairs.collect()}
+        # batch reference: fold the same batches through the operator
+        expect = set()
+        index = None
+        for rows in batches:
+            bdf = spark.createDataFrame(rows, "doc_id long, text string")
+            bands = minhash_band_table(bdf, num_hashes=16, bands=4)
+            if index is not None:
+                p = incremental_minhash_pairs(
+                    new_bands=bands, base_bands=index,
+                    num_hashes=16, bands=4, threshold=0.5,
+                )
+                hits = {(r.new_id, r.base_id) for r in p.collect()}
+                expect |= hits
+                dup = {n for n, _ in hits}
+                bands = bands.filter(~F.col("id").isin(list(dup) or [-1]))
+                index = index.unionByName(bands)
+            else:
+                index = bands
+        # FileStreamSource orders micro-batches by file mtime == the
+        # sequential append order above, so the directed relation matches
+        assert got == expect != set()
+        # keep-first: duplicate docs never entered the index
+        idx_ids = {r.id for r in spark.table("mh_stream_idx").select("id").distinct().collect()}
+        dup_ids = {n for n, _ in got}
+        assert idx_ids.isdisjoint(dup_ids)
+        assert 1 in idx_ids and 2 in idx_ids
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_stream_idx")
