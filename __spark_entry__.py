@@ -2090,7 +2090,11 @@ _QA_MUST_REDACT = [
     r"SW1A 1AA",
     r"\b221b Baker Street\b",
     r"\+44 20 7946 0958",
-    r"\b7946\b",
+    # NOT \b7946\b: '/page?id=7946 ' would hit it uncovered once doc_ids
+    # reach 7946 (scale-lucky oracle class). '0958' is safe at any SF —
+    # ids never print with a leading zero, so the only \b-bounded
+    # occurrence is inside the planted phone span.
+    r"\b0958\b",
 ]
 _QA_MUST_NOT = [
     r"\bwindow\b",

@@ -85,6 +85,15 @@ class AhoCorasick:
         folded = text.lower().translate(_QUOTE_FOLD)
         node = 0
         raw: list[tuple] = []
+        # exact_case mode pins equivalence against PYTHON regex \b
+        # (Unicode: str.isalnum() + underscore — 'Emmaé' has no boundary
+        # after 'a'); the deny-list mode keeps the ASCII guard matching
+        # its RE2/DuckDB rendering where \b is ASCII
+        if self._exact_case:
+            def wordish(c):
+                return c.isalnum() or c == "_"
+        else:
+            wordish = _WORD_CHARS.__contains__
         for i, ch in enumerate(folded):
             while node and ch not in self._goto[node]:
                 node = self._fail[node]
@@ -92,9 +101,9 @@ class AhoCorasick:
             for length in self._out[node]:
                 s, e = i - length + 1, i + 1
                 # word guards on the ORIGINAL text offsets
-                if s > 0 and text[s - 1] in _WORD_CHARS:
+                if s > 0 and wordish(text[s - 1]):
                     continue
-                if e < len(text) and text[e] in _WORD_CHARS:
+                if e < len(text) and wordish(text[e]):
                     continue
                 if self._exact_case and text[s:e] not in self._originals:
                     continue
@@ -106,16 +115,22 @@ class AhoCorasick:
         wins on overlap, scan continues after each accepted match —
         mirroring the leftmost-longest-alternation + finditer semantics of
         the reference's compiled deny regex."""
-        raw = self.find_spans_raw(text)
-        # longest-first at same start, then leftmost non-overlapping scan
-        raw.sort(key=lambda p: (p[0], -(p[1] - p[0])))
-        out: list[tuple] = []
-        last_end = -1
-        for s, e in raw:
-            if s >= last_end:
-                out.append((s, e))
-                last_end = e
-        return out
+        return resolve_leftmost_longest(self.find_spans_raw(text))
+
+
+def resolve_leftmost_longest(raw: list) -> list:
+    """Leftmost, longest-at-same-start, non-overlapping span resolution —
+    the finditer convention shared by the deny-list automaton and the
+    gazetteer PERSON engine (single definition so the tie-break can never
+    de-synchronize between them)."""
+    raw.sort(key=lambda p: (p[0], -(p[1] - p[0])))
+    out: list[tuple] = []
+    last_end = -1
+    for s, e in raw:
+        if s >= last_end:
+            out.append((s, e))
+            last_end = e
+    return out
 
 
 _AHO_CACHE: dict = {}

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import re
 
-from doc_redaction_spark.functions.aho import AhoCorasick
+from doc_redaction_spark.functions.aho import AhoCorasick, resolve_leftmost_longest
 
 # Public US-census-style top given names (curated, TitleCase).
 GIVEN_NAMES = (
@@ -123,15 +123,9 @@ class PersonGazetteer:
         for s, e in self._aho.find_spans_raw(text):
             m = _TITLE_EXT.match(text, e)
             raw.append((s, m.end() if m else e))
-        # leftmost, longest-at-same-start, non-overlapping — the regex
-        # finditer convention (aho.py resolution, after extension)
-        raw.sort(key=lambda p: (p[0], -(p[1] - p[0])))
-        out, last_end = [], -1
-        for s, e in raw:
-            if s >= last_end:
-                out.append((s, e))
-                last_end = e
-        return out
+        # leftmost, longest-at-same-start, non-overlapping — the single
+        # shared finditer convention (applied AFTER extension)
+        return resolve_leftmost_longest(raw)
 
 
 _GAZ_CACHE: dict = {}

@@ -116,7 +116,12 @@ def xfdf_to_review_rows(
             for did, xml_str in zip(pdf[id_col], pdf[xml_col]):
                 try:
                     parsed = parse_xfdf(xml_str)
-                except ET.ParseError:
+                except (ET.ParseError, ValueError, IndexError, TypeError):
+                    # not only malformed XML: well-formed payloads with
+                    # malformed attribute values (short/non-numeric rect,
+                    # non-int page) raise Value/IndexError from the field
+                    # conversions — either way this payload yields zero
+                    # rows instead of failing the task 4x
                     continue
                 for r in parsed:
                     r["doc_id"] = int(did)

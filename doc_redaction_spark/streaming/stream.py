@@ -140,17 +140,50 @@ def run_streaming_incremental_dedup(
     read and appended per batch — exactly the reference-free extension
     point SURVEY §2.10 names. Batch≡stream pinned by
     tests/test_streaming.py::test_streaming_incremental_dedup_matches_batch.
-    """
-    from doc_redaction_spark.operators.dedup import (
-        incremental_minhash_pairs,
-        minhash_band_table,
-        save_minhash_band_index,
-    )
 
+    Restart idempotency (foreachBatch re-runs the last uncommitted batch
+    after a failure): the pairs sink is a batch_id partition OVERWRITE
+    (a re-run replaces, never duplicates), self-pairs are excluded in
+    the probe, and the index append is skipped when the batch's ids are
+    already present (the first attempt got as far as the append) —
+    pinned by test_streaming_incremental_dedup_rerun_batch_idempotent.
+    """
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
+    )
+    process = make_incremental_dedup_processor(
+        spark, out_dir, index_table, index_path,
+        num_hashes=num_hashes, bands=bands, buckets=buckets,
+        threshold=threshold,
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def make_incremental_dedup_processor(
+    spark: SparkSession,
+    out_dir: str,
+    index_table: str,
+    index_path: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    buckets: int = 8,
+    threshold: float = 0.5,
+):
+    """The per-micro-batch kernel of run_streaming_incremental_dedup,
+    exposed so the restart-idempotency test can re-run a batch exactly
+    as foreachBatch would after a failure."""
+    from doc_redaction_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_table,
+        save_minhash_band_index,
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -160,14 +193,26 @@ def run_streaming_incremental_dedup(
             batch_df, num_hashes=num_hashes, bands=bands
         ).localCheckpoint()
         have_index = spark.catalog.tableExists(index_table)
+        already = False
         if have_index:
             # appends ran through the micro-batch session clone; the
             # outer session's relation cache still holds the previous
             # batch's file listing — refresh or the probe reads stale
             spark.catalog.refreshTable(index_table)
+            base = spark.table(index_table)
+            batch_ids = new_bands.select("id").distinct()
+            # re-run detection: the first attempt got as far as the
+            # index append before the streaming checkpoint committed
+            already = base.join(batch_ids, "id", "left_semi").limit(1).count() > 0
+            if already:
+                # restart path ONLY: drop the batch's own rows from the
+                # probe side so the re-run emits exactly the first
+                # attempt's pairs (the anti join costs a shuffle, paid
+                # once per failure, never on the hot path)
+                base = base.join(batch_ids, "id", "left_anti")
             pairs = incremental_minhash_pairs(
                 new_bands=new_bands,
-                base_bands=spark.table(index_table),
+                base_bands=base,
                 num_hashes=num_hashes,
                 bands=bands,
                 threshold=threshold,
@@ -176,18 +221,23 @@ def run_streaming_incremental_dedup(
             pairs = spark.createDataFrame(
                 [], "new_id long, base_id long, est_jaccard double"
             )
+        # batch_id-keyed partition overwrite: a restarted batch REPLACES
+        # its partition instead of appending duplicates; later reads of
+        # this batch's rows touch only its partition directory (no
+        # accumulated-history listing)
         (
-            pairs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(f"{out_dir}/pairs")
+            pairs.write.mode("overwrite")
+            .parquet(f"{out_dir}/pairs/batch_id={batch_id}")
         )
-        # re-read what was just written — the idempotent sink is the
-        # materialization, no second pairs compute
         dup_ids = (
-            spark.read.parquet(f"{out_dir}/pairs")
-            .filter(F.col("batch_id") == batch_id)
+            spark.read.parquet(f"{out_dir}/pairs/batch_id={batch_id}")
             .select(F.col("new_id").alias("id"))
             .distinct()
         )
+        if already:
+            # the first attempt already appended this batch's band rows;
+            # appending again would duplicate them
+            return
         novel = new_bands.join(dup_ids, "id", "left_anti")
         save_minhash_band_index(
             novel, index_table, buckets=buckets,
@@ -195,13 +245,7 @@ def run_streaming_incremental_dedup(
             mode="append" if have_index else "overwrite",
         )
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    return process
 
 
 def windowed_entity_counts(

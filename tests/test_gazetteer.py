@@ -86,6 +86,22 @@ def test_randomized_equivalence_all_three():
             )
 
 
+def test_unicode_word_boundary_parity_with_python_regex():
+    """Python \\b is Unicode: 'Emmaé' has NO boundary after 'a', so the
+    regex rendering rejects the match — the exact-case Aho guard must
+    agree (ASCII-guard divergence was a review finding)."""
+    p = PersonGazetteer(GIVEN_NAMES)
+    pat = person_gaz_pattern(GIVEN_NAMES)
+    g = TermGazetteer(LOCATIONS)
+    tpat = term_gaz_pattern(LOCATIONS)
+    for text in (
+        "met Emmaé today", "met Emma today", "mét Emma", "Emmaé",
+        "in Parisé now", "in Paris now", "Alice Johnsoné spoke",
+    ):
+        assert p.find_spans(text) == _regex_spans(pat, text), text
+        assert g.find_spans(text) == _regex_spans(tpat, text), text
+
+
 def test_detect_integration_gazetteer_engine():
     from doc_redaction_spark.config import PipelineConfig
     from doc_redaction_spark.operators.detect import detect_spans_py

@@ -202,3 +202,54 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
         assert 1 in idx_ids and 2 in idx_ids
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_stream_idx")
+
+
+def test_streaming_incremental_dedup_rerun_batch_idempotent(spark, tmp_path):
+    """foreachBatch re-runs the last batch after a failure: the re-run
+    must replace (not duplicate) its pairs partition, emit exactly the
+    first attempt's pairs even though the index now holds its own band
+    rows, and skip the index append (no duplicate band rows)."""
+    from doc_redaction_spark.streaming.stream import (
+        make_incremental_dedup_processor,
+    )
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    out = str(tmp_path / "rr_out")
+    spark.sql("DROP TABLE IF EXISTS mh_rr_idx")
+    proc = make_incremental_dedup_processor(
+        spark, out, "mh_rr_idx", index_path=str(tmp_path / "mh_rr_idx"),
+        threshold=0.5,
+    )
+    b0 = spark.createDataFrame(
+        [(1, base_text), (2, "other unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, base_text), (4, "more novel second material")],
+        "doc_id long, text string",
+    )
+    try:
+        proc(b0, 0)
+        proc(b1, 1)
+        first = sorted(
+            (r.new_id, r.base_id)
+            for r in spark.read.parquet(f"{out}/pairs").collect()
+        )
+        idx_first = sorted(
+            (r.id, r.band) for r in spark.table("mh_rr_idx").collect()
+        )
+        assert (3, 1) in first
+        # simulated failure-replay of batch 1
+        proc(b1, 1)
+        again = sorted(
+            (r.new_id, r.base_id)
+            for r in spark.read.parquet(f"{out}/pairs").collect()
+        )
+        spark.catalog.refreshTable("mh_rr_idx")
+        idx_again = sorted(
+            (r.id, r.band) for r in spark.table("mh_rr_idx").collect()
+        )
+        assert again == first  # no duplicates, no self/intra-batch pairs
+        assert idx_again == idx_first  # append skipped on replay
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_rr_idx")
