@@ -770,6 +770,79 @@ def consecutive_islands(
     ).select("start1", "end1", "start2", "end2", "match_length")
 
 
+def duplicate_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step a
+    real dedup pipeline runs between pair detection and keep-one removal
+    (pairwise keep-first under-deletes: A~B and B~C with no A~C edge
+    must still collapse to ONE representative for {A,B,C}).
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round a node takes the min label among itself and its
+    neighbors; converges in O(component diameter) rounds (near-dup
+    clusters are shallow — a handful of rounds in practice, bounded by
+    ``max_iters``). Each round is one distributed join + groupBy;
+    per-round ``localCheckpoint`` truncates the lineage so the plan does
+    not grow exponentially (auto-cleaned, not a persist leak — the
+    blocks die with the loop variables). The driver-side loop carries
+    only a 1-row convergence check per round — no data is collected.
+
+    Output: (id, rep) for every node of the pair graph, rep = min id of
+    its component (so ``rep`` is the kept document under keep-first and
+    ``id != rep`` rows are the removal set).
+    """
+    edges = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("rep", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("rep").alias("nrep")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nrep").alias("mrep"))
+            .select(F.col("a").alias("id"), "mrep")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("rep"), F.coalesce(F.col("mrep"), F.col("rep"))).alias(
+                    "rep"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("rep").alias("old")), "id"
+            )
+            .filter(F.col("rep") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def remove_duplicate_rows(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", dup_id_col: str = "id2"
 ) -> DataFrame:

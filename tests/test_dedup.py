@@ -312,3 +312,19 @@ def test_duplicated_ngram_spans_exact_ranges(spark):
     # doc2: shared run at tokens 0..10 → range [0, 11)
     assert got[2] == (0, 11, 11)
     assert 3 not in got and 4 not in got
+
+
+def test_duplicate_components_chain_merges(spark):
+    """A~B and B~C with no direct A~C edge must land in ONE component
+    (pairwise keep-first under-deletes without this step); disjoint
+    pairs stay separate; rep is the component min."""
+    from doc_redaction_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 30), (9, 40)], "id1 long, id2 long"
+    )
+    got = {(r.id, r.rep) for r in duplicate_components(pairs).collect()}
+    assert got == {
+        (1, 1), (5, 1), (9, 1), (40, 1),  # chain 1-5-9-40 collapses
+        (20, 20), (30, 20),
+    }
