@@ -3469,6 +3469,69 @@ def o_url_extraction():
     """
 
 
+# per-row URL variant decorations (case, www, default ports, tracking
+# params, fragments, scheme-less) — each canonicalizes to a known form;
+# the Spark side applies canonical_url_col, the oracle applies the
+# DuckDB rendering of the SAME spec to the SAME construction
+_URL_VARIANTS = [
+    ("https://Example.COM/Page?id=", ""),
+    ("https://www.example.com:443/Page?id=", ""),
+    ("https://example.com/Page?utm_source=x&id=", ""),
+    ("https://example.com/Page?id=", "&utm_campaign=y#frag"),
+    ("http://EXAMPLE.com:80/other?id=", ""),
+    ("www.Example.com/Page?gclid=1&id=", ""),
+    ("https://example.com/Page?fbclid=abc&id=", ""),
+    ("https://sub.example.com/?utm_medium=z&id=", ""),
+]
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (functions/urls.py — the dedup key a
+    web-corpus pipeline groups on): per-row canonical form of
+    variant-decorated URLs (host case, www., default ports, utm_*/
+    gclid/fbclid tracking params, fragments, scheme-less forms), plus
+    the canonical-key group count — the 'how many raw URLs collapse'
+    rollup."""
+    from doc_redaction_spark.functions.urls import canonical_url_col
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    pre = F.element_at(
+        F.array(*[F.lit(p) for p, _ in _URL_VARIANTS]), (k % 8).cast("int") + 1
+    )
+    suf = F.element_at(
+        F.array(*[F.lit(s) for _, s in _URL_VARIANTS]), (k % 8).cast("int") + 1
+    )
+    t = cust.select(
+        k.alias("row_key"),
+        F.concat(pre, (k % 1000).cast("string"), suf).alias("url"),
+    )
+    canon = t.select("row_key", "url", canonical_url_col("url").alias("canon_url"))
+    counts = canon.groupBy("canon_url").agg(F.count("*").alias("n_raw"))
+    return canon.join(counts, "canon_url").select(
+        "row_key", "url", "canon_url", "n_raw"
+    )
+
+
+def o_url_canonicalize():
+    from doc_redaction_spark.functions.urls import duckdb_canonical_url
+
+    pres = ", ".join(f"'{p}'" for p, _ in _URL_VARIANTS)
+    sufs = ", ".join(f"'{s}'" for _, s in _URL_VARIANTS)
+    return f"""
+    WITH t AS (
+      SELECT c_custkey AS row_key,
+             ([{pres}])[CAST(c_custkey % 8 AS INTEGER) + 1]
+               || CAST(c_custkey % 1000 AS VARCHAR)
+               || ([{sufs}])[CAST(c_custkey % 8 AS INTEGER) + 1] AS url
+      FROM customer),
+    canon AS (SELECT row_key, url, {duckdb_canonical_url('url')} AS canon_url FROM t),
+    counts AS (SELECT canon_url, CAST(count(*) AS BIGINT) AS n_raw
+               FROM canon GROUP BY canon_url)
+    SELECT row_key, url, canon_url, n_raw FROM canon JOIN counts USING (canon_url)
+    """
+
+
 def q_coord_normalize(spark, sf_dir):
     """Abs→rel coordinate normalization with broadcast page-size join
     (reference divide_coordinates_by_page_sizes_pl)."""
@@ -4034,6 +4097,7 @@ def o_redact_pseudonym_email():
 # dialect trap — both round-1 and round-2 red rows lived there); the 19
 # queries green in BOTH r01 and r02 driver runs sit past the sample cap.
 _QUERIES: dict[str, Callable] = {
+    "url_canonicalize": q_url_canonicalize,
     "dedup_components": q_dedup_components,
     "dedup_substring_exact": q_dedup_substring_exact,
     "xfdf_ingest": q_xfdf_ingest,
@@ -4088,8 +4152,8 @@ _QUERIES: dict[str, Callable] = {
     "pdf_rawdict_chars": q_pdf_rawdict_chars,
     "coverage_qa": q_coverage_qa,
     "review_prune": q_review_prune,
-    "multimodal_decode": q_multimodal_decode,
     # --- driver sample prefix ends here (50 entries) ---
+    "multimodal_decode": q_multimodal_decode,
     "per_image_pick": q_per_image_pick,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4130,6 +4194,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "url_canonicalize": o_url_canonicalize,
     "dedup_components": o_dedup_components,
     "dedup_substring_exact": o_dedup_substring_exact,
     "xfdf_ingest": o_xfdf_ingest,

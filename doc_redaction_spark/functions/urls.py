@@ -1,0 +1,112 @@
+"""URL canonicalization — the dedup key a web-corpus pipeline groups on.
+
+One canonical-form policy rendered to Spark (Column expressions, JVM-
+side), DuckDB (oracle SQL) and Python (unit-test reference), in the
+repo's one-spec-three-dialects convention:
+
+1. drop the fragment (``#…``);
+2. lowercase the scheme and the authority (path/query case preserved);
+3. strip a leading ``www.`` and an explicit default port ``:80``/``:443``
+   from the authority;
+4. drop tracking query parameters (``utm_*``, ``gclid``, ``fbclid``),
+   keeping the remaining parameters in their original order; an
+   all-tracking query string drops its ``?`` entirely.
+
+Scheme-less ``www.host/...`` forms (the second alternative of
+URL_SPAN_PATTERN) canonicalize the same way minus the scheme prefix.
+
+Every regex used is anchored (``^``/``$``) so it matches at most once —
+Spark's replace-ALL and DuckDB's replace-FIRST semantics coincide.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_PATTERN = r"^(utm_[A-Za-z0-9_]+|gclid|fbclid)="
+_SCHEME_PREFIX = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+_DEFAULT_PORT = r":(80|443)$"
+
+
+def canonical_url_col(col) -> Column:
+    u = F.regexp_replace(col if isinstance(col, Column) else F.col(col), "#.*", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, _SCHEME_PREFIX, "")
+    auth_raw = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    auth = F.regexp_replace(
+        F.regexp_replace(F.lower(auth_raw), r"^www\.", ""), _DEFAULT_PORT, ""
+    )
+    # rest minus its authority prefix
+    pathq = F.substring(rest, F.length(auth_raw) + F.lit(1), F.length(rest))
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.when(
+        F.length(pathq) > F.length(path),
+        F.substring(pathq, F.length(path) + F.lit(2), F.length(pathq)),
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike("(?i)" + TRACKING_PARAM_PATTERN),
+    )
+    joined = F.array_join(kept, "&")
+    out = F.concat(
+        F.when(scheme != "", F.concat(scheme, F.lit("://"))).otherwise(F.lit("")),
+        auth,
+        path,
+        F.when(joined != "", F.concat(F.lit("?"), joined)).otherwise(F.lit("")),
+    )
+    return out
+
+
+def duckdb_canonical_url(expr: str) -> str:
+    u = f"regexp_replace({expr}, '#.*', '')"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    rest = f"regexp_replace({u}, '{_SCHEME_PREFIX}', '')"
+    auth_raw = f"regexp_extract({rest}, '^([^/?]*)', 1)"
+    auth = (
+        f"regexp_replace(regexp_replace(lower({auth_raw}), '^www\\.', ''),"
+        f" '{_DEFAULT_PORT}', '')"
+    )
+    pathq = f"substr({rest}, length({auth_raw}) + 1)"
+    path = f"regexp_extract({pathq}, '^([^?]*)', 1)"
+    query = (
+        f"CASE WHEN length({pathq}) > length({path})"
+        f" THEN substr({pathq}, length({path}) + 2) ELSE '' END"
+    )
+    joined = (
+        f"array_to_string(list_filter(string_split({query}, '&'),"
+        f" p -> p <> '' AND NOT regexp_matches(p, '(?i){TRACKING_PARAM_PATTERN}')), '&')"
+    )
+    return (
+        f"(CASE WHEN {scheme} <> '' THEN {scheme} || '://' ELSE '' END)"
+        f" || {auth} || {path}"
+        f" || (CASE WHEN {joined} <> '' THEN '?' || {joined} ELSE '' END)"
+    )
+
+
+_TRACK_RE = re.compile("(?i)" + TRACKING_PARAM_PATTERN)
+_SCHEME_RE = re.compile(_SCHEME_PREFIX)
+
+
+def canonical_url_py(u: str) -> str:
+    u = u.split("#", 1)[0]
+    m = _SCHEME_RE.match(u)
+    scheme = u[: m.end() - 3].lower() if m else ""
+    rest = u[m.end() :] if m else u
+    cut = len(rest)
+    for ch in "/?":
+        i = rest.find(ch)
+        if i != -1:
+            cut = min(cut, i)
+    auth, pathq = rest[:cut], rest[cut:]
+    auth = auth.lower()
+    if auth.startswith("www."):
+        auth = auth[4:]
+    auth = re.sub(_DEFAULT_PORT, "", auth)
+    if pathq.startswith("?") or "?" in pathq:
+        path, _, query = pathq.partition("?")
+        kept = [p for p in query.split("&") if p and not _TRACK_RE.match(p)]
+        pathq = path + ("?" + "&".join(kept) if kept else "")
+    return (scheme + "://" if scheme else "") + auth + pathq

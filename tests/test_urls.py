@@ -1,0 +1,49 @@
+"""URL canonicalization — one spec, three dialects, pinned 3-way."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from doc_redaction_spark.functions.urls import (
+    canonical_url_col,
+    canonical_url_py,
+    duckdb_canonical_url,
+)
+
+CASES = [
+    ("https://Example.COM/Page?id=7", "https://example.com/Page?id=7"),
+    ("https://www.example.com:443/Page?id=7", "https://example.com/Page?id=7"),
+    ("https://example.com/Page?utm_source=x&id=7", "https://example.com/Page?id=7"),
+    ("https://example.com/Page?id=7&utm_campaign=y#frag", "https://example.com/Page?id=7"),
+    ("http://EXAMPLE.com:80/other", "http://example.com/other"),
+    ("www.Example.com/Page?gclid=1&id=7", "example.com/Page?id=7"),
+    ("https://example.com/Page?fbclid=abc", "https://example.com/Page"),
+    ("https://sub.example.com/?utm_medium=z", "https://sub.example.com/"),
+    ("https://example.com", "https://example.com"),
+    ("https://example.com:8080/x", "https://example.com:8080/x"),  # non-default port kept
+    ("https://example.com/UTM_guide?x=1", "https://example.com/UTM_guide?x=1"),
+    ("HTTPS://a.b/p?utm_x=1&a=2&utm_y=3&b=4", "https://a.b/p?a=2&b=4"),
+]
+
+
+@pytest.mark.parametrize("raw,want", CASES)
+def test_python_reference(raw, want):
+    assert canonical_url_py(raw) == want
+
+
+def test_three_dialects_agree(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got_spark = [
+        r.c for r in df.select(canonical_url_col("url").alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT " + duckdb_canonical_url("'" + u.replace("'", "''") + "'")
+        ).fetchone()[0]
+        for u, _ in CASES
+    ]
+    want = [w for _, w in CASES]
+    assert got_spark == want
+    assert got_duck == want
