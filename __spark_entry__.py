@@ -1131,6 +1131,92 @@ def o_dedup_substring_spans():
     """
 
 
+def q_corpus_curation(spark, sf_dir):
+    """The end-to-end corpus-curation decision a training-data pipeline
+    ships — language gate + quality gate + exact dedup (fingerprint
+    keep-first) + near-dup components (MinHash → connected components,
+    keep the component min) composed into one keep/drop verdict per
+    document over the planted-duplicate corpus. Every leg reuses the
+    individually-oracled operators; the oracle recomputes the full
+    composition (incl. the recursive-CTE component closure) in SQL."""
+    from doc_redaction_spark.functions.textstats import (
+        fingerprint_col,
+        lang_id_col,
+        quality_score_cols,
+    )
+
+    docs = documents_plus(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        lang_id_col("text"),
+        quality_score_cols("text")[4],  # rounded quality_score
+        fingerprint_col("text"),
+    )
+    w = Window.partitionBy("fingerprint")
+    base = base.withColumn("exact_rep", F.min("doc_id").over(w))
+    pairs = dd.minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=0.5
+    )
+    comp = dd.duplicate_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("rep").alias("_rep")
+    )
+    out = base.join(comp, "doc_id", "left").withColumn(
+        "near_rep", F.coalesce(F.col("_rep"), F.col("doc_id"))
+    )
+    keep = (
+        (F.col("lang_pred") == "en")
+        & (F.col("quality_score") >= 0.7)
+        & (F.col("exact_rep") == F.col("doc_id"))
+        & (F.col("near_rep") == F.col("doc_id"))
+    )
+    return out.select(
+        "doc_id", "lang_pred", "quality_score", "exact_rep", "near_rep",
+        keep.alias("keep"),
+    )
+
+
+def o_corpus_curation():
+    toks = duckdb_token_count("text")
+    stop = duckdb_stopword_hits("text")
+    punct = duckdb_punct_count("text")
+    fp = duckdb_fingerprint("text")
+    quality = (
+        f"round((CASE WHEN {toks} BETWEEN 5 AND 100000 THEN 0.4e0 ELSE 0.0e0 END)"
+        f" + (CASE WHEN (CASE WHEN length(coalesce(text,'')) > 0"
+        f"       THEN {punct} / length(coalesce(text,'')) ELSE 0.0 END) <= 0.2"
+        f"       THEN 0.3e0 ELSE 0.0e0 END)"
+        f" + (CASE WHEN (CASE WHEN {toks} > 0 THEN {stop} / {toks} ELSE 0.0 END) >= 0.05"
+        f"       THEN 0.3e0 ELSE 0.0e0 END), 4)"
+    )
+    lang = (
+        f"CASE WHEN (CASE WHEN {toks} > 0 THEN {stop} * 1.0 / {toks} ELSE 0.0 END)"
+        f" >= 0.12 THEN 'en' ELSE 'other' END"
+    )
+    return f"""
+    WITH RECURSIVE docs_plus AS ({documents_plus_sql()}),
+    base AS (SELECT doc_id, {lang} AS lang_pred, {quality} AS quality_score,
+                    {fp} AS fingerprint
+             FROM docs_plus),
+    withrep AS (SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS exact_rep
+                FROM base),
+    pairs AS (SELECT * FROM ({o_dedup_minhash_lsh()})),
+    edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION SELECT id2, id1 FROM pairs),
+    reach AS (
+      SELECT DISTINCT a AS id, a AS r FROM edges
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT id, CAST(min(r) AS BIGINT) AS rep FROM reach GROUP BY id)
+    SELECT w.doc_id, w.lang_pred, w.quality_score, w.exact_rep,
+           coalesce(comp.rep, w.doc_id) AS near_rep,
+           (w.lang_pred = 'en' AND w.quality_score >= 0.7e0
+            AND w.exact_rep = w.doc_id
+            AND coalesce(comp.rep, w.doc_id) = w.doc_id) AS keep
+    FROM withrep w LEFT JOIN comp ON comp.id = w.doc_id
+    """
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected components over the MinHash near-dup pair graph — the
     pipeline step between pair detection and keep-one removal (A~B and
@@ -4097,6 +4183,7 @@ def o_redact_pseudonym_email():
 # dialect trap — both round-1 and round-2 red rows lived there); the 19
 # queries green in BOTH r01 and r02 driver runs sit past the sample cap.
 _QUERIES: dict[str, Callable] = {
+    "corpus_curation": q_corpus_curation,
     "url_canonicalize": q_url_canonicalize,
     "dedup_components": q_dedup_components,
     "dedup_substring_exact": q_dedup_substring_exact,
@@ -4146,13 +4233,13 @@ _QUERIES: dict[str, Callable] = {
     "redact_pseudonym_email": q_redact_pseudonym_email,
     "url_extraction": q_url_extraction,
     "deny_list_aho": q_deny_list_aho,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "pdf_chars_to_words": q_pdf_chars_to_words,
     "pdf_word_punct_split": q_pdf_word_punct_split,
     "pdf_rawdict_chars": q_pdf_rawdict_chars,
     "coverage_qa": q_coverage_qa,
     "review_prune": q_review_prune,
     # --- driver sample prefix ends here (50 entries) ---
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "multimodal_decode": q_multimodal_decode,
     "per_image_pick": q_per_image_pick,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4194,6 +4281,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "corpus_curation": o_corpus_curation,
     "url_canonicalize": o_url_canonicalize,
     "dedup_components": o_dedup_components,
     "dedup_substring_exact": o_dedup_substring_exact,
