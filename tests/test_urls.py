@@ -47,3 +47,60 @@ def test_three_dialects_agree(spark):
     want = [w for _, w in CASES]
     assert got_spark == want
     assert got_duck == want
+
+
+def test_property_three_dialect_agreement(spark):
+    """Hypothesis: for generated URL-shaped strings (schemes, cased
+    hosts, ports, paths, mixed tracking/real params, fragments), the
+    Spark, DuckDB and Python renderings agree exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    label = st.text("abcXYZ09", min_size=1, max_size=5)
+    host = st.builds(
+        lambda a, b, www: ("www." if www else "") + a + "." + b,
+        label, st.sampled_from(["com", "org", "co.uk", "io"]), st.booleans(),
+    )
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+    path = st.sampled_from(["", "/", "/Page", "/a/B.html"])
+    param = st.one_of(
+        st.builds(lambda k, v: f"{k}={v}", st.sampled_from(
+            ["id", "q", "UTM_x", "utm_source", "gclid", "fbclid", "xutm_a"]
+        ), st.text("ab1", max_size=3)),
+        st.just(""),
+    )
+    query = st.lists(param, max_size=4).map(
+        lambda ps: "?" + "&".join(ps) if ps else ""
+    )
+    frag = st.sampled_from(["", "#f", "#a?b=1"])
+    url = st.builds(
+        lambda s, h, po, pa, q, fr: s + h + po + pa + q + fr,
+        st.sampled_from(["https://", "HTTP://", "ftp://", ""]),
+        host, port, path, query, frag,
+    )
+    collected = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(url)
+    def gen(u):
+        collected.append(u)
+
+    gen()
+    urls = sorted(set(collected))
+    got_py = [canonical_url_py(u) for u in urls]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got_spark = [
+        r.c for r in df.select(canonical_url_col("url").alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT " + duckdb_canonical_url("'" + u.replace("'", "''") + "'")
+        ).fetchone()[0]
+        for u in urls
+    ]
+    assert got_spark == got_py, [
+        (u, s, p) for u, s, p in zip(urls, got_spark, got_py) if s != p
+    ][:5]
+    assert got_duck == got_py, [
+        (u, d, p) for u, d, p in zip(urls, got_duck, got_py) if d != p
+    ][:5]
