@@ -187,3 +187,36 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("bj_left", "bj_right"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_url_canonicalize_stays_jvm_side(spark, queries):
+    """Canonicalization must be whole-stage-codegen JVM expressions —
+    no Python stage anywhere (the dedup key is computed on every URL of
+    a 100 TB corpus)."""
+    plan = _plan(queries["url_canonicalize"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_corpus_curation_no_cartesian(spark, queries):
+    """The composed curation verdict joins detection legs by key only —
+    a CartesianProduct or BroadcastNestedLoop anywhere would explode at
+    corpus scale."""
+    plan = _plan(queries["corpus_curation"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_duplicate_components_round_is_one_join_one_agg(spark):
+    """Each label-propagation round must be a plain shuffle join +
+    partial agg over the edge table — no crossJoin, no Python."""
+    from pyspark.sql import functions as F
+
+    from doc_redaction_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "id1 long, id2 long"
+    )
+    out = duplicate_components(pairs, max_iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
