@@ -669,6 +669,43 @@ def o_doc_bpe_tokens():
     """
 
 
+def q_doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (functions/winnow.py — rolling
+    k-gram hash + rightmost-window-min selection, the task brief's
+    'document fingerprinting (rolling hash)'): one row per selected
+    (position, hash) per document; any two docs sharing a substring of
+    >= w+k-1 chars share at least one row's hash. Map-only generator
+    plan — no shuffle, no Python."""
+    from doc_redaction_spark.functions.winnow import winnow_fingerprints_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.explode(winnow_fingerprints_col("text")).alias("fp")
+    ).select(
+        "doc_id",
+        F.col("fp.pos").alias("pos"),
+        F.col("fp.hash").alias("hash"),
+    )
+
+
+def o_doc_winnow_fingerprints():
+    # staged CTEs: each list column materialized once per row — the
+    # scalar-subquery convenience form re-evaluates the codes list per
+    # element access (quadratic; hung at 500 docs)
+    from doc_redaction_spark.functions.winnow import (
+        duckdb_winnow_codes,
+        duckdb_winnow_hashes,
+        duckdb_winnow_select,
+    )
+
+    return f"""
+    WITH cd AS (SELECT doc_id, {duckdb_winnow_codes('text')} AS cdl FROM documents),
+    hs AS (SELECT doc_id, {duckdb_winnow_hashes('cdl')} AS hsl FROM cd),
+    sel AS (SELECT doc_id, unnest({duckdb_winnow_select('hsl')}) AS fp FROM hs)
+    SELECT DISTINCT doc_id, fp['pos'] AS pos, fp['hash'] AS hash FROM sel
+    """
+
+
 def q_doc_quality(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", *quality_score_cols("text"))
@@ -4183,6 +4220,7 @@ def o_redact_pseudonym_email():
 # dialect trap — both round-1 and round-2 red rows lived there); the 19
 # queries green in BOTH r01 and r02 driver runs sit past the sample cap.
 _QUERIES: dict[str, Callable] = {
+    "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "corpus_curation": q_corpus_curation,
     "url_canonicalize": q_url_canonicalize,
     "dedup_components": q_dedup_components,
@@ -4233,12 +4271,12 @@ _QUERIES: dict[str, Callable] = {
     "redact_pseudonym_email": q_redact_pseudonym_email,
     "url_extraction": q_url_extraction,
     "deny_list_aho": q_deny_list_aho,
-    "pdf_chars_to_words": q_pdf_chars_to_words,
     "pdf_word_punct_split": q_pdf_word_punct_split,
     "pdf_rawdict_chars": q_pdf_rawdict_chars,
     "coverage_qa": q_coverage_qa,
     "review_prune": q_review_prune,
     # --- driver sample prefix ends here (50 entries) ---
+    "pdf_chars_to_words": q_pdf_chars_to_words,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "multimodal_decode": q_multimodal_decode,
     "per_image_pick": q_per_image_pick,
@@ -4281,6 +4319,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "doc_winnow_fingerprints": o_doc_winnow_fingerprints,
     "corpus_curation": o_corpus_curation,
     "url_canonicalize": o_url_canonicalize,
     "dedup_components": o_dedup_components,

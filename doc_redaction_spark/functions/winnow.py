@@ -1,0 +1,128 @@
+"""Winnowing document fingerprints — rolling k-gram hashes + window-min
+selection (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
+Document Fingerprinting" — public algorithm; the task brief's 'document
+fingerprinting (rolling hash)' item).
+
+Per document: lowercase char stream → polynomial rolling hash of every
+k-char gram (base B, modulus M, per-term mod so everything stays inside
+a 64-bit long) → for every window of w consecutive hashes select the
+RIGHTMOST minimal hash (the winnowing rule that guarantees any match of
+length ≥ w+k-1 shares a fingerprint) → distinct (pos, hash) pairs.
+
+The Spark side is an Arrow-batched pandas UDF over the shared Python
+kernel — NOT higher-order functions: a nested-HOF rendering was built
+and measured first, and Catalyst's CollapseProject inlines the staged
+codes/hashes arrays back into the consumer lambdas, where interpreted
+HOF evaluation re-computes the whole producer array per element access
+(O(n²·k) per row; 20 documents did not finish in 7 minutes). The DuckDB
+rendering stays pure SQL but MUST be staged through CTE columns for the
+same reason (the scalar-subquery convenience form hangs at table
+scale); the two-pass rightmost-min trick (list_min, then the max index
+attaining it) avoids any sequential reduce.
+"""
+
+from __future__ import annotations
+
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+B = 257
+M = 1_000_003
+
+
+def _pows(k: int) -> list[int]:
+    """B^(k-1), …, B^0 mod M."""
+    return [pow(B, k - 1 - j, M) for j in range(k)]
+
+
+def winnow_fingerprints_col(col, k: int = 8, w: int = 4) -> Column:
+    """array<struct<pos int, hash long>> of winnowed fingerprints via an
+    Arrow-batched pandas UDF over the shared Python kernel (see module
+    docstring for why this is NOT higher-order functions).
+
+    ``pos`` is the 0-based char offset of the selected k-gram."""
+
+    @F.pandas_udf("array<struct<pos int, hash long>>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [{"pos": p, "hash": h} for p, h in winnow_py(t, k, w)]
+                for t in texts
+            ]
+        )
+
+    return _winnow(col if isinstance(col, Column) else F.col(col))
+
+
+def duckdb_winnow_codes(expr: str) -> str:
+    """Stage 1: text → BIGINT codepoint list."""
+    chars = f"list_filter(string_split(lower(coalesce({expr}, '')), ''), c1 -> c1 <> '')"
+    return f"list_transform({chars}, c2 -> CAST(ascii(c2) AS BIGINT))"
+
+
+def duckdb_winnow_hashes(codes_col: str, k: int = 8) -> str:
+    """Stage 2: codepoint-list COLUMN → rolling-hash list. Takes a column
+    name, not an inline expression — inlining the codes expression here
+    re-evaluates it per element access (O(n²·k) per row, measured as a
+    multi-minute hang at 500 docs)."""
+    pows = ", ".join(str(p) for p in _pows(k))
+    return (
+        f"list_transform(generate_series(1, greatest(len({codes_col}) - {k - 1}, 0)),"
+        f" i -> CAST(list_sum(list_transform(generate_series(1, {k}),"
+        f"   j -> {codes_col}[i + j - 1] % {M} * ([{pows}])[j] % {M})) % {M} AS BIGINT))"
+    )
+
+
+def duckdb_winnow_select(hashes_col: str, w: int = 4) -> str:
+    """Stage 3: hash-list COLUMN → list of {pos, hash} selections.
+
+    Does NOT dedup (DuckDB's list_distinct is unimplemented for struct
+    lists) — consumers unnest and SELECT DISTINCT at the row level."""
+    minh = f"list_min(list_slice({hashes_col}, t, t + {w} - 1))"
+    return (
+        f"list_transform(generate_series(1, greatest(len({hashes_col}) - {w - 1}, 0)),"
+        f" t -> {{'pos': CAST(t - 2 + list_max(list_transform("
+        f"          generate_series(1, {w}),"
+        f"          j2 -> CASE WHEN {hashes_col}[t + j2 - 1] = {minh} THEN j2 ELSE 0 END))"
+        f"        AS INTEGER),"
+        f"       'hash': {minh}}})"
+    )
+
+
+def duckdb_winnow_sql(expr: str, k: int = 8, w: int = 4) -> str:
+    """Scalar-subquery convenience form for SMALL literal inputs (unit
+    tests); table-scale oracles must use the staged column builders
+    above inside CTEs."""
+    return f"""(
+      SELECT {duckdb_winnow_select('hs', w)}
+      FROM (SELECT {duckdb_winnow_hashes('cd', k)} AS hs
+            FROM (SELECT {duckdb_winnow_codes(expr)} AS cd))
+    )"""
+
+
+def winnow_py(text: str | None, k: int = 8, w: int = 4) -> list[tuple]:
+    """Python reference (unit-test oracle)."""
+    s = (text or "").lower()
+    pows = _pows(k)
+    n = len(s)
+    hashes = []
+    for i in range(max(n - k + 1, 0)):
+        acc = 0
+        for j in range(k):
+            acc = (acc + ord(s[i + j]) % M * pows[j]) % M
+        hashes.append(acc)
+    out = []
+    for t in range(max(len(hashes) - w + 1, 0)):
+        window = hashes[t : t + w]
+        mn = min(window)
+        # rightmost occurrence of the min
+        pos = t + max(j for j, h in enumerate(window) if h == mn)
+        out.append((pos, mn))
+    seen, dedup = set(), []
+    for p in out:
+        if p not in seen:
+            seen.add(p)
+            dedup.append(p)
+    return dedup

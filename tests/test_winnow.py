@@ -1,0 +1,75 @@
+"""Winnowing fingerprints — 3-dialect agreement + algorithm properties."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from doc_redaction_spark.functions.winnow import (
+    duckdb_winnow_sql,
+    winnow_fingerprints_col,
+    winnow_py,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "THE QUICK brown fox JUMPS over the lazy dog",  # case-folds to the same
+    "short",  # < k → no fingerprints
+    "",  # empty
+    "aaaaaaaaaaaaaaaa",  # degenerate equal hashes → rightmost-min rule
+    "abcdefgh",  # exactly k chars → 1 hash, < w windows → none
+    "abcdefghijk",  # 4 hashes = exactly one window (w=4)
+]
+
+
+def test_python_reference_properties():
+    a = winnow_py(TEXTS[0])
+    b = winnow_py(TEXTS[1])
+    assert a and a == b  # case-insensitive
+    assert winnow_py("short") == [] and winnow_py("") == []
+    assert winnow_py("abcdefgh") == []  # 1 hash < w
+    assert len(winnow_py("abcdefghijk")) == 1
+    # guarantee: two docs sharing a long substring share a fingerprint
+    shared = "a very long shared passage of text here"
+    f1 = {h for _, h in winnow_py("xx " + shared + " yy")}
+    f2 = {h for _, h in winnow_py("zzzz " + shared)}
+    assert f1 & f2
+
+
+def test_three_dialects_agree(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "i int, t string")
+    rows = df.select(
+        "i", winnow_fingerprints_col("t").alias("fp")
+    ).collect()
+    got_spark = {
+        r.i: {(s.pos, s.hash) for s in r.fp} for r in rows
+    }
+    con = duckdb.connect()
+    got_duck = {}
+    for i, t in enumerate(TEXTS):
+        lit = "'" + t.replace("'", "''") + "'"
+        res = con.execute(
+            f"SELECT {duckdb_winnow_sql(lit)} AS fp"
+        ).fetchone()[0]
+        got_duck[i] = {(d["pos"], d["hash"]) for d in (res or [])}
+    want = {i: set(winnow_py(t)) for i, t in enumerate(TEXTS)}
+    assert got_spark == want
+    assert got_duck == want
+
+
+@pytest.mark.parametrize("k,w", [(5, 3), (8, 4)])
+def test_params_three_way(spark, k, w):
+    t = "some sufficiently long example text for parameterised winnowing"
+    want = set(winnow_py(t, k, w))
+    df = spark.createDataFrame([(t,)], "t string")
+    got = {
+        (s.pos, s.hash)
+        for s in df.select(
+            winnow_fingerprints_col("t", k=k, w=w).alias("fp")
+        ).collect()[0].fp
+    }
+    con = duckdb.connect()
+    res = con.execute(
+        f"SELECT {duckdb_winnow_sql(chr(39) + t + chr(39), k=k, w=w)}"
+    ).fetchone()[0]
+    assert got == want == {(d["pos"], d["hash"]) for d in res}
