@@ -669,6 +669,66 @@ def o_doc_bpe_tokens():
     """
 
 
+# one planted sentence per language — argmax ground truth validated in
+# tests/test_clean.py (each sentence scores highest on its own profile)
+_LANG_SAMPLES = [
+    ("en", "the thing about the morning is that everything went according to plan"),
+    ("fr", "les enfants de la ville que nous avons vus pendant le voyage"),
+    ("de", "die kinder und der lehrer haben ein buch in der schule gelesen"),
+    ("es", "los ninos que estaban en el parque con sus padres para comer"),
+]
+
+
+def q_doc_lang_ngram(spark, sf_dir):
+    """Character-trigram language-ID (the task brief's 'language-ID
+    (n-gram heuristic)'; the stopword leg is doc_lang_id): per-language
+    profile scores + argmax prediction over planted en/fr/de/es
+    sentences mixed with a doc_id suffix — all JVM-side regexp_count,
+    one alternation per language."""
+    from doc_redaction_spark.functions.textstats import (
+        lang_ngram_pred_col,
+        lang_ngram_score_cols,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    sample = F.element_at(
+        F.array(*[F.lit(s) for _, s in _LANG_SAMPLES]), (k % 4).cast("int") + 1
+    )
+    t = cust.select(
+        k.alias("row_key"),
+        F.concat(sample, F.lit(" ref "), k.cast("string")).alias("text"),
+    )
+    return t.select(
+        "row_key", *lang_ngram_score_cols("text"), lang_ngram_pred_col("text")
+    )
+
+
+def o_doc_lang_ngram():
+    from doc_redaction_spark.functions.textstats import (
+        LANG_PRIORITY,
+        duckdb_lang_ngram_pred,
+        duckdb_lang_ngram_score,
+    )
+
+    samples = ", ".join(f"'{s}'" for _, s in _LANG_SAMPLES)
+    scores = ",\n           ".join(
+        f"CAST({duckdb_lang_ngram_score('text', lang)} AS INTEGER) AS s_{lang}"
+        for lang in LANG_PRIORITY
+    )
+    return f"""
+    WITH t AS (
+      SELECT c_custkey AS row_key,
+             ([{samples}])[CAST(c_custkey % 4 AS INTEGER) + 1]
+               || ' ref ' || CAST(c_custkey AS VARCHAR) AS text
+      FROM customer)
+    SELECT row_key,
+           {scores},
+           {duckdb_lang_ngram_pred('text')} AS lang_ngram_pred
+    FROM t
+    """
+
+
 def q_doc_winnow_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (functions/winnow.py — rolling
     k-gram hash + rightmost-window-min selection, the task brief's
@@ -4220,6 +4280,7 @@ def o_redact_pseudonym_email():
 # dialect trap — both round-1 and round-2 red rows lived there); the 19
 # queries green in BOTH r01 and r02 driver runs sit past the sample cap.
 _QUERIES: dict[str, Callable] = {
+    "doc_lang_ngram": q_doc_lang_ngram,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "corpus_curation": q_corpus_curation,
     "url_canonicalize": q_url_canonicalize,
@@ -4271,11 +4332,11 @@ _QUERIES: dict[str, Callable] = {
     "redact_pseudonym_email": q_redact_pseudonym_email,
     "url_extraction": q_url_extraction,
     "deny_list_aho": q_deny_list_aho,
-    "pdf_word_punct_split": q_pdf_word_punct_split,
     "pdf_rawdict_chars": q_pdf_rawdict_chars,
     "coverage_qa": q_coverage_qa,
     "review_prune": q_review_prune,
     # --- driver sample prefix ends here (50 entries) ---
+    "pdf_word_punct_split": q_pdf_word_punct_split,
     "pdf_chars_to_words": q_pdf_chars_to_words,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "multimodal_decode": q_multimodal_decode,
@@ -4319,6 +4380,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "doc_lang_ngram": o_doc_lang_ngram,
     "doc_winnow_fingerprints": o_doc_winnow_fingerprints,
     "corpus_curation": o_corpus_curation,
     "url_canonicalize": o_url_canonicalize,

@@ -120,6 +120,73 @@ def quality_score_cols(col: str = "text") -> list[Column]:
     ]
 
 
+# Character-trigram language profiles (the task brief's 'language-ID
+# (n-gram heuristic)'; the stopword leg above is the word-level
+# heuristic). Public frequent-trigram knowledge, ASCII-only so every
+# dialect matches identically; each language scores by non-overlapping
+# leftmost matches of ONE alternation over lowercased text (identical
+# semantics in Java regex / RE2 / Python re), argmax with a fixed
+# priority order for ties.
+NGRAM_PROFILES = {
+    "en": (" th", "the", "he ", "ing", "ng ", "and", "nd ", " an",
+           " of", "of ", "ion", " to", "er ", " in", "ent", "at "),
+    "fr": (" de", "de ", " le", "le ", "que", " qu", "ue ", "la ",
+           " la", " et", "et ", "les", " pa", "ais", "eur", "oir"),
+    "de": ("der", " de", "die", "ein", "sch", "ch ", "und", " un",
+           "ich", "das", " da", "ung", "gen", "ber", "cht", "ten"),
+    "es": ("que", " qu", "os ", " es", "es ", "ado", "los", " lo",
+           "con", " co", "par", "ien", "cio", " el", "el ", "ara"),
+}
+LANG_PRIORITY = ("en", "fr", "de", "es")
+
+
+def _ngram_pattern(lang: str) -> str:
+    import re as _re
+
+    return "|".join(_re.escape(t) for t in sorted(NGRAM_PROFILES[lang]))
+
+
+def lang_ngram_score_cols(col: str = "text") -> list[Column]:
+    low = F.lower(F.coalesce(F.col(col), F.lit("")))
+    return [
+        F.regexp_count(low, F.lit(_ngram_pattern(lang))).alias(f"s_{lang}")
+        for lang in LANG_PRIORITY
+    ]
+
+
+def lang_ngram_pred_col(col: str = "text") -> Column:
+    """argmax over profile scores, ties broken by LANG_PRIORITY order."""
+    low = F.lower(F.coalesce(F.col(col), F.lit("")))
+    scores = {
+        lang: F.regexp_count(low, F.lit(_ngram_pattern(lang)))
+        for lang in LANG_PRIORITY
+    }
+    expr = F.lit(LANG_PRIORITY[-1])
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        later = [l2 for l2 in LANG_PRIORITY if LANG_PRIORITY.index(l2) > LANG_PRIORITY.index(lang)]
+        cond = None
+        for l2 in later:
+            c = scores[lang] >= scores[l2]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr.alias("lang_ngram_pred")
+
+
+def duckdb_lang_ngram_score(expr: str, lang: str) -> str:
+    pat = _ngram_pattern(lang).replace("'", "''")
+    return f"len(regexp_extract_all(lower(coalesce({expr}, '')), '{pat}'))"
+
+
+def duckdb_lang_ngram_pred(expr: str) -> str:
+    scores = {l: duckdb_lang_ngram_score(expr, l) for l in LANG_PRIORITY}
+    sql = f"'{LANG_PRIORITY[-1]}'"
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        later = [l2 for l2 in LANG_PRIORITY if LANG_PRIORITY.index(l2) > LANG_PRIORITY.index(lang)]
+        cond = " AND ".join(f"{scores[lang]} >= {scores[l2]}" for l2 in later)
+        sql = f"CASE WHEN {cond} THEN '{lang}' ELSE {sql} END"
+    return sql
+
+
 # --- DuckDB renderings (used by oracle_sql) ---------------------------------
 
 def duckdb_token_count(expr: str) -> str:

@@ -100,3 +100,29 @@ def test_bpe_ish_token_count_three_dialects(spark):
     assert dk == want
     assert python_bpe_token_count("1234567") == 3  # 123|456|7
     assert python_bpe_token_count("it's") == 2
+
+
+def test_lang_ngram_profiles_ground_truth(spark):
+    """Each planted sentence must score highest on its own trigram
+    profile (Python + Spark agree on scores and argmax)."""
+    import re as _re
+
+    import __spark_entry__ as entry
+    from doc_redaction_spark.functions.textstats import (
+        LANG_PRIORITY,
+        _ngram_pattern,
+        lang_ngram_pred_col,
+        lang_ngram_score_cols,
+    )
+
+    df = spark.createDataFrame(
+        [(lang, s) for lang, s in entry._LANG_SAMPLES], "want string, text string"
+    )
+    rows = df.select(
+        "want", "text", *lang_ngram_score_cols("text"), lang_ngram_pred_col("text")
+    ).collect()
+    for r in rows:
+        assert r.lang_ngram_pred == r.want, r
+        for lang in LANG_PRIORITY:
+            py = len(_re.findall(_ngram_pattern(lang), r.text.lower()))
+            assert getattr(r, f"s_{lang}") == py, (lang, r.text)
