@@ -734,8 +734,10 @@ def q_doc_winnow_fingerprints(spark, sf_dir):
     k-gram hash + rightmost-window-min selection, the task brief's
     'document fingerprinting (rolling hash)'): one row per selected
     (position, hash) per document; any two docs sharing a substring of
-    >= w+k-1 chars share at least one row's hash. Map-only generator
-    plan — no shuffle, no Python."""
+    >= w+k-1 chars share at least one row's hash. One Arrow-batched
+    pandas-UDF stage + explode, no shuffle (the nested-HOF rendering was
+    measured quadratic-interpreted and rejected — functions/winnow.py
+    docstring)."""
     from doc_redaction_spark.functions.winnow import winnow_fingerprints_col
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -4324,9 +4326,11 @@ _QUERIES: dict[str, Callable] = {
     "allow_list_filter": q_allow_list_filter,
     # r04 fixture change (URL host variety) altered every transcript-
     # derived query's values, so ALL 20 _tr users must sit inside the
-    # driver's 50-entry sample prefix this round; the 5 documents-based
-    # dedup queries below them rotated out (inputs unchanged, r03 driver
-    # greens remain valid)
+    # driver's 50-entry sample prefix this round. Rotated past the cap
+    # instead: pdf/word, embeddings-near-dup, multimodal and per-image
+    # queries plus the documents-based dedup suite — all with r03 driver
+    # greens AND inputs untouched by this round's fixture change (rotate
+    # a query out ONLY when both of those hold).
     "island_runs": q_island_runs,
     "transcripts_spans": q_transcripts_spans,
     "redact_pseudonym_email": q_redact_pseudonym_email,

@@ -15,8 +15,12 @@ repo's one-spec-three-dialects convention:
 Scheme-less ``www.host/...`` forms (the second alternative of
 URL_SPAN_PATTERN) canonicalize the same way minus the scheme prefix.
 
-Every regex used is anchored (``^``/``$``) so it matches at most once —
-Spark's replace-ALL and DuckDB's replace-FIRST semantics coincide.
+Every regex used matches at most once (anchored ``^``/``$``, or the
+``(?s)`` fragment strip that consumes to end-of-string across
+newlines) — so Spark's replace-ALL and DuckDB's replace-FIRST
+semantics coincide, and all three dialects split at the FIRST ``#``
+even for newline-containing input (review finding: a bare ``#.*``
+stopped at newlines in the regex engines while Python split didn't).
 """
 
 from __future__ import annotations
@@ -31,8 +35,11 @@ _SCHEME_PREFIX = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 _DEFAULT_PORT = r":(80|443)$"
 
 
+_FRAGMENT = r"(?s)#.*"  # dotall: one match to end-of-string, incl. newlines
+
+
 def canonical_url_col(col) -> Column:
-    u = F.regexp_replace(col if isinstance(col, Column) else F.col(col), "#.*", "")
+    u = F.regexp_replace(col if isinstance(col, Column) else F.col(col), _FRAGMENT, "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, _SCHEME_PREFIX, "")
     auth_raw = F.regexp_extract(rest, r"^([^/?]*)", 1)
@@ -61,7 +68,7 @@ def canonical_url_col(col) -> Column:
 
 
 def duckdb_canonical_url(expr: str) -> str:
-    u = f"regexp_replace({expr}, '#.*', '')"
+    u = f"regexp_replace({expr}, '{_FRAGMENT}', '')"
     scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     rest = f"regexp_replace({u}, '{_SCHEME_PREFIX}', '')"
     auth_raw = f"regexp_extract({rest}, '^([^/?]*)', 1)"

@@ -794,6 +794,20 @@ def duplicate_components(
     Output: (id, rep) for every node of the pair graph, rep = min id of
     its component (so ``rep`` is the kept document under keep-first and
     ``id != rep`` rows are the removal set).
+
+    Notes for callers (the honest trade of iterative operators):
+    CONSTRUCTING this result executes the rounds (one job per round for
+    the convergence probe) — it is not a lazy plan like the other
+    operators. Per-round ``localCheckpoint`` is required to truncate the
+    exponentially-growing lineage; intermediate rounds' blocks are freed
+    by the ContextCleaner as the loop rebinds its variables, and the
+    RESULT's blocks live while the returned DataFrame is referenced — at
+    corpus scale, write the result to a table and drop the reference.
+    Raises RuntimeError if ``max_iters`` rounds do not converge (a
+    component whose min-node eccentricity exceeds the budget would
+    otherwise silently return SPLIT components; the DuckDB oracle
+    computes the true closure, so silence here would surface as a red
+    driver row instead of a clear error).
     """
     edges = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
     edges = (
@@ -810,25 +824,7 @@ def duplicate_components(
         .localCheckpoint()
     )
     for _ in range(max_iters):
-        neigh = (
-            edges.join(
-                labels.select(F.col("id").alias("b"), F.col("rep").alias("nrep")),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("nrep").alias("mrep"))
-            .select(F.col("a").alias("id"), "mrep")
-        )
-        new_labels = (
-            labels.join(neigh, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("rep"), F.coalesce(F.col("mrep"), F.col("rep"))).alias(
-                    "rep"
-                ),
-            )
-            .localCheckpoint()
-        )
+        new_labels = _propagate_min_labels(edges, labels).localCheckpoint()
         changed = (
             new_labels.join(
                 labels.select("id", F.col("rep").alias("old")), "id"
@@ -839,8 +835,30 @@ def duplicate_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"duplicate_components did not converge in {max_iters} rounds — "
+        "a component's diameter exceeds the budget; raise max_iters"
+    )
+
+
+def _propagate_min_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round (lazy): node takes the min label
+    among itself and its neighbors. Exposed so plan audits can inspect a
+    round's plan BEFORE the loop's localCheckpoint truncates it."""
+    neigh = (
+        edges.join(
+            labels.select(F.col("id").alias("b"), F.col("rep").alias("nrep")),
+            "b",
+        )
+        .groupBy("a")
+        .agg(F.min("nrep").alias("mrep"))
+        .select(F.col("a").alias("id"), "mrep")
+    )
+    return labels.join(neigh, "id", "left").select(
+        "id",
+        F.least(F.col("rep"), F.coalesce(F.col("mrep"), F.col("rep"))).alias("rep"),
+    )
 
 
 def remove_duplicate_rows(

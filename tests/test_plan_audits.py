@@ -208,15 +208,39 @@ def test_corpus_curation_no_cartesian(spark, queries):
 
 def test_duplicate_components_round_is_one_join_one_agg(spark):
     """Each label-propagation round must be a plain shuffle join +
-    partial agg over the edge table — no crossJoin, no Python."""
+    partial agg over the edge table — no crossJoin, no Python. Audits
+    the ROUND plan before the loop's localCheckpoint truncates lineage
+    (auditing the loop result would only see a Scan ExistingRDD — the
+    first version of this test was vacuous for exactly that reason)."""
     from pyspark.sql import functions as F
 
-    from doc_redaction_spark.operators.dedup import duplicate_components
+    from doc_redaction_spark.operators.dedup import _propagate_min_labels
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 40, 2)], "id1 long, id2 long"
     )
-    out = duplicate_components(pairs, max_iters=2)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    edges = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "rep", F.col("id")
+    )
+    plan = _propagate_min_labels(edges, labels)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_duplicate_components_nonconvergence_raises(spark):
+    """A component whose diameter exceeds the round budget must raise,
+    never silently return split components (review finding)."""
+    import pytest as _pytest
+
+    from doc_redaction_spark.operators.dedup import duplicate_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id1 long, id2 long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_components(chain, max_iters=2)
+    ok = duplicate_components(chain, max_iters=12)
+    assert {(r.id, r.rep) for r in ok.collect()} == {(i, 0) for i in range(9)}
