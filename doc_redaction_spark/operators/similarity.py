@@ -211,6 +211,128 @@ def ivf_topk(
     )
 
 
+def save_ivf_index(
+    corpus: DataFrame,
+    index_table: str = "ivf_index",
+    centroid_table: str = "ivf_centroids",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    refine_iters: int = 1,
+    seed_mod: int | None = None,
+    buckets: int = 16,
+    path_prefix: str | None = None,
+) -> None:
+    """Persist the IVF structure as warehouse tables — the vector-side
+    sibling of save_minhash_band_index: centroids (tiny) plus the
+    corpus assignments bucketed+sorted by ``cid``, so every later
+    ``ivf_topk_from_index`` probe join reads the corpus side WITHOUT a
+    shuffle, and corpus vectors are assigned exactly once per index
+    build instead of once per query batch.
+
+    The centroid refinement reuses ivf_topk's exact machinery (same
+    seed pick / floor-scaled means), so querying the stored index
+    returns byte-identical results to running ivf_topk end to end —
+    pinned by tests/test_similarity.py::test_ivf_stored_index_equivalence.
+    """
+    # reuse ivf_topk's centroid construction by re-deriving: build the
+    # refined centroid table exactly as ivf_topk does
+    if dim is None and refine_iters > 0:
+        row = corpus.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            raise ValueError("empty corpus")
+        dim = row["d"]
+    seed_pool = corpus
+    if seed_mod:
+        id_hash = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        seed_pool = corpus.filter(F.pmod(id_hash, F.lit(seed_mod)) == 0)
+    cent = (
+        seed_pool.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("vec"))
+    sim_c = _dot(F.col("vec"), F.col("cvec")) / (_norm(F.col("vec")) * _norm(F.col("cvec")))
+    assign_w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("cid"))
+
+    def _assign(cent_df):
+        return (
+            c.crossJoin(F.broadcast(cent_df))
+            .withColumn("csim", sim_c)
+            .withColumn("crk", F.row_number().over(assign_w))
+            .filter(F.col("crk") == 1)
+            .select(id_col, "vec", "cid")
+        )
+
+    for _ in range(refine_iters):
+        assigned = _assign(cent)
+        cent = assigned.groupBy("cid").agg(
+            F.array(
+                *[
+                    F.floor(F.avg(F.col("vec")[i]) * 1e6) / 1e6
+                    for i in range(dim)
+                ]
+            ).alias("cvec")
+        )
+    assigned = _assign(cent)
+    spark = corpus.sparkSession
+    cw = cent.write.mode("overwrite")
+    if path_prefix:
+        cw = cw.option("path", f"{path_prefix}/{centroid_table}")
+    cw.saveAsTable(centroid_table)
+    iw = (
+        assigned.write.mode("overwrite")
+        .bucketBy(buckets, "cid")
+        .sortBy("cid")
+    )
+    if path_prefix:
+        iw = iw.option("path", f"{path_prefix}/{index_table}")
+    iw.saveAsTable(index_table)
+
+
+def ivf_topk_from_index(
+    spark,
+    queries: DataFrame,
+    index_table: str = "ivf_index",
+    centroid_table: str = "ivf_centroids",
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """ANN top-k against the STORED IVF index: queries probe their
+    nprobe nearest stored centroids (broadcast — the centroid table is
+    tiny) and exact-score only the matching stored partitions; the
+    bucketed-by-cid index scan joins without a corpus-side Exchange
+    (plan audit in tests/test_plan_audits.py)."""
+    cent = spark.table(centroid_table)
+    assigned = spark.table(index_table)
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("qvec"))
+    qsim = _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+    probe_w = Window.partitionBy(qid_col).orderBy(F.desc("qsim"), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("qsim", qsim)
+        .withColumn("prk", F.row_number().over(probe_w))
+        .filter(F.col("prk") <= nprobe)
+        .select(qid_col, "qvec", "cid")
+    )
+    cand = assigned.join(probes, "cid").filter(F.col(id_col) != F.col(qid_col))
+    sim = _dot(F.col("qvec"), F.col("vec")) / (_norm(F.col("qvec")) * _norm(F.col("vec")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col(qid_col), F.col(id_col), F.round("sim", 4).alias("sim"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -244,3 +244,43 @@ def test_duplicate_components_nonconvergence_raises(spark):
         duplicate_components(chain, max_iters=2)
     ok = duplicate_components(chain, max_iters=12)
     assert {(r.id, r.rep) for r in ok.collect()} == {(i, 0) for i in range(9)}
+
+
+def test_ivf_stored_index_probe_no_corpus_exchange(spark, tmp_path):
+    """The stored IVF index (bucketBy cid) must serve ANN probes without
+    a corpus-side Exchange — the centroid table broadcasts, the probe
+    set shuffles, the big assignments table does not move."""
+    from pyspark.sql import functions as F
+
+    from doc_redaction_spark.operators.similarity import (
+        ivf_topk_from_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    spark.sql("DROP TABLE IF EXISTS pa_ivf_idx")
+    spark.sql("DROP TABLE IF EXISTS pa_ivf_cent")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        save_ivf_index(
+            emb, "pa_ivf_idx", "pa_ivf_cent",
+            n_centroids=8, dim=64, seed_mod=4, buckets=4,
+            path_prefix=str(tmp_path),
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = ivf_topk_from_index(spark, qs, "pa_ivf_idx", "pa_ivf_cent", k=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        # only the probe side exchanges into the cid layout
+        assert plan.count("Exchange hashpartitioning(cid") == 1, plan
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS pa_ivf_idx")
+        spark.sql("DROP TABLE IF EXISTS pa_ivf_cent")

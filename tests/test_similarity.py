@@ -200,3 +200,47 @@ def test_testdata_has_no_accidental_near_dups():
             f"sf{sf}: {n} non-planted near-dup pair(s) >= 0.95 — the "
             "LSH-candidates == exact-oracle assumption no longer holds"
         )
+
+
+def test_ivf_stored_index_equivalence(spark, tmp_path):
+    """Querying the STORED IVF index must return byte-identical top-k to
+    running ivf_topk end to end with the same parameters (index once,
+    query many — the vector sibling of the stored LSH index)."""
+    from pyspark.sql import functions as F
+
+    from doc_redaction_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    params = dict(n_centroids=8, nprobe=2, dim=64, seed_mod=4)
+    direct = {
+        (r.qid, r.vec_id, r.sim)
+        for r in ivf_topk(emb, qs, k=5, **params).collect()
+    }
+    spark.sql("DROP TABLE IF EXISTS t_ivf_idx")
+    spark.sql("DROP TABLE IF EXISTS t_ivf_cent")
+    try:
+        save_ivf_index(
+            emb, "t_ivf_idx", "t_ivf_cent",
+            n_centroids=8, dim=64, seed_mod=4, buckets=4,
+            path_prefix=str(tmp_path),
+        )
+        stored = {
+            (r.qid, r.vec_id, r.sim)
+            for r in ivf_topk_from_index(
+                spark, qs, "t_ivf_idx", "t_ivf_cent", k=5, nprobe=2
+            ).collect()
+        }
+        assert stored == direct and len(direct) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_idx")
+        spark.sql("DROP TABLE IF EXISTS t_ivf_cent")
