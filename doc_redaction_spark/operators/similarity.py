@@ -105,6 +105,69 @@ def hyperplane_signature(vec_col, n_planes: int = 8, dim: int = 64, seed: int = 
     return F.array_join(bits, "")
 
 
+def _build_ivf(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str,
+    id_col: str,
+    dim: int | None,
+    refine_iters: int,
+    seed_mod: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF construction: deterministic seed pick → ``refine_iters``
+    Lloyd rounds with floor-scaled means → final assignment.
+
+    Returns ``(cent, assigned)`` with ``cent(cid, cvec)`` and
+    ``assigned(id, vec, cid)``. The SINGLE source of the centroid/assign
+    semantics — both ``ivf_topk`` (end-to-end query) and ``save_ivf_index``
+    (stored index build) call this, so fixes land once (the r04 floor-
+    scaling change had to be applied to two hand-kept copies; the
+    byte-identical stored-vs-end-to-end guarantee is now structural, with
+    tests/test_similarity.py::test_ivf_stored_index_equivalence as the
+    backstop). ``dim`` must be given when ``refine_iters > 0`` — callers
+    own the dim probe / empty-corpus policy.
+    """
+    seed_pool = corpus
+    if seed_mod:
+        id_hash = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        seed_pool = corpus.filter(F.pmod(id_hash, F.lit(seed_mod)) == 0)
+    cent = (
+        seed_pool.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("vec"))
+    sim_c = _dot(F.col("vec"), F.col("cvec")) / (_norm(F.col("vec")) * _norm(F.col("cvec")))
+    assign_w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("cid"))
+
+    def _assign(cent_df):
+        return (
+            c.crossJoin(F.broadcast(cent_df))
+            .withColumn("csim", sim_c)
+            .withColumn("crk", F.row_number().over(assign_w))
+            .filter(F.col("crk") == 1)
+            .select(id_col, "vec", "cid")
+        )
+
+    for _ in range(refine_iters):
+        assigned = _assign(cent)
+        # floor-scaling, not round(): round() half-values diverge across
+        # engines (Spark rounds the shortest-decimal repr, DuckDB the
+        # binary double) — floor is bit-exact in both (repo idiom, see
+        # gopher mean_word_len)
+        cent = assigned.groupBy("cid").agg(
+            F.array(
+                *[
+                    F.floor(F.avg(F.col("vec")[i]) * 1e6) / 1e6
+                    for i in range(dim)
+                ]
+            ).alias("cvec")
+        )
+    return cent, _assign(cent)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -150,45 +213,9 @@ def ivf_topk(
                 ).limit(0)
             )
         dim = row["d"]
-    seed_pool = corpus
-    if seed_mod:
-        id_hash = F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        seed_pool = corpus.filter(F.pmod(id_hash, F.lit(seed_mod)) == 0)
-    cent = (
-        seed_pool.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    cent, assigned = _build_ivf(
+        corpus, n_centroids, vec_col, id_col, dim, refine_iters, seed_mod
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("vec"))
-    sim_c = _dot(F.col("vec"), F.col("cvec")) / (_norm(F.col("vec")) * _norm(F.col("cvec")))
-    assign_w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("cid"))
-
-    def _assign(cent_df):
-        return (
-            c.crossJoin(F.broadcast(cent_df))
-            .withColumn("csim", sim_c)
-            .withColumn("crk", F.row_number().over(assign_w))
-            .filter(F.col("crk") == 1)
-            .select(id_col, "vec", "cid")
-        )
-
-    for _ in range(refine_iters):
-        assigned = _assign(cent)
-        # floor-scaling, not round(): round() half-values diverge across
-        # engines (Spark rounds the shortest-decimal repr, DuckDB the
-        # binary double) — floor is bit-exact in both (repo idiom, see
-        # gopher mean_word_len)
-        cent = assigned.groupBy("cid").agg(
-            F.array(
-                *[
-                    F.floor(F.avg(F.col("vec")[i]) * 1e6) / 1e6
-                    for i in range(dim)
-                ]
-            ).alias("cvec")
-        )
-    assigned = _assign(cent)
     # queries probe their nprobe nearest centroids
     q = queries.select(F.col(qid_col), F.col(vec_col).alias("qvec"))
     qsim = _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
@@ -216,7 +243,6 @@ def save_ivf_index(
     index_table: str = "ivf_index",
     centroid_table: str = "ivf_centroids",
     n_centroids: int = 16,
-    nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
@@ -230,56 +256,23 @@ def save_ivf_index(
     corpus assignments bucketed+sorted by ``cid``, so every later
     ``ivf_topk_from_index`` probe join reads the corpus side WITHOUT a
     shuffle, and corpus vectors are assigned exactly once per index
-    build instead of once per query batch.
+    build instead of once per query batch. (``nprobe`` is a query-time
+    knob of ``ivf_topk_from_index``, not an index property — it is
+    deliberately not a parameter here.)
 
-    The centroid refinement reuses ivf_topk's exact machinery (same
-    seed pick / floor-scaled means), so querying the stored index
-    returns byte-identical results to running ivf_topk end to end —
+    The centroid refinement IS ivf_topk's machinery (shared
+    ``_build_ivf``), so querying the stored index returns byte-identical
+    results to running ivf_topk end to end —
     pinned by tests/test_similarity.py::test_ivf_stored_index_equivalence.
     """
-    # reuse ivf_topk's centroid construction by re-deriving: build the
-    # refined centroid table exactly as ivf_topk does
     if dim is None and refine_iters > 0:
         row = corpus.select(F.size(vec_col).alias("d")).first()
         if row is None:
             raise ValueError("empty corpus")
         dim = row["d"]
-    seed_pool = corpus
-    if seed_mod:
-        id_hash = F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        seed_pool = corpus.filter(F.pmod(id_hash, F.lit(seed_mod)) == 0)
-    cent = (
-        seed_pool.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    cent, assigned = _build_ivf(
+        corpus, n_centroids, vec_col, id_col, dim, refine_iters, seed_mod
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("vec"))
-    sim_c = _dot(F.col("vec"), F.col("cvec")) / (_norm(F.col("vec")) * _norm(F.col("cvec")))
-    assign_w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("cid"))
-
-    def _assign(cent_df):
-        return (
-            c.crossJoin(F.broadcast(cent_df))
-            .withColumn("csim", sim_c)
-            .withColumn("crk", F.row_number().over(assign_w))
-            .filter(F.col("crk") == 1)
-            .select(id_col, "vec", "cid")
-        )
-
-    for _ in range(refine_iters):
-        assigned = _assign(cent)
-        cent = assigned.groupBy("cid").agg(
-            F.array(
-                *[
-                    F.floor(F.avg(F.col("vec")[i]) * 1e6) / 1e6
-                    for i in range(dim)
-                ]
-            ).alias("cvec")
-        )
-    assigned = _assign(cent)
-    spark = corpus.sparkSession
     cw = cent.write.mode("overwrite")
     if path_prefix:
         cw = cw.option("path", f"{path_prefix}/{centroid_table}")
