@@ -143,10 +143,18 @@ def run_streaming_incremental_dedup(
 
     Restart idempotency (foreachBatch re-runs the last uncommitted batch
     after a failure): the pairs sink is a batch_id partition OVERWRITE
-    (a re-run replaces, never duplicates), self-pairs are excluded in
-    the probe, and the index append is skipped when the batch's ids are
-    already present (the first attempt got as far as the append) —
-    pinned by test_streaming_incremental_dedup_rerun_batch_idempotent.
+    (a re-run replaces, never duplicates); index rows carry the
+    ``ingest_batch_id`` that wrote them, so the re-run probes exactly the
+    pre-batch corpus (its own first attempt's rows are filtered out BY
+    BATCH ID, not by doc-id overlap — a batch that legitimately
+    re-ingests an already-indexed doc_id still probes that doc's stored
+    bands and reports the exact dup), and the append itself is
+    idempotent: already-present (id, band) rows of this batch are
+    anti-joined out and only the remainder is appended, so even a
+    PARTIAL first-attempt append (parquet job commit is not atomic) is
+    repaired rather than skipped-and-lost. Pinned by
+    test_streaming_incremental_dedup_rerun_batch_idempotent,
+    ..._partial_append_replay and ..._reingest_same_doc_id.
     """
     stream = (
         spark.readStream.schema(schema)
@@ -193,23 +201,29 @@ def make_incremental_dedup_processor(
             batch_df, num_hashes=num_hashes, bands=bands
         ).localCheckpoint()
         have_index = spark.catalog.tableExists(index_table)
-        already = False
         if have_index:
             # appends ran through the micro-batch session clone; the
             # outer session's relation cache still holds the previous
             # batch's file listing — refresh or the probe reads stale
             spark.catalog.refreshTable(index_table)
-            base = spark.table(index_table)
-            batch_ids = new_bands.select("id").distinct()
-            # re-run detection: the first attempt got as far as the
-            # index append before the streaming checkpoint committed
-            already = base.join(batch_ids, "id", "left_semi").limit(1).count() > 0
-            if already:
-                # restart path ONLY: drop the batch's own rows from the
-                # probe side so the re-run emits exactly the first
-                # attempt's pairs (the anti join costs a shuffle, paid
-                # once per failure, never on the hot path)
-                base = base.join(batch_ids, "id", "left_anti")
+            base_all = spark.table(index_table)
+            if "ingest_batch_id" not in base_all.columns:
+                raise ValueError(
+                    f"index table {index_table!r} lacks ingest_batch_id — "
+                    "the streaming processor owns its index; to seed one "
+                    "from an existing corpus, save_minhash_band_index a "
+                    "band table with .withColumn('ingest_batch_id', "
+                    "lit(-1).cast('long')) first"
+                )
+            # probe side = everything ingested by OTHER batches. On a
+            # clean run that is the whole index; on a failure replay it
+            # excludes exactly the rows this batch's first attempt wrote,
+            # so the re-run emits the first attempt's pairs. Keyed on
+            # batch id, NOT id overlap: a batch legitimately re-ingesting
+            # an already-indexed doc_id probes that doc's stored bands,
+            # reports the (X, X, 1.0) exact-dup pair, and keep-first then
+            # keeps the batch's OTHER novel docs flowing into the index.
+            base = base_all.filter(F.col("ingest_batch_id") != batch_id)
             pairs = incremental_minhash_pairs(
                 new_bands=new_bands,
                 base_bands=base,
@@ -234,16 +248,31 @@ def make_incremental_dedup_processor(
             .select(F.col("new_id").alias("id"))
             .distinct()
         )
-        if already:
-            # the first attempt already appended this batch's band rows;
-            # appending again would duplicate them
-            return
-        novel = new_bands.join(dup_ids, "id", "left_anti")
-        save_minhash_band_index(
-            novel, index_table, buckets=buckets,
-            path=None if have_index else index_path,
-            mode="append" if have_index else "overwrite",
+        novel = new_bands.join(dup_ids, "id", "left_anti").withColumn(
+            "ingest_batch_id", F.lit(batch_id).cast("long")
         )
+        if have_index:
+            # idempotent append: a parquet append is NOT all-or-nothing —
+            # a crash during job commit can leave part of this batch's
+            # band rows visible. Anti-join the rows this batch already
+            # wrote (by (id, band) under its own ingest_batch_id) and
+            # append only the remainder: first attempt appends all, a
+            # full replay appends nothing, a partial-commit replay
+            # repairs the missing rows instead of skipping-and-losing.
+            present = (
+                spark.table(index_table)
+                .filter(F.col("ingest_batch_id") == batch_id)
+                .select("id", "band")
+            )
+            todo = novel.join(present, ["id", "band"], "left_anti")
+            save_minhash_band_index(
+                todo, index_table, buckets=buckets, mode="append"
+            )
+        else:
+            save_minhash_band_index(
+                novel, index_table, buckets=buckets,
+                path=index_path, mode="overwrite",
+            )
 
     return process
 

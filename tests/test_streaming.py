@@ -253,3 +253,105 @@ def test_streaming_incremental_dedup_rerun_batch_idempotent(spark, tmp_path):
         assert idx_again == idx_first  # append skipped on replay
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_rr_idx")
+
+
+def test_streaming_incremental_dedup_reingest_same_doc_id(spark, tmp_path):
+    """A later batch that legitimately re-ingests an already-indexed
+    doc_id must NOT be mistaken for a failure replay: the re-ingested doc
+    probes its own stored bands (exact (X, X, 1.0) dup pair), is excluded
+    by keep-first (no duplicate index rows), and the batch's genuinely
+    novel docs still enter the index — the r04 ADVICE failure case."""
+    from doc_redaction_spark.streaming.stream import (
+        make_incremental_dedup_processor,
+    )
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    out = str(tmp_path / "ri_out")
+    spark.sql("DROP TABLE IF EXISTS mh_ri_idx")
+    proc = make_incremental_dedup_processor(
+        spark, out, "mh_ri_idx", index_path=str(tmp_path / "mh_ri_idx"),
+        threshold=0.5,
+    )
+    b0 = spark.createDataFrame(
+        [(1, base_text), (2, "other unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    # batch 1 re-ingests doc 1 verbatim AND carries a novel doc 7
+    b1 = spark.createDataFrame(
+        [(1, base_text), (7, "completely fresh novel material here")],
+        "doc_id long, text string",
+    )
+    try:
+        proc(b0, 0)
+        proc(b1, 1)
+        pairs = {
+            (r.new_id, r.base_id, r.est_jaccard)
+            for r in spark.read.parquet(f"{out}/pairs").collect()
+        }
+        assert (1, 1, 1.0) in pairs  # the re-ingest IS reported as a dup
+        spark.catalog.refreshTable("mh_ri_idx")
+        idx = spark.table("mh_ri_idx")
+        # novel doc 7 entered the index (would be lost under id-overlap
+        # replay detection), and doc 1 has exactly one copy of its rows
+        rows = [(r.id, r.band) for r in idx.collect()]
+        assert any(i == 7 for i, _ in rows)
+        assert len(rows) == len(set(rows))
+        assert {r.ingest_batch_id for r in idx.filter(F.col("id") == 7).collect()} == {1}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_ri_idx")
+
+
+def test_streaming_incremental_dedup_partial_append_replay(spark, tmp_path):
+    """A crash DURING the index append can leave a partial set of the
+    batch's band rows visible (parquet job commit is not atomic). The
+    replay must repair the append — write the missing rows, duplicate
+    none — instead of skipping it and permanently losing the rest."""
+    from doc_redaction_spark.operators.dedup import (
+        minhash_band_table,
+        save_minhash_band_index,
+    )
+    from doc_redaction_spark.streaming.stream import (
+        make_incremental_dedup_processor,
+    )
+
+    out = str(tmp_path / "pa_out")
+    spark.sql("DROP TABLE IF EXISTS mh_pa_idx")
+    proc = make_incremental_dedup_processor(
+        spark, out, "mh_pa_idx", index_path=str(tmp_path / "mh_pa_idx"),
+        threshold=0.5,
+    )
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "other unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "novel second batch content entirely"),
+         (4, "more fresh material on every axis")],
+        "doc_id long, text string",
+    )
+    try:
+        proc(b0, 0)
+        # simulate batch 1's first attempt dying mid-append: only HALF of
+        # its band rows (band < 2) made it into the index, and the
+        # streaming checkpoint never committed
+        full = minhash_band_table(b1, num_hashes=16, bands=4).withColumn(
+            "ingest_batch_id", F.lit(1).cast("long")
+        )
+        save_minhash_band_index(
+            full.filter(F.col("band") < 2), "mh_pa_idx", buckets=8,
+            mode="append",
+        )
+        # ...the stream restarts and re-runs batch 1
+        proc(b1, 1)
+        spark.catalog.refreshTable("mh_pa_idx")
+        got = sorted(
+            (r.id, r.band)
+            for r in spark.table("mh_pa_idx").filter(
+                F.col("ingest_batch_id") == 1
+            ).collect()
+        )
+        want = sorted((r.id, r.band) for r in full.collect())
+        assert got == want  # repaired: all rows exactly once
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_pa_idx")
