@@ -207,27 +207,30 @@ def test_corpus_curation_no_cartesian(spark, queries):
 
 
 def test_duplicate_components_round_is_one_join_one_agg(spark):
-    """Each label-propagation round must be a plain shuffle join +
+    """Each star-contraction half-round must be a plain shuffle join +
     partial agg over the edge table — no crossJoin, no Python. Audits
-    the ROUND plan before the loop's localCheckpoint truncates lineage
+    the ROUND plans before the loop's localCheckpoint truncates lineage
     (auditing the loop result would only see a Scan ExistingRDD — the
     first version of this test was vacuous for exactly that reason)."""
     from pyspark.sql import functions as F
 
-    from doc_redaction_spark.operators.dedup import _propagate_min_labels
+    from doc_redaction_spark.operators.dedup import (
+        _large_star_round,
+        _small_star_round,
+    )
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 40, 2)], "id1 long, id2 long"
     )
-    edges = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
-    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
-        "rep", F.col("id")
-    )
-    plan = _propagate_min_labels(edges, labels)._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
-    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+    edges = pairs.select(
+        F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
+    ).distinct()
+    for rnd in (_large_star_round(edges), _small_star_round(edges)):
+        plan = rnd._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+        assert "HashAggregate" in plan or "SortAggregate" in plan, plan
 
 
 def test_duplicate_components_nonconvergence_raises(spark):
