@@ -32,47 +32,15 @@ import re
 
 from doc_redaction_spark.functions.aho import AhoCorasick, resolve_leftmost_longest
 
-# Public US-census-style top given names (curated, TitleCase).
-GIVEN_NAMES = (
-    "James", "Mary", "John", "Robert", "Patricia", "Jennifer", "Michael",
-    "Linda", "William", "Elizabeth", "David", "Barbara", "Richard",
-    "Susan", "Joseph", "Jessica", "Thomas", "Sarah", "Charles", "Karen",
-    "Christopher", "Nancy", "Daniel", "Lisa", "Matthew", "Betty",
-    "Anthony", "Margaret", "Mark", "Sandra", "Donald", "Ashley",
-    "Steven", "Kimberly", "Paul", "Emily", "Andrew", "Donna", "Joshua",
-    "Michelle", "Kenneth", "Carol", "Kevin", "Amanda", "Brian",
-    "Dorothy", "George", "Melissa", "Emma", "Alice", "Oliver", "Sophia",
-    "Liam", "Noah", "Ava", "Isabella", "Ethan", "Grace", "Jack",
-    "Harry", "Amelia", "Olivia",
-)
-
-# Public countries / capitals / major cities (incl. multiword phrases —
-# longest-first ordering makes "New York" win over any single-word entry).
-LOCATIONS = (
-    "United Kingdom", "United States", "New Zealand", "New York",
-    "South Africa", "Saudi Arabia", "Hong Kong", "San Francisco",
-    "Los Angeles", "Sri Lanka", "Costa Rica", "France", "Paris",
-    "London", "Germany", "Berlin", "Spain", "Madrid", "Italy", "Rome",
-    "Japan", "Tokyo", "China", "Beijing", "India", "Delhi", "Brazil",
-    "Canada", "Ottawa", "Toronto", "Sydney", "Australia", "Egypt",
-    "Cairo", "Russia", "Moscow", "Kenya", "Nairobi", "Mexico",
-    "Chicago", "Boston", "Dublin", "Ireland", "Scotland", "Edinburgh",
-    "Wales", "Cardiff", "Norway", "Oslo", "Sweden", "Stockholm",
-    "Denmark", "Copenhagen", "Finland", "Helsinki", "Poland", "Warsaw",
-    "Greece", "Athens", "Turkey", "Ankara", "Portugal", "Lisbon",
-    "Austria", "Vienna", "Netherlands", "Amsterdam", "Belgium",
-    "Brussels", "Switzerland", "Geneva", "Zurich",
-)
-
-# Nationality / group adjectives (Presidio NRP label surface).
-NATIONALITIES = (
-    "French", "British", "German", "Spanish", "Italian", "Japanese",
-    "Chinese", "Indian", "Brazilian", "Canadian", "Australian",
-    "Egyptian", "Russian", "Kenyan", "Mexican", "American", "Irish",
-    "Scottish", "Welsh", "Norwegian", "Swedish", "Danish", "Finnish",
-    "Polish", "Greek", "Turkish", "Portuguese", "Austrian", "Dutch",
-    "Belgian", "Swiss", "Korean", "Vietnamese", "Thai", "Nigerian",
-    "Moroccan", "Argentine", "Chilean",
+# Full-scale public lists (SSA-top-1000-style given names, GeoNames-class
+# countries/capitals/majors, full nationality surface) live in
+# gazetteer_data.py; the Aho engines below are O(text + matches), so the
+# ~1000/~450/~170-entry lists cost the same per query character as the
+# round-4 60/70/38 demo lists (measured: see BENCH/BASELINE.md round 5).
+from doc_redaction_spark.functions.gazetteer_data import (  # noqa: F401
+    GIVEN_NAMES,
+    LOCATIONS,
+    NATIONALITIES,
 )
 
 GAZETTEER_SCORE = 0.85  # spaCy-leg parity score (below exact-regex 1.0)

@@ -111,3 +111,35 @@ def test_detect_integration_gazetteer_engine():
     assert ("PERSON", 4, 17, 0.85) in spans
     assert ("LOCATION", 21, 26, 0.85) in spans
     assert ("NRP", 30, 36, 0.85) in spans
+
+
+def test_gazetteer_fixture_plants():
+    """The ner_gazetteer oracle's closed-form offsets assume its planted
+    strings hit exactly one list each — pin the list-membership
+    invariants the full-scale lists must preserve (gazetteer_data.py
+    docstring). A violation here means an extra/missing span the oracle
+    cannot see."""
+    for w in ("Alice", "Emma", "Mark"):
+        assert w in GIVEN_NAMES, w
+    # plants that must NOT anchor a PERSON match (incl. the LOCATION/NRP
+    # plants and the surname tokens of the person templates)
+    for w in ("Zorro", "Paris", "United", "Kingdom", "Davis", "Watson",
+              "Quinn", "Johnson", "French", "Dutch", "Atlantis"):
+        assert w not in GIVEN_NAMES, w
+    assert "Paris" in LOCATIONS and "United Kingdom" in LOCATIONS
+    for w in ("Atlantis", "French", "Dutch", "Alice", "Emma", "Mark",
+              "Johnson", "Davis"):
+        assert w not in LOCATIONS, w
+    for w in ("French", "Dutch", "British"):
+        assert w in NATIONALITIES, w
+    for w in ("Paris", "Alice", "Atlantis", "Envoy"):
+        assert w not in NATIONALITIES, w
+    # scale sanity: these are the full lists, not the round-4 demos
+    assert len(GIVEN_NAMES) >= 900
+    assert len(LOCATIONS) >= 400
+    assert len(NATIONALITIES) >= 150
+    # every entry stays in the 3-dialect safe surface: ASCII, TitleCase
+    # first char, no apostrophes/quotes
+    for lst in (GIVEN_NAMES, LOCATIONS, NATIONALITIES):
+        for t in lst:
+            assert t.isascii() and t[0].isupper() and "'" not in t, t
