@@ -1173,6 +1173,48 @@ def o_dedup_incremental():
     """
 
 
+def q_dedup_incremental_stored(spark, sf_dir):
+    """The STORED-index round trip of dedup_incremental: the corpus band
+    table is persisted as a real bucketed warehouse table
+    (save_minhash_band_index, bucketBy (band, bh)) and the new batch
+    probes THAT — the exact index-once/probe-many shape streaming
+    ingestion uses. Same values as the end-to-end variant (the index is
+    just the materialized band table), so the driver now hashes the
+    save→read→probe loop, not only the recompute path (r04 verdict
+    what's-wrong #5). Corpus-side probe join is exchange-free
+    (tests/test_plan_audits.py::test_incremental_lsh_corpus_side_is_shuffle_free)."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    new = base.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    bands = dd.minhash_band_table(
+        base, num_hashes=_MH_HASHES, bands=_MH_BANDS
+    )
+    # EXTERNAL table at an explicit path: a fresh session's catalog does
+    # not know tables a previous run created, and a MANAGED saveAsTable
+    # onto the leftover warehouse directory fails LOCATION_ALREADY_EXISTS
+    # — with an explicit path, overwrite replaces the location contents
+    spark.sql("DROP TABLE IF EXISTS reg_mh_band_index")
+    dd.save_minhash_band_index(
+        bands, "reg_mh_band_index", buckets=8, mode="overwrite",
+        path="/tmp/spark_graft_reg_idx/mh_band",
+    )
+    spark.catalog.refreshTable("reg_mh_band_index")
+    return dd.incremental_minhash_pairs(
+        new=new,
+        base_bands=spark.table("reg_mh_band_index"),
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        threshold=0.5,
+    )
+
+
+def o_dedup_incremental_stored():
+    # the stored index IS the materialized band table — value-identical
+    # to the end-to-end oracle
+    return o_dedup_incremental()
+
+
 def q_dedup_remove_rows(spark, sf_dir):
     """Keep-first duplicate-row removal (reference
     find_duplicate_tabular.py:483-530): the corpus minus every row that
@@ -1783,6 +1825,45 @@ def o_embedding_ivf():
     SELECT qid, id AS vec_id, round(sim_full, 4) AS sim
     FROM ranked WHERE rk <= 5
     """
+
+
+def q_embedding_ivf_stored(spark, sf_dir):
+    """The STORED-IVF-index round trip of embedding_ivf: build the
+    bucketed warehouse index once (save_ivf_index — centroids +
+    cid-bucketed assignments), then answer the query batch from it
+    (ivf_topk_from_index). Byte-identical to ivf_topk end-to-end — the
+    centroid construction is the SHARED _build_ivf — so the driver now
+    hashes the index save→read→probe loop, not only the recompute path
+    (r04 verdict what's-wrong #5). Probe reads the corpus side with
+    zero Exchange (tests/test_plan_audits.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    # external tables at explicit paths — a managed saveAsTable onto a
+    # previous session's leftover warehouse directory fails
+    # LOCATION_ALREADY_EXISTS (see q_dedup_incremental_stored)
+    spark.sql("DROP TABLE IF EXISTS reg_ivf_index")
+    spark.sql("DROP TABLE IF EXISTS reg_ivf_centroids")
+    osim.save_ivf_index(
+        emb, "reg_ivf_index", "reg_ivf_centroids",
+        n_centroids=_IVF_CENTROIDS, dim=64, seed_mod=_IVF_SEED_MOD, buckets=8,
+        path_prefix="/tmp/spark_graft_reg_idx",
+    )
+    spark.catalog.refreshTable("reg_ivf_index")
+    spark.catalog.refreshTable("reg_ivf_centroids")
+    return osim.ivf_topk_from_index(
+        spark, qs, "reg_ivf_index", "reg_ivf_centroids",
+        k=5, nprobe=_IVF_NPROBE,
+    )
+
+
+def o_embedding_ivf_stored():
+    # stored-index probe is byte-identical to end-to-end ivf_topk
+    # (shared _build_ivf) — same oracle
+    return o_embedding_ivf()
 
 
 # ---------------------------------------------------------------------------
@@ -3979,6 +4060,93 @@ def o_fuzzy_deny():
     """
 
 
+# 120 two-word deny phrases — enough that the SymSpell deletion index
+# does real pruning (the single-phrase fuzzy_deny also passes in the
+# regime where the naive per-phrase scan would); the typo variant drops
+# the second character of the codeword (edit distance exactly 1).
+_FUZZY2_WORDS = (
+    "alpha", "bravo", "delta", "gamma", "sigma", "omega", "zulu",
+    "tango", "echo", "foxtrot", "romeo", "victor", "kilo", "lima",
+    "mike", "nova", "orion", "pluto", "quartz", "saturn", "tiger",
+    "umbra", "vortex", "willow", "xenon", "yonder", "zephyr", "falcon",
+    "heron", "maple",
+)
+_FUZZY2_PHRASES = tuple(
+    f"operation {w}{d}" for d in range(4) for w in _FUZZY2_WORDS
+)
+_FUZZY2_TYPOS = tuple(p[:11] + p[12:] for p in _FUZZY2_PHRASES)
+
+
+def q_fuzzy_deny2(spark, sf_dir):
+    """CUSTOM_FUZZY at deny-LIST scale: 120 two-word phrases through the
+    SymSpell deletion-index scan (FuzzyRecognizer.find_spans — the
+    production path, 729× naive at 10k phrases), oracled exactly like
+    fuzzy_deny: DuckDB levenshtein over the same token windows, now
+    cross-joined against the full phrase table with the same length
+    pre-filter. Every 4th turn plants one phrase's 1-deletion typo."""
+    t = _tr(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" ref "),
+                F.element_at(
+                    F.array(*[F.lit(x) for x in _FUZZY2_TYPOS]),
+                    (F.col("turn_idx") % len(_FUZZY2_TYPOS)).cast("int") + 1,
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    cfg = PipelineConfig(
+        entities=(), fuzzy_terms=_FUZZY2_PHRASES, fuzzy_max_edits=1
+    )
+    out = extract_and_redact(t, cfg, with_row_number=False)
+    return span_table(out).select("conv_id", "turn_idx", "entity_type", "start", "end")
+
+
+def o_fuzzy_deny2():
+    lens = sorted({len(p) for p in _FUZZY2_PHRASES})
+    lo, hi = lens[0] - 1, lens[-1] + 1
+    typos = ", ".join(f"'{t}'" for t in _FUZZY2_TYPOS)
+    phrases = ", ".join(f"'{p}'" for p in _FUZZY2_PHRASES)
+    mod = (
+        "CASE WHEN turn_idx % 4 = 0 THEN text || ' ref ' || "
+        f"([{typos}])[CAST(turn_idx % {len(_FUZZY2_TYPOS)} AS INTEGER) + 1]"
+        " ELSE text END"
+    )
+    clean = duckdb_clean_sql(mod)
+    # same CTE skeleton as o_fuzzy_deny; the (e - s) BETWEEN pre-filter
+    # kills ~all windows before the 120-phrase cross join reaches
+    # levenshtein (window char-length must be within 1 of SOME phrase)
+    return f"""
+    {TR_CTE},
+    c AS (SELECT conv_id, turn_idx, {clean} AS ct FROM transcripts),
+    toks AS (SELECT conv_id, turn_idx, i, tok FROM (
+               SELECT conv_id, turn_idx,
+                      generate_subscripts(ts, 1) AS i, unnest(ts) AS tok
+               FROM (SELECT conv_id, turn_idx, string_split(ct, ' ') AS ts FROM c))),
+    offs AS (SELECT conv_id, turn_idx, i, tok,
+                    CAST(coalesce(sum(length(tok) + 1) OVER (
+                      PARTITION BY conv_id, turn_idx ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS st
+             FROM toks),
+    wins AS (SELECT a.conv_id, a.turn_idx, a.st AS s,
+                    b.st + CAST(length(b.tok) AS INTEGER) AS e
+             FROM offs a JOIN offs b
+               ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+              AND b.i - a.i IN (0, 1, 2)),
+    ph AS (SELECT unnest([{phrases}]) AS p)
+    SELECT w.conv_id, w.turn_idx, 'CUSTOM_FUZZY' AS entity_type,
+           w.s AS start, w.e AS "end"
+    FROM wins w JOIN c ON c.conv_id = w.conv_id AND c.turn_idx = w.turn_idx
+    CROSS JOIN ph
+    WHERE (w.e - w.s) BETWEEN {lo} AND {hi}
+      AND abs((w.e - w.s) - length(p)) <= 1
+      AND levenshtein(lower(substr(c.ct, w.s + 1, w.e - w.s)), p) <= 1
+    """
+
+
 def q_reading_order_columns(spark, sf_dir):
     """Full N-column reading order (operators/reading_order.py) over a
     deterministic two-column layout (even lines left, odd right). The
@@ -4282,6 +4450,13 @@ def o_redact_pseudonym_email():
 # dialect trap — both round-1 and round-2 red rows lived there); the 19
 # queries green in BOTH r01 and r02 driver runs sit past the sample cap.
 _QUERIES: dict[str, Callable] = {
+    # round-5 new oracles lead (never driver-hashed); the three rotated
+    # past the cap to make room — pdf_rawdict_chars, coverage_qa,
+    # review_prune — all have r04 driver greens and inputs untouched
+    # this round
+    "dedup_incremental_stored": q_dedup_incremental_stored,
+    "embedding_ivf_stored": q_embedding_ivf_stored,
+    "fuzzy_deny2": q_fuzzy_deny2,
     "doc_lang_ngram": q_doc_lang_ngram,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "corpus_curation": q_corpus_curation,
@@ -4384,6 +4559,9 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "dedup_incremental_stored": o_dedup_incremental_stored,
+    "embedding_ivf_stored": o_embedding_ivf_stored,
+    "fuzzy_deny2": o_fuzzy_deny2,
     "doc_lang_ngram": o_doc_lang_ngram,
     "doc_winnow_fingerprints": o_doc_winnow_fingerprints,
     "corpus_curation": o_corpus_curation,

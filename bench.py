@@ -67,8 +67,13 @@ def run_pipeline(spark, input_path: str) -> tuple[float, int]:
     cores = spark.sparkContext.defaultParallelism
     turns = spark.read.parquet(input_path)
     # salted repartition on conv_id — the north-rule skew defusal; also what
-    # makes every core participate regardless of input split count
-    cfg = PipelineConfig(deny_terms=DENY_TERMS, num_partitions=2 * cores, salt_buckets=16)
+    # makes every core participate regardless of input split count.
+    # SPARK_GRAFT_CLEAN_ENGINE toggles the clean stage (jvm | fused) for
+    # pinned A/Bs; both engines are output-identical (test_clean_fused).
+    cfg = PipelineConfig(
+        deny_terms=DENY_TERMS, num_partitions=2 * cores, salt_buckets=16,
+        clean_engine=os.environ.get("SPARK_GRAFT_CLEAN_ENGINE", "jvm"),
+    )
     t0 = time.perf_counter()
     out = extract_and_redact(turns, cfg)
     # force full materialization of every column incl. redacted_text

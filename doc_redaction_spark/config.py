@@ -40,6 +40,15 @@ class PipelineConfig:
     strategy: str = "redact_replace"
     salt: str = "s42"
     merge_adjacent_gap: int = -1  # <0 → merging off (reference MERGE_BOUNDING_BOXES flag)
+    # clean-stage engine: "jvm" runs the gated regexp_replace battery
+    # natively (whole-stage codegen); "fused" keeps the JVM light path for
+    # marker-free rows but folds the HEAVY battery into the already-running
+    # Arrow detect UDF for dirty rows (one in-memory pass over str objects
+    # that crossed to Python anyway, instead of ~12 JVM regexp_replace
+    # passes each paying a UTF8String round-trip + full copy). Output-
+    # identical (tests/test_clean_fused.py); A/B numbers in
+    # BENCH/BASELINE.md round 5.
+    clean_engine: str = "jvm"
     # scale knobs
     salt_buckets: int = 16  # skew-defusing shuffle salt on conv_id
     num_partitions: int = 0  # 0 → leave to AQE / input partitioning

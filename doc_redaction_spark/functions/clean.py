@@ -106,6 +106,22 @@ _STRIP_EDGE = r"^\s+|\s+$"  # polars strip_chars equivalent, pre-battery
 DIRTY_MARKERS = ("<", "&", "http", "www.", "\n", "\r")
 
 
+def dirty_markers_col(base: Column) -> Column:
+    """The dirty-row gate as a Column predicate (see DIRTY_MARKERS table)."""
+    dirty = base.rlike(NON_ASCII_PATTERN)
+    for m in DIRTY_MARKERS:
+        dirty = dirty | base.contains(m)
+    return dirty
+
+
+def light_clean_col(base: Column) -> Column:
+    """The marker-free reduction of the battery: strip + multi_space +
+    punct_run (the only passes whose patterns need no dirty marker)."""
+    light = F.regexp_replace(base, _STRIP_EDGE, "")
+    light = F.regexp_replace(light, MULTI_SPACE_PATTERN, " ")
+    return F.regexp_replace(light, PUNCT_RUN_PATTERN, "$1")
+
+
 def clean_text_col(col: Column | str) -> Column:
     """Native-Spark clean battery: smart-punct fold + strip + regex passes.
 
@@ -119,23 +135,51 @@ def clean_text_col(col: Column | str) -> Column:
     """
     src = F.col(col) if isinstance(col, str) else col
     base = F.coalesce(src, F.lit(""))
-    dirty = base.rlike(NON_ASCII_PATTERN)
-    for m in DIRTY_MARKERS:
-        dirty = dirty | base.contains(m)
     heavy = base
     for old, new in SMART_PUNCT_FOLD:
         heavy = F.replace(heavy, F.lit(old), F.lit(new))
     heavy = F.regexp_replace(heavy, _STRIP_EDGE, "")
     for _, pat, repl in CLEAN_PATTERNS:
         heavy = F.regexp_replace(heavy, pat, repl)
-    light = F.regexp_replace(base, _STRIP_EDGE, "")
-    light = F.regexp_replace(light, MULTI_SPACE_PATTERN, " ")
-    light = F.regexp_replace(light, PUNCT_RUN_PATTERN, "$1")
     # NOTE: do NOT gate per-pass with when(guard, replace(c)).otherwise(c) —
     # each pass referencing the growing chain triples the expression tree
     # (3^9 nodes) and codegen OOMs. One gate, two flat branches, every
     # contains() referencing only the tiny base column.
-    return F.when(dirty, heavy).otherwise(light)
+    return F.when(dirty_markers_col(base), heavy).otherwise(light_clean_col(base))
+
+
+# --- Java-mirror Python battery (the "fused" clean engine's kernel) ----------
+# Byte-exact Python rendering of clean_text_col's HEAVY branch. The two
+# Java-vs-Python-re divergences in these patterns are neutralized here:
+# * ``\s`` — Java is ASCII-only, Python is Unicode-aware (strips \xa0 etc.);
+#   every \s below is the explicit ASCII class (the strip runs BEFORE the
+#   non-ASCII pass, so this matters).
+# * ``\p{P}`` — no Python equivalent; PUNCT_RUN_PATTERN_PY's ASCII class is
+#   identical behaviour because the non-ASCII pass runs first (module note).
+# Everything else in the battery is already in the shared dialect subset.
+# Equality to the Spark heavy branch is pinned by tests/test_clean_fused.py
+# (adversarial fixtures + randomized sweep).
+_J_WS = r"[ \t\n\x0b\f\r]"
+_PY_STRIP_EDGE = re.compile(rf"^{_J_WS}+|{_J_WS}+$")
+_PY_BATTERY: list[tuple[re.Pattern, str]] = [
+    (
+        re.compile(PUNCT_RUN_PATTERN_PY if name == "punct_run"
+                   else rf"{_J_WS}{{2,}}" if name == "multi_space" else pat),
+        repl.replace("$1", r"\1"),
+    )
+    for name, pat, repl in CLEAN_PATTERNS
+]
+
+
+def java_clean_dirty(text: str) -> str:
+    """clean_text_col's HEAVY branch, evaluated in Python on one string —
+    called by the fused detect UDF for rows the JVM gate marked dirty."""
+    for old, new in SMART_PUNCT_FOLD:
+        text = text.replace(old, new)
+    text = _PY_STRIP_EDGE.sub("", text)
+    for pat, repl in _PY_BATTERY:
+        text = pat.sub(repl, text)
+    return text
 
 
 def duckdb_clean_sql(expr: str) -> str:

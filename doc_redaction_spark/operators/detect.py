@@ -273,3 +273,54 @@ def detect_apply_fused_udf(cfg: PipelineConfig):
         return pd.DataFrame({"spans": spans_out, "redacted_text": red_out})
 
     return _fused
+
+
+CLEAN_DETECT_APPLY_TYPE = StructType(
+    [
+        StructField("clean_text", StringType(), False),
+        StructField("spans", SPANS_TYPE, False),
+        StructField("redacted_text", StringType(), False),
+    ]
+)
+
+
+def clean_detect_apply_fused_udf(cfg: PipelineConfig):
+    """The "fused" clean engine's kernel: (pre_text, dirty) → struct of
+    (clean_text, spans, redacted_text) in ONE Arrow round-trip.
+
+    Marker-free rows arrive already light-cleaned by the JVM
+    (``light_clean_col``) with ``dirty=False`` and pass through
+    untouched; dirty rows arrive RAW and take the heavy battery HERE
+    (``java_clean_dirty`` — byte-exact Python mirror of the JVM heavy
+    branch) as one in-memory pass over a str that was crossing to
+    Python for detection anyway, instead of ~12 JVM regexp_replace
+    passes each paying a UTF8String→String→UTF8String round-trip plus a
+    full copy. Output-identical to clean_text_col →
+    detect_apply_fused_udf (tests/test_clean_fused.py)."""
+    from doc_redaction_spark.functions.clean import java_clean_dirty
+
+    strategy, salt, gap = cfg.strategy, cfg.salt, cfg.merge_adjacent_gap
+
+    @F.pandas_udf(CLEAN_DETECT_APPLY_TYPE)
+    def _fused(texts: pd.Series, dirty: pd.Series) -> pd.DataFrame:
+        clean_out, spans_out, red_out = [], [], []
+        detect, apply_, clean_ = detect_spans_py, _apply_spans, java_clean_dirty
+        for t, d in zip(texts.tolist(), dirty.tolist()):
+            if d:
+                t = clean_(t)
+            tuples = detect(t, cfg)
+            if gap >= 0 and tuples:
+                tuples = merge_adjacent(resolve_overlaps(tuples), gap)
+            clean_out.append(t)
+            spans_out.append(
+                [
+                    {"entity_type": e, "start": s, "end": x, "score": sc}
+                    for (e, s, x, sc) in tuples
+                ]
+            )
+            red_out.append(apply_(t, tuples, strategy, salt))
+        return pd.DataFrame(
+            {"clean_text": clean_out, "spans": spans_out, "redacted_text": red_out}
+        )
+
+    return _fused

@@ -120,14 +120,42 @@ def extract_and_redact(
         text = main_content_col(F.coalesce(text, F.lit("")))
     if nfkc:
         text = nfkc_fold_udf()(text)
-    df = df.withColumn("clean_text", clean_text_col(text))
-    # one fused Arrow round-trip for detect+apply (see detect.py)
-    df = df.withColumn("_da", detect_apply_fused_udf(cfg)(F.col("clean_text")))
-    df = (
-        df.withColumn("spans", F.col("_da.spans"))
-        .withColumn("redacted_text", F.col("_da.redacted_text"))
-        .drop("_da")
-    )
+    if cfg.clean_engine == "fused":
+        # heavy battery folded into the Arrow stage for dirty rows only:
+        # the JVM evaluates just the gate + the 3-pass light path; dirty
+        # rows ship RAW and are cleaned in Python where the text was
+        # headed anyway (see clean_detect_apply_fused_udf)
+        from doc_redaction_spark.functions.clean import (
+            dirty_markers_col,
+            light_clean_col,
+        )
+        from doc_redaction_spark.operators.detect import (
+            clean_detect_apply_fused_udf,
+        )
+
+        base = F.coalesce(text, F.lit(""))
+        df = df.withColumn("_dirty", dirty_markers_col(base)).withColumn(
+            "_pre", F.when(F.col("_dirty"), base).otherwise(light_clean_col(base))
+        )
+        df = df.withColumn(
+            "_cda",
+            clean_detect_apply_fused_udf(cfg)(F.col("_pre"), F.col("_dirty")),
+        )
+        df = (
+            df.withColumn("clean_text", F.col("_cda.clean_text"))
+            .withColumn("spans", F.col("_cda.spans"))
+            .withColumn("redacted_text", F.col("_cda.redacted_text"))
+            .drop("_cda", "_pre", "_dirty")
+        )
+    else:
+        df = df.withColumn("clean_text", clean_text_col(text))
+        # one fused Arrow round-trip for detect+apply (see detect.py)
+        df = df.withColumn("_da", detect_apply_fused_udf(cfg)(F.col("clean_text")))
+        df = (
+            df.withColumn("spans", F.col("_da.spans"))
+            .withColumn("redacted_text", F.col("_da.redacted_text"))
+            .drop("_da")
+        )
     df = df.withColumn("n_spans", F.size("spans"))
     return df.select(
         "conv_id",

@@ -1,0 +1,116 @@
+"""Streaming ingestion-dedup backlog stress (round-5 verdict item #8).
+
+Drives run_streaming_incremental_dedup over N micro-batches with a
+GROWING stored index and records wall-clock per batch — the per-batch
+cost must stay ~flat because each batch probes the bucketed band index
+(corpus side exchange-free) rather than re-scanning history. Also
+re-runs the FINAL batch through the processor directly (the live
+failure-replay path) and asserts pairs/index idempotency.
+
+Usage:  python jobs/stream_backlog_stress.py [n_batches] [docs_per_batch]
+Prints one JSON line: per-batch seconds, first/last-5 averages, replay
+check result.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from doc_redaction_spark.session import get_spark
+    from doc_redaction_spark.streaming.stream import (
+        make_incremental_dedup_processor,
+    )
+
+    spark = get_spark(app_name="backlog_stress", cores=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="stream_stress_")
+    out = f"{tmp}/out"
+    table = "stress_mh_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    proc = make_incremental_dedup_processor(
+        spark, out, table, index_path=f"{tmp}/{table}", threshold=0.5,
+    )
+
+    # deterministic docs: 10% of each batch duplicates a doc from an
+    # EARLIER batch (forces real cross-batch pairs), the rest unique
+    def batch_df(b: int):
+        base = b * per_batch
+        return spark.range(base, base + per_batch).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                (F.col("id") % 10 == 0) & F.lit(b > 0),
+                # clone of the same slot in the PREVIOUS batch
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit(f"w{i}t"), ((F.col("id") - per_batch) * (i + 7)) % 997)
+                        for i in range(12)
+                    ],
+                ),
+            ).otherwise(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit(f"w{i}t"), (F.col("id") * (i + 7)) % 997)
+                        for i in range(12)
+                    ],
+                )
+            ).alias("text"),
+        )
+
+    walls = []
+    try:
+        for b in range(n_batches):
+            df = batch_df(b).localCheckpoint()  # exclude synth cost from timing
+            t0 = time.perf_counter()
+            proc(df, b)
+            walls.append(round(time.perf_counter() - t0, 2))
+
+        pairs_before = sorted(
+            (r.new_id, r.base_id)
+            for r in spark.read.parquet(f"{out}/pairs").collect()
+        )
+        spark.catalog.refreshTable(table)
+        idx_before = spark.table(table).count()
+
+        # live failure-replay of the final batch
+        last = n_batches - 1
+        t0 = time.perf_counter()
+        proc(batch_df(last).localCheckpoint(), last)
+        replay_wall = round(time.perf_counter() - t0, 2)
+        pairs_after = sorted(
+            (r.new_id, r.base_id)
+            for r in spark.read.parquet(f"{out}/pairs").collect()
+        )
+        spark.catalog.refreshTable(table)
+        idx_after = spark.table(table).count()
+
+        print(json.dumps({
+            "n_batches": n_batches,
+            "docs_per_batch": per_batch,
+            "per_batch_sec": walls,
+            "avg_first5": round(sum(walls[:5]) / 5, 2),
+            "avg_last5": round(sum(walls[-5:]) / 5, 2),
+            "pairs_total": len(pairs_before),
+            "index_rows": idx_before,
+            "replay_idempotent": pairs_before == pairs_after and idx_before == idx_after,
+            "replay_wall_sec": replay_wall,
+        }))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""The "fused" clean engine must be OUTPUT-IDENTICAL to the JVM battery.
+
+clean_engine="fused" keeps the JVM light path for marker-free rows and
+runs the heavy battery in Python (java_clean_dirty) inside the Arrow
+detect UDF for dirty rows. These tests pin byte equality of
+(clean_text, spans, redacted_text) between the two engines over
+adversarial fixtures and a randomized corpus — the same dialect traps
+the 3-dialect spec guards (ASCII-\s vs Unicode-\s, \p{P} vs the ASCII
+class) apply to the Python mirror.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.config import PipelineConfig
+from doc_redaction_spark.functions.clean import java_clean_dirty
+from doc_redaction_spark.plans.pipeline import extract_and_redact
+
+ADVERSARIAL = [
+    "",
+    "   ",
+    "plain clean text with no markers at all",
+    "  leading and trailing   ",
+    "\xa0leading nbsp and trailing\xa0",
+    "tabs\tand\x0bverticals\x0cstay single",
+    "multi  spaces   collapse",
+    "line\nbreaks\r\nand\rcarriage",
+    "a url http://example.com/x?y=1 inline",
+    "www.example-site.org trailing",
+    "<b>bold</b> and &amp; entities &#169; &#x1f600;",
+    "truncated <div class=.. tag",
+    "smart ‘quotes’ “here” – dashes — and … bullets •",
+    "punct runs!!! and ... and ??! mixed",
+    "unicode café naïve 日本語 mixed",
+    "ampersand & becomes and",
+    "edge <>&\xa0 soup <a href='x'>link</a>",
+    "Contact sam.smith@example.com or 192.168.0.1 now!!!",
+    "..leading punct run",
+    "-- -- doubled dashes -- --",
+]
+
+
+def _mk_turns(spark, texts):
+    rows = [("c0", i, "user", t, "", None) for i, t in enumerate(texts)]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+
+
+def _run(spark, texts, **cfg_kw):
+    out = {}
+    for eng in ("jvm", "fused"):
+        cfg = PipelineConfig(clean_engine=eng, **cfg_kw)
+        df = extract_and_redact(_mk_turns(spark, texts), cfg, with_row_number=False)
+        out[eng] = {
+            r.turn_idx: (r.clean_text, tuple((s.entity_type, s.start, s.end, s.score) for s in r.spans), r.redacted_text)
+            for r in df.collect()
+        }
+    return out
+
+
+def test_fused_engine_identical_on_adversarial(spark):
+    got = _run(spark, ADVERSARIAL)
+    assert got["jvm"] == got["fused"]
+    # sanity: the fixtures actually exercise redaction + both gate sides
+    assert any(v[1] for v in got["jvm"].values())
+    assert any(v[0] != v[2] for v in got["jvm"].values())
+
+
+def test_fused_engine_identical_randomized(spark):
+    rng = random.Random(55)
+    frags = [
+        "hello", "world", "&", "<p>", "</p>", "http://x.io/a", "www.t.co",
+        "…", "‘q’", "“w”", "–", "—", "•", "\xa0", "café", "!!", "..", "  ",
+        "\n", "\r\n", "\t", "a@b.co", "SW1A 1AA", "plain", "words", "x",
+    ]
+    texts = [
+        "".join(rng.choice(frags) for _ in range(rng.randrange(0, 14)))
+        for _ in range(400)
+    ]
+    got = _run(spark, texts)
+    assert got["jvm"] == got["fused"]
+
+
+def test_java_clean_dirty_matches_spark_heavy_branch(spark):
+    """java_clean_dirty must equal the JVM battery on DIRTY rows taken
+    alone (every ADVERSARIAL row is forced through the heavy path by
+    appending a marker)."""
+    dirty_texts = [t + " & <tail>" for t in ADVERSARIAL]
+    from doc_redaction_spark.functions.clean import clean_text_col
+
+    df = _mk_turns(spark, dirty_texts).withColumn(
+        "ct", clean_text_col(F.col("text"))
+    )
+    want = {r.turn_idx: r.ct for r in df.collect()}
+    got = {i: java_clean_dirty(t) for i, t in enumerate(dirty_texts)}
+    assert got == want
