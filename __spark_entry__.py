@@ -1173,6 +1173,60 @@ def o_dedup_incremental():
     """
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (train/eval-leak guard, GPT-3
+    appendix-C / Llama-style token-8-gram overlap): every corpus doc's
+    hit fraction against a benchmark set (here: the raw documents with
+    doc_id%17==0, so those docs score 1.0, their planted +100000 near-dup
+    and +200000 exact-dup copies score high, the rest only via genuine
+    template collisions). Benchmark grams distinct once (broadcastable),
+    corpus grams exploded once — dedup.decontaminate_ngrams."""
+    corpus = documents_plus(spark, sf_dir)
+    bench = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id", "text")
+    )
+    return dd.decontaminate_ngrams(corpus, bench, n=8, threshold=0.2)
+
+
+def o_decontamination():
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH docs_plus AS ({documents_plus_sql()}),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+    tkc AS (SELECT doc_id AS id, {toks} AS t FROM docs_plus),
+    tkb AS (SELECT doc_id AS id, {toks} AS t FROM bench),
+    cg AS (SELECT id, md5(array_to_string(t[i:i+7], ' ')) AS g
+           FROM tkc, unnest(generate_series(1, len(t) - 7)) AS u(i)
+           WHERE len(t) >= 8),
+    bg AS (SELECT DISTINCT md5(array_to_string(t[i:i+7], ' ')) AS g
+           FROM tkb, unnest(generate_series(1, len(t) - 7)) AS u(i)
+           WHERE len(t) >= 8),
+    per AS (SELECT id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit
+            FROM cg LEFT JOIN bg ON cg.g = bg.g GROUP BY id),
+    base AS (SELECT d.doc_id,
+                    coalesce(per.n_grams, 0) AS n_grams,
+                    coalesce(per.n_hit, 0) AS n_hit
+             FROM docs_plus d LEFT JOIN per ON d.doc_id = per.id),
+    frac AS (SELECT doc_id, n_grams, n_hit,
+                    CASE WHEN n_grams > 0
+                         THEN floor(n_hit / n_grams * 1e4) / 1e4
+                         ELSE 0.0e0 END AS hit_frac
+             FROM base)
+    SELECT doc_id, n_grams, n_hit, hit_frac,
+           CAST(CASE WHEN hit_frac >= 0.2e0 THEN 1 ELSE 0 END AS INTEGER)
+             AS contaminated
+    FROM frac
+    """
+
+
 def q_dedup_incremental_stored(spark, sf_dir):
     """The STORED-index round trip of dedup_incremental: the corpus band
     table is persisted as a real bucketed warehouse table
@@ -4450,13 +4504,14 @@ def o_redact_pseudonym_email():
 # dialect trap — both round-1 and round-2 red rows lived there); the 19
 # queries green in BOTH r01 and r02 driver runs sit past the sample cap.
 _QUERIES: dict[str, Callable] = {
-    # round-5 new oracles lead (never driver-hashed); the three rotated
-    # past the cap to make room — pdf_rawdict_chars, coverage_qa,
-    # review_prune — all have r04 driver greens and inputs untouched
-    # this round
+    # round-5 new oracles lead (never driver-hashed); the four rotated
+    # past the cap to make room — deny_list_aho, pdf_rawdict_chars,
+    # coverage_qa, review_prune — all have r04 driver greens and inputs
+    # untouched this round
     "dedup_incremental_stored": q_dedup_incremental_stored,
     "embedding_ivf_stored": q_embedding_ivf_stored,
     "fuzzy_deny2": q_fuzzy_deny2,
+    "decontamination": q_decontamination,
     "doc_lang_ngram": q_doc_lang_ngram,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "corpus_curation": q_corpus_curation,
@@ -4562,6 +4617,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dedup_incremental_stored": o_dedup_incremental_stored,
     "embedding_ivf_stored": o_embedding_ivf_stored,
     "fuzzy_deny2": o_fuzzy_deny2,
+    "decontamination": o_decontamination,
     "doc_lang_ngram": o_doc_lang_ngram,
     "doc_winnow_fingerprints": o_doc_winnow_fingerprints,
     "corpus_curation": o_corpus_curation,

@@ -975,11 +975,69 @@ def duplicated_substring_spans_exact(
     return _position_islands(dup_pos, n, max_gap=n)
 
 
-def _duplicated_gram_positions(
-    df: DataFrame, text_col: str, id_col: str, n: int, min_count: int
+def decontaminate_ngrams(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.2,
 ) -> DataFrame:
-    """(id, pos) of every token position whose n-gram occurs >= min_count
-    times corpus-wide."""
+    """Benchmark decontamination — the train/eval-leak guard a training-
+    data pipeline runs before shipping a corpus (the GPT-3 appendix-C /
+    Llama-style n-gram overlap rule): ``hit_frac`` = fraction of a corpus
+    document's token n-grams that occur ANYWHERE in the benchmark set;
+    a document is contaminated iff its (floor-scaled, cross-engine-exact)
+    hit_frac >= threshold.
+
+    Plan: benchmark grams are distinct'd once (an eval set is tiny next
+    to a 100 TB corpus — AQE broadcasts that side); corpus grams are
+    exploded ONCE and left-joined against it, so per-doc totals and hits
+    come out of a single map-side-combinable groupBy. Documents shorter
+    than ``n`` tokens have zero grams and are reported uncontaminated
+    with n_grams = 0 (the id-preserving left join at the end).
+
+    Output: (doc_id, n_grams, n_hit, hit_frac, contaminated).
+    """
+    cg = _gram_positions(corpus, text_col, id_col, n)
+    bg = (
+        _gram_positions(benchmark, text_col, id_col, n)
+        .select("g")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per = (
+        cg.join(bg, "g", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
+    out = (
+        corpus.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.floor(F.col("n_hit") / F.col("n_grams") * 1e4) / 1e4,
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("hit_frac", frac).withColumn(
+        "contaminated", (F.col("hit_frac") >= F.lit(threshold)).cast("int")
+    )
+
+
+def _gram_positions(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, pos, g): md5 key of the token n-gram starting at every
+    0-based token position (whitespace-normalized, lower-cased tokens)."""
     toks = F.filter(
         F.split(
             F.lower(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")),
@@ -1002,7 +1060,15 @@ def _duplicated_gram_positions(
         ),
         1,
     )
-    pos = df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "g"))
+    return df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "g"))
+
+
+def _duplicated_gram_positions(
+    df: DataFrame, text_col: str, id_col: str, n: int, min_count: int
+) -> DataFrame:
+    """(id, pos) of every token position whose n-gram occurs >= min_count
+    times corpus-wide."""
+    pos = _gram_positions(df, text_col, id_col, n)
     hot = pos.groupBy("g").agg(F.count("*").alias("_cnt")).filter(
         F.col("_cnt") >= min_count
     )

@@ -15,10 +15,13 @@ check result.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -100,8 +103,8 @@ def main() -> None:
             "n_batches": n_batches,
             "docs_per_batch": per_batch,
             "per_batch_sec": walls,
-            "avg_first5": round(sum(walls[:5]) / 5, 2),
-            "avg_last5": round(sum(walls[-5:]) / 5, 2),
+            "avg_first5": round(sum(walls[:5]) / len(walls[:5]), 2),
+            "avg_last5": round(sum(walls[-5:]) / len(walls[-5:]), 2),
             "pairs_total": len(pairs_before),
             "index_rows": idx_before,
             "replay_idempotent": pairs_before == pairs_after and idx_before == idx_after,

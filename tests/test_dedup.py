@@ -328,3 +328,33 @@ def test_duplicate_components_chain_merges(spark):
         (1, 1), (5, 1), (9, 1), (40, 1),  # chain 1-5-9-40 collapses
         (20, 20), (30, 20),
     }
+
+
+def test_decontaminate_ngrams_ground_truth(spark):
+    """Closed-form decontamination: benchmark = doc B's text; corpus has
+    an exact copy (frac 1.0), a half-overlap doc, a disjoint doc, and a
+    too-short doc (0 grams, uncontaminated)."""
+    from doc_redaction_spark.operators.dedup import decontaminate_ngrams
+
+    bench_text = " ".join(f"b{i}" for i in range(12))  # 12 toks → 9 4-grams
+    half = " ".join(f"b{i}" for i in range(8)) + " " + " ".join(
+        f"x{i}" for i in range(8)
+    )  # 16 toks → 13 grams; grams fully inside b0..b7 = 5 hits
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),
+            (2, half),
+            (3, " ".join(f"z{i}" for i in range(12))),
+            (4, "too short text"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit, r.hit_frac, r.contaminated)
+        for r in decontaminate_ngrams(corpus, bench, n=4, threshold=0.3).collect()
+    }
+    assert got[1] == (9, 9, 1.0, 1)
+    assert got[2] == (13, 5, 0.3846, 1)
+    assert got[3] == (9, 0, 0.0, 0)
+    assert got[4] == (0, 0, 0.0, 0)
