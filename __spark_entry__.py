@@ -1173,6 +1173,56 @@ def o_dedup_incremental():
     """
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb-style cross-document line dedup
+    (dedup.line_dedup): synthetic multi-line docs with planted
+    boilerplate (header + footer in every doc, a promo line in every
+    third) around one per-doc unique line; lines in >= 2 distinct docs
+    are dropped and the survivors reassemble in order."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    docs = cust.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.lit("subscribe to our newsletter\n"),
+            F.lit("customer "), F.col("c_custkey").cast("string"),
+            F.lit(" writes about topic "),
+            (F.col("c_custkey") % 97).cast("string"),
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("\nseasonal promo line"))
+            .otherwise(F.lit("")),
+            F.lit("\nall rights reserved"),
+        ).alias("text"),
+    )
+    return dd.line_dedup(docs, min_df=2)
+
+
+def o_line_dedup():
+    return """
+    WITH docs AS (
+      SELECT c_custkey AS doc_id,
+             'subscribe to our newsletter' || chr(10)
+             || 'customer ' || CAST(c_custkey AS VARCHAR)
+             || ' writes about topic ' || CAST(c_custkey % 97 AS VARCHAR)
+             || (CASE WHEN c_custkey % 3 = 0
+                      THEN chr(10) || 'seasonal promo line' ELSE '' END)
+             || chr(10) || 'all rights reserved' AS text
+      FROM customer),
+    lines AS (SELECT doc_id, i - 1 AS pos, l FROM (
+                SELECT doc_id, generate_subscripts(ls, 1) AS i, unnest(ls) AS l
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs))),
+    hot AS (SELECT l FROM lines GROUP BY l
+            HAVING count(DISTINCT doc_id) >= 2),
+    marked AS (SELECT lines.doc_id, lines.pos, lines.l,
+                      (hot.l IS NOT NULL) AS is_hot
+               FROM lines LEFT JOIN hot USING (l))
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT is_hot THEN l END,
+                               chr(10) ORDER BY pos), '') AS text,
+           CAST(count(CASE WHEN NOT is_hot THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(count(CASE WHEN is_hot THEN 1 END) AS BIGINT) AS n_dropped
+    FROM marked GROUP BY doc_id
+    """
+
+
 def q_decontamination(spark, sf_dir):
     """Benchmark decontamination (train/eval-leak guard, GPT-3
     appendix-C / Llama-style token-8-gram overlap): every corpus doc's
@@ -4504,14 +4554,15 @@ def o_redact_pseudonym_email():
 # dialect trap — both round-1 and round-2 red rows lived there); the 19
 # queries green in BOTH r01 and r02 driver runs sit past the sample cap.
 _QUERIES: dict[str, Callable] = {
-    # round-5 new oracles lead (never driver-hashed); the four rotated
-    # past the cap to make room — deny_list_aho, pdf_rawdict_chars,
-    # coverage_qa, review_prune — all have r04 driver greens and inputs
-    # untouched this round
+    # round-5 new oracles lead (never driver-hashed); the five rotated
+    # past the cap to make room — url_extraction, deny_list_aho,
+    # pdf_rawdict_chars, coverage_qa, review_prune — all have r04 driver
+    # greens and inputs untouched this round
     "dedup_incremental_stored": q_dedup_incremental_stored,
     "embedding_ivf_stored": q_embedding_ivf_stored,
     "fuzzy_deny2": q_fuzzy_deny2,
     "decontamination": q_decontamination,
+    "line_dedup": q_line_dedup,
     "doc_lang_ngram": q_doc_lang_ngram,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "corpus_curation": q_corpus_curation,
@@ -4618,6 +4669,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "embedding_ivf_stored": o_embedding_ivf_stored,
     "fuzzy_deny2": o_fuzzy_deny2,
     "decontamination": o_decontamination,
+    "line_dedup": o_line_dedup,
     "doc_lang_ngram": o_doc_lang_ngram,
     "doc_winnow_fingerprints": o_doc_winnow_fingerprints,
     "corpus_curation": o_corpus_curation,

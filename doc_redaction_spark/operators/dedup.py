@@ -975,6 +975,58 @@ def duplicated_substring_spans_exact(
     return _position_islands(dup_pos, n, max_gap=n)
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document line-level dedup — the CCNet / RefinedWeb
+    boilerplate-removal pass: drop every line whose EXACT content occurs
+    in >= ``min_df`` distinct documents (headers, footers, cookie
+    banners, promo lines), reassemble the survivors in original order.
+
+    Plan: posexplode lines → per-line distinct-doc count (map-side
+    combinable groupBy on the line itself; the hot-line table is tiny —
+    boilerplate is by definition low-cardinality — so AQE broadcasts it
+    back) → left-join mark → one groupBy(id) rebuilding the text with an
+    array_sort over (pos, line) structs. No windows, no Python.
+
+    Output: (id_col, text, n_kept, n_dropped) — text "" when every line
+    was boilerplate.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_df)
+        .select("line", F.lit(1).alias("_hot"))
+    )
+    marked = lines.join(hot, "line", "left")
+    agg = marked.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("_hot").isNull(), F.struct("pos", "line"))
+            )
+        ).alias("_ks"),
+        F.count(F.when(F.col("_hot").isNull(), 1)).alias("n_kept"),
+        F.count(F.when(F.col("_hot").isNotNull(), 1)).alias("n_dropped"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.array_join(
+            F.transform(F.col("_ks"), lambda s: s["line"]), "\n"
+        ).alias("text"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )
+
+
 def decontaminate_ngrams(
     corpus: DataFrame,
     benchmark: DataFrame,

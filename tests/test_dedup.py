@@ -358,3 +358,27 @@ def test_decontaminate_ngrams_ground_truth(spark):
     assert got[2] == (13, 5, 0.3846, 1)
     assert got[3] == (9, 0, 0.0, 0)
     assert got[4] == (0, 0, 0.0, 0)
+
+
+def test_line_dedup_ground_truth(spark):
+    """Boilerplate lines (>= min_df distinct docs) drop; unique lines
+    keep order; an all-boilerplate doc collapses to ''."""
+    from doc_redaction_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "header\nunique one\nfooter"),
+            (2, "header\nunique two\nfooter"),
+            (3, "header\nfooter"),
+            (4, "alone doc\nwith lines"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_kept, r.n_dropped)
+        for r in line_dedup(docs, min_df=2).collect()
+    }
+    assert got[1] == ("unique one", 1, 2)
+    assert got[2] == ("unique two", 1, 2)
+    assert got[3] == ("", 0, 2)
+    assert got[4] == ("alone doc\nwith lines", 2, 0)
