@@ -1173,6 +1173,42 @@ def o_dedup_incremental():
     """
 
 
+def q_quality_percentile(spark, sf_dir):
+    """Exact top-80% quality cut WITHOUT a global sort
+    (operators/selection.py quality_rank_filter — distributed two-phase
+    selection: bucket histogram → threshold bucket → rank only inside
+    it). Score = floor-scaled mean chars-per-token; oracle = the naive
+    global row_number definition, so the bucketed plan is value-checked
+    against the spec it optimizes."""
+    from doc_redaction_spark.operators.selection import quality_rank_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    words = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    score = F.when(
+        words > 0, F.floor(F.length("text") / words * 1e4) / 1e4
+    ).otherwise(F.lit(0.0))
+    q = docs.select("doc_id", score.alias("score"))
+    return quality_rank_filter(
+        q, keep_frac=0.8, buckets=200, lo=0.0, hi=20.0
+    ).select("doc_id", "score")
+
+
+def o_quality_percentile():
+    words = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    return f"""
+    WITH q AS (SELECT doc_id,
+                      CASE WHEN {words} > 0
+                           THEN floor(length(text) / {words} * 1e4) / 1e4
+                           ELSE 0.0e0 END AS score
+               FROM documents),
+    r AS (SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+                 count(*) OVER () AS n
+          FROM q)
+    SELECT doc_id, score FROM r WHERE rk <= floor(n * 0.8e0)
+    """
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet/RefinedWeb-style cross-document line dedup
     (dedup.line_dedup): synthetic multi-line docs with planted
@@ -4554,15 +4590,16 @@ def o_redact_pseudonym_email():
 # dialect trap — both round-1 and round-2 red rows lived there); the 19
 # queries green in BOTH r01 and r02 driver runs sit past the sample cap.
 _QUERIES: dict[str, Callable] = {
-    # round-5 new oracles lead (never driver-hashed); the five rotated
-    # past the cap to make room — url_extraction, deny_list_aho,
-    # pdf_rawdict_chars, coverage_qa, review_prune — all have r04 driver
-    # greens and inputs untouched this round
+    # round-5 new oracles lead (never driver-hashed); the rotated-out
+    # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
+    # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
+    # driver greens and inputs untouched this round
     "dedup_incremental_stored": q_dedup_incremental_stored,
     "embedding_ivf_stored": q_embedding_ivf_stored,
     "fuzzy_deny2": q_fuzzy_deny2,
     "decontamination": q_decontamination,
     "line_dedup": q_line_dedup,
+    "quality_percentile": q_quality_percentile,
     "doc_lang_ngram": q_doc_lang_ngram,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "corpus_curation": q_corpus_curation,
@@ -4670,6 +4707,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "fuzzy_deny2": o_fuzzy_deny2,
     "decontamination": o_decontamination,
     "line_dedup": o_line_dedup,
+    "quality_percentile": o_quality_percentile,
     "doc_lang_ngram": o_doc_lang_ngram,
     "doc_winnow_fingerprints": o_doc_winnow_fingerprints,
     "corpus_curation": o_corpus_curation,

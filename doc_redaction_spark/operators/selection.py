@@ -1,0 +1,80 @@
+"""Exact top-fraction selection — the quality-percentile curation cut.
+
+Training-data pipelines keep "the top X% by quality score". The naive
+Spark form is a GLOBAL row_number window (one task sorts the corpus) and
+the usual alternative — approxQuantile — is sketch-based and changes
+with partitioning, which breaks rerun determinism and any value oracle.
+
+``quality_rank_filter`` is the classic distributed two-phase selection
+instead: a bucket histogram finds the threshold bucket (one map-side-
+combinable groupBy over ≤``buckets`` rows), every bucket above it keeps
+wholesale, and ONLY the threshold bucket's rows (≈ n/buckets of the
+corpus, assuming scores spread across buckets) pay a rank. Exactly
+equal to ``row_number() OVER (ORDER BY score DESC, id) <= floor(n ·
+keep_frac)`` — ties broken by id, so the kept set is unique and
+rerun-stable. No driver-side collect: the count, the threshold bucket
+and its slot budget travel through broadcast 1-row joins.
+
+Caveat (documented trade): if the score distribution collapses into one
+bucket, the refinement window degrades toward the global sort — pick
+``buckets``/``lo``/``hi`` to spread the score range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quality_rank_filter(
+    df: DataFrame,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    keep_frac: float = 0.8,
+    buckets: int = 1000,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Keep exactly ``floor(n · keep_frac)`` rows, highest ``score_col``
+    first, ties broken by ``id_col`` ascending. Returns the input rows
+    (all columns) of the kept set."""
+    b = (
+        F.least(
+            F.lit(buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(score_col) - F.lit(lo)) / F.lit(hi - lo) * buckets),
+            ),
+        )
+    ).cast("int")
+    d = df.withColumn("_b", b)
+    hist = d.groupBy("_b").agg(F.count("*").alias("_c"))
+    n_df = d.agg(F.count("*").alias("_n"))
+    wc = Window.orderBy(F.desc("_b")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.crossJoin(F.broadcast(n_df))
+        .withColumn("_cum", F.sum("_c").over(wc))
+        .withColumn("_k", F.floor(F.col("_n") * F.lit(keep_frac)).cast("long"))
+    )
+    # threshold bucket: the highest bucket whose cumulative count reaches
+    # the budget; its remaining slot count = k - (rows in higher buckets)
+    thr = (
+        cum.filter(F.col("_cum") >= F.col("_k"))
+        .orderBy(F.desc("_b"))
+        .limit(1)
+        .select(
+            F.col("_b").alias("_tb"),
+            (F.col("_k") - (F.col("_cum") - F.col("_c"))).alias("_slots"),
+        )
+    )
+    with_thr = d.crossJoin(F.broadcast(thr))
+    keep_hi = with_thr.filter(F.col("_b") > F.col("_tb"))
+    in_thr = with_thr.filter(F.col("_b") == F.col("_tb"))
+    wr = Window.orderBy(F.desc(score_col), F.col(id_col))
+    keep_thr = (
+        in_thr.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") <= F.col("_slots"))
+        .drop("_rk")
+    )
+    out_cols = df.columns
+    return keep_hi.select(*out_cols).unionByName(keep_thr.select(*out_cols))

@@ -1,0 +1,46 @@
+"""quality_rank_filter ≡ global row_number selection (randomized)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.selection import quality_rank_filter
+
+
+def _global_keep(df, keep_frac):
+    w = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    n = df.count()
+    k = int(n * keep_frac)
+    return {
+        r.doc_id
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .collect()
+    }
+
+
+def test_rank_filter_matches_global_rank(spark):
+    rng = random.Random(99)
+    # heavy ties: scores drawn from a small grid in [0, 1]
+    rows = [(i, rng.randrange(0, 25) / 25.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    for frac in (0.0, 0.1, 0.5, 0.8, 1.0):
+        got = {r.doc_id for r in quality_rank_filter(df, keep_frac=frac, buckets=16).collect()}
+        want = _global_keep(df, frac)
+        assert got == want, frac
+        assert len(got) == int(400 * frac)
+
+
+def test_rank_filter_single_bucket_degenerate(spark):
+    """All scores identical → everything lands in one bucket; the
+    refinement alone must still produce the exact id-ordered cut."""
+    df = spark.createDataFrame(
+        [(i, 0.5) for i in range(50)], "doc_id long, score double"
+    )
+    got = sorted(
+        r.doc_id for r in quality_rank_filter(df, keep_frac=0.2, buckets=10).collect()
+    )
+    assert got == list(range(10))  # ties broken by id ascending
