@@ -1173,6 +1173,34 @@ def o_dedup_incremental():
     """
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Top-20 corpus 3-grams with occurrence + document frequency
+    (dedup.top_ngrams) — the boilerplate-mining stats pass that feeds
+    deny lists and the dedup operators' max_df caps. Deterministic
+    ties: (count desc, doc-freq desc, gram asc)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return dd.top_ngrams(docs, n=3, k=20)
+
+
+def o_top_ngrams():
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id AS id, {toks} AS t FROM documents),
+    g AS (SELECT id, array_to_string(t[i:i+2], ' ') AS g
+          FROM tk, unnest(generate_series(1, len(t) - 2)) AS u(i)
+          WHERE len(t) >= 3)
+    SELECT g AS gram,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+    FROM g GROUP BY g
+    ORDER BY n_occurrences DESC, n_docs DESC, gram
+    LIMIT 20
+    """
+
+
 def q_quality_percentile(spark, sf_dir):
     """Exact top-80% quality cut WITHOUT a global sort
     (operators/selection.py quality_rank_filter — distributed two-phase
@@ -4600,6 +4628,7 @@ _QUERIES: dict[str, Callable] = {
     "decontamination": q_decontamination,
     "line_dedup": q_line_dedup,
     "quality_percentile": q_quality_percentile,
+    "top_ngrams": q_top_ngrams,
     "doc_lang_ngram": q_doc_lang_ngram,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "corpus_curation": q_corpus_curation,
@@ -4708,6 +4737,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "decontamination": o_decontamination,
     "line_dedup": o_line_dedup,
     "quality_percentile": o_quality_percentile,
+    "top_ngrams": o_top_ngrams,
     "doc_lang_ngram": o_doc_lang_ngram,
     "doc_winnow_fingerprints": o_doc_winnow_fingerprints,
     "corpus_curation": o_corpus_curation,

@@ -1086,10 +1086,12 @@ def decontaminate_ngrams(
 
 
 def _gram_positions(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame, text_col: str, id_col: str, n: int, hashed: bool = True
 ) -> DataFrame:
-    """(id, pos, g): md5 key of the token n-gram starting at every
-    0-based token position (whitespace-normalized, lower-cased tokens)."""
+    """(id, pos, g): the token n-gram starting at every 0-based token
+    position (whitespace-normalized, lower-cased tokens) — md5-keyed by
+    default (compact join/shuffle keys), literal text when
+    ``hashed=False`` (corpus-stats consumers like top_ngrams)."""
     toks = F.filter(
         F.split(
             F.lower(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " ")),
@@ -1097,6 +1099,11 @@ def _gram_positions(
         ),
         lambda w: w != "",
     )
+
+    def _one(tk, i):
+        g = F.concat_ws(" ", *[F.element_at(tk, i + k) for k in range(n)])
+        return F.md5(g) if hashed else g
+
     grams = F.element_at(
         F.transform(
             F.array(toks),
@@ -1104,15 +1111,48 @@ def _gram_positions(
                 F.size(tk) >= n,
                 F.transform(
                     F.sequence(F.lit(1), F.size(tk) - n + 1),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", *[F.element_at(tk, i + k) for k in range(n)])
-                    ),
+                    lambda i: _one(tk, i),
                 ),
             ).otherwise(F.array().cast("array<string>")),
         ),
         1,
     )
     return df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "g"))
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus boilerplate mining: the ``k`` most frequent token n-grams
+    with total occurrences and document frequency — the standard stats
+    pass that feeds deny/boilerplate lists (and the max_df caps the
+    dedup operators already use). One map-side-combinable groupBy over
+    the exploded grams, then a TakeOrdered top-k ((count, df) desc, gram
+    asc — fully deterministic); no global sort materialization.
+
+    Output: (gram, n_occurrences, n_docs) — exactly k rows (fewer iff
+    the corpus has fewer distinct grams)."""
+    grams = _gram_positions(df, text_col, id_col, n, hashed=False)
+    return (
+        grams.groupBy("g")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("id").alias("n_docs"),
+        )
+        .orderBy(
+            F.desc("n_occurrences"), F.desc("n_docs"), F.col("g")
+        )
+        .limit(k)
+        .select(
+            F.col("g").alias("gram"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
 
 
 def _duplicated_gram_positions(
