@@ -127,6 +127,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_substring_exact",
         "ner_gazetteer",
         "xfdf_ingest",
+        "decontamination",
+        "fuzzy_deny2",
+        "embedding_ivf_stored",
+        "line_dedup",
     ]
     qs = entrymod.queries()
     out = {}
@@ -166,9 +170,13 @@ def main():
     spark = _spark(CPUS)
     ensure_transcripts(spark, BENCH_TURNS, TRANSCRIPTS_DIR)
 
-    # headline: turns/sec at CPUS (min of 3 after warm-up)
+    # headline: turns/sec at CPUS — warm-up + min of 4 timed reps. The
+    # headline is an unpinned single-session number on a shared box whose
+    # ±15% ambient spread has twice (r03→r04) read as a phantom
+    # regression; each extra rep costs ~5 s and buys one more draw
+    # against a noise window (per-operator picks get the same treatment)
     run_pipeline(spark, TRANSCRIPTS_DIR)  # warm
-    dt, n_turns = min(run_pipeline(spark, TRANSCRIPTS_DIR) for _ in range(3))
+    dt, n_turns = min(run_pipeline(spark, TRANSCRIPTS_DIR) for _ in range(4))
     queries = run_queries(spark, SF_DIR)
     spark.stop()
 
