@@ -62,6 +62,7 @@ PIPE_CFG = PipelineConfig(deny_terms=DENY_TERMS)
 # entity → (python/RE2-shared pattern, needs-ignorecase) used for redaction
 # oracles. CUSTOM deny terms use \b guards (≡ the engine's lookarounds for
 # word-char-bounded literals).
+import os
 import re as _re
 
 _DENY_ORACLE = "|".join(
@@ -1361,16 +1362,20 @@ def q_dedup_incremental_stored(spark, sf_dir):
     # EXTERNAL table at an explicit path: a fresh session's catalog does
     # not know tables a previous run created, and a MANAGED saveAsTable
     # onto the leftover warehouse directory fails LOCATION_ALREADY_EXISTS
-    # — with an explicit path, overwrite replaces the location contents
-    spark.sql("DROP TABLE IF EXISTS reg_mh_band_index")
+    # — with an explicit path, overwrite replaces the location contents.
+    # Per-process name+path: a concurrent driver run and selfcheck run
+    # must not clobber each other's half-written index (values are
+    # identical either way — only the storage location is scoped).
+    tbl = f"reg_mh_band_index_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     dd.save_minhash_band_index(
-        bands, "reg_mh_band_index", buckets=8, mode="overwrite",
-        path="/tmp/spark_graft_reg_idx/mh_band",
+        bands, tbl, buckets=8, mode="overwrite",
+        path=f"/tmp/spark_graft_reg_idx_{os.getpid()}/mh_band",
     )
-    spark.catalog.refreshTable("reg_mh_band_index")
+    spark.catalog.refreshTable(tbl)
     return dd.incremental_minhash_pairs(
         new=new,
-        base_bands=spark.table("reg_mh_band_index"),
+        base_bands=spark.table(tbl),
         num_hashes=_MH_HASHES,
         bands=_MH_BANDS,
         threshold=0.5,
@@ -2010,20 +2015,22 @@ def q_embedding_ivf_stored(spark, sf_dir):
     qs = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    # external tables at explicit paths — a managed saveAsTable onto a
-    # previous session's leftover warehouse directory fails
-    # LOCATION_ALREADY_EXISTS (see q_dedup_incremental_stored)
-    spark.sql("DROP TABLE IF EXISTS reg_ivf_index")
-    spark.sql("DROP TABLE IF EXISTS reg_ivf_centroids")
+    # external tables at explicit per-process paths — a managed
+    # saveAsTable onto a previous session's leftover warehouse directory
+    # fails LOCATION_ALREADY_EXISTS, and concurrent sessions must not
+    # clobber each other (see q_dedup_incremental_stored)
+    itbl, ctbl = f"reg_ivf_index_{os.getpid()}", f"reg_ivf_centroids_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {itbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {ctbl}")
     osim.save_ivf_index(
-        emb, "reg_ivf_index", "reg_ivf_centroids",
+        emb, itbl, ctbl,
         n_centroids=_IVF_CENTROIDS, dim=64, seed_mod=_IVF_SEED_MOD, buckets=8,
-        path_prefix="/tmp/spark_graft_reg_idx",
+        path_prefix=f"/tmp/spark_graft_reg_idx_{os.getpid()}",
     )
-    spark.catalog.refreshTable("reg_ivf_index")
-    spark.catalog.refreshTable("reg_ivf_centroids")
+    spark.catalog.refreshTable(itbl)
+    spark.catalog.refreshTable(ctbl)
     return osim.ivf_topk_from_index(
-        spark, qs, "reg_ivf_index", "reg_ivf_centroids",
+        spark, qs, itbl, ctbl,
         k=5, nprobe=_IVF_NPROBE,
     )
 

@@ -54,6 +54,21 @@ class PipelineConfig:
     num_partitions: int = 0  # 0 → leave to AQE / input partitioning
     order_engine: str = "window"  # "window" | "salted" (two-phase rank for monster convs)
 
+    def __post_init__(self):
+        # silent fallback traps: a typo'd engine name must error, not
+        # quietly benchmark/redact with the default path (an A/B run with
+        # SPARK_GRAFT_CLEAN_ENGINE=fuse would otherwise record jvm-vs-jvm)
+        if self.clean_engine not in ("jvm", "fused"):
+            raise ValueError(f"clean_engine must be jvm|fused, got {self.clean_engine!r}")
+        if self.deny_engine not in ("regex", "aho"):
+            raise ValueError(f"deny_engine must be regex|aho, got {self.deny_engine!r}")
+        if self.ner_engine not in ("off", "fake", "gazetteer", "spacy"):
+            raise ValueError(
+                f"ner_engine must be off|fake|gazetteer|spacy, got {self.ner_engine!r}"
+            )
+        if self.order_engine not in ("window", "salted"):
+            raise ValueError(f"order_engine must be window|salted, got {self.order_engine!r}")
+
     def key(self) -> tuple:
         return (
             self.entities,

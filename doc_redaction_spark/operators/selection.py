@@ -38,18 +38,25 @@ def quality_rank_filter(
     """Keep exactly ``floor(n · keep_frac)`` rows, highest ``score_col``
     first, ties broken by ``id_col`` ascending. Returns the input rows
     (all columns) of the kept set."""
-    b = (
-        F.least(
-            F.lit(buckets - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((F.col(score_col) - F.lit(lo)) / F.lit(hi - lo) * buckets),
-            ),
-        )
-    ).cast("int")
+    clamped = F.least(
+        F.lit(buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(score_col) - F.lit(lo)) / F.lit(hi - lo) * buckets),
+        ),
+    )
+    # NaN sorts ABOVE every real in both Spark's DESC and the SQL spec —
+    # floor(NaN) would drop it into bucket 0 and silently change the kept
+    # set; route it to the top bucket (the DESC window there ranks NaN
+    # first, matching the global row_number contract)
+    b = F.when(
+        F.isnan(F.col(score_col).cast("double")), F.lit(buckets - 1)
+    ).otherwise(clamped).cast("int")
     d = df.withColumn("_b", b)
     hist = d.groupBy("_b").agg(F.count("*").alias("_c"))
-    n_df = d.agg(F.count("*").alias("_n"))
+    # corpus size = sum of the histogram (≤ buckets rows) — not another
+    # full scan of the input
+    n_df = hist.agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"))
     wc = Window.orderBy(F.desc("_b")).rowsBetween(Window.unboundedPreceding, 0)
     cum = (
         hist.crossJoin(F.broadcast(n_df))

@@ -277,8 +277,12 @@ def save_ivf_index(
     if path_prefix:
         cw = cw.option("path", f"{path_prefix}/{centroid_table}")
     cw.saveAsTable(centroid_table)
+    # align partitions with buckets before the bucketed write — a
+    # bucketed write emits one file per (task, bucket); see
+    # save_minhash_band_index for the measured file-count probe cost
     iw = (
-        assigned.write.mode("overwrite")
+        assigned.repartition(buckets, "cid")
+        .write.mode("overwrite")
         .bucketBy(buckets, "cid")
         .sortBy("cid")
     )

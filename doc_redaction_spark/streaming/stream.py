@@ -125,6 +125,7 @@ def run_streaming_incremental_dedup(
     bands: int = 4,
     buckets: int = 8,
     threshold: float = 0.5,
+    run_id: int = 0,
 ) -> None:
     """Streaming ingestion dedup — the 100 TB shape end to end: each
     micro-batch of documents probes the STORED bucketed LSH index
@@ -155,6 +156,15 @@ def run_streaming_incremental_dedup(
     repaired rather than skipped-and-lost. Pinned by
     test_streaming_incremental_dedup_rerun_batch_idempotent,
     ..._partial_append_replay and ..._reingest_same_doc_id.
+
+    ``run_id`` disambiguates stream LIFECYCLES: Structured Streaming
+    batch ids restart at 0 when a checkpoint directory is lost or
+    recreated, so attaching a FRESH checkpoint to an EXISTING index
+    must pass a new run_id — otherwise the new stream's batch N is
+    indistinguishable from the old batch N's rows and replay detection
+    silently excludes them from the probe. Keep (index, checkpoint,
+    run_id) together: same checkpoint → same run_id; new checkpoint →
+    new run_id (pinned by ..._fresh_checkpoint_new_run_id).
     """
     stream = (
         spark.readStream.schema(schema)
@@ -164,7 +174,7 @@ def run_streaming_incremental_dedup(
     process = make_incremental_dedup_processor(
         spark, out_dir, index_table, index_path,
         num_hashes=num_hashes, bands=bands, buckets=buckets,
-        threshold=threshold,
+        threshold=threshold, run_id=run_id,
     )
     q = (
         stream.writeStream.foreachBatch(process)
@@ -184,11 +194,21 @@ def make_incremental_dedup_processor(
     bands: int = 4,
     buckets: int = 8,
     threshold: float = 0.5,
+    run_id: int = 0,
+    compact_every: int = 0,
 ):
     """The per-micro-batch kernel of run_streaming_incremental_dedup,
     exposed so the restart-idempotency test can re-run a batch exactly
-    as foreachBatch would after a failure."""
+    as foreachBatch would after a failure. ``run_id`` scopes batch ids
+    to one stream lifecycle (see run_streaming_incremental_dedup).
+    ``compact_every`` > 0 rewrites the index every that-many batches
+    (compact_band_index): appends accumulate one file set per batch and
+    the probe's per-batch cost creeps with file count — compaction
+    restores it (measured in BENCH/BASELINE.md round 5). Idempotent
+    under replay: compaction preserves the (ingest_run,
+    ingest_batch_id) markers and re-running it is a no-op rewrite."""
     from doc_redaction_spark.operators.dedup import (
+        compact_band_index,
         incremental_minhash_pairs,
         minhash_band_table,
         save_minhash_band_index,
@@ -207,23 +227,31 @@ def make_incremental_dedup_processor(
             # batch's file listing — refresh or the probe reads stale
             spark.catalog.refreshTable(index_table)
             base_all = spark.table(index_table)
-            if "ingest_batch_id" not in base_all.columns:
+            if ("ingest_batch_id" not in base_all.columns
+                    or "ingest_run" not in base_all.columns):
                 raise ValueError(
                     f"index table {index_table!r} lacks ingest_batch_id — "
                     "the streaming processor owns its index; to seed one "
                     "from an existing corpus, save_minhash_band_index a "
-                    "band table with .withColumn('ingest_batch_id', "
+                    "band table with .withColumn('ingest_run', "
+                    "lit(-1).cast('long')).withColumn('ingest_batch_id', "
                     "lit(-1).cast('long')) first"
                 )
             # probe side = everything ingested by OTHER batches. On a
             # clean run that is the whole index; on a failure replay it
             # excludes exactly the rows this batch's first attempt wrote,
             # so the re-run emits the first attempt's pairs. Keyed on
-            # batch id, NOT id overlap: a batch legitimately re-ingesting
-            # an already-indexed doc_id probes that doc's stored bands,
-            # reports the (X, X, 1.0) exact-dup pair, and keep-first then
-            # keeps the batch's OTHER novel docs flowing into the index.
-            base = base_all.filter(F.col("ingest_batch_id") != batch_id)
+            # (run, batch id), NOT id overlap: a batch legitimately
+            # re-ingesting an already-indexed doc_id probes that doc's
+            # stored bands, reports the (X, X, 1.0) exact-dup pair, and
+            # keep-first then keeps the batch's OTHER novel docs flowing
+            # into the index. The run component keeps a restarted-from-
+            # scratch stream (batch ids back at 0) from shadowing an
+            # earlier lifecycle's batch 0 rows.
+            mine = (F.col("ingest_run") == run_id) & (
+                F.col("ingest_batch_id") == batch_id
+            )
+            base = base_all.filter(~mine)
             pairs = incremental_minhash_pairs(
                 new_bands=new_bands,
                 base_bands=base,
@@ -248,8 +276,10 @@ def make_incremental_dedup_processor(
             .select(F.col("new_id").alias("id"))
             .distinct()
         )
-        novel = new_bands.join(dup_ids, "id", "left_anti").withColumn(
-            "ingest_batch_id", F.lit(batch_id).cast("long")
+        novel = (
+            new_bands.join(dup_ids, "id", "left_anti")
+            .withColumn("ingest_run", F.lit(run_id).cast("long"))
+            .withColumn("ingest_batch_id", F.lit(batch_id).cast("long"))
         )
         if have_index:
             # idempotent append: a parquet append is NOT all-or-nothing —
@@ -261,7 +291,7 @@ def make_incremental_dedup_processor(
             # repairs the missing rows instead of skipping-and-losing.
             present = (
                 spark.table(index_table)
-                .filter(F.col("ingest_batch_id") == batch_id)
+                .filter(mine)
                 .select("id", "band")
             )
             todo = novel.join(present, ["id", "band"], "left_anti")
@@ -273,6 +303,9 @@ def make_incremental_dedup_processor(
                 novel, index_table, buckets=buckets,
                 path=index_path, mode="overwrite",
             )
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            gen = f"{index_path}_gen{batch_id}" if index_path else None
+            compact_band_index(spark, index_table, buckets=buckets, path=gen)
 
     return process
 

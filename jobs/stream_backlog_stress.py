@@ -41,35 +41,37 @@ def main() -> None:
     out = f"{tmp}/out"
     table = "stress_mh_idx"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     proc = make_incremental_dedup_processor(
         spark, out, table, index_path=f"{tmp}/{table}", threshold=0.5,
+        compact_every=compact_every,
     )
 
-    # deterministic docs: 10% of each batch duplicates a doc from an
-    # EARLIER batch (forces real cross-batch pairs), the rest unique
+    # deterministic docs: 10% of each batch duplicates a doc from the
+    # PREVIOUS batch (forces real cross-batch pairs), the rest globally
+    # unique — each token carries the FULL doc id (an earlier %997
+    # rendering made every batch>=1 doc collide with batch 0, freezing
+    # the index at batch 0 and silently testing a constant-size index)
     def batch_df(b: int):
         base = b * per_batch
+
+        def doc_text(idc):
+            return F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{i}t"), (idc * (i + 7)).cast("string"))
+                    for i in range(12)
+                ],
+            )
+
         return spark.range(base, base + per_batch).select(
             F.col("id").alias("doc_id"),
             F.when(
                 (F.col("id") % 10 == 0) & F.lit(b > 0),
-                # clone of the same slot in the PREVIOUS batch
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.concat(F.lit(f"w{i}t"), ((F.col("id") - per_batch) * (i + 7)) % 997)
-                        for i in range(12)
-                    ],
-                ),
-            ).otherwise(
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.concat(F.lit(f"w{i}t"), (F.col("id") * (i + 7)) % 997)
-                        for i in range(12)
-                    ],
-                )
-            ).alias("text"),
+                doc_text(F.col("id") - per_batch),  # clone of previous batch's slot
+            )
+            .otherwise(doc_text(F.col("id")))
+            .alias("text"),
         )
 
     walls = []
@@ -102,6 +104,7 @@ def main() -> None:
         print(json.dumps({
             "n_batches": n_batches,
             "docs_per_batch": per_batch,
+            "compact_every": compact_every,
             "per_batch_sec": walls,
             "avg_first5": round(sum(walls[:5]) / len(walls[:5]), 2),
             "avg_last5": round(sum(walls[-5:]) / len(walls[-5:]), 2),

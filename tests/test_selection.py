@@ -44,3 +44,12 @@ def test_rank_filter_single_bucket_degenerate(spark):
         r.doc_id for r in quality_rank_filter(df, keep_frac=0.2, buckets=10).collect()
     )
     assert got == list(range(10))  # ties broken by id ascending
+
+
+def test_rank_filter_nan_scores_rank_first(spark):
+    """NaN sorts above every real in DESC order (Spark and SQL agree);
+    the bucketing must not drop NaN rows into bucket 0."""
+    rows = [(1, float("nan")), (2, 0.9), (3, 0.8), (4, 0.1), (5, 0.2)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = {r.doc_id for r in quality_rank_filter(df, keep_frac=0.4, buckets=10).collect()}
+    assert got == _global_keep(df, 0.4) == {1, 2}

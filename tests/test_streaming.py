@@ -335,8 +335,10 @@ def test_streaming_incremental_dedup_partial_append_replay(spark, tmp_path):
         # simulate batch 1's first attempt dying mid-append: only HALF of
         # its band rows (band < 2) made it into the index, and the
         # streaming checkpoint never committed
-        full = minhash_band_table(b1, num_hashes=16, bands=4).withColumn(
-            "ingest_batch_id", F.lit(1).cast("long")
+        full = (
+            minhash_band_table(b1, num_hashes=16, bands=4)
+            .withColumn("ingest_run", F.lit(0).cast("long"))
+            .withColumn("ingest_batch_id", F.lit(1).cast("long"))
         )
         save_minhash_band_index(
             full.filter(F.col("band") < 2), "mh_pa_idx", buckets=8,
@@ -355,3 +357,49 @@ def test_streaming_incremental_dedup_partial_append_replay(spark, tmp_path):
         assert got == want  # repaired: all rows exactly once
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_pa_idx")
+
+
+def test_streaming_incremental_dedup_fresh_checkpoint_new_run_id(spark, tmp_path):
+    """Batch ids restart at 0 when a checkpoint dir is recreated. With a
+    NEW run_id the restarted stream's batch 0 must still probe the OLD
+    lifecycle's batch-0 rows (they are a different (run, batch) key) —
+    under the old batch-id-only keying those rows were silently excluded
+    as "this batch's own replay rows" and their duplicates were missed."""
+    from doc_redaction_spark.streaming.stream import (
+        make_incremental_dedup_processor,
+    )
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    out = str(tmp_path / "rr2_out")
+    spark.sql("DROP TABLE IF EXISTS mh_rr2_idx")
+    # lifecycle 1: run_id 0, batch 0 ingests doc 1
+    proc0 = make_incremental_dedup_processor(
+        spark, out, "mh_rr2_idx", index_path=str(tmp_path / "mh_rr2_idx"),
+        threshold=0.5, run_id=0,
+    )
+    b_old = spark.createDataFrame(
+        [(1, base_text), (2, "other unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    # lifecycle 2 (fresh checkpoint → batch ids restart at 0): doc 3
+    # duplicates doc 1 from the OLD lifecycle's batch 0
+    proc1 = make_incremental_dedup_processor(
+        spark, f"{out}_run1", "mh_rr2_idx", threshold=0.5, run_id=1,
+    )
+    b_new = spark.createDataFrame(
+        [(3, base_text), (4, "fresh novel content here")],
+        "doc_id long, text string",
+    )
+    try:
+        proc0(b_old, 0)
+        proc1(b_new, 0)  # same batch_id, different run
+        pairs = {
+            (r.new_id, r.base_id)
+            for r in spark.read.parquet(f"{out}_run1/pairs").collect()
+        }
+        assert (3, 1) in pairs  # cross-lifecycle dup WAS detected
+        spark.catalog.refreshTable("mh_rr2_idx")
+        idx = {(r.id, r.ingest_run) for r in spark.table("mh_rr2_idx").collect()}
+        assert (4, 1) in idx and (3, 1) not in idx  # keep-first held
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_rr2_idx")
