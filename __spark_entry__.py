@@ -64,6 +64,7 @@ PIPE_CFG = PipelineConfig(deny_terms=DENY_TERMS)
 # word-char-bounded literals).
 import os
 import re as _re
+import shutil
 
 _DENY_ORACLE = "|".join(
     rf"\b(?:{_re.escape(_t)})\b"
@@ -1242,8 +1243,10 @@ def q_line_dedup(spark, sf_dir):
     """CCNet/RefinedWeb-style cross-document line dedup
     (dedup.line_dedup): synthetic multi-line docs with planted
     boilerplate (header + footer in every doc, a promo line in every
-    third) around one per-doc unique line; lines in >= 2 distinct docs
-    are dropped and the survivors reassemble in order."""
+    third, a blank-line + hot mid-section in every second) around one
+    per-doc unique line; non-empty lines in >= 2 distinct docs are
+    dropped, blank lines are structure (never boilerplate-eligible),
+    and the survivors reassemble in order."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     docs = cust.select(
         F.col("c_custkey").alias("doc_id"),
@@ -1253,6 +1256,8 @@ def q_line_dedup(spark, sf_dir):
             F.lit(" writes about topic "),
             (F.col("c_custkey") % 97).cast("string"),
             F.when(F.col("c_custkey") % 3 == 0, F.lit("\nseasonal promo line"))
+            .otherwise(F.lit("")),
+            F.when(F.col("c_custkey") % 2 == 0, F.lit("\n\nmid section notice"))
             .otherwise(F.lit("")),
             F.lit("\nall rights reserved"),
         ).alias("text"),
@@ -1269,12 +1274,14 @@ def o_line_dedup():
              || ' writes about topic ' || CAST(c_custkey % 97 AS VARCHAR)
              || (CASE WHEN c_custkey % 3 = 0
                       THEN chr(10) || 'seasonal promo line' ELSE '' END)
+             || (CASE WHEN c_custkey % 2 = 0
+                      THEN chr(10) || chr(10) || 'mid section notice' ELSE '' END)
              || chr(10) || 'all rights reserved' AS text
       FROM customer),
     lines AS (SELECT doc_id, i - 1 AS pos, l FROM (
                 SELECT doc_id, generate_subscripts(ls, 1) AS i, unnest(ls) AS l
                 FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs))),
-    hot AS (SELECT l FROM lines GROUP BY l
+    hot AS (SELECT l FROM lines WHERE l <> '' GROUP BY l
             HAVING count(DISTINCT doc_id) >= 2),
     marked AS (SELECT lines.doc_id, lines.pos, lines.l,
                       (hot.l IS NOT NULL) AS is_hot
@@ -1365,21 +1372,29 @@ def q_dedup_incremental_stored(spark, sf_dir):
     # — with an explicit path, overwrite replaces the location contents.
     # Per-process name+path: a concurrent driver run and selfcheck run
     # must not clobber each other's half-written index (values are
-    # identical either way — only the storage location is scoped).
+    # identical either way — only the storage location is scoped). The
+    # table and directory are dropped before returning (repeated gate
+    # runs otherwise leak one index copy per pid): the tiny pair result
+    # is materialized first, so this query EXECUTES at construction —
+    # the returned DataFrame no longer reads the stored table.
     tbl = f"reg_mh_band_index_{os.getpid()}"
+    tdir = f"/tmp/spark_graft_reg_idx_{os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    dd.save_minhash_band_index(
-        bands, tbl, buckets=8, mode="overwrite",
-        path=f"/tmp/spark_graft_reg_idx_{os.getpid()}/mh_band",
-    )
-    spark.catalog.refreshTable(tbl)
-    return dd.incremental_minhash_pairs(
-        new=new,
-        base_bands=spark.table(tbl),
-        num_hashes=_MH_HASHES,
-        bands=_MH_BANDS,
-        threshold=0.5,
-    )
+    try:
+        dd.save_minhash_band_index(
+            bands, tbl, buckets=8, mode="overwrite", path=f"{tdir}/mh_band",
+        )
+        spark.catalog.refreshTable(tbl)
+        return dd.incremental_minhash_pairs(
+            new=new,
+            base_bands=spark.table(tbl),
+            num_hashes=_MH_HASHES,
+            bands=_MH_BANDS,
+            threshold=0.5,
+        ).localCheckpoint()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(tdir, ignore_errors=True)
 
 
 def o_dedup_incremental_stored():
@@ -2018,21 +2033,30 @@ def q_embedding_ivf_stored(spark, sf_dir):
     # external tables at explicit per-process paths — a managed
     # saveAsTable onto a previous session's leftover warehouse directory
     # fails LOCATION_ALREADY_EXISTS, and concurrent sessions must not
-    # clobber each other (see q_dedup_incremental_stored)
+    # clobber each other. Tables + directory dropped before returning
+    # (no per-pid leak across gate runs); the tiny top-k result is
+    # materialized first, so this query EXECUTES at construction
+    # (see q_dedup_incremental_stored).
     itbl, ctbl = f"reg_ivf_index_{os.getpid()}", f"reg_ivf_centroids_{os.getpid()}"
+    tdir = f"/tmp/spark_graft_reg_ivf_{os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS {itbl}")
     spark.sql(f"DROP TABLE IF EXISTS {ctbl}")
-    osim.save_ivf_index(
-        emb, itbl, ctbl,
-        n_centroids=_IVF_CENTROIDS, dim=64, seed_mod=_IVF_SEED_MOD, buckets=8,
-        path_prefix=f"/tmp/spark_graft_reg_idx_{os.getpid()}",
-    )
-    spark.catalog.refreshTable(itbl)
-    spark.catalog.refreshTable(ctbl)
-    return osim.ivf_topk_from_index(
-        spark, qs, itbl, ctbl,
-        k=5, nprobe=_IVF_NPROBE,
-    )
+    try:
+        osim.save_ivf_index(
+            emb, itbl, ctbl,
+            n_centroids=_IVF_CENTROIDS, dim=64, seed_mod=_IVF_SEED_MOD, buckets=8,
+            path_prefix=tdir,
+        )
+        spark.catalog.refreshTable(itbl)
+        spark.catalog.refreshTable(ctbl)
+        return osim.ivf_topk_from_index(
+            spark, qs, itbl, ctbl,
+            k=5, nprobe=_IVF_NPROBE,
+        ).localCheckpoint()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {itbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {ctbl}")
+        shutil.rmtree(tdir, ignore_errors=True)
 
 
 def o_embedding_ivf_stored():

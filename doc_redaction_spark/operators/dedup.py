@@ -296,30 +296,94 @@ def save_minhash_band_index(
     writer.saveAsTable(table_name)
 
 
+def _table_location(spark, table: str) -> str | None:
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r.col_name == "Location":
+            return r.data_type
+    return None
+
+
+def _local_path(loc: str) -> str:
+    return (loc.split(":", 1)[1] if loc.startswith("file:") else loc).rstrip("/")
+
+
+def recover_band_index(spark, index_table: str) -> bool:
+    """Repair an interrupted ``compact_band_index`` swap. Three states:
+    index present + staging present (crash during/after the staging
+    write, before the drop) → the old index is intact, discard staging;
+    index absent + staging present (crash between DROP and RENAME) →
+    staging holds the COMPLETE new generation, finish the rename; both
+    absent or index-only → nothing to do. Returns whether the index
+    table exists afterwards. The streaming processor calls this before
+    its have-index check so a crash inside compaction can never be
+    mistaken for "no index yet" (which would silently overwrite the
+    whole corpus state with one batch's bands)."""
+    staging = f"{index_table}__staging"
+    have_idx = spark.catalog.tableExists(index_table)
+    if spark.catalog.tableExists(staging):
+        if have_idx:
+            spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        else:
+            spark.sql(f"ALTER TABLE {staging} RENAME TO {index_table}")
+            spark.catalog.refreshTable(index_table)
+            have_idx = True
+    return have_idx
+
+
 def compact_band_index(
     spark,
     index_table: str = "minhash_band_index",
     buckets: int = 64,
     path: str | None = None,
-) -> None:
+    vacuum: bool = True,
+) -> bool:
     """Rewrite the stored band index as one file set — the standard
     companion job to an append-only streaming index: every append adds a
     sorted file per bucket, and the bucketed probe must open/merge all of
     them, so probe cost creeps with APPEND COUNT even when index size is
     flat (measured: 20 appends → 3.8-5.5 s probe vs 0.4-0.6 s compacted,
-    same rows). The current rows are materialized (eager localCheckpoint)
-    before the table is re-pointed, so the swap never reads the location
-    it is overwriting. For external tables pass a NEW generation
-    directory as ``path`` and vacuum the old one after in-flight readers
-    drain; the DROP+recreate swap is not atomic on a plain filesystem —
-    run compaction between micro-batches (as the streaming processor's
-    ``compact_every`` does), not concurrently with probes."""
-    cur = spark.table(index_table).localCheckpoint()
-    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    same rows).
+
+    Crash-safe shape: the new generation is written FIRST, to a staging
+    table at a NEW directory (``path`` — pass a fresh generation dir per
+    compaction), reading the live table in place — no localCheckpoint,
+    no window where the data exists only in executor block storage. The
+    swap is then two metadata ops (DROP old, RENAME staging), and
+    ``recover_band_index`` repairs a crash between them. A replay of an
+    ALREADY-COMPLETED compaction is detected by location (the table
+    already points at ``path``) and skipped — re-running would read and
+    overwrite the same directory. Returns True if a rewrite happened.
+
+    ``vacuum`` removes the old generation's local directory after the
+    swap; safe in the serial foreachBatch model (no concurrent probe
+    holds the old files), set False if other readers may still be
+    scanning the previous generation (vacuum it after they drain)."""
+    staging = f"{index_table}__staging"
+    if not recover_band_index(spark, index_table):
+        raise ValueError(f"compact_band_index: no such index table {index_table!r}")
+    old_loc = _table_location(spark, index_table)
+    if path is not None and old_loc is not None and _local_path(old_loc) == _local_path(path):
+        return False  # replay of a completed compaction — already at this generation
     save_minhash_band_index(
-        cur, index_table, buckets=buckets, path=path, mode="overwrite"
+        spark.table(index_table), staging, buckets=buckets, path=path,
+        mode="overwrite",
     )
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {index_table}")
     spark.catalog.refreshTable(index_table)
+    new_loc = _table_location(spark, index_table)
+    if (
+        vacuum
+        and old_loc is not None
+        and old_loc.startswith("file:")
+        # managed-table rename MOVES the staging dir — it can land exactly
+        # at the old location; never vacuum the directory now being served
+        and (new_loc is None or _local_path(new_loc) != _local_path(old_loc))
+    ):
+        import shutil
+
+        shutil.rmtree(_local_path(old_loc), ignore_errors=True)
+    return True
 
 
 def _est_jaccard(num_hashes: int):
@@ -1036,8 +1100,12 @@ def line_dedup(
             "pos", "line"
         ),
     )
+    # blank lines are STRUCTURE, not content: "" occurs in >= min_df docs
+    # in any real corpus, and dropping it would delete every paragraph
+    # break corpus-wide — never boilerplate-eligible
     hot = (
-        lines.groupBy("line")
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
         .agg(F.count_distinct("id").alias("ndocs"))
         .filter(F.col("ndocs") >= min_df)
         .select("line", F.lit(1).alias("_hot"))

@@ -52,7 +52,12 @@ def quality_rank_filter(
     b = F.when(
         F.isnan(F.col(score_col).cast("double")), F.lit(buckets - 1)
     ).otherwise(clamped).cast("int")
-    d = df.withColumn("_b", b)
+    # the scored input feeds THREE consumers (histogram, keep-wholesale,
+    # threshold-bucket rank); without a shared exchange each one re-reads
+    # and re-scores the source. A repartition on (_b, id) makes the scan+
+    # score subtree a single Exchange that ReuseExchange serves to all
+    # three — one pass over the corpus instead of three.
+    d = df.withColumn("_b", b).repartition(F.col("_b"), F.col(id_col))
     hist = d.groupBy("_b").agg(F.count("*").alias("_c"))
     # corpus size = sum of the histogram (≤ buckets rows) — not another
     # full scan of the input

@@ -204,13 +204,18 @@ def make_incremental_dedup_processor(
     ``compact_every`` > 0 rewrites the index every that-many batches
     (compact_band_index): appends accumulate one file set per batch and
     the probe's per-batch cost creeps with file count — compaction
-    restores it (measured in BENCH/BASELINE.md round 5). Idempotent
-    under replay: compaction preserves the (ingest_run,
-    ingest_batch_id) markers and re-running it is a no-op rewrite."""
+    restores it (measured in BENCH/BASELINE.md round 5). Replay-safe:
+    compaction writes the new generation to a per-(run, batch) directory
+    via a staging table, the processor repairs an interrupted swap
+    (recover_band_index) before its have-index check, and a replay of a
+    COMPLETED compaction is detected by generation path and skipped —
+    so a crash anywhere inside compaction can neither lose the index nor
+    double-apply."""
     from doc_redaction_spark.operators.dedup import (
         compact_band_index,
         incremental_minhash_pairs,
         minhash_band_table,
+        recover_band_index,
         save_minhash_band_index,
     )
 
@@ -220,7 +225,11 @@ def make_incremental_dedup_processor(
         new_bands = minhash_band_table(
             batch_df, num_hashes=num_hashes, bands=bands
         ).localCheckpoint()
-        have_index = spark.catalog.tableExists(index_table)
+        # a crash INSIDE a previous batch's compaction swap can leave the
+        # index mid-rename; repair first — otherwise the table looks
+        # absent and this batch would silently overwrite the whole
+        # corpus index with its own bands
+        have_index = recover_band_index(spark, index_table)
         if have_index:
             # appends ran through the micro-batch session clone; the
             # outer session's relation cache still holds the previous
@@ -304,7 +313,12 @@ def make_incremental_dedup_processor(
                 path=index_path, mode="overwrite",
             )
         if compact_every and batch_id % compact_every == compact_every - 1:
-            gen = f"{index_path}_gen{batch_id}" if index_path else None
+            # generation dir scoped by (run, batch): a second lifecycle's
+            # batch ids restart at 0 and must not overwrite a directory
+            # the previous lifecycle's table may still point at
+            gen = (
+                f"{index_path}_r{run_id}gen{batch_id}" if index_path else None
+            )
             compact_band_index(spark, index_table, buckets=buckets, path=gen)
 
     return process

@@ -51,7 +51,10 @@ def main() -> None:
     # PREVIOUS batch (forces real cross-batch pairs), the rest globally
     # unique — each token carries the FULL doc id (an earlier %997
     # rendering made every batch>=1 doc collide with batch 0, freezing
-    # the index at batch 0 and silently testing a constant-size index)
+    # the index at batch 0 and silently testing a constant-size index).
+    # The clone SOURCE slot is id-per_batch+1 (never ≡0 mod 10): cloning
+    # slot id-per_batch chained clone-of-clone texts that matched no
+    # stored doc, so batches >=2 were silently dup-free.
     def batch_df(b: int):
         base = b * per_batch
 
@@ -68,7 +71,8 @@ def main() -> None:
             F.col("id").alias("doc_id"),
             F.when(
                 (F.col("id") % 10 == 0) & F.lit(b > 0),
-                doc_text(F.col("id") - per_batch),  # clone of previous batch's slot
+                # clone of a NON-CLONE slot in the previous batch
+                doc_text(F.col("id") - per_batch + 1),
             )
             .otherwise(doc_text(F.col("id")))
             .alias("text"),
@@ -85,6 +89,17 @@ def main() -> None:
         pairs_before = sorted(
             (r.new_id, r.base_id)
             for r in spark.read.parquet(f"{out}/pairs").collect()
+        )
+        # guard against silent workload degradation: every batch >= 1
+        # must report its planted 10% cross-batch dups
+        per_batch_pairs = {
+            r.batch_id: r.c
+            for r in spark.read.parquet(f"{out}/pairs")
+            .groupBy("batch_id").agg(F.count("*").alias("c")).collect()
+        }
+        dup_counts = [per_batch_pairs.get(b, 0) for b in range(1, n_batches)]
+        assert all(c >= per_batch // 10 for c in dup_counts), (
+            f"planted dups missing from some batches: {dup_counts}"
         )
         spark.catalog.refreshTable(table)
         idx_before = spark.table(table).count()
@@ -109,6 +124,8 @@ def main() -> None:
             "avg_first5": round(sum(walls[:5]) / len(walls[:5]), 2),
             "avg_last5": round(sum(walls[-5:]) / len(walls[-5:]), 2),
             "pairs_total": len(pairs_before),
+            "pairs_per_batch_min": min(dup_counts) if dup_counts else 0,
+            "pairs_per_batch_max": max(dup_counts) if dup_counts else 0,
             "index_rows": idx_before,
             "replay_idempotent": pairs_before == pairs_after and idx_before == idx_after,
             "replay_wall_sec": replay_wall,

@@ -382,3 +382,24 @@ def test_line_dedup_ground_truth(spark):
     assert got[2] == ("unique two", 1, 2)
     assert got[3] == ("", 0, 2)
     assert got[4] == ("alone doc\nwith lines", 2, 0)
+
+
+def test_line_dedup_blank_lines_are_structure(spark):
+    """'' occurs in >= min_df docs in any real corpus; treating it as a
+    hot line would delete every paragraph break corpus-wide. Blank lines
+    must survive while surrounding hot lines drop."""
+    from doc_redaction_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "header\n\npara one\n\nfooter"),
+            (2, "header\n\npara two\n\nfooter"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_kept, r.n_dropped)
+        for r in line_dedup(docs, min_df=2).collect()
+    }
+    assert got[1] == ("\npara one\n", 3, 2)
+    assert got[2] == ("\npara two\n", 3, 2)

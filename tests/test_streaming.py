@@ -403,3 +403,93 @@ def test_streaming_incremental_dedup_fresh_checkpoint_new_run_id(spark, tmp_path
         assert (4, 1) in idx and (3, 1) not in idx  # keep-first held
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_rr2_idx")
+
+
+def _mk_bands(spark, ids_texts):
+    from doc_redaction_spark.operators.dedup import minhash_band_table
+
+    df = spark.createDataFrame(ids_texts, "doc_id long, text string")
+    return minhash_band_table(df, num_hashes=16, bands=4)
+
+
+def test_compact_band_index_staged_swap_and_replay_skip(spark, tmp_path):
+    """Compaction writes the new generation via a staging table, swaps,
+    vacuums the old directory, and a replay of the COMPLETED compaction
+    (same generation path) is detected by location and skipped — it
+    would otherwise overwrite the directory it reads."""
+    import os
+
+    from doc_redaction_spark.operators.dedup import (
+        compact_band_index,
+        save_minhash_band_index,
+    )
+
+    bands = _mk_bands(spark, [(1, "alpha beta gamma delta"), (2, "other words here now")])
+    spark.sql("DROP TABLE IF EXISTS mh_cp_idx")
+    try:
+        save_minhash_band_index(
+            bands, "mh_cp_idx", buckets=4, path=str(tmp_path / "gen0"),
+        )
+        save_minhash_band_index(
+            _mk_bands(spark, [(3, "third doc text entirely")]),
+            "mh_cp_idx", buckets=4, mode="append",
+        )
+        spark.catalog.refreshTable("mh_cp_idx")
+        before = {(r.id, r.band, r.bh) for r in spark.table("mh_cp_idx").collect()}
+        assert compact_band_index(
+            spark, "mh_cp_idx", buckets=4, path=str(tmp_path / "gen1")
+        ) is True
+        after = {(r.id, r.band, r.bh) for r in spark.table("mh_cp_idx").collect()}
+        assert after == before  # values preserved
+        assert not (tmp_path / "gen0").exists()  # old generation vacuumed
+        assert not spark.catalog.tableExists("mh_cp_idx__staging")
+        # replay of the completed compaction: same gen path → skipped
+        assert compact_band_index(
+            spark, "mh_cp_idx", buckets=4, path=str(tmp_path / "gen1")
+        ) is False
+        assert {(r.id, r.band, r.bh) for r in spark.table("mh_cp_idx").collect()} == before
+        # bucket spec survives the rename swap (probe stays exchange-free)
+        desc = spark.sql("DESCRIBE FORMATTED mh_cp_idx").collect()
+        props = {r.col_name: r.data_type for r in desc}
+        assert "band" in props.get("Bucket Columns", "")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_cp_idx")
+        spark.sql("DROP TABLE IF EXISTS mh_cp_idx__staging")
+
+
+def test_compact_band_index_crash_recovery(spark, tmp_path):
+    """A crash between the DROP and the RENAME leaves only the staging
+    table; recover_band_index must finish the swap (and the streaming
+    processor calls it before its have-index check, so the crash can
+    never be mistaken for 'no index yet')."""
+    from doc_redaction_spark.operators.dedup import (
+        recover_band_index,
+        save_minhash_band_index,
+    )
+
+    bands = _mk_bands(spark, [(1, "alpha beta gamma delta")])
+    spark.sql("DROP TABLE IF EXISTS mh_cr_idx")
+    spark.sql("DROP TABLE IF EXISTS mh_cr_idx__staging")
+    try:
+        # simulate the mid-swap state: staging holds the complete new
+        # generation, the live table was already dropped
+        save_minhash_band_index(
+            bands, "mh_cr_idx__staging", buckets=4, path=str(tmp_path / "gen1"),
+        )
+        want = {(r.id, r.band, r.bh) for r in spark.table("mh_cr_idx__staging").collect()}
+        assert recover_band_index(spark, "mh_cr_idx") is True
+        assert {(r.id, r.band, r.bh) for r in spark.table("mh_cr_idx").collect()} == want
+        assert not spark.catalog.tableExists("mh_cr_idx__staging")
+
+        # crash DURING the staging write (index intact, staging partial):
+        # recovery discards staging and keeps the live table
+        save_minhash_band_index(
+            _mk_bands(spark, [(9, "partial staging rows only")]),
+            "mh_cr_idx__staging", buckets=4, path=str(tmp_path / "gen2"),
+        )
+        assert recover_band_index(spark, "mh_cr_idx") is True
+        assert {(r.id, r.band, r.bh) for r in spark.table("mh_cr_idx").collect()} == want
+        assert not spark.catalog.tableExists("mh_cr_idx__staging")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_cr_idx")
+        spark.sql("DROP TABLE IF EXISTS mh_cr_idx__staging")
