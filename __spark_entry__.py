@@ -1239,6 +1239,164 @@ def o_quality_percentile():
     """
 
 
+_SAMPLE_RATES = {"en": 0.3, "fr": 0.8, "de": 0.5, "es": 1.0}
+_SAMPLE_DEFAULT = 0.1
+_SPLIT_FRACS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language subsampling (operators/sampling.py
+    stratified_sample): keep each doc iff md5(salt:lang:id) uniform <
+    its language's rate — the corpus-rebalancing pass (downsample
+    dominant languages, keep all of low-resource ones). Map-only: no
+    shuffle, no RNG state, identical kept set on any cluster size — the
+    property df.sample (per-partition seeding) cannot give."""
+    from doc_redaction_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    return stratified_sample(
+        docs, _SAMPLE_RATES, strata_col="lang", salt="sample0",
+        default_rate=_SAMPLE_DEFAULT,
+    ).orderBy("doc_id")
+
+
+def o_stratified_sample():
+    from doc_redaction_spark.operators.sampling import _HASH_SPACE, duckdb_hash_u32
+
+    h = duckdb_hash_u32("'sample0:' || lang || ':' || CAST(doc_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(r * _HASH_SPACE)}"
+        for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    thr = f"CASE lang {cases} ELSE {int(_SAMPLE_DEFAULT * _HASH_SPACE)} END"
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {h} < {thr}
+    ORDER BY doc_id
+    """
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by hash range
+    (operators/sampling.py hash_split): disjoint + exhaustive by
+    construction, stable across reruns/partitionings/engines. The last
+    label absorbs the remainder interval."""
+    from doc_redaction_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return hash_split(docs, _SPLIT_FRACS, salt="split0").orderBy("doc_id")
+
+
+def o_hash_split():
+    from doc_redaction_spark.operators.sampling import _HASH_SPACE, duckdb_hash_u32
+
+    h = duckdb_hash_u32("'split0:' || CAST(doc_id AS VARCHAR)")
+    # boundaries via the SAME float accumulation as hash_split (0.8+0.1
+    # != 0.9 exactly in binary; the int() must floor the same double)
+    cum1 = _SPLIT_FRACS[0][1]
+    cum2 = cum1 + _SPLIT_FRACS[1][1]
+    b1, b2 = int(cum1 * _HASH_SPACE), int(cum2 * _HASH_SPACE)
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {h} < {b1} THEN 'train'
+                WHEN {h} < {b2} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """
+
+
+def q_domain_quality(spark, sf_dir):
+    """Domain-level quality gating (operators/curation.py
+    domain_quality_filter — the RefinedWeb/FineWeb-style pass): per-doc
+    score = distinct-token fraction (repetition proxy), rolled up to a
+    per-domain exact integer-sum mean, docs kept iff their domain has
+    >= 3 docs and mean >= 0.35. Two-stage: one map-side-combinable
+    groupBy (domains << docs), stats broadcast back — the corpus is
+    never shuffled."""
+    from doc_redaction_spark.operators.curation import (
+        domain_quality_filter,
+        tokens_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = tokens_col("text")
+    score = F.when(
+        F.size(t) > 0,
+        F.floor(F.size(F.array_distinct(t)) * 1e4 / F.size(t)) / 1e4,
+    ).otherwise(F.lit(0.0))
+    scored = docs.select("doc_id", F.col("source").alias("domain"), score.alias("score"))
+    return domain_quality_filter(
+        scored, domain_col="domain", score_col="score",
+        min_docs=3, min_mean=0.35,
+    )
+
+
+def o_domain_quality():
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH sc AS (
+      SELECT doc_id, source AS domain,
+             CASE WHEN len({toks}) > 0
+                  THEN floor(len(list_distinct({toks})) * 1e4 / len({toks})) / 1e4
+                  ELSE 0.0e0 END AS score
+      FROM documents),
+    si AS (SELECT doc_id, domain,
+                  CAST(floor(score * 10000) AS BIGINT) AS s FROM sc),
+    st AS (SELECT domain, CAST(count(*) AS BIGINT) AS domain_docs,
+                  floor(CAST(sum(s) AS DOUBLE) / count(*)) / 10000 AS domain_mean
+           FROM si WHERE domain IS NOT NULL GROUP BY domain)
+    SELECT si.doc_id, si.domain,
+           coalesce(st.domain_docs, 0) AS domain_docs,
+           coalesce(st.domain_mean, 0.0e0) AS domain_mean,
+           CAST(CASE WHEN si.domain IS NOT NULL AND st.domain_docs >= 3
+                          AND st.domain_mean >= 0.35e0
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM si LEFT JOIN st USING (domain)
+    """
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Corpus top-200 vocabulary induction + per-doc in-vocab token
+    fraction (operators/curation.py vocab_coverage) — the cheap
+    tokenizer-fit / gibberish signal. Vocab = TakeOrderedAndProject
+    (k-heap per task, no global sort), broadcast into the coverage
+    join; total order (count desc, token asc) makes the vocabulary —
+    and every coverage number — deterministic."""
+    from doc_redaction_spark.operators.curation import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return vocab_coverage(docs, k=200)
+
+
+def o_vocab_coverage():
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id AS id, {toks} AS t FROM documents),
+    tok AS (SELECT id, unnest(t) AS tok FROM tk),
+    vocab AS (SELECT tok FROM tok GROUP BY tok
+              ORDER BY count(*) DESC, tok LIMIT 200),
+    marked AS (SELECT tok.id, (vocab.tok IS NOT NULL) AS inv
+               FROM tok LEFT JOIN vocab USING (tok)),
+    agg AS (SELECT id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(CASE WHEN inv THEN 1 END) AS BIGINT) AS n_in_vocab
+            FROM marked GROUP BY id)
+    SELECT tk.id AS doc_id,
+           coalesce(agg.n_tokens, 0) AS n_tokens,
+           coalesce(agg.n_in_vocab, 0) AS n_in_vocab,
+           CASE WHEN coalesce(agg.n_tokens, 0) > 0
+                THEN floor(agg.n_in_vocab * 10000 / agg.n_tokens) / 10000
+                ELSE 0.0e0 END AS coverage
+    FROM tk LEFT JOIN agg ON tk.id = agg.id
+    """
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet/RefinedWeb-style cross-document line dedup
     (dedup.line_dedup): synthetic multi-line docs with planted
@@ -4653,6 +4811,10 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "stratified_sample": q_stratified_sample,
+    "hash_split": q_hash_split,
+    "domain_quality": q_domain_quality,
+    "vocab_coverage": q_vocab_coverage,
     "dedup_incremental_stored": q_dedup_incremental_stored,
     "embedding_ivf_stored": q_embedding_ivf_stored,
     "fuzzy_deny2": q_fuzzy_deny2,
@@ -4762,6 +4924,10 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "stratified_sample": o_stratified_sample,
+    "hash_split": o_hash_split,
+    "domain_quality": o_domain_quality,
+    "vocab_coverage": o_vocab_coverage,
     "dedup_incremental_stored": o_dedup_incremental_stored,
     "embedding_ivf_stored": o_embedding_ivf_stored,
     "fuzzy_deny2": o_fuzzy_deny2,

@@ -1,0 +1,141 @@
+"""Corpus-level curation rollups — signals computed ACROSS documents
+and applied back to each document (vs textstats' per-doc signals).
+
+Two of the standard web-corpus passes:
+
+* ``domain_quality_filter`` — aggregate per-domain statistics and gate
+  documents on their domain's aggregate (a RefinedWeb/FineWeb-style
+  pass: a page from a domain whose corpus-wide mean quality is junk is
+  junk, however plausible the single page looks). Two-stage shape that
+  scales: one map-side-combinable groupBy over the corpus (domains ≪
+  docs, so the stats table is tiny and AQE broadcasts it back), one
+  broadcast join — the corpus is never shuffled.
+
+* ``vocab_coverage`` — induce the top-k corpus vocabulary and score
+  each document by in-vocabulary token fraction (the cheap tokenizer-
+  fit / gibberish signal: low coverage = OCR noise, code, wrong
+  language). Token counts are map-side combinable; the vocabulary is
+  k rows (TakeOrderedAndProject — no global sort of the corpus) and
+  broadcasts into the coverage join.
+
+Cross-engine determinism: means are computed over PRE-SCALED integer
+scores (sum of longs is exact and order-independent; a float sum's low
+bits vary with partial-aggregation order, which flips floor() at scale
+boundaries), and the vocabulary tie-break is total (count desc, token
+asc), so both the kept set and every reported number are value-oracle
+stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10_000
+
+
+def tokens_col(col: str = "text") -> Column:
+    """The repo's shared token spec (lower, collapse whitespace, split,
+    drop empties) — same rendering as top_ngrams / decontaminate."""
+    return F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.coalesce(F.col(col), F.lit("")), r"\s+", " ")),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+
+
+def domain_quality_filter(
+    docs: DataFrame,
+    domain_col: str = "domain",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_mean: float = 0.5,
+) -> DataFrame:
+    """Per-domain rollup → per-doc verdict. ``score_col`` is a per-doc
+    quality in [0, 1]; a doc is kept iff its domain has >= ``min_docs``
+    documents AND a domain-mean score >= ``min_mean``. Docs with a NULL
+    domain form their own "no domain" group only if the caller mapped
+    them to a sentinel — NULL domains are dropped (keep = 0), the
+    conservative default for unattributable pages.
+
+    Output: (id_col, domain, domain_docs, domain_mean, keep) where
+    domain_mean is floored to 4 decimals (exact integer-sum mean)."""
+    scored = docs.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        F.floor(F.col(score_col) * SCALE).cast("long").alias("_si"),
+    )
+    stats = (
+        scored.filter(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("domain_docs"),
+            # exact integer sum → one double division → floor: identical
+            # under any partial-aggregation order and in DuckDB
+            (
+                F.floor(F.sum("_si").cast("double") / F.count("*")) / SCALE
+            ).alias("domain_mean"),
+        )
+    )
+    out = scored.join(stats, "domain", "left")
+    keep = (
+        F.col("domain").isNotNull()
+        & (F.col("domain_docs") >= min_docs)
+        & (F.col("domain_mean") >= min_mean)
+    )
+    return out.select(
+        F.col(id_col),
+        "domain",
+        F.coalesce(F.col("domain_docs"), F.lit(0)).cast("long").alias("domain_docs"),
+        F.coalesce(F.col("domain_mean"), F.lit(0.0)).alias("domain_mean"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def top_k_vocab(docs: DataFrame, text_col: str = "text", k: int = 200) -> DataFrame:
+    """Top-k corpus tokens by total occurrences, ties broken by token
+    ascending (total order → deterministic vocabulary). k rows via
+    orderBy+limit = TakeOrderedAndProject: each task keeps a k-heap,
+    the driver merges k·tasks candidates — no global sort."""
+    return (
+        docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(k)
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 200,
+) -> DataFrame:
+    """Per-document in-vocabulary token fraction against the corpus
+    top-k vocabulary. Output (id_col, n_tokens, n_in_vocab, coverage)
+    with coverage floored to 4 decimals; empty docs report coverage 0.
+    The vocab side is k rows — broadcast into the token join, so the
+    corpus side is one explode + one map-side-combinable groupBy."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode_outer(tokens_col(text_col)).alias("tok")
+    )
+    vocab = top_k_vocab(docs, text_col, k).select("tok", F.lit(1).alias("_v"))
+    marked = toks.join(F.broadcast(vocab), "tok", "left")
+    agg = marked.groupBy("id").agg(
+        F.count("tok").alias("n_tokens"),
+        F.count("_v").alias("n_in_vocab"),
+    )
+    cov = F.when(
+        F.col("n_tokens") > 0,
+        F.floor(F.col("n_in_vocab") * SCALE / F.col("n_tokens")) / SCALE,
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_in_vocab").cast("long").alias("n_in_vocab"),
+        cov.alias("coverage"),
+    )

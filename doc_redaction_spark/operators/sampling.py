@@ -1,0 +1,93 @@
+"""Deterministic hash-based sampling and splits — the corpus-curation
+subsampling pass (per-language rebalancing, train/val/test splits,
+ablation subsets).
+
+A training-data pipeline cannot use ``df.sample``: Bernoulli sampling
+is seeded per partition, so the kept set changes with partitioning,
+reruns, and engine — unverifiable and non-reproducible. The standard
+scheme instead hashes a stable per-row key to a uniform in [0, 2^32)
+and compares against integer thresholds: map-only (NO shuffle, no RNG
+state), partition-independent, identical on any cluster size, and
+renderable in all three dialects (Spark ``conv(substring(md5(k),1,8),
+16,10)`` ≡ DuckDB ``CAST('0x' || substr(md5(k),1,8) AS BIGINT)`` ≡
+Python ``int(hashlib.md5(k).hexdigest()[:8], 16)`` — the same md5
+bridge the hyperplane/IVF ops use, proven bit-exact cross-engine).
+
+The salt picks the split universe: two samples with different salts are
+independent; the same salt with nested rates gives MONOTONE samples
+(the 10% set is a subset of the 20% set — ablation-scaling runs want
+exactly this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = 1 << 32
+
+
+def _hash_u32(key: Column) -> Column:
+    """First 8 hex chars of md5(key) as a long in [0, 2^32)."""
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def duckdb_hash_u32(key_expr: str) -> str:
+    """DuckDB rendering of the same hash (bit-exact; both engines md5
+    the UTF-8 bytes and parse the same 8 hex chars)."""
+    return f"CAST(('0x' || substr(md5({key_expr}), 1, 8)) AS BIGINT)"
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically:
+    row kept iff hash(salt:stratum:id) < floor(rate · 2^32). Per-stratum
+    rates are how curation rebalances a corpus (e.g. downsample English,
+    keep all of a low-resource language). Map-only — the filter pushes
+    into the scan stage, no shuffle, no driver state; strata not in
+    ``rates`` fall back to ``default_rate``."""
+    key = F.concat_ws(
+        ":", F.lit(salt), F.col(strata_col), F.col(id_col).cast("string")
+    )
+    thr = F.lit(int(default_rate * _HASH_SPACE)).cast("long")
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * _HASH_SPACE)).cast("long")
+        ).otherwise(thr)
+    return df.filter(_hash_u32(key) < thr)
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: list[tuple[str, float]],
+    id_col: str = "doc_id",
+    salt: str = "split0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one split by hash range — the
+    deterministic train/val/test partitioner. ``fractions`` is an
+    ordered list of (label, fraction) covering at most 1.0; a row whose
+    uniform falls past the last threshold gets the LAST label (the
+    remainder absorbs rounding, the usual convention: ("train", 0.9),
+    ("val", 0.05), ("test", 0.05) → test takes [0.95, 1)). Disjoint and
+    exhaustive by construction; map-only."""
+    if not fractions:
+        raise ValueError("hash_split needs at least one (label, fraction)")
+    key = F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    h = _hash_u32(key)
+    cum = 0.0
+    expr = F.lit(fractions[-1][0])
+    # build from the last boundary backwards so earlier ranges win
+    bounds = []
+    for label, frac in fractions[:-1]:
+        cum += frac
+        bounds.append((label, int(cum * _HASH_SPACE)))
+    for label, bound in reversed(bounds):
+        expr = F.when(h < F.lit(bound).cast("long"), F.lit(label)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -1,0 +1,78 @@
+"""Corpus-level curation rollups (operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.curation import (
+    domain_quality_filter,
+    top_k_vocab,
+    vocab_coverage,
+)
+
+
+def test_domain_quality_filter_ground_truth(spark):
+    rows = [
+        (1, "good.com", 0.9),
+        (2, "good.com", 0.8),
+        (3, "good.com", 0.7),
+        (4, "bad.com", 0.1),
+        (5, "bad.com", 0.2),
+        (6, "bad.com", 0.3),
+        (7, "tiny.com", 1.0),  # mean fine but < min_docs
+        (8, None, 1.0),  # unattributable → dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, score double")
+    got = {
+        r.doc_id: (r.domain_docs, r.domain_mean, r.keep)
+        for r in domain_quality_filter(df, min_docs=2, min_mean=0.5).collect()
+    }
+    assert got[1] == (3, 0.8, 1) and got[2] == (3, 0.8, 1) and got[3] == (3, 0.8, 1)
+    assert got[4] == (3, 0.2, 0)  # mean below threshold
+    assert got[7] == (1, 1.0, 0)  # too few docs
+    assert got[8] == (0, 0.0, 0)  # NULL domain
+
+
+def test_domain_mean_is_exact_integer_sum(spark):
+    """The mean goes through pre-scaled integer sums — no float-order
+    dependence: any repartitioning yields the identical floored mean."""
+    df = spark.range(999).select(
+        F.col("id").alias("doc_id"),
+        F.lit("d").alias("domain"),
+        (F.col("id").cast("double") / 999.0).alias("score"),
+    )
+    a = domain_quality_filter(df).select("domain_mean").distinct().collect()
+    b = (
+        domain_quality_filter(df.repartition(17))
+        .select("domain_mean").distinct().collect()
+    )
+    assert a == b and len(a) == 1
+
+
+def test_top_k_vocab_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "b b a a c"), (2, "a b d")], "doc_id long, text string"
+    )
+    got = [(r.tok, r.n) for r in top_k_vocab(df, k=3).collect()]
+    # a and b both occur 3 times — tie broken token-ascending
+    assert got == [("a", 3), ("b", 3), ("c", 1)]
+
+
+def test_vocab_coverage_ground_truth(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a b"),  # all in top-2 vocab {a, b}
+            (2, "a zzz qqq"),  # 1 of 3 in vocab
+            (3, ""),  # empty doc
+            (4, None),  # null text
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_in_vocab, r.coverage)
+        for r in vocab_coverage(df, k=2).collect()
+    }
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 1, 0.3333)
+    assert got[3] == (0, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)

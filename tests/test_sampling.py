@@ -1,0 +1,91 @@
+"""Deterministic hash sampling/splits (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.sampling import (
+    _HASH_SPACE,
+    hash_split,
+    stratified_sample,
+)
+
+
+def _py_u32(key: str) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
+
+def test_hash_matches_python_reference(spark):
+    """The Spark md5→u32 chain equals the Python rendering (the same
+    cross-engine bridge the oracle SQL uses)."""
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    got = {
+        r.doc_id: r.split
+        for r in hash_split(df, [("a", 0.5), ("b", 0.5)], salt="s9").collect()
+    }
+    for i in range(50):
+        want = "a" if _py_u32(f"s9:{i}") < int(0.5 * _HASH_SPACE) else "b"
+        assert got[i] == want
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = hash_split(df, fr).groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in out}
+    assert sum(counts.values()) == 2000  # exhaustive, each row exactly once
+    assert 0.75 * 2000 < counts["train"] < 0.85 * 2000
+    # partition-independence: same assignment after an arbitrary shuffle
+    re = hash_split(df.repartition(13), fr)
+    a = {(r.doc_id, r.split) for r in hash_split(df, fr).collect()}
+    assert {(r.doc_id, r.split) for r in re.collect()} == a
+
+
+def test_stratified_sample_monotone_nested(spark):
+    """Same salt, higher rate ⊇ lower rate — the ablation-scaling
+    property (a 10% subset is inside the 20% subset)."""
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    small = {
+        r.doc_id
+        for r in stratified_sample(df, {"en": 0.1, "fr": 0.1}, salt="m").collect()
+    }
+    big = {
+        r.doc_id
+        for r in stratified_sample(df, {"en": 0.3, "fr": 0.3}, salt="m").collect()
+    }
+    assert small <= big
+    assert len(small) < len(big) <= 3000 * 0.35
+
+
+def test_stratified_sample_rates_and_default(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("fr"), F.lit("zz"), F.lit("zz")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    kept = stratified_sample(
+        df, {"en": 1.0, "fr": 0.0}, default_rate=0.5
+    ).groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in kept}
+    assert counts["en"] == 1000  # rate 1.0 keeps everything
+    assert "fr" not in counts  # rate 0.0 drops everything
+    assert 800 < counts["zz"] < 1200  # default 0.5 of 2000
+
+
+def test_sampling_is_map_only(spark):
+    """The filter must reach the scan stage — no Exchange anywhere in
+    the sampled plan (the whole point vs a shuffle-based sampler)."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    plan = stratified_sample(df, {"en": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    plan2 = hash_split(df, [("a", 0.5), ("b", 0.5)])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan2
