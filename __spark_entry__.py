@@ -2223,6 +2223,74 @@ def o_embedding_ivf_stored():
     return o_embedding_ivf()
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup):
+    k-means-cluster the embeddings (shared _build_ivf — deterministic
+    seed pick, one floor-scaled Lloyd round), drop every doc with a
+    lower-id same-cluster neighbor at cosine >= 0.95. Planted exact
+    copies (vec_id+100000 for vec_id%50==0) land in their original's
+    cluster at cosine 1.0 and are dropped; random 64-dim embeddings are
+    near-orthogonal so nothing else crosses 0.95. Pair enumeration is
+    per-cluster — no all-pairs crossJoin."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    plus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    return osim.semantic_dedup(
+        plus, n_centroids=_IVF_CENTROIDS, dim=64, threshold=0.95,
+        refine_iters=1, seed_mod=_IVF_SEED_MOD,
+    )
+
+
+def o_semantic_dedup():
+    csim = (
+        "list_sum(list_transform(generate_series(1, 64), i -> vec[i] * cvec[i]))"
+        " / (sqrt(list_sum(list_transform(vec, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(cvec, x -> x * x))))"
+    )
+    mean = "[" + ", ".join(
+        f"floor(avg(vec[{i + 1}]) * 1e6) / 1e6" for i in range(64)
+    ) + "]"
+    return f"""
+    WITH base AS (SELECT vec_id AS id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                  FROM embeddings),
+    c AS (SELECT id, vec FROM base
+          UNION ALL
+          SELECT id + 100000 AS id, vec FROM base WHERE id % 50 = 0),
+    cent0 AS (SELECT id AS cid, vec AS cvec FROM c
+              WHERE ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT
+                    % {_IVF_SEED_MOD} = 0
+              ORDER BY id LIMIT {_IVF_CENTROIDS}),
+    a0 AS (SELECT id, vec, cid FROM (
+             SELECT c.id, c.vec, cent0.cid,
+                    row_number() OVER (PARTITION BY c.id
+                                       ORDER BY {csim} DESC, cent0.cid) AS rk
+             FROM c CROSS JOIN cent0) WHERE rk = 1),
+    cent1 AS (SELECT cid, {mean} AS cvec FROM a0 GROUP BY cid),
+    a1 AS (SELECT id, vec, cid FROM (
+             SELECT c.id, c.vec, cent1.cid,
+                    row_number() OVER (PARTITION BY c.id
+                                       ORDER BY {csim} DESC, cent1.cid) AS rk
+             FROM c CROSS JOIN cent1) WHERE rk = 1),
+    dropped AS (SELECT DISTINCT y.id AS id
+                FROM a1 x JOIN a1 y USING (cid)
+                WHERE x.id < y.id
+                  AND round(list_sum(list_transform(generate_series(1, 64),
+                          i -> x.vec[i] * y.vec[i]))
+                      / (sqrt(list_sum(list_transform(x.vec, v -> v * v)))
+                         * sqrt(list_sum(list_transform(y.vec, v -> v * v)))),
+                      4) >= 0.95e0)
+    SELECT a1.id AS vec_id, CAST(a1.cid AS BIGINT) AS cid,
+           CAST(CASE WHEN dropped.id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM a1 LEFT JOIN dropped USING (id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # queries — layout ops (words→lines rollup, reading order)
 # ---------------------------------------------------------------------------
@@ -4811,6 +4879,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "semantic_dedup": q_semantic_dedup,
     "stratified_sample": q_stratified_sample,
     "hash_split": q_hash_split,
     "domain_quality": q_domain_quality,
@@ -4924,6 +4993,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "semantic_dedup": o_semantic_dedup,
     "stratified_sample": o_stratified_sample,
     "hash_split": o_hash_split,
     "domain_quality": o_domain_quality,

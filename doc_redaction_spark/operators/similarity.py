@@ -361,6 +361,58 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    n_centroids: int = 16,
+    dim: int | None = None,
+    threshold: float = 0.95,
+    refine_iters: int = 1,
+    seed_mod: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space (the shared ``_build_ivf`` k-means —
+    deterministic seed pick + floor-scaled Lloyd rounds), then within
+    each cluster drop every document that has a higher-priority
+    neighbor at cosine >= ``threshold``. Near-duplicates that embed
+    close land in the same cluster, so pair enumeration is per-cluster
+    (Σ|cluster|² work — the SemDeDup trade that makes semantic dedup
+    feasible where all-pairs n² is not); a pathologically hot cluster
+    should be re-clustered or capped upstream.
+
+    Deviation from the paper, documented: the keeper is the LOWEST id
+    (the repo's keep-first convention, shared with every other dedup
+    operator) rather than the point farthest from the centroid — both
+    are arbitrary-but-fixed policies; min-id is rerun-deterministic and
+    value-oracle-checkable.
+
+    Output: (id_col, cid, keep) — one row per input document."""
+    _, assigned = _build_ivf(
+        df, n_centroids, vec_col, id_col, dim, refine_iters, seed_mod
+    )
+    a = assigned.select(F.col(id_col).alias("id1"), F.col("vec").alias("v1"), "cid")
+    b = assigned.select(F.col(id_col).alias("id2"), F.col("vec").alias("v2"), "cid")
+    cos = F.round(
+        _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 4
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(cos >= threshold)
+        .select(F.col("id2").alias("_drop"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned[id_col] == F.col("_drop"), "left")
+        .select(
+            F.col(id_col),
+            F.col("cid").cast("long").alias("cid"),
+            F.col("_drop").isNull().cast("int").alias("keep"),
+        )
+    )
+
+
 def probe_signatures(sig, n_planes: int, hamming: int = 1):
     """Multi-probe bucket set: the signature itself plus every signature
     within Hamming distance ``hamming`` (only 0/1 supported — distance 1

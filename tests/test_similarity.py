@@ -244,3 +244,28 @@ def test_ivf_stored_index_equivalence(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivf_idx")
         spark.sql("DROP TABLE IF EXISTS t_ivf_cent")
+
+
+def test_semantic_dedup_plants_and_keep_first(spark):
+    """Planted exact copies land in their original's cluster and are
+    dropped (keep-first by id); originals and unrelated vectors keep."""
+    import random
+
+    from doc_redaction_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    # exact copies of vectors 0 and 5
+    rows.append((100, list(rows[0][1])))
+    rows.append((105, list(rows[5][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.keep for r in semantic_dedup(
+        df, n_centroids=4, dim=8, threshold=0.95, refine_iters=1
+    ).collect()}
+    assert len(got) == 42  # one verdict per input
+    assert got[0] == 1 and got[5] == 1  # originals kept
+    assert got[100] == 0 and got[105] == 0  # copies dropped
+    # random 8-dim vectors: allow genuine >=0.95 collisions, but the
+    # planted verdicts above are exact
