@@ -361,6 +361,11 @@ def compact_band_index(
     staging = f"{index_table}__staging"
     if not recover_band_index(spark, index_table):
         raise ValueError(f"compact_band_index: no such index table {index_table!r}")
+    # the rows being compacted may have been appended by ANOTHER session
+    # (foreachBatch runs in a micro-batch clone) — this session's cached
+    # relation then lists the PRE-append files, and compacting from it
+    # would silently drop the new rows and vacuum their files
+    spark.catalog.refreshTable(index_table)
     old_loc = _table_location(spark, index_table)
     if path is not None and old_loc is not None and _local_path(old_loc) == _local_path(path):
         return False  # replay of a completed compaction — already at this generation

@@ -126,6 +126,7 @@ def run_streaming_incremental_dedup(
     buckets: int = 8,
     threshold: float = 0.5,
     run_id: int = 0,
+    compact_every: int = 0,
 ) -> None:
     """Streaming ingestion dedup — the 100 TB shape end to end: each
     micro-batch of documents probes the STORED bucketed LSH index
@@ -174,7 +175,7 @@ def run_streaming_incremental_dedup(
     process = make_incremental_dedup_processor(
         spark, out_dir, index_table, index_path,
         num_hashes=num_hashes, bands=bands, buckets=buckets,
-        threshold=threshold, run_id=run_id,
+        threshold=threshold, run_id=run_id, compact_every=compact_every,
     )
     q = (
         stream.writeStream.foreachBatch(process)

@@ -493,3 +493,55 @@ def test_compact_band_index_crash_recovery(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_cr_idx")
         spark.sql("DROP TABLE IF EXISTS mh_cr_idx__staging")
+
+
+def test_streaming_incremental_dedup_with_compaction_matches(spark, tmp_path):
+    """compact_every in the LIVE streaming path: compaction between
+    micro-batches must not change pairs, keep-first, or the index
+    contents — only the file layout."""
+    from doc_redaction_spark.streaming.stream import (
+        run_streaming_incremental_dedup,
+    )
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batches = [
+        [(1, base_text), (2, "totally different words here on every axis")],
+        [(3, base_text + " tail"), (4, "novel second batch content entirely")],
+        [(5, base_text + " tail"), (6, "yet more unrelated material found")],
+    ]
+    inp = str(tmp_path / "cc_in")
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+    spark.sql("DROP TABLE IF EXISTS mh_cc_idx")
+    spark.sql("DROP TABLE IF EXISTS mh_cc_ref_idx")
+    try:
+        run_streaming_incremental_dedup(
+            spark, inp, str(tmp_path / "cc_out"), str(tmp_path / "cc_ckpt"),
+            index_table="mh_cc_idx", index_path=str(tmp_path / "mh_cc_idx"),
+            threshold=0.5, compact_every=1,  # compact after EVERY batch
+        )
+        run_streaming_incremental_dedup(
+            spark, inp, str(tmp_path / "ref_out"), str(tmp_path / "ref_ckpt"),
+            index_table="mh_cc_ref_idx",
+            index_path=str(tmp_path / "mh_cc_ref_idx"), threshold=0.5,
+        )
+        got = {
+            (r.new_id, r.base_id)
+            for r in spark.read.parquet(f"{tmp_path}/cc_out/pairs").collect()
+        }
+        ref = {
+            (r.new_id, r.base_id)
+            for r in spark.read.parquet(f"{tmp_path}/ref_out/pairs").collect()
+        }
+        assert got == ref
+        spark.catalog.refreshTable("mh_cc_idx")
+        spark.catalog.refreshTable("mh_cc_ref_idx")
+        gi = {(r.id, r.band, r.bh) for r in spark.table("mh_cc_idx").collect()}
+        ri = {(r.id, r.band, r.bh) for r in spark.table("mh_cc_ref_idx").collect()}
+        assert gi == ri
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_cc_idx")
+        spark.sql("DROP TABLE IF EXISTS mh_cc_ref_idx")
+        spark.sql("DROP TABLE IF EXISTS mh_cc_idx__staging")
