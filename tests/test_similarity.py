@@ -269,3 +269,29 @@ def test_semantic_dedup_plants_and_keep_first(spark):
     assert got[100] == 0 and got[105] == 0  # copies dropped
     # random 8-dim vectors: allow genuine >=0.95 collisions, but the
     # planted verdicts above are exact
+
+
+def test_semantic_dedup_plan_no_cartesian(spark, emb_df):
+    """Pair enumeration must be the per-cluster equi-join; the only
+    nested-loop joins allowed are the broadcast-tiny centroid assigns."""
+    from doc_redaction_spark.operators.similarity import semantic_dedup
+
+    df, _ = emb_df
+    out = semantic_dedup(df, n_centroids=4, dim=DIM, refine_iters=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # The only nested-loop joins are the broadcast-centroid assigns.
+    # The assign subtree prints once per plan occurrence (both sides of
+    # the pair self-join + the keep-join base), so don't count them —
+    # assert every one of them BUILDS the broadcast (tiny centroid)
+    # side, i.e. no nested loop ever iterates the corpus pair space.
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line, line
+    # The id1<id2 pair enumeration must be an EQUI join on cid —
+    # present as a hash/merge join — never a nested loop.
+    assert any(
+        kind in plan
+        for kind in ("SortMergeJoin [cid", "ShuffledHashJoin [cid",
+                     "BroadcastHashJoin [cid")
+    ), plan
