@@ -1239,6 +1239,81 @@ def o_quality_percentile():
     """
 
 
+def q_token_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing metadata
+    (operators/packing.py token_packing — GPT-style pretraining layout):
+    per-doc BPE-ish token count → distributed two-phase global prefix
+    sum (salted range buckets; the unpartitioned running-sum window a
+    naive spec would use is a single-task sort) → chunk ids/offsets at
+    cap=512 tokens per training sequence. Oracle = the naive global
+    window definition, so the bucketed plan is value-checked against
+    the spec it optimizes."""
+    from doc_redaction_spark.functions.textstats import bpe_token_count_col
+    from doc_redaction_spark.operators.packing import token_packing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    with_tok = docs.select("doc_id", bpe_token_count_col("text").alias("n_tok"))
+    return token_packing(with_tok, cap=512).orderBy("doc_id")
+
+
+def o_token_packing():
+    from doc_redaction_spark.functions.textstats import duckdb_bpe_token_count
+
+    ntok = duckdb_bpe_token_count("text")
+    return f"""
+    WITH t AS (SELECT doc_id, CAST({ntok} AS BIGINT) AS n_tok FROM documents),
+    s AS (SELECT doc_id, n_tok,
+                 CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_off
+          FROM t)
+    SELECT doc_id, n_tok, start_off,
+           CAST(floor(start_off / 512) AS BIGINT) AS chunk_first,
+           CAST(floor(greatest(start_off + n_tok - 1, start_off) / 512)
+                AS BIGINT) AS chunk_last,
+           CAST(start_off % 512 AS BIGINT) AS chunk_off
+    FROM s ORDER BY doc_id
+    """
+
+
+def q_unigram_surprisal(spark, sf_dir):
+    """Corpus-unigram-LM scoring (operators/curation.py
+    unigram_surprisal — the deterministic CCNet-perplexity analog):
+    log2-bucketed per-token surprisal against the corpus's own unigram
+    counts, mean per doc. The log stays in the integer domain
+    (binary-digit counts) because float ln() differs cross-engine in
+    the last ulp; see _floor_log2."""
+    from doc_redaction_spark.operators.curation import unigram_surprisal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return unigram_surprisal(docs).orderBy("doc_id")
+
+
+def o_unigram_surprisal():
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id AS id, unnest({toks}) AS tok FROM documents),
+    tf AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM tk GROUP BY id, tok),
+    cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY tok),
+    tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t FROM cf),
+    s AS (SELECT tok, (length(bin(t)) - 1) - (length(bin(cf)) - 1) AS s
+          FROM cf CROSS JOIN tot),
+    d AS (SELECT tf.id, CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+                 CAST(sum(tf.tf * s.s) AS BIGINT) AS sum_s
+          FROM tf JOIN s USING (tok) GROUP BY tf.id)
+    SELECT doc_id,
+           CAST(coalesce(d.n_tok, 0) AS BIGINT) AS n_tok,
+           coalesce(floor(d.sum_s * 10000 / d.n_tok) / 10000, 0.0e0)
+               AS surprisal
+    FROM documents LEFT JOIN d ON documents.doc_id = d.id
+    ORDER BY doc_id
+    """
+
+
 _SAMPLE_RATES = {"en": 0.3, "fr": 0.8, "de": 0.5, "es": 1.0}
 _SAMPLE_DEFAULT = 0.1
 _SPLIT_FRACS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
@@ -4879,6 +4954,8 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "token_packing": q_token_packing,
+    "unigram_surprisal": q_unigram_surprisal,
     "semantic_dedup": q_semantic_dedup,
     "stratified_sample": q_stratified_sample,
     "hash_split": q_hash_split,
@@ -4993,6 +5070,8 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "token_packing": o_token_packing,
+    "unigram_surprisal": o_unigram_surprisal,
     "semantic_dedup": o_semantic_dedup,
     "stratified_sample": o_stratified_sample,
     "hash_split": o_hash_split,

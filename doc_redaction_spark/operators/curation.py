@@ -139,3 +139,68 @@ def vocab_coverage(
         F.col("n_in_vocab").cast("long").alias("n_in_vocab"),
         cov.alias("coverage"),
     )
+
+
+def _floor_log2(c) -> Column:
+    """floor(log2(c)) for a positive integer column, computed EXACTLY as
+    (binary-digit count − 1). Float log() differs between engines in the
+    last ulp (measured: 1% of values disagree Spark-vs-DuckDB), so every
+    log in this module stays in the integer domain: Spark renders via
+    conv(c, 10, 2), DuckDB via bin(c), Python via int.bit_length()."""
+    return F.length(F.conv(F.col(c).cast("string"), 10, 2)) - 1
+
+
+def unigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram-LM document scoring — the deterministic analog of
+    the CCNet/KenLM perplexity filter: train a unigram model on the
+    corpus itself, score each document by its mean per-token surprisal.
+    High surprisal = rare-token-dense text (OCR noise, gibberish, wrong
+    language); low = stopword soup. Deviation from CCNet, documented:
+    surprisal is log2-BUCKETED — s(tok) = floor(log2(total_tokens)) −
+    floor(log2(corpus_count(tok))) — because continuous ln() is not
+    bit-identical across engines (see _floor_log2) while integer digit
+    counts are; the bucketing preserves the ranking signal (a factor-2
+    frequency band per bucket) and makes the score value-oracle exact.
+
+    Plan shape: explode → per-(doc, tok) count (map-side combinable,
+    shrinks the join input to distinct-per-doc tokens) → shuffle join
+    with the corpus term-frequency table on tok → per-doc sum. The
+    1-row total joins in via broadcast; no driver actions.
+
+    Output: (id_col, n_tok BIGINT, surprisal DOUBLE floored to 4
+    decimals); token-free docs report n_tok 0, surprisal 0.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    cf = tf.groupBy("tok").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("_T"))
+    s = cf.crossJoin(F.broadcast(total)).select(
+        "tok", (_floor_log2("_T") - _floor_log2("cf")).alias("s")
+    )
+    per_doc = (
+        tf.join(s, "tok")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("s")).alias("sum_s"),
+        )
+    )
+    scored = per_doc.select(
+        "id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        (F.floor(F.col("sum_s") * SCALE / F.col("n_tok")) / SCALE).alias("surprisal"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(scored, F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+            F.coalesce("surprisal", F.lit(0.0)).alias("surprisal"),
+        )
+    )

@@ -1,0 +1,76 @@
+"""Sequence packing for LLM pretraining — the concat-and-chunk layout
+(GPT-style: concatenate the corpus in a canonical document order, cut
+into fixed ``cap``-token training sequences) computed as pure metadata:
+for every document, its global token offset and the chunk ids/offsets
+it lands in. Downstream writers can then materialize chunk files with a
+single shuffle on ``chunk_first`` — this operator itself never moves
+the text.
+
+The core is a GLOBAL prefix sum over the canonical order, which a naive
+``sum() over (order by doc_id)`` window computes in ONE task (a plain
+unpartitioned window is a single-partition sort — the same trap
+``plans.pipeline.salted_row_number`` exists to avoid). Same two-phase
+fix: phase 1 runs the running sum inside range buckets
+``floor(doc_id / bucket_width)`` (bounded-size salted partitions);
+phase 2 computes per-bucket totals (one row per bucket — corpus_size /
+bucket_width rows, a tiny aggregate even at 10^12 docs) and turns them
+into bucket offsets with a window over that tiny table, then joins them
+back. Requires ``id_col`` to be globally unique (true for doc_id),
+``ntok_col`` >= 0.
+
+No reference-repo counterpart (the reference never trains); this is
+part of the LLM-data-pipeline brief alongside dedup/curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_packing(
+    df: DataFrame,
+    cap: int = 2048,
+    ntok_col: str = "n_tok",
+    id_col: str = "doc_id",
+    bucket_width: int = 100_000,
+) -> DataFrame:
+    """Per-document packing metadata for concat-and-chunk at ``cap``
+    tokens per training sequence.
+
+    Output (one row per input row, all counters BIGINT):
+      ``id_col, n_tok, start_off`` — global token offset of the doc's
+      first token in canonical (``id_col`` ascending) order;
+      ``chunk_first, chunk_last`` — the chunk ids the doc spans
+      (``chunk_last == chunk_first`` for empty docs);
+      ``chunk_off`` — the doc's offset inside ``chunk_first``.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    n = F.col(ntok_col).cast("long")
+    b = F.floor(F.col(id_col) / bucket_width).cast("long")
+    base = df.select(F.col(id_col), n.alias("_n"), b.alias("_bkt"))
+    w = Window.partitionBy("_bkt").orderBy(id_col)
+    local = base.withColumn("_local_end", F.sum("_n").over(w))
+    totals = base.groupBy("_bkt").agg(F.sum("_n").alias("_t"))
+    # one row per bucket: this window sorts corpus_size/bucket_width rows,
+    # not the corpus — the deliberate tiny single-partition step
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_t").over(woff), F.lit(0)).alias("_off")
+    )
+    start = (F.col("_off") + F.col("_local_end") - F.col("_n")).alias("start_off")
+    joined = local.join(offsets, "_bkt").select(
+        F.col(id_col), F.col("_n").alias("n_tok"), start
+    )
+    end_last = F.greatest(
+        F.col("start_off") + F.col("n_tok") - 1, F.col("start_off")
+    )
+    return joined.select(
+        id_col,
+        "n_tok",
+        "start_off",
+        F.floor(F.col("start_off") / cap).cast("long").alias("chunk_first"),
+        F.floor(end_last / cap).cast("long").alias("chunk_last"),
+        (F.col("start_off") % cap).cast("long").alias("chunk_off"),
+    )

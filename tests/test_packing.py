@@ -1,0 +1,82 @@
+"""Sequence packing (operators/packing.py) + unigram surprisal
+(operators/curation.py unigram_surprisal)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.curation import unigram_surprisal
+from doc_redaction_spark.operators.packing import token_packing
+
+
+def _naive_pack(rows, cap):
+    """The spec: global running sum in id order, chunk = floor(off/cap)."""
+    out, off = {}, 0
+    for doc_id, n in sorted(rows):
+        start = off
+        last = max(start + n - 1, start)
+        out[doc_id] = (n, start, start // cap, last // cap, start % cap)
+        off += n
+    return out
+
+
+def test_token_packing_matches_naive_spec(spark):
+    rows = [(i, (i * 37) % 13) for i in range(200)]  # includes n_tok == 0
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r.doc_id: (r.n_tok, r.start_off, r.chunk_first, r.chunk_last, r.chunk_off)
+        for r in token_packing(df, cap=10).collect()
+    }
+    assert got == _naive_pack(rows, 10)
+
+
+def test_token_packing_two_phase_crosses_buckets(spark):
+    # bucket_width=16 forces 13 buckets: phase-2 offsets must chain the
+    # running sum across bucket boundaries exactly
+    rows = [(i, 7) for i in range(0, 400, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r.doc_id: (r.n_tok, r.start_off, r.chunk_first, r.chunk_last, r.chunk_off)
+        for r in token_packing(df, cap=64, bucket_width=16).collect()
+    }
+    assert got == _naive_pack(rows, 64)
+    # a 7-token doc at offset 60 must span chunks 0..1
+    spans = [k for k, v in got.items() if v[2] != v[3]]
+    assert spans, "fixture must include chunk-spanning docs"
+
+
+def test_token_packing_rejects_bad_cap(spark):
+    df = spark.createDataFrame([(1, 2)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError):
+        token_packing(df, cap=0)
+
+
+def test_unigram_surprisal_ground_truth(spark):
+    # corpus: 'a' ×4, 'b' ×2, 'c' ×1, 'd' ×1  → T=8, floor_log2(T)=3
+    # s(a)=3-2=1, s(b)=3-1=2, s(c)=s(d)=3-0=3
+    rows = [
+        (1, "a a b c"),  # sum_s = 1+1+2+3 = 7, n=4 → floor(7*1e4/4)/1e4
+        (2, "a a b d"),  # same shape: 7/4
+        (3, ""),  # token-free → (0, 0.0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tok, r.surprisal) for r in unigram_surprisal(df).collect()}
+    assert got[1] == (4, 1.75)
+    assert got[2] == (4, 1.75)
+    assert got[3] == (0, 0.0)
+
+
+def test_floor_log2_exact_vs_python(spark):
+    # binary-digit arithmetic must equal floor(log2(n)) for every n that
+    # matters, including the 2^k boundaries where float log2 is risky
+    # 2**53-1 and 2**62-1 are exactly where float log2 rounds UP to the
+    # next integer (math.log2(2**62 - 1) == 62.0): the integer rendering
+    # must not inherit that off-by-one
+    vals = [1, 2, 3, 4, 7, 8, 1023, 1024, 1025, 2**31, 2**53 - 1, 2**62 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    from doc_redaction_spark.operators.curation import _floor_log2
+
+    got = {r.c: r.fl for r in df.select("c", _floor_log2("c").alias("fl")).collect()}
+    for v in vals:
+        assert got[v] == v.bit_length() - 1, v
