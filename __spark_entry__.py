@@ -1276,6 +1276,45 @@ def o_token_packing():
     """
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking (operators/packing.py chunk_documents —
+    the RAG/context-window pass): 32-token windows every 24 tokens over
+    the BPE-ish tokenization, window text reconstructed exactly (the
+    pattern tiles the input). Spark plan is the linear token-explode +
+    chunk-range form; oracle is the naive per-chunk list-slice, so the
+    shuffle-shaped plan is value-checked against the obvious spec."""
+    from doc_redaction_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def o_doc_chunks():
+    from doc_redaction_spark.functions.textstats import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      regexp_extract_all(coalesce(text, ''), '{pat}') AS t
+               FROM documents),
+    c AS (SELECT doc_id, t, len(t) AS n,
+                 CASE WHEN len(t) = 0 THEN 0
+                      ELSE 1 + (greatest(len(t) - 32, 0) + 23) // 24 END AS nc
+          FROM t)
+    SELECT doc_id,
+           CAST(u.k AS BIGINT) AS chunk_idx,
+           CAST(u.k * 24 AS BIGINT) AS start_tok,
+           CAST(least(u.k * 24 + 32, n) - u.k * 24 AS BIGINT) AS n_tokens,
+           array_to_string(t[u.k * 24 + 1:least(u.k * 24 + 32, n)], '')
+               AS chunk_text
+    FROM c, unnest(generate_series(0, nc - 1)) AS u(k)
+    WHERE n > 0
+    ORDER BY doc_id, chunk_idx
+    """
+
+
 def q_unigram_surprisal(spark, sf_dir):
     """Corpus-unigram-LM scoring (operators/curation.py
     unigram_surprisal — the deterministic CCNet-perplexity analog):
@@ -4955,6 +4994,7 @@ _QUERIES: dict[str, Callable] = {
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
     "token_packing": q_token_packing,
+    "doc_chunks": q_doc_chunks,
     "unigram_surprisal": q_unigram_surprisal,
     "semantic_dedup": q_semantic_dedup,
     "stratified_sample": q_stratified_sample,
@@ -5071,6 +5111,7 @@ _QUERIES: dict[str, Callable] = {
 
 _ORACLES: dict[str, Callable[[], str]] = {
     "token_packing": o_token_packing,
+    "doc_chunks": o_doc_chunks,
     "unigram_surprisal": o_unigram_surprisal,
     "semantic_dedup": o_semantic_dedup,
     "stratified_sample": o_stratified_sample,

@@ -74,3 +74,79 @@ def token_packing(
         F.floor(end_last / cap).cast("long").alias("chunk_last"),
         (F.col("start_off") % cap).cast("long").alias("chunk_off"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    stride: int = 192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / context-window pass):
+    split each document into ``chunk_tokens``-token windows every
+    ``stride`` tokens, reconstructing each window's text. Tokens are the
+    repo's BPE-ish regex matches (functions.textstats.BPE_ISH_PATTERN);
+    that pattern tiles the input — every character belongs to exactly
+    one match — so concatenating a token range reproduces the original
+    text span byte-for-byte, and stride <= chunk_tokens gives lossless
+    overlapping coverage.
+
+    Plan shape: one posexplode to token rows, then each token computes
+    the (small) range of chunk ids containing it — ceil/floor INTEGER
+    arithmetic, <= chunk_tokens/stride + 1 ids per token — and the
+    chunk text is an ordered fold (array_sort over collected
+    (pos, tok)) after a groupBy on (doc, chunk). Linear work and one
+    shuffle keyed by (doc, chunk): the alternative — explode chunk ids
+    per DOC and slice the token array per chunk row — re-evaluates the
+    regexp_extract_all per chunk through CollapseProject (the winnow
+    O(n^2) trap) and is not used.
+
+    Token-free documents produce zero chunks. Output:
+    (id_col, chunk_idx, start_tok, n_tokens, chunk_text).
+    """
+    from doc_redaction_spark.functions.textstats import BPE_ISH_PATTERN
+
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError(f"chunk_tokens/stride must be positive, got {chunk_tokens}/{stride}")
+    toks = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(BPE_ISH_PATTERN), F.lit(0)
+    )
+    base = docs.select(F.col(id_col), toks.alias("_t"))
+    tok_rows = base.select(
+        F.col(id_col),
+        F.size("_t").alias("_n"),
+        F.posexplode("_t").alias("pos", "tok"),
+    )
+    n, p = F.col("_n").cast("long"), F.col("pos").cast("long")
+    num_chunks = 1 + F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + stride - 1) / stride
+    ).cast("long")
+    k_lo = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((p - chunk_tokens + stride) / stride).cast("long"),
+    )
+    k_hi = F.least(F.floor(p / stride).cast("long"), num_chunks - 1)
+    ks = F.when(k_hi >= k_lo, F.sequence(k_lo, k_hi)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    per_chunk = tok_rows.select(
+        id_col, "pos", "tok", F.explode(ks).alias("chunk_idx")
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]
+    )
+    return (
+        per_chunk.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_join(ordered, "").alias("chunk_text"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("long").alias("start_tok"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "chunk_text",
+        )
+    )

@@ -80,3 +80,65 @@ def test_floor_log2_exact_vs_python(spark):
     got = {r.c: r.fl for r in df.select("c", _floor_log2("c").alias("fl")).collect()}
     for v in vals:
         assert got[v] == v.bit_length() - 1, v
+
+
+def _naive_chunks(text, chunk, stride):
+    import re
+
+    from doc_redaction_spark.functions.textstats import BPE_ISH_PATTERN
+
+    t = re.findall(BPE_ISH_PATTERN, text or "")
+    n = len(t)
+    if n == 0:
+        return {}
+    nc = 1 + (max(n - chunk, 0) + stride - 1) // stride
+    return {
+        k: (k * stride, min(k * stride + chunk, n) - k * stride,
+            "".join(t[k * stride:min(k * stride + chunk, n)]))
+        for k in range(nc)
+    }
+
+
+def test_chunk_documents_matches_naive(spark):
+    from doc_redaction_spark.operators.packing import chunk_documents
+
+    texts = [
+        "The quick brown fox, 1234 jumps -- over the lazy dog's tail!  again",
+        "short",
+        "",
+        None,
+        "a " * 50,
+        "word" + " punctuation!?" * 17,
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, chunk_tokens=8, stride=5).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_idx] = (
+            r.start_tok, r.n_tokens, r.chunk_text
+        )
+    for i, text in enumerate(texts):
+        assert got.get(i, {}) == _naive_chunks(text, 8, 5), i
+
+
+def test_chunk_documents_tiles_exactly(spark):
+    # non-overlapping chunks (stride == chunk_tokens) must concatenate
+    # back to the original text — the BPE pattern tiles the input
+    from doc_redaction_spark.operators.packing import chunk_documents
+
+    text = "Mixed 987 content: with\tpunctuation's edges & unicode-free text."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, stride=4).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert "".join(r.chunk_text for r in rows) == text
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from doc_redaction_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, stride=-1)
