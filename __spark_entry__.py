@@ -1276,6 +1276,31 @@ def o_token_packing():
     """
 
 
+_BM25_QUERIES = [
+    (1, "fast hash join table"),
+    (2, "slow scan merge"),
+    (3, "spark line sort value"),
+]
+
+
+def q_bm25_search(spark, sf_dir):
+    """Full-text retrieval (operators/search.py bm25_topk): rational-idf
+    BM25 (documented ln-free deviation — float ln is not bit-identical
+    cross-engine), per-term scores floor-scaled to integers BEFORE the
+    sum (order-independent), exact top-10 per query via the salted
+    two-phase rank. Oracle = the naive global-rank spec."""
+    from doc_redaction_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return bm25_topk(docs, _BM25_QUERIES, k=10).orderBy("query_id", "rank")
+
+
+def o_bm25_search():
+    from doc_redaction_spark.operators.search import duckdb_bm25_topk_sql
+
+    return duckdb_bm25_topk_sql(_BM25_QUERIES, k=10)
+
+
 def q_doc_chunks(spark, sf_dir):
     """Sliding-window chunking (operators/packing.py chunk_documents —
     the RAG/context-window pass): 32-token windows every 24 tokens over
@@ -4994,6 +5019,7 @@ _QUERIES: dict[str, Callable] = {
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
     "token_packing": q_token_packing,
+    "bm25_search": q_bm25_search,
     "doc_chunks": q_doc_chunks,
     "unigram_surprisal": q_unigram_surprisal,
     "semantic_dedup": q_semantic_dedup,
@@ -5111,6 +5137,7 @@ _QUERIES: dict[str, Callable] = {
 
 _ORACLES: dict[str, Callable[[], str]] = {
     "token_packing": o_token_packing,
+    "bm25_search": o_bm25_search,
     "doc_chunks": o_doc_chunks,
     "unigram_surprisal": o_unigram_surprisal,
     "semantic_dedup": o_semantic_dedup,

@@ -1,0 +1,176 @@
+"""Full-text retrieval over the corpus — BM25-shaped scoring + exact
+top-k per query, the "find me the documents about X" capability a
+corpus engine owes its users (and the retrieval half of a RAG stack,
+alongside operators/packing.chunk_documents and the ANN operators).
+
+Scoring is the BM25 form with one documented deviation: idf is kept
+RATIONAL — idf_r(t) = (N − df + 0.5)/(df + 0.5) — instead of Robertson's
+ln of it. ln() is not bit-identical across engines (measured: 1% of
+values differ Spark-vs-DuckDB in the last ulp; see
+curation._floor_log2), while +,−,×,÷ on doubles are exact IEEE ops that
+agree everywhere. idf_r is monotone in df like the ln form, so per-term
+discrimination is preserved; the cross-term mix differs from textbook
+BM25 and that trade is deliberate (rerun- and engine-exact scores).
+
+Determinism discipline: every per-term score is floor-scaled to an
+integer (floor(idf_r · tfw · 1e6)) BEFORE summing — integer sums are
+order-independent, float sums are not (partial-aggregation order would
+flip low bits). Scores are reported as the scaled BIGINT.
+
+Top-k selection is the salted two-phase shape (same family as
+selection.quality_rank_filter and plans.pipeline.salted_row_number): a
+plain row_number window partitioned by query puts EVERY match for a hot
+query in one task; phase 1 ranks inside (query, doc-hash salt) buckets
+and keeps k per bucket, phase 2 ranks the surviving ≤ salts·k rows per
+query. Exactly equal to the naive global per-query rank (ties broken by
+doc_id) — the oracle checks the equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.curation import tokens_col
+
+SCORE_SCALE = 1_000_000
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_salts: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query by rational-idf BM25.
+
+    ``queries`` is a driver-side list of (query_id, query_text) — the
+    query set is assumed small (it broadcasts); the corpus side is one
+    explode + two map-side-combinable aggregates + one broadcast join.
+    Output: (query_id, rank, doc_id, score) with ``score`` the scaled
+    BIGINT; only documents matching >= 1 query term appear.
+    """
+    if k <= 0 or n_salts <= 0:
+        raise ValueError(f"k/n_salts must be positive, got {k}/{n_salts}")
+    spark = docs.sparkSession
+    qterms = (
+        spark.createDataFrame(queries, "query_id long, qtext string")
+        .select("query_id", F.explode(tokens_col("qtext")).alias("tok"))
+        .distinct()
+    )
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    # corpus constants via broadcast aggregates — no driver actions
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
+    )
+    df_tok = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    matched = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(df_tok, "tok")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    # constants folded in PYTHON (k1+1, 1-b) so the oracle renderer can
+    # embed the exact same doubles via repr(); the expression tree below
+    # is mirrored parenthesis-for-parenthesis in duckdb_bm25_term_score
+    # — same IEEE ops on same operands = bit-identical scores
+    c_num, c_1mb = k1 + 1, 1 - b
+    idf_r = ((F.col("n_docs") - F.col("df")) + 0.5) / (F.col("df") + 0.5)
+    tfw = (F.col("tf") * c_num) / (
+        F.col("tf") + k1 * (c_1mb + (b * F.col("dl")) / F.col("avgdl"))
+    )
+    term_score = F.floor((idf_r * tfw) * SCORE_SCALE).cast("long")
+    scored = (
+        matched.select("query_id", "id", term_score.alias("s"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("s").alias("score"))
+    )
+    salt = F.pmod(F.col("id"), F.lit(n_salts))
+    w_local = Window.partitionBy("query_id", "_salt").orderBy(
+        F.desc("score"), F.asc("id")
+    )
+    survivors = (
+        scored.withColumn("_salt", salt)
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+    )
+    w_global = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("id").alias(id_col),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+
+
+def duckdb_bm25_term_score(k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB rendering of the per-term scaled score, mirroring
+    bm25_topk's expression tree parenthesis-for-parenthesis over columns
+    (tf, df, dl, n_docs, avgdl). Constants go through repr() of the SAME
+    Python doubles the Spark side folded, so both engines parse the
+    identical IEEE value."""
+    c_num, c_1mb = k1 + 1, 1 - b
+    idf = "(((n_docs - df) + 0.5e0) / (df + 0.5e0))"
+    tfw = (
+        f"((tf * {c_num!r}e0) / "
+        f"(tf + {k1!r}e0 * ({c_1mb!r}e0 + ({b!r}e0 * dl) / avgdl)))"
+    )
+    return f"CAST(floor(({idf} * {tfw}) * {SCORE_SCALE}e0) AS BIGINT)"
+
+
+def duckdb_bm25_topk_sql(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """The naive global-rank BM25 spec in DuckDB SQL — the oracle the
+    salted two-phase Spark plan must equal."""
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce({c}, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    qvals = ", ".join(
+        "({}, '{}')".format(qid, qtext.replace("'", "''")) for qid, qtext in queries
+    )
+    return f"""
+    WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                      unnest({toks.format(c="qtext")}) AS tok
+               FROM (VALUES {qvals}) AS qs(query_id, qtext)),
+    qd AS (SELECT DISTINCT query_id, tok FROM q),
+    tk AS (SELECT doc_id AS id, unnest({toks.format(c="text")}) AS tok
+           FROM {table}),
+    tf AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM tk GROUP BY id, tok),
+    dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+           FROM dl),
+    dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    sc AS (SELECT qd.query_id, tf.id,
+                  CAST(sum({duckdb_bm25_term_score(k1, b)}) AS BIGINT) AS score
+           FROM tf JOIN qd USING (tok) JOIN dft USING (tok)
+                JOIN dl USING (id) CROSS JOIN st
+           GROUP BY qd.query_id, tf.id),
+    rk AS (SELECT query_id, id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, id) AS rank
+           FROM sc)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, score
+    FROM rk WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """

@@ -1,0 +1,73 @@
+"""BM25 retrieval (operators/search.py)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from doc_redaction_spark.operators.search import SCORE_SCALE, bm25_topk
+
+
+def _naive_bm25(rows, queries, k, k1=1.2, b=0.75):
+    """Driver-side mirror of the spec: rational idf, floor-scaled
+    integer per-term scores, global rank with (score desc, id) ties."""
+    tf, dl = {}, {}
+    for doc_id, text in rows:
+        toks = [t for t in (text or "").lower().split() if t]
+        if not toks:
+            continue
+        dl[doc_id] = len(toks)
+        for t in toks:
+            tf[(doc_id, t)] = tf.get((doc_id, t), 0) + 1
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    df = {}
+    for (_, t), _c in tf.items():
+        df[t] = df.get(t, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        qtoks = {t for t in qtext.lower().split() if t}
+        scores = {}
+        for (doc_id, t), c in tf.items():
+            if t not in qtoks:
+                continue
+            idf = ((n_docs - df[t]) + 0.5) / (df[t] + 0.5)
+            tfw = (c * (k1 + 1)) / (c + k1 * ((1 - b) + (b * dl[doc_id]) / avgdl))
+            scores[doc_id] = scores.get(doc_id, 0) + math.floor(
+                (idf * tfw) * SCORE_SCALE
+            )
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = [(r + 1, d, s) for r, (d, s) in enumerate(ranked)]
+    return out
+
+
+def test_bm25_matches_naive_spec(spark):
+    rnd = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(3, 30))))
+        for i in range(120)
+    ]
+    queries = [(1, "alpha beta"), (2, "zeta"), (3, "gamma delta epsilon")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n_salts in (1, 4, 16):  # salted two-phase must be salt-invariant
+        got = {}
+        for r in bm25_topk(df, queries, k=7, n_salts=n_salts).collect():
+            got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+        for qid in got:
+            got[qid].sort()
+        assert got == _naive_bm25(rows, queries, 7), n_salts
+
+
+def test_bm25_no_match_query_empty(spark):
+    df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    out = bm25_topk(df, [(9, "nosuchtoken")], k=3).collect()
+    assert out == []
+
+
+def test_bm25_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, [(1, "x")], k=0)
