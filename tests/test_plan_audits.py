@@ -287,3 +287,39 @@ def test_ivf_stored_index_probe_no_corpus_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS pa_ivf_idx")
         spark.sql("DROP TABLE IF EXISTS pa_ivf_cent")
+
+
+def test_token_packing_windows_are_bucketed_or_tiny(spark, queries):
+    """The global prefix sum must never sort the corpus in one task:
+    the only full-data Window is partitioned by the salt bucket; the
+    single unpartitioned Window runs over the per-bucket totals (one
+    row per bucket), downstream of an aggregate."""
+    plan = _plan(queries["token_packing"](spark, SF))
+    lines = plan.splitlines()
+    unpartitioned = [
+        ln for ln in lines
+        if "Window" in ln and "windowspecdefinition" in ln and "_bkt" not in ln
+    ]
+    assert not unpartitioned, unpartitioned
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_single_shuffle_no_python(spark, queries):
+    """Chunking is explode → chunk-range explode → one (doc, chunk)
+    aggregate: JVM-only, and the only exchanges are for that aggregate
+    (plus AQE final-output requirements) — no join, no Python stage."""
+    plan = _plan(queries["doc_chunks"](spark, SF))
+    assert "Python" not in plan and "Join" not in plan.replace("array_join", "")
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_query_terms_and_stats(spark, queries):
+    """The query-term set and the 1-row corpus stats must broadcast;
+    the only nested-loop join is the broadcast-tiny stats crossJoin —
+    the tf×terms match is an equi join on tok."""
+    plan = _plan(queries["bm25_search"](spark, SF))
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildRight" in ln, ln
+    assert "BroadcastHashJoin [tok" in plan or "BroadcastHashJoin [tok".lower() in plan.lower(), plan
