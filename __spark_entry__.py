@@ -1276,6 +1276,99 @@ def o_token_packing():
     """
 
 
+def q_training_shards(spark, sf_dir):
+    """The end-to-end make-training-shards composition a pretraining
+    pipeline ships: exact-dedup keep-first (fingerprint) + language
+    gate → sliding-window chunking (32/24 BPE-ish tokens) → pack the
+    surviving chunks into 512-token shards (two-phase global prefix
+    sum over a dense (doc, chunk) key; doc_id*10^4+chunk_idx is
+    collision-free for this corpus's <=553-char docs — a production run
+    would widen the multiplier to its own max chunk count). Every leg
+    reuses an individually-oracled operator; the oracle recomputes the
+    whole composition in SQL."""
+    from doc_redaction_spark.functions.textstats import fingerprint_col
+    from doc_redaction_spark.operators.packing import chunk_documents, token_packing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    w = Window.partitionBy("fingerprint")
+    kept = (
+        docs.select("doc_id", "text", "lang", fingerprint_col("text"))
+        .withColumn("_rep", F.min("doc_id").over(w))
+        .filter((F.col("lang") == "en") & (F.col("_rep") == F.col("doc_id")))
+        .select("doc_id", "text")
+    )
+    chunks = chunk_documents(kept, chunk_tokens=32, stride=24)
+    keyed = chunks.withColumn(
+        "chunk_key", (F.col("doc_id") * 10000 + F.col("chunk_idx")).cast("long")
+    )
+    packed = token_packing(
+        keyed.select("chunk_key", F.col("n_tokens").alias("n_tok")),
+        cap=512,
+        id_col="chunk_key",
+    ).select(
+        "chunk_key",
+        "start_off",
+        F.col("chunk_first").alias("shard_first"),
+        F.col("chunk_last").alias("shard_last"),
+        F.col("chunk_off").alias("shard_off"),
+    )
+    return (
+        keyed.join(packed, "chunk_key")
+        .select(
+            "chunk_key", "doc_id", "chunk_idx", "n_tokens", "start_off",
+            "shard_first", "shard_last", "shard_off", "chunk_text",
+        )
+        .orderBy("chunk_key")
+    )
+
+
+def o_training_shards():
+    from doc_redaction_spark.functions.textstats import (
+        BPE_ISH_PATTERN,
+        duckdb_fingerprint,
+    )
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    fp = duckdb_fingerprint("text")
+    return f"""
+    WITH kept AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, lang,
+               min(doc_id) OVER (PARTITION BY {fp}) AS rep
+        FROM documents) AS b
+      WHERE lang = 'en' AND rep = doc_id),
+    t AS (SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '{pat}') AS t
+          FROM kept),
+    c AS (SELECT doc_id, t, len(t) AS n,
+                 CASE WHEN len(t) = 0 THEN 0
+                      ELSE 1 + (greatest(len(t) - 32, 0) + 23) // 24 END AS nc
+          FROM t),
+    ch AS (SELECT doc_id,
+                  CAST(u.k AS BIGINT) AS chunk_idx,
+                  CAST(doc_id * 10000 + u.k AS BIGINT) AS chunk_key,
+                  CAST(least(u.k * 24 + 32, n) - u.k * 24 AS BIGINT) AS n_tokens,
+                  array_to_string(t[u.k * 24 + 1:least(u.k * 24 + 32, n)], '')
+                      AS chunk_text
+           FROM c, unnest(generate_series(0, nc - 1)) AS u(k)
+           WHERE n > 0),
+    s AS (SELECT *,
+                 CAST(coalesce(sum(n_tokens) OVER (ORDER BY chunk_key
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_off
+          FROM ch)
+    SELECT chunk_key, doc_id, chunk_idx, n_tokens, start_off,
+           CAST(floor(start_off / 512) AS BIGINT) AS shard_first,
+           CAST(floor(greatest(start_off + n_tokens - 1, start_off) / 512)
+                AS BIGINT) AS shard_last,
+           CAST(start_off % 512 AS BIGINT) AS shard_off,
+           chunk_text
+    FROM s ORDER BY chunk_key
+    """
+
+
 _BM25_QUERIES = [
     (1, "fast hash join table"),
     (2, "slow scan merge"),
@@ -5020,6 +5113,7 @@ _QUERIES: dict[str, Callable] = {
     # driver greens and inputs untouched this round
     "token_packing": q_token_packing,
     "bm25_search": q_bm25_search,
+    "training_shards": q_training_shards,
     "doc_chunks": q_doc_chunks,
     "unigram_surprisal": q_unigram_surprisal,
     "semantic_dedup": q_semantic_dedup,
@@ -5138,6 +5232,7 @@ _QUERIES: dict[str, Callable] = {
 _ORACLES: dict[str, Callable[[], str]] = {
     "token_packing": o_token_packing,
     "bm25_search": o_bm25_search,
+    "training_shards": o_training_shards,
     "doc_chunks": o_doc_chunks,
     "unigram_surprisal": o_unigram_surprisal,
     "semantic_dedup": o_semantic_dedup,
