@@ -1276,6 +1276,23 @@ def o_token_packing():
     """
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document top-5 tf-idf keywords (operators/search.py
+    tfidf_keywords — corpus exploration / weak labeling): rational idf
+    (no ln, see bm25_search), floor-scaled BIGINT scores, per-doc rank
+    window (naturally bounded — one doc's distinct tokens)."""
+    from doc_redaction_spark.operators.search import tfidf_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return tfidf_keywords(docs, k=5).orderBy("doc_id", "rank")
+
+
+def o_tfidf_keywords():
+    from doc_redaction_spark.operators.search import duckdb_tfidf_keywords_sql
+
+    return duckdb_tfidf_keywords_sql(k=5)
+
+
 def q_training_shards(spark, sf_dir):
     """The end-to-end make-training-shards composition a pretraining
     pipeline ships: exact-dedup keep-first (fingerprint) + language
@@ -5114,6 +5131,7 @@ _QUERIES: dict[str, Callable] = {
     "token_packing": q_token_packing,
     "bm25_search": q_bm25_search,
     "training_shards": q_training_shards,
+    "tfidf_keywords": q_tfidf_keywords,
     "doc_chunks": q_doc_chunks,
     "unigram_surprisal": q_unigram_surprisal,
     "semantic_dedup": q_semantic_dedup,
@@ -5233,6 +5251,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "token_packing": o_token_packing,
     "bm25_search": o_bm25_search,
     "training_shards": o_training_shards,
+    "tfidf_keywords": o_tfidf_keywords,
     "doc_chunks": o_doc_chunks,
     "unigram_surprisal": o_unigram_surprisal,
     "semantic_dedup": o_semantic_dedup,

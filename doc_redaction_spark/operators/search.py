@@ -174,3 +174,77 @@ def duckdb_bm25_topk_sql(
     FROM rk WHERE rank <= {k}
     ORDER BY query_id, rank
     """
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` keyword extraction by tf-idf — the corpus
+    exploration / weak-labeling pass. Same determinism discipline as
+    bm25_topk: idf is the RATIONAL (N − df + 0.5)/(df + 0.5) (no ln —
+    see module docstring) and the score is floor-scaled to a BIGINT
+    before ranking. Ranking window partitions by document, which is
+    naturally bounded (one doc's distinct tokens), so no salting is
+    needed — unlike the per-query window bm25 avoids.
+
+    Output: (id_col, rank, tok, tf BIGINT, score BIGINT); token-free
+    documents emit no rows. Ties: score desc, tok asc.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = tf.select("id").distinct().agg(F.count("*").alias("n_docs"))
+    df_tok = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf_r = ((F.col("n_docs") - F.col("df")) + 0.5) / (F.col("df") + 0.5)
+    score = F.floor((F.col("tf") * idf_r) * SCORE_SCALE).cast("long")
+    scored = (
+        tf.join(df_tok, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select("id", "tok", "tf", score.alias("score"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            "tok",
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+        )
+    )
+
+
+def duckdb_tfidf_keywords_sql(k: int = 5, table: str = "documents") -> str:
+    """The naive spec in DuckDB SQL, constants mirrored from
+    tfidf_keywords parenthesis-for-parenthesis."""
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id AS id, unnest({toks}) AS tok FROM {table}),
+    tf AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM tk GROUP BY id, tok),
+    nd AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_docs FROM tf),
+    dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    sc AS (SELECT id, tok, tf,
+                  CAST(floor((tf * (((n_docs - df) + 0.5e0) / (df + 0.5e0)))
+                       * {SCORE_SCALE}e0) AS BIGINT) AS score
+           FROM tf JOIN dft USING (tok) CROSS JOIN nd),
+    rk AS (SELECT id, tok, tf, score,
+                  row_number() OVER (PARTITION BY id
+                                     ORDER BY score DESC, tok) AS rank
+           FROM sc)
+    SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank, tok, tf, score
+    FROM rk WHERE rank <= {k}
+    ORDER BY doc_id, rank
+    """

@@ -71,3 +71,38 @@ def test_bm25_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_topk(df, [(1, "x")], k=0)
+
+
+def test_tfidf_keywords_ground_truth(spark):
+    from doc_redaction_spark.operators.search import tfidf_keywords
+
+    rows = [
+        (1, "apple apple banana common"),
+        (2, "banana cherry common"),
+        (3, "cherry cherry cherry common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in tfidf_keywords(df, k=2).collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.tok, r.tf))
+    for d in got:
+        got[d].sort()
+    # n_docs=3; df: apple 1, banana 2, cherry 2, common 3
+    # idf_r: apple (3-1+.5)/1.5=5/3; banana/cherry (1.5)/2.5=0.6; common 0.5/3.5
+    # doc1: apple 2*5/3=3.33.. > banana 0.6 > common
+    assert got[1][0][1:] == ("apple", 2) and got[1][1][1:] == ("banana", 1)
+    # doc3: cherry 3*0.6=1.8 top; then common
+    assert got[3][0][1:] == ("cherry", 3) and got[3][1][1:] == ("common", 1)
+
+
+def test_tfidf_keywords_tie_break_and_k(spark):
+    from doc_redaction_spark.operators.search import tfidf_keywords
+
+    rows = [(1, "zz aa"), (2, "qq")]  # zz and aa tie in doc 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        (r.rank, r.tok)
+        for r in tfidf_keywords(df, k=1).collect()
+        if r.doc_id == 1
+    ]
+    assert out == [(1, "aa")]  # tie broken token-ascending; k=1 truncates
