@@ -444,6 +444,63 @@ def o_sessionize_events():
     """
 
 
+def q_asof_join_events(spark, sf_dir):
+    """Backward-inclusive as-of join (time-series "state at event time"):
+    for every ``error`` event, the most recent ``view`` event by the same
+    user at-or-before the error's timestamp, plus the lag in microseconds.
+    Spark side is the union-tag + running-window plan (one shuffle on
+    user_id, no range explosion); the oracle is DuckDB's native ASOF LEFT
+    JOIN over a (user_id, ts)-deduped right side (greatest event_id wins a
+    timestamp collision — the operator's documented tie rule)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .join(
+            ev.select(F.col("event_id").alias("view_id"), F.col("value").alias("view_value")),
+            "view_id",
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("vts"),
+            F.col("ts").alias("matched_ts"),
+            "view_id",
+            "view_value",
+        )
+    )
+    res = oj.asof_join(left, right, key="user_id", left_ts="ts", right_ts="vts",
+                       right_tiebreak="view_id")
+    return res.select(
+        "err_id",
+        "user_id",
+        "view_id",
+        (F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+         - F.unix_micros(F.col("matched_ts").cast("timestamp_ltz"))).alias("lag_us"),
+        F.round(F.col("view_value").cast("double"), 2).alias("view_value"),
+    )
+
+
+def o_asof_join_events():
+    return """
+    WITH r AS (
+      SELECT user_id, ts, max(event_id) AS view_id FROM events
+      WHERE event_type = 'view' GROUP BY user_id, ts
+    ), rr AS (
+      SELECT r.user_id, r.ts, r.view_id, e.value FROM r JOIN events e ON e.event_id = r.view_id
+    ), l AS (
+      SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT l.err_id, l.user_id, rr.view_id,
+           CAST(epoch_us(l.ts) - epoch_us(rr.ts) AS BIGINT) AS lag_us,
+           round(CAST(rr.value AS DOUBLE), 2) AS view_value
+    FROM l ASOF LEFT JOIN rr ON l.user_id = rr.user_id AND l.ts >= rr.ts
+    """
+
+
 def q_anti_join_customers_no_orders(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -5128,6 +5185,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "asof_join_events": q_asof_join_events,
     "token_packing": q_token_packing,
     "bm25_search": q_bm25_search,
     "training_shards": q_training_shards,
@@ -5248,6 +5306,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "asof_join_events": o_asof_join_events,
     "token_packing": o_token_packing,
     "bm25_search": o_bm25_search,
     "training_shards": o_training_shards,

@@ -62,3 +62,75 @@ def nearest_join(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: for each left row, attach the right
+    row with the greatest ``right_ts <= left_ts`` within the same ``key``
+    (the time-series "most recent state at event time" join; DuckDB/kdb
+    ``ASOF JOIN``, pandas ``merge_asof``).
+
+    Scale shape: NOT a range join (which plans as BroadcastNestedLoop and
+    explodes at 100 TB). Both sides are union-tagged into one relation and
+    resolved with a single ``last(..., ignorenulls)`` running window — ONE
+    hash shuffle on ``key``, linear work, AQE-skew-splittable. The right
+    row's payload travels as a single struct so the window can never mix
+    columns from different right rows (a per-column ``last(ignorenulls)``
+    would skip back through genuinely-NULL fields).
+
+    Ordering ties: a right row AT the left row's timestamp matches
+    (inclusive); among right rows sharing ``(key, right_ts)`` the greatest
+    ``right_tiebreak`` wins (required when right timestamps can collide —
+    pass the right side's unique id). Unmatched left rows keep NULLs
+    (left-outer semantics).
+
+    Columns: returns all left columns plus each right payload column
+    (right columns minus ``key``/``right_ts``); names must not collide.
+    """
+    rpay = [c for c in right.columns if c not in (key, right_ts)]
+    overlap = set(rpay) & set(left.columns)
+    if overlap:
+        raise ValueError(f"asof_join: colliding payload columns {sorted(overlap)}")
+    tie = (
+        F.col(right_tiebreak)
+        if right_tiebreak is not None
+        else F.lit(0)
+    )
+    r2 = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        tie.cast("long").alias("_tie"),
+        F.struct(*[F.col(c) for c in rpay]).alias("_rpay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != key],
+    )
+    l2 = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_tie"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in rpay) + ">"
+        ).alias("_rpay"),
+        *[F.col(c) for c in left.columns if c != key],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ats", "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    resolved = (
+        r2.unionByName(l2)
+        .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out_left = [F.col(c) for c in left.columns]
+    out_right = [F.col("_m").getField(c).alias(c) for c in rpay]
+    return resolved.select(*out_left, *out_right)

@@ -1,0 +1,72 @@
+"""asof_join edge cases: inclusive match at equal ts, tiebreak among
+right rows sharing a timestamp, left-outer NULLs, payload-struct
+integrity (a NULL field must not leak an older row's value), and the
+column-collision guard."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.joins import asof_join
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_basic_inclusive_and_outer(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(10), 1), ("a", _ts(5), 2), ("b", _ts(3), 3)],
+        "k string, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(5), 100, "r5"), ("a", _ts(8), 101, "r8"), ("b", _ts(4), 102, "r4")],
+        "k string, rts timestamp, rid int, tag string",
+    )
+    out = {
+        r["lid"]: (r["rid"], r["tag"])
+        for r in asof_join(left, right, "k", "ts", "rts", right_tiebreak="rid").collect()
+    }
+    assert out[1] == (101, "r8")  # strictly-before match picks the latest
+    assert out[2] == (100, "r5")  # equal timestamp matches (inclusive)
+    assert out[3] == (None, None)  # right row is AFTER the left ts: no match
+
+
+def test_asof_tiebreak_and_null_field_integrity(spark):
+    left = spark.createDataFrame([("a", _ts(10), 1)], "k string, ts timestamp, lid int")
+    # two right rows at the SAME ts: greatest tiebreak id wins; its NULL
+    # payload field must stay NULL (not fall back to the older row's value)
+    right = spark.createDataFrame(
+        [("a", _ts(9), 200, "older"), ("a", _ts(9), 201, None)],
+        "k string, rts timestamp, rid int, tag string",
+    )
+    row = asof_join(left, right, "k", "ts", "rts", right_tiebreak="rid").collect()[0]
+    assert row["rid"] == 201
+    assert row["tag"] is None
+
+
+def test_asof_collision_guard(spark):
+    left = spark.createDataFrame([("a", _ts(1), 1)], "k string, ts timestamp, x int")
+    right = spark.createDataFrame([("a", _ts(1), 2)], "k string, rts timestamp, x int")
+    with pytest.raises(ValueError, match="colliding"):
+        asof_join(left, right, "k", "ts", "rts")
+
+
+def test_asof_plan_single_shuffle(spark):
+    """The union-tag plan must shuffle once on the key — no join operator,
+    no BroadcastNestedLoop, no range explosion."""
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") + 1000).alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(100).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") + 500).alias("rts"),
+        F.col("id").alias("rid"),
+    )
+    plan = asof_join(left, right, "k", "ts", "rts", right_tiebreak="rid")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
