@@ -38,6 +38,7 @@ from doc_redaction_spark.functions.textstats import (
     quality_score_cols,
     token_count_col,
 )
+from doc_redaction_spark.functions import sketches as sk
 from doc_redaction_spark.operators import dedup as dd
 from doc_redaction_spark.operators import joins as oj
 from doc_redaction_spark.operators import layout as ol
@@ -498,6 +499,93 @@ def o_asof_join_events():
            CAST(epoch_us(l.ts) - epoch_us(rr.ts) AS BIGINT) AS lag_us,
            round(CAST(rr.value AS DOUBLE), 2) AS view_value
     FROM l ASOF LEFT JOIN rr ON l.user_id = rr.user_id AND l.ts >= rr.ts
+    """
+
+
+_DOC_TOKENS_DUCK = (
+    "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+    " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+
+def _doc_tokens(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " ")),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    return docs.select("source", F.explode(toks).alias("tok"))
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Per-source distinct-token cardinality via the 64-register md5-exact
+    HLL sketch (functions/sketches.py) next to the exact count — the
+    register table is the mergeable sketch state, so two shards' counts
+    combine with a 64-row max-merge instead of re-reading the corpus."""
+    t = _doc_tokens(spark, sf_dir)
+    est = sk.hll_estimate(sk.hll_registers(t, ["source"], "tok"), ["source"])
+    exact = t.groupBy("source").agg(F.countDistinct("tok").alias("exact_distinct"))
+    return est.join(exact, "source").select(
+        "source", "exact_distinct", "zeros", "sum_scaled", "est_distinct"
+    )
+
+
+def o_hll_distinct():
+    frag = sk.duckdb_hll_sql("t", "source", "tok")
+    return f"""
+    WITH t AS (
+      SELECT source, x AS tok FROM documents, unnest({_DOC_TOKENS_DUCK}) AS u(x)
+    ),
+    {frag},
+    ex AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+           FROM t GROUP BY source)
+    SELECT h.grp AS source, ex.exact_distinct, h.zeros, h.sum_scaled, h.est_distinct
+    FROM hll_out h JOIN ex ON ex.source = h.grp
+    """
+
+
+_CMS_PROBES = [
+    "table", "spark", "window", "merge", "hash",
+    "value", "row", "scan", "zebra", "quantum",
+]
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min sketch frequency probe: build the 4x256 counter table in
+    one combinable pass over the token stream, then point-query a fixed
+    probe list (two probes are absent from the corpus — the sketch may
+    overestimate them via collisions but never undercounts, pinned by
+    tests). Sketch size is constant in input scale; merging shards sums
+    counters."""
+    t = _doc_tokens(spark, sf_dir)
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "tok string")
+    est = sk.cms_probe(sk.cms_sketch(t, "tok"), probes, "tok")
+    exact = t.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    return (
+        probes.join(exact, "tok", "left")
+        .join(est, "tok", "left")
+        .select(
+            "tok",
+            F.coalesce(F.col("exact_cnt"), F.lit(0).cast("long")).alias("exact_cnt"),
+            F.coalesce(F.col("cms_est"), F.lit(0).cast("long")).alias("cms_est"),
+        )
+    )
+
+
+def o_heavy_hitters():
+    values = ", ".join(f"('{p}')" for p in _CMS_PROBES)
+    frag = sk.duckdb_cms_sql("t", "t.tok", values)
+    return f"""
+    WITH t AS (
+      SELECT x AS tok FROM documents, unnest({_DOC_TOKENS_DUCK}) AS u(x)
+    ),
+    {frag},
+    ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM t GROUP BY tok)
+    SELECT c.tok, CAST(coalesce(ex.exact_cnt, 0) AS BIGINT) AS exact_cnt, c.cms_est
+    FROM cms_out c LEFT JOIN ex ON ex.tok = c.tok
     """
 
 
@@ -5186,6 +5274,8 @@ _QUERIES: dict[str, Callable] = {
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
     "asof_join_events": q_asof_join_events,
+    "hll_distinct": q_hll_distinct,
+    "heavy_hitters": q_heavy_hitters,
     "token_packing": q_token_packing,
     "bm25_search": q_bm25_search,
     "training_shards": q_training_shards,
@@ -5307,6 +5397,8 @@ _QUERIES: dict[str, Callable] = {
 
 _ORACLES: dict[str, Callable[[], str]] = {
     "asof_join_events": o_asof_join_events,
+    "hll_distinct": o_hll_distinct,
+    "heavy_hitters": o_heavy_hitters,
     "token_packing": o_token_packing,
     "bm25_search": o_bm25_search,
     "training_shards": o_training_shards,

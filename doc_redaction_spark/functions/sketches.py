@@ -1,0 +1,202 @@
+"""Mergeable cardinality / frequency sketches in the exact integer domain.
+
+Two classic streaming sketches re-expressed as plain ``groupBy`` pipelines
+so every stage is map-side combinable (partial aggregation) and the sketch
+STATE itself is a first-class DataFrame that can be stored, merged across
+shards (``max`` for HLL registers, ``sum`` for CMS counters), and probed —
+the property that makes them useful at 100 TB: a 64-register HLL summarises
+a petabyte-scale distinct count in 64 rows per group, and two such
+summaries for different date partitions merge without re-reading the data.
+
+Unlike library HLL/CMS implementations (whose hash functions differ per
+engine), every hash here is the repo's standard cross-engine idiom
+``conv(substring(md5(k), a, n), 16, 10)`` — bit-identical in Spark (Java),
+DuckDB (used by the value oracle) and Python — and all arithmetic stays in
+BIGINT (``shiftleft`` / ``length(bin(w))`` for powers of two and
+floor-log2), so the sketch contents hash-match across engines exactly.
+The HLL *estimate* needs one float step (alpha correction); its numerator
+is folded to an exactly-representable double constant on the Python side
+and embedded verbatim in both renderings (the parenthesis-for-parenthesis
+IEEE mirroring used by the BM25 scorer).
+
+Spark 4 note: ``F.shiftleft`` rejects column exponents; the SQL function
+``shiftleft(base, expr)`` accepts them — rendered through ``F.expr``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# HyperLogLog-style distinct sketch
+# ---------------------------------------------------------------------------
+
+HLL_M = 64          # registers (2^6 buckets from the first 16 md5 bits)
+HLL_B = 48          # rank domain: next 48 md5 bits
+# fixed rational alpha (the classic 0.709 bias constant for m=64, pinned
+# as 709/1000 so both engines fold the same exact numerator)
+_HLL_EST_NUM = 709.0 * float(HLL_M * HLL_M) * float(2 ** (HLL_B + 1))
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """Per-group HLL register table: ``group_cols + (bucket, reg)``.
+
+    ``reg`` is the classic max leading-zero rank of the 48-bit md5 slice
+    (1..49). The table IS the sketch: merge two shards' registers with
+    ``groupBy(group, bucket).agg(max(reg))``; both the build and the merge
+    are map-side-combinable ``max`` aggregations.
+    """
+    h16 = F.conv(F.substring(F.md5(F.col(value_col)), 1, 4), 16, 10).cast("long")
+    w = F.conv(F.substring(F.md5(F.col(value_col)), 5, 12), 16, 10).cast("long")
+    rank = F.when(w > 0, F.lit(HLL_B + 1) - F.length(F.bin(w))).otherwise(HLL_B + 1)
+    return (
+        df.select(*group_cols, (h16 % HLL_M).alias("bucket"), rank.alias("r"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse a register table to per-group ``(zeros, sum_scaled,
+    est_distinct)``.
+
+    ``sum_scaled = sum_j 2^(B+1-M_j)`` over all m registers (empty ones
+    contribute ``2^(B+1)``) — the harmonic-mean denominator scaled into
+    BIGINT (max 64 * 2^49 < 2^56, no overflow). The estimate applies the
+    fixed-rational alpha in one IEEE-mirrored double division.
+    """
+    pow2 = F.expr(f"shiftleft(cast(1 as bigint), cast({HLL_B + 1} - reg as int))")
+    agg = registers.groupBy(*group_cols).agg(
+        (F.lit(HLL_M) - F.count("*")).cast("long").alias("zeros"),
+        F.sum(pow2).alias("present_sum"),
+    )
+    empty = F.lit(2 ** (HLL_B + 1)).cast("long")
+    sum_scaled = (F.col("present_sum") + F.col("zeros") * empty).alias("sum_scaled")
+    out = agg.select(*group_cols, "zeros", sum_scaled)
+    est = F.floor(
+        F.lit(_HLL_EST_NUM) / (F.lit(1000.0) * F.col("sum_scaled").cast("double"))
+    ).cast("long")
+    return out.withColumn("est_distinct", est)
+
+
+def duckdb_hll_sql(source_cte: str, group_expr: str, value_expr: str) -> str:
+    """Oracle rendering of ``hll_registers |> hll_estimate`` over a CTE
+    named ``source_cte`` exposing ``group_expr`` and ``value_expr``."""
+    B1 = HLL_B + 1
+    return f"""
+    hll_h AS (
+      SELECT {group_expr} AS grp,
+             CAST(('0x' || substr(md5({value_expr}), 1, 4)) AS BIGINT) % {HLL_M} AS bucket,
+             CAST(('0x' || substr(md5({value_expr}), 5, 12)) AS BIGINT) AS w
+      FROM {source_cte}
+    ),
+    hll_r AS (
+      SELECT grp, bucket,
+             MAX(CASE WHEN w > 0 THEN {B1} - length(bin(w)) ELSE {B1} END) AS reg
+      FROM hll_h GROUP BY grp, bucket
+    ),
+    hll_e AS (
+      SELECT grp,
+             CAST({HLL_M} - COUNT(*) AS BIGINT) AS zeros,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST({B1} - reg AS INTEGER))
+                  + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {B1}) AS BIGINT)
+               AS sum_scaled
+      FROM hll_r GROUP BY grp
+    ),
+    hll_out AS (
+      SELECT grp, zeros, sum_scaled,
+             CAST(floor({_HLL_EST_NUM!r} / (1000.0e0 * CAST(sum_scaled AS DOUBLE))) AS BIGINT)
+               AS est_distinct
+      FROM hll_e
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency / heavy hitters)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4      # hash rows
+CMS_W = 256    # counters per row
+
+
+def _cms_col(value: Column, row: int) -> Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}:"), value)), 1, 8), 16, 10
+        ).cast("long")
+        % CMS_W
+    )
+
+
+def cms_sketch(df: DataFrame, value_col: str) -> DataFrame:
+    """Build the d x w counter table ``(row, col, cnt)`` from one pass.
+
+    Each input row lands in one counter per hash row; the build is a
+    single ``groupBy`` (map-side combinable) after a d-way explode of
+    (row, col) pairs. Merge two sketches by summing counters.
+    """
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), _cms_col(F.col(value_col), i).alias("col"))
+            for i in range(CMS_D)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_probe(sketch: DataFrame, probes: DataFrame, value_col: str) -> DataFrame:
+    """Point-query the sketch: per probe value, ``est = min_i cnt[i][h_i(v)]``
+    (0 when a counter row is empty — value never seen under that hash).
+
+    The probe side is tiny (a literal list) — Spark broadcasts it; the
+    sketch side is d*w rows regardless of input scale.
+    """
+    exploded = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), _cms_col(F.col(value_col), i).alias("col")
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select(value_col, F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+    joined = exploded.join(sketch, ["row", "col"], "left").select(
+        value_col, F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt")
+    )
+    return joined.groupBy(value_col).agg(F.min("cnt").alias("cms_est"))
+
+
+def duckdb_cms_sql(source_cte: str, value_expr: str, probe_values_sql: str) -> str:
+    """Oracle rendering: build + probe. ``probe_values_sql`` is a VALUES
+    list of probe strings, e.g. ``('table'), ('missing')``."""
+    hash_expr = (
+        f"CAST(('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || {{v}}), 1, 8)) AS BIGINT)"
+        f" % {CMS_W}"
+    )
+    build_hash = hash_expr.format(v=value_expr)
+    probe_hash = hash_expr.format(v="p.tok")
+    return f"""
+    cms_rows AS (SELECT unnest(range({CMS_D})) AS row),
+    cms_build AS (
+      SELECT r.row AS row, {build_hash} AS col, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {source_cte}, cms_rows r GROUP BY 1, 2
+    ),
+    cms_probe_keys AS (
+      SELECT p.tok, r.row AS row, {probe_hash} AS col
+      FROM (VALUES {probe_values_sql}) AS p(tok), cms_rows r
+    ),
+    cms_out AS (
+      SELECT k.tok, CAST(MIN(coalesce(b.cnt, 0)) AS BIGINT) AS cms_est
+      FROM cms_probe_keys k LEFT JOIN cms_build b ON k.row = b.row AND k.col = b.col
+      GROUP BY k.tok
+    )"""

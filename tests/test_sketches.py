@@ -1,0 +1,63 @@
+"""Sketch invariants: HLL register merge law + estimate sanity, CMS
+merge law + the never-undercount guarantee."""
+
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.functions import sketches as sk
+
+
+def _values(spark, n, prefix="v"):
+    return spark.range(n).select(
+        F.lit("g").alias("g"), F.concat(F.lit(prefix), F.col("id")).alias("v")
+    )
+
+
+def test_hll_estimate_in_standard_error_band(spark):
+    n = 5000
+    est = sk.hll_estimate(
+        sk.hll_registers(_values(spark, n), ["g"], "v"), ["g"]
+    ).collect()[0]
+    # 64 registers -> ~13% standard error; deterministic input, generous 3-sigma band
+    assert abs(est["est_distinct"] - n) / n < 0.4
+    assert est["zeros"] == 0
+
+
+def test_hll_registers_merge_is_max(spark):
+    a = _values(spark, 300, "a")
+    b = _values(spark, 300, "b")
+    union_regs = sk.hll_registers(a.unionByName(b), ["g"], "v")
+    merged = (
+        sk.hll_registers(a, ["g"], "v")
+        .unionByName(sk.hll_registers(b, ["g"], "v"))
+        .groupBy("g", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    assert sorted(map(tuple, union_regs.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    a = _values(spark, 200)
+    doubled = a.unionByName(a)
+    assert sorted(map(tuple, sk.hll_registers(a, ["g"], "v").collect())) == sorted(
+        map(tuple, sk.hll_registers(doubled, ["g"], "v").collect())
+    )
+
+
+def test_cms_never_undercounts_and_merges_by_sum(spark):
+    # skewed stream: v0 x50, v1 x10, v2..v41 x1
+    rows = [("v0",)] * 50 + [("v1",)] * 10 + [(f"v{i}",) for i in range(2, 42)]
+    df = spark.createDataFrame(rows, "v string")
+    probes = spark.createDataFrame([("v0",), ("v1",), ("v5",), ("absent",)], "v string")
+    sketch = sk.cms_sketch(df, "v")
+    est = {r["v"]: r["cms_est"] for r in sk.cms_probe(sketch, probes, "v").collect()}
+    assert est["v0"] >= 50 and est["v1"] >= 10 and est["v5"] >= 1 and est["absent"] >= 0
+
+    half1 = spark.createDataFrame(rows[:50], "v string")
+    half2 = spark.createDataFrame(rows[50:], "v string")
+    merged = (
+        sk.cms_sketch(half1, "v")
+        .unionByName(sk.cms_sketch(half2, "v"))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sketch.collect()))
