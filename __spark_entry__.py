@@ -1556,6 +1556,43 @@ def o_bm25_search():
     return duckdb_bm25_topk_sql(_BM25_QUERIES, k=10)
 
 
+def q_bm25_stored(spark, sf_dir):
+    """The STORED-index round trip of bm25_search: the corpus is
+    persisted as a bucketed+sorted postings table (save_bm25_index — all
+    corpus-sized shuffles happen at build time), then the SAME queries
+    probe it via bm25_topk_from_index, whose scan carries a pushed-down
+    literal ``tok IN`` filter (plan-audited) and aggregates only the
+    matching postings lists. Values are byte-identical to the end-to-end
+    path, so the driver hashes the save→read→probe loop. Same external
+    table + per-pid path + drop-before-return lifecycle as
+    dedup_incremental_stored (this query EXECUTES at construction)."""
+    from doc_redaction_spark.operators.search import bm25_topk_from_index, save_bm25_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    tbl = f"reg_bm25_postings_{os.getpid()}"
+    tdir = f"/tmp/spark_graft_reg_bm25_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_stats")
+    try:
+        save_bm25_index(docs, tbl, buckets=8, path=f"{tdir}/postings")
+        spark.catalog.refreshTable(tbl)
+        return (
+            bm25_topk_from_index(spark, _BM25_QUERIES, k=10, table_name=tbl)
+            .orderBy("query_id", "rank")
+            .localCheckpoint()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_stats")
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+def o_bm25_stored():
+    # the stored index is the materialized tf/df/dl tables — value-
+    # identical to the end-to-end oracle
+    return o_bm25_search()
+
+
 def q_doc_chunks(spark, sf_dir):
     """Sliding-window chunking (operators/packing.py chunk_documents —
     the RAG/context-window pass): 32-token windows every 24 tokens over
@@ -5276,6 +5313,7 @@ _QUERIES: dict[str, Callable] = {
     "asof_join_events": q_asof_join_events,
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
+    "bm25_stored": q_bm25_stored,
     "token_packing": q_token_packing,
     "bm25_search": q_bm25_search,
     "training_shards": q_training_shards,
@@ -5399,6 +5437,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "asof_join_events": o_asof_join_events,
     "hll_distinct": o_hll_distinct,
     "heavy_hitters": o_heavy_hitters,
+    "bm25_stored": o_bm25_stored,
     "token_packing": o_token_packing,
     "bm25_search": o_bm25_search,
     "training_shards": o_training_shards,

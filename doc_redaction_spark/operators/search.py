@@ -28,6 +28,8 @@ doc_id) — the oracle checks the equality.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,49 +38,21 @@ from doc_redaction_spark.operators.curation import tokens_col
 SCORE_SCALE = 1_000_000
 
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: list[tuple[int, str]],
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-    n_salts: int = 16,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Top-``k`` documents per query by rational-idf BM25.
-
-    ``queries`` is a driver-side list of (query_id, query_text) — the
-    query set is assumed small (it broadcasts); the corpus side is one
-    explode + two map-side-combinable aggregates + one broadcast join.
-    Output: (query_id, rank, doc_id, score) with ``score`` the scaled
-    BIGINT; only documents matching >= 1 query term appear.
-    """
-    if k <= 0 or n_salts <= 0:
-        raise ValueError(f"k/n_salts must be positive, got {k}/{n_salts}")
-    spark = docs.sparkSession
-    qterms = (
+def _qterms(spark, queries: list[tuple[int, str]]) -> DataFrame:
+    return (
         spark.createDataFrame(queries, "query_id long, qtext string")
         .select("query_id", F.explode(tokens_col("qtext")).alias("tok"))
         .distinct()
     )
-    tf = (
-        docs.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
-        .groupBy("id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
-    # corpus constants via broadcast aggregates — no driver actions
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
-    )
-    df_tok = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    matched = (
-        tf.join(F.broadcast(qterms), "tok")
-        .join(df_tok, "tok")
-        .join(dl, "id")
-        .crossJoin(F.broadcast(stats))
-    )
+
+
+def _score_and_rank(
+    matched: DataFrame, k: int, k1: float, b: float, n_salts: int, id_col: str
+) -> DataFrame:
+    """Shared scoring + salted top-k kernel over a matched postings frame
+    with columns (query_id, id, tf, df, dl, n_docs, avgdl) — ONE
+    implementation for the end-to-end and stored-index paths (the
+    duplicated-IVF-builder lesson)."""
     # constants folded in PYTHON (k1+1, 1-b) so the oracle renderer can
     # embed the exact same doubles via repr(); the expression tree below
     # is mirrored parenthesis-for-parenthesis in duckdb_bm25_term_score
@@ -114,6 +88,134 @@ def bm25_topk(
             F.col("score").cast("long").alias("score"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_salts: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query by rational-idf BM25.
+
+    ``queries`` is a driver-side list of (query_id, query_text) — the
+    query set is assumed small (it broadcasts); the corpus side is one
+    explode + two map-side-combinable aggregates + one broadcast join.
+    Output: (query_id, rank, doc_id, score) with ``score`` the scaled
+    BIGINT; only documents matching >= 1 query term appear.
+    """
+    if k <= 0 or n_salts <= 0:
+        raise ValueError(f"k/n_salts must be positive, got {k}/{n_salts}")
+    spark = docs.sparkSession
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    # corpus constants via broadcast aggregates — no driver actions
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
+    )
+    df_tok = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    matched = (
+        tf.join(F.broadcast(_qterms(spark, queries)), "tok")
+        .join(df_tok, "tok")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    return _score_and_rank(matched, k, k1, b, n_salts, id_col)
+
+
+# ---------------------------------------------------------------------------
+# stored inverted index (index-once / probe-many)
+# ---------------------------------------------------------------------------
+
+# Python rendering of tokens_col for driver-side query strings — the
+# ASCII-explicit whitespace class (Python \s is Unicode-aware, Java/RE2
+# \s is not; the repo's standard 3-dialect discipline).
+_WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+
+
+def tokenize_py(text: str) -> list[str]:
+    return [t for t in _WS_RE.split((text or "").lower()) if t]
+
+
+def save_bm25_index(
+    docs: DataFrame,
+    table_name: str = "bm25_postings",
+    buckets: int = 64,
+    path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the corpus as a classic denormalized postings table
+    ``(tok, df, id, tf, dl)`` — bucketed AND sorted by ``tok`` — plus a
+    1-row ``<table>_stats`` table (n_docs, avgdl).
+
+    This moves ALL corpus-sized work (token explode, tf/df/dl
+    aggregations — three shuffles over the full corpus) to index-build
+    time. A query probe then reads postings with a pushed-down
+    ``tok IN (...)`` literal filter (the sortBy gives parquet min/max
+    row-group pruning; the bucketBy gives future merge/compaction ops a
+    shuffle-free layout) and aggregates only the matching lists — at
+    100 TB the probe touches megabytes, not the corpus. Follows the
+    repartition-before-bucketed-write file-count discipline of
+    dedup.save_minhash_band_index."""
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    df_tok = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    postings = tf.join(dl, "id").join(df_tok, "tok").select("tok", "df", "id", "tf", "dl")
+    writer = (
+        postings.repartition(buckets, "tok")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "tok")
+        .sortBy("tok")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
+    )
+    swriter = stats.write.mode("overwrite")
+    if path is not None:
+        swriter = swriter.option("path", f"{path}_stats")
+    swriter.saveAsTable(f"{table_name}_stats")
+
+
+def bm25_topk_from_index(
+    spark,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_salts: int = 16,
+    table_name: str = "bm25_postings",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe a stored BM25 index: byte-identical scores/ranks to
+    ``bm25_topk`` on the same corpus (pinned by tests), but the plan
+    reads only the postings rows whose ``tok`` is in the query term set
+    — the IN-list is literal, so it pushes into the parquet scan
+    (plan-audited). No corpus-sized aggregation happens at query time."""
+    if k <= 0 or n_salts <= 0:
+        raise ValueError(f"k/n_salts must be positive, got {k}/{n_salts}")
+    terms = sorted({t for _, qtext in queries for t in tokenize_py(qtext)})
+    postings = spark.table(table_name).filter(F.col("tok").isin(terms))
+    stats = spark.table(f"{table_name}_stats")
+    matched = postings.join(F.broadcast(_qterms(spark, queries)), "tok").crossJoin(
+        F.broadcast(stats)
+    )
+    return _score_and_rank(matched, k, k1, b, n_salts, id_col)
 
 
 def duckdb_bm25_term_score(k1: float = 1.2, b: float = 0.75) -> str:

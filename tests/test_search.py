@@ -106,3 +106,54 @@ def test_tfidf_keywords_tie_break_and_k(spark):
         if r.doc_id == 1
     ]
     assert out == [(1, "aa")]  # tie broken token-ascending; k=1 truncates
+
+
+def test_bm25_stored_index_byte_identical_and_pushes_filter(spark, tmp_path):
+    """save_bm25_index -> bm25_topk_from_index must equal bm25_topk
+    byte-for-byte, and the probe plan must read the postings scan with a
+    pushed-down literal tok IN filter (no corpus-sized explode/agg at
+    query time)."""
+    from doc_redaction_spark.operators.search import (
+        bm25_topk_from_index,
+        save_bm25_index,
+    )
+
+    rnd = random.Random(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(3, 30))))
+        for i in range(150)
+    ]
+    queries = [(1, "alpha zeta"), (2, "gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tbl = "test_bm25_postings"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_stats")
+    try:
+        save_bm25_index(df, tbl, buckets=4, path=str(tmp_path / "postings"))
+        probe = bm25_topk_from_index(spark, queries, k=5, table_name=tbl)
+        want = sorted(map(tuple, bm25_topk(df, queries, k=5).collect()))
+        got = sorted(map(tuple, probe.collect()))
+        assert got == want
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        scan = [ln for ln in plan.splitlines() if "FileScan" in ln and tbl in ln]
+        assert scan and "PushedFilters" in scan[0] and "In(tok" in scan[0], plan
+        # no corpus text is read at probe time: every scan in the probe
+        # plan is the postings/stats tables, never a raw text column
+        for ln in plan.splitlines():
+            if "FileScan" in ln:
+                assert "text:string" not in ln, ln
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_stats")
+
+
+def test_tokenize_py_matches_spark_tokens(spark):
+    from doc_redaction_spark.operators.curation import tokens_col
+    from doc_redaction_spark.operators.search import tokenize_py
+    from pyspark.sql import functions as F
+
+    texts = ["Alpha  beta\tGAMMA\n", "", "  ", "one\x0btwo\fthree", "x\xa0y"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(tokens_col("text")).collect()]
+    assert got == [tokenize_py(t) for t in texts]
