@@ -2164,6 +2164,45 @@ def o_dedup_components():
     """
 
 
+def q_component_keep_best(spark, sf_dir):
+    """Quality-aware dedup representative (dedup.keep_best_in_components):
+    per near-dup component, keep the LONGEST member (ties: lowest id) —
+    the policy that keeps the planted '... tail' near-dup copies over
+    their shorter originals, proving the choice differs from keep-first.
+    Composition: MinHash pairs → large-star/small-star components →
+    score join → per-component argmax."""
+    base = documents_plus(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(
+        base, num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=0.5
+    )
+    comp = dd.duplicate_components(pairs)
+    scored = base.select("doc_id", F.length("text").cast("long").alias("score"))
+    return dd.keep_best_in_components(comp, scored)
+
+
+def o_component_keep_best():
+    return f"""
+    WITH RECURSIVE docs_plus AS ({documents_plus_sql()}),
+    pairs AS (SELECT * FROM ({o_dedup_minhash_lsh()})),
+    edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+              UNION SELECT id2, id1 FROM pairs),
+    reach AS (
+      SELECT DISTINCT a AS id, a AS r FROM edges
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT id, CAST(min(r) AS BIGINT) AS rep FROM reach GROUP BY id),
+    j AS (SELECT comp.id, comp.rep, CAST(length(d.text) AS BIGINT) AS s
+          FROM comp JOIN docs_plus d ON d.doc_id = comp.id),
+    rk AS (SELECT rep, id, s,
+                  row_number() OVER (PARTITION BY rep ORDER BY s DESC, id) AS rn,
+                  count(*) OVER (PARTITION BY rep) AS n_members
+           FROM j)
+    SELECT rep, id AS best_id, s AS best_score, CAST(n_members AS BIGINT) AS n_members
+    FROM rk WHERE rn = 1
+    """
+
+
 def q_dedup_substring_exact(spark, sf_dir):
     """Boundary-exact duplicated-substring spans (closing the r03
     verdict's missing #4): maximal contiguous runs of tokens covered by
@@ -5314,6 +5353,7 @@ _QUERIES: dict[str, Callable] = {
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
     "bm25_stored": q_bm25_stored,
+    "component_keep_best": q_component_keep_best,
     "token_packing": q_token_packing,
     "bm25_search": q_bm25_search,
     "training_shards": q_training_shards,
@@ -5438,6 +5478,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "hll_distinct": o_hll_distinct,
     "heavy_hitters": o_heavy_hitters,
     "bm25_stored": o_bm25_stored,
+    "component_keep_best": o_component_keep_best,
     "token_packing": o_token_packing,
     "bm25_search": o_bm25_search,
     "training_shards": o_training_shards,

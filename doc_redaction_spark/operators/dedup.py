@@ -1023,6 +1023,41 @@ def remove_duplicate_rows(
     return df.join(dups, id_col, "left_anti")
 
 
+def keep_best_in_components(
+    components: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware representative selection: per connected component,
+    keep the member with the HIGHEST score (ties: lowest id) — the
+    curation policy real pipelines ship when duplicates differ in
+    completeness (keep the longest / highest-quality copy, not blindly
+    the lowest id as keep-first does).
+
+    ``components`` is duplicate_components' (id, rep) output; ``scored``
+    maps ``id_col`` → ``score_col``. One equi-join + a per-component
+    window — components are near-dup clusters (bounded fan-in by the
+    pair generators' df caps), so the window partitions are small and
+    need no salting. Output: (rep, best_id, best_score, n_members).
+    """
+    joined = components.join(
+        scored.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")), "id"
+    )
+    w = Window.partitionBy("rep").orderBy(F.desc("_s"), F.asc("id"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("rep")))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "rep",
+            F.col("id").alias("best_id"),
+            F.col("_s").alias("best_score"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
 def duplicated_ngram_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -403,3 +403,24 @@ def test_line_dedup_blank_lines_are_structure(spark):
     }
     assert got[1] == ("\npara one\n", 3, 2)
     assert got[2] == ("\npara two\n", 3, 2)
+
+
+def test_keep_best_in_components_prefers_score_over_id(spark):
+    from pyspark.sql import functions as F
+
+    from doc_redaction_spark.operators import dedup as dd
+
+    # component {1,2,3}: member 3 is the longest; singleton pair {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long"
+    )
+    comp = dd.duplicate_components(pairs)
+    scored = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 20), (10, 7), (11, 7)], "doc_id long, score long"
+    )
+    rows = {
+        r["rep"]: (r["best_id"], r["best_score"], r["n_members"])
+        for r in dd.keep_best_in_components(comp, scored).collect()
+    }
+    assert rows[1] == (3, 20, 3)   # highest score wins, NOT lowest id
+    assert rows[10] == (10, 7, 2)  # score tie -> lowest id
