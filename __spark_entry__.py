@@ -1062,6 +1062,100 @@ def o_gopher_quality():
     """
 
 
+def _pos_ngrams(n: int):
+    """Positional word n-grams of the token array column ``t`` as
+    space-joined strings (empty array when too short). Safe from the
+    Spark 4 sibling-lambda cross-binding trap because each call site
+    lives in its own select stage (never two siblings in one expr)."""
+    return F.when(
+        F.size("t") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("t", i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_doc_repetition(spark, sf_dir):
+    """The Gopher repetition battery (Rae et al. §A1.1) beyond
+    gopher_quality's single top-2-gram rule: per document, the character
+    fraction of the most-common word 3-gram (count x gram chars / doc
+    chars) and the character fraction covered by duplicated 5-grams
+    (sum over 5-grams seen >= 2x of count x gram chars / doc chars —
+    the standard overlapping approximation, so the value may exceed 1
+    on degenerate template docs). All native explode + combinable aggs;
+    ratios floor-scaled to 4 decimals (half-value-exact cross-engine)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " ")), " "),
+        lambda x: x != "",
+    )
+    base = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id", "t", F.greatest(F.length(F.array_join("t", " ")), F.lit(1)).alias("total")
+    )
+    g3 = (
+        base.select("doc_id", F.explode(_pos_ngrams(3)).alias("g"))
+        .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("c") * F.length("g")).alias("top3_chars"))
+    )
+    g5 = (
+        base.select("doc_id", F.explode(_pos_ngrams(5)).alias("g"))
+        .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(0)
+            ).alias("dup5_chars")
+        )
+    )
+    frac = lambda c: (F.floor(F.coalesce(c, F.lit(0)) * 10000.0 / F.col("total")) / 10000.0)  # noqa: E731
+    return (
+        base.join(g3, "doc_id", "left").join(g5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_words"),
+            frac(F.col("top3_chars")).alias("top3_char_frac"),
+            frac(F.col("dup5_chars")).alias("dup5_char_frac"),
+        )
+    )
+
+
+def o_doc_repetition():
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {toks} AS t FROM documents),
+    b AS (SELECT doc_id, t,
+                 greatest(length(array_to_string(t, ' ')), 1) AS total
+          FROM d),
+    p3 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+           FROM b, unnest(generate_series(1, len(t) - 2)) AS u(i)
+           WHERE len(t) >= 3),
+    c3 AS (SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS top3_chars
+           FROM (SELECT doc_id, g, count(*) AS c FROM p3 GROUP BY doc_id, g)
+           GROUP BY doc_id),
+    p5 AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+           FROM b, unnest(generate_series(1, len(t) - 4)) AS u(i)
+           WHERE len(t) >= 5),
+    c5 AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT)
+                    AS dup5_chars
+           FROM (SELECT doc_id, g, count(*) AS c FROM p5 GROUP BY doc_id, g)
+           GROUP BY doc_id)
+    SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_words,
+           floor(coalesce(c3.top3_chars, 0) * 10000.0e0 / b.total) / 10000.0e0
+             AS top3_char_frac,
+           floor(coalesce(c5.dup5_chars, 0) * 10000.0e0 / b.total) / 10000.0e0
+             AS dup5_char_frac
+    FROM b LEFT JOIN c3 ON b.doc_id = c3.doc_id
+           LEFT JOIN c5 ON b.doc_id = c5.doc_id
+    """
+
+
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_duplicates(documents_plus(spark, sf_dir), "text")
 
@@ -5354,6 +5448,7 @@ _QUERIES: dict[str, Callable] = {
     "heavy_hitters": q_heavy_hitters,
     "bm25_stored": q_bm25_stored,
     "component_keep_best": q_component_keep_best,
+    "doc_repetition": q_doc_repetition,
     "token_packing": q_token_packing,
     "bm25_search": q_bm25_search,
     "training_shards": q_training_shards,
@@ -5479,6 +5574,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "heavy_hitters": o_heavy_hitters,
     "bm25_stored": o_bm25_stored,
     "component_keep_best": o_component_keep_best,
+    "doc_repetition": o_doc_repetition,
     "token_packing": o_token_packing,
     "bm25_search": o_bm25_search,
     "training_shards": o_training_shards,
