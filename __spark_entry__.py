@@ -2032,6 +2032,76 @@ def o_decontamination():
     """
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (dedup.bloom_decontaminate) — the
+    map-only scale variant of q_decontamination: the benchmark gram set
+    folds into a <=65,536-row bitset that broadcasts no matter how large
+    the eval suite grows, and the corpus probes it with BLOOM_K
+    broadcast hash joins (zero corpus-side shuffle before the per-doc
+    rollup). The oracle reproduces the filter bit-for-bit — including
+    its false positives — because every hash is the shared md5 idiom;
+    n_flagged >= the exact path's n_hit always (one-sided error, pinned
+    in tests/test_dedup.py)."""
+    corpus = documents_plus(spark, sf_dir)
+    bench = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id", "text")
+    )
+    return dd.bloom_decontaminate(corpus, bench, n=8, threshold=0.2)
+
+
+def o_bloom_decontaminate():
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    nbits = dd.BLOOM_BITS
+    bit = "CAST(('0x' || substr(md5('{i}:' || {g}), 1, 8)) AS BIGINT) % " + str(nbits)
+    bench_bits = "\n      UNION ALL ".join(
+        "SELECT " + bit.format(i=i, g="g") + " AS bit FROM bg"
+        for i in range(dd.BLOOM_K)
+    )
+    probe_cols = ", ".join(
+        bit.format(i=i, g="g") + f" AS b{i}" for i in range(dd.BLOOM_K)
+    )
+    all_in = " AND ".join(
+        f"b{i} IN (SELECT bit FROM bits)" for i in range(dd.BLOOM_K)
+    )
+    return f"""
+    WITH docs_plus AS ({documents_plus_sql()}),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+    tkc AS (SELECT doc_id AS id, {toks} AS t FROM docs_plus),
+    tkb AS (SELECT doc_id AS id, {toks} AS t FROM bench),
+    cg AS (SELECT id, md5(array_to_string(t[i:i+7], ' ')) AS g
+           FROM tkc, unnest(generate_series(1, len(t) - 7)) AS u(i)
+           WHERE len(t) >= 8),
+    bg AS (SELECT DISTINCT md5(array_to_string(t[i:i+7], ' ')) AS g
+           FROM tkb, unnest(generate_series(1, len(t) - 7)) AS u(i)
+           WHERE len(t) >= 8),
+    bits AS (SELECT DISTINCT bit FROM ({bench_bits})),
+    probe AS (SELECT id, {probe_cols} FROM cg),
+    per AS (SELECT id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN {all_in} THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_flagged
+            FROM probe GROUP BY id),
+    base AS (SELECT d.doc_id,
+                    coalesce(per.n_grams, 0) AS n_grams,
+                    coalesce(per.n_flagged, 0) AS n_flagged
+             FROM docs_plus d LEFT JOIN per ON d.doc_id = per.id),
+    frac AS (SELECT doc_id, n_grams, n_flagged,
+                    CASE WHEN n_grams > 0
+                         THEN floor(n_flagged / n_grams * 1e4) / 1e4
+                         ELSE 0.0e0 END AS flag_frac
+             FROM base)
+    SELECT doc_id, n_grams, n_flagged, flag_frac,
+           CAST(CASE WHEN flag_frac >= 0.2e0 THEN 1 ELSE 0 END AS INTEGER)
+             AS contaminated
+    FROM frac
+    """
+
+
 def q_dedup_incremental_stored(spark, sf_dir):
     """The STORED-index round trip of dedup_incremental: the corpus band
     table is persisted as a real bucketed warehouse table
@@ -5449,6 +5519,7 @@ _QUERIES: dict[str, Callable] = {
     "bm25_stored": q_bm25_stored,
     "component_keep_best": q_component_keep_best,
     "doc_repetition": q_doc_repetition,
+    "bloom_decontaminate": q_bloom_decontaminate,
     "token_packing": q_token_packing,
     "bm25_search": q_bm25_search,
     "training_shards": q_training_shards,
@@ -5575,6 +5646,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "bm25_stored": o_bm25_stored,
     "component_keep_best": o_component_keep_best,
     "doc_repetition": o_doc_repetition,
+    "bloom_decontaminate": o_bloom_decontaminate,
     "token_packing": o_token_packing,
     "bm25_search": o_bm25_search,
     "training_shards": o_training_shards,

@@ -1228,6 +1228,93 @@ def decontaminate_ngrams(
     )
 
 
+BLOOM_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def _bloom_bit(g, i: int):
+    """Bit position i of gram-hash ``g`` — the repo's cross-engine md5
+    idiom, so the oracle reproduces the filter (and its false positives)
+    exactly."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), g)), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % BLOOM_BITS
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """The map-only scale variant of ``decontaminate_ngrams``: the
+    benchmark n-gram set is folded into a Bloom bitset of at most
+    ``BLOOM_BITS`` rows (65,536 — a few hundred KB) and the corpus
+    probes THAT. The point at 100 TB: the exact path must join corpus
+    grams against the full benchmark gram table (which at eval-suite
+    scale can be 10^8 rows — too big to broadcast, so the corpus grams
+    shuffle); the bitset is broadcastable NO MATTER how large the
+    benchmark grows, so the probe side is ``BLOOM_K`` broadcast hash
+    joins — zero corpus shuffle before the per-doc rollup.
+
+    One-sided error, reproduced exactly by the oracle (every hash is the
+    shared md5 idiom): a flagged gram may be a false positive, a clean
+    gram is never a false negative — ``n_flagged >= n_hit`` always
+    (pinned by tests against decontaminate_ngrams).
+
+    Output: (doc_id, n_grams, n_flagged, flag_frac, contaminated).
+    """
+    cg = _gram_positions(corpus, text_col, id_col, n)
+    bg = _gram_positions(benchmark, text_col, id_col, n).select("g").distinct()
+    bits = (
+        bg.select(
+            F.explode(
+                F.array(*[_bloom_bit(F.col("g"), i) for i in range(BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("_in", F.lit(1))
+    )
+    probe = cg.select(
+        "id", *[_bloom_bit(F.col("g"), i).alias(f"_b{i}") for i in range(BLOOM_K)]
+    )
+    for i in range(BLOOM_K):
+        side = F.broadcast(
+            bits.select(F.col("bit").alias(f"_b{i}"), F.col("_in").alias(f"_in{i}"))
+        )
+        probe = probe.join(side, f"_b{i}", "left")
+    flagged = F.when(
+        sum(F.coalesce(F.col(f"_in{i}"), F.lit(0)) for i in range(BLOOM_K))
+        == BLOOM_K,
+        1,
+    ).otherwise(0)
+    per = probe.groupBy("id").agg(
+        F.count("*").alias("n_grams"), F.sum(flagged).alias("n_flagged")
+    )
+    out = (
+        corpus.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+        )
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.floor(F.col("n_flagged") / F.col("n_grams") * 1e4) / 1e4,
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("flag_frac", frac).withColumn(
+        "contaminated", (F.col("flag_frac") >= F.lit(threshold)).cast("int")
+    )
+
+
 def _gram_positions(
     df: DataFrame, text_col: str, id_col: str, n: int, hashed: bool = True
 ) -> DataFrame:

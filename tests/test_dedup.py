@@ -424,3 +424,42 @@ def test_keep_best_in_components_prefers_score_over_id(spark):
     }
     assert rows[1] == (3, 20, 3)   # highest score wins, NOT lowest id
     assert rows[10] == (10, 7, 2)  # score tie -> lowest id
+
+
+def test_bloom_decontaminate_one_sided_and_map_only(spark):
+    """Bloom flags are a superset of exact hits per doc (one-sided
+    error), and the probe side reaches the per-doc rollup through
+    broadcast joins only (no corpus-side shuffle join)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from doc_redaction_spark.operators import dedup as dd
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    mk = lambda: " ".join(rnd.choice(vocab) for _ in range(30))  # noqa: E731
+    corpus_rows = [(i, mk()) for i in range(60)]
+    bench_rows = [(1000 + i, txt) for i, (_, txt) in enumerate(corpus_rows[:10])]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    bloom = dd.bloom_decontaminate(corpus, bench, n=4, threshold=0.2)
+    exact = dd.decontaminate_ngrams(corpus, bench, n=4, threshold=0.2)
+    b = {r["doc_id"]: r for r in bloom.collect()}
+    e = {r["doc_id"]: r for r in exact.collect()}
+    assert set(b) == set(e)
+    for i in b:
+        assert b[i]["n_grams"] == e[i]["n_grams"]
+        assert b[i]["n_flagged"] >= e[i]["n_hit"]  # never a false negative
+        if e[i]["contaminated"]:
+            assert b[i]["contaminated"]
+    # the copied-in docs are exact-contaminated, so bloom must flag them
+    assert sum(r["contaminated"] for r in b.values()) >= 10
+
+    plan = bloom._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= dd.BLOOM_K
+    # the only sort-merge/shuffled joins allowed are the per-doc
+    # id-preserving left join after the rollup — never on gram keys
+    for ln in plan.splitlines():
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln:
+            assert "_b" not in ln, ln
