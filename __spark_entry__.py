@@ -547,6 +547,29 @@ def o_hll_distinct():
     """
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Per-source doc-length quantiles from the mergeable log2-histogram
+    sketch (functions/sketches.py log2_histogram / histogram_quantiles):
+    ~64 bucket rows per group regardless of corpus size, shard merge =
+    counter sum, quantile thresholds computed as exact integer ceiling
+    divisions (no float ranks). Reported value = the bucket's inclusive
+    upper bound (relative error bounded by 2x per HDR-histogram design;
+    the true quantile's membership in the reported bucket is pinned by
+    tests against the exact percentile)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = sk.log2_histogram(docs, ["source"], "n_chars")
+    return sk.histogram_quantiles(hist, ["source"])
+
+
+def o_quantile_sketch():
+    frag = sk.duckdb_log2_quantiles_sql("documents", "source", "n_chars")
+    cols = ", ".join(f"{name}_bucket, {name}_hi" for name, _, _ in sk.QSPEC)
+    return f"""
+    WITH {frag}
+    SELECT grp AS source, n, {cols} FROM q_out
+    """
+
+
 _CMS_PROBES = [
     "table", "spark", "window", "merge", "hash",
     "value", "row", "scan", "zebra", "quantum",
@@ -5520,6 +5543,7 @@ _QUERIES: dict[str, Callable] = {
     "component_keep_best": q_component_keep_best,
     "doc_repetition": q_doc_repetition,
     "bloom_decontaminate": q_bloom_decontaminate,
+    "quantile_sketch": q_quantile_sketch,
     "token_packing": q_token_packing,
     "bm25_search": q_bm25_search,
     "training_shards": q_training_shards,
@@ -5647,6 +5671,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "component_keep_best": o_component_keep_best,
     "doc_repetition": o_doc_repetition,
     "bloom_decontaminate": o_bloom_decontaminate,
+    "quantile_sketch": o_quantile_sketch,
     "token_packing": o_token_packing,
     "bm25_search": o_bm25_search,
     "training_shards": o_training_shards,

@@ -25,7 +25,7 @@ Spark 4 note: ``F.shiftleft`` rejects column exponents; the SQL function
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -200,3 +200,98 @@ def duckdb_cms_sql(source_cte: str, value_expr: str, probe_values_sql: str) -> s
       FROM cms_probe_keys k LEFT JOIN cms_build b ON k.row = b.row AND k.col = b.col
       GROUP BY k.tok
     )"""
+
+
+# ---------------------------------------------------------------------------
+# log2-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def log2_histogram(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """Per-group power-of-two histogram ``(bucket, cnt)`` of a
+    non-negative BIGINT column: bucket = floor(log2(v)) for v > 0 (via
+    ``length(bin(v)) - 1`` — the repo's exact integer floor-log2), 0 for
+    v <= 0. The histogram IS the sketch (~64 rows per group regardless
+    of input size); shard merge = counter sum. The HDR-histogram /
+    DDSketch idea at fixed relative error 2x, kept in the exact integer
+    domain so the oracle reproduces it bit-for-bit."""
+    v = F.col(value_col).cast("long")
+    bucket = F.when(v > 0, F.length(F.bin(v)) - 1).otherwise(0).cast("long")
+    return (
+        df.select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# quantiles as exact rationals — ceil(q*n) stays in BIGINT
+QSPEC = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+
+def histogram_quantiles(hist: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse a log2 histogram to per-group quantile buckets: for each
+    (name, num, den) in QSPEC, the smallest bucket whose cumulative count
+    reaches ``ceil(num*n/den)`` (integer ceiling division — no floats),
+    reported with its inclusive upper bound ``2^(b+1) - 1``. The true
+    q-quantile provably lies in [2^b, 2^(b+1)) of the reported bucket
+    (pinned by tests). Window work is per-group over <= ~64 bucket rows."""
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    aggs = [F.max("n").alias("n")]
+    for name, num, den in QSPEC:
+        thresh = F.floor((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
+        picked = F.when(F.col("cum") >= thresh, F.col("bucket"))
+        aggs.append(F.min(picked).alias(f"{name}_bucket"))
+    out = cum.groupBy(*group_cols).agg(*aggs)
+    for name, _, _ in QSPEC:
+        out = out.withColumn(
+            f"{name}_hi",
+            F.expr(f"shiftleft(cast(1 as bigint), cast({name}_bucket + 1 as int))") - 1,
+        )
+    return out.select(
+        *group_cols,
+        "n",
+        *[c for name, _, _ in QSPEC for c in (f"{name}_bucket", f"{name}_hi")],
+    )
+
+
+def duckdb_log2_quantiles_sql(source_cte: str, group_expr: str, value_expr: str) -> str:
+    """Oracle rendering of ``log2_histogram |> histogram_quantiles``."""
+    picks = ", ".join(
+        f"CAST(min(CASE WHEN cum >= floor(({num} * n + {den - 1}) / {den})"
+        f" THEN bucket END) AS BIGINT) AS {name}_bucket"
+        for name, num, den in QSPEC
+    )
+    his = ", ".join(
+        f"(CAST(1 AS BIGINT) << CAST({name}_bucket + 1 AS INTEGER)) - 1 AS {name}_hi"
+        for name, _, _ in QSPEC
+    )
+    cols = ", ".join(f"{name}_bucket, {name}_hi" for name, _, _ in QSPEC)
+    return f"""
+    qh AS (
+      SELECT {group_expr} AS grp,
+             CAST(CASE WHEN CAST({value_expr} AS BIGINT) > 0
+                  THEN length(bin(CAST({value_expr} AS BIGINT))) - 1
+                  ELSE 0 END AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {source_cte} GROUP BY 1, 2
+    ),
+    qc AS (
+      SELECT grp, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY grp) AS n
+      FROM qh
+    ),
+    qp AS (
+      SELECT grp, CAST(max(n) AS BIGINT) AS n, {picks}
+      FROM qc GROUP BY grp
+    ),
+    q_out AS (SELECT grp, n, {cols} FROM (SELECT *, {his} FROM qp))
+    """

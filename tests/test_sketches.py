@@ -61,3 +61,34 @@ def test_cms_never_undercounts_and_merges_by_sum(spark):
         .agg(F.sum("cnt").alias("cnt"))
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sketch.collect()))
+
+
+def test_log2_quantiles_bracket_exact_percentiles(spark):
+    """The reported bucket must CONTAIN the exact q-quantile (ceil-rank
+    order statistic), and the histogram merges by counter sum."""
+    import random
+
+    rnd = random.Random(3)
+    vals = [rnd.randint(1, 100000) for _ in range(4000)] + [0, 1, 2]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    out = sk.histogram_quantiles(sk.log2_histogram(df, ["g"], "v"), ["g"]).collect()[0]
+    assert out["n"] == len(vals)
+    s = sorted(vals)
+    for name, num, den in sk.QSPEC:
+        rank = -(-num * len(vals) // den)  # ceil
+        exact = s[rank - 1]
+        b = out[f"{name}_bucket"]
+        lo = 0 if b == 0 else (1 << b)
+        assert lo <= exact <= out[f"{name}_hi"], (name, exact, b)
+
+    # merge law: sum of shard histograms == whole histogram
+    half1 = spark.createDataFrame([("g", v) for v in vals[:2000]], "g string, v long")
+    half2 = spark.createDataFrame([("g", v) for v in vals[2000:]], "g string, v long")
+    merged = (
+        sk.log2_histogram(half1, ["g"], "v")
+        .unionByName(sk.log2_histogram(half2, ["g"], "v"))
+        .groupBy("g", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sk.log2_histogram(df, ["g"], "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
