@@ -502,6 +502,42 @@ def o_asof_join_events():
     """
 
 
+def q_interval_join_events(spark, sf_dir):
+    """Range join (operators/joins.py interval_join): ALL view events by
+    the same user within 6 hours before each error event (vs
+    asof_join_events' most-recent-only). The user_id equality keys a
+    plain shuffled equi-join with the time bound as residual — never a
+    BroadcastNestedLoop. Streaming twin: interval_join_streams
+    (stream≡batch pinned in tests/test_streaming.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+    )
+    res = oj.interval_join(left, right, "user_id", "ts", "vts", max_lag_sec=21600)
+    return res.select(
+        "err_id",
+        "user_id",
+        "view_id",
+        (F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+         - F.unix_micros(F.col("vts").cast("timestamp_ltz"))).alias("lag_us"),
+    )
+
+
+def o_interval_join_events():
+    return """
+    SELECT l.event_id AS err_id, l.user_id, r.event_id AS view_id,
+           CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 21600 SECONDS
+     AND r.ts <= l.ts
+    WHERE l.event_type = 'error' AND r.event_type = 'view'
+    """
+
+
 _DOC_TOKENS_DUCK = (
     "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
     " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
@@ -5537,6 +5573,7 @@ _QUERIES: dict[str, Callable] = {
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
     "asof_join_events": q_asof_join_events,
+    "interval_join_events": q_interval_join_events,
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
     "bm25_stored": q_bm25_stored,
@@ -5665,6 +5702,7 @@ _QUERIES: dict[str, Callable] = {
 
 _ORACLES: dict[str, Callable[[], str]] = {
     "asof_join_events": o_asof_join_events,
+    "interval_join_events": o_interval_join_events,
     "hll_distinct": o_hll_distinct,
     "heavy_hitters": o_heavy_hitters,
     "bm25_stored": o_bm25_stored,

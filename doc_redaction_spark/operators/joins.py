@@ -134,3 +134,35 @@ def asof_join(
     out_left = [F.col(c) for c in left.columns]
     out_right = [F.col("_m").getField(c).alias(c) for c in rpay]
     return resolved.select(*out_left, *out_right)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_lag_sec: int,
+) -> DataFrame:
+    """Range join: every (left, right) pair sharing ``key`` with
+    ``right_ts`` in ``[left_ts - max_lag_sec, left_ts]`` (all events in
+    the lookback window, vs asof_join's most-recent-only).
+
+    The equality on ``key`` makes this a plain hash/sort-merge equi-join
+    with the time bound as a join residual — NEVER a BroadcastNestedLoop
+    (which an inequality-only join would plan as and which dies at
+    100 TB). Column names must be disjoint (same contract as asof_join).
+    The streaming form with identical semantics inside the watermark is
+    ``streaming.stream.interval_join_streams``.
+    """
+    overlap = (set(right.columns) - {key}) & set(left.columns)
+    if overlap:
+        raise ValueError(f"interval_join: colliding columns {sorted(overlap)}")
+    lo = F.col(left_ts) - F.expr(f"INTERVAL {int(max_lag_sec)} SECONDS")
+    r = right.withColumnRenamed(key, f"_r_{key}")
+    cond = (
+        (left[key] == F.col(f"_r_{key}"))
+        & (F.col(right_ts) >= lo)
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return left.join(r, cond).drop(f"_r_{key}")

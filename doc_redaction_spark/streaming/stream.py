@@ -353,3 +353,29 @@ def windowed_entity_counts(
         .groupBy(F.window("ts", window), F.col("s.entity_type").alias("entity_type"))
         .agg(F.count("*").alias("n_spans"))
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_lag_sec: int,
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the streaming form of
+    ``operators.joins.interval_join`` (same pair semantics for events
+    inside the watermark): every right event by the same ``key`` within
+    ``max_lag_sec`` BEFORE a left event. Both sides carry watermarks and
+    the join condition bounds event time in both directions, so Spark
+    can expire join state (unbounded state otherwise — the classic
+    stream-stream join failure mode). Inner join in append mode;
+    stream≡batch pinned by tests/test_streaming.py."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark).withColumnRenamed(key, f"_r_{key}")
+    cond = F.expr(
+        f"{key} = _r_{key} AND {right_ts} >= {left_ts} - INTERVAL {int(max_lag_sec)}"
+        f" SECONDS AND {right_ts} <= {left_ts}"
+    )
+    return lw.join(rw, cond).drop(f"_r_{key}")

@@ -545,3 +545,53 @@ def test_streaming_incremental_dedup_with_compaction_matches(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS mh_cc_idx")
         spark.sql("DROP TABLE IF EXISTS mh_cc_ref_idx")
         spark.sql("DROP TABLE IF EXISTS mh_cc_idx__staging")
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the batch interval_join
+    over the same files (append mode, availableNow; all events are well
+    inside the watermark so nothing is dropped)."""
+    import datetime as dt
+
+    from doc_redaction_spark.operators.joins import interval_join
+    from doc_redaction_spark.streaming.stream import interval_join_streams
+
+    t0 = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, i % 3, t0 + dt.timedelta(seconds=60 * i)) for i in range(30)
+    ]
+    rrows = [
+        (100 + i, i % 3, t0 + dt.timedelta(seconds=60 * i - 90)) for i in range(30)
+    ]
+    lsch = "err_id long, user_id long, ts timestamp"
+    rsch = "view_id long, user_id long, vts timestamp"
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(lrows, lsch).write.parquet(ldir)
+    spark.createDataFrame(rrows, rsch).write.parquet(rdir)
+
+    ls = spark.readStream.schema(lsch).parquet(ldir)
+    rs = spark.readStream.schema(rsch).parquet(rdir)
+    q = (
+        interval_join_streams(ls, rs, "user_id", "ts", "vts", max_lag_sec=300)
+        .writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.err_id, r.view_id)
+        for r in spark.sql("select err_id, view_id from ij_out").collect()
+    )
+    batch = interval_join(
+        spark.read.parquet(ldir),
+        spark.read.parquet(rdir),
+        "user_id",
+        "ts",
+        "vts",
+        max_lag_sec=300,
+    )
+    want = sorted((r.err_id, r.view_id) for r in batch.collect())
+    assert got == want and len(want) > 10
