@@ -2387,6 +2387,41 @@ def o_dedup_components():
     """
 
 
+def q_dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (dedup.sorted_neighborhood_pairs) —
+    the sort-order complement to the hash-blocking family (MinHash/
+    SimHash): per-block rank windows + offset-explode equi-join, no
+    global sort. Catches the planted exact (+200000) and ' tail'
+    near-dup (+100000) copies, whose normalization keys sort adjacent."""
+    return dd.sorted_neighborhood_pairs(
+        documents_plus(spark, sf_dir), window=3, threshold=0.5
+    )
+
+
+def o_dedup_sorted_neighborhood():
+    return f"""
+    WITH docs_plus AS ({documents_plus_sql()}),
+    nk AS (SELECT doc_id AS id,
+                  lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS k
+           FROM docs_plus),
+    b AS (SELECT id, k, substr(k, 1, 4) AS block,
+                 list_distinct(list_filter(string_split(k, ' '), x -> x <> '')) AS t
+          FROM nk),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY block ORDER BY k, id) AS rn
+           FROM b),
+    pr AS (SELECT a.id AS id_a, a.t AS t_a, c.id AS id_b, c.t AS t_b
+           FROM rk a JOIN rk c
+             ON a.block = c.block AND c.rn BETWEEN a.rn + 1 AND a.rn + 2),
+    sc AS (SELECT least(id_a, id_b) AS id1, greatest(id_a, id_b) AS id2,
+                  CASE WHEN len(t_a) + len(t_b) - len(list_intersect(t_a, t_b)) > 0
+                       THEN floor(len(list_intersect(t_a, t_b)) * 1e4
+                            / (len(t_a) + len(t_b) - len(list_intersect(t_a, t_b)))) / 1e4
+                       ELSE 0.0e0 END AS jac
+           FROM pr)
+    SELECT DISTINCT id1, id2, jac FROM sc WHERE jac >= 0.5e0
+    """
+
+
 def q_component_keep_best(spark, sf_dir):
     """Quality-aware dedup representative (dedup.keep_best_in_components):
     per near-dup component, keep the LONGEST member (ties: lowest id) —
@@ -5578,6 +5613,7 @@ _QUERIES: dict[str, Callable] = {
     "heavy_hitters": q_heavy_hitters,
     "bm25_stored": q_bm25_stored,
     "component_keep_best": q_component_keep_best,
+    "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "doc_repetition": q_doc_repetition,
     "bloom_decontaminate": q_bloom_decontaminate,
     "quantile_sketch": q_quantile_sketch,
@@ -5707,6 +5743,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "heavy_hitters": o_heavy_hitters,
     "bm25_stored": o_bm25_stored,
     "component_keep_best": o_component_keep_best,
+    "dedup_sorted_neighborhood": o_dedup_sorted_neighborhood,
     "doc_repetition": o_doc_repetition,
     "bloom_decontaminate": o_bloom_decontaminate,
     "quantile_sketch": o_quantile_sketch,

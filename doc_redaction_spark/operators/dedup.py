@@ -1228,6 +1228,72 @@ def decontaminate_ngrams(
     )
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    block_chars: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) dedup blocking (Hernández & Stolfo):
+    sort records by a normalization key and compare each record only
+    with its next ``window - 1`` neighbors in sort order — the classic
+    alternative to hash blocking (LSH/SimHash) that catches prefix-
+    similar records those can miss, at O(n·window) comparisons.
+
+    Distributed shape: the sort key's first ``block_chars`` chars form
+    the block (hash-shuffle key), ranks are per-block windows, and the
+    neighbor pairing is an offset-explode equi-join on (block, rank) —
+    no global sort, no single-task window. The standard SNM trade is
+    kept honest: pairs straddling a block boundary are NOT compared
+    (classic multi-pass SNM would re-run with a second key; here the
+    block prefix IS part of the sort key, so boundary neighbors differ
+    in their first chars by construction).
+
+    Emits (id1, id2, jac) for neighbor pairs whose distinct-token
+    Jaccard (floor-scaled to 4 decimals) >= threshold, id1 < id2.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    key = F.lower(
+        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
+    )
+    toks = F.array_distinct(F.filter(F.split(key, " "), lambda w: w != ""))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        key.alias("k"),
+        F.substring(key, 1, block_chars).alias("block"),
+        toks.alias("t"),
+    )
+    w = Window.partitionBy("block").orderBy("k", "id")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    lhs = ranked.select(
+        "block",
+        F.col("id").alias("id_a"),
+        F.col("t").alias("t_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + (window - 1))
+        ).alias("rn"),
+    )
+    pairs = lhs.join(
+        ranked.select("block", "rn", F.col("id").alias("id_b"), F.col("t").alias("t_b")),
+        ["block", "rn"],
+    )
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    union = F.size("t_a") + F.size("t_b") - inter
+    jac = F.when(union > 0, F.floor(inter * 1e4 / union) / 1e4).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            F.least("id_a", "id_b").alias("id1"),
+            F.greatest("id_a", "id_b").alias("id2"),
+            jac.alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
 BLOOM_BITS = 1 << 16
 BLOOM_K = 4
 

@@ -463,3 +463,32 @@ def test_bloom_decontaminate_one_sided_and_map_only(spark):
     for ln in plan.splitlines():
         if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln:
             assert "_b" not in ln, ln
+
+
+def test_sorted_neighborhood_finds_adjacent_dups(spark):
+    from pyspark.sql import functions as F
+
+    from doc_redaction_spark.operators import dedup as dd
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),          # exact dup of 1 — same key
+        (3, "alpha beta gamma delta extra"),    # near dup, sorts adjacent
+        (4, "zeta eta theta iota"),             # unrelated, other block
+        (5, "completely different words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id1, r.id2): r.jac
+        for r in dd.sorted_neighborhood_pairs(df, window=3, threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] == 0.8  # 4/5 distinct-token overlap
+    assert all(4 not in p and 5 not in p for p in got)
+    # window=2 still pairs sort-adjacent records
+    got2 = dd.sorted_neighborhood_pairs(df, window=2, threshold=0.5)
+    assert (1, 2) in {(r.id1, r.id2) for r in got2.collect()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        dd.sorted_neighborhood_pairs(df, window=1)
