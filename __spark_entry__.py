@@ -502,6 +502,98 @@ def o_asof_join_events():
     """
 
 
+_DQ_RULES = [
+    ("event_type", "not_null", None),
+    ("value", "min", 1.0),
+    ("value", "max", 9.0),
+    ("props", "regex", r"\{.*\}"),
+]
+
+
+def q_dq_report(spark, sf_dir):
+    """Data-quality expectations battery (operators/quality.py — the
+    Deequ/Great-Expectations shape): null/range/regex rules evaluated as
+    combinable sums in ONE scan, unpivoted over the 1-row aggregate to a
+    tidy per-rule report. Adding rules never adds passes over the data."""
+    from doc_redaction_spark.operators.quality import data_quality_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return data_quality_report(ev, _DQ_RULES)
+
+
+def o_dq_report():
+    cases = {
+        "not_null": lambda c, p: f"{c} IS NULL",
+        "min": lambda c, p: f"{c} IS NOT NULL AND {c} < {p!r}e0",
+        "max": lambda c, p: f"{c} IS NOT NULL AND {c} > {p!r}e0",
+        "regex": lambda c, p: (
+            f"{c} IS NOT NULL AND NOT regexp_matches({c}, '^(?:{p})$')"
+        ),
+    }
+    rows = []
+    for col, kind, param in _DQ_RULES:
+        label = kind if param is None else f"{kind}:{param}"
+        cond = cases[kind](col, param)
+        rows.append(
+            f"SELECT '{col}' AS \"column\", '{label}' AS rule,"
+            f" CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_violations, CAST(count(*) AS BIGINT) AS n_rows FROM events"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH r AS ({union})
+    SELECT "column", rule, n_violations, n_rows,
+           floor(n_violations * 1e4 / greatest(n_rows, 1)) / 1e4 AS viol_frac
+    FROM r
+    """
+
+
+def q_upsert_events(spark, sf_dir):
+    """CDC upsert / SCD-1 MERGE (operators/quality.py upsert_latest):
+    a correction batch (every 7th event, ts bumped one day, value+100)
+    merged into the events table — newest version per key wins, update
+    side wins ties. One shuffle on the key; replaying the batch is a
+    no-op (idempotent ingest)."""
+    from doc_redaction_spark.operators.quality import upsert_latest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    upd = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        "user_id",
+        F.lit("corrected").alias("event_type"),
+        (F.col("value") + 100.0).alias("value"),
+    )
+    merged = upsert_latest(ev, upd, "event_id", "ts")
+    return merged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value").cast("double"), 2).alias("value"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("version_us"),
+    )
+
+
+def o_upsert_events():
+    return """
+    WITH base AS (SELECT event_id, ts, user_id, event_type, value, 0 AS src
+                  FROM events),
+    upd AS (SELECT event_id, ts + INTERVAL 1 DAY AS ts, user_id,
+                   'corrected' AS event_type, value + 100.0e0 AS value, 1 AS src
+            FROM events WHERE event_id % 7 = 0),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                                        ORDER BY ts DESC, src DESC) AS rn
+           FROM u)
+    SELECT event_id, user_id, event_type,
+           round(CAST(value AS DOUBLE), 2) AS value,
+           CAST(epoch_us(ts) AS BIGINT) AS version_us
+    FROM rk WHERE rn = 1
+    """
+
+
 def q_interval_join_events(spark, sf_dir):
     """Range join (operators/joins.py interval_join): ALL view events by
     the same user within 6 hours before each error event (vs
@@ -5609,6 +5701,8 @@ _QUERIES: dict[str, Callable] = {
     # driver greens and inputs untouched this round
     "asof_join_events": q_asof_join_events,
     "interval_join_events": q_interval_join_events,
+    "dq_report": q_dq_report,
+    "upsert_events": q_upsert_events,
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
     "bm25_stored": q_bm25_stored,
@@ -5739,6 +5833,8 @@ _QUERIES: dict[str, Callable] = {
 _ORACLES: dict[str, Callable[[], str]] = {
     "asof_join_events": o_asof_join_events,
     "interval_join_events": o_interval_join_events,
+    "dq_report": o_dq_report,
+    "upsert_events": o_upsert_events,
     "hll_distinct": o_hll_distinct,
     "heavy_hitters": o_heavy_hitters,
     "bm25_stored": o_bm25_stored,

@@ -1,0 +1,110 @@
+"""Data-quality expectations + CDC-style upsert — the table-maintenance
+operators a production corpus pipeline runs around every ingest.
+
+``data_quality_report`` is the Deequ/Great-Expectations-shaped pass: a
+rule battery evaluated in ONE aggregation job (every rule is a
+``sum(violation)`` — map-side combinable, so the report costs one scan
+regardless of rule count), then unpivoted to a tidy per-rule table.
+
+``upsert_latest`` is the lakehouse MERGE / SCD-1 shape without a Delta
+dependency: union base + updates, keep the newest version per key (ties
+broken toward the update side, then the larger version wins) via one
+per-key window. At 100 TB the union shuffles once on the key — same
+cost envelope as a sort-merge MERGE — and the operator is deterministic
+for identical inputs, so re-running an ingest is idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# rule kinds: (kind, param) evaluated against a column
+#   not_null        — value IS NULL counts as a violation
+#   min:<x>         — value < x (nulls don't double-count; not_null owns them)
+#   max:<x>         — value > x
+#   regex:<pat>     — non-null value does NOT fully match pat
+
+
+def _violation(col: str, kind: str, param) -> Column:
+    c = F.col(col)
+    if kind == "not_null":
+        return c.isNull().cast("long")
+    if kind == "min":
+        return (c.isNotNull() & (c < F.lit(param))).cast("long")
+    if kind == "max":
+        return (c.isNotNull() & (c > F.lit(param))).cast("long")
+    if kind == "regex":
+        return (c.isNotNull() & ~c.rlike(f"^(?:{param})$")).cast("long")
+    raise ValueError(f"unknown rule kind: {kind}")
+
+
+def data_quality_report(
+    df: DataFrame, rules: list[tuple[str, str, object]]
+) -> DataFrame:
+    """Evaluate ``rules`` = [(column, kind, param), ...] in one scan.
+
+    Output: (column, rule, n_violations, n_rows, viol_frac) — one row
+    per rule, ``viol_frac`` floor-scaled to 4 decimals (cross-engine
+    half-exact). A single agg carries every rule as its own combinable
+    sum; the unpivot is over the 1-row aggregate, so rule count never
+    adds a pass over the data.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    aggs = [F.count("*").alias("_n")]
+    names = []
+    for idx, (col, kind, param) in enumerate(rules):
+        name = f"_v{idx}"
+        names.append(name)
+        aggs.append(F.sum(_violation(col, kind, param)).alias(name))
+    one = df.agg(*aggs)
+    # unpivot via Column-API explode — NOT F.expr(stack(...)): SQL string
+    # literals unescape backslashes, mangling regex rule labels (the
+    # url_domains F.expr lesson)
+    entries = [
+        F.struct(
+            F.lit(col).alias("column"),
+            F.lit(kind if param is None else f"{kind}:{param}").alias("rule"),
+            F.col(n).alias("n_violations"),
+        )
+        for (col, kind, param), n in zip(rules, names)
+    ]
+    tall = one.select(F.col("_n"), F.explode(F.array(*entries)).alias("_e")).select(
+        "_n", "_e.column", "_e.rule", "_e.n_violations"
+    )
+    return tall.select(
+        "column",
+        "rule",
+        F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
+        F.col("_n").cast("long").alias("n_rows"),
+        (
+            F.floor(F.coalesce("n_violations", F.lit(0)) * 1e4 / F.greatest("_n", F.lit(1)))
+            / 1e4
+        ).alias("viol_frac"),
+    )
+
+
+def upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    version_col: str,
+) -> DataFrame:
+    """MERGE/SCD-1: one row per ``key_col`` — the highest ``version_col``
+    wins; on version ties the UPDATE side wins (the MERGE "WHEN MATCHED
+    THEN UPDATE" contract). Columns of both sides must match
+    (``unionByName``). One shuffle on the key; deterministic, so
+    replaying the same update batch is a no-op.
+    """
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(version_col), F.desc("_src")
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )

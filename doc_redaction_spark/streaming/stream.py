@@ -379,3 +379,19 @@ def interval_join_streams(
         f" SECONDS AND {right_ts} <= {left_ts}"
     )
     return lw.join(rw, cond).drop(f"_r_{key}")
+
+
+def dedup_events_stream(
+    stream: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """At-least-once → effectively-once on ingest: watermarked
+    ``dropDuplicates`` on the event id — the standard guard in front of
+    every streaming sink when the upstream (file redelivery, producer
+    retries) can repeat records. The watermark bounds the dedup state:
+    an id older than the watermark is forgotten (a replay that late
+    would duplicate — the documented trade every watermarked dedup
+    makes). Stream≡batch-distinct pinned by tests/test_streaming.py."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(id_cols)

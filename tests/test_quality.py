@@ -1,0 +1,64 @@
+"""Data-quality report + upsert_latest (operators/quality.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.quality import data_quality_report, upsert_latest
+
+
+def test_data_quality_report_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.com", 5.0),
+            (2, None, -1.0),
+            (3, "nope", 25.0),
+            (4, "b@y.org", None),
+        ],
+        "id long, email string, score double",
+    )
+    rules = [
+        ("email", "not_null", None),
+        ("email", "regex", r"[a-z]+@[a-z]+\.[a-z]+"),
+        ("score", "min", 0.0),
+        ("score", "max", 10.0),
+    ]
+    got = {(r["column"], r["rule"]): r for r in data_quality_report(df, rules).collect()}
+    assert got[("email", "not_null")]["n_violations"] == 1
+    assert got[("email", r"regex:[a-z]+@[a-z]+\.[a-z]+")]["n_violations"] == 1  # 'nope'
+    assert got[("score", "min:0.0")]["n_violations"] == 1
+    assert got[("score", "max:10.0")]["n_violations"] == 1
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert got[("email", "not_null")]["viol_frac"] == 0.25
+
+    with pytest.raises(ValueError, match="non-empty"):
+        data_quality_report(df, [])
+    with pytest.raises(ValueError, match="unknown rule kind"):
+        data_quality_report(df, [("id", "bogus", None)])
+
+
+def test_data_quality_single_scan(spark):
+    """Every rule folds into ONE aggregate job — no per-rule scans."""
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    rules = [("v", "min", 1), ("v", "max", 5), ("id", "not_null", None)]
+    plan = data_quality_report(df, rules)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 4  # partial+final (x2 for AQE print)
+
+
+def test_upsert_latest_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, 10, "old1"), (2, 10, "old2"), (3, 10, "old3")],
+        "k long, ver long, payload string",
+    )
+    upd = spark.createDataFrame(
+        [(1, 20, "new1"), (2, 10, "tie2"), (9, 5, "ins9")],
+        "k long, ver long, payload string",
+    )
+    got = {r["k"]: (r["ver"], r["payload"]) for r in upsert_latest(base, upd, "k", "ver").collect()}
+    assert got[1] == (20, "new1")   # higher version wins
+    assert got[2] == (10, "tie2")   # tie -> update side wins (MERGE contract)
+    assert got[3] == (10, "old3")   # untouched base row survives
+    assert got[9] == (5, "ins9")    # pure insert
+    # replay the same batch: result unchanged (idempotent ingest)
+    merged = upsert_latest(base, upd, "k", "ver")
+    again = upsert_latest(merged, upd, "k", "ver")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, again.collect()))

@@ -595,3 +595,38 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     )
     want = sorted((r.err_id, r.view_id) for r in batch.collect())
     assert got == want and len(want) > 10
+
+
+def test_stream_dedup_on_ingest(spark, tmp_path):
+    """Watermarked dropDuplicates drops redelivered ids: the output ids
+    equal the batch-distinct set despite a duplicated input file."""
+    import datetime as dt
+
+    from doc_redaction_spark.streaming.stream import dedup_events_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=i), f"p{i}") for i in range(40)]
+    sch = "event_id long, ts timestamp, payload string"
+    d = str(tmp_path / "dedup_in")
+    spark.createDataFrame(rows, sch).write.parquet(d)
+    # redeliver half the records as a second file set (append)
+    spark.createDataFrame(rows[:20], sch).write.mode("append").parquet(d)
+    assert spark.read.parquet(d).count() == 60
+
+    q = (
+        dedup_events_stream(
+            spark.readStream.schema(sch).option("maxFilesPerTrigger", 2).parquet(d),
+            ["event_id"],
+        )
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.sql(
+        "select count(*) as n, count(distinct event_id) as d from dedup_out"
+    ).collect()[0]
+    assert n.n == 40 and n.d == 40
