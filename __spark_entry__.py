@@ -502,6 +502,36 @@ def o_asof_join_events():
     """
 
 
+def q_salted_join_orders(spark, sf_dir):
+    """Skew-defused equi-join (operators/joins.py salted_join): orders ⋈
+    customer on custkey with the shuffle keyed on (key, salt) — the
+    explicit hot-key spread for when AQE skew-split can't apply and the
+    dimension is too big to broadcast. Semantically identical to the
+    plain join (the oracle IS the plain join), pinned per-row by the
+    driver hash; broadcast is disabled for the join so the salted
+    exchange actually exercises."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("ckey"), "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("ckey"), "c_nationkey"
+    )
+    joined = oj.salted_join(orders, cust, "ckey", n_salts=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias("total"),
+    )
+
+
+def o_salted_join_orders():
+    return """
+    SELECT c_nationkey, count(*) AS n_orders,
+           round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """
+
+
 _DQ_RULES = [
     ("event_type", "not_null", None),
     ("value", "min", 1.0),
@@ -5703,6 +5733,7 @@ _QUERIES: dict[str, Callable] = {
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
+    "salted_join_orders": q_salted_join_orders,
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
     "bm25_stored": q_bm25_stored,
@@ -5835,6 +5866,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,
+    "salted_join_orders": o_salted_join_orders,
     "hll_distinct": o_hll_distinct,
     "heavy_hitters": o_heavy_hitters,
     "bm25_stored": o_bm25_stored,

@@ -166,3 +166,40 @@ def interval_join(
         & (F.col(right_ts) <= F.col(left_ts))
     )
     return left.join(r, cond).drop(f"_r_{key}")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defused equi-join: semantically identical to
+    ``left.join(right, key, how)`` but the shuffle key is ``(key, salt)``
+    so a hot key's rows spread over ``n_salts`` tasks instead of one.
+
+    Left rows get a deterministic salt (xxhash64 of the whole row — any
+    assignment is correct, determinism keeps retries/replays identical);
+    the right side is replicated once per salt value (the classic
+    broadcast-free skew recipe: salt the big side, explode the small
+    side). Use when AQE's skew-join split can't kick in (e.g. the skew
+    is post-aggregation or AQE is off) and the right side is too big to
+    broadcast but cheap to replicate n_salts times. Supported ``how``:
+    inner / left (semantics preserved because every left row carries
+    exactly one salt and every right row exists under every salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    overlap = (set(right.columns) - {key}) & set(left.columns)
+    if overlap:
+        raise ValueError(f"salted_join: colliding columns {sorted(overlap)}")
+    ls = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    rs = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return ls.join(rs, [key, "_salt"], how).drop("_salt")

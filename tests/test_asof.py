@@ -70,3 +70,26 @@ def test_asof_plan_single_shuffle(spark):
     assert "BroadcastNestedLoop" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_join_equals_plain_and_spreads_key(spark):
+    from doc_redaction_spark.operators.joins import salted_join
+
+    # hot key 7: 500 of 600 left rows
+    left = spark.range(600).select(
+        F.when(F.col("id") < 500, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 10).alias("rv"))
+    for how in ("inner", "left"):
+        got = salted_join(left, right, "k", n_salts=4, how=how)
+        want = left.join(right, "k", how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = salted_join(left, right, "k", n_salts=4)._jdf.queryExecution().executedPlan().toString()
+    # the shuffle key carries the salt -> hot key spreads over 4 tasks
+    assert "_salt" in plan
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="inner/left"):
+        salted_join(left, right, "k", how="full")
