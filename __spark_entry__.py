@@ -508,15 +508,16 @@ def q_salted_join_orders(spark, sf_dir):
     explicit hot-key spread for when AQE skew-split can't apply and the
     dimension is too big to broadcast. Semantically identical to the
     plain join (the oracle IS the plain join), pinned per-row by the
-    driver hash; broadcast is disabled for the join so the salted
-    exchange actually exercises."""
+    driver hash; the merge join hint forces the shuffle path so the
+    salted exchange actually exercises (a broadcast of the replicated
+    side would make salting a no-op at test scale)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").alias("ckey"), "o_totalprice"
     )
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("ckey"), "c_nationkey"
     )
-    joined = oj.salted_join(orders, cust, "ckey", n_salts=8)
+    joined = oj.salted_join(orders, cust, "ckey", n_salts=8, join_hint="merge")
     return joined.groupBy("c_nationkey").agg(
         F.count("*").alias("n_orders"),
         F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias("total"),
@@ -536,7 +537,7 @@ _DQ_RULES = [
     ("event_type", "not_null", None),
     ("value", "min", 1.0),
     ("value", "max", 9.0),
-    ("props", "regex", r"\{.*\}"),
+    ("props", "regex", r"\{[^\r\n]*\}"),
 ]
 
 
@@ -667,15 +668,10 @@ _DOC_TOKENS_DUCK = (
 
 
 def _doc_tokens(spark, sf_dir):
+    from doc_redaction_spark.operators.curation import tokens_col
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.filter(
-        F.split(
-            F.lower(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " ")),
-            " ",
-        ),
-        lambda x: x != "",
-    )
-    return docs.select("source", F.explode(toks).alias("tok"))
+    return docs.select("source", F.explode(tokens_col("text")).alias("tok"))
 
 
 def q_hll_distinct(spark, sf_dir):
@@ -1268,12 +1264,10 @@ def q_doc_repetition(spark, sf_dir):
     the standard overlapping approximation, so the value may exceed 1
     on degenerate template docs). All native explode + combinable aggs;
     ratios floor-scaled to 4 decimals (half-value-exact cross-engine)."""
+    from doc_redaction_spark.operators.curation import tokens_col
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.filter(
-        F.split(F.lower(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " ")), " "),
-        lambda x: x != "",
-    )
-    base = docs.select("doc_id", toks.alias("t")).select(
+    base = docs.select("doc_id", tokens_col("text").alias("t")).select(
         "doc_id", "t", F.greatest(F.length(F.array_join("t", " ")), F.lit(1)).alias("total")
     )
     g3 = (
@@ -1305,12 +1299,8 @@ def q_doc_repetition(spark, sf_dir):
 
 
 def o_doc_repetition():
-    toks = (
-        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
-        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
-    )
     return f"""
-    WITH d AS (SELECT doc_id, {toks} AS t FROM documents),
+    WITH d AS (SELECT doc_id, {_DOC_TOKENS_DUCK} AS t FROM documents),
     b AS (SELECT doc_id, t,
                  greatest(length(array_to_string(t, ' ')), 1) AS total
           FROM d),
@@ -2233,10 +2223,6 @@ def q_bloom_decontaminate(spark, sf_dir):
 
 
 def o_bloom_decontaminate():
-    toks = (
-        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
-        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
-    )
     nbits = dd.BLOOM_BITS
     bit = "CAST(('0x' || substr(md5('{i}:' || {g}), 1, 8)) AS BIGINT) % " + str(nbits)
     bench_bits = "\n      UNION ALL ".join(
@@ -2252,8 +2238,8 @@ def o_bloom_decontaminate():
     return f"""
     WITH docs_plus AS ({documents_plus_sql()}),
     bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
-    tkc AS (SELECT doc_id AS id, {toks} AS t FROM docs_plus),
-    tkb AS (SELECT doc_id AS id, {toks} AS t FROM bench),
+    tkc AS (SELECT doc_id AS id, {_DOC_TOKENS_DUCK} AS t FROM docs_plus),
+    tkb AS (SELECT doc_id AS id, {_DOC_TOKENS_DUCK} AS t FROM bench),
     cg AS (SELECT id, md5(array_to_string(t[i:i+7], ' ')) AS g
            FROM tkc, unnest(generate_series(1, len(t) - 7)) AS u(i)
            WHERE len(t) >= 8),

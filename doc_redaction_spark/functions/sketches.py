@@ -51,7 +51,10 @@ def hll_registers(df: DataFrame, group_cols: list[str], value_col: str) -> DataF
     w = F.conv(F.substring(F.md5(F.col(value_col)), 5, 12), 16, 10).cast("long")
     rank = F.when(w > 0, F.lit(HLL_B + 1) - F.length(F.bin(w))).otherwise(HLL_B + 1)
     return (
-        df.select(*group_cols, (h16 % HLL_M).alias("bucket"), rank.alias("r"))
+        # NULLs carry no identity: md5(NULL) would register a phantom
+        # NULL bucket and drive hll_estimate's zeros negative
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, (h16 % HLL_M).alias("bucket"), rank.alias("r"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("r").alias("reg"))
     )
@@ -230,10 +233,11 @@ QSPEC = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
 def histogram_quantiles(hist: DataFrame, group_cols: list[str]) -> DataFrame:
     """Collapse a log2 histogram to per-group quantile buckets: for each
     (name, num, den) in QSPEC, the smallest bucket whose cumulative count
-    reaches ``ceil(num*n/den)`` (integer ceiling division — no floats),
-    reported with its inclusive upper bound ``2^(b+1) - 1``. The true
-    q-quantile provably lies in [2^b, 2^(b+1)) of the reported bucket
-    (pinned by tests). Window work is per-group over <= ~64 bucket rows."""
+    reaches ``ceil(num*n/den)`` (true integer ceiling division via SQL
+    ``div`` — exact at any count, no double rounding), reported with its
+    inclusive upper bound ``2^(b+1) - 1``. The true q-quantile provably
+    lies in [2^b, 2^(b+1)) of the reported bucket (pinned by tests).
+    Window work is per-group over <= ~64 bucket rows."""
     w_cum = (
         Window.partitionBy(*group_cols)
         .orderBy("bucket")
@@ -245,7 +249,7 @@ def histogram_quantiles(hist: DataFrame, group_cols: list[str]) -> DataFrame:
     )
     aggs = [F.max("n").alias("n")]
     for name, num, den in QSPEC:
-        thresh = F.floor((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
+        thresh = F.expr(f"div({num} * n + {den - 1}, {den})")
         picked = F.when(F.col("cum") >= thresh, F.col("bucket"))
         aggs.append(F.min(picked).alias(f"{name}_bucket"))
     out = cum.groupBy(*group_cols).agg(*aggs)
@@ -264,7 +268,7 @@ def histogram_quantiles(hist: DataFrame, group_cols: list[str]) -> DataFrame:
 def duckdb_log2_quantiles_sql(source_cte: str, group_expr: str, value_expr: str) -> str:
     """Oracle rendering of ``log2_histogram |> histogram_quantiles``."""
     picks = ", ".join(
-        f"CAST(min(CASE WHEN cum >= floor(({num} * n + {den - 1}) / {den})"
+        f"CAST(min(CASE WHEN cum >= ({num} * n + {den - 1}) // {den}"
         f" THEN bucket END) AS BIGINT) AS {name}_bucket"
         for name, num, den in QSPEC
     )

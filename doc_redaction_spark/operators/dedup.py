@@ -1040,11 +1040,18 @@ def keep_best_in_components(
     window — components are near-dup clusters (bounded fan-in by the
     pair generators' df caps), so the window partitions are small and
     need no salting. Output: (rep, best_id, best_score, n_members).
+
+    Members missing from ``scored`` are KEPT (left join): they count in
+    ``n_members`` and rank after every scored member (NULL score sorts
+    last) — a component can never silently vanish or shrink because the
+    scoring pass covered a subset.
     """
     joined = components.join(
-        scored.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")), "id"
+        scored.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")),
+        "id",
+        "left",
     )
-    w = Window.partitionBy("rep").orderBy(F.desc("_s"), F.asc("id"))
+    w = Window.partitionBy("rep").orderBy(F.desc_nulls_last("_s"), F.asc("id"))
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .withColumn("n_members", F.count("*").over(Window.partitionBy("rep")))

@@ -98,6 +98,11 @@ def asof_join(
     overlap = set(rpay) & set(left.columns)
     if overlap:
         raise ValueError(f"asof_join: colliding payload columns {sorted(overlap)}")
+    reserved = {"_ats", "_side", "_tie", "_rpay", "_m"} & (
+        set(left.columns) | set(right.columns)
+    )
+    if reserved:
+        raise ValueError(f"asof_join: reserved column names in input: {sorted(reserved)}")
     tie = (
         F.col(right_tiebreak)
         if right_tiebreak is not None
@@ -174,6 +179,7 @@ def salted_join(
     key: str,
     n_salts: int = 8,
     how: str = "inner",
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Skew-defused equi-join: semantically identical to
     ``left.join(right, key, how)`` but the shuffle key is ``(key, salt)``
@@ -196,10 +202,17 @@ def salted_join(
     overlap = (set(right.columns) - {key}) & set(left.columns)
     if overlap:
         raise ValueError(f"salted_join: colliding columns {sorted(overlap)}")
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError("salted_join: '_salt' is a reserved column name")
     ls = left.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     )
     rs = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
+    if join_hint is not None:
+        # e.g. "merge" — forces a shuffle join so the salted exchange is
+        # actually exercised when the replicated side would otherwise
+        # broadcast (broadcast makes salting a no-op)
+        rs = rs.hint(join_hint)
     return ls.join(rs, [key, "_salt"], how).drop("_salt")

@@ -183,7 +183,13 @@ def save_bm25_index(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
-    stats = dl.agg(
+    # derive stats FROM the just-written postings (distinct (id, dl) →
+    # one aggregate) instead of re-running the corpus tokenize/explode —
+    # the build pays one corpus scan, not two
+    spark = docs.sparkSession
+    spark.catalog.refreshTable(table_name)
+    dl_stored = spark.table(table_name).select("id", "dl").distinct()
+    stats = dl_stored.agg(
         F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
     )
     swriter = stats.write.mode("overwrite")
@@ -209,7 +215,19 @@ def bm25_topk_from_index(
     (plan-audited). No corpus-sized aggregation happens at query time."""
     if k <= 0 or n_salts <= 0:
         raise ValueError(f"k/n_salts must be positive, got {k}/{n_salts}")
-    terms = sorted({t for _, qtext in queries for t in tokenize_py(qtext)})
+    # the literal IN-list prefilter must use SPARK's tokenization (the
+    # same tokens_col that built the postings), not a Python rendering:
+    # a lower()-casing divergence (JVM locale/Unicode tables vs Python)
+    # would silently filter out valid postings. The query list is tiny,
+    # so evaluating it through Spark is a constant-cost driver action.
+    terms = sorted(
+        {
+            r[0]
+            for r in spark.createDataFrame(queries, "query_id long, qtext string")
+            .select(F.explode(tokens_col("qtext")).alias("tok"))
+            .collect()
+        }
+    )
     postings = spark.table(table_name).filter(F.col("tok").isin(terms))
     stats = spark.table(f"{table_name}_stats")
     matched = postings.join(F.broadcast(_qterms(spark, queries)), "tok").crossJoin(

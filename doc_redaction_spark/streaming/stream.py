@@ -388,10 +388,17 @@ def dedup_events_stream(
     watermark: str = "20 minutes",
 ) -> DataFrame:
     """At-least-once → effectively-once on ingest: watermarked
-    ``dropDuplicates`` on the event id — the standard guard in front of
-    every streaming sink when the upstream (file redelivery, producer
-    retries) can repeat records. The watermark bounds the dedup state:
-    an id older than the watermark is forgotten (a replay that late
-    would duplicate — the documented trade every watermarked dedup
-    makes). Stream≡batch-distinct pinned by tests/test_streaming.py."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(id_cols)
+    ``dropDuplicatesWithinWatermark`` on the event id — the standard
+    guard in front of every streaming sink when the upstream (file
+    redelivery, producer retries) can repeat records. The
+    WithinWatermark variant is load-bearing for state size: plain
+    ``dropDuplicates(id_cols)`` without the event-time column in the key
+    subset NEVER evicts state (one entry per distinct id, forever);
+    WithinWatermark expires an id's entry once the watermark passes it,
+    so state is bounded by the watermark window. The trade: a replay
+    arriving later than the watermark would duplicate — documented,
+    inherent to every watermarked dedup.
+    Stream≡batch-distinct pinned by tests/test_streaming.py."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )

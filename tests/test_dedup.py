@@ -492,3 +492,16 @@ def test_sorted_neighborhood_finds_adjacent_dups(spark):
 
     with _pytest.raises(ValueError, match="window"):
         dd.sorted_neighborhood_pairs(df, window=1)
+
+
+def test_keep_best_unscored_members_kept_not_dropped(spark):
+    """Members missing from `scored` still count in n_members and rank
+    last (NULL score) — a partial scoring pass can't shrink components."""
+    from doc_redaction_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id1 long, id2 long")
+    comp = dd.duplicate_components(pairs)
+    scored = spark.createDataFrame([(1, 5), (2, 9)], "doc_id long, score long")  # 3 unscored
+    rows = {r["rep"]: r for r in dd.keep_best_in_components(comp, scored).collect()}
+    assert rows[1]["n_members"] == 3
+    assert rows[1]["best_id"] == 2 and rows[1]["best_score"] == 9

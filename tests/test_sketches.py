@@ -92,3 +92,11 @@ def test_log2_quantiles_bracket_exact_percentiles(spark):
     )
     whole = sk.log2_histogram(df, ["g"], "v")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("g", "b"), ("g", None)], "g string, v string"
+    )
+    est = sk.hll_estimate(sk.hll_registers(df, ["g"], "v"), ["g"]).collect()[0]
+    assert est["zeros"] == 64 - 2  # exactly two real values registered
