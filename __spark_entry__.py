@@ -2637,6 +2637,61 @@ def o_dedup_ngram_jaccard():
     """
 
 
+def _documents_with_quotes(spark, sf_dir):
+    """documents_plus ∪ planted 'quote' docs (+300000): the first 120
+    chars of every doc_id%31==2 doc — heavily subsumed fragments whose
+    JACCARD to their source is low (tiny |A∪B| overlap share) but whose
+    CONTAINMENT is ~1.0. Mirrored by _documents_with_quotes_sql."""
+    base = documents_plus(spark, sf_dir)
+    quotes = base.filter(F.col("doc_id") % 31 == 2).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.substring(F.col("text"), 1, 120).alias("text"),
+    )
+    return base.unionByName(quotes)
+
+
+def _documents_with_quotes_sql():
+    return f"""
+    SELECT doc_id, text FROM ({documents_plus_sql()})
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id, substr(text, 1, 120) AS text
+    FROM ({documents_plus_sql()}) WHERE doc_id % 31 = 2
+    """
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup (dedup.containment_pairs — Broder
+    containment |A∩B|/min(|A|,|B|)): catches the planted 120-char quote
+    fragments whose Jaccard to their source doc is far below any dedup
+    threshold. Shares the sparse pair-intersection kernel (and max_df
+    discipline) with ngram_jaccard_pairs; only the normalizer differs."""
+    return dd.containment_pairs(
+        _documents_with_quotes(spark, sf_dir),
+        threshold=0.9,
+        max_df=_NGRAM_MAX_DF,
+    )
+
+
+def o_dedup_containment():
+    return f"""
+    WITH dq AS ({_documents_with_quotes_sql()}),
+    sh AS (SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM dq
+           WHERE len({_DD_SHINGLES}) > 0),
+    ex0 AS (SELECT id, unnest(shingles) AS s FROM sh),
+    keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {_NGRAM_MAX_DF}),
+    ex AS (SELECT id, s FROM ex0 JOIN keep USING (s)),
+    inter AS (SELECT a.id AS id1, b.id AS id2, count(*) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+              GROUP BY a.id, b.id),
+    sz AS (SELECT id, count(*) AS sz FROM ex GROUP BY id)
+    SELECT id1, id2,
+           floor(i * 1e4 / least(s1.sz, s2.sz)) / 1e4 AS containment,
+           CASE WHEN s1.sz <= s2.sz THEN id1 ELSE id2 END AS contained_id
+    FROM inter JOIN sz s1 ON s1.id = id1 JOIN sz s2 ON s2.id = id2
+    WHERE floor(i * 1e4 / least(s1.sz, s2.sz)) / 1e4 >= 0.9e0
+    """
+
+
 def q_dedup_simhash(spark, sf_dir):
     """64-bit SimHash near-dup candidates, 4×16-bit pigeonhole blocks."""
     return dd.simhash_near_pairs(documents_plus(spark, sf_dir), max_hamming=3)
@@ -5720,6 +5775,7 @@ _QUERIES: dict[str, Callable] = {
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
     "salted_join_orders": q_salted_join_orders,
+    "dedup_containment": q_dedup_containment,
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
     "bm25_stored": q_bm25_stored,
@@ -5853,6 +5909,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,
     "salted_join_orders": o_salted_join_orders,
+    "dedup_containment": o_dedup_containment,
     "hll_distinct": o_hll_distinct,
     "heavy_hitters": o_heavy_hitters,
     "bm25_stored": o_bm25_stored,

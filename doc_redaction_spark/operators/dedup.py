@@ -76,24 +76,13 @@ def shingle_col(text_col: str, n: int = 3):
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.8,
-    max_df: int | None = None,
-) -> DataFrame:
-    """Exact Jaccard over word n-grams via the sparse self-join:
-    explode(shingle) → equi-join on shingle → |∩| per pair → J = |∩|/(|A|+|B|-|∩|).
-
-    ``max_df`` drops shingles whose document frequency exceeds the cap
-    before the pair join — a boilerplate 3-gram shared by 10^6 docs would
-    otherwise create 10^12 join rows. With a cap, Jaccard is computed over
-    the capped shingle sets on BOTH the intersection and the sizes, so the
-    measure stays internally consistent (standard production near-dup
-    practice; leave ``None`` for the exact-verify-stage use).
-    """
+def _shingle_pair_intersections(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int | None
+):
+    """Shared sparse-self-join kernel for shingle-set similarity
+    (Jaccard and containment): returns (inter, sizes) where ``inter`` is
+    (id1 < id2, |A∩B|) over 64-bit shingle hashes and ``sizes`` is the
+    per-doc (capped) shingle-set size."""
     sc = df.sparkSession.sparkContext
     docs = (
         df.select(F.col(id_col).alias("id"), shingle_col(text_col, n).alias("shingles"))
@@ -128,6 +117,28 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .agg(F.count("*").alias("inter"))
     )
+    return inter, sizes
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word n-grams via the sparse self-join:
+    explode(shingle) → equi-join on shingle → |∩| per pair → J = |∩|/(|A|+|B|-|∩|).
+
+    ``max_df`` drops shingles whose document frequency exceeds the cap
+    before the pair join — a boilerplate 3-gram shared by 10^6 docs would
+    otherwise create 10^12 join rows. With a cap, Jaccard is computed over
+    the capped shingle sets on BOTH the intersection and the sizes, so the
+    measure stays internally consistent (standard production near-dup
+    practice; leave ``None`` for the exact-verify-stage use).
+    """
+    inter, sizes = _shingle_pair_intersections(df, text_col, id_col, n, max_df)
     j = (
         inter.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
         .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
@@ -138,6 +149,43 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return j.select("id1", "id2", "jaccard")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C = |A∩B| / min(|A|, |B|) — the
+    measure that catches a document SUBSUMED by a larger one (a quote, a
+    boilerplate-wrapped copy, a chunk re-emitted inside a digest), which
+    Jaccard misses: a 100-shingle doc fully contained in a 10,000-shingle
+    doc has J ≈ 0.01 but C = 1.0 (Broder's containment, the CDC/web-dedup
+    companion to resemblance).
+
+    Same sparse-self-join kernel (and max_df cap discipline) as
+    ngram_jaccard_pairs — only the normalizer differs. Output:
+    (id1, id2, containment, contained_id) with ``contained_id`` the
+    smaller-set doc (ties: id1), floor-scaled to 4 decimals.
+    """
+    inter, sizes = _shingle_pair_intersections(df, text_col, id_col, n, max_df)
+    j = (
+        inter.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        .withColumn(
+            "containment",
+            F.floor(F.col("inter") * 1e4 / F.least("sz1", "sz2")) / 1e4,
+        )
+        .withColumn(
+            "contained_id",
+            F.when(F.col("sz1") <= F.col("sz2"), F.col("id1")).otherwise(F.col("id2")),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return j.select("id1", "id2", "containment", "contained_id")
 
 
 # ---------------------------------------------------------------------------

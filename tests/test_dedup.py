@@ -505,3 +505,21 @@ def test_keep_best_unscored_members_kept_not_dropped(spark):
     rows = {r["rep"]: r for r in dd.keep_best_in_components(comp, scored).collect()}
     assert rows[1]["n_members"] == 3
     assert rows[1]["best_id"] == 2 and rows[1]["best_score"] == 9
+
+
+def test_containment_catches_subsumed_doc_jaccard_misses(spark):
+    from doc_redaction_spark.operators import dedup as dd
+
+    big_words = " ".join(f"w{i}" for i in range(200))
+    quote = " ".join(f"w{i}" for i in range(12))  # strict prefix fragment
+    df = spark.createDataFrame(
+        [(1, big_words), (2, quote), (3, "unrelated text entirely different")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.id1, r.id2): (r.containment, r.contained_id)
+        for r in dd.containment_pairs(df, threshold=0.9).collect()
+    }
+    assert cont[(1, 2)][0] == 1.0 and cont[(1, 2)][1] == 2  # fragment flagged
+    jac = dd.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # jaccard misses the same pair at any dedup threshold
