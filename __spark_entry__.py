@@ -701,6 +701,74 @@ def o_hll_distinct():
     """
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus health dashboard — the rollup a data-engineering
+    team pins on the wall: doc count, exact + HLL-estimated distinct
+    tokens, mean doc length (floor-scaled), exact-duplicate rate
+    (fraction of docs whose normalized fingerprint repeats within the
+    source). One composition of existing operators; every aggregate is
+    map-side combinable."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = _doc_tokens(spark, sf_dir)
+    hll = sk.hll_estimate(sk.hll_registers(t, ["source"], "tok"), ["source"]).select(
+        "source", "est_distinct"
+    )
+    tok = t.groupBy("source").agg(F.countDistinct("tok").alias("distinct_tokens"))
+    fp = docs.select("source", fingerprint_col("text"))
+    dup = (
+        fp.groupBy("source", "fingerprint")
+        .agg(F.count("*").alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup_docs"),
+        )
+    )
+    lens = docs.groupBy("source").agg(
+        F.floor(F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))))
+                * 100.0 / F.count("*")).alias("_ml100")
+    )
+    return (
+        dup.join(tok, "source").join(hll, "source").join(lens, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "distinct_tokens",
+            "est_distinct",
+            (F.col("_ml100") / 100.0).alias("mean_len"),
+            (F.floor(F.col("n_dup_docs") * 1e4 / F.col("n_docs")) / 1e4).alias("dup_rate"),
+        )
+    )
+
+
+def o_corpus_report():
+    frag = sk.duckdb_hll_sql("t", "source", "tok")
+    fp = duckdb_fingerprint("text")
+    return f"""
+    WITH t AS (
+      SELECT source, x AS tok FROM documents, unnest({_DOC_TOKENS_DUCK}) AS u(x)
+    ),
+    {frag},
+    tok AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+            FROM t GROUP BY source),
+    fp AS (SELECT source, {fp} AS fingerprint FROM documents),
+    dup AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs
+            FROM (SELECT source, fingerprint, count(*) AS c
+                  FROM fp GROUP BY source, fingerprint)
+            GROUP BY source),
+    lens AS (SELECT source,
+                    floor(sum(length(coalesce(text, ''))) * 100.0e0 / count(*)) AS ml100
+             FROM documents GROUP BY source)
+    SELECT dup.source, dup.n_docs, tok.distinct_tokens, h.est_distinct,
+           lens.ml100 / 100.0e0 AS mean_len,
+           floor(dup.n_dup_docs * 1e4 / dup.n_docs) / 1e4 AS dup_rate
+    FROM dup JOIN tok ON tok.source = dup.source
+             JOIN hll_out h ON h.grp = dup.source
+             JOIN lens ON lens.source = dup.source
+    """
+
+
 def q_quantile_sketch(spark, sf_dir):
     """Per-source doc-length quantiles from the mergeable log2-histogram
     sketch (functions/sketches.py log2_histogram / histogram_quantiles):
@@ -5776,6 +5844,7 @@ _QUERIES: dict[str, Callable] = {
     "upsert_events": q_upsert_events,
     "salted_join_orders": q_salted_join_orders,
     "dedup_containment": q_dedup_containment,
+    "corpus_report": q_corpus_report,
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
     "bm25_stored": q_bm25_stored,
@@ -5910,6 +5979,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "upsert_events": o_upsert_events,
     "salted_join_orders": o_salted_join_orders,
     "dedup_containment": o_dedup_containment,
+    "corpus_report": o_corpus_report,
     "hll_distinct": o_hll_distinct,
     "heavy_hitters": o_heavy_hitters,
     "bm25_stored": o_bm25_stored,
