@@ -625,6 +625,53 @@ def o_upsert_events():
     """
 
 
+def q_asof_forward_events(spark, sf_dir):
+    """Forward as-of join (direction="forward"): for every error event,
+    the EARLIEST view event by the same user at-or-after it — the "next
+    action after failure" attribution. Same single-window union-tag plan
+    as the backward leg, over the reversed timestamp ordering."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select(
+            "user_id",
+            F.col("ts").alias("vts"),
+            F.col("ts").alias("matched_ts"),
+            "view_id",
+        )
+    )
+    res = oj.asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="vts",
+        right_tiebreak="view_id", direction="forward",
+    )
+    return res.select(
+        "err_id",
+        "user_id",
+        "view_id",
+        (F.unix_micros(F.col("matched_ts").cast("timestamp_ltz"))
+         - F.unix_micros(F.col("ts").cast("timestamp_ltz"))).alias("lead_us"),
+    )
+
+
+def o_asof_forward_events():
+    return """
+    WITH r AS (
+      SELECT user_id, ts, max(event_id) AS view_id FROM events
+      WHERE event_type = 'view' GROUP BY user_id, ts
+    ), l AS (
+      SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT l.err_id, l.user_id, r.view_id,
+           CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS lead_us
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    """
+
+
 def q_interval_join_events(spark, sf_dir):
     """Range join (operators/joins.py interval_join): ALL view events by
     the same user within 6 hours before each error event (vs
@@ -5839,6 +5886,7 @@ _QUERIES: dict[str, Callable] = {
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
     "asof_join_events": q_asof_join_events,
+    "asof_forward_events": q_asof_forward_events,
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
@@ -5974,6 +6022,7 @@ _QUERIES: dict[str, Callable] = {
 
 _ORACLES: dict[str, Callable[[], str]] = {
     "asof_join_events": o_asof_join_events,
+    "asof_forward_events": o_asof_forward_events,
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,

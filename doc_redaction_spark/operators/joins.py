@@ -71,11 +71,15 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join: for each left row, attach the right
-    row with the greatest ``right_ts <= left_ts`` within the same ``key``
-    (the time-series "most recent state at event time" join; DuckDB/kdb
-    ``ASOF JOIN``, pandas ``merge_asof``).
+    """As-of join: for each left row, attach the right row with the
+    greatest ``right_ts <= left_ts`` (``direction="backward"``, the
+    default — "most recent state at event time") or the smallest
+    ``right_ts >= left_ts`` (``direction="forward"`` — "next event
+    after") within the same ``key``; both inclusive (DuckDB/kdb ``ASOF
+    JOIN``, pandas ``merge_asof``). Forward is the same single-window
+    plan over the reversed timestamp ordering.
 
     Scale shape: NOT a range join (which plans as BroadcastNestedLoop and
     explodes at 100 TB). Both sides are union-tagged into one relation and
@@ -94,6 +98,8 @@ def asof_join(
     Columns: returns all left columns plus each right payload column
     (right columns minus ``key``/``right_ts``); names must not collide.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction}")
     rpay = [c for c in right.columns if c not in (key, right_ts)]
     overlap = set(rpay) & set(left.columns)
     if overlap:
@@ -126,9 +132,17 @@ def asof_join(
         ).alias("_rpay"),
         *[F.col(c) for c in left.columns if c != key],
     )
+    # backward walks time ascending (last right row <= left ts wins);
+    # forward walks time DESCENDING, so the running last() is the
+    # smallest right_ts >= left_ts. In both orders right rows sort
+    # before left rows at an equal timestamp (inclusive match), and
+    # _tie stays ASCENDING in both: last() picks the right row sorted
+    # latest before the left row, i.e. the greatest tiebreak.
+    ats = F.asc("_ats") if direction == "backward" else F.desc("_ats")
+    order = [ats, F.asc("_side"), F.asc("_tie")]
     w = (
         Window.partitionBy(key)
-        .orderBy("_ats", "_side", "_tie")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     resolved = (

@@ -93,3 +93,31 @@ def test_salted_join_equals_plain_and_spreads_key(spark):
 
     with _p.raises(ValueError, match="inner/left"):
         salted_join(left, right, "k", how="full")
+
+
+def test_asof_forward_direction(spark):
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [("a", _ts(10), 1), ("a", _ts(30), 2), ("b", _ts(3), 3)],
+        "k string, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(12), 100, "r12"), ("a", _ts(10), 101, "r10"),
+         ("a", _ts(10), 102, "r10b"), ("b", _ts(1), 103, "r1")],
+        "k string, rts timestamp, rid int, tag string",
+    )
+    out = {
+        r["lid"]: (r["rid"], r["tag"])
+        for r in asof_join(
+            left, right, "k", "ts", "rts", right_tiebreak="rid", direction="forward"
+        ).collect()
+    }
+    assert out[1] == (102, "r10b")  # equal-ts inclusive, greatest tiebreak wins
+    assert out[2] == (None, None)   # nothing at-or-after ts=30
+    assert out[3] == (None, None)   # right row is BEFORE: no forward match
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", "ts", "rts", direction="nearest")
