@@ -40,6 +40,7 @@ from doc_redaction_spark.functions.textstats import (
 )
 from doc_redaction_spark.functions import sketches as sk
 from doc_redaction_spark.operators import dedup as dd
+from doc_redaction_spark.operators import events as oe
 from doc_redaction_spark.operators import joins as oj
 from doc_redaction_spark.operators import layout as ol
 from doc_redaction_spark.operators import similarity as osim
@@ -669,6 +670,200 @@ def o_asof_forward_events():
     SELECT l.err_id, l.user_id, r.view_id,
            CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS lead_us
     FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    """
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Windowed conversion funnel (operators/events.py funnel_steps):
+    per user, the greedy view→click→purchase completion within 7 days of
+    the FIRST view — one shuffle on user_id, chained whole-partition
+    window minima. Greedy-from-earliest semantics are documented on the
+    operator and mirrored exactly by the oracle's step-joined CTEs."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return oe.funnel_steps(ev, ["view", "click", "purchase"])
+
+
+def o_funnel_conversion():
+    w = 7 * 86_400_000_000
+    return f"""
+    WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    t1 AS (SELECT user_id, min(us) AS t1_us FROM base
+           WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT b.user_id, min(b.us) AS t2_us FROM base b JOIN t1 USING (user_id)
+           WHERE b.event_type = 'click' AND b.us >= t1.t1_us
+             AND b.us <= t1.t1_us + {w} GROUP BY b.user_id),
+    t3 AS (SELECT b.user_id, min(b.us) AS t3_us
+           FROM base b JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+           WHERE b.event_type = 'purchase' AND b.us >= t2.t2_us
+             AND b.us <= t1.t1_us + {w} GROUP BY b.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+                     WHEN t2_us IS NOT NULL THEN 2
+                     WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS step_reached,
+           t1_us, t2_us, t3_us
+    FROM (SELECT DISTINCT user_id FROM base) u
+    LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+    LEFT JOIN t3 USING (user_id)
+    """
+
+
+def q_events_rollup(spark, sf_dir):
+    """ROLLUP aggregation with grouping id (OLAP subtotal lattice):
+    per-(event_type, day), per-event_type, and grand-total counts +
+    exact integer-cent sums in ONE pass — Spark plans rollup as a
+    single Expand + map-side-combinable aggregate, no per-level
+    re-scan. gid is rendered as 2*grouping(type)+grouping(day) on both
+    engines (explicit arithmetic — bit conventions differ by dialect)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = ev.select(
+        "event_type",
+        F.date_format(F.col("ts").cast("timestamp_ltz"), "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("_cents"),
+    )
+    return (
+        df.rollup("event_type", "day")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("day"))
+            .cast("long")
+            .alias("gid"),
+            F.count("*").alias("n_events"),
+            F.sum("_cents").alias("cents"),
+        )
+        .select("gid", "event_type", "day", "n_events", "cents")
+    )
+
+
+def o_events_rollup():
+    return """
+    SELECT CAST(2 * GROUPING(event_type) + GROUPING(day) AS BIGINT) AS gid,
+           event_type, day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+    GROUP BY ROLLUP (event_type, day)
+    """
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot_daily(spark, sf_dir):
+    """Pivot (long→wide) with an EXPLICIT value list: per-day event
+    counts, one column per event type. The explicit list matters at
+    scale — without it Spark runs a driver-side distinct over the pivot
+    column before planning; with it the pivot is a single pass."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.date_format(F.col("ts").cast("timestamp_ltz"), "yyyy-MM-dd").alias("day")
+    wide = ev.select(day, "event_type").groupBy("day").pivot(
+        "event_type", _EVENT_TYPES
+    ).agg(F.count(F.lit(1)))
+    return wide.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+    )
+
+
+def o_events_pivot_daily():
+    cols = ",\n           ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    return f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           {cols}
+    FROM events GROUP BY 1
+    """
+
+
+def q_events_resample(spark, sf_dir):
+    """Time-series gap-fill (operators/events.py resample_daily): per-user
+    daily counts densified to the user's full active span, missing days
+    as 0 — the calendar is a per-group sequence() explode, executor-side."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return oe.resample_daily(ev)
+
+
+def o_events_resample():
+    return """
+    WITH c AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM c GROUP BY 1),
+    cal AS (SELECT user_id,
+                   CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+            FROM s)
+    SELECT cal.user_id, strftime(cal.d, '%Y-%m-%d') AS day,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM cal LEFT JOIN c ON cal.user_id = c.user_id AND cal.d = c.d
+    """
+
+
+def q_rolling_events_1h(spark, sf_dir):
+    """Rolling RANGE-frame activity (operators/events.py
+    rolling_window_agg): per event, same-user event count and exact
+    integer-cent value sum over the preceding hour inclusive. RANGE over
+    integer epoch seconds makes same-second rows frame peers, so the
+    result is order-independent (a ROWS frame here would not be)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return oe.rolling_window_agg(ev)
+
+
+def o_rolling_events_1h():
+    return """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS cnt_win,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_win
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """
+
+
+def q_scd2_users(spark, sf_dir):
+    """Type-2 SCD history build (operators/events.py scd2_history): each
+    signup event becomes a versioned validity interval via lead() over
+    (user, ts, event_id) — the CDC-stream→point-in-time-dimension
+    transform that pairs with asof_join for "state at event time"."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return oe.scd2_history(ev.filter(F.col("event_type") == "signup"))
+
+
+def o_scd2_users():
+    return """
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           CAST(round(value * 100) AS BIGINT) AS attr_cents,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER w AS valid_to_us,
+           CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+    FROM events WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+_COHORT_EPOCH0_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention triangle (operators/events.py
+    cohort_retention): cohort = a user's first active week from a fixed
+    epoch, cells = distinct users active at each week offset. All bucket
+    math is BIGINT floor division — exact on both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return oe.cohort_retention(ev, _COHORT_EPOCH0_US)
+
+
+def o_cohort_retention():
+    return f"""
+    WITH b AS (SELECT user_id,
+                      (epoch_us(ts) - {_COHORT_EPOCH0_US}) // 604800000000 AS wk
+               FROM events),
+    c AS (SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cw FROM b)
+    SELECT CAST(cw AS BIGINT) AS cohort_week,
+           CAST(wk - cw AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM c GROUP BY cw, wk - cw
     """
 
 
@@ -5887,6 +6082,13 @@ _QUERIES: dict[str, Callable] = {
     # driver greens and inputs untouched this round
     "asof_join_events": q_asof_join_events,
     "asof_forward_events": q_asof_forward_events,
+    "funnel_conversion": q_funnel_conversion,
+    "events_rollup": q_events_rollup,
+    "events_pivot_daily": q_events_pivot_daily,
+    "events_resample": q_events_resample,
+    "rolling_events_1h": q_rolling_events_1h,
+    "scd2_users": q_scd2_users,
+    "cohort_retention": q_cohort_retention,
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
@@ -6023,6 +6225,13 @@ _QUERIES: dict[str, Callable] = {
 _ORACLES: dict[str, Callable[[], str]] = {
     "asof_join_events": o_asof_join_events,
     "asof_forward_events": o_asof_forward_events,
+    "funnel_conversion": o_funnel_conversion,
+    "events_rollup": o_events_rollup,
+    "events_pivot_daily": o_events_pivot_daily,
+    "events_resample": o_events_resample,
+    "rolling_events_1h": o_rolling_events_1h,
+    "scd2_users": o_scd2_users,
+    "cohort_retention": o_cohort_retention,
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,

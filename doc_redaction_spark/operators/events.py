@@ -1,0 +1,225 @@
+"""Event-stream analytics operators — the clickstream/telemetry half of
+a training-data platform (reference parity: the log/usage rollups in
+`tools/config.py` logging + SURVEY.md §2.4 consecutive-run grouping;
+everything else here is the standard web-analytics battery a 100 TB
+event table needs: funnels, retention cohorts, rolling activity,
+time-series densification, type-2 history).
+
+Cross-engine determinism rules (CLAUDE.md): all timestamps are compared
+as BIGINT epoch microseconds/seconds, all money-like doubles are summed
+as integer cents, and every window that feeds a running computation has
+a total order. Nothing here leaves the integer domain, so every
+operator is value-oracle exact.
+
+Scale shapes:
+
+* ``funnel_steps`` — ONE shuffle on the user key; the per-step earliest
+  timestamps are chained same-partition window minima (consecutive
+  Window operators over an identical partitionBy reuse the exchange),
+  then a groupBy on the same key collapses to one row per user without
+  a second shuffle.
+* ``rolling_window_agg`` — a RANGE frame over integer epoch seconds;
+  peers at the same second are a single frame, so the result is
+  order-independent. One shuffle + sort per user.
+* ``resample_daily`` — per-group ``sequence()`` explode (dimension
+  densification happens executor-side; no driver-side calendar).
+* ``scd2_history`` / ``cohort_retention`` — single window / two
+  map-side-combinable aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+US_PER_DAY = 86_400_000_000
+
+
+def _epoch_us(col: str):
+    return F.unix_micros(F.col(col).cast("timestamp_ltz"))
+
+
+def _epoch_s(col: str):
+    return F.col(col).cast("timestamp_ltz").cast("long")
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_us: int = 7 * US_PER_DAY,
+) -> DataFrame:
+    """Windowed conversion funnel with GREEDY-FROM-EARLIEST semantics
+    (documented simplification vs ClickHouse ``windowFunnel``'s sliding
+    scan, which can rescue a funnel whose earliest start times out —
+    greedy is the semantics the oracle mirrors exactly): step 1 anchors
+    at the user's EARLIEST step-1 event; step k+1 is the earliest
+    step-(k+1) event at-or-after step k and within ``window_us`` of the
+    anchor. Returns one row per user: ``(user_col, step_reached,
+    t1_us .. tN_us)`` with NULL epochs for unreached steps; users with
+    no step-1 event report step_reached 0.
+
+    Plan: one exchange on the user key; each step is a chained
+    whole-partition window min over the previous step's column, then a
+    same-key groupBy (no re-shuffle) collapses to per-user rows.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    df = events.select(
+        F.col(user_col), F.col(type_col).alias("_et"), _epoch_us(ts_col).alias("_us")
+    )
+    w = Window.partitionBy(user_col)
+    df = df.withColumn(
+        "t1_us", F.min(F.when(F.col("_et") == steps[0], F.col("_us"))).over(w)
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = F.col(f"t{i - 1}_us")
+        cond = (
+            (F.col("_et") == step)
+            & (F.col("_us") >= prev)
+            & (F.col("_us") <= F.col("t1_us") + F.lit(window_us))
+        )
+        df = df.withColumn(f"t{i}_us", F.min(F.when(cond, F.col("_us"))).over(w))
+    tcols = [f"t{i}_us" for i in range(1, len(steps) + 1)]
+    per_user = df.groupBy(user_col).agg(*[F.min(c).alias(c) for c in tcols])
+    # deepest reached step wins: test the LAST step's timestamp first
+    reached = F.coalesce(
+        *[
+            F.when(F.col(c).isNotNull(), F.lit(i))
+            for i, c in reversed(list(enumerate(tcols, start=1)))
+        ],
+        F.lit(0),
+    )
+    return per_user.select(
+        user_col, reached.cast("long").alias("step_reached"), *tcols
+    )
+
+
+def rolling_window_agg(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    preceding_s: int = 3600,
+) -> DataFrame:
+    """Per-event rolling activity: for every event, the count of events
+    and exact integer-cents value sum by the same user in the RANGE
+    frame ``[ts - preceding_s, ts]`` (inclusive, seconds granularity).
+    RANGE frames include all peers of the current second, so the result
+    is deterministic under any within-second row order — no tiebreak
+    column is needed (a ROWS frame here would be order-dependent).
+
+    Output: all input id/user columns plus ``cnt_win BIGINT``,
+    ``cents_win BIGINT``."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(_epoch_s(ts_col))
+        .rangeBetween(-preceding_s, 0)
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return events.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.count("*").over(w).cast("long").alias("cnt_win"),
+        F.sum(cents).over(w).cast("long").alias("cents_win"),
+    )
+
+
+def resample_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user daily event counts with gap days filled as 0 between the
+    user's first and last active day (time-series densification /
+    "resample to calendar"). The calendar is generated executor-side
+    per group via ``sequence()`` + explode — no driver-side date loop,
+    no cross join against a global calendar table.
+
+    Output: ``(user_col, day STRING 'yyyy-MM-dd', n_events BIGINT)``.
+    Day is rendered as a string on BOTH engines (date-type hashing is
+    representation-sensitive across Arrow fetches)."""
+    days = events.select(
+        F.col(user_col), F.to_date(F.col(ts_col).cast("timestamp_ltz")).alias("_d")
+    )
+    counts = days.groupBy(user_col, "_d").agg(F.count("*").alias("n"))
+    spans = counts.groupBy(user_col).agg(
+        F.min("_d").alias("_lo"), F.max("_d").alias("_hi")
+    )
+    cal = spans.select(
+        F.col(user_col),
+        F.explode(F.sequence("_lo", "_hi")).alias("_d"),
+    )
+    return (
+        cal.join(counts, [user_col, "_d"], "left")
+        .select(
+            F.col(user_col),
+            F.date_format("_d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+def scd2_history(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each input row becomes a
+    history version with ``valid_from_us`` = its epoch and
+    ``valid_to_us`` = the next version's epoch (NULL while current) —
+    the standard lead()-over-(key, ts) snapshot-to-interval transform
+    used to turn CDC/update streams into point-in-time joinable
+    dimensions (pairs with joins.asof_join for "state at event time").
+    Ties on ts break by ``id_col`` so versions are totally ordered.
+
+    Output: (user_col, version BIGINT, attr_cents BIGINT,
+    valid_from_us, valid_to_us BIGINT, is_current INT)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    frm = _epoch_us(ts_col)
+    nxt = F.lead(frm).over(w)
+    return events.select(
+        F.col(user_col),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.round(F.col(value_col) * 100).cast("long").alias("attr_cents"),
+        frm.alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    epoch0_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_us: int = 7 * US_PER_DAY,
+) -> DataFrame:
+    """Cohort retention triangle: cohort = the user's first active
+    bucket (week by default) counted from ``epoch0_us``; for each
+    (cohort, offset) report how many of the cohort's users were active
+    ``offset`` buckets after their cohort bucket. All bucket arithmetic
+    is BIGINT floor-division from a fixed epoch — no calendar
+    ambiguity, exact on both engines.
+
+    Plan: window min over the user partition (one shuffle) → groupBy
+    (cohort, offset) countDistinct. Output: (cohort_week BIGINT,
+    week_offset BIGINT, n_users BIGINT)."""
+    wk = F.floor((_epoch_us(ts_col) - F.lit(epoch0_us)) / F.lit(bucket_us))
+    df = events.select(F.col(user_col), wk.alias("_wk"))
+    cohort = F.min("_wk").over(Window.partitionBy(user_col))
+    df = df.select(F.col(user_col), F.col("_wk"), cohort.alias("_cw"))
+    return (
+        df.groupBy("_cw", (F.col("_wk") - F.col("_cw")).alias("week_offset"))
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+        .select(
+            F.col("_cw").cast("long").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )

@@ -1,0 +1,134 @@
+"""Event-analytics operators: funnel greedy-window semantics, RANGE
+rolling frames (order independence at equal seconds), gap-fill
+densification, SCD2 interval chaining, cohort offsets."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.events import (
+    cohort_retention,
+    funnel_steps,
+    resample_daily,
+    rolling_window_agg,
+    scd2_history,
+)
+
+EPOCH0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def _t(day, h=0, m=0, s=0):
+    return dt.datetime(2024, 1, day, h, m, s)
+
+
+def test_funnel_greedy_window(spark):
+    rows = [
+        # u1 full funnel inside window
+        (1, _t(1), 1, "view", 1.0),
+        (2, _t(2), 1, "click", 1.0),
+        (3, _t(3), 1, "purchase", 1.0),
+        # u2: click BEFORE the first view -> not counted; later click ok,
+        # purchase outside the 7-day window anchored at the FIRST view
+        (4, _t(2), 2, "click", 1.0),
+        (5, _t(3), 2, "view", 1.0),
+        (6, _t(4), 2, "click", 1.0),
+        (7, _t(20), 2, "purchase", 1.0),
+        # u3: no view at all -> step 0 even though click+purchase exist
+        (8, _t(1), 3, "click", 1.0),
+        (9, _t(2), 3, "purchase", 1.0),
+        # u4: greedy anchor at day 1; click day 9 is outside 7d window
+        # even though anchoring at the day-8 view would succeed
+        (10, _t(1), 4, "view", 1.0),
+        (11, _t(8), 4, "view", 1.0),
+        (12, _t(9), 4, "click", 1.0),
+    ]
+    out = {
+        r["user_id"]: r
+        for r in funnel_steps(_ev(spark, rows), ["view", "click", "purchase"]).collect()
+    }
+    assert out[1]["step_reached"] == 3
+    assert out[2]["step_reached"] == 2
+    assert out[2]["t2_us"] > out[2]["t1_us"]
+    assert out[3]["step_reached"] == 0 and out[3]["t1_us"] is None
+    assert out[4]["step_reached"] == 1  # greedy: earliest view anchors
+
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_steps(_ev(spark, rows), [])
+
+
+def test_funnel_equal_timestamp_inclusive(spark):
+    rows = [(1, _t(1), 1, "view", 1.0), (2, _t(1), 1, "click", 1.0)]
+    (r,) = funnel_steps(_ev(spark, rows), ["view", "click"]).collect()
+    assert r["step_reached"] == 2 and r["t1_us"] == r["t2_us"]
+
+
+def test_rolling_range_frame_peers(spark):
+    # two events in the SAME second are frame peers: both see both,
+    # regardless of row order; the one 2h later sees only itself
+    rows = [
+        (1, _t(1, 10, 0, 5), 1, "view", 1.00),
+        (2, _t(1, 10, 0, 5), 1, "view", 2.00),
+        (3, _t(1, 12, 30), 1, "view", 4.00),
+        (4, _t(1, 10, 30), 2, "view", 8.00),
+    ]
+    out = {r["event_id"]: r for r in rolling_window_agg(_ev(spark, rows)).collect()}
+    assert out[1]["cnt_win"] == 2 and out[1]["cents_win"] == 300
+    assert out[2]["cnt_win"] == 2 and out[2]["cents_win"] == 300
+    assert out[3]["cnt_win"] == 1 and out[3]["cents_win"] == 400
+    assert out[4]["cnt_win"] == 1 and out[4]["cents_win"] == 800
+
+
+def test_resample_fills_gaps(spark):
+    rows = [
+        (1, _t(1), 1, "view", 1.0),
+        (2, _t(4), 1, "view", 1.0),
+        (3, _t(4), 1, "view", 1.0),
+        (4, _t(2), 2, "view", 1.0),
+    ]
+    out = {
+        (r["user_id"], r["day"]): r["n_events"]
+        for r in resample_daily(_ev(spark, rows)).collect()
+    }
+    assert out[(1, "2024-01-01")] == 1
+    assert out[(1, "2024-01-02")] == 0 and out[(1, "2024-01-03")] == 0
+    assert out[(1, "2024-01-04")] == 2
+    assert out[(2, "2024-01-02")] == 1
+    assert len(out) == 5  # u1 spans 4 days, u2 one day
+
+
+def test_scd2_chains_intervals(spark):
+    rows = [
+        (10, _t(1), 1, "signup", 1.50),
+        (11, _t(5), 1, "signup", 2.50),
+        (12, _t(3), 1, "signup", 9.00),
+    ]
+    out = sorted(scd2_history(_ev(spark, rows)).collect(), key=lambda r: r["version"])
+    assert [r["attr_cents"] for r in out] == [150, 900, 250]
+    assert out[0]["valid_to_us"] == out[1]["valid_from_us"]
+    assert out[1]["valid_to_us"] == out[2]["valid_from_us"]
+    assert out[2]["valid_to_us"] is None and out[2]["is_current"] == 1
+    assert out[0]["is_current"] == 0
+
+
+def test_cohort_offsets(spark):
+    rows = [
+        (1, _t(2), 1, "view", 1.0),   # week 0 cohort
+        (2, _t(9), 1, "view", 1.0),   # week 1 -> offset 1
+        (3, _t(9), 2, "view", 1.0),   # week 1 cohort
+        (4, _t(9, 1), 2, "view", 1.0),  # same week -> offset 0 (dedup user)
+        (5, _t(16), 2, "view", 1.0),  # offset 1
+    ]
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(_ev(spark, rows), EPOCH0).collect()
+    }
+    assert out[(0, 0)] == 1 and out[(0, 1)] == 1
+    assert out[(1, 0)] == 1 and out[(1, 1)] == 1
+    assert len(out) == 4
