@@ -855,10 +855,13 @@ def q_cohort_retention(spark, sf_dir):
 
 
 def o_cohort_retention():
+    b_us = 604_800_000_000
     return f"""
-    WITH b AS (SELECT user_id,
-                      (epoch_us(ts) - {_COHORT_EPOCH0_US}) // 604800000000 AS wk
-               FROM events),
+    WITH d0 AS (SELECT user_id, epoch_us(ts) - {_COHORT_EPOCH0_US} AS du
+                FROM events),
+    b AS (SELECT user_id,
+                 (du - ((du % {b_us}) + {b_us}) % {b_us}) // {b_us} AS wk
+          FROM d0),
     c AS (SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cw FROM b)
     SELECT CAST(cw AS BIGINT) AS cohort_week,
            CAST(wk - cw AS BIGINT) AS week_offset,
@@ -949,35 +952,40 @@ def q_corpus_report(spark, sf_dir):
     tokens, mean doc length (floor-scaled), exact-duplicate rate
     (fraction of docs whose normalized fingerprint repeats within the
     source). One composition of existing operators; every aggregate is
-    map-side combinable."""
+    map-side combinable, and the doc-level stats (count, dup count,
+    length sum) ride the SAME fingerprint grouping pass — documents is
+    scanned once for them, not once per stat family."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = _doc_tokens(spark, sf_dir)
     hll = sk.hll_estimate(sk.hll_registers(t, ["source"], "tok"), ["source"]).select(
         "source", "est_distinct"
     )
     tok = t.groupBy("source").agg(F.countDistinct("tok").alias("distinct_tokens"))
-    fp = docs.select("source", fingerprint_col("text"))
+    fp = docs.select(
+        "source",
+        fingerprint_col("text"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_len"),
+    )
     dup = (
         fp.groupBy("source", "fingerprint")
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c"), F.sum("_len").alias("_ls"))
         .groupBy("source")
         .agg(
             F.sum("c").alias("n_docs"),
             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup_docs"),
+            F.sum("_ls").alias("_lensum"),
         )
     )
-    lens = docs.groupBy("source").agg(
-        F.floor(F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))))
-                * 100.0 / F.count("*")).alias("_ml100")
-    )
     return (
-        dup.join(tok, "source").join(hll, "source").join(lens, "source")
+        dup.join(tok, "source").join(hll, "source")
         .select(
             "source",
             F.col("n_docs").cast("long").alias("n_docs"),
             "distinct_tokens",
             "est_distinct",
-            (F.col("_ml100") / 100.0).alias("mean_len"),
+            (F.floor(F.col("_lensum") * 100.0 / F.col("n_docs")) / 100.0).alias(
+                "mean_len"
+            ),
             (F.floor(F.col("n_dup_docs") * 1e4 / F.col("n_docs")) / 1e4).alias("dup_rate"),
         )
     )
@@ -993,21 +1001,19 @@ def o_corpus_report():
     {frag},
     tok AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
             FROM t GROUP BY source),
-    fp AS (SELECT source, {fp} AS fingerprint FROM documents),
+    fp AS (SELECT source, {fp} AS fingerprint,
+                  length(coalesce(text, '')) AS len FROM documents),
     dup AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
-                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs
-            FROM (SELECT source, fingerprint, count(*) AS c
+                   CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs,
+                   CAST(sum(ls) AS BIGINT) AS lensum
+            FROM (SELECT source, fingerprint, count(*) AS c, sum(len) AS ls
                   FROM fp GROUP BY source, fingerprint)
-            GROUP BY source),
-    lens AS (SELECT source,
-                    floor(sum(length(coalesce(text, ''))) * 100.0e0 / count(*)) AS ml100
-             FROM documents GROUP BY source)
+            GROUP BY source)
     SELECT dup.source, dup.n_docs, tok.distinct_tokens, h.est_distinct,
-           lens.ml100 / 100.0e0 AS mean_len,
+           floor(dup.lensum * 100.0e0 / dup.n_docs) / 100.0e0 AS mean_len,
            floor(dup.n_dup_docs * 1e4 / dup.n_docs) / 1e4 AS dup_rate
     FROM dup JOIN tok ON tok.source = dup.source
              JOIN hll_out h ON h.grp = dup.source
-             JOIN lens ON lens.source = dup.source
     """
 
 
@@ -2928,10 +2934,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def o_dedup_ngram_jaccard():
+def _shingle_kernel_sql(src: str) -> str:
+    """The semantics-bearing CTE chain shared by every sparse-shingle
+    pair oracle (mirrors dedup._shingle_pair_intersections): shingle →
+    explode → max_df keep-filter → pair intersections (id1 < id2) →
+    per-doc sizes. Lives ONCE (CLAUDE.md) — o_dedup_ngram_jaccard and
+    o_dedup_containment differ only in the source CTE and normalizer."""
     return f"""
-    WITH docs_plus AS ({documents_plus_sql()}),
-    sh AS (SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM docs_plus
+    sh AS (SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM {src}
            WHERE len({_DD_SHINGLES}) > 0),
     ex0 AS (SELECT id, unnest(shingles) AS s FROM sh),
     keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {_NGRAM_MAX_DF}),
@@ -2939,7 +2949,13 @@ def o_dedup_ngram_jaccard():
     inter AS (SELECT a.id AS id1, b.id AS id2, count(*) AS i
               FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
               GROUP BY a.id, b.id),
-    sz AS (SELECT id, count(*) AS sz FROM ex GROUP BY id)
+    sz AS (SELECT id, count(*) AS sz FROM ex GROUP BY id)"""
+
+
+def o_dedup_ngram_jaccard():
+    return f"""
+    WITH docs_plus AS ({documents_plus_sql()}),
+    {_shingle_kernel_sql("docs_plus")}
     SELECT id1, id2,
            round(i / (s1.sz + s2.sz - i), 4) AS jaccard
     FROM inter JOIN sz s1 ON s1.id = id1 JOIN sz s2 ON s2.id = id2
@@ -2985,15 +3001,7 @@ def q_dedup_containment(spark, sf_dir):
 def o_dedup_containment():
     return f"""
     WITH dq AS ({_documents_with_quotes_sql()}),
-    sh AS (SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM dq
-           WHERE len({_DD_SHINGLES}) > 0),
-    ex0 AS (SELECT id, unnest(shingles) AS s FROM sh),
-    keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {_NGRAM_MAX_DF}),
-    ex AS (SELECT id, s FROM ex0 JOIN keep USING (s)),
-    inter AS (SELECT a.id AS id1, b.id AS id2, count(*) AS i
-              FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
-              GROUP BY a.id, b.id),
-    sz AS (SELECT id, count(*) AS sz FROM ex GROUP BY id)
+    {_shingle_kernel_sql("dq")}
     SELECT id1, id2,
            floor(i * 1e4 / least(s1.sz, s2.sz)) / 1e4 AS containment,
            CASE WHEN s1.sz <= s2.sz THEN id1 ELSE id2 END AS contained_id

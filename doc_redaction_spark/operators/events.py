@@ -205,13 +205,24 @@ def cohort_retention(
     (cohort, offset) report how many of the cohort's users were active
     ``offset`` buckets after their cohort bucket. All bucket arithmetic
     is BIGINT floor-division from a fixed epoch — no calendar
-    ambiguity, exact on both engines.
+    ambiguity, exact on both engines. Floor division is spelled as
+    ``(d - pmod(d, b)) div b`` — all-integer, exact at any epoch
+    distance (a double quotient loses µs past 2^53), and floor (not
+    truncation) for pre-epoch timestamps; Spark's ``/`` on longs is
+    DOUBLE and DuckDB's ``//`` truncates toward zero, so neither native
+    operator is usable directly.
 
     Plan: window min over the user partition (one shuffle) → groupBy
     (cohort, offset) countDistinct. Output: (cohort_week BIGINT,
     week_offset BIGINT, n_users BIGINT)."""
-    wk = F.floor((_epoch_us(ts_col) - F.lit(epoch0_us)) / F.lit(bucket_us))
-    df = events.select(F.col(user_col), wk.alias("_wk"))
+    df = events.select(
+        F.col(user_col), (_epoch_us(ts_col) - F.lit(epoch0_us)).alias("_du")
+    ).select(
+        F.col(user_col),
+        F.expr(f"(_du - pmod(_du, {int(bucket_us)})) div {int(bucket_us)}").alias(
+            "_wk"
+        ),
+    )
     cohort = F.min("_wk").over(Window.partitionBy(user_col))
     df = df.select(F.col(user_col), F.col("_wk"), cohort.alias("_cw"))
     return (

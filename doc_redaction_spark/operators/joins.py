@@ -97,6 +97,12 @@ def asof_join(
 
     Columns: returns all left columns plus each right payload column
     (right columns minus ``key``/``right_ts``); names must not collide.
+
+    NULL timestamps: a NULL ``right_ts`` never matches anything (dropped
+    up front — ``NULL <= x`` is never true in the SQL ASOF semantics); a
+    NULL ``left_ts`` left row matches nothing and keeps NULL payloads
+    (nulls-first ordering in BOTH directions puts such rows before every
+    right row, so the running window sees an empty prefix).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction}")
@@ -114,7 +120,7 @@ def asof_join(
         if right_tiebreak is not None
         else F.lit(0)
     )
-    r2 = right.select(
+    r2 = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key),
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
@@ -137,8 +143,15 @@ def asof_join(
     # smallest right_ts >= left_ts. In both orders right rows sort
     # before left rows at an equal timestamp (inclusive match), and
     # _tie stays ASCENDING in both: last() picks the right row sorted
-    # latest before the left row, i.e. the greatest tiebreak.
-    ats = F.asc("_ats") if direction == "backward" else F.desc("_ats")
+    # latest before the left row, i.e. the greatest tiebreak. NULL left
+    # timestamps must sort FIRST in both directions (empty prefix → no
+    # match); desc defaults to NULLS LAST, which would hand a NULL-ts
+    # left row the entire right side.
+    ats = (
+        F.asc_nulls_first("_ats")
+        if direction == "backward"
+        else F.desc_nulls_first("_ats")
+    )
     order = [ats, F.asc("_side"), F.asc("_tie")]
     w = (
         Window.partitionBy(key)

@@ -96,8 +96,6 @@ def test_salted_join_equals_plain_and_spreads_key(spark):
 
 
 def test_asof_forward_direction(spark):
-    import datetime as dt
-
     left = spark.createDataFrame(
         [("a", _ts(10), 1), ("a", _ts(30), 2), ("b", _ts(3), 3)],
         "k string, ts timestamp, lid int",
@@ -121,3 +119,31 @@ def test_asof_forward_direction(spark):
 
     with _p.raises(ValueError, match="direction"):
         asof_join(left, right, "k", "ts", "rts", direction="nearest")
+
+
+def test_asof_null_timestamps_both_directions(spark):
+    # NULL left ts -> no match (desc defaults NULLS LAST, which would
+    # hand the whole right side to a NULL-ts row in forward direction);
+    # NULL right ts -> never matches anyone (dropped up front).
+    left = spark.createDataFrame(
+        [("a", None, 1), ("a", _ts(10), 2)],
+        "k string, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [("a", None, 99, "rnull"), ("a", _ts(12), 100, "r12")],
+        "k string, rts timestamp, rid int, tag string",
+    )
+    fwd = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, "k", "ts", "rts", right_tiebreak="rid", direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: None, 2: 100}
+    bwd = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, "k", "ts", "rts", right_tiebreak="rid"
+        ).collect()
+    }
+    assert bwd == {1: None, 2: None}

@@ -5,7 +5,6 @@ densification, SCD2 interval chaining, cohort offsets."""
 import datetime as dt
 
 import pytest
-from pyspark.sql import functions as F
 
 from doc_redaction_spark.operators.events import (
     cohort_retention,
@@ -132,3 +131,19 @@ def test_cohort_offsets(spark):
     assert out[(0, 0)] == 1 and out[(0, 1)] == 1
     assert out[(1, 0)] == 1 and out[(1, 1)] == 1
     assert len(out) == 4
+
+
+def test_cohort_pre_epoch_floor_division(spark):
+    # Events BEFORE epoch0 must land in negative weeks via FLOOR division
+    # (2023-12-31 -> week -1), not truncation toward zero (week 0) — the
+    # all-integer pmod idiom; Spark long/long '/' is DOUBLE and DuckDB
+    # '//' truncates, so neither native operator is used.
+    rows = [
+        (1, dt.datetime(2023, 12, 31), 1, "view", 1.0),  # week -1
+        (2, _t(2), 1, "view", 1.0),                      # week 0 -> offset 1
+    ]
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(_ev(spark, rows), EPOCH0).collect()
+    }
+    assert out == {(-1, 0): 1, (-1, 1): 1}
