@@ -5072,6 +5072,71 @@ def o_entity_breadth3():
     """
 
 
+# (vin, vin_valid, aba, aba_valid): VIN rows pin the ISO 3779 mod-11
+# check digit (row 4 flips it) and the I/O/Q charset exclusion (row 5's
+# 'O' is a pattern-level reject); ABA rows pin the 3-7-1 mod-10 checksum
+# (rows 2/6) and the Federal-Reserve prefix ranges (row 4's 45 prefix is
+# checksum-valid but never issued). Validity pinned against the live
+# vin_ok/aba_ok validators in tests/test_detect.py.
+_VIN_ABA_TEMPLATES = [
+    ("1HGCM82633A004352", 1, "011000015", 1),
+    ("5YJSA1DG9DFP14705", 1, "011000016", 0),
+    ("JH4KA7561PC008269", 1, "122105155", 1),
+    ("1HGCM82634A004352", 0, "451234564", 0),
+    ("1HGCM8263OA004352", 0, "021000021", 1),
+    ("WBA3A5C57CF256987", 1, "123456789", 0),
+]
+
+
+def q_entity_breadth4(spark, sf_dir):
+    """Fourth checksum-recognizer leg — VEHICLE_VIN (ISO 3779 mod-11
+    check digit with I/O/Q charset exclusion) and ABA_ROUTING (US
+    routing transit number, 3-7-1 weighted mod-10 + issued
+    Federal-Reserve prefix ranges). Valid, checksum-invalid,
+    charset-invalid, and prefix-invalid plants at fixed offsets; only
+    validator-passing plants may span."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    idx = (F.col("c_custkey") % 6).cast("int") + 1
+    vin = F.element_at(F.array(*[F.lit(v) for v, _, _, _ in _VIN_ABA_TEMPLATES]), idx)
+    aba = F.element_at(F.array(*[F.lit(a) for _, _, a, _ in _VIN_ABA_TEMPLATES]), idx)
+    t = cust.select(
+        F.col("c_custkey").alias("row_key"),
+        F.concat(F.lit("id "), vin, F.lit(" aba "), aba, F.lit(" end")).alias("text"),
+    )
+    cfg = PipelineConfig(entities=("VEHICLE_VIN", "ABA_ROUTING"))
+    from doc_redaction_spark.operators.detect import detect_spans_udf
+
+    spans = t.withColumn("spans", detect_spans_udf(cfg)(F.col("text")))
+    ex = spans.select("row_key", F.explode_outer("spans").alias("sp")).filter(
+        F.col("sp").isNotNull()
+    )
+    return ex.select(
+        "row_key",
+        F.col("sp.entity_type").alias("entity_type"),
+        F.col("sp.start").alias("start"),
+        F.col("sp.end").alias("end"),
+    )
+
+
+def o_entity_breadth4():
+    vv = ", ".join(str(v) for _, v, _, _ in _VIN_ABA_TEMPLATES)
+    av = ", ".join(str(v) for _, _, _, v in _VIN_ABA_TEMPLATES)
+    # layout: 'id ' = 3, vin = 17, ' aba ' = 5, aba = 9 → vin span (3, 20),
+    # aba span (25, 34)
+    return f"""
+    WITH t AS (
+      SELECT c_custkey AS row_key,
+             ([{vv}])[CAST(c_custkey % 6 AS INTEGER) + 1] AS vin_ok,
+             ([{av}])[CAST(c_custkey % 6 AS INTEGER) + 1] AS aba_ok
+      FROM customer)
+    SELECT row_key, 'VEHICLE_VIN' AS entity_type, 3 AS start, 20 AS "end"
+    FROM t WHERE vin_ok = 1
+    UNION ALL
+    SELECT row_key, 'ABA_ROUTING' AS entity_type, 25 AS start, 34 AS "end"
+    FROM t WHERE aba_ok = 1
+    """
+
+
 # (template, detected-span length): 0 = no span. "Mark watson" pins the
 # no-lowercase-extension rule (bare given name, span len 4); lowercase and
 # out-of-gazetteer plants pin the TitleCase / list gates. Validity pinned
@@ -6097,6 +6162,7 @@ _QUERIES: dict[str, Callable] = {
     "rolling_events_1h": q_rolling_events_1h,
     "scd2_users": q_scd2_users,
     "cohort_retention": q_cohort_retention,
+    "entity_breadth4": q_entity_breadth4,
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
@@ -6240,6 +6306,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "rolling_events_1h": o_rolling_events_1h,
     "scd2_users": o_scd2_users,
     "cohort_retention": o_cohort_retention,
+    "entity_breadth4": o_entity_breadth4,
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,

@@ -132,6 +132,13 @@ US_ITIN_PATTERN = r"\b9\d{2}-\d{2}-\d{4}\b"
 # businesses), 7 digits with a public check-digit rule (validated by
 # dea_ok below).
 MEDICAL_LICENSE_PATTERN = r"\b[ABFGMPRX][A-Z9]\d{7}\b"
+# Vehicle Identification Number (ISO 3779, public check-digit rule):
+# 17 chars, I/O/Q excluded everywhere, position 9 is the mod-11 check
+# digit ('X' for 10) — validated by vin_ok below.
+VIN_PATTERN = r"\b[A-HJ-NPR-Z0-9]{17}\b"
+# US ABA routing transit number (public 3-7-1 weighted mod-10 checksum
+# + issued Federal-Reserve prefix ranges) — validated by aba_ok below.
+ABA_ROUTING_PATTERN = r"\b\d{9}\b"
 # full 8-group form + single-:: compressed forms that end in a hex group
 # (leading/trailing '::' forms break \b anchoring — out of scope, documented)
 IPV6_PATTERN = (
@@ -244,6 +251,48 @@ def dea_ok(s: str) -> bool:
     return total % 10 == ds[6]
 
 
+# ISO 3779 transliteration: digits map to themselves; I, O, Q never occur
+_VIN_VALUES = {c: int(c) for c in "0123456789"}
+_VIN_VALUES.update(zip("ABCDEFGH", range(1, 9)))
+_VIN_VALUES.update(zip("JKLMN", range(1, 6)))
+_VIN_VALUES.update({"P": 7, "R": 9})
+_VIN_VALUES.update(zip("STUVWXYZ", range(2, 10)))
+_VIN_WEIGHTS = (8, 7, 6, 5, 4, 3, 2, 10, 0, 9, 8, 7, 6, 5, 4, 3, 2)
+
+
+def vin_ok(s: str) -> bool:
+    """ISO 3779 VIN check digit (public algorithm): transliterated chars
+    × positional weights, sum mod 11; 10 renders as 'X' at position 9."""
+    if len(s) != 17:
+        return False
+    try:
+        total = sum(_VIN_VALUES[c] * w for c, w in zip(s.upper(), _VIN_WEIGHTS))
+    except KeyError:
+        return False
+    check = total % 11
+    expect = "X" if check == 10 else str(check)
+    return s[8].upper() == expect
+
+
+# Federal Reserve issued prefix ranges (public): 00-12 government/
+# primary, 21-32 thrift, 61-72 electronic, 80 traveler's cheques
+_ABA_PREFIX_RANGES = ((0, 12), (21, 32), (61, 72), (80, 80))
+
+
+def aba_ok(s: str) -> bool:
+    """ABA routing-number checksum (public 3-7-1 rule):
+    3(d1+d4+d7) + 7(d2+d5+d8) + (d3+d6+d9) ≡ 0 (mod 10), plus an
+    issued Federal-Reserve prefix range."""
+    if len(s) != 9 or not s.isdigit():
+        return False
+    p = int(s[:2])
+    if not any(lo <= p <= hi for lo, hi in _ABA_PREFIX_RANGES):
+        return False
+    d = [int(c) for c in s]
+    total = 3 * (d[0] + d[3] + d[6]) + 7 * (d[1] + d[4] + d[7]) + (d[2] + d[5] + d[8])
+    return total % 10 == 0
+
+
 def ipv6_ok(s: str) -> bool:
     """Structural validation via the stdlib parser (group count, '::'
     expansion legality) — the regex only proposes candidates."""
@@ -335,6 +384,14 @@ BUILTIN_RECOGNIZERS: dict[str, RegexRecognizer] = {
         RegexRecognizer(
             "MEDICAL_LICENSE", MEDICAL_LICENSE_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
             staticmethod(dea_ok),
+        ),
+        RegexRecognizer(
+            "VEHICLE_VIN", VIN_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
+            staticmethod(vin_ok),
+        ),
+        RegexRecognizer(
+            "ABA_ROUTING", ABA_ROUTING_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
+            staticmethod(aba_ok),
         ),
         RegexRecognizer("PERSON_TITLED", PERSON_TITLED_PATTERN, group=1, score=0.95),
     ]

@@ -350,3 +350,30 @@ def test_person_titled_recognizer():
             assert m is not None and m.group(1) == name, s
         else:
             assert m is None, s
+
+
+def test_vin_aba_validators():
+    """VEHICLE_VIN (ISO 3779 mod-11) and ABA_ROUTING (3-7-1 mod-10 +
+    issued prefix ranges): the entity_breadth4 plant validities must
+    match the live validators, the 'X' check-digit case must validate,
+    and I/O/Q must be pattern-level rejects."""
+    import re as _re
+
+    import __spark_entry__ as entry
+    from doc_redaction_spark.functions.recognizers import (
+        VIN_PATTERN,
+        aba_ok,
+        vin_ok,
+    )
+
+    for vin, vv, aba, av in entry._VIN_ABA_TEMPLATES:
+        assert vin_ok(vin) == bool(vv), vin
+        assert aba_ok(aba) == bool(av), aba
+    # 'X' check digit (remainder 10)
+    assert vin_ok("11111113X11111111")
+    # I/O/Q are excluded from the charset: regex never proposes them
+    assert not _re.search(VIN_PATTERN, " 1HGCM8263OA004352 ")
+    assert not _re.search(VIN_PATTERN, " 1HGCM8263IA004352 ")
+    # prefix gate: checksum-valid but unissued Federal-Reserve prefix
+    assert not aba_ok("451234564")
+    assert aba_ok("011000015")
