@@ -1344,6 +1344,72 @@ def q_doc_lang_ngram(spark, sf_dir):
     )
 
 
+# (expected dominant script, sample). The numeric row pins the
+# 'none' fallback (digits belong to no script block); the suffix added
+# in the query is digits-only so it cannot tilt any count.
+_SCRIPT_SAMPLES = [
+    ("latin", "The quick brown fox jumps over the lazy dog"),
+    ("cyrillic", "Привет мир это тест письма"),
+    ("greek", "Γειά σου κόσμε αυτό είναι δοκιμή"),
+    ("arabic", "مرحبا بالعالم هذا اختبار"),
+    ("devanagari", "नमस्ते दुनिया यह एक परीक्षण है"),
+    ("cjk", "你好世界 これはテストです"),
+    ("hangul", "안녕하세요 세계 이것은 테스트입니다"),
+    ("none", "1234 5678 9012"),
+]
+
+
+def q_doc_script_profile(spark, sf_dir):
+    """Unicode-script profile (functions/textstats.py SCRIPT_RANGES):
+    per-row character counts for 7 script blocks + argmax dominant
+    script with a 'none' fallback — the multilingual-corpus triage
+    stage that routes docs to script-appropriate pipelines before
+    word-level language-ID. All JVM-side regexp_count over character
+    classes whose LITERAL endpoints parse identically in Java/RE2/
+    Python — one rendering, three dialects."""
+    from doc_redaction_spark.functions.textstats import (
+        script_count_cols,
+        script_dominant_col,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    sample = F.element_at(
+        F.array(*[F.lit(s) for _, s in _SCRIPT_SAMPLES]), (k % 8).cast("int") + 1
+    )
+    t = cust.select(
+        k.alias("row_key"),
+        F.concat(sample, F.lit(" "), k.cast("string")).alias("text"),
+    )
+    return t.select(
+        "row_key", *script_count_cols("text"), script_dominant_col("text")
+    )
+
+
+def o_doc_script_profile():
+    from doc_redaction_spark.functions.textstats import (
+        SCRIPT_PRIORITY,
+        duckdb_script_count,
+        duckdb_script_dominant,
+    )
+
+    samples = ", ".join(f"'{s}'" for _, s in _SCRIPT_SAMPLES)
+    counts = ",\n           ".join(
+        f"{duckdb_script_count('text', s)} AS n_{s}" for s in SCRIPT_PRIORITY
+    )
+    return f"""
+    WITH t AS (
+      SELECT c_custkey AS row_key,
+             ([{samples}])[CAST(c_custkey % 8 AS INTEGER) + 1]
+               || ' ' || CAST(c_custkey AS VARCHAR) AS text
+      FROM customer)
+    SELECT row_key,
+           {counts},
+           {duckdb_script_dominant('text')} AS dominant_script
+    FROM t
+    """
+
+
 def o_doc_lang_ngram():
     from doc_redaction_spark.functions.textstats import (
         LANG_PRIORITY,
@@ -6163,6 +6229,7 @@ _QUERIES: dict[str, Callable] = {
     "scd2_users": q_scd2_users,
     "cohort_retention": q_cohort_retention,
     "entity_breadth4": q_entity_breadth4,
+    "doc_script_profile": q_doc_script_profile,
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
@@ -6307,6 +6374,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "scd2_users": o_scd2_users,
     "cohort_retention": o_cohort_retention,
     "entity_breadth4": o_entity_breadth4,
+    "doc_script_profile": o_doc_script_profile,
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,

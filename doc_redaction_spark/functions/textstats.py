@@ -187,6 +187,79 @@ def duckdb_lang_ngram_pred(expr: str) -> str:
     return sql
 
 
+# Unicode-script profile (multilingual-corpus triage: route docs to the
+# right language pipeline / drop mis-scripted crawl junk BEFORE the
+# word-level language-ID legs, which assume a script). Counts characters
+# per script block and argmaxes a dominant script. The character classes
+# use LITERAL endpoint characters (e.g. ``[а-я]``), which parse
+# identically in Java regex, RE2, and Python ``re`` — one rendering, no
+# per-dialect escape divergence (``\\uXXXX`` vs ``\\x{XXXX}`` vs ``\\u``
+# would need three). Ranges are public Unicode block boundaries; Latin
+# excludes the ×/÷ signs embedded in Latin-1 Supplement.
+SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "latin": (
+        (0x41, 0x5A), (0x61, 0x7A),
+        (0xC0, 0xD6), (0xD8, 0xF6), (0xF8, 0x24F),
+    ),
+    "cyrillic": ((0x0400, 0x04FF),),
+    "greek": ((0x0370, 0x03FF),),
+    "arabic": ((0x0600, 0x06FF),),
+    "devanagari": ((0x0900, 0x097F),),
+    "cjk": ((0x3040, 0x30FF), (0x4E00, 0x9FFF)),  # kana + unified han
+    "hangul": ((0xAC00, 0xD7A3),),
+}
+SCRIPT_PRIORITY = tuple(SCRIPT_RANGES)
+
+
+def _script_pattern(script: str) -> str:
+    return "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in SCRIPT_RANGES[script]) + "]"
+
+
+def script_count_cols(col: str = "text") -> list[Column]:
+    t = F.coalesce(F.col(col), F.lit(""))
+    return [
+        F.regexp_count(t, F.lit(_script_pattern(s))).cast("long").alias(f"n_{s}")
+        for s in SCRIPT_PRIORITY
+    ]
+
+
+def script_dominant_col(col: str = "text") -> Column:
+    """argmax over script counts, ties broken by SCRIPT_PRIORITY order;
+    'none' when no scripted character occurs at all."""
+    t = F.coalesce(F.col(col), F.lit(""))
+    counts = {s: F.regexp_count(t, F.lit(_script_pattern(s))) for s in SCRIPT_PRIORITY}
+    expr = F.lit(SCRIPT_PRIORITY[-1])
+    for s in reversed(SCRIPT_PRIORITY[:-1]):
+        later = SCRIPT_PRIORITY[SCRIPT_PRIORITY.index(s) + 1:]
+        cond = None
+        for s2 in later:
+            c = counts[s] >= counts[s2]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(s)).otherwise(expr)
+    total = None
+    for s in SCRIPT_PRIORITY:
+        total = counts[s] if total is None else (total + counts[s])
+    return F.when(total == 0, F.lit("none")).otherwise(expr).alias("dominant_script")
+
+
+def duckdb_script_count(expr: str, script: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all(coalesce({expr}, ''),"
+        f" '{_script_pattern(script)}')) AS BIGINT)"
+    )
+
+
+def duckdb_script_dominant(expr: str) -> str:
+    counts = {s: duckdb_script_count(expr, s) for s in SCRIPT_PRIORITY}
+    sql = f"'{SCRIPT_PRIORITY[-1]}'"
+    for s in reversed(SCRIPT_PRIORITY[:-1]):
+        later = SCRIPT_PRIORITY[SCRIPT_PRIORITY.index(s) + 1:]
+        cond = " AND ".join(f"{counts[s]} >= {counts[s2]}" for s2 in later)
+        sql = f"CASE WHEN {cond} THEN '{s}' ELSE {sql} END"
+    total = " + ".join(counts.values())
+    return f"CASE WHEN {total} = 0 THEN 'none' ELSE {sql} END"
+
+
 # --- DuckDB renderings (used by oracle_sql) ---------------------------------
 
 def duckdb_token_count(expr: str) -> str:

@@ -126,3 +126,32 @@ def test_lang_ngram_profiles_ground_truth(spark):
         for lang in LANG_PRIORITY:
             py = len(_re.findall(_ngram_pattern(lang), r.text.lower()))
             assert getattr(r, f"s_{lang}") == py, (lang, r.text)
+
+
+def test_script_profile_three_dialects(spark):
+    """Each planted sample's own script must dominate; the numeric row
+    must fall back to 'none'; and the Python-re rendering of the SAME
+    literal-endpoint character classes must count identically to Spark
+    (the one-rendering/three-dialects claim)."""
+    import re as _re
+
+    import __spark_entry__ as entry
+    from doc_redaction_spark.functions.textstats import (
+        SCRIPT_PRIORITY,
+        _script_pattern,
+        script_count_cols,
+        script_dominant_col,
+    )
+
+    df = spark.createDataFrame(
+        [(want, s) for want, s in entry._SCRIPT_SAMPLES], "want string, text string"
+    )
+    rows = df.select(
+        "want", "text", *script_count_cols("text"), script_dominant_col("text")
+    ).collect()
+    assert len(rows) == len(entry._SCRIPT_SAMPLES)
+    for r in rows:
+        assert r.dominant_script == r.want, r
+        for s in SCRIPT_PRIORITY:
+            py = len(_re.findall(_script_pattern(s), r.text))
+            assert r[f"n_{s}"] == py, (s, r.text)
