@@ -870,6 +870,63 @@ def o_cohort_retention():
     """
 
 
+# parts 1..6 form a planted clique (20 triangles' worth of local
+# structure) + a (6,7) pendant — guarantees the triangle closure is
+# exercised at every SF even where the organic support-2 co-purchase
+# graph is triangle-thin (1 organic triangle at sf0.1).
+_TRI_PLANTED = [
+    (a, b) for a in range(1, 7) for b in range(a + 1, 7)
+] + [(6, 7)]
+
+
+def q_part_triangles(spark, sf_dir):
+    """Exact triangle counts + local clustering coefficient per part
+    over the co-purchase graph (operators/graph.py: parts sharing an
+    order, support >= 2, union a planted clique motif). Degree-oriented
+    MapReduce triangle counting (Suri & Vassilvitskii) — each triangle
+    owned by its (degree,id)-minimal vertex, wedge work bounded by
+    low-degree endpoints, no crossJoin."""
+    from doc_redaction_spark.operators import graph as gr
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    organic = gr.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select("src", "dst")
+    planted = spark.createDataFrame(_TRI_PLANTED, "src long, dst long")
+    edges = organic.unionByName(planted).distinct()
+    return gr.triangle_counts(edges)
+
+
+def o_part_triangles():
+    planted = ", ".join(f"({a}, {b})" for a, b in _TRI_PLANTED)
+    return f"""
+    WITH d AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    e0 AS (SELECT a.i AS src, b.i AS dst
+           FROM d a JOIN d b ON a.g = b.g AND a.i < b.i
+           GROUP BY a.i, b.i HAVING count(*) >= 2),
+    pl AS (SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst
+           FROM (VALUES {planted}) v(a, b)),
+    e AS (SELECT src, dst FROM e0 UNION SELECT src, dst FROM pl),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+            GROUP BY node),
+    tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+            FROM e ab JOIN e bc ON ab.dst = bc.src
+                      JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
+    pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+           FROM (SELECT a AS node FROM tri UNION ALL
+                 SELECT b FROM tri UNION ALL SELECT c FROM tri)
+           GROUP BY node)
+    SELECT deg.node, deg.degree,
+           CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.degree < 2 THEN 0.0e0
+                ELSE floor(coalesce(pn.triangles, 0) * 2 * 1e4
+                           / (deg.degree * (deg.degree - 1))) / 1e4
+           END AS lcc
+    FROM deg LEFT JOIN pn ON pn.node = deg.node
+    """
+
+
 def q_interval_join_events(spark, sf_dir):
     """Range join (operators/joins.py interval_join): ALL view events by
     the same user within 6 hours before each error event (vs
@@ -6230,6 +6287,7 @@ _QUERIES: dict[str, Callable] = {
     "cohort_retention": q_cohort_retention,
     "entity_breadth4": q_entity_breadth4,
     "doc_script_profile": q_doc_script_profile,
+    "part_triangles": q_part_triangles,
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
@@ -6375,6 +6433,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "cohort_retention": o_cohort_retention,
     "entity_breadth4": o_entity_breadth4,
     "doc_script_profile": o_doc_script_profile,
+    "part_triangles": o_part_triangles,
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,

@@ -1,0 +1,124 @@
+"""Graph analytics over co-occurrence / near-dup graphs.
+
+The dedup suite already builds graphs (near-dup pairs) and contracts
+them (connected components, large-star/small-star); this module adds
+the local-structure battery: co-occurrence edge extraction and exact
+triangle counting with per-node clustering coefficients — the standard
+community/spam-cluster signal over item-item or doc-doc graphs.
+
+Scale shapes:
+
+* ``cooccurrence_edges`` — per-group pair enumeration is a self-join on
+  the group key (Σk² work for group size k; groups here are orders with
+  a handful of items, never the corpus), then one groupBy for support
+  counts. ``min_support`` prunes the long random tail BEFORE any
+  downstream join.
+* ``triangle_counts`` — MapReduce triangle counting via degree
+  orientation (Suri & Vassilvitskii, WWW'11): every undirected edge is
+  oriented from its (degree, id)-smaller endpoint to the larger, so a
+  hub of degree d generates wedges only from its LOW-degree neighbors —
+  Σ out_deg² is minimized and no single key explodes. Each triangle is
+  counted exactly once (its (deg,id)-minimal vertex owns it), closed by
+  one equi-join of wedges against oriented edges. Two shuffles total
+  beyond the degree computation; no crossJoin anywhere.
+
+Determinism: all outputs are integer counts; the clustering coefficient
+is floor-scaled (CLAUDE.md — round() halves diverge cross-engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    items: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Undirected co-occurrence edges: items sharing a group, as
+    ``(src, dst, support)`` with ``src < dst`` and ``support`` = number
+    of distinct groups containing both. ``min_support`` drops edges
+    seen in fewer groups (the classic frequent-pair prune that keeps
+    the graph sparse at scale)."""
+    d = items.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, "_g").where(F.col("a._i") < F.col("b._i")).select(
+        F.col("a._i").alias("src"), F.col("b._i").alias("dst")
+    )
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient
+    over an undirected simple graph given as distinct ``(src, dst)``
+    rows with ``src < dst`` (extra columns ignored).
+
+    Returns ``(node, degree BIGINT, triangles BIGINT, lcc DOUBLE)``
+    where ``lcc = floor(2·T·10⁴ / (deg·(deg−1)))/10⁴`` (0.0 for
+    degree < 2) — every node in the edge set appears, including
+    triangle-free ones.
+    """
+    e = edges.select("src", "dst")
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    # orient each edge low→high by the (degree, id) total order
+    ed = (
+        e.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("degree", "dsrc")
+        .join(deg.withColumnRenamed("node", "dst"), "dst")
+        .withColumnRenamed("degree", "ddst")
+    )
+    src_first = (F.col("dsrc") < F.col("ddst")) | (
+        (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = ed.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(src_first, F.col("ddst")).otherwise(F.col("dsrc")).alias("dv"),
+    )
+    # wedges owned by u: out-neighbor pairs (v, w) with (dv,v) < (dw,w)
+    wa, wb = oriented.alias("wa"), oriented.alias("wb")
+    wedge = wa.join(wb, F.col("wa.u") == F.col("wb.u")).where(
+        (F.col("wa.dv") < F.col("wb.dv"))
+        | ((F.col("wa.dv") == F.col("wb.dv")) & (F.col("wa.v") < F.col("wb.v")))
+    ).select(
+        F.col("wa.u").alias("a"), F.col("wa.v").alias("b"), F.col("wb.v").alias("c")
+    )
+    closer = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedge.join(closer, ["b", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                F.coalesce("triangles", F.lit(0))
+                * 2
+                * 1e4
+                / (F.col("degree") * (F.col("degree") - 1))
+            )
+            / 1e4
+        )
+        .alias("lcc"),
+    )

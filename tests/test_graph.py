@@ -1,0 +1,86 @@
+"""Triangle counting: known-graph ground truth (K4, path, pendant
+triangle), equivalence with naive enumeration on a random graph, and
+the co-occurrence edge builder's support semantics."""
+
+import itertools
+import random
+
+from doc_redaction_spark.operators.graph import cooccurrence_edges, triangle_counts
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "src long, dst long"
+    )
+
+
+def _naive(pairs):
+    es = {(min(a, b), max(a, b)) for a, b in pairs}
+    nodes = sorted({n for e in es for n in e})
+    deg = {n: sum(1 for e in es if n in e) for n in nodes}
+    tri = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {
+        n: (
+            deg[n],
+            tri[n],
+            0.0 if deg[n] < 2 else int(tri[n] * 2 * 1e4 / (deg[n] * (deg[n] - 1))) / 1e4,
+        )
+        for n in nodes
+    }
+
+
+def _collect(spark, pairs):
+    return {
+        r["node"]: (r["degree"], r["triangles"], r["lcc"])
+        for r in triangle_counts(_edges(spark, pairs)).collect()
+    }
+
+
+def test_triangles_k4(spark):
+    k4 = list(itertools.combinations(range(4), 2))
+    out = _collect(spark, k4)
+    assert out == {n: (3, 3, 1.0) for n in range(4)}
+
+
+def test_triangles_path_and_pendant(spark):
+    # path: no triangles anywhere
+    out = _collect(spark, [(1, 2), (2, 3)])
+    assert out == {1: (1, 0, 0.0), 2: (2, 0, 0.0), 3: (1, 0, 0.0)}
+    # one triangle with a pendant off node 3
+    out = _collect(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert out[1] == (2, 1, 1.0) and out[2] == (2, 1, 1.0)
+    assert out[3] == (3, 1, 0.3333)
+    assert out[4] == (1, 0, 0.0)
+
+
+def test_triangles_random_equivalence(spark):
+    rng = random.Random(7)
+    pairs = {
+        (a, b)
+        for a, b in (sorted(rng.sample(range(30), 2)) for _ in range(160))
+    }
+    assert _collect(spark, pairs) == _naive(pairs)
+
+
+def test_cooccurrence_support(spark):
+    rows = [
+        ("g1", 1), ("g1", 2), ("g1", 3),
+        ("g2", 1), ("g2", 2), ("g2", 2),  # dup item in group counted once
+        ("g3", 2), ("g3", 3),
+    ]
+    df = spark.createDataFrame(rows, "g string, i long")
+    e = {
+        (r["src"], r["dst"]): r["support"]
+        for r in cooccurrence_edges(df, "g", "i").collect()
+    }
+    assert e == {(1, 2): 2, (1, 3): 1, (2, 3): 2}
+    e2 = {
+        (r["src"], r["dst"]): r["support"]
+        for r in cooccurrence_edges(df, "g", "i", min_support=2).collect()
+    }
+    assert e2 == {(1, 2): 2, (2, 3): 2}
