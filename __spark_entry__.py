@@ -927,6 +927,64 @@ def o_part_triangles():
     """
 
 
+_PR_ITERS = 4
+_PR_SCALE = 10**12
+
+
+def q_pagerank_purchase(spark, sf_dir):
+    """Integer-domain PageRank (operators/graph.py pagerank) over the
+    symmetrized customer–supplier purchase graph (distinct
+    (o_custkey, l_suppkey) via orders⋈lineitem, supplier ids offset by
+    1e6, edges in both directions so neither side is uniformly
+    dangling). All-integer damping math — value-oracle exact; the
+    oracle unrolls the same 4 power iterations as CTEs."""
+    from doc_redaction_spark.operators import graph as gr
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = cs.select(
+        F.col("c").alias("src"), (F.col("s") + 1_000_000).alias("dst")
+    ).unionAll(
+        cs.select((F.col("s") + 1_000_000).alias("src"), F.col("c").alias("dst"))
+    )
+    return gr.pagerank(edges, iters=_PR_ITERS, scale=_PR_SCALE)
+
+
+def o_pagerank_purchase():
+    steps = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""c{i} AS (SELECT e.dst AS node, sum({prev}.r // e.od) AS s
+           FROM e JOIN {prev} ON {prev}.node = e.src GROUP BY e.dst),
+    r{i} AS (SELECT nodes.node,
+                    CAST((15 * (SELECT b FROM base)
+                          + 85 * coalesce(c{i}.s, 0)) // 100 AS BIGINT) AS r
+             FROM nodes LEFT JOIN c{i} USING (node))"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e0 AS (SELECT c AS src, s + 1000000 AS dst FROM cs
+           UNION ALL SELECT s + 1000000 AS src, c AS dst FROM cs),
+    od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, od.od FROM e0 JOIN od USING (src)),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+    base AS (SELECT CAST({_PR_SCALE} AS BIGINT) // count(*) AS b FROM nodes),
+    r0 AS (SELECT node, (SELECT b FROM base) AS r FROM nodes),
+    {chain}
+    SELECT node, r AS rank FROM {prev}
+    """
+
+
 def q_interval_join_events(spark, sf_dir):
     """Range join (operators/joins.py interval_join): ALL view events by
     the same user within 6 hours before each error event (vs
@@ -6288,6 +6346,7 @@ _QUERIES: dict[str, Callable] = {
     "entity_breadth4": q_entity_breadth4,
     "doc_script_profile": q_doc_script_profile,
     "part_triangles": q_part_triangles,
+    "pagerank_purchase": q_pagerank_purchase,
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
@@ -6434,6 +6493,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "entity_breadth4": o_entity_breadth4,
     "doc_script_profile": o_doc_script_profile,
     "part_triangles": o_part_triangles,
+    "pagerank_purchase": o_pagerank_purchase,
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,

@@ -57,6 +57,59 @@ def cooccurrence_edges(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    iters: int = 4,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank with damping 0.85 over a directed graph of distinct
+    ``(src, dst)`` rows, computed ENTIRELY in the integer domain so the
+    result is bit-identical on any engine (float PageRank diverges in
+    the last ulp across summation orders): ranks are integers out of
+    ``scale``, each step is
+    ``r'(v) = (15·(scale div N) + 85·Σ_{u→v} (r(u) div outdeg(u))) div 100``
+    with non-negative integer division everywhere (floor == truncation).
+    Documented deviations from the textbook operator, both standard in
+    simple implementations: dangling-node mass is dropped (not
+    redistributed) and the fixed ``iters`` power iterations are not run
+    to convergence — this is a ranking signal, not a probability.
+
+    Scale shape: the node count reaches every row via a broadcast 1-row
+    aggregate (no driver-side count), out-degrees are attached to the
+    edge list ONCE before the loop, and each iteration is one equi-join
+    + one map-side-combinable sum — O(iters) shuffles, no crossJoin on
+    anything non-broadcast. For fixed small ``iters`` the lineage stays
+    shallow, so no checkpointing is needed (contrast
+    ``dedup.duplicate_components``, which iterates to convergence).
+
+    Returns ``(node, rank BIGINT)`` for every node appearing as a src
+    or dst.
+    """
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cnt = nodes.agg(F.count("*").alias("_n"))
+    base = nodes.crossJoin(F.broadcast(cnt)).select(
+        "node", F.expr(f"CAST({scale} AS BIGINT) div _n").alias("_b")
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_od"))
+    ed = e.join(outdeg, "src")
+    r = base.select("node", F.col("_b").alias("_r"))
+    for _ in range(iters):
+        contrib = ed.join(r, ed["src"] == r["node"]).select(
+            F.col("dst").alias("node"), F.expr("_r div _od").alias("_c")
+        )
+        summed = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        r = base.join(summed, "node", "left").select(
+            "node",
+            F.expr("(15 * _b + 85 * coalesce(_s, 0L)) div 100").alias("_r"),
+        )
+    return r.select("node", F.col("_r").cast("long").alias("rank"))
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Exact per-node triangle counts + local clustering coefficient
     over an undirected simple graph given as distinct ``(src, dst)``

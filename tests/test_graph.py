@@ -84,3 +84,52 @@ def test_cooccurrence_support(spark):
         for r in cooccurrence_edges(df, "g", "i", min_support=2).collect()
     }
     assert e2 == {(1, 2): 2, (2, 3): 2}
+
+
+def _pagerank_py(pairs, iters=4, scale=10**12):
+    es = sorted(set(pairs))
+    nodes = sorted({n for e in es for n in e})
+    n = len(nodes)
+    b = scale // n
+    od = {u: sum(1 for s, _ in es if s == u) for u in nodes}
+    r = {u: b for u in nodes}
+    for _ in range(iters):
+        s = {u: 0 for u in nodes}
+        for u, v in es:
+            s[v] += r[u] // od[u]
+        r = {u: (15 * b + 85 * s[u]) // 100 for u in nodes}
+    return r
+
+
+def _pr(spark, pairs, **kw):
+    df = spark.createDataFrame(sorted(set(pairs)), "src long, dst long")
+    from doc_redaction_spark.operators.graph import pagerank
+
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_cycle_symmetry(spark):
+    # 3-cycle: perfect symmetry, ranks identical and conserve mass bar floor
+    out = _pr(spark, [(1, 2), (2, 3), (3, 1)])
+    assert len(set(out.values())) == 1
+    assert out == _pagerank_py([(1, 2), (2, 3), (3, 1)])
+
+
+def test_pagerank_star_and_dangling(spark):
+    # all spokes point at the center: center rank >> spokes; the center
+    # itself is dangling (mass dropped, documented)
+    pairs = [(k, 0) for k in range(1, 6)]
+    out = _pr(spark, pairs)
+    assert out == _pagerank_py(pairs)
+    assert out[0] > out[1] and len({out[k] for k in range(1, 6)}) == 1
+
+
+def test_pagerank_random_equivalence(spark):
+    rng = random.Random(11)
+    pairs = {
+        tuple(rng.sample(range(25), 2))
+        for _ in range(120)
+    }
+    assert _pr(spark, pairs) == _pagerank_py(pairs)
+    # and a different iteration count exercises the loop bound
+    assert _pr(spark, pairs, iters=2) == _pagerank_py(pairs, iters=2)
