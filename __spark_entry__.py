@@ -985,6 +985,47 @@ def o_pagerank_purchase():
     """
 
 
+_ZO_BITS = 10
+_ZO_BUCKETS = 64
+
+
+def q_events_zorder_layout(spark, sf_dir):
+    """Z-order layout report (functions/zorder.py): Morton-interleave
+    normalized (user_id, epoch-second) and report each equal-width
+    Z-bucket's row count + min/max of BOTH dimensions — the min/max
+    statistics a parquet/Iceberg reader prunes files by. Tight
+    rectangles on both columns are the multi-dimensional-clustering win
+    (Delta/Iceberg OPTIMIZE ZORDER BY); pure integer bit arithmetic,
+    JVM-side, exact on both engines."""
+    from doc_redaction_spark.functions.zorder import zorder_layout_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = ev.select(
+        F.col("user_id"),
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("sec"),
+    )
+    return zorder_layout_report(t, "user_id", "sec", bits=_ZO_BITS, n_buckets=_ZO_BUCKETS)
+
+
+def o_events_zorder_layout():
+    from doc_redaction_spark.functions.zorder import duckdb_normalize, duckdb_zorder
+
+    na = duckdb_normalize("a", "alo", "ahi", _ZO_BITS)
+    nb = duckdb_normalize("b", "blo", "bhi", _ZO_BITS)
+    width = (1 << (2 * _ZO_BITS)) // _ZO_BUCKETS
+    return f"""
+    WITH t AS (SELECT user_id AS a, epoch_us(ts) // 1000000 AS b FROM events),
+    bd AS (SELECT min(a) AS alo, max(a) AS ahi, min(b) AS blo, max(b) AS bhi
+           FROM t),
+    z AS (SELECT {duckdb_zorder(na, nb, _ZO_BITS)} AS zv, a, b FROM t, bd)
+    SELECT CAST(zv // {width} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(a) AS BIGINT) AS a_min, CAST(max(a) AS BIGINT) AS a_max,
+           CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max
+    FROM z GROUP BY 1
+    """
+
+
 def q_interval_join_events(spark, sf_dir):
     """Range join (operators/joins.py interval_join): ALL view events by
     the same user within 6 hours before each error event (vs
@@ -6347,6 +6388,7 @@ _QUERIES: dict[str, Callable] = {
     "doc_script_profile": q_doc_script_profile,
     "part_triangles": q_part_triangles,
     "pagerank_purchase": q_pagerank_purchase,
+    "events_zorder_layout": q_events_zorder_layout,
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
@@ -6494,6 +6536,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "doc_script_profile": o_doc_script_profile,
     "part_triangles": o_part_triangles,
     "pagerank_purchase": o_pagerank_purchase,
+    "events_zorder_layout": o_events_zorder_layout,
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,

@@ -1,0 +1,124 @@
+"""Z-order (Morton) layout keys — multi-dimensional data clustering.
+
+The 100 TB lever this encodes: parquet/Iceberg readers skip files by
+min/max column statistics, but a table sorted by ONE column has useless
+stats on every other predicate column. Sorting by the bit-interleaved
+Z-value of two (or more) columns gives every column locality: each
+equal-width Z range covers a tight rectangle in (a, b) space, so
+predicates on EITHER column prune files (Delta/Iceberg ``OPTIMIZE
+ZORDER BY`` is exactly this). The curve math here is pure integer bit
+arithmetic — one rendering per dialect, value-oracle exact — and stays
+inside whole-stage codegen (a fixed sum of shift/mask terms, no UDF).
+
+``zorder_key`` interleaves two already-normalized integer columns;
+``normalize_col``/``duckdb_normalize`` map an arbitrary integer column
+onto ``[0, 2^bits)`` by exact integer scaling against broadcast min/max
+bounds (no float division — ``(x-lo)·(2^bits−1) div (hi−lo)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(a: Column, b: Column, bits: int = 12) -> Column:
+    """Morton interleave of two integer columns in ``[0, 2^bits)``:
+    bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1. A
+    fixed sum of ``2·bits`` shift/mask terms — literal shifts only
+    (Spark's shiftleft needs literal ints), JVM-side, codegen-friendly.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(a.cast("long"), i) % 2, 2 * i))
+        terms.append(F.shiftleft(F.shiftright(b.cast("long"), i) % 2, 2 * i + 1))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z.cast("long")
+
+
+def zorder_key_py(a: int, b: int, bits: int = 12) -> int:
+    """Python reference for tests — same bit placement."""
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def duckdb_zorder(a_expr: str, b_expr: str, bits: int = 12) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a_expr}) // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({b_expr}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def normalize_expr(col: str, lo: str, hi: str, bits: int) -> Column:
+    """Exact integer scaling of ``col`` onto ``[0, 2^bits)`` given
+    per-dataset bounds columns ``lo``/``hi`` (attach them via a
+    broadcast 1-row aggregate): ``(x−lo)·(2^bits−1) div (hi−lo)``,
+    degenerate hi==lo maps to 0. All-BIGINT (no float division)."""
+    m = (1 << bits) - 1
+    return F.expr(
+        f"CASE WHEN {hi} = {lo} THEN 0L "
+        f"ELSE (({col} - {lo}) * {m}) div ({hi} - {lo}) END"
+    )
+
+
+def duckdb_normalize(col: str, lo: str, hi: str, bits: int) -> str:
+    m = (1 << bits) - 1
+    return (
+        f"CASE WHEN {hi} = {lo} THEN 0 "
+        f"ELSE (({col} - {lo}) * {m}) // ({hi} - {lo}) END"
+    )
+
+
+def zorder_layout_report(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    bits: int = 10,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Layout-quality report: assign each row the Z-value of its
+    normalized ``(a_col, b_col)`` pair, split the Z range into
+    ``n_buckets`` equal-width "files", and report each bucket's row
+    count and min/max of BOTH dimensions — the exact statistics a
+    min/max-pruning reader would hold. Tight per-bucket rectangles on
+    both columns are the pruning win a single-column sort cannot give.
+
+    One broadcast bounds join + one map-side-combinable aggregate.
+    Output: (bucket, n_rows, a_min, a_max, b_min, b_max) all BIGINT.
+    """
+    bounds = df.agg(
+        F.min(a_col).cast("long").alias("_alo"),
+        F.max(a_col).cast("long").alias("_ahi"),
+        F.min(b_col).cast("long").alias("_blo"),
+        F.max(b_col).cast("long").alias("_bhi"),
+    )
+    t = df.select(
+        F.col(a_col).cast("long").alias("_a"), F.col(b_col).cast("long").alias("_b")
+    ).crossJoin(F.broadcast(bounds))
+    z = zorder_key(
+        normalize_expr("_a", "_alo", "_ahi", bits),
+        normalize_expr("_b", "_blo", "_bhi", bits),
+        bits,
+    )
+    span = 1 << (2 * bits)
+    bucket = F.expr(f"_z div {span // n_buckets if span >= n_buckets else 1}")
+    return (
+        t.withColumn("_z", z)
+        .withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("_a").alias("a_min"),
+            F.max("_a").alias("a_max"),
+            F.min("_b").alias("b_min"),
+            F.max("_b").alias("b_max"),
+        )
+    )

@@ -1,0 +1,69 @@
+"""Z-order keys: bit-interleave ground truth (all 16 cells at bits=2),
+Spark ≡ Python reference on random pairs, exact integer normalization,
+and the layout report's rectangle-tightness property vs a
+single-column sort."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.functions.zorder import (
+    zorder_key,
+    zorder_key_py,
+    zorder_layout_report,
+)
+
+
+def test_zorder_bits2_ground_truth(spark):
+    rows = [(a, b) for a in range(4) for b in range(4)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zorder_key(F.col("a"), F.col("b"), 2).alias("z")).collect()
+    }
+    # canonical Morton order for 2-bit coords
+    assert out[(0, 0)] == 0 and out[(1, 0)] == 1
+    assert out[(0, 1)] == 2 and out[(1, 1)] == 3
+    assert out[(2, 2)] == 12 and out[(3, 3)] == 15
+    for (a, b), z in out.items():
+        assert z == zorder_key_py(a, b, 2)
+
+
+def test_zorder_random_equivalence(spark):
+    rng = random.Random(5)
+    rows = [(rng.randrange(1 << 12), rng.randrange(1 << 12)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = df.select(
+        "a", "b", zorder_key(F.col("a"), F.col("b"), 12).alias("z")
+    ).collect()
+    for r in out:
+        assert r["z"] == zorder_key_py(r["a"], r["b"], 12)
+
+
+def test_layout_report_rectangles_beat_single_sort(spark):
+    # uniform grid: z-bucket rectangles must be tight on BOTH dims,
+    # while bucketing the same data by a alone leaves b's range full.
+    rng = random.Random(9)
+    rows = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    rep = zorder_layout_report(df, "a", "b", bits=10, n_buckets=16).collect()
+    assert sum(r["n_rows"] for r in rep) == 4000
+    # every z bucket covers at most ~a quarter of each dimension's range
+    for r in rep:
+        assert r["a_max"] - r["a_min"] <= 600, r
+        assert r["b_max"] - r["b_min"] <= 600, r
+    # single-column sort: bucket by a-range alone -> b spans ~everything
+    by_a = (
+        df.withColumn("bucket", (F.col("a") / 64).cast("long"))
+        .groupBy("bucket")
+        .agg(F.min("b").alias("b_min"), F.max("b").alias("b_max"))
+        .collect()
+    )
+    assert all(r["b_max"] - r["b_min"] > 600 for r in by_a)
+
+
+def test_normalize_degenerate_bounds(spark):
+    df = spark.createDataFrame([(7, i) for i in range(5)], "a long, b long")
+    rep = zorder_layout_report(df, "a", "b", bits=4, n_buckets=4).collect()
+    assert sum(r["n_rows"] for r in rep) == 5
+    assert all(r["a_min"] == 7 and r["a_max"] == 7 for r in rep)
