@@ -1026,6 +1026,118 @@ def o_events_zorder_layout():
     """
 
 
+# Fellegi–Sunter field weights (integer log-likelihood-ratio config) and
+# the per-custkey%4 perturbation plan for the linkage oracle: 0 = exact
+# dup (60 ✓), 1 = name case-folded + phone reformatted (28 ✗ — digits
+# agree but name disagrees, a designed borderline miss), 2 = stale
+# address (40 ✓), 3 = name redacted + address stale (8 ✗).
+_FS_FIELDS = [("name", 24, -8), ("phone", 20, -6), ("addr", 16, -4)]
+_FS_THRESHOLD = 30
+
+
+def q_record_linkage(spark, sf_dir):
+    """Record linkage (operators/linkage.py fellegi_sunter_link): match
+    a noisy re-ingest of customer back to the master — blocked on
+    (nation, last-2 phone digits), scored by integer Fellegi–Sunter
+    weights over exact-equality of pre-normalized fields (phone via the
+    shared digits_only spec), thresholded, keep-best per right record.
+    No crossJoin; candidate pairs bounded by block sizes."""
+    from doc_redaction_spark.operators.linkage import (
+        digits_only,
+        fellegi_sunter_link,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # the synthetic customer table carries no phone/address — derive
+    # deterministic ones (injective 7919·key mod 1e7 phone; segment-tagged
+    # address) identically on both engines, then run the REAL pipeline:
+    # normalize (digits_only erases the '+44 ' formatting) → block → score
+    pnum = (F.col("c_custkey") * 7919) % 10_000_000
+    base = (
+        cust.withColumn(
+            "pd", digits_only(F.concat(F.lit("+44 "), pnum.cast("string")))
+        )
+        .withColumn(
+            "addr0",
+            F.concat(
+                F.lit("a-"),
+                (F.col("c_custkey") % 1000).cast("string"),
+                F.lit(" "),
+                F.col("c_mktsegment"),
+            ),
+        )
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").alias("nk"),
+            F.expr("right(pd, 2)").alias("p2"),
+            "c_name",
+            "pd",
+            "addr0",
+        )
+    )
+    a = base.select(
+        F.col("c_custkey").alias("aid"),
+        "nk", "p2",
+        F.col("c_name").alias("name"),
+        F.col("pd").alias("phone"),
+        F.col("addr0").alias("addr"),
+    )
+    m = F.col("c_custkey") % 4
+    b = base.select(
+        (F.col("c_custkey") + 500_000).alias("bid"),
+        "nk", "p2",
+        F.when(m == 1, F.lower("c_name"))
+        .when(m == 3, F.lit("REDACTED"))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.col("pd").alias("phone"),  # formatting noise is erased by digits_only
+        F.when((m == 2) | (m == 3), F.lit("unknown"))
+        .otherwise(F.col("addr0"))
+        .alias("addr"),
+    )
+    return fellegi_sunter_link(
+        a, b, "aid", "bid", ["nk", "p2"], _FS_FIELDS, _FS_THRESHOLD
+    )
+
+
+def o_record_linkage():
+    from doc_redaction_spark.operators.linkage import duckdb_digits_only
+
+    pd_ = duckdb_digits_only(
+        "'+44 ' || CAST((c_custkey * 7919) % 10000000 AS VARCHAR)"
+    )
+    terms = " + ".join(
+        f"CASE WHEN a.{c} IS NOT NULL AND a.{c} = b.{c} THEN {wa} ELSE {wd} END"
+        for c, wa, wd in _FS_FIELDS
+    )
+    return f"""
+    WITH base AS (
+      SELECT c_custkey, c_nationkey AS nk, right({pd_}, 2) AS p2,
+             c_name, {pd_} AS pd,
+             'a-' || CAST(c_custkey % 1000 AS VARCHAR) || ' ' || c_mktsegment
+               AS addr0
+      FROM customer),
+    a AS (SELECT c_custkey AS aid, nk, p2, c_name AS name, pd AS phone,
+                 addr0 AS addr FROM base),
+    b AS (SELECT c_custkey + 500000 AS bid, nk, p2,
+                 CASE WHEN c_custkey % 4 = 1 THEN lower(c_name)
+                      WHEN c_custkey % 4 = 3 THEN 'REDACTED'
+                      ELSE c_name END AS name,
+                 pd AS phone,
+                 CASE WHEN c_custkey % 4 IN (2, 3) THEN 'unknown'
+                      ELSE addr0 END AS addr
+          FROM base),
+    scored AS (
+      SELECT b.bid, a.aid, CAST({terms} AS BIGINT) AS score
+      FROM b JOIN a ON a.nk = b.nk AND a.p2 = b.p2),
+    best AS (
+      SELECT bid, aid, score,
+             row_number() OVER (PARTITION BY bid ORDER BY score DESC, aid) AS rn
+      FROM scored WHERE score >= {_FS_THRESHOLD})
+    SELECT bid, aid, score FROM best WHERE rn = 1
+    """
+
+
 def q_interval_join_events(spark, sf_dir):
     """Range join (operators/joins.py interval_join): ALL view events by
     the same user within 6 hours before each error event (vs
@@ -6389,6 +6501,7 @@ _QUERIES: dict[str, Callable] = {
     "part_triangles": q_part_triangles,
     "pagerank_purchase": q_pagerank_purchase,
     "events_zorder_layout": q_events_zorder_layout,
+    "record_linkage": q_record_linkage,
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
@@ -6537,6 +6650,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "part_triangles": o_part_triangles,
     "pagerank_purchase": o_pagerank_purchase,
     "events_zorder_layout": o_events_zorder_layout,
+    "record_linkage": o_record_linkage,
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,

@@ -1,0 +1,94 @@
+"""Record linkage (entity resolution) — Fellegi–Sunter scoring over
+blocked candidate pairs.
+
+The cross-source identity problem a training-data platform hits when
+merging user/customer records from multiple ingests: the same real
+entity appears with formatting noise (phone punctuation, case, stale
+addresses). The classical Fellegi–Sunter model assigns each compared
+field an agreement weight (log m/u) and a disagreement weight, sums
+them, and thresholds. Weights here are caller-supplied INTEGERS (the
+log-likelihood ratios are config, estimated offline) so every score is
+exact on every engine.
+
+Scale shape: candidates come from an equi-join on a caller-chosen
+blocking key (compose with ``dedup.sorted_neighborhood_pairs`` for the
+sort-order complement) — never all-pairs; scoring is a flat CASE sum;
+the optional keep-best step is one per-right-record rank window whose
+partitions are bounded by block sizes. No crossJoin, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# one digits-only normalization spec, rendered per dialect (CLAUDE.md):
+# Java/RE2/Python all treat [^0-9] identically; DuckDB needs the 'g' flag
+# (Spark regexp_replace is global by default)
+_NON_DIGIT = "[^0-9]"
+
+
+def digits_only(col: Column) -> Column:
+    return F.regexp_replace(F.coalesce(col, F.lit("")), _NON_DIGIT, "")
+
+
+def duckdb_digits_only(expr: str) -> str:
+    return f"regexp_replace(coalesce({expr}, ''), '{_NON_DIGIT}', '', 'g')"
+
+
+def fellegi_sunter_link(
+    a: DataFrame,
+    b: DataFrame,
+    a_id: str,
+    b_id: str,
+    block_cols: list[str],
+    fields: list[tuple[str, int, int]],
+    threshold: int,
+    keep_best: bool = True,
+) -> DataFrame:
+    """Link records of ``b`` to records of ``a``.
+
+    Both inputs must already carry the blocking column(s) named in
+    ``block_cols`` and the comparison columns named in ``fields`` —
+    pre-normalized (case-folded, ``digits_only``, …) by the caller so
+    agreement is plain equality. ``fields`` is a list of
+    ``(col, agree_weight, disagree_weight)`` integer triples; a NULL on
+    either side counts as disagreement (no evidence ≠ agreement).
+
+    Returns ``(b_id, a_id, score BIGINT)`` for pairs scoring at least
+    ``threshold``; with ``keep_best`` only each b-record's best pair
+    survives (ties broken by smallest ``a_id`` — deterministic).
+    """
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    asel = a.select(
+        F.col(a_id).alias("_aid"),
+        *[F.col(c).alias(f"_ab_{c}") for c in block_cols],
+        *[F.col(c).alias(f"_af_{c}") for c, _, _ in fields],
+    )
+    bsel = b.select(
+        F.col(b_id).alias("_bid"),
+        *[F.col(c).alias(f"_ab_{c}") for c in block_cols],
+        *[F.col(c).alias(f"_bf_{c}") for c, _, _ in fields],
+    )
+    pairs = bsel.join(asel, [f"_ab_{c}" for c in block_cols])
+    score = None
+    for c, w_agree, w_dis in fields:
+        agree = F.col(f"_af_{c}").eqNullSafe(F.col(f"_bf_{c}")) & F.col(
+            f"_af_{c}"
+        ).isNotNull()
+        term = F.when(agree, F.lit(int(w_agree))).otherwise(F.lit(int(w_dis)))
+        score = term if score is None else (score + term)
+    scored = pairs.select(
+        F.col("_bid").alias(b_id),
+        F.col("_aid").alias(a_id),
+        score.cast("long").alias("score"),
+    ).filter(F.col("score") >= int(threshold))
+    if not keep_best:
+        return scored
+    w = Window.partitionBy(b_id).orderBy(F.desc("score"), F.asc(a_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

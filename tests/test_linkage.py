@@ -1,0 +1,84 @@
+"""Fellegi–Sunter linkage: weight arithmetic, NULL-as-disagreement,
+threshold gating, keep-best tie rule, blocking containment."""
+
+import pytest
+
+from doc_redaction_spark.operators.linkage import fellegi_sunter_link
+
+
+FIELDS = [("name", 24, -8), ("phone", 20, -6), ("addr", 16, -4)]
+
+
+def _ab(spark):
+    a = spark.createDataFrame(
+        [
+            (1, "k1", "alice", "5551234", "1 main st"),
+            (2, "k1", "bob", "5559999", "2 oak ave"),
+            (3, "k2", "carol", "5550000", "3 elm rd"),
+        ],
+        "aid long, blk string, name string, phone string, addr string",
+    )
+    b = spark.createDataFrame(
+        [
+            # exact dup of aid=1 → 60
+            (10, "k1", "alice", "5551234", "1 main st"),
+            # name+phone agree, addr differs → 24+20-4=40
+            (11, "k1", "bob", "5559999", "9 moved ln"),
+            # only phone agrees → -8+20-4=8 < 30: dropped
+            (12, "k2", "karl", "5550000", "nowhere"),
+            # same fields as aid=1 but different block: never paired
+            (13, "k9", "alice", "5551234", "1 main st"),
+            # NULL name on b side: counts as disagreement → -8+20+16=28 < 30
+            (14, "k2", None, "5550000", "3 elm rd"),
+        ],
+        "bid long, blk string, name string, phone string, addr string",
+    )
+    return a, b
+
+
+def test_scoring_threshold_and_blocking(spark):
+    a, b = _ab(spark)
+    out = {
+        r["bid"]: (r["aid"], r["score"])
+        for r in fellegi_sunter_link(
+            a, b, "aid", "bid", ["blk"], FIELDS, threshold=30
+        ).collect()
+    }
+    assert out == {10: (1, 60), 11: (2, 40)}
+
+
+def test_keep_best_tie_rule(spark):
+    a = spark.createDataFrame(
+        [(1, "k", "x", "7", "p"), (2, "k", "x", "7", "p")],
+        "aid long, blk string, name string, phone string, addr string",
+    )
+    b = spark.createDataFrame(
+        [(10, "k", "x", "7", "p")],
+        "bid long, blk string, name string, phone string, addr string",
+    )
+    rows = fellegi_sunter_link(a, b, "aid", "bid", ["blk"], FIELDS, 30).collect()
+    assert len(rows) == 1 and rows[0]["aid"] == 1  # smallest aid wins tie
+    both = fellegi_sunter_link(
+        a, b, "aid", "bid", ["blk"], FIELDS, 30, keep_best=False
+    ).collect()
+    assert {r["aid"] for r in both} == {1, 2}
+
+
+def test_null_never_agrees(spark):
+    a = spark.createDataFrame(
+        [(1, "k", None, "7", "p")],
+        "aid long, blk string, name string, phone string, addr string",
+    )
+    b = spark.createDataFrame(
+        [(10, "k", None, "7", "p")],
+        "bid long, blk string, name string, phone string, addr string",
+    )
+    # NULL == NULL is NOT agreement: -8+20+16 = 28
+    rows = fellegi_sunter_link(a, b, "aid", "bid", ["blk"], FIELDS, 0).collect()
+    assert rows[0]["score"] == 28
+
+
+def test_empty_fields_guard(spark):
+    a, b = _ab(spark)
+    with pytest.raises(ValueError):
+        fellegi_sunter_link(a, b, "aid", "bid", ["blk"], [], 0)
