@@ -1138,6 +1138,39 @@ def o_record_linkage():
     """
 
 
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_session_stats(spark, sf_dir):
+    """Native session_window sessionization (operators/events.py
+    session_stats): per-user 30-minute-gap sessions with count + exact
+    cents, session end = last event + gap. The oracle rebuilds the same
+    sessions with the lag/range-framed-sum island idiom — the manual
+    twin — in exact epoch-µs integers (tie rows are frame peers, no
+    within-ts order dependence)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return oe.session_stats(ev, gap="30 minutes")
+
+
+def o_session_stats():
+    g = _SESSION_GAP_US
+    return f"""
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us,
+                      CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    m AS (SELECT user_id, us, cents,
+                 CASE WHEN lag(us) OVER w IS NULL
+                       OR us >= lag(us) OVER w + {g} THEN 1 ELSE 0 END AS brk
+          FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    s AS (SELECT user_id, us, cents,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid
+          FROM m)
+    SELECT user_id, min(us) AS start_us, max(us) + {g} AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM s GROUP BY user_id, sid
+    """
+
+
 def q_interval_join_events(spark, sf_dir):
     """Range join (operators/joins.py interval_join): ALL view events by
     the same user within 6 hours before each error event (vs
@@ -6502,6 +6535,7 @@ _QUERIES: dict[str, Callable] = {
     "pagerank_purchase": q_pagerank_purchase,
     "events_zorder_layout": q_events_zorder_layout,
     "record_linkage": q_record_linkage,
+    "session_stats": q_session_stats,
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
@@ -6651,6 +6685,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "pagerank_purchase": o_pagerank_purchase,
     "events_zorder_layout": o_events_zorder_layout,
     "record_linkage": o_record_linkage,
+    "session_stats": o_session_stats,
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,

@@ -193,6 +193,39 @@ def scd2_history(
     )
 
 
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE ``session_window``
+    (the idiomatic form — dedup.py's island/run grouping is the manual
+    lag/sum twin): one dynamic-gap window aggregate per user, session
+    end = last event + gap, a new event AT exactly ``prev + gap``
+    starts a new session (windows are ``[start, end)``).
+
+    All outputs integer (epoch µs, counts, exact cents), so the result
+    is engine-exact; ties at the same (user, ts) are frame peers on the
+    oracle side, so no within-second order dependence. Output:
+    ``(user_col, start_us, end_us, n_events, cents BIGINT)``. The
+    streaming twin is ``streaming.stream.session_stats_stream``."""
+    sw = F.session_window(F.col(ts_col).cast("timestamp_ltz"), gap)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        events.groupBy(sw.alias("w"), F.col(user_col))
+        .agg(F.count("*").alias("n_events"), F.sum(cents).alias("cents"))
+        .select(
+            user_col,
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("cents").cast("long").alias("cents"),
+        )
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     epoch0_us: int,

@@ -381,6 +381,36 @@ def interval_join_streams(
     return lw.join(rw, cond).drop(f"_r_{key}")
 
 
+def session_stats_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked streaming twin of ``operators.events.session_stats``:
+    Spark's native session-window state merges adjacent per-user
+    sessions across micro-batches and the watermark bounds state (a
+    session older than the watermark can never be extended, so its
+    state is evicted — gap-sessionization without watermarks grows
+    state forever). Stream≡batch pinned by tests/test_streaming.py."""
+    w = stream.withWatermark(ts_col, watermark)
+    sw = F.session_window(F.col(ts_col).cast("timestamp_ltz"), gap)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        w.groupBy(sw.alias("w"), F.col(user_col))
+        .agg(F.count("*").alias("n_events"), F.sum(cents).alias("cents"))
+        .select(
+            user_col,
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("cents").cast("long").alias("cents"),
+        )
+    )
+
+
 def dedup_events_stream(
     stream: DataFrame,
     id_cols: list[str],

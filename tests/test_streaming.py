@@ -630,3 +630,48 @@ def test_stream_dedup_on_ingest(spark, tmp_path):
         "select count(*) as n, count(distinct event_id) as d from dedup_out"
     ).collect()[0]
     assert n.n == 40 and n.d == 40
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Watermarked native session_window aggregation == the batch
+    session_stats over the same files (complete mode; session state
+    merges across micro-batches — maxFilesPerTrigger=1 forces events of
+    the same session to arrive in different batches)."""
+    import datetime as dt
+
+    from doc_redaction_spark.operators.events import session_stats
+    from doc_redaction_spark.streaming.stream import session_stats_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    sch = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    d = str(tmp_path / "sess")
+    # two users; user 0's events straddle the two files so the session
+    # must MERGE across micro-batches; a 45-min gap splits sessions
+    rows1 = [(i, t0 + dt.timedelta(minutes=5 * i), i % 2, "view", 1.25) for i in range(6)]
+    rows2 = [
+        (100 + i, t0 + dt.timedelta(minutes=25 + 5 * i), i % 2, "view", 2.5)
+        for i in range(4)
+    ] + [(200, t0 + dt.timedelta(minutes=120), 0, "view", 9.99)]
+    spark.createDataFrame(rows1, sch).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(rows2, sch).coalesce(1).write.mode("append").parquet(d)
+
+    st = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        session_stats_stream(st, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r) for r in spark.sql(
+            "select user_id, start_us, end_us, n_events, cents from sess_out"
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in session_stats(
+        spark.read.parquet(d), gap="30 minutes"
+    ).collect())
+    assert got == want and len(want) >= 3
