@@ -2618,6 +2618,50 @@ def o_unigram_surprisal():
     """
 
 
+_DSIR_TARGET_SOURCE = "src0"
+
+
+def q_dsir_score(spark, sf_dir):
+    """DSIR-style importance weighting (operators/curation.py
+    dsir_importance): score every document by target-vs-raw token
+    log-likelihood ratio with the source-'src0' slice as the quality
+    target — the pick-data-that-looks-like-the-target selection pass
+    (Xie et al. 2023), in the exact integer log2 domain."""
+    from doc_redaction_spark.operators.curation import dsir_importance
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("source") == _DSIR_TARGET_SOURCE)
+    return dsir_importance(docs, target)
+
+
+def o_dsir_score():
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id AS id, unnest({toks}) AS tok FROM documents),
+    tf AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM tk GROUP BY id, tok),
+    raw AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS rc FROM tf GROUP BY tok),
+    tgt AS (SELECT tok, CAST(count(*) AS BIGINT) AS tc
+            FROM (SELECT unnest({toks}) AS tok FROM documents
+                  WHERE source = '{_DSIR_TARGET_SOURCE}')
+            GROUP BY tok),
+    w AS (SELECT raw.tok,
+                 (length(bin(coalesce(tgt.tc, 0) + 1)) - 1)
+                   - (length(bin(raw.rc + 1)) - 1) AS w
+          FROM raw LEFT JOIN tgt USING (tok)),
+    d AS (SELECT tf.id, CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+                 CAST(sum(tf.tf * w.w) AS BIGINT) AS sum_w
+          FROM tf JOIN w USING (tok) GROUP BY tf.id)
+    SELECT doc_id,
+           CAST(coalesce(d.n_tok, 0) AS BIGINT) AS n_tok,
+           coalesce(floor(d.sum_w * 10000 / d.n_tok) / 10000, 0.0e0) AS dsir
+    FROM documents LEFT JOIN d ON documents.doc_id = d.id
+    """
+
+
 _SAMPLE_RATES = {"en": 0.3, "fr": 0.8, "de": 0.5, "es": 1.0}
 _SAMPLE_DEFAULT = 0.1
 _SPLIT_FRACS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
@@ -6536,6 +6580,7 @@ _QUERIES: dict[str, Callable] = {
     "events_zorder_layout": q_events_zorder_layout,
     "record_linkage": q_record_linkage,
     "session_stats": q_session_stats,
+    "dsir_score": q_dsir_score,
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
@@ -6686,6 +6731,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "events_zorder_layout": o_events_zorder_layout,
     "record_linkage": o_record_linkage,
     "session_stats": o_session_stats,
+    "dsir_score": o_dsir_score,
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,

@@ -150,6 +150,83 @@ def _floor_log2(c) -> Column:
     return F.length(F.conv(F.col(c).cast("string"), 10, 2)) - 1
 
 
+def dsir_importance(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each corpus
+    document by how target-like its token distribution is — the
+    log-likelihood ratio Σ_tok tf · (log p_target − log p_raw), the
+    standard pick-pretraining-data-that-looks-like-the-target pass.
+
+    Deterministic deviations, documented: (1) per-token weights are
+    log2-BUCKETED with add-one smoothing — w(tok) =
+    floor_log2(target_cnt+1) − floor_log2(raw_cnt+1) — because float
+    ln() is not bit-identical cross-engine (see ``_floor_log2``) while
+    binary digit counts are; (2) the corpus-size normalizer
+    (log T_raw − log T_target) is omitted — it is the SAME constant for
+    every token occurrence, so each document's mean shifts uniformly
+    and the ranking (all DSIR consumes) is unchanged; (3) features are
+    unigrams from the shared token spec, not DSIR's hashed bigrams —
+    the hashing exists to bound feature space, which the shuffle join
+    on ``tok`` does not need.
+
+    Plan shape: one explode + per-(doc,tok) pre-aggregation over the
+    corpus (shrinks the weight join to distinct tokens per doc), one
+    map-side-combinable count over the target, weights attached by a
+    shuffle equi-join on ``tok`` (the raw-vocab weight table need not
+    fit in one executor). No driver actions, no crossJoin.
+
+    Output: ``(id_col, n_tok BIGINT, dsir DOUBLE)`` — dsir = mean
+    per-token weight floored to 4 decimals (exact integer sum, one
+    floor); token-free docs report 0/0.0. Positive = target-like.
+    """
+    tf = (
+        corpus.select(
+            F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok")
+        )
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    raw = tf.groupBy("tok").agg(F.sum("tf").alias("_rc"))
+    tgt = (
+        target.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("_tc"))
+    )
+    w = (
+        raw.join(tgt, "tok", "left")
+        .withColumn("_tc1", F.coalesce("_tc", F.lit(0)) + 1)
+        .withColumn("_rc1", F.col("_rc") + 1)
+        .select("tok", (_floor_log2("_tc1") - _floor_log2("_rc1")).alias("w"))
+    )
+    per_doc = (
+        tf.join(w, "tok")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("w")).alias("sum_w"),
+        )
+    )
+    scored = per_doc.select(
+        "id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        (F.floor(F.col("sum_w") * SCALE / F.col("n_tok")) / SCALE).alias("dsir"),
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(scored, F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
+            F.coalesce("dsir", F.lit(0.0)).alias("dsir"),
+        )
+    )
+
+
 def unigram_surprisal(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

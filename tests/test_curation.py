@@ -76,3 +76,32 @@ def test_vocab_coverage_ground_truth(spark):
     assert got[2] == (3, 1, 0.3333)
     assert got[3] == (0, 0, 0.0)
     assert got[4] == (0, 0, 0.0)
+
+
+def test_dsir_importance_ground_truth(spark):
+    """Hand-computed integer log2 weights: target-aligned docs score
+    positive, off-target docs negative; empty docs report 0/0.0; the
+    omitted corpus-size normalizer shifts means uniformly (checked by
+    rank order, the quantity DSIR consumes)."""
+    from doc_redaction_spark.operators.curation import dsir_importance
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "wiki wiki wiki"),
+            (2, "spam spam spam"),
+            (3, "wiki spam"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(10, "wiki wiki wiki wiki wiki wiki wiki",)],
+                                   "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tok"], r["dsir"]) for r in dsir_importance(corpus, target).collect()}
+    # raw counts: wiki=4, spam=4 → floor_log2(5)=2 for both
+    # target counts: wiki=7 → floor_log2(8)=3; spam absent → floor_log2(1)=0
+    # w(wiki)=3-2=1, w(spam)=0-2=-2
+    assert out[1] == (3, 1.0)
+    assert out[2] == (3, -2.0)
+    assert out[3] == (2, -0.5)  # floor(-1*1e4/2)/1e4
+    assert out[4] == (0, 0.0)
+    assert out[1][1] > out[3][1] > out[2][1]
