@@ -1171,6 +1171,30 @@ def o_session_stats():
     """
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams
+    (operators/events.py transition_matrix): lead() over the
+    (user, ts, event_id) total order → (from, to) counts + floor-scaled
+    row-normalized probabilities. The event_id tiebreak pins the
+    sequence under timestamp collisions."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return oe.transition_matrix(ev)
+
+
+def o_event_transitions():
+    return """
+    WITH s AS (SELECT event_type AS from_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS to_type
+               FROM events),
+    c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+           floor(n * 1e4 / sum(n) OVER (PARTITION BY from_type)) / 1e4 AS p
+    FROM c
+    """
+
+
 def q_interval_join_events(spark, sf_dir):
     """Range join (operators/joins.py interval_join): ALL view events by
     the same user within 6 hours before each error event (vs
@@ -6581,6 +6605,7 @@ _QUERIES: dict[str, Callable] = {
     "record_linkage": q_record_linkage,
     "session_stats": q_session_stats,
     "dsir_score": q_dsir_score,
+    "event_transitions": q_event_transitions,
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
@@ -6732,6 +6757,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "record_linkage": o_record_linkage,
     "session_stats": o_session_stats,
     "dsir_score": o_dsir_score,
+    "event_transitions": o_event_transitions,
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,

@@ -193,6 +193,39 @@ def scd2_history(
     )
 
 
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the sequence-mining staple: "after a view, how often a
+    click?"). Consecutive-event pairs come from one ``lead()`` over the
+    (user, ts, id) total order — the ``id_col`` tiebreak makes the
+    sequence, and therefore every count, deterministic under ts
+    collisions; counts aggregate map-side-combinably over (from, to).
+
+    Output: ``(from_type, to_type, n BIGINT, p DOUBLE)`` with
+    ``p = floor(n·10⁴ / row_total)/10⁴`` (floor-scaled — round() halves
+    diverge cross-engine). One shuffle for the window + one for the
+    tiny (|types|²-row) aggregate."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        (F.floor(F.col("n") * 1e4 / F.sum("n").over(tot)) / 1e4).alias("p"),
+    )
+
+
 def session_stats(
     events: DataFrame,
     gap: str = "30 minutes",

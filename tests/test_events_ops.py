@@ -147,3 +147,26 @@ def test_cohort_pre_epoch_floor_division(spark):
         for r in cohort_retention(_ev(spark, rows), EPOCH0).collect()
     }
     assert out == {(-1, 0): 1, (-1, 1): 1}
+
+
+def test_transition_matrix_ground_truth(spark):
+    from doc_redaction_spark.operators.events import transition_matrix
+
+    rows = [
+        (1, _t(1), 1, "view", 1.0),
+        (2, _t(2), 1, "click", 1.0),
+        (3, _t(3), 1, "view", 1.0),
+        (4, _t(4), 1, "click", 1.0),
+        # ts collision: event_id order decides view→click, not click→view
+        (5, _t(5), 2, "view", 1.0),
+        (6, _t(5), 2, "click", 1.0),
+        (7, _t(6), 2, "purchase", 1.0),
+    ]
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in transition_matrix(_ev(spark, rows)).collect()
+    }
+    assert out[("view", "click")] == (3, 1.0)
+    assert out[("click", "view")] == (1, 0.5)
+    assert out[("click", "purchase")] == (1, 0.5)
+    assert len(out) == 3

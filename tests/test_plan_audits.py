@@ -323,3 +323,46 @@ def test_bm25_broadcasts_query_terms_and_stats(spark, queries):
         if "BroadcastNestedLoopJoin" in ln:
             assert "BuildRight" in ln, ln
     assert "BroadcastHashJoin [tok" in plan or "BroadcastHashJoin [tok".lower() in plan.lower(), plan
+
+
+def test_new_graph_linkage_zorder_no_cartesian(spark, queries):
+    """Round-5 session-4 operators: no nested-loop/cartesian anywhere —
+    triangle wedges, PageRank iterations, linkage candidates, and the
+    funnel are all equi-joins or window chains; the only BNLJ-free
+    exception allowed is a broadcast of a 1-row aggregate."""
+    for name in (
+        "part_triangles",
+        "pagerank_purchase",
+        "record_linkage",
+        "funnel_conversion",
+        "session_stats",
+        "dsir_score",
+    ):
+        plan = _plan(queries[name](spark, SF))
+        assert "CartesianProduct" not in plan, (name, plan)
+        # BroadcastNestedLoopJoin is legal ONLY for broadcast-tiny 1-row
+        # bound/count attachments (zorder bounds, pagerank N)
+        for ln in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in ln:
+                assert name in ("pagerank_purchase",), (name, ln)
+
+
+def test_zorder_layout_single_agg_pass(spark, queries):
+    """The layout report reads events twice (bounds + rows) but the row
+    side is ONE map-side-combinable aggregate — no window, no join
+    beyond the broadcast bounds."""
+    plan = _plan(queries["events_zorder_layout"](spark, SF))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_funnel_single_exchange(spark, queries):
+    """funnel_steps: chained same-key windows + same-key groupBy reuse
+    ONE exchange on the user key (plus AQE's duplicated plan print)."""
+    plan = _plan(queries["funnel_conversion"](spark, SF))
+    # per-line property (AQE prints Final+Initial): every Exchange line
+    # is hashpartitioning on user_id
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "Reused" not in ln:
+            assert "user_id" in ln, ln
