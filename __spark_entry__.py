@@ -1195,6 +1195,34 @@ def o_event_transitions():
     """
 
 
+def q_skew_report(spark, sf_dir):
+    """Shuffle-skew diagnostics (operators/quality.py skew_report): the
+    top-10 hottest l_suppkey values with row share and skew factor
+    (count·n_keys/n_rows) — the pre-mortem run before keying a 100 TB
+    join; skew_x ≫ 1 routes the key to salted_join/AQE. One combinable
+    count + broadcast 1-row global + TakeOrderedAndProject top-k."""
+    from doc_redaction_spark.operators.quality import skew_report
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return skew_report(li, "l_suppkey", top_k=10)
+
+
+def o_skew_report():
+    return """
+    WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM lineitem GROUP BY 1),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(n) AS BIGINT) AS n_rows FROM c),
+    t AS (SELECT key, n,
+                 row_number() OVER (ORDER BY n DESC, key) AS rk FROM c)
+    SELECT CAST(rk AS BIGINT) AS rank, key, n, g.n_keys, g.n_rows,
+           floor(n * 1e6 / g.n_rows) / 1e6 AS share,
+           floor(n * g.n_keys * 1e4 / g.n_rows) / 1e4 AS skew_x
+    FROM t, g WHERE rk <= 10
+    """
+
+
 def q_interval_join_events(spark, sf_dir):
     """Range join (operators/joins.py interval_join): ALL view events by
     the same user within 6 hours before each error event (vs
@@ -6606,6 +6634,7 @@ _QUERIES: dict[str, Callable] = {
     "session_stats": q_session_stats,
     "dsir_score": q_dsir_score,
     "event_transitions": q_event_transitions,
+    "skew_report": q_skew_report,
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
@@ -6758,6 +6787,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "session_stats": o_session_stats,
     "dsir_score": o_dsir_score,
     "event_transitions": o_event_transitions,
+    "skew_report": o_skew_report,
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,

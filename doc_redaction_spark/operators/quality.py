@@ -108,3 +108,47 @@ def upsert_latest(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Shuffle-skew diagnostics for a prospective join/groupBy key: the
+    top-k hottest keys with their row share and skew factor
+    (``count·n_keys/n_rows`` — how many times over uniform the key is;
+    1.0 ≈ balanced, ≫1 = the straggler task that dominates a 100 TB
+    shuffle). Run this BEFORE keying a big shuffle; a skew_x in the
+    hundreds is the signal to reach for joins.salted_join or AQE skew
+    handling.
+
+    Plan: one map-side-combinable per-key count, a 1-row global
+    aggregate broadcast back, and a TakeOrderedAndProject top-k (never
+    a global sort). Output: (rank, key STRING, n, n_keys, n_rows
+    BIGINT, share, skew_x DOUBLE floor-scaled) — key is stringified so
+    the report schema is key-type-independent.
+    """
+    counts = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+    )
+    glob = counts.agg(
+        F.count("*").alias("n_keys"), F.sum("n").alias("n_rows")
+    )
+    top = (
+        counts.orderBy(F.desc("n"), F.asc("key"))
+        .limit(int(top_k))
+        .crossJoin(F.broadcast(glob))
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("key")))
+        .cast("long")
+        .alias("rank"),
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.floor(F.col("n") * 1e6 / F.col("n_rows")) / 1e6).alias("share"),
+        (F.floor(F.col("n") * F.col("n_keys") * 1e4 / F.col("n_rows")) / 1e4).alias(
+            "skew_x"
+        ),
+    )

@@ -62,3 +62,21 @@ def test_upsert_latest_semantics(spark):
     merged = upsert_latest(base, upd, "k", "ver")
     again = upsert_latest(merged, upd, "k", "ver")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_skew_report_ground_truth(spark):
+    from doc_redaction_spark.operators.quality import skew_report
+
+    rows = [(k,) for k in ["a"] * 6 + ["b"] * 3 + ["c"] * 1]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["rank"]: r for r in skew_report(df, "k", top_k=2).collect()}
+    assert len(out) == 2
+    r1, r2 = out[1], out[2]
+    assert (r1["key"], r1["n"], r1["n_keys"], r1["n_rows"]) == ("a", 6, 3, 10)
+    assert r1["share"] == 0.6 and r1["skew_x"] == 1.8  # 6*3/10
+    assert (r2["key"], r2["n"]) == ("b", 3)
+    # tie-break: equal counts rank by key asc
+    tie = skew_report(
+        spark.createDataFrame([("x",), ("y",)], "k string"), "k", top_k=2
+    ).collect()
+    assert [r["key"] for r in sorted(tie, key=lambda r: r["rank"])] == ["x", "y"]
