@@ -1223,6 +1223,26 @@ def o_skew_report():
     """
 
 
+def q_doc_readability(spark, sf_dir):
+    """Flesch reading-ease (functions/textstats.py readability_cols) in
+    exact ×1000 integer arithmetic over the shared vowel-group/sentence
+    /word counters — the readability leg of the quality battery
+    (very low = legalese/gibberish, implausibly high = word soup)."""
+    from doc_redaction_spark.functions.textstats import readability_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", *readability_cols("text"))
+
+
+def o_doc_readability():
+    from doc_redaction_spark.functions.textstats import duckdb_readability
+
+    return f"""
+    SELECT doc_id, {duckdb_readability('text')}
+    FROM documents
+    """
+
+
 def q_interval_join_events(spark, sf_dir):
     """Range join (operators/joins.py interval_join): ALL view events by
     the same user within 6 hours before each error event (vs
@@ -6635,6 +6655,7 @@ _QUERIES: dict[str, Callable] = {
     "dsir_score": q_dsir_score,
     "event_transitions": q_event_transitions,
     "skew_report": q_skew_report,
+    "doc_readability": q_doc_readability,
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
@@ -6788,6 +6809,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dsir_score": o_dsir_score,
     "event_transitions": o_event_transitions,
     "skew_report": o_skew_report,
+    "doc_readability": o_doc_readability,
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,

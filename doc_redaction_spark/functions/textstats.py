@@ -260,6 +260,54 @@ def duckdb_script_dominant(expr: str) -> str:
     return f"CASE WHEN {total} = 0 THEN 'none' ELSE {sql} END"
 
 
+# Flesch reading-ease in EXACT rational arithmetic (readability as a
+# quality signal — very low scores flag legalese/gibberish, implausibly
+# high ones flag word-soup). Classic formula 206.835 − 1.015·(W/S) −
+# 84.6·(Y/W); deviations documented: computed ×1000 with integer floor
+# divisions (float multiply-then-subtract differs in last ulp
+# cross-engine), syllables approximated as [aeiouy]+ vowel groups (the
+# standard dictionary-free heuristic), sentences = [.!?]+ runs floored
+# at 1. All three counters are JVM regexp_count over one shared
+# rendering per dialect.
+_SYLLABLE_PAT = "[aeiouy]+"
+_SENTENCE_PAT = "[.!?]+"
+_WORD_PAT = r"\S+"
+
+
+def readability_cols(col: str = "text") -> list[Column]:
+    t = F.coalesce(F.col(col), F.lit(""))
+    words = F.regexp_count(t, F.lit(_WORD_PAT)).cast("long")
+    sents = F.greatest(
+        F.regexp_count(t, F.lit(_SENTENCE_PAT)).cast("long"), F.lit(1)
+    )
+    syll = F.regexp_count(F.lower(t), F.lit(_SYLLABLE_PAT)).cast("long")
+    flesch = F.when(words == 0, F.lit(0)).otherwise(
+        F.lit(206_835)
+        - F.floor(F.lit(1_015) * words / sents)
+        - F.floor(F.lit(84_600) * syll / words)
+    )
+    return [
+        words.alias("words"),
+        sents.alias("sentences"),
+        syll.alias("syllables"),
+        flesch.cast("long").alias("flesch_milli"),
+    ]
+
+
+def duckdb_readability(expr: str) -> str:
+    t = f"coalesce({expr}, '')"
+    w = f"CAST(len(regexp_extract_all({t}, '{_WORD_PAT}')) AS BIGINT)"
+    s = f"greatest(CAST(len(regexp_extract_all({t}, '{_SENTENCE_PAT}')) AS BIGINT), 1)"
+    y = f"CAST(len(regexp_extract_all(lower({t}), '{_SYLLABLE_PAT}')) AS BIGINT)"
+    return (
+        f"{w} AS words, {s} AS sentences, {y} AS syllables,\n"
+        f"           CAST(CASE WHEN {w} = 0 THEN 0\n"
+        f"                ELSE 206835 - floor(1015 * {w} / {s})\n"
+        f"                            - floor(84600 * {y} / {w}) END AS BIGINT)\n"
+        f"             AS flesch_milli"
+    )
+
+
 # --- DuckDB renderings (used by oracle_sql) ---------------------------------
 
 def duckdb_token_count(expr: str) -> str:

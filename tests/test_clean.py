@@ -155,3 +155,25 @@ def test_script_profile_three_dialects(spark):
         for s in SCRIPT_PRIORITY:
             py = len(_re.findall(_script_pattern(s), r.text))
             assert r[f"n_{s}"] == py, (s, r.text)
+
+
+def test_readability_ground_truth(spark):
+    """Exact ×1000 Flesch arithmetic on hand-counted text + empty/null
+    zero path; Python re mirrors the same three counters."""
+    import re as _re
+
+    from doc_redaction_spark.functions.textstats import readability_cols
+
+    rows = [(1, "The cat sat. The dog ran!"), (2, None), (3, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select("doc_id", *readability_cols("text")).collect()}
+    r = out[1]
+    # words=6, sentences=2, syllables: e-a / a-a / e-o / a  -> count vowel groups
+    w = len(_re.findall(r"\S+", rows[0][1]))
+    s = len(_re.findall(r"[.!?]+", rows[0][1]))
+    y = len(_re.findall(r"[aeiouy]+", rows[0][1].lower()))
+    assert (r["words"], r["sentences"], r["syllables"]) == (w, s, y)
+    import math
+    assert r["flesch_milli"] == 206835 - math.floor(1015 * w / s) - math.floor(84600 * y / w)
+    assert out[2]["flesch_milli"] == 0 and out[2]["words"] == 0
+    assert out[3]["sentences"] == 1  # floored at 1
