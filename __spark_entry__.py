@@ -1243,6 +1243,71 @@ def o_doc_readability():
     """
 
 
+def q_numeric_profile(spark, sf_dir):
+    """Exact numeric column profiles (operators/quality.py
+    numeric_profile): count/nulls/min/max/sum/mean/population-variance
+    for o_totalprice (cents) and l_quantity — moments summed in
+    DECIMAL(38,0) (BIGINT Σx² wraps on money columns) with integral-div
+    finals, so every value is engine-identical."""
+    from doc_redaction_spark.operators.quality import numeric_profile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return numeric_profile(orders, "o_totalprice", 100).unionByName(
+        numeric_profile(li, "l_quantity", 1)
+    )
+
+
+def o_numeric_profile():
+    def prof(table, col, scale):
+        x = f"CAST(round({col} * {scale}) AS BIGINT)"
+        return f"""
+    SELECT '{col}' AS column,
+           CAST(count({x}) AS BIGINT) AS n,
+           CAST(count(*) - count({x}) AS BIGINT) AS n_null,
+           CAST(min({x}) AS BIGINT) AS min_s,
+           CAST(max({x}) AS BIGINT) AS max_s,
+           CAST(sum({x}) AS BIGINT) AS sum_s,
+           CAST((sum({x}) * 1000) // count({x}) AS BIGINT) AS mean_milli,
+           CAST(((count({x}) * sum({x}::HUGEINT * {x}) - sum({x})::HUGEINT
+                  * sum({x})) * 1000)
+                // (count({x})::HUGEINT * count({x})) AS BIGINT) AS var_milli
+    FROM {table}"""
+
+    return (
+        prof("orders", "o_totalprice", 100)
+        + "\n    UNION ALL\n"
+        + prof("lineitem", "l_quantity", 1)
+    )
+
+
+def q_group_sample(spark, sf_dir):
+    """Deterministic k-per-group sampling (operators/sampling.py
+    group_sample): keep the 5 lowest md5-hash docs per source — the
+    "cap every domain at k docs" pass; identical kept set on any
+    cluster size / partitioning, and growing k only adds rows."""
+    from doc_redaction_spark.operators.sampling import group_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "doc_id"
+    )
+    return group_sample(docs, "source", "doc_id", k=5)
+
+
+def o_group_sample():
+    from doc_redaction_spark.operators.sampling import duckdb_hash_u32
+
+    h = duckdb_hash_u32("'gs1:' || CAST(source AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH h AS (SELECT source, doc_id, {h} AS hv FROM documents),
+    r AS (SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+                   AS rn
+          FROM h)
+    SELECT source, doc_id FROM r WHERE rn <= 5
+    """
+
+
 def q_interval_join_events(spark, sf_dir):
     """Range join (operators/joins.py interval_join): ALL view events by
     the same user within 6 hours before each error event (vs
@@ -6656,6 +6721,8 @@ _QUERIES: dict[str, Callable] = {
     "event_transitions": q_event_transitions,
     "skew_report": q_skew_report,
     "doc_readability": q_doc_readability,
+    "numeric_profile": q_numeric_profile,
+    "group_sample": q_group_sample,
     "interval_join_events": q_interval_join_events,
     "dq_report": q_dq_report,
     "upsert_events": q_upsert_events,
@@ -6810,6 +6877,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "event_transitions": o_event_transitions,
     "skew_report": o_skew_report,
     "doc_readability": o_doc_readability,
+    "numeric_profile": o_numeric_profile,
+    "group_sample": o_group_sample,
     "interval_join_events": o_interval_join_events,
     "dq_report": o_dq_report,
     "upsert_events": o_upsert_events,

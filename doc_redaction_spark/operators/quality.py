@@ -152,3 +152,46 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
             "skew_x"
         ),
     )
+
+
+def numeric_profile(df: DataFrame, col: str, scale: int = 100) -> DataFrame:
+    """Exact numeric column profile (the Deequ/GE column-profiler shape):
+    count, nulls, min/max/sum, mean and POPULATION VARIANCE — every
+    moment exact and engine-identical. Values are scaled to integers
+    (``scale`` = 100 for money→cents), summed in DECIMAL(38,0) (a
+    BIGINT Σx² silently wraps: cents² × row-count exceeds 2^63 on real
+    money columns), and the final mean/variance use integral ``div``:
+    mean_milli = 1000·Σx div n, var_milli = 1000·(n·Σx² − (Σx)²) div n²
+    — float aggregation of moments is order-dependent in the low bits,
+    integral division of exact sums is not.
+
+    One map-side-combinable aggregate pass; 1-row output:
+    (column STRING, n, n_null, min_s, max_s, sum_s, mean_milli,
+    var_milli BIGINT). Output-domain bound: the INTERNAL sums are
+    arbitrary-precision, but the reported var_milli must fit BIGINT —
+    1000·variance < 2^63 in scaled units², i.e. value SPREAD up to
+    ~9.6e7 scaled units (any real money/quantity column); the magnitude
+    of the values themselves is unconstrained."""
+    x = F.round(F.col(col) * scale).cast("long")
+    xd = x.cast("decimal(38,0)")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_rows"),
+        F.count(x).alias("_n"),
+        F.min(x).alias("_mn"),
+        F.max(x).alias("_mx"),
+        F.sum(xd).alias("_s"),
+        F.sum(xd * xd).alias("_ss"),
+    )
+    return agg.select(
+        F.lit(col).alias("column"),
+        F.col("_n").cast("long").alias("n"),
+        (F.col("_rows") - F.col("_n")).cast("long").alias("n_null"),
+        F.col("_mn").cast("long").alias("min_s"),
+        F.col("_mx").cast("long").alias("max_s"),
+        F.col("_s").cast("long").alias("sum_s"),
+        F.expr("CAST((_s * 1000) div _n AS BIGINT)").alias("mean_milli"),
+        F.expr(
+            "CAST(((_n * _ss - _s * _s) * 1000) div (CAST(_n AS DECIMAL(38,0))"
+            " * _n) AS BIGINT)"
+        ).alias("var_milli"),
+    )

@@ -21,7 +21,7 @@ exactly this).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HASH_SPACE = 1 << 32
@@ -91,3 +91,37 @@ def hash_split(
     for label, bound in reversed(bounds):
         expr = F.when(h < F.lit(bound).cast("long"), F.lit(label)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "gs1",
+) -> DataFrame:
+    """Deterministic k-per-group sample ("take ≤k docs per domain"):
+    rank rows inside each group by the md5-u32 hash of
+    ``salt:group:id`` (ties impossible for distinct ids under one
+    salt's 2^32 space — broken by id anyway) and keep rank ≤ k. The
+    same rows survive on any cluster size / partitioning — the property
+    a per-partition-seeded ``df.sample`` cannot give — and growing
+    ``k`` only ADDS rows (nested subsets, same argument as hash_split's
+    monotone ablation sets).
+
+    One shuffle (the per-group rank window); partitions bounded by
+    group sizes — for pathological hot groups compose with the salted
+    two-phase rank in ``plans/pipeline.py``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = _hash_u32(
+        F.concat_ws(":", F.lit(salt), F.col(group_col).cast("string"),
+                    F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_gs_rn", F.row_number().over(w))
+        .filter(F.col("_gs_rn") <= int(k))
+        .drop("_gs_rn")
+    )

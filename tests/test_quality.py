@@ -80,3 +80,32 @@ def test_skew_report_ground_truth(spark):
         spark.createDataFrame([("x",), ("y",)], "k string"), "k", top_k=2
     ).collect()
     assert [r["key"] for r in sorted(tie, key=lambda r: r["rank"])] == ["x", "y"]
+
+
+def test_numeric_profile_exact_moments(spark):
+    """Known values: moments match exact integer math incl. nulls; the
+    DECIMAL(38,0) sum path is exercised by values whose Σx² would wrap
+    a BIGINT."""
+    from doc_redaction_spark.operators.quality import numeric_profile
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,)], "v double"
+    )
+    r = numeric_profile(df, "v", 100).collect()[0]
+    # cents: 100, 200, 300; n=3 mean=200 var = (n*ssq - s^2)/n^2
+    s, ssq, n = 600, 140000, 3
+    assert (r["n"], r["n_null"], r["min_s"], r["max_s"], r["sum_s"]) == (3, 1, 100, 300, 600)
+    assert r["mean_milli"] == s * 1000 // n
+    assert r["var_milli"] == (n * ssq - s * s) * 1000 // (n * n)
+    # BIGINT-wrap regime: 3e9-cent values whose Σx² (2.7e19) exceeds
+    # 2^63 — a long-typed sum would silently wrap; the DECIMAL(38,0)
+    # path must survive. Spread kept small so the variance itself stays
+    # inside the BIGINT output domain (documented bound).
+    vals = [2_999_999_900, 3_000_000_000, 3_000_000_100]
+    big = spark.createDataFrame([(v / 100,) for v in vals], "v double")
+    rb = numeric_profile(big, "v", 100).collect()[0]
+    sb, ssb = sum(vals), sum(v * v for v in vals)
+    assert ssb > 2**63  # the wrap regime is actually exercised
+    assert rb["sum_s"] == sb
+    assert rb["mean_milli"] == sb * 1000 // 3
+    assert rb["var_milli"] == (3 * ssb - sb * sb) * 1000 // 9

@@ -89,3 +89,39 @@ def test_sampling_is_map_only(spark):
     assert "Exchange" not in plan
     plan2 = hash_split(df, [("a", 0.5), ("b", 0.5)])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan2
+
+
+def test_group_sample_deterministic_and_nested(spark):
+    """Same kept set across partitionings; k=3 ⊂ k=5; ≤k per group;
+    python-md5 reference agrees."""
+    import hashlib
+
+    from doc_redaction_spark.operators.sampling import group_sample
+
+    rows = [(f"g{i % 4}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    k5 = {(r["g"], r["id"]) for r in group_sample(df, "g", "id", 5).collect()}
+    k3 = {(r["g"], r["id"]) for r in group_sample(df, "g", "id", 3).collect()}
+    k5_rep = {
+        (r["g"], r["id"])
+        for r in group_sample(df.repartition(13), "g", "id", 5).collect()
+    }
+    assert k5 == k5_rep and k3 <= k5
+    assert all(sum(1 for g, _ in k5 if g == f"g{j}") == 5 for j in range(4))
+    # python reference: lowest-5 hashes per group
+    want = set()
+    for j in range(4):
+        ids = [i for i in range(100) if i % 4 == j]
+        key = lambda i: (int(hashlib.md5(f"gs1:g{j}:{i}".encode()).hexdigest()[:8], 16), i)
+        want |= {(f"g{j}", i) for i in sorted(ids, key=key)[:5]}
+    assert k5 == want
+
+
+def test_group_sample_k_guard(spark):
+    import pytest as _p
+
+    from doc_redaction_spark.operators.sampling import group_sample
+
+    df = spark.createDataFrame([("g", 1)], "g string, id long")
+    with _p.raises(ValueError):
+        group_sample(df, "g", "id", 0)
