@@ -6689,6 +6689,286 @@ def o_redact_pseudonym_email():
 
 
 # ---------------------------------------------------------------------------
+# round-5 session-5: prefix-filter join, eval harness, diff/trim/stats ops
+# ---------------------------------------------------------------------------
+
+
+def _uncapped_pairs_sql(src: str, t_num: int, t_den: int) -> str:
+    """Uncapped all-pairs shingle-Jaccard CTE chain + final select —
+    the EXACT ground-truth spec `prefix_filter_pairs` optimizes (no
+    max_df: losslessness is the operator's whole claim). Integer Jaccard
+    (`jac_x1000` via `//`, non-negative so trunc == floor == Spark div)."""
+    return f"""
+    sh2 AS (SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM {src}),
+    exu AS (SELECT id, len(shingles) AS sz, unnest(shingles) AS s
+            FROM sh2 WHERE len(shingles) > 0),
+    interu AS (SELECT a.id AS id1, b.id AS id2,
+                      CAST(min(a.sz) AS BIGINT) AS sz1,
+                      CAST(min(b.sz) AS BIGINT) AS sz2,
+                      CAST(count(*) AS BIGINT) AS inter
+               FROM exu a JOIN exu b ON a.s = b.s AND a.id < b.id
+               GROUP BY a.id, b.id)
+    SELECT id1, id2, sz1, sz2, inter,
+           (inter * 1000) // (sz1 + sz2 - inter) AS jac_x1000
+    FROM interu
+    WHERE inter * {t_den} >= {t_num} * (sz1 + sz2 - inter)"""
+
+
+def q_dedup_prefix_filter(spark, sf_dir):
+    """Lossless prefix-filtered set-similarity join (dedup.
+    prefix_filter_pairs — AllPairs/PPJoin family): EXACT Jaccard ≥ 0.7
+    pairs where candidate generation joins only each doc's df-ascending
+    token PREFIX, so hot boilerplate shingles never enter the pair join —
+    the exact-result sibling of the df-capped sparse join (which changes
+    the measure) and MinHash LSH (which is probabilistic). Oracle = the
+    uncapped all-pairs spec, so losslessness is value-checked."""
+    return dd.prefix_filter_pairs(
+        documents_plus(spark, sf_dir), t_num=700, t_den=1000
+    )
+
+
+def o_dedup_prefix_filter():
+    return f"""
+    WITH docs_plus AS ({documents_plus_sql()}),
+    {_uncapped_pairs_sql("docs_plus", 700, 1000)}
+    """
+
+
+def q_near_dup_eval(spark, sf_dir):
+    """Dedup-quality evaluation harness: MinHash-LSH predicted pairs
+    (est_jaccard ≥ 0.5 on 16 hashes — the probabilistic scale path) scored
+    against the EXACT J ≥ 0.5 ground truth from prefix_filter_pairs.
+    One full-outer join on the pair key → confusion counts + integer
+    precision/recall — the measurement a pipeline owner runs before
+    trusting an approximate dedup config at 100 TB."""
+    docs = documents_plus(spark, sf_dir)
+    pred = dd.minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=0.5
+    ).select("id1", "id2", F.lit(1).alias("_p"))
+    truth = dd.prefix_filter_pairs(docs, t_num=500, t_den=1000).select(
+        "id1", "id2", F.lit(1).alias("_t")
+    )
+    j = pred.join(truth, ["id1", "id2"], "full_outer")
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("_t").isNull(), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") > 0, F.expr("(tp * 1000) div (tp + fp)"))
+        .alias("precision_x1000"),
+        F.when(F.col("tp") + F.col("fn") > 0, F.expr("(tp * 1000) div (tp + fn)"))
+        .alias("recall_x1000"),
+    )
+
+
+def o_near_dup_eval():
+    return f"""
+    WITH pred AS (SELECT id1, id2 FROM ({o_dedup_minhash_lsh()}) pq),
+    truth AS (SELECT id1, id2 FROM (
+      WITH docs_plus AS ({documents_plus_sql()}),
+      {_uncapped_pairs_sql("docs_plus", 500, 1000)}
+    ) tq),
+    j AS (SELECT p.id1 IS NOT NULL AS hp, t.id1 IS NOT NULL AS ht
+          FROM pred p FULL OUTER JOIN truth t
+          ON p.id1 = t.id1 AND p.id2 = t.id2),
+    a AS (SELECT
+            CAST(sum(CASE WHEN hp AND ht THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN NOT ht THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN NOT hp THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM j)
+    SELECT tp, fp, fn,
+           CASE WHEN tp + fp > 0 THEN (tp * 1000) // (tp + fp) END AS precision_x1000,
+           CASE WHEN tp + fn > 0 THEN (tp * 1000) // (tp + fn) END AS recall_x1000
+    FROM a
+    """
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Key-wise snapshot diff (operators/diffing.py snapshot_diff): the
+    'what changed between loads' CDC-without-a-changelog report. The NEW
+    snapshot is a deterministic mutation of orders (drop %97 keys, bump
+    %13 totalprice, relabel %26 priority, add %101 under shifted keys);
+    the diff classifies added/removed/changed with the exact differing
+    column set via null-safe comparison. One full-outer equi-join."""
+    from doc_redaction_spark.operators.diffing import snapshot_diff
+
+    old = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    new = (
+        old.filter(k % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 13 == 0, F.col("o_totalprice") + F.lit(1.5)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(k % 26 == 0, F.lit("9-CHANGED")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .unionByName(
+            old.filter(k % 101 == 0).withColumn(
+                "o_orderkey", (k + 50000000).cast(old.schema["o_orderkey"].dataType)
+            )
+        )
+    )
+    return snapshot_diff(
+        old, new, "o_orderkey", ["o_totalprice", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def o_snapshot_diff():
+    dc = (
+        "CASE WHEN otp IS DISTINCT FROM ntp THEN 'o_totalprice' END, "
+        "CASE WHEN ost IS DISTINCT FROM nst THEN 'o_orderstatus' END, "
+        "CASE WHEN opr IS DISTINCT FROM npr THEN 'o_orderpriority' END"
+    )
+    return f"""
+    WITH o AS (SELECT o_orderkey AS k, o_totalprice AS tp,
+                      o_orderstatus AS st, o_orderpriority AS pr FROM orders),
+    n AS (
+      SELECT k, CASE WHEN k % 13 = 0 THEN tp + 1.5e0 ELSE tp END AS tp,
+             st, CASE WHEN k % 26 = 0 THEN '9-CHANGED' ELSE pr END AS pr
+      FROM o WHERE k % 97 <> 0
+      UNION ALL
+      SELECT k + 50000000, tp, st, pr FROM o WHERE k % 101 = 0
+    ),
+    j AS (SELECT coalesce(o.k, n.k) AS o_orderkey,
+                 o.k IS NOT NULL AS has_o, n.k IS NOT NULL AS has_n,
+                 o.tp AS otp, n.tp AS ntp, o.st AS ost, n.st AS nst,
+                 o.pr AS opr, n.pr AS npr
+          FROM o FULL OUTER JOIN n ON o.k = n.k)
+    SELECT o_orderkey,
+           CASE WHEN NOT has_o THEN 'added'
+                WHEN NOT has_n THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CASE WHEN has_o AND has_n
+                THEN list_sort(list_filter([{dc}], x -> x IS NOT NULL))
+                ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+    FROM j
+    WHERE NOT has_o OR NOT has_n
+       OR otp IS DISTINCT FROM ntp OR ost IS DISTINCT FROM nst
+       OR opr IS DISTINCT FROM npr
+    """
+
+
+def q_context_trim(spark, sf_dir):
+    """Context-window budget trim (operators/convops.py context_trim):
+    keep each conversation's largest token-budget-fitting SUFFIX (drop
+    oldest turns first, never split a turn) — the chat-history truncation
+    every inference server and SFT example builder applies before
+    packing. One per-conversation running-sum window."""
+    from doc_redaction_spark.operators.convops import context_trim
+
+    return context_trim(_tr(spark, sf_dir), budget=512)
+
+
+def o_context_trim():
+    return f"""
+    {TR_CTE},
+    t AS (SELECT conv_id, turn_idx, role,
+                 CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT)
+                   AS n_tok
+          FROM transcripts),
+    c AS (SELECT conv_id, turn_idx, role, n_tok,
+                 CAST(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_from_end
+          FROM t)
+    SELECT conv_id, turn_idx, role, n_tok, cum_from_end
+    FROM c WHERE cum_from_end <= 512
+    """
+
+
+def q_turn_taking(spark, sf_dir):
+    """Per-(role, tool) dialogue dynamics (operators/convops.py
+    turn_taking): turn counts, conversation reach, character mass and
+    integer-second reply latency (lead(ts) within the conversation).
+    The latency mean ships as the exact integral quotient `div` next to
+    its (sum, n) numerator/denominator — bit-exact cross-engine."""
+    from doc_redaction_spark.operators.convops import turn_taking
+
+    return turn_taking(_tr(spark, sf_dir))
+
+
+def o_turn_taking():
+    return f"""
+    {TR_CTE},
+    s AS (SELECT conv_id, turn_idx, role, tool,
+                 CAST(length(coalesce(text, '')) AS BIGINT) AS chars,
+                 epoch_us(ts) // 1000000 AS sec
+          FROM transcripts),
+    g AS (SELECT conv_id, role, tool, chars,
+                 lead(sec) OVER (PARTITION BY conv_id ORDER BY turn_idx) - sec
+                   AS gap
+          FROM s)
+    SELECT role, tool,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(sum(chars) AS BIGINT) AS sum_chars,
+           CAST(coalesce(sum(gap), 0) AS BIGINT) AS gap_sum_s,
+           CAST(count(gap) AS BIGINT) AS gap_n,
+           CASE WHEN count(gap) > 0
+                THEN CAST(sum(gap) AS BIGINT) // CAST(count(gap) AS BIGINT)
+           END AS mean_gap_s
+    FROM g GROUP BY role, tool
+    """
+
+
+def q_winsorized_stats(spark, sf_dir):
+    """Exact winsorized + trimmed price stats (operators/selection.py
+    winsorized_stats): p05/p95 are EXACT ceil-rank order statistics found
+    by two-phase bucket selection (histogram → only the threshold bucket
+    pays a rank — no global sort), then one clip/trim aggregate, all in
+    BIGINT cents. Oracle = the naive global ORDER BY row_number spec."""
+    from doc_redaction_spark.operators.selection import winsorized_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    return winsorized_stats(li.select(cents.alias("cents")), vmax=11_000_000)
+
+
+def o_winsorized_stats():
+    return """
+    WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS v FROM lineitem),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM c),
+    k AS (SELECT (5 * n + 99) // 100 AS klo, (95 * n + 99) // 100 AS khi FROM nn),
+    lo AS (SELECT v AS lo_cents FROM r, k WHERE rk = klo),
+    hi AS (SELECT v AS hi_cents FROM r, k WHERE rk = khi),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 lo_cents, hi_cents,
+                 CAST(sum(CASE WHEN v < lo_cents THEN lo_cents
+                               WHEN v > hi_cents THEN hi_cents
+                               ELSE v END) AS BIGINT) AS wins_sum_cents,
+                 CAST(sum(CASE WHEN v >= lo_cents AND v <= hi_cents
+                               THEN 1 ELSE 0 END) AS BIGINT) AS trim_n,
+                 CAST(sum(CASE WHEN v >= lo_cents AND v <= hi_cents
+                               THEN v ELSE 0 END) AS BIGINT) AS trim_sum_cents
+          FROM c, lo, hi GROUP BY lo_cents, hi_cents)
+    SELECT n, lo_cents, hi_cents, wins_sum_cents,
+           wins_sum_cents // n AS wins_mean_cents,
+           trim_n, trim_sum_cents,
+           trim_sum_cents // trim_n AS trim_mean_cents
+    FROM s
+    """
+
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6701,6 +6981,12 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "dedup_prefix_filter": q_dedup_prefix_filter,
+    "near_dup_eval": q_near_dup_eval,
+    "snapshot_diff": q_snapshot_diff,
+    "context_trim": q_context_trim,
+    "turn_taking": q_turn_taking,
+    "winsorized_stats": q_winsorized_stats,
     "asof_join_events": q_asof_join_events,
     "asof_forward_events": q_asof_forward_events,
     "funnel_conversion": q_funnel_conversion,
@@ -6857,6 +7143,12 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "dedup_prefix_filter": o_dedup_prefix_filter,
+    "near_dup_eval": o_near_dup_eval,
+    "snapshot_diff": o_snapshot_diff,
+    "context_trim": o_context_trim,
+    "turn_taking": o_turn_taking,
+    "winsorized_stats": o_winsorized_stats,
     "asof_join_events": o_asof_join_events,
     "asof_forward_events": o_asof_forward_events,
     "funnel_conversion": o_funnel_conversion,

@@ -1,0 +1,111 @@
+"""Conversation-native operators over the transcripts schema
+``(conv_id, turn_idx, role, text, tool, ts)`` — BASELINE.json input_hint.
+
+Two ops a chat-corpus training pipeline runs on every conversation:
+
+* ``context_trim`` — the context-window budget cut: keep the SUFFIX of
+  each conversation whose cumulative token count fits a budget, walking
+  backward from the latest turn (what an inference server or SFT example
+  builder does before packing). One window over ``conv_id`` — a single
+  shuffle keyed like every other per-conversation stage, so it co-plans
+  with the extraction pipeline's existing partitioning; Zipf-long
+  conversations are bounded by the budget itself (the window is a running
+  sum, not a collect of the conversation).
+
+* ``turn_taking`` — per-(role, tool) dialogue dynamics: turn counts,
+  distinct conversations, character mass, and reply latency (seconds from
+  a turn to the next turn in the same conversation, integer epoch-second
+  domain — exact cross-engine). ``lead`` needs the same per-conversation
+  window; the final rollup is a map-side-combinable groupBy.
+
+Reference anchor: the reference treats transcripts per file and pages
+per loop (``/root/reference/tools/file_redaction.py`` page loops); these
+are the corpus-scale generalizations of its per-document budget slicing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.functions.textstats import token_count_col
+
+
+def context_trim(
+    turns: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep each conversation's largest token-budget-fitting suffix.
+
+    A turn survives iff the token sum from the conversation's END back to
+    (and including) this turn is ≤ ``budget`` — the standard chat-history
+    truncation rule (never splits a turn; drops oldest first). Returns
+    ``(conv_id, turn_idx, role, n_tok, cum_from_end)``.
+    """
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.desc(idx_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        turns.withColumn("n_tok", token_count_col(text_col).cast("long"))
+        .withColumn("cum_from_end", F.sum("n_tok").over(w))
+        .filter(F.col("cum_from_end") <= budget)
+        .select(conv_col, idx_col, "role", "n_tok", "cum_from_end")
+    )
+
+
+def turn_taking(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(role, tool) turn-taking stats with integer-second reply latency.
+
+    ``gap_sum_s``/``gap_n`` expose the exact aggregate; ``mean_gap_s`` is
+    the integral quotient (``div``) so the metric is bit-exact across
+    engines. Final-turn rows (no successor) contribute to counts but not
+    to the gap aggregate.
+    """
+    # TIMESTAMP_NTZ has no direct long cast — route through ltz (UTC session)
+    epoch_s = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    w = Window.partitionBy(conv_col).orderBy("_idx")
+    g = (
+        turns.select(
+            conv_col,
+            "role",
+            "tool",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("_chars"),
+            epoch_s.alias("_s"),
+            F.col(idx_col).alias("_idx"),
+        )
+        .withColumn("_gap", F.lead("_s").over(w) - F.col("_s"))
+    )
+    return (
+        g.groupBy("role", "tool")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.countDistinct(conv_col).cast("long").alias("n_convs"),
+            F.sum("_chars").alias("sum_chars"),
+            F.sum("_gap").alias("gap_sum_s"),
+            F.count("_gap").cast("long").alias("gap_n"),
+        )
+        .select(
+            "role",
+            "tool",
+            "n_turns",
+            "n_convs",
+            "sum_chars",
+            F.coalesce("gap_sum_s", F.lit(0)).alias("gap_sum_s"),
+            "gap_n",
+            # `div` (integral quotient) not `/` (double) — exact cross-engine;
+            # gaps are non-negative so trunc == floor
+            F.when(
+                F.col("gap_n") > 0, F.expr("gap_sum_s div gap_n")
+            ).alias("mean_gap_s"),
+        )
+    )

@@ -1537,3 +1537,111 @@ def _position_islands(dup_pos: DataFrame, n: int, max_gap: int) -> DataFrame:
             (F.col("_last") + n - F.col("start_tok")).cast("long").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    t_num: int = 700,
+    t_den: int = 1000,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ t_num/t_den via lossless prefix filtering
+    (Bayardo et al. AllPairs / Xiao et al. PPJoin), the third candidate-
+    generation strategy next to ``ngram_jaccard_pairs`` (df-capped sparse
+    join — changes the measure) and ``minhash_lsh_pairs`` (probabilistic).
+
+    Under any consistent global token order, two sets with J ≥ t must
+    share a token inside their first ``|x| − ceil(t·|x|) + 1`` tokens:
+    if the prefixes were disjoint, every common token would lie past one
+    prefix's end, bounding the overlap below ``ceil(t·|x|)`` while J ≥ t
+    forces it to at least that — contradiction. So joining PREFIX tokens
+    only is complete, and ordering tokens by ascending document frequency
+    puts boilerplate shingles at the END of every set: hot tokens never
+    enter the candidate join at all. That is the 100 TB story — the exact
+    result of the full self-join at a candidate cost driven by RARE
+    tokens, with no semantic cap.
+
+    Plan: df-rank per doc (one groupBy + per-doc window on the id key the
+    shingle exchange already uses) → prefix self-join on the 64-bit hash
+    with the size-ratio filter ``t·max(sz) ≤ min(sz)`` → distinct pairs →
+    exact |∩| verify by joining the candidates back to the full token
+    table → integer Jaccard filter ``inter·t_den ≥ t_num·union``.
+    Returns (id1, id2, sz1, sz2, inter, jac_x1000) — all BIGINT, so the
+    output hash-matches the uncapped all-pairs oracle exactly.
+    """
+    sc = df.sparkSession.sparkContext
+    docs = (
+        df.select(F.col(id_col).alias("id"), shingle_col(text_col, n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .repartition(sc.defaultParallelism * 2, "id")
+    )
+    ex = docs.select(
+        "id",
+        F.size("shingles").cast("long").alias("sz"),
+        F.explode("shingles").alias("_sh_txt"),
+    ).select("id", "sz", F.xxhash64("_sh_txt").alias("sh"))
+    dfreq = ex.groupBy("sh").agg(F.count("*").alias("_df"))
+    # global total order = (df asc, hash asc): distinct tokens can't tie,
+    # so every doc sorts its tokens identically — the prefix theorem's
+    # only requirement on the order
+    wp = Window.partitionBy("id").orderBy("_df", "sh")
+    pre = (
+        ex.join(dfreq, "sh")
+        .withColumn("_rn", F.row_number().over(wp))
+        # ceil(t·sz) = (t_num·sz + t_den − 1) div t_den, integer-exact
+        .filter(
+            F.col("_rn")
+            <= F.col("sz") - F.expr(f"({t_num} * sz + {t_den - 1}) div {t_den}") + 1
+        )
+        .select("id", "sz", "sh")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            # J ≤ min/max, so J ≥ t needs t·max(sz) ≤ min(sz)
+            & (
+                F.greatest(F.col("a.sz"), F.col("b.sz")) * t_num
+                <= F.least(F.col("a.sz"), F.col("b.sz")) * t_den
+            ),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    e1 = ex.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"), "sh")
+    e2 = ex.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"), "sh")
+    inter = (
+        cand.join(e1, "id1")
+        .join(e2, ["id2", "sh"])
+        .groupBy("id1", "id2", "sz1", "sz2")
+        .agg(F.count("*").alias("inter"))
+    )
+    union = F.col("sz1") + F.col("sz2") - F.col("inter")
+    return (
+        inter.filter(F.col("inter") * t_den >= t_num * union)
+        .select(
+            "id1",
+            "id2",
+            "sz1",
+            "sz2",
+            "inter",
+            (F.col("inter") * 1000).cast("long").alias("_num"),
+        )
+        .select(
+            "id1",
+            "id2",
+            "sz1",
+            "sz2",
+            "inter",
+            F.expr("_num div (sz1 + sz2 - inter)").alias("jac_x1000"),
+        )
+    )

@@ -1,0 +1,80 @@
+"""Snapshot table diff — the data-engineering "what changed between loads"
+operator (CDC without a changelog).
+
+The reference's review workflow re-ingests whole output files and the user
+eyeballs what moved (``/root/reference/tools/redaction_review.py`` round
+trips); at corpus scale the honest primitive is a key-wise diff of two
+snapshots: one full outer join on the business key, change classification
+(added / removed / changed), and the exact set of columns whose values
+differ. Everything is a single equi-join shuffle on the key — no window,
+no sort, no collect — so the plan survives a 100 TB snapshot pair
+(ReuseExchange does not even apply: each snapshot is scanned once).
+
+Null semantics: a column counts as changed when exactly one side is NULL
+or both are non-NULL and unequal (IS DISTINCT FROM — ``eqNullSafe``
+negated), so NULL→value and value→NULL transitions are reported instead
+of silently dropped (a plain ``!=`` would return NULL and be filtered).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Key-wise diff of two snapshots.
+
+    Returns ``(key, change_type, changed_cols)`` where ``change_type`` ∈
+    {'added','removed','changed'} and ``changed_cols`` is the sorted array
+    of differing column names (empty for added/removed; unchanged rows are
+    dropped). One full-outer equi-join on the key; both inputs keep their
+    scan-side column pruning (only ``key_col`` + ``compare_cols`` are read).
+    """
+    # presence flags are non-nullable markers, not data columns — a data
+    # column that is legitimately NULL on a present row would misclassify
+    o = old.select(
+        F.col(key_col).alias("_k"),
+        F.lit(1).alias("_has_o"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key_col).alias("_k"),
+        F.lit(1).alias("_has_n"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, "_k", "full_outer")
+    diff_names = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+                    ).otherwise(F.lit(None))
+                    for c in compare_cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    out = j.select(
+        F.col("_k").alias(key_col),
+        F.when(F.col("_has_o").isNull(), F.lit("added"))
+        .when(F.col("_has_n").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        F.when(
+            F.col("_has_o").isNotNull() & F.col("_has_n").isNotNull(), diff_names
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_cols"),
+    )
+    # unchanged rows (both present, zero differing columns) leave the diff
+    return out.filter(
+        (F.col("change_type") != "changed") | (F.size("changed_cols") > 0)
+    )

@@ -90,3 +90,93 @@ def quality_rank_filter(
     )
     out_cols = df.columns
     return keep_hi.select(*out_cols).unionByName(keep_thr.select(*out_cols))
+
+
+def winsorized_stats(
+    df: DataFrame,
+    cents_col: str = "cents",
+    p_lo: tuple[int, int] = (5, 100),
+    p_hi: tuple[int, int] = (95, 100),
+    buckets: int = 2048,
+    vmax: int = 1 << 24,
+) -> DataFrame:
+    """Exact winsorized + trimmed stats of an integer column without a
+    global sort — the robust-mean cut an outlier-heavy money/length column
+    needs at corpus scale.
+
+    The p_lo/p_hi thresholds are EXACT order statistics (value at
+    ceil-rank ``(num·n + den−1) div den``), found with the same two-phase
+    bucket selection as ``quality_rank_filter``: a ≤``buckets``-row
+    histogram locates each threshold bucket, and only that bucket's rows
+    (≈ n/buckets) pay a rank. Values above ``vmax`` clamp into the last
+    bucket — selection inside the bucket stays exact, the bucket is just
+    wider. Everything downstream is integer arithmetic (`div` quotients),
+    so the single output row hash-matches the naive ORDER-BY oracle.
+
+    Returns one row: ``(n, lo_cents, hi_cents, wins_sum_cents,
+    wins_mean_cents, trim_n, trim_sum_cents, trim_mean_cents)``.
+    """
+    width = max(1, vmax // buckets + 1)
+    d = (
+        df.select(F.col(cents_col).cast("long").alias("_v"))
+        .withColumn(
+            "_b",
+            F.least(F.lit(buckets - 1), F.expr(f"_v div {width}")).cast("int"),
+        )
+        # one Exchange feeds the histogram, both in-bucket ranks and the
+        # final clip aggregate (ReuseExchange) — one pass over the corpus
+        .repartition(F.col("_b"))
+    )
+    hist = d.groupBy("_b").agg(F.count("*").alias("_c"))
+    n_df = hist.agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("_n"))
+    wc = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.crossJoin(F.broadcast(n_df))
+        .withColumn("_cum", F.sum("_c").over(wc))
+    )
+
+    def kth_value(num: int, den: int, alias: str) -> DataFrame:
+        k = F.expr(f"({num} * _n + {den - 1}) div {den}")
+        thr = (
+            cum.withColumn("_k", k)
+            .filter(F.col("_cum") >= F.col("_k"))
+            .orderBy("_b")
+            .limit(1)
+            .select(
+                F.col("_b").alias("_tb"),
+                (F.col("_k") - (F.col("_cum") - F.col("_c"))).alias("_off"),
+            )
+        )
+        wr = Window.orderBy("_v")
+        return (
+            d.join(F.broadcast(thr), F.col("_b") == F.col("_tb"))
+            .withColumn("_rk", F.row_number().over(wr))
+            .filter(F.col("_rk") == F.col("_off"))
+            .select(F.col("_v").alias(alias))
+        )
+
+    lo = kth_value(*p_lo, "lo_cents")
+    hi = kth_value(*p_hi, "hi_cents")
+    clipped = F.least(F.greatest(F.col("_v"), F.col("lo_cents")), F.col("hi_cents"))
+    in_band = (F.col("_v") >= F.col("lo_cents")) & (F.col("_v") <= F.col("hi_cents"))
+    return (
+        d.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .groupBy("lo_cents", "hi_cents")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(clipped).alias("wins_sum_cents"),
+            F.sum(F.when(in_band, 1).otherwise(0)).cast("long").alias("trim_n"),
+            F.sum(F.when(in_band, F.col("_v")).otherwise(0)).alias("trim_sum_cents"),
+        )
+        .select(
+            "n",
+            "lo_cents",
+            "hi_cents",
+            "wins_sum_cents",
+            F.expr("wins_sum_cents div n").alias("wins_mean_cents"),
+            "trim_n",
+            "trim_sum_cents",
+            F.expr("trim_sum_cents div trim_n").alias("trim_mean_cents"),
+        )
+    )

@@ -91,7 +91,12 @@ def test_registry_prefix_covers_unverified_oracles():
         pytest.skip("no driver correctness files yet (round 1)")
     reg = list(entrymod.queries())
     unverified_past_cap = [k for k in reg[50:] if not history.get(k)]
-    assert unverified_past_cap == [], (
-        f"never-driver-verified oracles sit past the 50-entry sample cap: "
-        f"{unverified_past_cap} — move them into the registry prefix"
+    unverified_in_prefix = [k for k in reg[:50] if not history.get(k)]
+    # When one round adds MORE than 50 new queries, some must overflow the
+    # cap — the invariant then is "no prefix slot is wasted on an
+    # already-verified query while a never-verified one sits past the cap".
+    assert unverified_past_cap == [] or len(unverified_in_prefix) == 50, (
+        f"never-driver-verified oracles sit past the 50-entry sample cap "
+        f"while verified queries occupy prefix slots: {unverified_past_cap} "
+        f"— move them into the registry prefix"
     )

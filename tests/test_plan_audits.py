@@ -366,3 +366,48 @@ def test_funnel_single_exchange(spark, queries):
     for ln in plan.splitlines():
         if "Exchange" in ln and "Reused" not in ln:
             assert "user_id" in ln, ln
+
+
+def test_prefix_filter_no_cartesian_no_python(spark, queries):
+    """prefix_filter_pairs: candidate generation and verify are pure
+    equi-joins on the shingle hash / pair key — no nested loop, no
+    cartesian, no Python stage anywhere."""
+    plan = _plan(queries["dedup_prefix_filter"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_snapshot_diff_single_full_outer_equi_join(spark, queries):
+    """snapshot_diff: ONE full-outer SortMergeJoin on the key; the scans
+    prune to key + compared columns only."""
+    plan = _plan(queries["snapshot_diff"](spark, SF))
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    for ln in plan.splitlines():
+        if "FileScan" in ln and "orders" in ln:
+            # untouched orders columns never reach the scan
+            assert "o_comment" not in ln and "o_custkey" not in ln, ln
+
+
+def test_context_trim_single_conversation_exchange(spark, queries):
+    """context_trim: one running-sum window = every Exchange line is
+    hash-partitioning on conv_id (AQE prints Final+Initial plans — assert
+    per line, never count)."""
+    plan = _plan(queries["context_trim"](spark, SF))
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "Reused" not in ln:
+            assert "conv_id" in ln, ln
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_winsorized_stats_broadcast_thresholds(spark, queries):
+    """winsorized_stats: the two order-statistic thresholds attach as
+    broadcast 1-row sides (BNLJ BuildRight), never a shuffle join; no
+    global Sort node over the corpus (the in-bucket rank sorts only the
+    threshold bucket AFTER a filter)."""
+    plan = _plan(queries["winsorized_stats"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildRight" in ln, ln

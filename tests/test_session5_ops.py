@@ -1,0 +1,227 @@
+"""Round-5 session-5 operators: prefix-filter set-similarity join
+(losslessness vs brute force), snapshot diff null semantics, conversation
+context trim / turn taking, and exact winsorized statistics."""
+
+import random
+import re
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from doc_redaction_spark.operators.convops import context_trim, turn_taking
+from doc_redaction_spark.operators.dedup import prefix_filter_pairs
+from doc_redaction_spark.operators.diffing import snapshot_diff
+from doc_redaction_spark.operators.selection import winsorized_stats
+
+
+# ---------------------------------------------------------------------------
+# prefix_filter_pairs — lossless vs brute force
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text: str, n: int = 3) -> set:
+    toks = [t for t in re.sub(r"\s+", " ", text.lower()).split(" ") if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _brute_pairs(rows, t_num, t_den, n=3):
+    sets = {i: _shingles(t, n) for i, t in rows if _shingles(t, n)}
+    out = set()
+    ids = sorted(sets)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            i1, i2 = ids[a], ids[b]
+            inter = len(sets[i1] & sets[i2])
+            union = len(sets[i1]) + len(sets[i2]) - inter
+            if inter * t_den >= t_num * union:
+                out.add(
+                    (i1, i2, len(sets[i1]), len(sets[i2]), inter, inter * 1000 // union)
+                )
+    return out
+
+
+def test_prefix_filter_matches_brute_force_randomized(spark):
+    """The prefix theorem (join df-ascending prefixes only) must lose NO
+    pair at any threshold — randomized texts with a small vocab so near
+    duplicates are common, compared against the quadratic definition."""
+    rng = random.Random(42)
+    vocab = [f"w{k}" for k in range(12)]
+    rows = []
+    for i in range(60):
+        ln = rng.randint(0, 12)
+        words = [rng.choice(vocab) for _ in range(ln)]
+        rows.append((i, " ".join(words)))
+    # planted near-dups: copy with one word appended / exact copy
+    rows.append((100, rows[3][1] + " w1"))
+    rows.append((101, rows[5][1]))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for t_num, t_den in ((500, 1000), (700, 1000), (900, 1000)):
+        got = {
+            tuple(r)
+            for r in prefix_filter_pairs(df, t_num=t_num, t_den=t_den).collect()
+        }
+        want = _brute_pairs(rows, t_num, t_den)
+        assert got == want, (t_num, got.symmetric_difference(want))
+
+
+def test_prefix_filter_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id int, text string",
+    )
+    [r] = prefix_filter_pairs(df, t_num=900, t_den=1000).collect()
+    assert (r.id1, r.id2, r.inter, r.jac_x1000) == (1, 2, 2, 1000)
+
+
+def test_prefix_filter_short_texts_excluded(spark):
+    # < n tokens → empty shingle set → not a pair member
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "only two"), (3, "")], "doc_id int, text string"
+    )
+    assert prefix_filter_pairs(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classes_and_null_transitions(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, None, 40)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (4, "now", 40), (5, "e", 50)],
+        "k int, s string, v int",
+    )
+    got = {
+        r.k: (r.change_type, tuple(r.changed_cols))
+        for r in snapshot_diff(old, new, "k", ["s", "v"]).collect()
+    }
+    # k=1 unchanged → absent; k=2 NULL→20; k=3 removed; k=4 NULL→'now'; k=5 added
+    assert got == {
+        2: ("changed", ("v",)),
+        3: ("removed", ()),
+        4: ("changed", ("s",)),
+        5: ("added", ()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# convops
+# ---------------------------------------------------------------------------
+
+_TR_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def _turns(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # conv a: 4 turns of 3 tokens each, 10s apart
+    for i in range(4):
+        rows.append(
+            ("a", i, ["user", "assistant"][i % 2], "tok tok tok", "", base + dt.timedelta(seconds=10 * i))
+        )
+    # conv b: one long turn then two short
+    rows.append(("b", 0, "user", " ".join(["x"] * 7), "", base))
+    rows.append(("b", 1, "tool", "y", "search", base + dt.timedelta(seconds=5)))
+    rows.append(("b", 2, "assistant", "z z", "", base + dt.timedelta(seconds=65)))
+    return spark.createDataFrame(rows, _TR_SCHEMA)
+
+
+def test_context_trim_keeps_budget_fitting_suffix(spark):
+    got = {
+        (r.conv_id, r.turn_idx): (r.n_tok, r.cum_from_end)
+        for r in context_trim(_turns(spark), budget=6).collect()
+    }
+    # conv a: suffix sums from end 3,6,9,12 → keep last two turns
+    # conv b: suffix sums 3,4,11 → drop the 7-token opener, keep (1,2)
+    assert got == {
+        ("a", 3): (3, 3),
+        ("a", 2): (3, 6),
+        ("b", 2): (2, 2),
+        ("b", 1): (1, 3),
+    }
+
+
+def test_context_trim_never_splits_a_turn(spark):
+    # budget below every conversation's NEWEST turn size → zero rows: the
+    # kept set is a contiguous suffix, so an older small turn can't sneak
+    # in past an over-budget newer one (b's 1-token tool turn is excluded
+    # because the newer 2-token turn already exceeds the budget)
+    assert context_trim(_turns(spark), budget=1).count() == 0
+    # budget exactly the newest turn's size keeps just that turn
+    out = context_trim(_turns(spark), budget=2).collect()
+    assert {(r.conv_id, r.turn_idx) for r in out} == {("b", 2)}
+
+
+def test_turn_taking_gap_arithmetic(spark):
+    got = {(r.role, r.tool): r for r in turn_taking(_turns(spark)).collect()}
+    u = got[("user", "")]
+    # user turns: a0, a2 (gap 10 each), b0 (gap 5) → 3 turns, 2 convs
+    assert u.n_turns == 3 and u.n_convs == 2
+    assert (u.gap_sum_s, u.gap_n, u.mean_gap_s) == (25, 3, 8)
+    t = got[("tool", "search")]
+    assert (t.n_turns, t.gap_sum_s, t.gap_n, t.mean_gap_s) == (1, 60, 1, 60)
+    a = got[("assistant", "")]
+    # a1 gap 10, a3 final (no gap), b2 final → gap_n 1
+    assert (a.n_turns, a.gap_sum_s, a.gap_n) == (3, 10, 1)
+
+
+# ---------------------------------------------------------------------------
+# winsorized_stats
+# ---------------------------------------------------------------------------
+
+
+def _naive_winsor(vals, p_lo=(5, 100), p_hi=(95, 100)):
+    s = sorted(vals)
+    n = len(s)
+    klo = (p_lo[0] * n + p_lo[1] - 1) // p_lo[1]
+    khi = (p_hi[0] * n + p_hi[1] - 1) // p_hi[1]
+    lo, hi = s[klo - 1], s[khi - 1]
+    wins = [min(max(v, lo), hi) for v in vals]
+    band = [v for v in vals if lo <= v <= hi]
+    return (
+        n,
+        lo,
+        hi,
+        sum(wins),
+        sum(wins) // n,
+        len(band),
+        sum(band),
+        sum(band) // len(band),
+    )
+
+
+def test_winsorized_stats_matches_naive(spark):
+    rng = random.Random(7)
+    vals = [rng.randint(0, 5000) for _ in range(400)] + [10**6, 10**6 + 7, 0, 0]
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    [r] = winsorized_stats(df, vmax=10**6).collect()
+    assert tuple(r) == _naive_winsor(vals)
+
+
+def test_winsorized_stats_with_heavy_ties(spark):
+    vals = [5] * 90 + [1] * 5 + [100] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    [r] = winsorized_stats(df, vmax=128, buckets=8).collect()
+    assert tuple(r) == _naive_winsor(vals)
