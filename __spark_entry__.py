@@ -6968,6 +6968,117 @@ def o_winsorized_stats():
 
 
 
+def q_bpe_learn(spark, sf_dir):
+    """BPE merge learning (operators/curation.py bpe_learn — Sennrich et
+    al. 2016, the tokenizer-training core): the first 4 merges learned
+    from the documents word-frequency table. Per step: a combinable pair
+    count over the VOCABULARY (not the corpus), a 1-row argmax broadcast
+    back, and a per-word leftmost-first fold applying the merge. Oracle
+    unrolls the same 4 steps as CTEs with a list_reduce fold — the
+    iterative algorithm is value-checked end to end, ties included."""
+    from doc_redaction_spark.operators.curation import bpe_learn, tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{2,20}$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return bpe_learn(words, k=4)
+
+
+def o_bpe_learn():
+    k = 4
+    parts = [
+        f"toks AS (SELECT x AS w FROM documents, unnest({_DOC_TOKENS_DUCK})"
+        f" AS u(x) WHERE regexp_matches(x, '^[a-z]{{2,20}}$'))",
+        "w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY w)",
+        "s0 AS (SELECT w, cnt, string_split(w, '') AS syms FROM w0)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"p{i} AS (SELECT syms[i] AS l, syms[i+1] AS r,"
+            f" CAST(sum(cnt) AS BIGINT) AS c"
+            f" FROM s{i-1}, unnest(generate_series(1, len(syms)-1)) AS t(i)"
+            f" WHERE len(syms) > 1 GROUP BY l, r)"
+        )
+        parts.append(f"m{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1)")
+        parts.append(
+            f"s{i} AS (SELECT w, cnt, CASE WHEN len(syms) <= 1 THEN syms ELSE"
+            f" string_split(list_reduce(syms, (acc{i}, sy{i}) ->"
+            f" CASE WHEN regexp_extract(acc{i}, '[^|]*$') = m{i}.l AND sy{i} = m{i}.r"
+            f" THEN regexp_replace(acc{i}, '[^|]*$', m{i}.l || m{i}.r)"
+            f" ELSE acc{i} || '|' || sy{i} END), '|') END AS syms"
+            f" FROM s{i-1}, m{i})"
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, l AS \"left\", r AS \"right\","
+        f" l || r AS merged, c AS pair_count FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Per-source robust outlier detection (operators/quality.py
+    mad_outliers): flag documents whose length deviates from the source's
+    exact MEDIAN by more than 2 × the exact MAD — the z-score's
+    outlier-proof sibling for corpus triage. Group-bounded rank windows,
+    all-integer; oracle = the same two ceil-rank medians via window
+    functions."""
+    from doc_redaction_spark.operators.quality import mad_outliers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "doc_id", "n_chars"
+    )
+    return mad_outliers(docs, "source", "n_chars", "doc_id", k=2)
+
+
+def o_mad_outliers():
+    return """
+    WITH d AS (SELECT source AS grp, doc_id AS id, CAST(n_chars AS BIGINT) AS v
+               FROM documents),
+    r1 AS (SELECT grp, id, v,
+                  row_number() OVER (PARTITION BY grp ORDER BY v) AS rk,
+                  count(*) OVER (PARTITION BY grp) AS n FROM d),
+    med AS (SELECT grp, v AS med FROM r1 WHERE rk = (n + 1) // 2),
+    dv AS (SELECT d.grp, d.id, d.v, med.med, abs(d.v - med.med) AS dev
+           FROM d JOIN med USING (grp)),
+    r2 AS (SELECT grp, dev,
+                  row_number() OVER (PARTITION BY grp ORDER BY dev) AS rk,
+                  count(*) OVER (PARTITION BY grp) AS n FROM dv),
+    mad AS (SELECT grp, dev AS mad FROM r2 WHERE rk = (n + 1) // 2)
+    SELECT dv.grp AS source, dv.id AS doc_id, dv.v AS n_chars,
+           dv.med, mad.mad, dv.dev
+    FROM dv JOIN mad USING (grp) WHERE dv.dev > 2 * mad.mad
+    """
+
+
+def q_entity_cooccurrence(spark, sf_dir):
+    """Entity co-occurrence graph over DETECTED PII spans (detection →
+    graph composition): which entity types appear together in the same
+    conversation, as (src, dst, support) edges with min_support=2 —
+    feeds the same graph toolchain as part_triangles/pagerank. Reuses
+    graph.cooccurrence_edges on the pipeline's span table."""
+    from doc_redaction_spark.operators.graph import cooccurrence_edges
+
+    out = extract_and_redact(_tr(spark, sf_dir), PIPE_CFG, with_row_number=False)
+    spans = span_table(out)
+    return cooccurrence_edges(spans, "conv_id", "entity_type", min_support=2)
+
+
+def o_entity_cooccurrence():
+    return f"""
+    {_spans_oracle_cte()},
+    di AS (SELECT DISTINCT conv_id, etype FROM allspans)
+    SELECT a.etype AS src, b.etype AS dst, CAST(count(*) AS BIGINT) AS support
+    FROM di a JOIN di b ON a.conv_id = b.conv_id AND a.etype < b.etype
+    GROUP BY a.etype, b.etype HAVING count(*) >= 2
+    """
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6981,6 +7092,9 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "bpe_learn": q_bpe_learn,
+    "mad_outliers": q_mad_outliers,
+    "entity_cooccurrence": q_entity_cooccurrence,
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "near_dup_eval": q_near_dup_eval,
     "snapshot_diff": q_snapshot_diff,
@@ -7143,6 +7257,9 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "bpe_learn": o_bpe_learn,
+    "mad_outliers": o_mad_outliers,
+    "entity_cooccurrence": o_entity_cooccurrence,
     "dedup_prefix_filter": o_dedup_prefix_filter,
     "near_dup_eval": o_near_dup_eval,
     "snapshot_diff": o_snapshot_diff,

@@ -281,3 +281,92 @@ def unigram_surprisal(
             F.coalesce("surprisal", F.lit(0.0)).alias("surprisal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (Sennrich et al. 2016 — the tokenizer-training core)
+# ---------------------------------------------------------------------------
+
+
+def bpe_learn(words: DataFrame, k: int = 4) -> DataFrame:
+    """Learn the first ``k`` BPE merges from a ``(w, cnt)`` word-frequency
+    table: repeatedly count adjacent symbol pairs (weighted by word count),
+    merge the most frequent pair corpus-wide, repeat. Returns one row per
+    merge: ``(step, left, right, merged, pair_count)``.
+
+    The distributed shape per step is the classic two jobs: a map-side-
+    combinable pair count over the vocabulary (NOT the corpus — pair
+    statistics live on the word-frequency table, which is tiny relative to
+    the text it summarises) and a 1-row argmax attached back by broadcast.
+    The merge application is a per-word left-to-right fold (Spark
+    ``aggregate`` HOF): leftmost occurrences merge first and a freshly
+    merged symbol never re-merges within the same pass — the reference
+    BPE semantics. Ties on pair count break by (left, right) ascending so
+    the learned merge table is engine-exact (symbols are plain strings,
+    so — like the original implementation — distinct merge histories that
+    produce the same string conflate).
+
+    Spark 4 note: each step's fold is rendered via ``F.expr`` with
+    step-suffixed lambda parameter names (``acc0/s0``, ``acc1/s1``, …) —
+    sibling/nested HOFs sharing lambda names cross-bind (the round-3 LSH
+    signature bug class).
+
+    ``words`` rows must match ``^[a-z]+$`` (callers filter): symbols stay
+    free of the fold's internal conventions and of regex metacharacters.
+    """
+    cur = words.select(
+        "w", F.col("cnt").cast("long").alias("cnt"), F.expr("filter(split(w, ''), ch0 -> ch0 <> '')").alias("syms")
+    )
+    merges = []
+    for i in range(k):
+        pairs = (
+            cur.filter(F.size("syms") > 1)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(syms) - 1),"
+                        f" pi{i} -> struct(element_at(syms, pi{i}) AS l,"
+                        f" element_at(syms, pi{i} + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = (
+            pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .select(
+                F.col("l").alias(f"_l{i}"),
+                F.col("r").alias(f"_r{i}"),
+                F.col("c").alias(f"_c{i}"),
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(best)).withColumn(
+            "syms",
+            F.expr(
+                f"CASE WHEN size(syms) <= 1 THEN syms ELSE "
+                f"aggregate(slice(syms, 2, size(syms) - 1),"
+                f" array(element_at(syms, 1)),"
+                f" (acc{i}, s{i}) -> CASE"
+                f"   WHEN element_at(acc{i}, -1) = _l{i} AND s{i} = _r{i}"
+                f"   THEN concat(slice(acc{i}, 1, size(acc{i}) - 1),"
+                f"               array(concat(_l{i}, _r{i})))"
+                f"   ELSE concat(acc{i}, array(s{i})) END) END"
+            ),
+        )
+        merges.append(
+            best.select(
+                F.lit(i + 1).alias("step"),
+                F.col(f"_l{i}").alias("left"),
+                F.col(f"_r{i}").alias("right"),
+                F.concat(f"_l{i}", f"_r{i}").alias("merged"),
+                F.col(f"_c{i}").cast("long").alias("pair_count"),
+            )
+        )
+        cur = cur.drop(f"_l{i}", f"_r{i}", f"_c{i}")
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

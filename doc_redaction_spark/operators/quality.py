@@ -195,3 +195,62 @@ def numeric_profile(df: DataFrame, col: str, scale: int = 100) -> DataFrame:
             " * _n) AS BIGINT)"
         ).alias("var_milli"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-group robust outlier detection: flag rows whose absolute
+    deviation from the group MEDIAN exceeds ``k`` × the group MAD (median
+    absolute deviation) — the z-score's outlier-proof sibling (mean and
+    stddev are themselves dragged by the outliers they should catch).
+
+    Both medians are EXACT lower medians (value at ceil-rank n/2, integer
+    domain throughout), computed with per-group rank windows: group-
+    bounded sorts, not global ones — a pathological single hot group
+    degrades to one task sorting that group, which is the documented
+    trade for exactness (the approximate scale path for billions of rows
+    per group is the log2-histogram quantile sketch in
+    functions/sketches.py). A zero MAD (≥half the group identical) makes
+    ANY deviation an outlier, the standard Hampel convention.
+
+    Returns only the outlier rows: ``(group, id, value, med, mad, dev)``.
+    """
+    d = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    wg = Window.partitionBy("grp")
+
+    def _median(frame: DataFrame, col: str, alias: str) -> DataFrame:
+        # lower median: the value at rank ceil(n/2); ties ordered by value
+        # only, so the rank-k VALUE is the multiset order statistic and
+        # order-independent
+        w = Window.partitionBy("grp").orderBy(col)
+        return (
+            frame.withColumn("_rk", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(wg))
+            .filter(F.col("_rk") == F.expr("(_n + 1) div 2"))
+            .select("grp", F.col(col).alias(alias))
+        )
+
+    med = _median(d, "v", "med")
+    dev = d.join(med, "grp").withColumn("dev", F.abs(F.col("v") - F.col("med")))
+    mad = _median(dev.select("grp", "dev"), "dev", "mad")
+    return (
+        dev.join(mad, "grp")
+        .filter(F.col("dev") > k * F.col("mad"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("id").alias(id_col),
+            F.col("v").alias(value_col),
+            "med",
+            "mad",
+            "dev",
+        )
+    )

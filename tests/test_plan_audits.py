@@ -411,3 +411,25 @@ def test_winsorized_stats_broadcast_thresholds(spark, queries):
     for ln in plan.splitlines():
         if "BroadcastNestedLoopJoin" in ln:
             assert "BuildRight" in ln, ln
+
+
+def test_bpe_learn_only_broadcast_argmax_joins(spark, queries):
+    """bpe_learn: the only non-equi joins are the 1-row argmax broadcasts
+    (BNLJ BuildRight); the pair counts are combinable HashAggregates."""
+    plan = _plan(queries["bpe_learn"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildRight" in ln, ln
+    assert "HashAggregate" in plan
+
+
+def test_mad_outliers_group_keyed_exchanges(spark, queries):
+    """mad_outliers: every exchange is hash-partitioning on the group key
+    (or a broadcast) — the medians are group-bounded windows, never a
+    global sort."""
+    plan = _plan(queries["mad_outliers"](spark, SF))
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln:
+            assert "grp" in ln, ln
+    assert "CartesianProduct" not in plan

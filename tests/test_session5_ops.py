@@ -225,3 +225,94 @@ def test_winsorized_stats_with_heavy_ties(spark):
     df = spark.createDataFrame([(v,) for v in vals], "cents long")
     [r] = winsorized_stats(df, vmax=128, buckets=8).collect()
     assert tuple(r) == _naive_winsor(vals)
+
+
+# ---------------------------------------------------------------------------
+# bpe_learn — vs a reference Python BPE
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(word_counts, k):
+    """Reference BPE (Sennrich et al.): argmax weighted pair, merge
+    leftmost-first, repeat."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(1, k + 1):
+        counts = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_counts[w]
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, l + r, c))
+        for w, syms in vocab.items():
+            out = [syms[0]]
+            for s in syms[1:]:
+                if out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_learn_matches_reference(spark):
+    from doc_redaction_spark.operators.curation import bpe_learn
+
+    wc = {
+        "lower": 5,
+        "lowest": 2,
+        "newer": 6,
+        "wider": 3,
+        "low": 7,
+        "aaaa": 4,  # overlapping-run regression: leftmost non-overlap
+    }
+    df = spark.createDataFrame(list(wc.items()), "w string, cnt long")
+    got = [tuple(r) for r in bpe_learn(df, k=5).orderBy("step").collect()]
+    assert got == _py_bpe(wc, 5)
+
+
+def test_bpe_learn_tie_break_lexicographic(spark):
+    from doc_redaction_spark.operators.curation import bpe_learn
+
+    # 'ba' and 'ab' pairs both occur once; (a,b) < (b,a) wins
+    df = spark.createDataFrame([("ab", 1), ("ba", 1)], "w string, cnt long")
+    rows = bpe_learn(df, k=1).collect()
+    assert (rows[0].left, rows[0].right, rows[0].pair_count) == ("a", "b", 1)
+
+
+def test_bpe_learn_merged_symbol_participates(spark):
+    from doc_redaction_spark.operators.curation import bpe_learn
+
+    # after merging (a,b)→ab, the pair (ab, c) must be countable+mergeable
+    wc = {"abc": 10, "abd": 4}
+    df = spark.createDataFrame(list(wc.items()), "w string, cnt long")
+    got = [tuple(r) for r in bpe_learn(df, k=3).orderBy("step").collect()]
+    assert got == _py_bpe(wc, 3)
+    assert got[1][1] == "ab"  # step 2 left symbol is the merged token
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_hampel_ground_truth(spark):
+    from doc_redaction_spark.operators.quality import mad_outliers
+
+    rows = [("s", i, v) for i, v in enumerate([10, 11, 12, 13, 14, 100])]
+    df = spark.createDataFrame(rows, "source string, doc_id long, v long")
+    # n=6 → lower median = 3rd smallest = 12; devs (2,1,0,1,2,88) → MAD
+    # (lower median of sorted 0,1,1,2,2,88) = 1; only 88 > 3
+    got = mad_outliers(df, "source", "v", "doc_id").collect()
+    assert [(r.doc_id, r.v, r.med, r.mad, r.dev) for r in got] == [(5, 100, 12, 1, 88)]
+
+
+def test_mad_outliers_zero_mad_flags_any_deviation(spark):
+    from doc_redaction_spark.operators.quality import mad_outliers
+
+    rows = [("s", i, 5) for i in range(9)] + [("s", 99, 6)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, v long")
+    got = mad_outliers(df, "source", "v", "doc_id").collect()
+    assert [(r.doc_id, r.dev, r.mad) for r in got] == [(99, 1, 0)]
