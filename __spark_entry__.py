@@ -7079,6 +7079,93 @@ def o_entity_cooccurrence():
 
 
 
+def q_redaction_policy_diff(spark, sf_dir):
+    """Policy-change impact report (the dry run before rolling a config
+    change across 100 TB): span-level full-outer diff between the
+    production config and a variant that drops TITLES + STREETNAME,
+    rolled up per entity type. The span-key join generalizes to ANY two
+    configs (changed thresholds shift offsets, not just presence);
+    the oracle exploits that this variant's spans are a subset."""
+    base_cfg = PIPE_CFG
+    var_cfg = PipelineConfig(
+        deny_terms=DENY_TERMS,
+        entities=tuple(
+            e for e in base_cfg.entities if e not in ("TITLES", "STREETNAME")
+        ),
+    )
+    keys = ["conv_id", "turn_idx", "entity_type", "start", "end"]
+    sb = span_table(
+        extract_and_redact(_tr(spark, sf_dir), base_cfg, with_row_number=False)
+    ).select(*keys, F.lit(1).alias("_b"))
+    sv = span_table(
+        extract_and_redact(_tr(spark, sf_dir), var_cfg, with_row_number=False)
+    ).select(*keys, F.lit(1).alias("_v"))
+    j = sb.join(sv, keys, "full_outer")
+    return (
+        j.groupBy("entity_type")
+        .agg(
+            F.sum(F.coalesce("_b", F.lit(0))).cast("long").alias("n_base"),
+            F.sum(F.coalesce("_v", F.lit(0))).cast("long").alias("n_variant"),
+            F.sum(F.when(F.col("_b").isNotNull() & F.col("_v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("_b").isNull() & F.col("_v").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_added"),
+        )
+    )
+
+
+def o_redaction_policy_diff():
+    return f"""
+    {_spans_oracle_cte()}
+    SELECT etype AS entity_type,
+           CAST(count(*) AS BIGINT) AS n_base,
+           CAST(CASE WHEN etype IN ('TITLES', 'STREETNAME') THEN 0
+                     ELSE count(*) END AS BIGINT) AS n_variant,
+           CAST(CASE WHEN etype IN ('TITLES', 'STREETNAME') THEN count(*)
+                     ELSE 0 END AS BIGINT) AS n_dropped,
+           CAST(0 AS BIGINT) AS n_added
+    FROM allspans GROUP BY etype
+    """
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Data-mixture curation (operators/sampling.py mixture_sample —
+    the Pile/Llama recipe): keep half the corpus, allocated 40/20/20/
+    10/10 across languages, filled per-language by md5 rank so the kept
+    set is identical on any cluster. English's target exceeds its supply
+    — the rank cap keeps all of it (the low-resource-language case the
+    integer plan must handle)."""
+    from doc_redaction_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(
+        docs,
+        {"en": (4, 10), "fr": (2, 10), "de": (2, 10), "es": (1, 10), "zh": (1, 10)},
+    )
+
+
+def o_mixture_sample():
+    from doc_redaction_spark.operators.sampling import duckdb_hash_u32
+
+    h = duckdb_hash_u32("'mix1:' || lang || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    tgt(grp, tn, td) AS (VALUES ('de', 2, 10), ('en', 4, 10), ('es', 1, 10),
+                                ('fr', 2, 10), ('zh', 1, 10)),
+    h AS (SELECT lang, doc_id, {h} AS hv FROM documents),
+    r AS (SELECT lang, doc_id, hv,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+          FROM h),
+    k AS (SELECT grp, CAST(((n * 1) // 2 * tn) // td AS BIGINT) AS keep_n
+          FROM tgt, tot)
+    SELECT r.lang, r.doc_id, k.keep_n
+    FROM r JOIN k ON k.grp = r.lang WHERE r.rn <= k.keep_n
+    """
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7092,6 +7179,8 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "redaction_policy_diff": q_redaction_policy_diff,
+    "mixture_sample": q_mixture_sample,
     "bpe_learn": q_bpe_learn,
     "mad_outliers": q_mad_outliers,
     "entity_cooccurrence": q_entity_cooccurrence,
@@ -7257,6 +7346,8 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "redaction_policy_diff": o_redaction_policy_diff,
+    "mixture_sample": o_mixture_sample,
     "bpe_learn": o_bpe_learn,
     "mad_outliers": o_mad_outliers,
     "entity_cooccurrence": o_entity_cooccurrence,

@@ -125,3 +125,54 @@ def group_sample(
         .filter(F.col("_gs_rn") <= int(k))
         .drop("_gs_rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, tuple[int, int]],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    budget: tuple[int, int] = (1, 2),
+    salt: str = "mix1",
+) -> DataFrame:
+    """Deterministic data-mixture curation (the Pile/Llama-style recipe):
+    keep ``budget`` of the corpus, allocated across groups by the target
+    proportions, each group filled by md5-rank so reruns and cluster
+    sizes cannot change the kept set.
+
+    ``targets`` maps group → (num, den) share of the total budget; a
+    group's keep count is ``((n·b_num) div b_den · num) div den`` —
+    all-integer, so the plan is engine-exact. A group smaller than its
+    target contributes everything it has (the rank filter caps at the
+    group size — the under-supplied low-resource-language case); groups
+    absent from ``targets`` are dropped. Corpus size travels as a
+    broadcast 1-row aggregate, targets as a broadcast literal table; the
+    only shuffle is the per-group rank window (block-bounded).
+
+    Returns kept rows ``(group, id, keep_n)``.
+    """
+    spark = df.sparkSession
+    total = df.agg(F.count("*").cast("long").alias("_tot"))
+    tgt = spark.createDataFrame(
+        [(g, int(n), int(d)) for g, (n, d) in sorted(targets.items())],
+        f"{group_col} string, _tn long, _td long",
+    )
+    key = F.concat_ws(
+        ":", F.lit(salt), F.col(group_col), F.col(id_col).cast("string")
+    )
+    d = (
+        df.select(group_col, id_col)
+        .join(F.broadcast(tgt), group_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn("_hv", _hash_u32(key))
+        .withColumn(
+            "keep_n",
+            F.expr(f"((_tot * {budget[0]}) div {budget[1]} * _tn) div _td"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy("_hv", id_col)
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("keep_n"))
+        .select(group_col, id_col, "keep_n")
+    )

@@ -316,3 +316,58 @@ def test_mad_outliers_zero_mad_flags_any_deviation(spark):
     df = spark.createDataFrame(rows, "source string, doc_id long, v long")
     got = mad_outliers(df, "source", "v", "doc_id").collect()
     assert [(r.doc_id, r.dev, r.mad) for r in got] == [(99, 1, 0)]
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+# ---------------------------------------------------------------------------
+
+
+def _py_mix(rows, targets, budget=(1, 2), salt="mix1"):
+    import hashlib
+
+    n = len(rows)
+    total_budget = n * budget[0] // budget[1]
+    by_g = {}
+    for g, i in rows:
+        if g in targets:
+            hv = int(
+                hashlib.md5(f"{salt}:{g}:{i}".encode()).hexdigest()[:8], 16
+            )
+            by_g.setdefault(g, []).append((hv, i))
+    kept = set()
+    for g, (tn, td) in targets.items():
+        keep_n = total_budget * tn // td
+        for hv, i in sorted(by_g.get(g, []))[:keep_n]:
+            kept.add((g, i, keep_n))
+    return kept
+
+
+def test_mixture_sample_matches_md5_reference(spark):
+    from doc_redaction_spark.operators.sampling import mixture_sample
+
+    rows = [("en", i) for i in range(30)] + [("fr", i) for i in range(30, 40)] + [
+        ("xx", 99)  # not in targets → dropped
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    targets = {"en": (3, 10), "fr": (7, 10)}
+    got = {tuple(r) for r in mixture_sample(df, targets).collect()}
+    want = _py_mix(rows, targets)
+    assert got == want
+    # fr target (14) exceeds its 10-row supply → all 10 kept (the cap)
+    assert sum(1 for g, _, _ in got if g == "fr") == 10
+    assert sum(1 for g, _, _ in got if g == "en") == 6  # floor(41/2)*3//10
+
+
+def test_mixture_sample_partitioning_invariant(spark):
+    from doc_redaction_spark.operators.sampling import mixture_sample
+
+    rows = [("en", i) for i in range(50)] + [("de", i) for i in range(50, 80)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    targets = {"en": (1, 2), "de": (1, 2)}
+    a = {tuple(r) for r in mixture_sample(df, targets).collect()}
+    b = {
+        tuple(r)
+        for r in mixture_sample(df.repartition(7, "doc_id"), targets).collect()
+    }
+    assert a == b and len(a) > 0
