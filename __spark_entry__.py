@@ -6860,8 +6860,7 @@ def o_context_trim():
     return f"""
     {TR_CTE},
     t AS (SELECT conv_id, turn_idx, role,
-                 CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT)
-                   AS n_tok
+                 CAST({duckdb_token_count('text')} AS BIGINT) AS n_tok
           FROM transcripts),
     c AS (SELECT conv_id, turn_idx, role, n_tok,
                  CAST(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
@@ -7203,16 +7202,13 @@ def q_html_links(spark, sf_dir):
 
 
 def o_html_links():
-    from doc_redaction_spark.operators.html_extract import (
-        ANCHOR_PATTERN,
-        HREF_PATTERN,
-    )
+    from doc_redaction_spark.operators.html_extract import LINK_PATTERN
 
     return f"""
     WITH pages AS (SELECT doc_id, {_html_linked_page_sql()} AS html FROM documents),
     arrs AS (SELECT doc_id,
-                    regexp_extract_all(html, '{_sq(HREF_PATTERN)}', 1) AS hs,
-                    regexp_extract_all(html, '{_sq(ANCHOR_PATTERN)}', 1) AS atxt
+                    regexp_extract_all(html, '{_sq(LINK_PATTERN)}', 1) AS hs,
+                    regexp_extract_all(html, '{_sq(LINK_PATTERN)}', 2) AS atxt
              FROM pages)
     SELECT doc_id, hs[i] AS href, atxt[i] AS anchor
     FROM arrs, unnest(generate_series(1, least(len(hs), len(atxt)))) AS t(i)
@@ -7280,7 +7276,7 @@ def q_link_graph_rank(spark, sf_dir):
 
 
 def o_link_graph_rank():
-    from doc_redaction_spark.operators.html_extract import HREF_PATTERN
+    from doc_redaction_spark.operators.html_extract import LINK_PATTERN
 
     hosts = ", ".join(f"'{h}'" for h in URL_HOSTS)
     return f"""
@@ -7289,7 +7285,7 @@ def o_link_graph_rank():
                           {_html_linked_page_sql()} AS html
                    FROM documents),
     lk AS (SELECT src_host, x AS href
-           FROM pages, unnest(regexp_extract_all(html, '{_sq(HREF_PATTERN)}', 1)) AS u(x)),
+           FROM pages, unnest(regexp_extract_all(html, '{_sq(LINK_PATTERN)}', 1)) AS u(x)),
     e0 AS (SELECT DISTINCT src_host AS src,
                   regexp_extract(href, '^https://([^/]*)', 1) AS dst
            FROM lk

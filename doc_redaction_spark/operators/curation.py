@@ -313,6 +313,10 @@ def bpe_learn(words: DataFrame, k: int = 4) -> DataFrame:
 
     ``words`` rows must match ``^[a-z]+$`` (callers filter): symbols stay
     free of the fold's internal conventions and of regex metacharacters.
+
+    EXECUTES AT CONSTRUCTION: each step's 1-row argmax is
+    ``localCheckpoint``-ed to keep the logical plan linear in ``k``
+    (see inline comment) — calling this function runs ``k`` small jobs.
     """
     cur = words.select(
         "w", F.col("cnt").cast("long").alias("cnt"), F.expr("filter(split(w, ''), ch0 -> ch0 <> '')").alias("syms")
@@ -342,6 +346,13 @@ def bpe_learn(words: DataFrame, k: int = 4) -> DataFrame:
                 F.col("r").alias(f"_r{i}"),
                 F.col("c").alias(f"_c{i}"),
             )
+            # truncate lineage: without this, step i's plan embeds step
+            # i-1's plan TWICE (via cur and via best), i.e. O(2^k) plan
+            # nodes — the analyzer hangs at realistic merge counts. Same
+            # documented iterative-operator exception as
+            # duplicate_components (CLAUDE.md): the 1-row argmax runs at
+            # construction time, one distributed job per merge step.
+            .localCheckpoint()
         )
         cur = cur.crossJoin(F.broadcast(best)).withColumn(
             "syms",

@@ -76,6 +76,26 @@ def shingle_col(text_col: str, n: int = 3):
     )
 
 
+def _shingled_docs(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Shared head of every sparse-shingle operator: ``(id, shingles)``
+    rows, empty sets dropped, repartitioned on the id key.
+
+    No persist: every consumer sits above the repartition exchange, so
+    ReuseExchange computes the shingling (the expensive regex stage) once
+    per action and the shuffle blocks are auto-cleaned — a persist here
+    leaks executor storage across the long-lived multi-query sessions
+    this library runs in (round-2 verdict item 3). Downstream joins use
+    ``xxhash64`` of the shingle, not the string: the pair shuffle moves
+    8-byte keys instead of ~20-byte text (collision odds
+    ~|shingles|²/2^65 — immaterial, and the key never reaches output)."""
+    sc = df.sparkSession.sparkContext
+    return (
+        df.select(F.col(id_col).alias("id"), shingle_col(text_col, n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .repartition(sc.defaultParallelism * 2, "id")
+    )
+
+
 def _shingle_pair_intersections(
     df: DataFrame, text_col: str, id_col: str, n: int, max_df: int | None
 ):
@@ -83,20 +103,7 @@ def _shingle_pair_intersections(
     (Jaccard and containment): returns (inter, sizes) where ``inter`` is
     (id1 < id2, |A∩B|) over 64-bit shingle hashes and ``sizes`` is the
     per-doc (capped) shingle-set size."""
-    sc = df.sparkSession.sparkContext
-    docs = (
-        df.select(F.col(id_col).alias("id"), shingle_col(text_col, n).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .repartition(sc.defaultParallelism * 2, "id")
-    )
-    # No persist: every consumer sits above the repartition exchange, so
-    # ReuseExchange computes the shingling (the expensive regex stage) once
-    # per action and the shuffle blocks are auto-cleaned — a persist here
-    # leaks executor storage across the long-lived multi-query sessions
-    # this library runs in (round-2 verdict item 3).
-    # join on the 64-bit shingle hash, not the shingle string: the pair
-    # shuffle moves 8-byte keys instead of ~20-byte text (collision odds
-    # ~|shingles|²/2^65 — immaterial, and the key never reaches output)
+    docs = _shingled_docs(df, text_col, id_col, n)
     ex = docs.select("id", F.explode("shingles").alias("_sh_txt")).select(
         "id", F.xxhash64("_sh_txt").alias("sh")
     )
@@ -1576,12 +1583,7 @@ def prefix_filter_pairs(
     Returns (id1, id2, sz1, sz2, inter, jac_x1000) — all BIGINT, so the
     output hash-matches the uncapped all-pairs oracle exactly.
     """
-    sc = df.sparkSession.sparkContext
-    docs = (
-        df.select(F.col(id_col).alias("id"), shingle_col(text_col, n).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .repartition(sc.defaultParallelism * 2, "id")
-    )
+    docs = _shingled_docs(df, text_col, id_col, n)
     ex = docs.select(
         "id",
         F.size("shingles").cast("long").alias("sz"),

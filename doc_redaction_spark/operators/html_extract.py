@@ -228,7 +228,7 @@ def extract_main_content_py(
 # href attribute value (group 1) of an anchor OPEN tag — the link-
 # extraction twin of ANCHOR_PATTERN (which captures the element's inner
 # text). Both stay in the Java/RE2/Python-re common subset.
-HREF_PATTERN = r'(?i)<a\b[^>]*href="([^"]*)"[^>]*>'
+LINK_PATTERN = r'(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
 
 
 def extract_links(
@@ -236,16 +236,18 @@ def extract_links(
 ) -> DataFrame:
     """(id, href, anchor) rows from every well-formed ``<a href="...">``
     element — the web-corpus link harvest that feeds URL frontier /
-    link-graph stages. Two JVM ``regexp_extract_all`` passes (hrefs from
-    the open tags, inner texts from the elements) zipped positionally —
-    map-only, whole-stage codegen, zero shuffle. Documents where some
-    anchors lack an href would misalign the zip; the zip is truncated to
-    the shorter array, the standard harvest tolerance (this fixture's
-    pages are fully-formed)."""
-    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(HREF_PATTERN), 1)
-    anchors = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 1)
+    link-graph stages. Both fields come from the SAME element-level
+    pattern (group 1 = href, group 2 = inner text), so the positional
+    zip is aligned STRUCTURALLY — an ``<a>`` without an href simply
+    doesn't match, it can never shift the pairing (review finding,
+    round-5 session-5). Two JVM ``regexp_extract_all`` passes over one
+    pattern — map-only, whole-stage codegen, zero shuffle."""
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(LINK_PATTERN), 1)
+    anchors = F.regexp_extract_all(F.col(html_col), F.lit(LINK_PATTERN), 2)
     pair = F.expr(
-        # sequence(1, 0) reverses direction — guard the no-links page
+        # sequence(1, 0) reverses direction — guard the no-links page;
+        # sizes are equal by construction (same pattern), least() is a
+        # belt-and-braces no-op
         "CASE WHEN least(size(_hs), size(_as)) >= 1 THEN"
         " transform(sequence(1, least(size(_hs), size(_as))),"
         "   li -> struct(element_at(_hs, li) AS href,"

@@ -413,15 +413,16 @@ def test_winsorized_stats_broadcast_thresholds(spark, queries):
             assert "BuildRight" in ln, ln
 
 
-def test_bpe_learn_only_broadcast_argmax_joins(spark, queries):
-    """bpe_learn: the only non-equi joins are the 1-row argmax broadcasts
-    (BNLJ BuildRight); the pair counts are combinable HashAggregates."""
+def test_bpe_learn_linear_plan_via_checkpoints(spark, queries):
+    """bpe_learn: each step's 1-row argmax is localCheckpoint-ed (the
+    documented iterative-operator exception), so the RETURNED merge
+    table is a union of k tiny checkpointed scans — no joins, no
+    cartesian, and crucially a plan LINEAR in k (without the checkpoint
+    the plan embeds the previous step twice → O(2^k) nodes)."""
     plan = _plan(queries["bpe_learn"](spark, SF))
     assert "CartesianProduct" not in plan, plan
-    for ln in plan.splitlines():
-        if "BroadcastNestedLoopJoin" in ln:
-            assert "BuildRight" in ln, ln
-    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 4, plan  # one per merge step
 
 
 def test_mad_outliers_group_keyed_exchanges(spark, queries):

@@ -383,6 +383,7 @@ def test_extract_links_pairs_and_order(spark):
 
     html = (
         '<p>x <a href="https://a.com/1">one</a> y '
+        '<a name="no-href-anchor">skipped</a> '  # hrefless: must not shift pairing
         '<A HREF="https://b.org/2" class="z">two words</A>'
         ' <a href="/rel">rel</a></p>'
     )
