@@ -7296,6 +7296,90 @@ def o_link_graph_rank():
 
 
 
+def q_bm25_incremental(spark, sf_dir):
+    """Incremental BM25 index maintenance: build the postings table on
+    the base corpus (doc_id % 7 != 0), APPEND the held-out batch
+    (operators/search.py append_bm25_index — batch-sized work only:
+    postings rows append under the same bucket spec, the 1-row stats
+    merge by sum), then probe. Because df is probe-derived and avgdl
+    comes from the merged (n_docs, sum_dl), the result is byte-identical
+    to an index built from scratch on the union — so the FULL-corpus
+    oracle value-checks the append path. Same external-table lifecycle
+    as bm25_stored (EXECUTES at construction)."""
+    from doc_redaction_spark.operators.search import (
+        append_bm25_index,
+        bm25_topk_from_index,
+        save_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    tbl = f"reg_bm25_inc_{os.getpid()}"
+    tdir = f"/tmp/spark_graft_reg_bm25_inc_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_stats")
+    try:
+        save_bm25_index(base, tbl, buckets=8, path=f"{tdir}/postings")
+        append_bm25_index(batch, tbl)
+        return (
+            bm25_topk_from_index(spark, _BM25_QUERIES, k=10, table_name=tbl)
+            .orderBy("query_id", "rank")
+            .localCheckpoint()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_stats")
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+def o_bm25_incremental():
+    # append ≡ full rebuild (pinned by tests) ≡ the end-to-end oracle
+    return o_bm25_search()
+
+
+
+def q_ewma_value(spark, sf_dir):
+    """Per-user EWMA value smoothing (operators/events.py ewma_value —
+    α=1/2, 8-lag truncation, exact integer weights 128..1): the
+    monitoring/trend-smoothing window in the bit-exact integer domain
+    where a float EWMA recursion diverges per engine. One (user, ts µs,
+    id)-ordered window, depth fixed lags."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return oe.ewma_value(ev)
+
+
+def o_ewma_value():
+    depth = 8
+    lags = ",\n                 ".join(
+        f"lag(cents, {j}) OVER w AS l{j}" for j in range(1, depth)
+    )
+    num = " + ".join(
+        ["cents * 128"]
+        + [f"coalesce(l{j}, 0) * {1 << (depth - 1 - j)}" for j in range(1, depth)]
+    )
+    den = " + ".join(
+        ["128"]
+        + [
+            f"CASE WHEN l{j} IS NOT NULL THEN {1 << (depth - 1 - j)} ELSE 0 END"
+            for j in range(1, depth)
+        ]
+    )
+    return f"""
+    WITH s AS (SELECT event_id, user_id,
+                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      epoch_us(ts) AS us
+               FROM events),
+    g AS (SELECT event_id, user_id, cents,
+                 {lags}
+          FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+    SELECT event_id, user_id, cents,
+           CAST({num} AS BIGINT) // CAST({den} AS BIGINT) AS ewma_cents
+    FROM g
+    """
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7309,6 +7393,8 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "ewma_value": q_ewma_value,
+    "bm25_incremental": q_bm25_incremental,
     "html_links": q_html_links,
     "link_graph_rank": q_link_graph_rank,
     "redaction_policy_diff": q_redaction_policy_diff,
@@ -7478,6 +7564,8 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "ewma_value": o_ewma_value,
+    "bm25_incremental": o_bm25_incremental,
     "html_links": o_html_links,
     "link_graph_rank": o_link_graph_rank,
     "redaction_policy_diff": o_redaction_policy_diff,

@@ -300,3 +300,53 @@ def cohort_retention(
             F.col("n_users").cast("long").alias("n_users"),
         )
     )
+
+
+def ewma_value(
+    ev: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    depth: int = 8,
+) -> DataFrame:
+    """Per-user exponentially-weighted moving average of the event value
+    (α = 1/2), truncated at ``depth`` lags — the monitoring/trend smooth
+    in EXACT integer arithmetic: weight of the j-th most recent event is
+    2^(depth−1−j), the mean is the integral quotient of the weighted sum
+    by the sum of PRESENT weights (so early events, with fewer than
+    ``depth`` predecessors, are averaged over what exists rather than
+    diluted by phantom zeros). Float EWMA recursions accumulate
+    differently per engine; this form hash-matches the oracle.
+
+    One window over (user, ts µs, id) — the id tiebreak makes the lag
+    sequence total under ts collisions (transition_matrix convention).
+    ``depth`` fixed lags = depth column expressions, no self-join.
+    """
+    if depth < 1 or depth > 32:
+        raise ValueError(f"depth must be in [1, 32], got {depth}")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    us = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    w = Window.partitionBy(user_col).orderBy("_us", id_col)
+    d = ev.select(
+        id_col, user_col, cents.alias("cents"), us.alias("_us")
+    )
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(depth):
+        wt = 1 << (depth - 1 - j)
+        lagged = F.col("cents") if j == 0 else F.lag("cents", j).over(w)
+        num = num + F.coalesce(lagged, F.lit(0)) * wt
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    return d.select(
+        id_col,
+        user_col,
+        "cents",
+        num.alias("_n"),
+        den.alias("_d"),
+    ).select(
+        id_col,
+        user_col,
+        "cents",
+        F.expr("_n div _d").alias("ewma_cents"),
+    )

@@ -153,27 +153,28 @@ def save_bm25_index(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> None:
-    """Persist the corpus as a classic denormalized postings table
-    ``(tok, df, id, tf, dl)`` — bucketed AND sorted by ``tok`` — plus a
-    1-row ``<table>_stats`` table (n_docs, avgdl).
+    """Persist the corpus as a classic postings table ``(tok, id, tf,
+    dl)`` — bucketed AND sorted by ``tok`` — plus a 1-row
+    ``<table>_stats`` table (n_docs, sum_dl).
 
-    This moves ALL corpus-sized work (token explode, tf/df/dl
-    aggregations — three shuffles over the full corpus) to index-build
-    time. A query probe then reads postings with a pushed-down
-    ``tok IN (...)`` literal filter (the sortBy gives parquet min/max
-    row-group pruning; the bucketBy gives future merge/compaction ops a
-    shuffle-free layout) and aggregates only the matching lists — at
-    100 TB the probe touches megabytes, not the corpus. Follows the
-    repartition-before-bucketed-write file-count discipline of
+    This moves ALL corpus-sized work (token explode, tf/dl aggregations
+    — two shuffles over the full corpus) to index-build time. A query
+    probe then reads postings with a pushed-down ``tok IN (...)``
+    literal filter (the sortBy gives parquet min/max row-group pruning;
+    the bucketBy gives merge/compaction ops a shuffle-free layout) and
+    aggregates only the matching lists — at 100 TB the probe touches
+    megabytes, not the corpus.
+
+    Deliberately NOT denormalized: per-token ``df`` is derived at probe
+    time as the count of the token's posting rows (they are all read
+    anyway), and stats store the mergeable ``sum_dl`` instead of the
+    derived ``avgdl``. That is what makes the index APPEND-ABLE
+    (``append_bm25_index``): a stored ``df`` column would go stale on
+    every existing posting the moment one new document shares a token —
+    the reason real engines keep df out of segment postings. Follows
+    the repartition-before-bucketed-write file-count discipline of
     dedup.save_minhash_band_index."""
-    tf = (
-        docs.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
-        .groupBy("id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
-    df_tok = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    postings = tf.join(dl, "id").join(df_tok, "tok").select("tok", "df", "id", "tf", "dl")
+    postings = _postings(docs, text_col, id_col)
     writer = (
         postings.repartition(buckets, "tok")
         .write.mode("overwrite")
@@ -190,12 +191,81 @@ def save_bm25_index(
     spark.catalog.refreshTable(table_name)
     dl_stored = spark.table(table_name).select("id", "dl").distinct()
     stats = dl_stored.agg(
-        F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
     )
     swriter = stats.write.mode("overwrite")
     if path is not None:
         swriter = swriter.option("path", f"{path}_stats")
     swriter.saveAsTable(f"{table_name}_stats")
+
+
+def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(tok, id, tf, dl) posting rows for a document batch — shared by
+    the full build and the incremental append."""
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, "id").select("tok", "id", "tf", "dl")
+
+
+def append_bm25_index(
+    new_docs: DataFrame,
+    table_name: str = "bm25_postings",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally add a document batch to a stored BM25 index:
+    append the batch's posting rows (same bucket spec — Spark validates
+    it against the table) and MERGE the 1-row stats (n_docs and sum_dl
+    are both sums). Because ``df`` is probe-derived and ``avgdl`` is
+    computed from the merged sums, a probe after the append is
+    byte-identical to probing an index built from scratch on the union
+    (pinned by tests). Only corpus-sized work: tokenizing the BATCH.
+
+    Caller contract: ``new_docs`` ids must be new to the index (no
+    upsert — a re-ingested id would double its postings; route replays
+    through the ingest-dedup front door, streaming/stream.py)."""
+    spark = new_docs.sparkSession
+    batch = _postings(new_docs, text_col, id_col)
+    n_buckets = 0
+    try:
+        # mirror the table's bucket count for the pre-write repartition
+        desc = spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()
+        for r in desc:
+            if r.col_name == "Num Buckets":
+                n_buckets = int(r.data_type)
+    except Exception:
+        pass
+    if n_buckets:
+        batch = batch.repartition(n_buckets, "tok")
+        batch.write.mode("append").bucketBy(n_buckets, "tok").sortBy(
+            "tok"
+        ).saveAsTable(table_name)
+    else:
+        batch.write.mode("append").saveAsTable(table_name)
+    new_stats = batch.select("id", "dl").distinct().agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    stats_tbl = f"{table_name}_stats"
+    spark.catalog.refreshTable(stats_tbl)
+    merged = (
+        spark.table(stats_tbl)
+        .unionByName(new_stats)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+        # materialize BEFORE the overwrite truncates the table being read
+        .localCheckpoint()
+    )
+    merged.write.mode("overwrite").saveAsTable(stats_tbl)
+    spark.catalog.refreshTable(table_name)
+    spark.catalog.refreshTable(stats_tbl)
 
 
 def bm25_topk_from_index(
@@ -229,7 +299,16 @@ def bm25_topk_from_index(
         }
     )
     postings = spark.table(table_name).filter(F.col("tok").isin(terms))
-    stats = spark.table(f"{table_name}_stats")
+    # df is PROBE-DERIVED: the matched token's posting rows are all read
+    # anyway, so its document frequency is a window count over them —
+    # this is what keeps the stored index append-able (see
+    # save_bm25_index docstring)
+    postings = postings.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok"))
+    )
+    stats = spark.table(f"{table_name}_stats").select(
+        "n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl")
+    )
     matched = postings.join(F.broadcast(_qterms(spark, queries)), "tok").crossJoin(
         F.broadcast(stats)
     )

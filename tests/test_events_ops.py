@@ -170,3 +170,34 @@ def test_transition_matrix_ground_truth(spark):
     assert out[("click", "view")] == (1, 0.5)
     assert out[("click", "purchase")] == (1, 0.5)
     assert len(out) == 3
+
+
+def test_ewma_value_hand_computed(spark):
+    import datetime as dt
+
+    from doc_redaction_spark.operators.events import ewma_value
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "u", base, 1.00),
+        (2, "u", base + dt.timedelta(seconds=1), 2.00),
+        (3, "u", base + dt.timedelta(seconds=2), 4.00),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp, value double")
+    got = {r.event_id: r.ewma_cents for r in ewma_value(df, depth=3).collect()}
+    # weights 4,2,1 over (current, prev, prev2); partial windows use
+    # present weights only:
+    # e1: 100*4 / 4 = 100
+    # e2: (200*4 + 100*2) / 6 = 166 (floor)
+    # e3: (400*4 + 200*2 + 100*1) / 7 = 300
+    assert got == {1: 100, 2: 166, 3: 300}
+
+
+def test_ewma_depth_guard(spark):
+    import pytest as _pt
+
+    from doc_redaction_spark.operators.events import ewma_value
+
+    df = spark.createDataFrame([], "event_id long, user_id string, ts timestamp, value double")
+    with _pt.raises(ValueError):
+        ewma_value(df, depth=0)

@@ -157,3 +157,50 @@ def test_tokenize_py_matches_spark_tokens(spark):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [r[0] for r in df.select(tokens_col("text")).collect()]
     assert got == [tokenize_py(t) for t in texts]
+
+
+def test_append_bm25_index_equals_full_rebuild(spark, tmp_path):
+    """index(base) + append(batch) must probe byte-identically to
+    index(base ∪ batch) — the property the probe-derived df and
+    mergeable (n_docs, sum_dl) stats exist to provide."""
+    import random
+
+    from doc_redaction_spark.operators.search import (
+        append_bm25_index,
+        bm25_topk_from_index,
+        save_bm25_index,
+    )
+
+    rnd = random.Random(31)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(3, 25))))
+        for i in range(120)
+    ]
+    base = spark.createDataFrame(rows[:90], "doc_id long, text string")
+    batch = spark.createDataFrame(rows[90:], "doc_id long, text string")
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [(1, "alpha eta"), (2, "delta"), (3, "zeta gamma beta")]
+    t_inc, t_full = "test_bm25_inc", "test_bm25_full"
+    for t in (t_inc, t_full):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}_stats")
+    try:
+        save_bm25_index(base, t_inc, buckets=4, path=str(tmp_path / "inc"))
+        append_bm25_index(batch, t_inc)
+        save_bm25_index(full, t_full, buckets=4, path=str(tmp_path / "full"))
+        got = sorted(
+            map(tuple, bm25_topk_from_index(spark, queries, k=7, table_name=t_inc).collect())
+        )
+        want = sorted(
+            map(tuple, bm25_topk_from_index(spark, queries, k=7, table_name=t_full).collect())
+        )
+        assert got == want and len(got) > 0
+        # merged stats really merged: n_docs covers both segments
+        n, sdl = spark.table(f"{t_inc}_stats").collect()[0]
+        assert n == 120
+        assert sdl == spark.table(f"{t_full}_stats").collect()[0][1]
+    finally:
+        for t in (t_inc, t_full):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}_stats")
