@@ -6968,8 +6968,10 @@ def q_bpe_learn(spark, sf_dir):
     return bpe_learn(words, k=4)
 
 
-def o_bpe_learn():
-    k = 4
+def _bpe_chain_sql(k: int = 4) -> str:
+    """The unrolled BPE-training CTE chain shared by o_bpe_learn (reads
+    the m1..mk argmax CTEs) and o_bpe_encode (reads the final encoded
+    vocabulary s{k}). Returns the comma-joined CTE definitions only."""
     parts = [
         f"toks AS (SELECT x AS w FROM documents, unnest({_DOC_TOKENS_DUCK})"
         f" AS u(x) WHERE regexp_matches(x, '^[a-z]{{2,20}}$'))",
@@ -6992,12 +6994,17 @@ def o_bpe_learn():
             f" ELSE acc{i} || '|' || sy{i} END), '|') END AS syms"
             f" FROM s{i-1}, m{i})"
         )
+    return ",\n    ".join(parts)
+
+
+def o_bpe_learn():
+    k = 4
     selects = "\n    UNION ALL ".join(
         f"SELECT {i} AS step, l AS \"left\", r AS \"right\","
         f" l || r AS merged, c AS pair_count FROM m{i}"
         for i in range(1, k + 1)
     )
-    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+    return "WITH " + _bpe_chain_sql(k) + "\n    " + selects
 
 
 def q_mad_outliers(spark, sf_dir):
@@ -7380,6 +7387,45 @@ def o_ewma_value():
 
 
 
+def q_bpe_encode(spark, sf_dir):
+    """BPE train→apply closed loop (operators/curation.py
+    bpe_encode_stats): learn 4 merges from the corpus word-frequency
+    table, then report per-document (n_words, n_chars, n_tokens) — the
+    measured compression of the learned merges. The scale trick is that
+    encoding happens once per DISTINCT word (the vocabulary was encoded
+    while learning); the corpus only equi-joins its word stream against
+    that vocabulary-sized table, with character-level fallback for
+    out-of-vocabulary words."""
+    from doc_redaction_spark.operators.curation import bpe_encode_stats, tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{2,20}$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return bpe_encode_stats(docs, words, k=4)
+
+
+def o_bpe_encode():
+    k = 4
+    return f"""
+    WITH {_bpe_chain_sql(k)},
+    enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_syms FROM s{k}),
+    docw AS (SELECT doc_id, x AS w
+             FROM documents, unnest({_DOC_TOKENS_DUCK}) AS u(x)
+             WHERE regexp_matches(x, '^[a-z]+$'))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(coalesce(n_syms, length(w))) AS BIGINT) AS n_tokens
+    FROM docw LEFT JOIN enc USING (w)
+    GROUP BY doc_id
+    """
+
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7393,6 +7439,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "bpe_encode": q_bpe_encode,
     "ewma_value": q_ewma_value,
     "bm25_incremental": q_bm25_incremental,
     "html_links": q_html_links,
@@ -7564,6 +7611,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "bpe_encode": o_bpe_encode,
     "ewma_value": o_ewma_value,
     "bm25_incremental": o_bm25_incremental,
     "html_links": o_html_links,

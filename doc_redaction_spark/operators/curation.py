@@ -289,6 +289,12 @@ def unigram_surprisal(
 
 
 def bpe_learn(words: DataFrame, k: int = 4) -> DataFrame:
+    """See :func:`bpe_learn_with_vocab` — this is its merge-table half."""
+    merges, _vocab = bpe_learn_with_vocab(words, k)
+    return merges
+
+
+def bpe_learn_with_vocab(words: DataFrame, k: int = 4):
     """Learn the first ``k`` BPE merges from a ``(w, cnt)`` word-frequency
     table: repeatedly count adjacent symbol pairs (weighted by word count),
     merge the most frequent pair corpus-wide, repeat. Returns one row per
@@ -380,4 +386,47 @@ def bpe_learn(words: DataFrame, k: int = 4) -> DataFrame:
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
-    return out
+    # cur = the encoded vocabulary (w, cnt, syms) after all k merges —
+    # the train→apply bridge bpe_encode joins against
+    return out, cur.select("w", "cnt", "syms")
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    words: DataFrame,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the learned BPE merges to a corpus and report per-document
+    tokenization stats — the train→apply loop closed. The scale trick:
+    encoding happens ONCE PER DISTINCT WORD (the vocabulary
+    ``bpe_learn_with_vocab`` already encoded while learning), then joins
+    back to the corpus word stream — a 100 TB corpus re-encodes nothing,
+    it equi-joins its exploded words against a vocabulary-sized table.
+
+    Out-of-vocabulary words (absent from the training ``words`` table)
+    fall back to character-level (len(w) symbols) via a left join —
+    the standard byte/char fallback.
+
+    Returns ``(id_col, n_words, n_chars, n_tokens)`` where n_tokens is
+    the post-merge symbol count (n_chars = the pre-merge count, so
+    n_chars/n_tokens is the measured compression of the k merges).
+    """
+    _merges, vocab = bpe_learn_with_vocab(words, k)
+    enc = vocab.select("w", F.size("syms").cast("long").alias("_n_syms"))
+    dw = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    j = dw.join(enc, "w", "left")
+    return (
+        j.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.coalesce("_n_syms", F.length("w").cast("long")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select(F.col("id").alias(id_col), "n_words", "n_chars", "n_tokens")
+    )

@@ -394,3 +394,20 @@ def test_extract_links_pairs_and_order(spark):
         (1, "https://a.com/1", "one"),
         (1, "https://b.org/2", "two words"),
     ]
+
+
+def test_bpe_encode_stats_counts(spark):
+    from doc_redaction_spark.operators.curation import bpe_encode_stats
+
+    # vocab 'abab' heavily weighted → merges (a,b)→ab then (ab,ab)→abab
+    words = spark.createDataFrame([("abab", 10), ("ab", 5)], "w string, cnt long")
+    docs = spark.createDataFrame(
+        [(1, "abab ab abab"), (2, "zz abab"), (3, "XYZ 123")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_words, r.n_chars, r.n_tokens) for r in
+           bpe_encode_stats(docs, words, k=2).collect()}
+    # doc1: abab→1 tok, ab→1, abab→1 ⇒ 3 words / 10 chars / 3 tokens
+    # doc2: zz is OOV (char fallback: 2), abab→1 ⇒ 2 words / 6 chars / 3 tokens
+    # doc3: 'xyz' lowercased is OOV→3; '123' fails ^[a-z]+$ → excluded
+    assert got == {1: (3, 10, 3), 2: (2, 6, 3), 3: (1, 3, 3)}
