@@ -7425,6 +7425,145 @@ def o_bpe_encode():
     """
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit (operators/privacy.py
+    k_anonymity_report — the re-identification-risk measurement the
+    reference's cell-level anonymiser, tools/data_anonymise.py, never
+    takes): QI equivalence classes over (mktsegment, zip_bucket) with
+    class size, sensitive-attribute diversity, and the at-risk flag
+    (size < k OR homogeneous sensitive value)."""
+    from doc_redaction_spark.operators.privacy import k_anonymity_report
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.pmod(F.col("c_custkey"), F.lit(97)).cast("int").alias("zip_bucket"),
+        F.col("c_acctbal"),
+    )
+    return k_anonymity_report(
+        cust, ["mktsegment", "zip_bucket"], "c_acctbal", k=5
+    ).orderBy("mktsegment", "zip_bucket")
+
+
+def o_k_anonymity():
+    return """
+    WITH q AS (SELECT c_mktsegment AS mktsegment,
+                      CAST(((c_custkey % 97) + 97) % 97 AS INTEGER) AS zip_bucket,
+                      c_acctbal
+               FROM customer)
+    SELECT mktsegment, zip_bucket,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
+           CAST(CASE WHEN count(*) < 5
+                       OR count(DISTINCT c_acctbal) = 1
+                     THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+    FROM q GROUP BY mktsegment, zip_bucket
+    ORDER BY mktsegment, zip_bucket
+    """
+
+
+def q_k_suppress(spark, sf_dir):
+    """QI suppression enforcement (operators/privacy.py k_suppress):
+    rows in equivalence classes smaller than k get their
+    quasi-identifier columns nulled; every row retained with a
+    suppressed flag so the utility cost is countable."""
+    from doc_redaction_spark.operators.privacy import k_suppress
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.pmod(F.col("c_custkey"), F.lit(97)).cast("int").alias("zip_bucket"),
+    )
+    return k_suppress(cust, ["mktsegment", "zip_bucket"], "c_custkey", k=5)
+
+
+def o_k_suppress():
+    return """
+    WITH q AS (SELECT c_custkey, c_mktsegment AS mktsegment,
+                      CAST(((c_custkey % 97) + 97) % 97 AS INTEGER) AS zip_bucket
+               FROM customer),
+    s AS (SELECT mktsegment, zip_bucket, count(*) AS cs
+          FROM q GROUP BY mktsegment, zip_bucket)
+    SELECT c_custkey,
+           CASE WHEN cs < 5 THEN NULL ELSE q.mktsegment END AS mktsegment,
+           CASE WHEN cs < 5 THEN NULL ELSE q.zip_bucket END AS zip_bucket,
+           CAST(CASE WHEN cs < 5 THEN 1 ELSE 0 END AS INTEGER) AS suppressed
+    FROM q JOIN s ON q.mktsegment = s.mktsegment
+                 AND q.zip_bucket = s.zip_bucket
+    """
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocation mining (operators/curation.py collocations):
+    top-50 adjacent-token bigrams ranked by integer-exact independence
+    lift (c_xy*N*1000 div c_x*c_y — the log-free monotone equivalent of
+    PMI, DECIMAL(38,0) product so 100 TB counts cannot wrap). The
+    multiword-expression stats pass feeding tokenizer vocab seeding and
+    deny-list candidate review."""
+    from doc_redaction_spark.operators.curation import collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return collocations(docs, min_count=5, k=50)
+
+
+def o_collocations():
+    return f"""
+    WITH tk AS (SELECT doc_id, {_DOC_TOKENS_DUCK} AS t FROM documents),
+    g AS (SELECT array_to_string(t[i:i+1], ' ') AS g
+          FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+          WHERE len(t) >= 2),
+    bc AS (SELECT g, CAST(count(*) AS BIGINT) AS c_xy
+           FROM g GROUP BY g HAVING count(*) >= 5),
+    un AS (SELECT x AS w, CAST(count(*) AS BIGINT) AS c_w
+           FROM tk, unnest(t) AS uu(x) GROUP BY x),
+    n AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tok FROM un)
+    SELECT g AS gram, c_xy, lu.c_w AS c_x, ru.c_w AS c_y,
+           CAST((CAST(c_xy AS HUGEINT) * n_tok * 1000)
+                // (CAST(lu.c_w AS HUGEINT) * ru.c_w) AS BIGINT)
+             AS lift_x1000
+    FROM bc
+    JOIN un lu ON lu.w = string_split(g, ' ')[1]
+    JOIN un ru ON ru.w = string_split(g, ' ')[2], n
+    ORDER BY lift_x1000 DESC, c_xy DESC, gram
+    LIMIT 50
+    """
+
+
+def q_conv_lang_mix(spark, sf_dir):
+    """Per-conversation code-switching report (operators/convops.py
+    conversation_lang_mix): the shared character-trigram language
+    prediction per turn, rolled up to dominant language + mix stats per
+    conversation — the triage step before language-routed extraction."""
+    from doc_redaction_spark.operators.convops import conversation_lang_mix
+
+    return conversation_lang_mix(_tr(spark, sf_dir)).orderBy("conv_id")
+
+
+def o_conv_lang_mix():
+    from doc_redaction_spark.functions.textstats import duckdb_lang_ngram_pred
+
+    return f"""
+    {TR_CTE},
+    per AS (SELECT conv_id, {duckdb_lang_ngram_pred('text')} AS lang
+            FROM transcripts),
+    cnt AS (SELECT conv_id, lang, count(*) AS n
+            FROM per GROUP BY conv_id, lang),
+    r AS (SELECT conv_id, lang, n,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY n DESC, lang) AS rk,
+                 sum(n) OVER (PARTITION BY conv_id) AS n_turns,
+                 count(*) OVER (PARTITION BY conv_id) AS n_langs
+          FROM cnt)
+    SELECT conv_id, lang AS dominant_lang,
+           CAST(n AS BIGINT) AS dominant_turns,
+           CAST(n_turns AS BIGINT) AS n_turns,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(n_turns - n AS BIGINT) AS minority_turns,
+           CAST(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END AS INTEGER)
+             AS code_switched
+    FROM r WHERE rk = 1
+    ORDER BY conv_id
+    """
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -7439,6 +7578,10 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "k_anonymity": q_k_anonymity,
+    "k_suppress": q_k_suppress,
+    "collocations": q_collocations,
+    "conv_lang_mix": q_conv_lang_mix,
     "bpe_encode": q_bpe_encode,
     "ewma_value": q_ewma_value,
     "bm25_incremental": q_bm25_incremental,
@@ -7611,6 +7754,10 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "k_anonymity": o_k_anonymity,
+    "k_suppress": o_k_suppress,
+    "collocations": o_collocations,
+    "conv_lang_mix": o_conv_lang_mix,
     "bpe_encode": o_bpe_encode,
     "ewma_value": o_ewma_value,
     "bm25_incremental": o_bm25_incremental,

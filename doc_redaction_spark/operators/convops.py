@@ -109,3 +109,51 @@ def turn_taking(
             ).alias("mean_gap_s"),
         )
     )
+
+
+def conversation_lang_mix(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation language-mix / code-switching report — the
+    multilingual-corpus triage step a transcript pipeline runs before
+    routing conversations to language-specific extraction configs (a
+    conversation whose turns disagree on language needs per-turn
+    routing, not per-conversation).
+
+    Each turn gets the shared character-trigram language prediction
+    (``functions/textstats.lang_ngram_pred_col`` — JVM regexp_count,
+    argmax with the fixed LANG_PRIORITY tie order), then one combinable
+    groupBy to (conv, lang) counts and one window over ``conv_col`` to
+    pick the dominant language (count desc, lang asc — deterministic)
+    and roll up the mix. The window shuffle is keyed on ``conv_col``,
+    the same partitioning every other per-conversation stage uses, so
+    it co-plans (ReuseExchange) with the extraction pipeline.
+
+    Output: ``(conv_id, dominant_lang, dominant_turns, n_turns,
+    n_langs, minority_turns, code_switched)``.
+    """
+    from doc_redaction_spark.functions.textstats import lang_ngram_pred_col
+
+    per = turns.select(F.col(conv_col).alias("conv_id"), lang_ngram_pred_col(text_col))
+    cnt = per.groupBy("conv_id", "lang_ngram_pred").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("n"), F.asc("lang_ngram_pred"))
+    tot = Window.partitionBy("conv_id")
+    return (
+        cnt.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_turns", F.sum("n").over(tot).cast("long"))
+        .withColumn("n_langs", F.count(F.lit(1)).over(tot).cast("long"))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "conv_id",
+            F.col("lang_ngram_pred").alias("dominant_lang"),
+            F.col("n").alias("dominant_turns"),
+            "n_turns",
+            "n_langs",
+            (F.col("n_turns") - F.col("n")).cast("long").alias("minority_turns"),
+            (F.col("n_langs") > 1).cast("int").alias("code_switched"),
+        )
+    )

@@ -430,3 +430,76 @@ def bpe_encode_stats(
         )
         .select(F.col("id").alias(id_col), "n_words", "n_chars", "n_tokens")
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` adjacent-token collocations by PMI-style lift — the
+    corpus-statistics pass that surfaces multiword expressions ("new
+    york", "machine learning") for tokenizer vocab seeding, boilerplate
+    mining, and deny-list candidate review.
+
+    Pointwise mutual information compares the observed bigram rate to
+    the independence expectation: PMI = log p(xy)/(p(x)p(y)). The log is
+    monotone, so ranking by the RATIO is ranking by PMI — and the ratio
+    is exact in integer arithmetic where the log is not bit-identical
+    cross-engine. We report ``lift_x1000 = (c_xy * N * 1000) div
+    (c_x * c_y)`` (N = total corpus tokens), computed in DECIMAL(38,0)
+    so a 100 TB corpus's c_xy*N product cannot wrap BIGINT; all operands
+    are non-negative so Spark's ``div`` (floor) and DuckDB's HUGEINT
+    ``//`` (truncate) agree.
+
+    Plan: bigram stream via the shared ``_gram_positions`` kernel (n=2),
+    one combinable groupBy for bigram counts (the ``min_count`` filter
+    prunes the long tail BEFORE the unigram joins), one combinable
+    groupBy for unigram counts, two equi-joins (left word, right word —
+    AQE broadcasts the pruned bigram side when small), and a broadcast
+    1-row total. Deterministic order: lift desc, c_xy desc, gram asc.
+
+    Output: ``(gram, c_xy, c_x, c_y, lift_x1000)`` — exactly ``k`` rows
+    (fewer iff the corpus has fewer qualifying bigrams).
+    """
+    from doc_redaction_spark.operators.dedup import _gram_positions
+
+    big = (
+        _gram_positions(docs, text_col, id_col, 2, hashed=False)
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c_w"))
+    )
+    n_tok = uni.agg(F.sum("c_w").cast("long").alias("n_tok"))
+    pairs = big.select(
+        "g",
+        F.split(F.col("g"), " ").getItem(0).alias("_l"),
+        F.split(F.col("g"), " ").getItem(1).alias("_r"),
+        "c_xy",
+    )
+    j = (
+        pairs.join(uni.select(F.col("w").alias("_l"), F.col("c_w").alias("c_x")), "_l")
+        .join(uni.select(F.col("w").alias("_r"), F.col("c_w").alias("c_y")), "_r")
+        .crossJoin(F.broadcast(n_tok))
+    )
+    return (
+        j.select(
+            F.col("g").alias("gram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr(
+                "CAST((CAST(c_xy AS DECIMAL(38,0)) * n_tok * 1000)"
+                " div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"
+            ).alias("lift_x1000"),
+        )
+        .orderBy(F.desc("lift_x1000"), F.desc("c_xy"), F.col("gram"))
+        .limit(k)
+    )

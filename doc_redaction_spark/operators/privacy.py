@@ -1,0 +1,82 @@
+"""Privacy-risk audit operators — the measurement half of anonymisation.
+
+The reference anonymises tabular data cell-by-cell
+(``/root/reference/tools/data_anonymise.py`` — redact/replace/hash per
+column) but never MEASURES the residual re-identification risk of what
+it keeps. These operators add the standard audit a release pipeline runs
+after (or instead of) cell-level redaction:
+
+* ``k_anonymity_report`` — group rows by their quasi-identifier (QI)
+  columns into equivalence classes; a class of size < k re-identifies
+  its members (Sweeney, k-anonymity). Also reports each class's
+  l-diversity (distinct sensitive values): a class can be k-anonymous
+  yet leak the sensitive attribute outright when l == 1.
+
+* ``k_suppress`` — the minimal enforcement action: null out the QI
+  columns of every row in an at-risk class (suppression, the
+  generalisation-free baseline). Keeps all rows; the at-risk flag is
+  retained so downstream can count the utility cost.
+
+Scale shape: one map-side-combinable groupBy over the QI key for the
+class table; ``k_suppress`` joins it back — the class table is at most
+|distinct QI| rows (usually tiny vs the data), so Spark/AQE broadcasts
+it. No windows, no skew sensitivity beyond the groupBy itself (a hot QI
+class is by definition NOT at risk, and combiners absorb it map-side).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """One row per QI equivalence class:
+    ``(*qi_cols, class_size, l_distinct, at_risk)``.
+
+    ``at_risk`` = 1 iff class_size < k (k-anonymity violation) OR
+    l_distinct == 1 (homogeneous sensitive value — the l-diversity
+    failure that k alone misses). NULL QI values form their own class
+    (SQL GROUP BY semantics), matching how a linker would treat them.
+    """
+    return (
+        df.groupBy(*qi_cols)
+        .agg(
+            F.count("*").cast("long").alias("class_size"),
+            F.count_distinct(sensitive_col).cast("long").alias("l_distinct"),
+        )
+        .withColumn(
+            "at_risk",
+            ((F.col("class_size") < k) | (F.col("l_distinct") == 1)).cast("int"),
+        )
+    )
+
+
+def k_suppress(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Suppress (null out) the QI columns of rows in classes of size < k.
+
+    Returns ``(id_col, *qi_cols, suppressed)`` with every row retained:
+    suppressed rows carry NULL QI values, the rest pass through. The
+    class-size table joins back on the QI key; it has at most
+    |distinct QI| rows so the join side is broadcast-small in practice.
+    """
+    sizes = df.groupBy(*qi_cols).agg(F.count("*").cast("long").alias("_cs"))
+    j = df.select(id_col, *qi_cols).join(sizes, list(qi_cols), "left")
+    bad = F.col("_cs") < k
+    out_cols = [F.col(id_col)]
+    for c in qi_cols:
+        out_cols.append(F.when(bad, F.lit(None)).otherwise(F.col(c)).alias(c))
+    out_cols.append(bad.cast("int").alias("suppressed"))
+    return j.select(*out_cols)

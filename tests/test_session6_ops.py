@@ -1,0 +1,93 @@
+"""Round-5 session-6 operators: k-anonymity/l-diversity audit + QI
+suppression, PMI collocation mining, per-conversation language mix."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.convops import conversation_lang_mix
+from doc_redaction_spark.operators.curation import collocations
+from doc_redaction_spark.operators.privacy import k_anonymity_report, k_suppress
+
+
+def test_k_anonymity_report_flags(spark):
+    # class (a,1): size 3, two distinct sensitive values -> safe at k=3
+    # class (a,2): size 1 -> at risk (size)
+    # class (b,1): size 3 but homogeneous sensitive -> at risk (l==1)
+    rows = [
+        ("a", 1, 10.0), ("a", 1, 20.0), ("a", 1, 10.0),
+        ("a", 2, 30.0),
+        ("b", 1, 5.0), ("b", 1, 5.0), ("b", 1, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "seg string, zip int, bal double")
+    got = {
+        (r.seg, r.zip): (r.class_size, r.l_distinct, r.at_risk)
+        for r in k_anonymity_report(df, ["seg", "zip"], "bal", k=3).collect()
+    }
+    assert got == {
+        ("a", 1): (3, 2, 0),
+        ("a", 2): (1, 1, 1),
+        ("b", 1): (3, 1, 1),
+    }
+
+
+def test_k_suppress_nulls_small_classes(spark):
+    rows = [(1, "a", 1), (2, "a", 1), (3, "a", 1), (4, "b", 2)]
+    df = spark.createDataFrame(rows, "id long, seg string, zip int")
+    got = {
+        r.id: (r.seg, r.zip, r.suppressed)
+        for r in k_suppress(df, ["seg", "zip"], "id", k=2).collect()
+    }
+    assert got == {
+        1: ("a", 1, 0),
+        2: ("a", 1, 0),
+        3: ("a", 1, 0),
+        4: (None, None, 1),
+    }
+
+
+def test_collocations_lift_math(spark):
+    # corpus tokens: "new york" x3 plus 4 stray "the" fillers.
+    # N = 10 tokens; c(new york)=3, c(new)=3, c(york)=3
+    # lift = (3 * 10 * 1000) div (3 * 3) = 3333
+    # "york the" appears twice (docs 1,2): (2*10*1000) div (3*4) = 1666
+    docs = spark.createDataFrame(
+        [
+            (1, "new york the"),
+            (2, "new york the"),
+            (3, "new york the the"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.gram: (r.c_xy, r.c_x, r.c_y, r.lift_x1000)
+        for r in collocations(docs, min_count=2, k=10).collect()
+    }
+    assert out["new york"] == (3, 3, 3, 3333)
+    assert out["york the"] == (3, 3, 4, 2500)
+    # "the the" only in doc 3 once -> below min_count=2
+    assert "the the" not in out
+
+
+def test_conversation_lang_mix_rollup(spark):
+    en = "the thing and the other thing of the morning"
+    fr = "le jour de la semaine que les parents"
+    ts = datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", en, "", ts),
+        ("c1", 1, "assistant", en, "", ts),
+        ("c1", 2, "user", fr, "", ts),
+        ("c2", 0, "user", en, "", ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {
+        r.conv_id: (
+            r.dominant_lang, r.dominant_turns, r.n_turns, r.n_langs,
+            r.minority_turns, r.code_switched,
+        )
+        for r in conversation_lang_mix(df).collect()
+    }
+    assert got["c1"] == ("en", 2, 3, 2, 1, 1)
+    assert got["c2"] == ("en", 1, 1, 1, 0, 0)
