@@ -7565,6 +7565,155 @@ def o_conv_lang_mix():
     """
 
 
+def q_domain_blocklist(spark, sf_dir):
+    """Registrable-domain blocklist gate (functions/urls.py
+    domain_blocklist_verdict — the UT1-style web-corpus domain filter):
+    hosts harvested from raw turn text, suffix-exploded (≤6 labels) and
+    equi-joined against a broadcast blocklist so subdomains of a blocked
+    domain are caught WITHOUT a LIKE theta-join; longest match reported.
+    The fixture blocklist nests (co.uk under daily-news.co.uk) to
+    exercise the longest-match rule."""
+    from doc_redaction_spark.functions.recognizers import URL_SPAN_PATTERN
+    from doc_redaction_spark.functions.urls import domain_blocklist_verdict
+
+    urls = F.regexp_extract_all(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(URL_SPAN_PATTERN), F.lit(0)
+    )
+    t = _tr(spark, sf_dir).select("conv_id", "turn_idx", F.explode(urls).alias("url"))
+    t = t.withColumn(
+        "host", F.lower(F.regexp_extract("url", _HOST_PATTERN, 1))
+    ).filter(F.col("host") != "")
+    blocked = spark.createDataFrame(
+        [("daily-news.co.uk",), ("chat-logs.org",), ("co.uk",)], "domain string"
+    )
+    return domain_blocklist_verdict(t, blocked)
+
+
+def o_domain_blocklist():
+    from doc_redaction_spark.functions.recognizers import URL_SPAN_PATTERN
+
+    return f"""
+    {TR_CTE},
+    u AS (SELECT conv_id, turn_idx, m AS url,
+                 lower(regexp_extract(m, '{_sq(_HOST_PATTERN)}', 1)) AS host
+          FROM transcripts,
+               unnest(regexp_extract_all(text, '{_sq(URL_SPAN_PATTERN)}')) AS uu(m)),
+    f AS (SELECT * FROM u WHERE host <> ''),
+    b AS (SELECT * FROM (VALUES ('daily-news.co.uk'), ('chat-logs.org'),
+                                ('co.uk')) v(domain)),
+    j AS (SELECT f.conv_id, f.turn_idx, f.url, f.host, b.domain
+          FROM f LEFT JOIN b
+            ON f.host = b.domain OR f.host LIKE '%.' || b.domain)
+    SELECT conv_id, turn_idx, url, host,
+           arg_max(domain, lpad(CAST(length(domain) AS VARCHAR), 4, '0')
+                           || ':' || domain) AS blocked_domain,
+           CAST(CASE WHEN count(domain) > 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS blocked
+    FROM j GROUP BY conv_id, turn_idx, url, host
+    """
+
+
+def q_rr_estimate(spark, sf_dir):
+    """Warner randomized-response release (operators/privacy.py
+    randomized_response — the local-DP baseline): per-segment debiased
+    estimate of the in-debt rate (acctbal < 0), each row lying with
+    md5-determined probability 1/4. The mechanism's coin is seeded md5,
+    so the released table is exactly reproducible — the oracle runs the
+    SAME mechanism, value-checking both the flips and the debias
+    arithmetic (est_x2 = 4*observed - n)."""
+    from doc_redaction_spark.operators.privacy import randomized_response
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        (F.col("c_acctbal") < 0).alias("in_debt"),
+    )
+    return randomized_response(cust, "in_debt", "mktsegment", "c_custkey")
+
+
+def o_rr_estimate():
+    return """
+    WITH t AS (SELECT c_mktsegment AS mktsegment,
+                      (c_acctbal < 0) AS flag,
+                      CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                            || 'rr1'), 1, 8)) AS BIGINT) % 4 AS coin
+               FROM customer),
+    r AS (SELECT mktsegment,
+                 CASE WHEN coin = 3 THEN NOT flag ELSE flag END AS resp
+          FROM t)
+    SELECT mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN resp THEN 1 ELSE 0 END) AS BIGINT) AS observed,
+           CAST(4 * sum(CASE WHEN resp THEN 1 ELSE 0 END) - count(*) AS BIGINT)
+             AS est_x2
+    FROM r GROUP BY mktsegment
+    """
+
+
+# memorization-risk fixture: documents are digit-free, so plant two
+# deterministic payloads — a per-doc-unique "secret code <900000+id>"
+# (df==1, must be flagged) and a corpus-repeated "hotline 999999" phrase
+# whose fully-interior 5-grams are shared (df>1, must be excluded; its
+# edge windows borrow doc-specific context and stay legitimately rare).
+# Shared verbatim with the SQL rendering below.
+_MEMO_SECRET = " secret code {num} issued today"
+_MEMO_HOTLINE = " hotline number 999999 nine nine nine nine emergency line"
+
+
+def q_memorization_risk(spark, sf_dir):
+    """Secret-sharer memorization-risk report (operators/privacy.py
+    memorization_risk): 5-grams that are corpus-rare (df <= 1) AND carry
+    a >=6-digit run — regurgitation candidates that row-local PII
+    recognizers cannot see because rarity is a corpus property. Digit
+    filter BEFORE the df-join prunes ~all grams map-side."""
+    from doc_redaction_spark.operators.privacy import memorization_risk
+
+    d = F.col("doc_id").cast("long")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" secret code "),
+                    (d + 900000).cast("string"),
+                    F.lit(" issued today"),
+                ),
+            )
+            .when(d % 5 == 1, F.lit(_MEMO_HOTLINE))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return memorization_risk(docs, n=5, max_df=1, min_digits=6)
+
+
+def o_memorization_risk():
+    toks = _DOC_TOKENS_DUCK
+    return f"""
+    WITH d0 AS (SELECT doc_id,
+                       text || CASE
+                         WHEN doc_id % 5 = 0 THEN ' secret code '
+                              || CAST(doc_id + 900000 AS VARCHAR)
+                              || ' issued today'
+                         WHEN doc_id % 5 = 1
+                           THEN '{_MEMO_HOTLINE}'
+                         ELSE '' END AS text
+                FROM documents),
+    tk AS (SELECT doc_id, {toks} AS t FROM d0),
+    g AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+          FROM tk, unnest(generate_series(1, len(t) - 4)) AS u(i)
+          WHERE len(t) >= 5),
+    dg AS (SELECT doc_id, g FROM g WHERE regexp_matches(g, '[0-9]{{6}}')),
+    rare AS (SELECT g FROM dg GROUP BY g HAVING count(DISTINCT doc_id) <= 1),
+    per AS (SELECT DISTINCT doc_id, dg.g FROM dg JOIN rare USING (g))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_risky,
+           min(g) AS min_gram
+    FROM per GROUP BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7578,6 +7727,9 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "domain_blocklist": q_domain_blocklist,
+    "rr_estimate": q_rr_estimate,
+    "memorization_risk": q_memorization_risk,
     "k_anonymity": q_k_anonymity,
     "k_suppress": q_k_suppress,
     "collocations": q_collocations,
@@ -7754,6 +7906,9 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "domain_blocklist": o_domain_blocklist,
+    "rr_estimate": o_rr_estimate,
+    "memorization_risk": o_memorization_risk,
     "k_anonymity": o_k_anonymity,
     "k_suppress": o_k_suppress,
     "collocations": o_collocations,

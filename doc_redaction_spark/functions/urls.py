@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TRACKING_PARAM_PATTERN = r"^(utm_[A-Za-z0-9_]+|gclid|fbclid)="
@@ -117,3 +117,61 @@ def canonical_url_py(u: str) -> str:
         kept = [p for p in query.split("&") if p and not _TRACK_RE.match(p)]
         pathq = path + ("?" + "&".join(kept) if kept else "")
     return (scheme + "://" if scheme else "") + auth + pathq
+
+
+def host_suffixes_col(host: Column) -> Column:
+    """All dot-suffixes of a host: ``a.b.c`` → ``[a.b.c, b.c, c]`` — the
+    explode key that turns registrable-domain suffix matching into an
+    equi-join (host has ≤ ~6 labels, so the fan-out is constant)."""
+    parts = F.split(host, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+    )
+
+
+def domain_blocklist_verdict(
+    df: DataFrame,
+    blocked: DataFrame,
+    host_col: str = "host",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx", "url"),
+) -> DataFrame:
+    """Per-URL blocklist verdict by registrable-domain suffix match —
+    the UT1-style domain gate every web corpus runs before ingestion
+    (blocking ``daily-news.co.uk`` must also block ``m1.daily-news.co.uk``).
+
+    ``blocked`` is a 1-column ``(domain)`` table (thousands of rows at
+    most — broadcast). Instead of a LIKE '%.'||d theta-join (a
+    broadcast-nested-loop at corpus scale), each host explodes into its
+    ≤6 dot-suffixes and equi-joins the blocklist; the verdict groups
+    back per URL. When several blocked domains match one host (e.g.
+    ``co.uk`` AND ``daily-news.co.uk``), the LONGEST (most specific)
+    match is reported, ties broken lexicographically.
+
+    Returns ``(*key_cols, host, blocked_domain, blocked)`` — one row per
+    input row; ``blocked_domain`` NULL when clean.
+    """
+    # two steps, not one select: aliasing host and exploding its suffixes
+    # in the SAME projection makes Spark 4 resolve the explode argument as
+    # a lateral column alias and die with an INTERNAL_ERROR
+    suf = df.select(*key_cols, F.col(host_col).alias("host")).withColumn(
+        "_suf", F.explode(host_suffixes_col(F.col("host")))
+    )
+    hits = suf.join(
+        F.broadcast(blocked.select(F.col(blocked.columns[0]).alias("_suf"), F.lit(1).alias("_hit"))),
+        "_suf",
+        "left",
+    )
+    best = F.max(
+        F.when(
+            F.col("_hit").isNotNull(),
+            F.struct(F.length("_suf").alias("l"), F.col("_suf").alias("s")),
+        )
+    )
+    agged = hits.groupBy(*key_cols, "host").agg(best.alias("_best"))
+    return agged.select(
+        *key_cols,
+        "host",
+        F.col("_best").getField("s").alias("blocked_domain"),
+        F.col("_best").isNotNull().cast("int").alias("blocked"),
+    )

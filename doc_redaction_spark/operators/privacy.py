@@ -80,3 +80,84 @@ def k_suppress(
         out_cols.append(F.when(bad, F.lit(None)).otherwise(F.col(c)).alias(c))
     out_cols.append(bad.cast("int").alias("suppressed"))
     return j.select(*out_cols)
+
+
+def randomized_response(
+    df: DataFrame,
+    flag_col: str,
+    group_col: str,
+    key_col: str,
+    seed: str = "rr1",
+) -> DataFrame:
+    """Warner randomized response (1965) — the local-DP baseline for
+    releasing a sensitive binary rate: each row answers truthfully with
+    probability 3/4 and lies with probability 1/4, decided by two fair
+    bits of ``md5(key || seed)`` (deterministic given the seed, so the
+    mechanism is exactly reproducible cross-engine — the test/oracle
+    story; a production release would use a secret per-release seed).
+
+    The per-group debiased estimator: E[obs] = (3/4)t + (1/4)(n − t),
+    so t̂ = (4·obs − n) / 2 — reported as the integer ``est_x2 =
+    4·obs − n`` (exact; divide by 2 for the estimate). Map-only flip +
+    one combinable groupBy.
+
+    Returns ``(group_col, n, observed, est_x2)``.
+    """
+    from doc_redaction_spark.operators.sampling import _hash_u32
+
+    coin = _hash_u32(F.concat(F.col(key_col).cast("string"), F.lit(seed))) % 4
+    lie = coin == 3
+    resp = F.when(lie, ~F.col(flag_col).cast("boolean")).otherwise(
+        F.col(flag_col).cast("boolean")
+    )
+    return df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(resp.cast("long")).cast("long").alias("observed"),
+        (4 * F.sum(resp.cast("long")) - F.count("*")).cast("long").alias("est_x2"),
+    )
+
+
+def memorization_risk(
+    docs: DataFrame,
+    n: int = 5,
+    max_df: int = 1,
+    min_digits: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Secret-sharer-style memorization-risk report (Carlini et al.):
+    token n-grams that are BOTH corpus-rare (document frequency ≤
+    ``max_df`` — a model reproducing one is regurgitating, not
+    generalizing) AND carry a long digit run (≥ ``min_digits`` — the
+    shape of account numbers, phone numbers, keys). Detect-style PII
+    recognizers miss these because rarity is a CORPUS property, not a
+    row property.
+
+    Plan: the shared ``_gram_positions`` stream (literal grams), one
+    combinable groupBy for document frequency, the digit-run filter
+    applied BEFORE the df-join (prunes ~all grams map-side), then a
+    per-doc rollup. Returns ``(id_col, n_risky, min_gram)`` for docs
+    with ≥1 risky gram — ``min_gram`` is the lexicographically first
+    offender (a deterministic exemplar for review).
+    """
+    from doc_redaction_spark.operators.dedup import _gram_positions
+
+    grams = _gram_positions(docs, text_col, id_col, n, hashed=False)
+    digity = grams.filter(
+        F.col("g").rlike("[0-9]{%d}" % min_digits)
+    )
+    rare = (
+        digity.groupBy("g")
+        .agg(F.count_distinct("id").cast("long").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+    )
+    return (
+        digity.join(rare.select("g"), "g")
+        .select(F.col("id").alias(id_col), "g")
+        .distinct()
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_risky"),
+            F.min("g").alias("min_gram"),
+        )
+    )

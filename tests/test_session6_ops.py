@@ -91,3 +91,63 @@ def test_conversation_lang_mix_rollup(spark):
     }
     assert got["c1"] == ("en", 2, 3, 2, 1, 1)
     assert got["c2"] == ("en", 1, 1, 1, 0, 0)
+
+
+def test_domain_blocklist_suffix_and_longest_match(spark):
+    from doc_redaction_spark.functions.urls import domain_blocklist_verdict
+
+    rows = [
+        ("c1", 0, "u1", "m1.daily-news.co.uk"),  # subdomain of blocked; 2 matches
+        ("c2", 0, "u2", "co.uk"),                # exact match of the shorter
+        ("c3", 0, "u3", "example.com"),          # clean
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, url string, host string")
+    blocked = spark.createDataFrame(
+        [("daily-news.co.uk",), ("co.uk",)], "domain string"
+    )
+    got = {
+        r.host: (r.blocked_domain, r.blocked)
+        for r in domain_blocklist_verdict(df, blocked).collect()
+    }
+    # longest (most specific) match wins for the subdomain
+    assert got["m1.daily-news.co.uk"] == ("daily-news.co.uk", 1)
+    assert got["co.uk"] == ("co.uk", 1)
+    assert got["example.com"] == (None, 0)
+
+
+def test_randomized_response_matches_reference_coin(spark):
+    import hashlib
+
+    from doc_redaction_spark.operators.privacy import randomized_response
+
+    rows = [(i, "g", i % 3 == 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, grp string, flag boolean")
+
+    def coin(i):
+        return int(hashlib.md5(f"{i}rr1".encode()).hexdigest()[:8], 16) % 4
+
+    resp = [f if coin(i) != 3 else (not f) for i, _, f in rows]
+    obs = sum(resp)
+    out = randomized_response(df, "flag", "grp", "k").collect()[0]
+    assert (out.n, out.observed, out.est_x2) == (40, obs, 4 * obs - 40)
+    # the mechanism actually lied for someone in 40 draws
+    assert obs != sum(f for _, _, f in rows)
+
+
+def test_memorization_risk_rare_vs_repeated(spark):
+    from doc_redaction_spark.operators.privacy import memorization_risk
+
+    base = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " account 111222333 alpha beta gamma"),  # unique secret
+            (2, base + " hotline 999888777 one two three four"),  # repeated ->
+            (3, base + " hotline 999888777 one two three four"),  # df=2 interior
+            (4, base),  # no digits
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_risky for r in memorization_risk(docs, n=5, max_df=1).collect()}
+    assert 1 in got and got[1] >= 1
+    # docs 2,3 are byte-identical: every digit gram has df=2 -> excluded
+    assert 2 not in got and 3 not in got and 4 not in got
