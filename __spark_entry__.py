@@ -7714,6 +7714,129 @@ def o_memorization_risk():
     """
 
 
+def q_html_tables(spark, sf_dir):
+    """HTML table extraction (operators/html_extract.py extract_tables):
+    recover relational (table, row, col, cell) tuples from <table>
+    markup — three linear posexplode stages, map-only, zero shuffle.
+    Fixture plants a header+data table on every page and a second
+    minimal table on every third page (multi-table ordering teeth)."""
+    from doc_redaction_spark.operators.html_extract import extract_tables
+
+    d = F.col("doc_id").cast("long")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    tbl1 = F.concat(
+        F.lit('<div><table class="data"><tr><th>Key</th><th> Val </th></tr>'),
+        F.lit("<tr><td>id</td><td>"),
+        d.cast("string"),
+        F.lit("</td></tr><tr><td>head</td><td><b>"),
+        F.substring(text, 1, 24),
+        F.lit("</b></td></tr></table></div>"),
+    )
+    tbl2 = F.when(
+        d % 3 == 0, F.lit("<p>x</p><table><tr><td>only&amp;one</td></tr></table>")
+    ).otherwise(F.lit(""))
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("<html><body>"), tbl1, tbl2, F.lit("</body></html>")).alias("html")
+    )
+    return extract_tables(pages)
+
+
+def o_html_tables():
+    from doc_redaction_spark.operators.html_extract import (
+        CELL_PATTERN,
+        STRIP_PATTERN,
+        TABLE_PATTERN,
+        TR_PATTERN,
+        WS_PATTERN,
+    )
+
+    return f"""
+    WITH pg AS (SELECT doc_id,
+      '<html><body><div><table class="data"><tr><th>Key</th><th> Val </th></tr>'
+      || '<tr><td>id</td><td>' || CAST(doc_id AS VARCHAR)
+      || '</td></tr><tr><td>head</td><td><b>'
+      || substr(coalesce(text, ''), 1, 24)
+      || '</b></td></tr></table></div>'
+      || CASE WHEN doc_id % 3 = 0
+              THEN '<p>x</p><table><tr><td>only&amp;one</td></tr></table>'
+              ELSE '' END
+      || '</body></html>' AS html FROM documents),
+    tb AS (SELECT doc_id, regexp_extract_all(html, '{_sq(TABLE_PATTERN)}', 1) AS ts
+           FROM pg),
+    t AS (SELECT doc_id, i - 1 AS tbl_idx, ts[i] AS tbl
+          FROM tb, unnest(generate_series(1, len(ts))) AS u(i)),
+    rw AS (SELECT doc_id, tbl_idx,
+                  regexp_extract_all(tbl, '{_sq(TR_PATTERN)}', 1) AS rs
+           FROM t),
+    r AS (SELECT doc_id, tbl_idx, i - 1 AS row_idx, rs[i] AS rw
+          FROM rw, unnest(generate_series(1, len(rs))) AS u(i)),
+    cl AS (SELECT doc_id, tbl_idx, row_idx,
+                  regexp_extract_all(rw, '{_sq(CELL_PATTERN)}') AS cs
+           FROM r),
+    c AS (SELECT doc_id, tbl_idx, row_idx, i - 1 AS col_idx, cs[i] AS cell0
+          FROM cl, unnest(generate_series(1, len(cs))) AS u(i))
+    SELECT doc_id, tbl_idx, row_idx, col_idx,
+           trim(regexp_replace(regexp_replace(cell0, '{_sq(STRIP_PATTERN)}',
+                ' ', 'g'), '{_sq(WS_PATTERN)}', ' ', 'g')) AS cell,
+           CAST(CASE WHEN lower(substr(cell0, 1, 3)) = '<th'
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_header
+    FROM c
+    """
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Retrieve→rerank hybrid search (operators/search.py prf_rerank):
+    BM25 top-20 candidates per query, then Rocchio pseudo-relevance
+    rerank — query vector = centroid of the top-5 candidates' embeddings
+    (summed in RANK order; double addition order is part of the spec),
+    cosine rerank over all 20. The standard two-stage RAG retrieval
+    architecture with zero query-embedding dependency."""
+    from doc_redaction_spark.operators.search import bm25_topk, prf_rerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cand = bm25_topk(docs, _BM25_QUERIES, k=20)
+    return prf_rerank(cand, emb, m=5, dim=64)
+
+
+def o_hybrid_search():
+    from doc_redaction_spark.operators.search import duckdb_bm25_chain_sql
+
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(c)),"
+        " i -> c[i] * _e[i]))"
+    )
+    nc = "sqrt(list_sum(list_transform(c, x -> x * x)))"
+    ne = "sqrt(list_sum(list_transform(_e, x -> x * x)))"
+    return f"""
+    WITH {duckdb_bm25_chain_sql(_BM25_QUERIES, k=20)},
+    emb AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS _e
+            FROM embeddings),
+    cand AS (SELECT query_id, rank, doc_id, score, _e
+             FROM bmtop JOIN emb ON vec_id = doc_id),
+    top5 AS (SELECT query_id, list(_e ORDER BY rank) AS es
+             FROM cand WHERE rank <= 5 GROUP BY query_id),
+    cent AS (SELECT query_id,
+                    list_transform(
+                      list_reduce(es, (a, b2) ->
+                        list_transform(generate_series(1, len(a)),
+                                       i -> a[i] + b2[i])),
+                      x -> x / len(es)) AS c
+             FROM top5),
+    hsc AS (SELECT cand.query_id, doc_id, rank, score,
+                   {dot} / ({nc} * {ne}) AS sim0
+            FROM cand JOIN cent ON cand.query_id = cent.query_id),
+    rr AS (SELECT query_id, doc_id, rank, score, sim0,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim0 DESC, doc_id) AS rerank
+           FROM hsc)
+    SELECT query_id, doc_id, rank AS bm25_rank, score AS bm25_score,
+           round(sim0, 4) AS sim, CAST(rerank AS INTEGER) AS rerank
+    FROM rr
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7727,6 +7850,8 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "hybrid_search": q_hybrid_search,
+    "html_tables": q_html_tables,
     "domain_blocklist": q_domain_blocklist,
     "rr_estimate": q_rr_estimate,
     "memorization_risk": q_memorization_risk,
@@ -7906,6 +8031,8 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "hybrid_search": o_hybrid_search,
+    "html_tables": o_html_tables,
     "domain_blocklist": o_domain_blocklist,
     "rr_estimate": o_rr_estimate,
     "memorization_risk": o_memorization_risk,

@@ -260,3 +260,52 @@ def extract_links(
         .select(id_col, F.explode(pair).alias("_p"))
         .select(id_col, F.col("_p.href").alias("href"), F.col("_p.anchor").alias("anchor"))
     )
+
+
+# table extraction: non-greedy dotall fragments — identical semantics in
+# Java regex, RE2, and Python re (all leftmost, non-greedy, (?s) dotall)
+TABLE_PATTERN = r"(?is)<table\b[^>]*>(.*?)</table>"
+TR_PATTERN = r"(?is)<tr\b[^>]*>(.*?)</tr>"
+CELL_PATTERN = r"(?is)<t[dh]\b[^>]*>.*?</t[dh]>"  # group 0: tag name decides header
+
+
+def extract_tables(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Structured-data harvest from HTML tables — the web-corpus pass
+    that turns ``<table>`` markup into relational cells (the reference
+    consumes tabular inputs only as CSV/XLSX,
+    ``/root/reference/tools/data_anonymise.py``; a crawl pipeline has to
+    RECOVER those tables from markup first).
+
+    Three explode stages (page → table → row → cell), each a linear
+    ``regexp_extract_all`` over its fragment — no nested random access
+    into produced arrays (the interpreted-HOF O(n²) trap), no shuffle at
+    all: the whole operator is map-side Generate chains. Cell text is
+    tag-stripped and whitespace-normalized with the module's shared
+    STRIP/WS patterns; ``is_header`` marks ``<th>`` cells.
+
+    Output: ``(id_col, tbl_idx, row_idx, col_idx, cell, is_header)``,
+    indices 0-based in document order.
+    """
+    tables = F.regexp_extract_all(F.col(html_col), F.lit(TABLE_PATTERN), 1)
+    t = pages.select(id_col, F.posexplode(tables).alias("tbl_idx", "_tbl"))
+    rows = F.regexp_extract_all(F.col("_tbl"), F.lit(TR_PATTERN), 1)
+    r = t.select(id_col, "tbl_idx", F.posexplode(rows).alias("row_idx", "_row"))
+    cells = F.regexp_extract_all(F.col("_row"), F.lit(CELL_PATTERN), 0)
+    c = r.select(
+        id_col, "tbl_idx", "row_idx", F.posexplode(cells).alias("col_idx", "_cell")
+    )
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("_cell", STRIP_PATTERN, " "), WS_PATTERN, " "
+        )
+    )
+    return c.select(
+        id_col,
+        "tbl_idx",
+        "row_idx",
+        "col_idx",
+        text.alias("cell"),
+        F.lower(F.substring("_cell", 1, 3)).eqNullSafe("<th").cast("int").alias("is_header"),
+    )

@@ -330,15 +330,17 @@ def duckdb_bm25_term_score(k1: float = 1.2, b: float = 0.75) -> str:
     return f"CAST(floor(({idf} * {tfw}) * {SCORE_SCALE}e0) AS BIGINT)"
 
 
-def duckdb_bm25_topk_sql(
+def duckdb_bm25_chain_sql(
     queries: list[tuple[int, str]],
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     table: str = "documents",
 ) -> str:
-    """The naive global-rank BM25 spec in DuckDB SQL — the oracle the
-    salted two-phase Spark plan must equal."""
+    """The BM25 top-k spec as comma-joined CTE definitions ending in
+    ``bmtop(query_id, rank, doc_id, score)`` — shared by the standalone
+    oracle (duckdb_bm25_topk_sql) and compositions that rerank the
+    candidate set (the hybrid retrieve→rerank oracle)."""
     toks = (
         "list_filter(string_split(lower(regexp_replace(coalesce({c}, ''),"
         " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
@@ -347,7 +349,7 @@ def duckdb_bm25_topk_sql(
         "({}, '{}')".format(qid, qtext.replace("'", "''")) for qid, qtext in queries
     )
     return f"""
-    WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+    q AS (SELECT CAST(query_id AS BIGINT) AS query_id,
                       unnest({toks.format(c="qtext")}) AS tok
                FROM (VALUES {qvals}) AS qs(query_id, qtext)),
     qd AS (SELECT DISTINCT query_id, tok FROM q),
@@ -368,11 +370,28 @@ def duckdb_bm25_topk_sql(
     rk AS (SELECT query_id, id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, id) AS rank
-           FROM sc)
-    SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, score
-    FROM rk WHERE rank <= {k}
-    ORDER BY query_id, rank
+           FROM sc),
+    bmtop AS (SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS doc_id,
+                     score
+              FROM rk WHERE rank <= {k})
     """
+
+
+def duckdb_bm25_topk_sql(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """The naive global-rank BM25 spec in DuckDB SQL — the oracle the
+    salted two-phase Spark plan must equal."""
+    return (
+        "WITH "
+        + duckdb_bm25_chain_sql(queries, k, k1, b, table)
+        + "\n    SELECT query_id, rank, doc_id, score FROM bmtop"
+        + "\n    ORDER BY query_id, rank"
+    )
 
 
 def tfidf_keywords(
@@ -447,3 +466,69 @@ def duckdb_tfidf_keywords_sql(k: int = 5, table: str = "documents") -> str:
     FROM rk WHERE rank <= {k}
     ORDER BY doc_id, rank
     """
+
+
+def prf_rerank(
+    candidates: DataFrame,
+    emb: DataFrame,
+    m: int = 5,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    vid_col: str = "vec_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback rerank (Rocchio) — the second stage of
+    the standard retrieve→rerank architecture: take each query's BM25
+    candidate list, form a query vector as the CENTROID of the top-``m``
+    candidates' embeddings (the "pseudo-relevant" set — no query
+    embeddings needed), and rerank ALL candidates by cosine to it.
+
+    ``candidates`` is bm25_topk output ``(query_id, rank, doc_id,
+    score)``; ``emb`` maps ``vid_col`` → ``vec_col`` (float). The
+    candidate set is k·|queries| rows (tiny), so every join here is
+    broadcast-sized; the expensive retrieval already happened in stage 1.
+
+    Determinism: the centroid sums the top-m embeddings in RANK order
+    (sort_array over collected (rank, vec) structs → sequential fold),
+    the exact order the oracle's ``list(e ORDER BY rank)`` +
+    ``list_reduce`` reproduces — double addition is order-sensitive, so
+    the order is part of the spec. Cosine reuses the module-standard
+    sequential-fold dot/norm; ties (sim desc, doc_id asc).
+
+    Output: ``(query_id, doc_id, bm25_rank, bm25_score, sim, rerank)``.
+    """
+    from doc_redaction_spark.operators.similarity import _dot, _norm
+
+    e = emb.select(
+        F.col(vid_col).alias("doc_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
+    )
+    ce = candidates.join(e, "doc_id")
+    zero = F.array_repeat(F.lit(0.0), dim)
+    summed = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("rank", "_e"))),
+        zero,
+        lambda acc, s: F.zip_with(acc, s["_e"], lambda a, b2: a + b2),
+    )
+    cent = (
+        ce.filter(F.col("rank") <= m)
+        .groupBy("query_id")
+        .agg(summed.alias("_sum"), F.count("*").alias("_m"))
+        .select(
+            "query_id",
+            F.transform("_sum", lambda x: x / F.col("_m")).alias("_c"),
+        )
+    )
+    sim = _dot(F.col("_c"), F.col("_e")) / (_norm(F.col("_c")) * _norm(F.col("_e")))
+    scored = ce.join(F.broadcast(cent), "query_id").withColumn("_sim", sim)
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.col("doc_id"))
+    return (
+        scored.withColumn("rerank", F.row_number().over(w))
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").alias("bm25_rank"),
+            F.col("score").alias("bm25_score"),
+            F.round("_sim", 4).alias("sim"),
+            F.col("rerank").cast("int").alias("rerank"),
+        )
+    )

@@ -151,3 +151,47 @@ def test_memorization_risk_rare_vs_repeated(spark):
     assert 1 in got and got[1] >= 1
     # docs 2,3 are byte-identical: every digit gram has df=2 -> excluded
     assert 2 not in got and 3 not in got and 4 not in got
+
+
+def test_extract_tables_structure(spark):
+    from doc_redaction_spark.operators.html_extract import extract_tables
+
+    html = (
+        '<html><body><table id="t"><tr><th>A</th><th>B&amp;C</th></tr>'
+        "<tr><td> one </td><td><b>two</b> words</td></tr></table>"
+        "<p>gap</p><TABLE><TR><TD>x</TD></TR></TABLE></body></html>"
+    )
+    pages = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = {
+        (r.tbl_idx, r.row_idx, r.col_idx): (r.cell, r.is_header)
+        for r in extract_tables(pages).collect()
+    }
+    assert got == {
+        (0, 0, 0): ("A", 1),
+        (0, 0, 1): ("B C", 1),  # entity stripped to space, collapsed
+        (0, 1, 0): ("one", 0),
+        (0, 1, 1): ("two words", 0),
+        (1, 0, 0): ("x", 0),  # uppercase tags, second table
+    }
+
+
+def test_prf_rerank_centroid_and_order(spark):
+    from doc_redaction_spark.operators.search import prf_rerank
+
+    # 1 query, 3 candidates, dim=2. m=2 -> centroid of ranks 1,2:
+    # ((1,0)+(0,1))/2 = (0.5, 0.5). cos to (1,0) = cos to (0,1) = 0.7071;
+    # cos to (1,1) = 1.0 -> doc 30 reranks to 1 despite bm25 rank 3.
+    cand = spark.createDataFrame(
+        [(1, 1, 10, 900), (1, 2, 20, 800), (1, 3, 30, 700)],
+        "query_id long, rank long, doc_id long, score long",
+    )
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0]), (30, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.doc_id: r for r in prf_rerank(cand, emb, m=2, dim=2).collect()}
+    assert rows[30].rerank == 1 and rows[30].sim == 1.0
+    assert rows[30].bm25_rank == 3 and rows[30].bm25_score == 700
+    # equal sims tie-break by doc_id asc
+    assert (rows[10].rerank, rows[20].rerank) == (2, 3)
+    assert rows[10].sim == rows[20].sim == 0.7071
