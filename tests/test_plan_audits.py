@@ -434,3 +434,52 @@ def test_mad_outliers_group_keyed_exchanges(spark, queries):
         if "Exchange hashpartitioning" in ln and "Reused" not in ln:
             assert "grp" in ln, ln
     assert "CartesianProduct" not in plan
+
+
+def test_html_tables_generator_only_no_shuffle(spark, queries):
+    """extract_tables: three posexplode stages = Generate chain, map-only
+    — zero Exchange, zero Python, zero join of any kind."""
+    plan = _plan(queries["html_tables"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_domain_blocklist_broadcast_no_like_join(spark, queries):
+    """domain_blocklist: the blocklist joins BROADCAST on the exploded
+    suffix (equi), never a LIKE theta-join (BroadcastNestedLoopJoin)."""
+    plan = _plan(queries["domain_blocklist"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_collocations_no_cartesian_no_python(spark, queries):
+    """collocations: bigram/unigram counts + two equi-joins + one 1-row
+    broadcast total — no cartesian beyond the 1-row stats cross, no
+    Python stage."""
+    plan = _plan(queries["collocations"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    # the only nested-loop allowed is the broadcast of the 1-row total
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_privacy_ops_single_groupby_shape(spark, queries):
+    """k_anonymity: one map-side-combinable aggregate over the QI key —
+    no joins at all; rr_estimate likewise (map-only flip + one agg)."""
+    plan = _plan(queries["k_anonymity"](spark, SF))
+    assert "Join" not in plan, plan
+    plan2 = _plan(queries["rr_estimate"](spark, SF))
+    assert "Join" not in plan2, plan2
+    assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2, plan2
+
+
+def test_hybrid_rerank_stage_is_broadcast_sized(spark, queries):
+    """prf_rerank: the rerank stage joins candidate-sized frames — the
+    centroid side broadcasts; no cartesian; no Python stage."""
+    plan = _plan(queries["hybrid_search"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
