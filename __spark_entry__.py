@@ -7837,6 +7837,46 @@ def o_hybrid_search():
     """
 
 
+def q_sq8_quantize(spark, sf_dir):
+    """SQ8 scalar quantization (operators/similarity.py sq8_quantize —
+    FAISS-SQ8-style 4x vector compression for billion-scale ANN):
+    per-dimension corpus min/max -> 8-bit codes + per-vector max
+    reconstruction error, all exact IEEE ops so both engines agree
+    bit-for-bit."""
+    from doc_redaction_spark.operators.similarity import sq8_quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_quantize(emb)
+
+
+def o_sq8_quantize():
+    return """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, xv -> CAST(xv AS DOUBLE)) AS v
+               FROM embeddings),
+    d AS (SELECT i AS dim, v[i] AS x
+          FROM e, unnest(generate_series(1, len(v))) AS u(i)),
+    st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY dim),
+    sa AS (SELECT list(struct_pack(mn := mn, mx := mx) ORDER BY dim) AS sl
+           FROM st),
+    q AS (SELECT vec_id,
+                 list_transform(generate_series(1, len(v)), i ->
+                   CASE WHEN sl[i].mx > sl[i].mn
+                        THEN CAST(floor((v[i] - sl[i].mn) * 255
+                                        / (sl[i].mx - sl[i].mn)) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END) AS codes,
+                 v, sl
+          FROM e, sa)
+    SELECT vec_id,
+           array_to_string(codes, ',') AS codes,
+           CAST(floor(list_max(
+             list_transform(generate_series(1, len(v)), i ->
+               abs(v[i] - (sl[i].mn + codes[i] * (sl[i].mx - sl[i].mn)
+                           / 255)))) * 1e6) AS BIGINT) AS max_err_x1e6
+    FROM q
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7850,6 +7890,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "sq8_quantize": q_sq8_quantize,
     "hybrid_search": q_hybrid_search,
     "html_tables": q_html_tables,
     "domain_blocklist": q_domain_blocklist,
@@ -8031,6 +8072,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "sq8_quantize": o_sq8_quantize,
     "hybrid_search": o_hybrid_search,
     "html_tables": o_html_tables,
     "domain_blocklist": o_domain_blocklist,

@@ -471,3 +471,60 @@ def ann_lsh_topk(
         .filter(F.col("rk") <= k)
         .select(F.col(qid_col), F.col(id_col), F.round("sim", 4).alias("sim"))
     )
+
+
+def sq8_quantize(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """SQ8 scalar quantization — the standard 4× vector-memory
+    compression for billion-scale ANN (FAISS SQ8 / Lucene scalar
+    quantizer): per-DIMENSION corpus min/max → each component mapped to
+    an 8-bit code ``floor((x − mn)·255/(mx − mn))``, constant dimensions
+    code to 0. Reports the codes plus the max absolute reconstruction
+    error per vector (``dequant = mn + code·(mx − mn)/255``), so the
+    recall cost of quantizing is measurable per corpus.
+
+    Plan: one posexplode → per-dim combinable min/max (dims rows, tiny)
+    → collected into ONE broadcast array row → a single linear
+    ``zip_with`` per vector (no random access into produced arrays — the
+    interpreted-HOF O(n²) trap). Only exact IEEE ops (min/max/±/×/÷ and
+    floor), so codes and errors are bit-identical cross-engine; errors
+    reported floor-scaled ×10⁶.
+
+    Output: ``(id_col, codes string ',' joined, max_err_x1e6 BIGINT)``.
+    """
+    # every lambda in this operator gets a UNIQUE parameter name (xv /
+    # px,ps / pc / pe): CollapseProject can inline the cast-transform into
+    # the zip_with, making these HOFs siblings in one expression — where
+    # Spark 4 cross-binds identically-named lambda variables (the
+    # hyperplane_signature bug class)
+    v = F.transform(vec_col, lambda xv: xv.cast("double"))
+    e = emb.select(F.col(id_col), v.alias("_v"))
+    d = e.select(F.posexplode("_v").alias("dim", "x"))
+    st = d.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    sarr = st.agg(
+        F.sort_array(
+            F.collect_list(F.struct("dim", "mn", "mx"))
+        ).alias("_st")
+    )
+
+    def _pair(px, ps):
+        code = F.when(
+            ps["mx"] > ps["mn"],
+            F.floor((px - ps["mn"]) * 255 / (ps["mx"] - ps["mn"])).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        dq = ps["mn"] + code * (ps["mx"] - ps["mn"]) / 255
+        return F.struct(code.alias("code"), F.abs(px - dq).alias("err"))
+
+    qe = e.crossJoin(F.broadcast(sarr)).select(
+        id_col, F.zip_with("_v", "_st", _pair).alias("_q")
+    )
+    return qe.select(
+        id_col,
+        F.array_join(
+            F.transform("_q", lambda pc: pc["code"].cast("string")), ","
+        ).alias("codes"),
+        F.floor(F.array_max(F.transform("_q", lambda pe: pe["err"])) * 1e6)
+        .cast("long")
+        .alias("max_err_x1e6"),
+    )

@@ -195,3 +195,20 @@ def test_prf_rerank_centroid_and_order(spark):
     # equal sims tie-break by doc_id asc
     assert (rows[10].rerank, rows[20].rerank) == (2, 3)
     assert rows[10].sim == rows[20].sim == 0.7071
+
+
+def test_sq8_quantize_hand_values(spark):
+    from doc_redaction_spark.operators.similarity import sq8_quantize
+
+    # dim0 spans [0, 2] -> codes 0/127/255; dim1 constant -> code 0, err 0
+    emb = spark.createDataFrame(
+        [(1, [0.0, 7.0]), (2, [1.0, 7.0]), (3, [2.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: (r.codes, r.max_err_x1e6) for r in sq8_quantize(emb).collect()}
+    assert got[1] == ("0,0", 0)
+    assert got[3] == ("255,0", 0)
+    # x=1: code floor(127.5)=127, dequant 127*2/255=0.99607..., err=1/255*0.5
+    code2 = got[2][0].split(",")
+    assert code2 == ["127", "0"]
+    assert got[2][1] == 3921  # floor((1 - 254/255)*1e6)
