@@ -7877,6 +7877,99 @@ def o_sq8_quantize():
     """
 
 
+def q_vocab_drift(spark, sf_dir):
+    """Snapshot-to-snapshot vocabulary drift (operators/curation.py
+    vocab_drift — the crawl-over-crawl corpus monitor): per-token doc
+    frequencies full-outer joined ON THE VOCAB, symmetric integer drift
+    ratio with add-one smoothing, new/gone/moved status. Fixture splits
+    documents by id parity and plants one fading and one emerging term."""
+    from doc_redaction_spark.operators.curation import vocab_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("long")
+    old = docs.filter(d % 2 == 0).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 10 == 0, F.lit(" legacyterm")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    new = docs.filter(d % 2 == 1).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 10 == 1, F.lit(" emergingterm")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return vocab_drift(old, new, min_df=5, k=30)
+
+
+def o_vocab_drift():
+    toks = _DOC_TOKENS_DUCK
+    a = "(CAST(df_new + 1 AS HUGEINT) * n_old)"
+    b = "(CAST(df_old + 1 AS HUGEINT) * n_new)"
+    return f"""
+    WITH oldd AS (SELECT doc_id, text || CASE WHEN doc_id % 10 = 0
+                    THEN ' legacyterm' ELSE '' END AS text
+                  FROM documents WHERE doc_id % 2 = 0),
+    newd AS (SELECT doc_id, text || CASE WHEN doc_id % 10 = 1
+               THEN ' emergingterm' ELSE '' END AS text
+             FROM documents WHERE doc_id % 2 = 1),
+    dfo AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_old
+            FROM (SELECT DISTINCT doc_id, x AS tok
+                  FROM oldd, unnest({toks}) AS u(x)) GROUP BY tok),
+    dfn AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_new
+            FROM (SELECT DISTINCT doc_id, x AS tok
+                  FROM newd, unnest({toks}) AS u(x)) GROUP BY tok),
+    no AS (SELECT CAST(count(*) AS BIGINT) AS n_old FROM oldd),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_new FROM newd),
+    j AS (SELECT coalesce(dfo.tok, dfn.tok) AS tok,
+                 coalesce(df_old, 0) AS df_old,
+                 coalesce(df_new, 0) AS df_new
+          FROM dfo FULL OUTER JOIN dfn ON dfo.tok = dfn.tok)
+    SELECT tok, df_old, df_new,
+           CASE WHEN df_old = 0 THEN 'new'
+                WHEN df_new = 0 THEN 'gone'
+                ELSE 'moved' END AS status,
+           greatest(
+             CAST(({a} * 1000) // {b} AS BIGINT),
+             CAST(({b} * 1000) // {a} AS BIGINT)) AS drift_x1000
+    FROM j, no, nn
+    WHERE df_old + df_new >= 5
+    ORDER BY drift_x1000 DESC, tok
+    LIMIT 30
+    """
+
+
+def q_prefix_autocomplete(spark, sf_dir):
+    """Typeahead index (operators/search.py prefix_autocomplete): top-5
+    completions per token prefix up to 4 chars — the corpus collapses to
+    the vocabulary FIRST, so explode + rank windows run over vocab-sized
+    data only."""
+    from doc_redaction_spark.operators.search import prefix_autocomplete
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return prefix_autocomplete(docs, max_len=4, k=5, min_count=2)
+
+
+def o_prefix_autocomplete():
+    toks = _DOC_TOKENS_DUCK
+    return f"""
+    WITH tk AS (SELECT x AS tok FROM documents, unnest({toks}) AS u(x)),
+    c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+          FROM tk GROUP BY tok HAVING count(*) >= 2),
+    p AS (SELECT substr(tok, 1, i) AS prefix, tok, cnt
+          FROM c, unnest(generate_series(1, least(length(tok), 4))) AS u(i)),
+    r AS (SELECT prefix, tok, cnt,
+                 row_number() OVER (PARTITION BY prefix
+                                    ORDER BY cnt DESC, tok) AS rk
+          FROM p)
+    SELECT prefix, CAST(rk AS BIGINT) AS rank, tok AS completion,
+           cnt AS n_occurrences
+    FROM r WHERE rk <= 5
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7890,6 +7983,8 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "vocab_drift": q_vocab_drift,
+    "prefix_autocomplete": q_prefix_autocomplete,
     "sq8_quantize": q_sq8_quantize,
     "hybrid_search": q_hybrid_search,
     "html_tables": q_html_tables,
@@ -8072,6 +8167,8 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "vocab_drift": o_vocab_drift,
+    "prefix_autocomplete": o_prefix_autocomplete,
     "sq8_quantize": o_sq8_quantize,
     "hybrid_search": o_hybrid_search,
     "html_tables": o_html_tables,

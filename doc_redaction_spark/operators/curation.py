@@ -503,3 +503,78 @@ def collocations(
         .orderBy(F.desc("lift_x1000"), F.desc("c_xy"), F.col("gram"))
         .limit(k)
     )
+
+
+def vocab_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    min_df: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` vocabulary movers between two corpus snapshots — the
+    drift monitor a training-data pipeline runs between crawls (a token
+    whose document rate jumps or collapses signals topic shift, spam
+    injection, or an extraction regression upstream).
+
+    Per-snapshot document frequencies full-outer join on the token;
+    rates are compared in the exact integer domain with add-one
+    smoothing so appearing/disappearing tokens stay finite:
+    ``a = (df_new + 1) · n_old_docs``, ``b = (df_old + 1) · n_new_docs``,
+    ``drift_x1000 = max(a·1000 div b, b·1000 div a)`` (≥1000; symmetric,
+    so risers and faders rank together). ``status`` labels 'new'
+    (df_old = 0), 'gone' (df_new = 0), else 'moved'. Only tokens with
+    ``df_old + df_new >= min_df`` rank (rare-token noise gate).
+
+    Plan: two combinable df aggregates (vocab-sized outputs), one
+    full-outer equi-join ON THE VOCAB — corpus-sized data never joins —
+    plus two broadcast 1-row doc counts. DECIMAL(38,0) products so
+    100 TB counts cannot wrap. Deterministic order (drift desc, tok asc).
+
+    Output: ``(tok, df_old, df_new, status, drift_x1000)``, k rows.
+    """
+
+    def _df(docs: DataFrame, alias: str) -> DataFrame:
+        return (
+            docs.select(
+                F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok")
+            )
+            .distinct()
+            .groupBy("tok")
+            .agg(F.count("*").cast("long").alias(alias))
+        )
+
+    dfo = _df(old_docs, "df_old")
+    dfn = _df(new_docs, "df_new")
+    n_old = old_docs.select(F.count("*").cast("long").alias("n_old"))
+    n_new = new_docs.select(F.count("*").cast("long").alias("n_new"))
+    j = (
+        dfo.join(dfn, "tok", "full_outer")
+        .na.fill({"df_old": 0, "df_new": 0})
+        .crossJoin(F.broadcast(n_old))
+        .crossJoin(F.broadcast(n_new))
+        .filter(F.col("df_old") + F.col("df_new") >= min_df)
+    )
+    a = "(CAST(df_new + 1 AS DECIMAL(38,0)) * n_old)"
+    b = "(CAST(df_old + 1 AS DECIMAL(38,0)) * n_new)"
+    drift = F.greatest(
+        F.expr(f"CAST(({a} * 1000) div {b} AS BIGINT)"),
+        F.expr(f"CAST(({b} * 1000) div {a} AS BIGINT)"),
+    )
+    status = (
+        F.when(F.col("df_old") == 0, F.lit("new"))
+        .when(F.col("df_new") == 0, F.lit("gone"))
+        .otherwise(F.lit("moved"))
+    )
+    return (
+        j.select(
+            "tok",
+            "df_old",
+            "df_new",
+            status.alias("status"),
+            drift.alias("drift_x1000"),
+        )
+        .orderBy(F.desc("drift_x1000"), F.col("tok"))
+        .limit(k)
+    )

@@ -532,3 +532,56 @@ def prf_rerank(
             F.col("rerank").cast("int").alias("rerank"),
         )
     )
+
+
+def prefix_autocomplete(
+    docs: DataFrame,
+    max_len: int = 4,
+    k: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-autocomplete index: for every token prefix up to ``max_len``
+    chars, the top-``k`` completions by corpus frequency — the
+    typeahead companion to bm25_topk (and a vocabulary-browse surface
+    for deny-list authoring).
+
+    Scale shape: the corpus collapses to the VOCABULARY first (one
+    combinable groupBy), so the prefix explode (≤ max_len rows per
+    DISTINCT token) and the per-prefix rank window run over vocab-sized
+    data — corpus size only enters the first aggregate. Hot 1-char
+    prefixes hold at most |vocab starting with c| rows, bounded and
+    nowhere near a corpus-scale skew.
+
+    Output: ``(prefix, rank, completion, n_occurrences)`` —
+    deterministic (count desc, completion asc) ranking.
+    """
+    toks = (
+        docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    pre = toks.select(
+        "tok",
+        "cnt",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.length("tok"), F.lit(max_len)))
+        ).alias("_plen"),
+    ).select(
+        F.col("tok").substr(F.lit(1), F.col("_plen")).alias("prefix"),
+        "tok",
+        "cnt",
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("cnt"), F.col("tok"))
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "prefix",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("tok").alias("completion"),
+            F.col("cnt").alias("n_occurrences"),
+        )
+    )

@@ -212,3 +212,44 @@ def test_sq8_quantize_hand_values(spark):
     code2 = got[2][0].split(",")
     assert code2 == ["127", "0"]
     assert got[2][1] == 3921  # floor((1 - 254/255)*1e6)
+
+
+def test_vocab_drift_statuses(spark):
+    from doc_redaction_spark.operators.curation import vocab_drift
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta legacy"), (2, "alpha legacy"), (3, "alpha")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(4, "alpha beta rising"), (5, "alpha rising"), (6, "alpha rising")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.tok: (r.df_old, r.df_new, r.status, r.drift_x1000)
+        for r in vocab_drift(old, new, min_df=2, k=10).collect()
+    }
+    # legacy: df 2 -> 0: a=(0+1)*3=3, b=(2+1)*3=9 -> max(333//1? ...) =
+    # max(3000//9, 9000//3) = 3000
+    assert got["legacy"] == (2, 0, "gone", 3000)
+    assert got["rising"] == (0, 3, "new", 4000)
+    # alpha: 3 -> 3 both corpora of 3 docs -> drift exactly 1000
+    assert got["alpha"] == (3, 3, "moved", 1000)
+
+
+def test_prefix_autocomplete_ranks(spark):
+    from doc_redaction_spark.operators.search import prefix_autocomplete
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat cat car car cab dog")], "doc_id long, text string"
+    )
+    out = prefix_autocomplete(docs, max_len=3, k=2, min_count=1)
+    got = {
+        (r.prefix, r.rank): (r.completion, r.n_occurrences)
+        for r in out.collect()
+    }
+    assert got[("ca", 1)] == ("cat", 3)
+    assert got[("ca", 2)] == ("car", 2)
+    assert ("ca", 3) not in got  # k=2 cuts cab
+    assert got[("d", 1)] == ("dog", 1)
+    assert got[("cat", 1)] == ("cat", 3)
