@@ -7434,9 +7434,12 @@ def q_k_anonymity(spark, sf_dir):
     (size < k OR homogeneous sensitive value)."""
     from doc_redaction_spark.operators.privacy import k_anonymity_report
 
+    zb = F.when(
+        F.pmod(F.col("c_custkey"), F.lit(101)) == 0, F.lit(None).cast("int")
+    ).otherwise(F.pmod(F.col("c_custkey"), F.lit(97)).cast("int"))
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_mktsegment").alias("mktsegment"),
-        F.pmod(F.col("c_custkey"), F.lit(97)).cast("int").alias("zip_bucket"),
+        zb.alias("zip_bucket"),
         F.col("c_acctbal"),
     )
     return k_anonymity_report(
@@ -7447,14 +7450,16 @@ def q_k_anonymity(spark, sf_dir):
 def o_k_anonymity():
     return """
     WITH q AS (SELECT c_mktsegment AS mktsegment,
-                      CAST(((c_custkey % 97) + 97) % 97 AS INTEGER) AS zip_bucket,
+                      CASE WHEN c_custkey % 101 = 0 THEN NULL
+                           ELSE CAST(((c_custkey % 97) + 97) % 97 AS INTEGER)
+                      END AS zip_bucket,
                       c_acctbal
                FROM customer)
     SELECT mktsegment, zip_bucket,
            CAST(count(*) AS BIGINT) AS class_size,
            CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
            CAST(CASE WHEN count(*) < 5
-                       OR count(DISTINCT c_acctbal) = 1
+                       OR count(DISTINCT c_acctbal) <= 1
                      THEN 1 ELSE 0 END AS INTEGER) AS at_risk
     FROM q GROUP BY mktsegment, zip_bucket
     ORDER BY mktsegment, zip_bucket
@@ -7468,10 +7473,13 @@ def q_k_suppress(spark, sf_dir):
     suppressed flag so the utility cost is countable."""
     from doc_redaction_spark.operators.privacy import k_suppress
 
+    zb = F.when(
+        F.pmod(F.col("c_custkey"), F.lit(101)) == 0, F.lit(None).cast("int")
+    ).otherwise(F.pmod(F.col("c_custkey"), F.lit(97)).cast("int"))
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey"),
         F.col("c_mktsegment").alias("mktsegment"),
-        F.pmod(F.col("c_custkey"), F.lit(97)).cast("int").alias("zip_bucket"),
+        zb.alias("zip_bucket"),
     )
     return k_suppress(cust, ["mktsegment", "zip_bucket"], "c_custkey", k=5)
 
@@ -7479,7 +7487,9 @@ def q_k_suppress(spark, sf_dir):
 def o_k_suppress():
     return """
     WITH q AS (SELECT c_custkey, c_mktsegment AS mktsegment,
-                      CAST(((c_custkey % 97) + 97) % 97 AS INTEGER) AS zip_bucket
+                      CASE WHEN c_custkey % 101 = 0 THEN NULL
+                           ELSE CAST(((c_custkey % 97) + 97) % 97 AS INTEGER)
+                      END AS zip_bucket
                FROM customer),
     s AS (SELECT mktsegment, zip_bucket, count(*) AS cs
           FROM q GROUP BY mktsegment, zip_bucket)
@@ -7487,8 +7497,8 @@ def o_k_suppress():
            CASE WHEN cs < 5 THEN NULL ELSE q.mktsegment END AS mktsegment,
            CASE WHEN cs < 5 THEN NULL ELSE q.zip_bucket END AS zip_bucket,
            CAST(CASE WHEN cs < 5 THEN 1 ELSE 0 END AS INTEGER) AS suppressed
-    FROM q JOIN s ON q.mktsegment = s.mktsegment
-                 AND q.zip_bucket = s.zip_bucket
+    FROM q JOIN s ON q.mktsegment IS NOT DISTINCT FROM s.mktsegment
+                 AND q.zip_bucket IS NOT DISTINCT FROM s.zip_bucket
     """
 
 
@@ -7632,11 +7642,13 @@ def q_rr_estimate(spark, sf_dir):
 
 
 def o_rr_estimate():
-    return """
+    from doc_redaction_spark.operators.sampling import duckdb_hash_u32
+
+    coin = duckdb_hash_u32("CAST(c_custkey AS VARCHAR) || 'rr1'")
+    return f"""
     WITH t AS (SELECT c_mktsegment AS mktsegment,
                       (c_acctbal < 0) AS flag,
-                      CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
-                            || 'rr1'), 1, 8)) AS BIGINT) % 4 AS coin
+                      {coin} % 4 AS coin
                FROM customer),
     r AS (SELECT mktsegment,
                  CASE WHEN coin = 3 THEN NOT flag ELSE flag END AS resp
@@ -7656,7 +7668,8 @@ def o_rr_estimate():
 # whose fully-interior 5-grams are shared (df>1, must be excluded; its
 # edge windows borrow doc-specific context and stay legitimately rare).
 # Shared verbatim with the SQL rendering below.
-_MEMO_SECRET = " secret code {num} issued today"
+_MEMO_SECRET_PRE = " secret code "
+_MEMO_SECRET_SUF = " issued today"
 _MEMO_HOTLINE = " hotline number 999999 nine nine nine nine emergency line"
 
 
@@ -7676,9 +7689,9 @@ def q_memorization_risk(spark, sf_dir):
             F.when(
                 d % 5 == 0,
                 F.concat(
-                    F.lit(" secret code "),
+                    F.lit(_MEMO_SECRET_PRE),
                     (d + 900000).cast("string"),
-                    F.lit(" issued today"),
+                    F.lit(_MEMO_SECRET_SUF),
                 ),
             )
             .when(d % 5 == 1, F.lit(_MEMO_HOTLINE))
@@ -7693,9 +7706,9 @@ def o_memorization_risk():
     return f"""
     WITH d0 AS (SELECT doc_id,
                        text || CASE
-                         WHEN doc_id % 5 = 0 THEN ' secret code '
+                         WHEN doc_id % 5 = 0 THEN '{_MEMO_SECRET_PRE}'
                               || CAST(doc_id + 900000 AS VARCHAR)
-                              || ' issued today'
+                              || '{_MEMO_SECRET_SUF}'
                          WHEN doc_id % 5 = 1
                            THEN '{_MEMO_HOTLINE}'
                          ELSE '' END AS text
@@ -7814,9 +7827,10 @@ def o_hybrid_search():
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS _e
             FROM embeddings),
     cand AS (SELECT query_id, rank, doc_id, score, _e
-             FROM bmtop JOIN emb ON vec_id = doc_id),
+             FROM bmtop LEFT JOIN emb ON vec_id = doc_id),
     top5 AS (SELECT query_id, list(_e ORDER BY rank) AS es
-             FROM cand WHERE rank <= 5 GROUP BY query_id),
+             FROM cand WHERE rank <= 5 AND _e IS NOT NULL
+             GROUP BY query_id),
     cent AS (SELECT query_id,
                     list_transform(
                       list_reduce(es, (a, b2) ->
@@ -7826,10 +7840,11 @@ def o_hybrid_search():
              FROM top5),
     hsc AS (SELECT cand.query_id, doc_id, rank, score,
                    {dot} / ({nc} * {ne}) AS sim0
-            FROM cand JOIN cent ON cand.query_id = cent.query_id),
+            FROM cand LEFT JOIN cent ON cand.query_id = cent.query_id),
     rr AS (SELECT query_id, doc_id, rank, score, sim0,
                   row_number() OVER (PARTITION BY query_id
-                                     ORDER BY sim0 DESC, doc_id) AS rerank
+                                     ORDER BY sim0 DESC NULLS LAST,
+                                              rank, doc_id) AS rerank
            FROM hsc)
     SELECT query_id, doc_id, rank AS bm25_rank, score AS bm25_score,
            round(sim0, 4) AS sim, CAST(rerank AS INTEGER) AS rerank
@@ -7921,8 +7936,8 @@ def o_vocab_drift():
     dfn AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_new
             FROM (SELECT DISTINCT doc_id, x AS tok
                   FROM newd, unnest({toks}) AS u(x)) GROUP BY tok),
-    no AS (SELECT CAST(count(*) AS BIGINT) AS n_old FROM oldd),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_new FROM newd),
+    no AS (SELECT CAST(greatest(count(*), 1) AS BIGINT) AS n_old FROM oldd),
+    nn AS (SELECT CAST(greatest(count(*), 1) AS BIGINT) AS n_new FROM newd),
     j AS (SELECT coalesce(dfo.tok, dfn.tok) AS tok,
                  coalesce(df_old, 0) AS df_old,
                  coalesce(df_new, 0) AS df_new

@@ -412,6 +412,12 @@ def bpe_encode_stats(
     Returns ``(id_col, n_words, n_chars, n_tokens)`` where n_tokens is
     the post-merge symbol count (n_chars = the pre-merge count, so
     n_chars/n_tokens is the measured compression of the k merges).
+
+    NOTE: like bpe_learn_with_vocab (which this calls), construction
+    EXECUTES k distributed argmax rounds immediately (per-round
+    localCheckpoint truncates the growing lineage — the repo's
+    documented iterative-operator exception); at scale, write the result
+    out and dereference rather than holding it in a lazy plan.
     """
     _merges, vocab = bpe_learn_with_vocab(words, k)
     enc = vocab.select("w", F.size("syms").cast("long").alias("_n_syms"))
@@ -547,8 +553,16 @@ def vocab_drift(
 
     dfo = _df(old_docs, "df_old")
     dfn = _df(new_docs, "df_new")
-    n_old = old_docs.select(F.count("*").cast("long").alias("n_old"))
-    n_new = new_docs.select(F.count("*").cast("long").alias("n_new"))
+    # clamp doc counts to >= 1: an EMPTY snapshot (the extraction-broke
+    # alarm case this monitor exists for) must report every token
+    # 'gone'/'new' with finite drift, not divide by zero (ANSI mode
+    # throws); an empty corpus behaves as a size-1 corpus in the ratio
+    n_old = old_docs.agg(
+        F.greatest(F.count("*"), F.lit(1)).cast("long").alias("n_old")
+    )
+    n_new = new_docs.agg(
+        F.greatest(F.count("*"), F.lit(1)).cast("long").alias("n_new")
+    )
     j = (
         dfo.join(dfn, "tok", "full_outer")
         .na.fill({"df_old": 0, "df_new": 0})

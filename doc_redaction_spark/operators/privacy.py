@@ -42,9 +42,12 @@ def k_anonymity_report(
     ``(*qi_cols, class_size, l_distinct, at_risk)``.
 
     ``at_risk`` = 1 iff class_size < k (k-anonymity violation) OR
-    l_distinct == 1 (homogeneous sensitive value — the l-diversity
-    failure that k alone misses). NULL QI values form their own class
-    (SQL GROUP BY semantics), matching how a linker would treat them.
+    l_distinct <= 1 (homogeneous sensitive value — the l-diversity
+    failure that k alone misses; <= not ==, because count_distinct
+    ignores NULLs, so an all-NULL-sensitive class reports l_distinct = 0
+    yet is a perfect disclosure: the linker learns "sensitive is NULL"
+    for every member). NULL QI values form their own class (SQL GROUP BY
+    semantics), matching how a linker would treat them.
     """
     return (
         df.groupBy(*qi_cols)
@@ -54,7 +57,7 @@ def k_anonymity_report(
         )
         .withColumn(
             "at_risk",
-            ((F.col("class_size") < k) | (F.col("l_distinct") == 1)).cast("int"),
+            ((F.col("class_size") < k) | (F.col("l_distinct") <= 1)).cast("int"),
         )
     )
 
@@ -69,11 +72,21 @@ def k_suppress(
 
     Returns ``(id_col, *qi_cols, suppressed)`` with every row retained:
     suppressed rows carry NULL QI values, the rest pass through. The
-    class-size table joins back on the QI key; it has at most
+    class-size table joins back on the QI key NULL-SAFELY (eqNullSafe —
+    GROUP BY puts NULL-QI rows in one class, so the join back must match
+    them too; a plain equi-join would leave exactly the NULL-keyed
+    at-risk classes unsuppressed). The size table has at most
     |distinct QI| rows so the join side is broadcast-small in practice.
     """
     sizes = df.groupBy(*qi_cols).agg(F.count("*").cast("long").alias("_cs"))
-    j = df.select(id_col, *qi_cols).join(sizes, list(qi_cols), "left")
+    szn = sizes.select(
+        *[F.col(c).alias(f"_s_{c}") for c in qi_cols], "_cs"
+    )
+    cond = None
+    for c in qi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_s_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    j = df.select(id_col, *qi_cols).join(szn, cond, "left")
     bad = F.col("_cs") < k
     out_cols = [F.col(id_col)]
     for c in qi_cols:

@@ -487,6 +487,12 @@ def prf_rerank(
     candidate set is k·|queries| rows (tiny), so every join here is
     broadcast-sized; the expensive retrieval already happened in stage 1.
 
+    Candidates WITHOUT an embedding are kept (left join), ranked after
+    every embedded candidate in BM25 order with ``sim`` NULL — a top
+    BM25 hit must never vanish from the result just because the
+    embedding table lags the corpus. The pseudo-relevant set is the
+    top-``m`` candidates that HAVE embeddings.
+
     Determinism: the centroid sums the top-m embeddings in RANK order
     (sort_array over collected (rank, vec) structs → sequential fold),
     the exact order the oracle's ``list(e ORDER BY rank)`` +
@@ -502,7 +508,7 @@ def prf_rerank(
         F.col(vid_col).alias("doc_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_e"),
     )
-    ce = candidates.join(e, "doc_id")
+    ce = candidates.join(e, "doc_id", "left")
     zero = F.array_repeat(F.lit(0.0), dim)
     summed = F.aggregate(
         F.sort_array(F.collect_list(F.struct("rank", "_e"))),
@@ -510,7 +516,7 @@ def prf_rerank(
         lambda acc, s: F.zip_with(acc, s["_e"], lambda a, b2: a + b2),
     )
     cent = (
-        ce.filter(F.col("rank") <= m)
+        ce.filter((F.col("rank") <= m) & F.col("_e").isNotNull())
         .groupBy("query_id")
         .agg(summed.alias("_sum"), F.count("*").alias("_m"))
         .select(
@@ -519,8 +525,12 @@ def prf_rerank(
         )
     )
     sim = _dot(F.col("_c"), F.col("_e")) / (_norm(F.col("_c")) * _norm(F.col("_e")))
-    scored = ce.join(F.broadcast(cent), "query_id").withColumn("_sim", sim)
-    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.col("doc_id"))
+    # left: a query whose top-m candidates ALL lack embeddings has no
+    # centroid row — its candidates still return, in pure BM25 order
+    scored = ce.join(F.broadcast(cent), "query_id", "left").withColumn("_sim", sim)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("_sim"), F.asc("rank"), F.col("doc_id")
+    )
     return (
         scored.withColumn("rerank", F.row_number().over(w))
         .select(

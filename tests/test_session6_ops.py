@@ -47,10 +47,10 @@ def test_k_suppress_nulls_small_classes(spark):
 
 
 def test_collocations_lift_math(spark):
-    # corpus tokens: "new york" x3 plus 4 stray "the" fillers.
+    # corpus tokens: 3x "new york the" + one extra "the" in doc 3.
     # N = 10 tokens; c(new york)=3, c(new)=3, c(york)=3
-    # lift = (3 * 10 * 1000) div (3 * 3) = 3333
-    # "york the" appears twice (docs 1,2): (2*10*1000) div (3*4) = 1666
+    # lift(new york) = (3 * 10 * 1000) div (3 * 3) = 3333
+    # "york the" appears in all 3 docs: (3*10*1000) div (3*4) = 2500
     docs = spark.createDataFrame(
         [
             (1, "new york the"),
@@ -208,7 +208,8 @@ def test_sq8_quantize_hand_values(spark):
     got = {r.vec_id: (r.codes, r.max_err_x1e6) for r in sq8_quantize(emb).collect()}
     assert got[1] == ("0,0", 0)
     assert got[3] == ("255,0", 0)
-    # x=1: code floor(127.5)=127, dequant 127*2/255=0.99607..., err=1/255*0.5
+    # x=1: code floor(127.5)=127, dequant 127*2/255=0.99607...,
+    # err = 1 - 254/255 = 1/255 (half the 2/255 quantization step)
     code2 = got[2][0].split(",")
     assert code2 == ["127", "0"]
     assert got[2][1] == 3921  # floor((1 - 254/255)*1e6)
@@ -253,3 +254,61 @@ def test_prefix_autocomplete_ranks(spark):
     assert ("ca", 3) not in got  # k=2 cuts cab
     assert got[("d", 1)] == ("dog", 1)
     assert got[("cat", 1)] == ("cat", 3)
+
+
+def test_k_suppress_null_qi_class_suppressed(spark):
+    from doc_redaction_spark.operators.privacy import k_suppress
+
+    rows = [(1, "a", 1), (2, "a", 1), (3, None, 1)]
+    df = spark.createDataFrame(rows, "id long, seg string, zip int")
+    got = {
+        r.id: (r.seg, r.zip, r.suppressed)
+        for r in k_suppress(df, ["seg", "zip"], "id", k=2).collect()
+    }
+    # the NULL-QI singleton class IS at risk and must be suppressed
+    assert got[3] == (None, None, 1)
+    assert got[1] == ("a", 1, 0) and got[2] == ("a", 1, 0)
+
+
+def test_k_anonymity_all_null_sensitive_flagged(spark):
+    from doc_redaction_spark.operators.privacy import k_anonymity_report
+
+    rows = [("a", 1, None), ("a", 1, None), ("a", 1, None)]
+    df = spark.createDataFrame(rows, "seg string, zip int, bal double")
+    r = k_anonymity_report(df, ["seg", "zip"], "bal", k=3).collect()[0]
+    # l_distinct 0 (all NULL) is a homogeneous disclosure -> at risk
+    assert (r.class_size, r.l_distinct, r.at_risk) == (3, 0, 1)
+
+
+def test_vocab_drift_empty_snapshot_is_finite(spark):
+    from doc_redaction_spark.operators.curation import vocab_drift
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta")], "doc_id long, text string"
+    )
+    new = old.filter("doc_id < 0")  # empty snapshot: the alarm case
+    got = {
+        r.tok: (r.status, r.drift_x1000)
+        for r in vocab_drift(old, new, min_df=2, k=10).collect()
+    }
+    # every token 'gone' with finite drift: a=(0+1)*2=2, b=(2+1)*1=3
+    # -> max(2000//3, 3000//2) = 1500
+    assert got["alpha"] == ("gone", 1500) and got["beta"] == ("gone", 1500)
+
+
+def test_prf_rerank_keeps_embeddingless_candidates(spark):
+    from doc_redaction_spark.operators.search import prf_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 1, 10, 900), (1, 2, 20, 800), (1, 3, 30, 700)],
+        "query_id long, rank long, doc_id long, score long",
+    )
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (30, [1.0, 0.0])],  # doc 20 has no embedding
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.doc_id: r for r in prf_rerank(cand, emb, m=2, dim=2).collect()}
+    assert len(rows) == 3  # nothing dropped
+    # doc 20 ranks last with NULL sim, after every embedded candidate
+    assert rows[20].sim is None and rows[20].rerank == 3
+    assert {rows[10].rerank, rows[30].rerank} == {1, 2}
