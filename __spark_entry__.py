@@ -7985,6 +7985,68 @@ def o_prefix_autocomplete():
     """
 
 
+def q_extractive_summary(spark, sf_dir):
+    """Luhn extractive summarization (operators/summarize.py
+    luhn_summary — the deterministic corpus-scale analog of the
+    reference's LLM summariser, tools/summaries.py:517,668): top-2
+    sentences per document by tf-idf-keyword density, exact-integer
+    scores. Fixture sentence-izes the corpus text with fixed substring
+    breaks (the raw texts carry no punctuation)."""
+    from doc_redaction_spark.operators.summarize import luhn_summary
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.substring(t, 1, 80),
+            F.lit(". "),
+            F.substring(t, 81, 80),
+            F.lit(". "),
+            F.substring(t, 161, 1000000),
+        ).alias("text"),
+    )
+    return luhn_summary(docs, n_sentences=2, top_terms=5)
+
+
+def o_extractive_summary():
+    from doc_redaction_spark.operators.search import duckdb_tfidf_chain_sql
+    from doc_redaction_spark.operators.summarize import SENT_PATTERN
+
+    stoks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(sent, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH d2 AS (SELECT doc_id,
+                       substr(coalesce(text, ''), 1, 80) || '. '
+                       || substr(coalesce(text, ''), 81, 80) || '. '
+                       || substr(coalesce(text, ''), 161, 1000000) AS text
+                FROM documents),
+    {duckdb_tfidf_chain_sql(5, "d2")},
+    se AS (SELECT doc_id AS id,
+                  regexp_extract_all(text, '{_sq(SENT_PATTERN)}') AS ss
+           FROM d2),
+    sp AS (SELECT id, i - 1 AS sent_pos, ss[i] AS sent
+           FROM se, unnest(generate_series(1, len(ss))) AS u(i)),
+    stk AS (SELECT id, sent_pos, x AS tok
+            FROM sp, unnest({stoks}) AS u2(x)),
+    h AS (SELECT id, sent_pos, CAST(count(*) AS BIGINT) AS kw_hits
+          FROM stk JOIN kwtop USING (id, tok) GROUP BY id, sent_pos),
+    sscore AS (SELECT sp.id, sp.sent_pos, sp.sent,
+                      coalesce(kw_hits, 0) AS kw_hits
+               FROM sp LEFT JOIN h
+                 ON sp.id = h.id AND sp.sent_pos = h.sent_pos),
+    srank AS (SELECT id, sent_pos, sent, kw_hits,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY kw_hits DESC, sent_pos)
+                       AS rk
+              FROM sscore)
+    SELECT id AS doc_id, CAST(sent_pos AS BIGINT) AS sent_pos,
+           trim(sent) AS sentence, kw_hits, CAST(rk AS BIGINT) AS rank
+    FROM srank WHERE rk <= 2
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7998,6 +8060,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "extractive_summary": q_extractive_summary,
     "vocab_drift": q_vocab_drift,
     "prefix_autocomplete": q_prefix_autocomplete,
     "sq8_quantize": q_sq8_quantize,
@@ -8182,6 +8245,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "extractive_summary": o_extractive_summary,
     "vocab_drift": o_vocab_drift,
     "prefix_autocomplete": o_prefix_autocomplete,
     "sq8_quantize": o_sq8_quantize,

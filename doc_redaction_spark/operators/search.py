@@ -441,15 +441,17 @@ def tfidf_keywords(
     )
 
 
-def duckdb_tfidf_keywords_sql(k: int = 5, table: str = "documents") -> str:
-    """The naive spec in DuckDB SQL, constants mirrored from
-    tfidf_keywords parenthesis-for-parenthesis."""
+def duckdb_tfidf_chain_sql(k: int = 5, table: str = "documents") -> str:
+    """The tf-idf keyword spec as comma-joined CTEs ending in
+    ``kwtop(id, rank, tok, tf, score)`` — shared by the standalone
+    oracle (duckdb_tfidf_keywords_sql) and compositions that consume the
+    keyword set (the extractive-summary oracle)."""
     toks = (
         "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
         " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
     )
     return f"""
-    WITH tk AS (SELECT doc_id AS id, unnest({toks}) AS tok FROM {table}),
+    tk AS (SELECT doc_id AS id, unnest({toks}) AS tok FROM {table}),
     tf AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf
            FROM tk GROUP BY id, tok),
     nd AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_docs FROM tf),
@@ -461,11 +463,21 @@ def duckdb_tfidf_keywords_sql(k: int = 5, table: str = "documents") -> str:
     rk AS (SELECT id, tok, tf, score,
                   row_number() OVER (PARTITION BY id
                                      ORDER BY score DESC, tok) AS rank
-           FROM sc)
-    SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank, tok, tf, score
-    FROM rk WHERE rank <= {k}
-    ORDER BY doc_id, rank
+           FROM sc),
+    kwtop AS (SELECT id, CAST(rank AS BIGINT) AS rank, tok, tf, score
+              FROM rk WHERE rank <= {k})
     """
+
+
+def duckdb_tfidf_keywords_sql(k: int = 5, table: str = "documents") -> str:
+    """The naive spec in DuckDB SQL, constants mirrored from
+    tfidf_keywords parenthesis-for-parenthesis."""
+    return (
+        "WITH "
+        + duckdb_tfidf_chain_sql(k, table)
+        + "\n    SELECT id AS doc_id, rank, tok, tf, score FROM kwtop"
+        + "\n    ORDER BY doc_id, rank"
+    )
 
 
 def prf_rerank(

@@ -1,0 +1,84 @@
+"""Deterministic extractive summarization — the corpus-scale analog of
+the reference's summarisation surface.
+
+The reference summarises documents with external LLMs
+(``/root/reference/tools/summaries.py:517,668`` — summarise_text_chunk /
+recursively_summarise over AWS/transformers backends); those calls are
+declared out of the deterministic core. What IS reproducible — and what
+a 100 TB preview/triage pipeline actually needs — is the classic
+extractive selection those systems predate: Luhn (1958) sentence scoring
+by significant-term density.
+
+``luhn_summary`` scores every sentence by how many of its tokens hit the
+document's top tf-idf keywords (reusing ``search.tfidf_keywords`` — one
+keyword spec, one implementation) and keeps the top ``n_sentences`` per
+document, reported in reading order. Everything is exact-integer: the
+score is a token-hit COUNT, ties break on earlier position.
+
+Scale shape: sentence split and token split are linear generators
+(posexplode of regexp_extract_all); the keyword join is an equi-join on
+(doc, token) whose right side is ``top_terms`` rows per document; the
+per-document rank window is bounded by a document's sentence count. No
+crossJoin, no Python stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.curation import tokens_col
+from doc_redaction_spark.operators.search import tfidf_keywords
+
+# a sentence = a run of non-terminators plus one optional terminator —
+# leftmost/greedy semantics identical in Java regex, RE2, and Python re
+SENT_PATTERN = r"[^.!?]+[.!?]?"
+
+
+def luhn_summary(
+    docs: DataFrame,
+    n_sentences: int = 2,
+    top_terms: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``n_sentences`` extractive summary per document.
+
+    Output: ``(id_col, sent_pos, sentence, kw_hits, rank)`` — ``rank``
+    orders by (keyword hits desc, position asc); ``sent_pos`` is the
+    0-based sentence index so consumers can re-emit in reading order.
+    Sentences are trimmed; documents with no sentence (empty text) emit
+    no rows.
+    """
+    kw = tfidf_keywords(docs, k=top_terms, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("id"), "tok"
+    )
+    sents = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(SENT_PATTERN), F.lit(0)
+            )
+        ).alias("sent_pos", "_sent"),
+    )
+    stoks = sents.select(
+        "id", "sent_pos", F.explode(tokens_col("_sent")).alias("tok")
+    )
+    hits = (
+        stoks.join(kw, ["id", "tok"])
+        .groupBy("id", "sent_pos")
+        .agg(F.count("*").cast("long").alias("kw_hits"))
+    )
+    scored = sents.join(hits, ["id", "sent_pos"], "left").na.fill({"kw_hits": 0})
+    w = Window.partitionBy("id").orderBy(F.desc("kw_hits"), F.asc("sent_pos"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_sentences)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("sent_pos").cast("long").alias("sent_pos"),
+            F.trim("_sent").alias("sentence"),
+            "kw_hits",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -312,3 +312,28 @@ def test_prf_rerank_keeps_embeddingless_candidates(spark):
     # doc 20 ranks last with NULL sim, after every embedded candidate
     assert rows[20].sim is None and rows[20].rerank == 3
     assert {rows[10].rerank, rows[30].rerank} == {1, 2}
+
+
+def test_luhn_summary_picks_keyword_dense_sentences(spark):
+    from doc_redaction_spark.operators.summarize import luhn_summary
+
+    # 'zebra' is rare corpus-wide (high idf) -> doc 1's top keyword; the
+    # sentence repeating it must outrank the filler sentence.
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra runs. common words here. zebra again!"),
+            (2, "alpha beta. alpha beta."),  # two identical-score sentences
+        ],
+        "doc_id long, text string",
+    )
+    out = luhn_summary(docs, n_sentences=2, top_terms=2)
+    got = {
+        (r.doc_id, r.rank): (r.sent_pos, r.sentence, r.kw_hits)
+        for r in out.collect()
+    }
+    assert got[(1, 1)][1] == "zebra zebra zebra runs."
+    assert got[(1, 2)][1] == "zebra again!"
+    # ties (same hits) break by earlier position
+    d2 = [got[(2, 1)], got[(2, 2)]]
+    assert d2[0][2] == d2[1][2]  # genuinely tied keyword hits
+    assert d2[0][0] < d2[1][0]
