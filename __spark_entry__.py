@@ -8047,6 +8047,77 @@ def o_extractive_summary():
     """
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC crawl-archive ingest (sources/warc_lite.py — build→parse
+    round trip): documents are packed 10-per-file into WARC/1.0 blobs
+    JVM-side (records concatenated in doc order), then the Arrow
+    mapInPandas parser recovers every record by Content-Length slicing.
+    Every 7th payload embeds a '\\r\\n\\r\\nWARC/1.0' lookalike — a
+    parser that scans for the next record marker instead of honoring
+    Content-Length truncates those records (the pdf_lite /Length
+    lesson). Oracle = the direct construction of the expected records."""
+    from doc_redaction_spark.sources.warc_lite import warc_to_records
+
+    d = F.col("doc_id").cast("long")
+    payload = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(d % 7 == 0, F.lit("\r\n\r\nWARC/1.0 lookalike")).otherwise(
+            F.lit("")
+        ),
+    )
+    rec = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://example.com/doc/"
+        ),
+        d.cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n\r\n"),
+    )
+    files = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.expr("CAST(doc_id AS BIGINT) div 10").alias("file_id"),
+            F.struct(d.alias("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda sr: sr["rec"]
+                ),
+                "",
+            ).alias("warc")
+        )
+    )
+    return warc_to_records(files)
+
+
+def o_warc_ingest():
+    nl2 = "chr(13) || chr(10) || chr(13) || chr(10)"
+    return f"""
+    WITH p AS (SELECT doc_id,
+                      coalesce(text, '')
+                      || CASE WHEN doc_id % 7 = 0
+                              THEN {nl2} || 'WARC/1.0 lookalike'
+                              ELSE '' END AS payload
+               FROM documents)
+    SELECT CAST(doc_id // 10 AS BIGINT) AS file_id,
+           CAST(row_number() OVER (PARTITION BY doc_id // 10
+                                   ORDER BY doc_id) - 1 AS INTEGER)
+             AS rec_idx,
+           'response' AS warc_type,
+           'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+             AS target_uri,
+           CAST(strlen(payload) AS BIGINT) AS content_length,
+           payload
+    FROM p
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8060,6 +8131,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "warc_ingest": q_warc_ingest,
     "extractive_summary": q_extractive_summary,
     "vocab_drift": q_vocab_drift,
     "prefix_autocomplete": q_prefix_autocomplete,
@@ -8245,6 +8317,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "warc_ingest": o_warc_ingest,
     "extractive_summary": o_extractive_summary,
     "vocab_drift": o_vocab_drift,
     "prefix_autocomplete": o_prefix_autocomplete,

@@ -1,0 +1,126 @@
+"""WARC (Web ARChive, ISO 28500) ingest — dependency-free record parser.
+
+The reference ingests crawl-shaped content only after someone else has
+unpacked it (its file dispatch handles pdf/html/csv/xlsx —
+``/root/reference/tools/helper_functions.py``); a 100 TB web pipeline
+starts one step earlier, at the WARC files a crawler actually writes.
+This is the minimal correct subset: ``WARC/1.0`` version line, CRLF
+header block, ``Content-Length``-SLICED payload (the same lesson as
+``pdf_lite``'s /Length-sliced Flate streams — payloads legally contain
+``\\r\\n\\r\\nWARC/1.0`` byte sequences, so scanning for the next
+record marker instead of honoring Content-Length silently corrupts
+records; the fixture plants exactly that), then a mandatory blank-line
+record separator.
+
+Spark-side: WARC blobs are opaque string/binary column values;
+``warc_to_records`` is an Arrow-batched ``mapInPandas`` (map-only, no
+shuffle) with per-blob error tolerance — a corrupt blob yields zero
+rows instead of failing the task 4× and killing the job. The writer
+(``build_warc``) emits the same subset deterministically so a
+build→parse round trip is byte-stable and oracle-able; Content-Length
+counts UTF-8 BYTES (per the standard), not characters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+RECORD_SCHEMA = (
+    "file_id long, rec_idx int, warc_type string, target_uri string,"
+    " content_length long, payload string"
+)
+
+_CRLF = b"\r\n"
+
+
+def build_warc(records: list[dict]) -> str:
+    """Records → WARC string. Each record: ``warc_type`` (e.g.
+    'response'), ``target_uri``, ``payload`` (str). Content-Length is
+    the UTF-8 byte length of the payload."""
+    parts: list[str] = []
+    for r in records:
+        payload = r["payload"]
+        blen = len(payload.encode("utf-8"))
+        parts.append(
+            "WARC/1.0\r\n"
+            f"WARC-Type: {r['warc_type']}\r\n"
+            f"WARC-Target-URI: {r['target_uri']}\r\n"
+            f"Content-Length: {blen}\r\n"
+            "\r\n"
+            f"{payload}\r\n\r\n"
+        )
+    return "".join(parts)
+
+
+def parse_warc(blob: str) -> list[dict]:
+    """Parse one WARC blob into record dicts. Raises ValueError on any
+    structural violation (bad version line, missing Content-Length,
+    truncated payload, missing separator) — callers decide tolerance."""
+    data = blob.encode("utf-8")
+    out: list[dict] = []
+    pos = 0
+    idx = 0
+    while pos < len(data):
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            raise ValueError("missing header terminator")
+        head = data[pos:hdr_end].decode("utf-8")
+        lines = head.split("\r\n")
+        if lines[0] != "WARC/1.0":
+            raise ValueError(f"bad version line: {lines[0]!r}")
+        fields: dict[str, str] = {}
+        for ln in lines[1:]:
+            name, sep, val = ln.partition(":")
+            if not sep:
+                raise ValueError(f"bad header line: {ln!r}")
+            fields[name.strip().lower()] = val.strip()
+        if "content-length" not in fields:
+            raise ValueError("missing Content-Length")
+        clen = int(fields["content-length"])
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if body_end + 4 > len(data):
+            raise ValueError("truncated payload")
+        if data[body_end : body_end + 4] != _CRLF + _CRLF:
+            raise ValueError("missing record separator")
+        out.append(
+            {
+                "rec_idx": idx,
+                "warc_type": fields.get("warc-type", ""),
+                "target_uri": fields.get("warc-target-uri", ""),
+                "content_length": clen,
+                "payload": data[body_start:body_end].decode("utf-8"),
+            }
+        )
+        idx += 1
+        pos = body_end + 4
+    return out
+
+
+def warc_to_records(
+    df: DataFrame, id_col: str = "file_id", warc_col: str = "warc"
+) -> DataFrame:
+    """One row per WARC record across all blobs — map-only (no shuffle);
+    malformed blobs contribute zero rows."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "file_id", "rec_idx", "warc_type", "target_uri",
+            "content_length", "payload",
+        ]
+        for pdf in batches:
+            rows = []
+            for fid, blob in zip(pdf[id_col], pdf[warc_col]):
+                try:
+                    parsed = parse_warc(blob)
+                except (ValueError, AttributeError, UnicodeDecodeError):
+                    continue
+                for r in parsed:
+                    r["file_id"] = int(fid)
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, warc_col).mapInPandas(scan, RECORD_SCHEMA)

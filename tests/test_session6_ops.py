@@ -337,3 +337,41 @@ def test_luhn_summary_picks_keyword_dense_sentences(spark):
     d2 = [got[(2, 1)], got[(2, 2)]]
     assert d2[0][2] == d2[1][2]  # genuinely tied keyword hits
     assert d2[0][0] < d2[1][0]
+
+
+def test_warc_roundtrip_and_lookalike_payload(spark):
+    from doc_redaction_spark.sources.warc_lite import (
+        build_warc,
+        parse_warc,
+        warc_to_records,
+    )
+
+    evil = "body with\r\n\r\nWARC/1.0\r\nfake header inside"
+    recs = [
+        {"warc_type": "response", "target_uri": "u1", "payload": evil},
+        {"warc_type": "request", "target_uri": "u2", "payload": "plain"},
+    ]
+    blob = build_warc(recs)
+    parsed = parse_warc(blob)
+    assert [(r["rec_idx"], r["warc_type"], r["target_uri"], r["payload"])
+            for r in parsed] == [
+        (0, "response", "u1", evil),  # Content-Length slicing survives it
+        (1, "request", "u2", "plain"),
+    ]
+    # corrupt blob yields zero rows, never a task failure
+    df = spark.createDataFrame(
+        [(1, blob), (2, "WARC/1.0\r\nContent-Length: 999\r\n\r\nshort")],
+        "file_id long, warc string",
+    )
+    out = warc_to_records(df).collect()
+    assert sorted((r.file_id, r.rec_idx) for r in out) == [(1, 0), (1, 1)]
+
+
+def test_parse_warc_rejects_garbage():
+    import pytest as _pytest
+
+    from doc_redaction_spark.sources.warc_lite import parse_warc
+
+    for bad in ("HTTP/1.1 200\r\n\r\n", "WARC/1.0\r\nNo-Length: 1\r\n\r\nx\r\n\r\n"):
+        with _pytest.raises(ValueError):
+            parse_warc(bad)
