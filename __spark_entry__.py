@@ -8118,6 +8118,39 @@ def o_warc_ingest():
     """
 
 
+def q_rendezvous_shards(spark, sf_dir):
+    """Rendezvous/HRW shard assignment (operators/sampling.py
+    rendezvous_shards — the stable 100 TB partitioner): per-doc argmax
+    shard at N=7 and N=8 side by side with the moved flag — resizing
+    moves ~1/8 of rows where modulo hashing would move ~7/8 (the test
+    pins both fractions)."""
+    from doc_redaction_spark.operators.sampling import rendezvous_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    s7 = rendezvous_shards(docs, 7).withColumnRenamed("shard", "shard7")
+    s8 = rendezvous_shards(docs, 8).withColumnRenamed("shard", "shard8")
+    return s7.join(s8, "doc_id").select(
+        "doc_id",
+        "shard7",
+        "shard8",
+        (F.col("shard7") != F.col("shard8")).cast("int").alias("moved"),
+    )
+
+
+def o_rendezvous_shards():
+    from doc_redaction_spark.operators.sampling import duckdb_rendezvous_shard
+
+    s7 = duckdb_rendezvous_shard("CAST(doc_id AS VARCHAR)", 7)
+    s8 = duckdb_rendezvous_shard("CAST(doc_id AS VARCHAR)", 8)
+    return f"""
+    WITH a AS (SELECT doc_id, {s7} AS shard7, {s8} AS shard8 FROM documents)
+    SELECT doc_id, shard7, shard8,
+           CAST(CASE WHEN shard7 <> shard8 THEN 1 ELSE 0 END AS INTEGER)
+             AS moved
+    FROM a
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8131,6 +8164,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "rendezvous_shards": q_rendezvous_shards,
     "warc_ingest": q_warc_ingest,
     "extractive_summary": q_extractive_summary,
     "vocab_drift": q_vocab_drift,
@@ -8317,6 +8351,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "rendezvous_shards": o_rendezvous_shards,
     "warc_ingest": o_warc_ingest,
     "extractive_summary": o_extractive_summary,
     "vocab_drift": o_vocab_drift,

@@ -176,3 +176,56 @@ def mixture_sample(
         .filter(F.col("_rn") <= F.col("keep_n"))
         .select(group_col, id_col, "keep_n")
     )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "hrw",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — the stable
+    partitioner for long-lived 100 TB layouts: each row goes to
+    ``argmax over shards of hash(key, shard)``, so growing the fleet
+    from N to N+1 shards moves only ~1/(N+1) of rows (modulo hashing
+    moves ~all of them — every resize is a full reshuffle).
+
+    Map-only (no shuffle, no RNG): per row, ``n_shards`` md5-u32 draws;
+    the argmax is rendered as the MAX of ``lpad(hash, 10, '0') || ':' ||
+    shard`` strings — zero-padded so string order equals numeric order —
+    which every dialect computes identically (struct/list max over mixed
+    types is not portable). n_shards is a per-row constant fan-out
+    (assignments are one scan even at 10⁴ shards).
+
+    Output: ``(id_col, shard BIGINT)``.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = F.col(id_col).cast("string")
+    cands = [
+        F.concat(
+            F.lpad(
+                _hash_u32(F.concat(key, F.lit(f":{salt}:{s}"))).cast("string"),
+                10,
+                "0",
+            ),
+            F.lit(f":{s}"),
+        )
+        for s in range(n_shards)
+    ]
+    win = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    return df.select(
+        F.col(id_col),
+        F.split(win, ":").getItem(1).cast("long").alias("shard"),
+    )
+
+
+def duckdb_rendezvous_shard(key_expr: str, n_shards: int, salt: str = "hrw") -> str:
+    """DuckDB rendering of the same argmax (bit-exact: same md5 bridge,
+    same zero-padded string order)."""
+    parts = []
+    for s in range(n_shards):
+        h = duckdb_hash_u32(key_expr + " || ':" + salt + ":" + str(s) + "'")
+        parts.append(f"lpad(CAST({h} AS VARCHAR), 10, '0') || ':{s}'")
+    cands = ", ".join(parts)
+    return f"CAST(string_split(greatest({cands}), ':')[2] AS BIGINT)"

@@ -483,3 +483,41 @@ def test_hybrid_rerank_stage_is_broadcast_sized(spark, queries):
     assert "CartesianProduct" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_warc_ingest_single_group_exchange_one_python(spark, queries):
+    """warc_ingest: one groupBy(file_id) exchange to assemble blobs, ONE
+    Arrow mapInPandas parse stage, no joins."""
+    plan = _plan(queries["warc_ingest"](spark, SF))
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_sq8_broadcast_stats_no_python(spark, queries):
+    """sq8_quantize: per-dim stats collapse to ONE broadcast row; the
+    encode pass is a map-only zip_with — no Python stage, no cartesian
+    beyond the 1-row stats cross."""
+    plan = _plan(queries["sq8_quantize"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_vocab_drift_joins_vocab_not_corpus(spark, queries):
+    """vocab_drift: the full-outer join runs on the VOCAB aggregates;
+    corpus rows never join. No cartesian beyond the two 1-row counts."""
+    plan = _plan(queries["vocab_drift"](spark, SF))
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_rendezvous_assignment_is_map_only(spark, queries):
+    """rendezvous_shards: each assignment is a pure projection (no
+    shuffle before the comparison join, no Python)."""
+    from doc_redaction_spark.operators.sampling import rendezvous_shards
+
+    docs = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = _plan(rendezvous_shards(docs, 8))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan

@@ -375,3 +375,23 @@ def test_parse_warc_rejects_garbage():
     for bad in ("HTTP/1.1 200\r\n\r\n", "WARC/1.0\r\nNo-Length: 1\r\n\r\nx\r\n\r\n"):
         with _pytest.raises(ValueError):
             parse_warc(bad)
+
+
+def test_rendezvous_resize_moves_one_over_n(spark):
+    from doc_redaction_spark.operators.sampling import rendezvous_shards
+
+    docs = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s7 = rendezvous_shards(docs, 7).withColumnRenamed("shard", "s7")
+    s8 = rendezvous_shards(docs, 8).withColumnRenamed("shard", "s8")
+    j = s7.join(s8, "doc_id")
+    moved = j.filter("s7 <> s8").count()
+    # HRW property: growing 7 -> 8 moves ~1/8 of keys (modulo: ~7/8)
+    assert 0.08 < moved / 4000 < 0.17, moved
+    # every move lands ON the new shard (HRW never reshuffles old keys
+    # among surviving shards)
+    bad = j.filter("s7 <> s8 AND s8 <> 7").count()
+    assert bad == 0
+    # balance: each of 8 shards holds roughly 1/8
+    sizes = {r.s8: r.cnt for r in s8.groupBy("s8").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert len(sizes) == 8 and min(sizes.values()) > 4000 / 8 * 0.6
