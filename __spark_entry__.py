@@ -8047,37 +8047,61 @@ def o_extractive_summary():
     """
 
 
-def q_warc_ingest(spark, sf_dir):
-    """WARC crawl-archive ingest (sources/warc_lite.py — build→parse
-    round trip): documents are packed 10-per-file into WARC/1.0 blobs
-    JVM-side (records concatenated in doc order), then the Arrow
-    mapInPandas parser recovers every record by Content-Length slicing.
-    Every 7th payload embeds a '\\r\\n\\r\\nWARC/1.0' lookalike — a
-    parser that scans for the next record marker instead of honoring
-    Content-Length truncates those records (the pdf_lite /Length
-    lesson). Oracle = the direct construction of the expected records."""
-    from doc_redaction_spark.sources.warc_lite import warc_to_records
+# WARC fixture construction — ONE Python helper + ONE SQL-fragment pair
+# shared by warc_ingest and web_corpus_build (the _MEMO_SECRET lesson:
+# fixture constructions that exist twice desynchronize silently).
+# Every 7th payload embeds a CRLFCRLF + "WARC/1.0" lookalike; target
+# URIs cycle the synth host set so downstream blocklist stages have
+# variety.
+def _warc_uri_spark(d):
+    hosts = F.array(*[F.lit(h) for h in URL_HOSTS])
+    return F.concat(
+        F.lit("https://"),
+        F.element_at(hosts, (d % 5).cast("int") + 1),
+        F.lit("/doc/"),
+        d.cast("string"),
+    )
 
-    d = F.col("doc_id").cast("long")
-    payload = F.concat(
+
+def _warc_uri_sql() -> str:
+    alts = ", ".join(f"'{h}'" for h in URL_HOSTS)
+    return (
+        f"'https://' || ([{alts}])[CAST(doc_id % 5 AS INTEGER) + 1]"
+        " || '/doc/' || CAST(doc_id AS VARCHAR)"
+    )
+
+
+def _warc_payload_spark(d):
+    return F.concat(
         F.coalesce(F.col("text"), F.lit("")),
         F.when(d % 7 == 0, F.lit("\r\n\r\nWARC/1.0 lookalike")).otherwise(
             F.lit("")
         ),
     )
+
+
+_WARC_PAYLOAD_SQL = (
+    "coalesce(text, '') || CASE WHEN doc_id % 7 = 0"
+    " THEN chr(13) || chr(10) || chr(13) || chr(10) || 'WARC/1.0 lookalike'"
+    " ELSE '' END"
+)
+
+
+def _warc_files(spark, sf_dir):
+    """documents packed 10-per-file into WARC/1.0 blobs, records
+    concatenated in doc order — (file_id, warc)."""
+    d = F.col("doc_id").cast("long")
+    payload = _warc_payload_spark(d)
     rec = F.concat(
-        F.lit(
-            "WARC/1.0\r\nWARC-Type: response\r\n"
-            "WARC-Target-URI: https://example.com/doc/"
-        ),
-        d.cast("string"),
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        _warc_uri_spark(d),
         F.lit("\r\nContent-Length: "),
         F.octet_length(payload).cast("string"),
         F.lit("\r\n\r\n"),
         payload,
         F.lit("\r\n\r\n"),
     )
-    files = (
+    return (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select(
             F.expr("CAST(doc_id AS BIGINT) div 10").alias("file_id"),
@@ -8093,25 +8117,33 @@ def q_warc_ingest(spark, sf_dir):
             ).alias("warc")
         )
     )
-    return warc_to_records(files)
+
+
+def q_warc_ingest(spark, sf_dir):
+    """WARC crawl-archive ingest (sources/warc_lite.py — build→parse
+    round trip): documents are packed 10-per-file into WARC/1.0 blobs
+    JVM-side (records concatenated in doc order), then the Arrow
+    mapInPandas parser recovers every record by Content-Length slicing.
+    Every 7th payload embeds a '\\r\\n\\r\\nWARC/1.0' lookalike — a
+    parser that scans for the next record marker instead of honoring
+    Content-Length truncates those records (the pdf_lite /Length
+    lesson). Oracle = the direct construction of the expected records."""
+    from doc_redaction_spark.sources.warc_lite import warc_to_records
+
+    return warc_to_records(_warc_files(spark, sf_dir))
 
 
 def o_warc_ingest():
-    nl2 = "chr(13) || chr(10) || chr(13) || chr(10)"
     return f"""
-    WITH p AS (SELECT doc_id,
-                      coalesce(text, '')
-                      || CASE WHEN doc_id % 7 = 0
-                              THEN {nl2} || 'WARC/1.0 lookalike'
-                              ELSE '' END AS payload
+    WITH p AS (SELECT doc_id, {_WARC_PAYLOAD_SQL} AS payload,
+                      {_warc_uri_sql()} AS target_uri
                FROM documents)
     SELECT CAST(doc_id // 10 AS BIGINT) AS file_id,
            CAST(row_number() OVER (PARTITION BY doc_id // 10
                                    ORDER BY doc_id) - 1 AS INTEGER)
              AS rec_idx,
            'response' AS warc_type,
-           'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
-             AS target_uri,
+           target_uri,
            CAST(strlen(payload) AS BIGINT) AS content_length,
            payload
     FROM p
@@ -8151,6 +8183,87 @@ def o_rendezvous_shards():
     """
 
 
+def q_web_corpus_build(spark, sf_dir):
+    """End-to-end web-corpus build composition — the crawl-to-corpus
+    chain every stage of which ships separately: WARC blobs → record
+    parse (sources/warc_lite.py) → host extraction → registrable-domain
+    blocklist verdict (functions/urls.py, suffix equi-join) → per-record
+    token count + trigram language-ID → keep verdict (clean host AND
+    >= 10 tokens). One Arrow parse stage, one blob-assembly exchange,
+    one verdict groupBy — everything else map-only."""
+    from doc_redaction_spark.functions.textstats import lang_ngram_pred_col
+    from doc_redaction_spark.functions.urls import domain_blocklist_verdict
+    from doc_redaction_spark.operators.curation import tokens_col
+    from doc_redaction_spark.sources.warc_lite import warc_to_records
+
+    recs = warc_to_records(_warc_files(spark, sf_dir)).withColumn(
+        "host", F.lower(F.regexp_extract("target_uri", _HOST_PATTERN, 1))
+    )
+    blocked = spark.createDataFrame(
+        [("co.uk",), ("chat-logs.org",)], "domain string"
+    )
+    verdict = domain_blocklist_verdict(
+        recs, blocked, key_cols=("file_id", "rec_idx")
+    )
+    enriched = recs.select(
+        "file_id",
+        "rec_idx",
+        "target_uri",
+        F.size(tokens_col("payload")).cast("long").alias("n_tok"),
+        lang_ngram_pred_col("payload"),
+    )
+    j = enriched.join(verdict.select("file_id", "rec_idx", "blocked_domain", "blocked"), ["file_id", "rec_idx"])
+    return j.select(
+        "file_id",
+        "rec_idx",
+        "target_uri",
+        "blocked_domain",
+        "blocked",
+        "n_tok",
+        F.col("lang_ngram_pred").alias("lang"),
+        ((F.col("blocked") == 0) & (F.col("n_tok") >= 10)).cast("int").alias("keep"),
+    )
+
+
+def o_web_corpus_build():
+    from doc_redaction_spark.functions.textstats import duckdb_lang_ngram_pred
+
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(payload, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH p AS (SELECT doc_id, {_WARC_PAYLOAD_SQL} AS payload,
+                      {_warc_uri_sql()} AS target_uri
+               FROM documents),
+    r AS (SELECT CAST(doc_id // 10 AS BIGINT) AS file_id,
+                 CAST(row_number() OVER (PARTITION BY doc_id // 10
+                                         ORDER BY doc_id) - 1 AS INTEGER)
+                   AS rec_idx,
+                 target_uri, payload,
+                 lower(regexp_extract(target_uri, '{_sq(_HOST_PATTERN)}', 1))
+                   AS host
+          FROM p),
+    b AS (SELECT * FROM (VALUES ('co.uk'), ('chat-logs.org')) v(domain)),
+    m AS (SELECT r.file_id, r.rec_idx, b.domain
+          FROM r LEFT JOIN b
+            ON r.host = b.domain OR r.host LIKE '%.' || b.domain),
+    v AS (SELECT file_id, rec_idx,
+                 arg_max(domain, lpad(CAST(length(domain) AS VARCHAR), 4,
+                         '0') || ':' || domain) AS blocked_domain,
+                 CAST(CASE WHEN count(domain) > 0 THEN 1 ELSE 0 END
+                      AS INTEGER) AS blocked
+          FROM m GROUP BY file_id, rec_idx)
+    SELECT r.file_id, r.rec_idx, r.target_uri,
+           v.blocked_domain, v.blocked,
+           CAST(len({toks}) AS BIGINT) AS n_tok,
+           {duckdb_lang_ngram_pred('payload')} AS lang,
+           CAST(CASE WHEN v.blocked = 0 AND len({toks}) >= 10
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM r JOIN v ON r.file_id = v.file_id AND r.rec_idx = v.rec_idx
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8164,6 +8277,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "web_corpus_build": q_web_corpus_build,
     "rendezvous_shards": q_rendezvous_shards,
     "warc_ingest": q_warc_ingest,
     "extractive_summary": q_extractive_summary,
@@ -8351,6 +8465,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "web_corpus_build": o_web_corpus_build,
     "rendezvous_shards": o_rendezvous_shards,
     "warc_ingest": o_warc_ingest,
     "extractive_summary": o_extractive_summary,
