@@ -8264,6 +8264,85 @@ def o_web_corpus_build():
     """
 
 
+def q_doc_novelty(spark, sf_dir):
+    """Per-document novelty (operators/curation.py doc_novelty): the
+    fraction of a doc's 3-gram occurrences appearing in no other
+    document — the corpus-duplication-pressure signal that points the
+    dedup operators at template mass."""
+    from doc_redaction_spark.operators.curation import doc_novelty
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return doc_novelty(docs, n=3)
+
+
+def o_doc_novelty():
+    toks = _DOC_TOKENS_DUCK
+    return f"""
+    WITH tk AS (SELECT doc_id AS id, {toks} AS t FROM documents),
+    g AS (SELECT id, array_to_string(t[i:i+2], ' ') AS g
+          FROM tk, unnest(generate_series(1, len(t) - 2)) AS u(i)
+          WHERE len(t) >= 3),
+    dfg AS (SELECT g, CAST(count(DISTINCT id) AS BIGINT) AS df
+            FROM g GROUP BY g)
+    SELECT id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(1000 - (sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000)
+                       // count(*) AS BIGINT) AS novelty_x1000
+    FROM g JOIN dfg USING (g)
+    GROUP BY id
+    """
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve (operators/curation.py
+    vocab_growth): never-seen-before tokens per corpus decile +
+    cumulative vocabulary, walking docs in id order — doc rank via the
+    SALTED two-phase row_number (a plain global window sorts every id
+    in one task)."""
+    from doc_redaction_spark.operators.curation import vocab_growth
+
+    # the synthetic corpus's base vocabulary saturates inside decile 0
+    # (~40 tokens), which would collapse the curve to one row — plant a
+    # token family whose first occurrences spread across the id range
+    # (token g<K> first appears at doc 37K) so every decile contributes
+    d = F.col("doc_id").cast("long")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" g"),
+            F.expr("CAST(CAST(doc_id AS BIGINT) div 37 AS STRING)"),
+        ).alias("text"),
+    )
+    return vocab_growth(docs, buckets=10)
+
+
+def o_vocab_growth():
+    toks = _DOC_TOKENS_DUCK
+    return f"""
+    WITH d2 AS (SELECT doc_id,
+                       text || ' g' || CAST(doc_id // 37 AS VARCHAR) AS text
+                FROM documents),
+    ids AS (SELECT DISTINCT doc_id AS id FROM d2),
+    rk AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS rk FROM ids),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM ids),
+    tk AS (SELECT DISTINCT doc_id AS id, x AS tok
+           FROM d2, unnest({toks}) AS u(x)),
+    fst AS (SELECT tok, min(rk) AS frk
+            FROM tk JOIN rk USING (id) GROUP BY tok),
+    nt AS (SELECT CAST((frk * 10) // nd AS BIGINT) AS bucket,
+                  CAST(count(*) AS BIGINT) AS new_tokens
+           FROM fst, n GROUP BY 1)
+    SELECT bucket, new_tokens,
+           CAST(sum(new_tokens) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_vocab
+    FROM nt
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8277,6 +8356,8 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "doc_novelty": q_doc_novelty,
+    "vocab_growth": q_vocab_growth,
     "web_corpus_build": q_web_corpus_build,
     "rendezvous_shards": q_rendezvous_shards,
     "warc_ingest": q_warc_ingest,
@@ -8465,6 +8546,8 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "doc_novelty": o_doc_novelty,
+    "vocab_growth": o_vocab_growth,
     "web_corpus_build": o_web_corpus_build,
     "rendezvous_shards": o_rendezvous_shards,
     "warc_ingest": o_warc_ingest,

@@ -28,7 +28,7 @@ stable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 10_000
@@ -591,4 +591,102 @@ def vocab_drift(
         )
         .orderBy(F.desc("drift_x1000"), F.col("tok"))
         .limit(k)
+    )
+
+
+def doc_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty — the corpus-duplication-pressure signal:
+    the fraction of a document's token ``n``-grams that appear in NO
+    other document. Low novelty = boilerplate/template mass the dedup
+    operators should be pointed at; the corpus-mean is the standard
+    self-overlap health metric reported for training corpora.
+
+    Counts are over gram OCCURRENCES (a doc repeating a shared gram is
+    that much less novel); literal grams, not hashes, so the measure has
+    no collision term. One combinable df aggregate + one join back on
+    the gram + one per-doc rollup. ``novelty_x1000 = 1000 −
+    (shared_occurrences · 1000) div total`` — exact integers.
+
+    Output: ``(id_col, n_grams, n_shared, novelty_x1000)`` — docs with
+    fewer than ``n`` tokens emit no rows (no grams exist).
+    """
+    from doc_redaction_spark.operators.dedup import _gram_positions
+
+    pos = _gram_positions(docs, text_col, id_col, n, hashed=False)
+    df_g = pos.groupBy("g").agg(
+        F.count_distinct("id").cast("long").alias("_df")
+    )
+    return (
+        pos.join(df_g, "g")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("_df") >= 2).cast("long")).cast("long").alias("n_shared"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_shared",
+            (
+                1000 - F.expr("(n_shared * 1000) div n_grams")
+            ).cast("long").alias("novelty_x1000"),
+        )
+    )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: walk the corpus in document
+    order, report how many NEVER-SEEN-BEFORE tokens each decile
+    contributes and the cumulative vocabulary — the diminishing-returns
+    curve that sizes tokenizer vocabularies and detects corpus staleness
+    (a crawl that stops contributing new vocabulary is re-crawling the
+    same web).
+
+    Each token's first occurrence is ``min(doc position)`` — one
+    combinable aggregate over the distinct (token, doc) stream; the
+    bucket index is exact integer math over the doc RANK (dense ranking
+    of distinct ids, so gaps in the id space do not skew buckets); the
+    cumulative sum is a window over ``buckets`` rows. Corpus rows never
+    join anything. The doc rank uses the repo's SALTED two-phase
+    row_number (plans/pipeline.salted_row_number) — a plain global
+    ORDER BY id window would sort every doc id in ONE task.
+
+    Output: ``(bucket, new_tokens, cum_vocab)`` — bucket 0..buckets−1.
+    """
+    from doc_redaction_spark.plans.pipeline import salted_row_number
+
+    ids = docs.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "_one", F.lit(1)
+    )
+    ranked = salted_row_number(
+        ids, part_col="_one", order_col="id", out_col="_rn"
+    ).select("id", (F.col("_rn") - 1).alias("_rk"))
+    n_docs = ids.agg(F.count("*").cast("long").alias("_n"))
+    toks = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
+        .distinct()
+        .join(ranked, "id")
+    )
+    first = toks.groupBy("tok").agg(F.min("_rk").alias("_first"))
+    newt = (
+        first.crossJoin(F.broadcast(n_docs))
+        .select(F.expr(f"(_first * {int(buckets)}) div _n").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("new_tokens"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return newt.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "new_tokens",
+        F.sum("new_tokens").over(w_cum).cast("long").alias("cum_vocab"),
     )

@@ -395,3 +395,36 @@ def test_rendezvous_resize_moves_one_over_n(spark):
     sizes = {r.s8: r.cnt for r in s8.groupBy("s8").agg(
         F.count("*").alias("cnt")).collect()}
     assert len(sizes) == 8 and min(sizes.values()) > 4000 / 8 * 0.6
+
+
+def test_doc_novelty_shared_vs_unique(spark):
+    from doc_redaction_spark.operators.curation import doc_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # grams: "a b c", "b c d" — both shared w/ doc 2
+            (2, "a b c d"),
+            (3, "x y z"),     # one gram, unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_shared, r.novelty_x1000)
+        for r in doc_novelty(docs, n=3).collect()
+    }
+    assert got[1] == (2, 2, 0) and got[2] == (2, 2, 0)
+    assert got[3] == (1, 0, 1000)
+
+
+def test_vocab_growth_buckets_and_cumsum(spark):
+    from doc_redaction_spark.operators.curation import vocab_growth
+
+    # 10 docs, buckets=2: docs 0-4 -> bucket 0, 5-9 -> bucket 1.
+    # doc i has tokens {base, t<i>}: bucket0 gets base+t0..t4 = 6 new,
+    # bucket1 gets t5..t9 = 5 new; cum 6, 11.
+    docs = spark.createDataFrame(
+        [(i, f"base t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    got = {r.bucket: (r.new_tokens, r.cum_vocab)
+           for r in vocab_growth(docs, buckets=2).collect()}
+    assert got == {0: (6, 6), 1: (5, 11)}
