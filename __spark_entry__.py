@@ -8343,6 +8343,89 @@ def o_vocab_growth():
     """
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix (operators/curation.py
+    source_overlap): distinct 4-grams shared per source pair, with the
+    dedup family's ubiquity cap (grams in >10 sources are background
+    and would pair-bomb the self-join — excluded BEFORE it)."""
+    from doc_redaction_spark.operators.curation import source_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("source", "text")
+    return source_overlap(docs, n=4, max_sources=10)
+
+
+def o_source_overlap():
+    toks = _DOC_TOKENS_DUCK
+    return f"""
+    WITH tk AS (SELECT source, {toks} AS t FROM documents),
+    g AS (SELECT DISTINCT source, array_to_string(t[i:i+3], ' ') AS g
+          FROM tk, unnest(generate_series(1, len(t) - 3)) AS u(i)
+          WHERE len(t) >= 4),
+    ubiq AS (SELECT g FROM g GROUP BY g
+             HAVING count(*) BETWEEN 2 AND 10)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_grams
+    FROM g a JOIN g b USING (g) JOIN ubiq USING (g)
+    WHERE a.source < b.source
+    GROUP BY a.source, b.source
+    """
+
+
+def q_alias_linking(spark, sf_dir):
+    """Within-conversation person-alias resolution (operators/ner.py
+    alias_linking): 'J. Smith' links to 'John Smith' on (conversation,
+    surname, initial) so pseudonymization assigns ONE pseudonym per
+    person. Fixture plants full/initialed mentions per turn; the
+    transcripts' native TitleCase noise ('Baker Street', 'Dr Smith')
+    must be filtered by the join, not appear as links."""
+    from doc_redaction_spark.operators.ner import alias_linking
+
+    ti = F.col("turn_idx").cast("long")
+    planted = (
+        F.when(ti % 3 == 0, F.lit(" John Smith joined."))
+        .when(ti % 3 == 1, F.lit(" J. Smith left."))
+        .otherwise(F.lit(" Mary Jones spoke."))
+    )
+    t = _tr(spark, sf_dir).withColumn("text", F.concat(F.col("text"), planted))
+    return alias_linking(t)
+
+
+def o_alias_linking():
+    from doc_redaction_spark.operators.ner import (
+        FULL_NAME_PATTERN,
+        INITIAL_NAME_PATTERN,
+    )
+
+    return f"""
+    {TR_CTE},
+    t2 AS (SELECT conv_id,
+                  text || CASE WHEN turn_idx % 3 = 0 THEN ' John Smith joined.'
+                               WHEN turn_idx % 3 = 1 THEN ' J. Smith left.'
+                               ELSE ' Mary Jones spoke.' END AS text
+           FROM transcripts),
+    fm AS (SELECT conv_id, string_split(m, ' ')[1] AS given,
+                  string_split(m, ' ')[2] AS surname
+           FROM t2, unnest(regexp_extract_all(coalesce(text, ''),
+                '{_sq(FULL_NAME_PATTERN)}')) AS u(m)),
+    f AS (SELECT conv_id, given, surname,
+                 CAST(count(*) AS BIGINT) AS n_full,
+                 substr(given, 1, 1) AS initial
+          FROM fm GROUP BY conv_id, given, surname),
+    im AS (SELECT conv_id, substr(m, 1, 1) AS initial,
+                  string_split(m, '. ')[2] AS surname
+           FROM t2, unnest(regexp_extract_all(coalesce(text, ''),
+                '{_sq(INITIAL_NAME_PATTERN)}')) AS u(m)),
+    i AS (SELECT conv_id, initial, surname,
+                 CAST(count(*) AS BIGINT) AS n_alias
+          FROM im GROUP BY conv_id, initial, surname)
+    SELECT f.conv_id, f.given || ' ' || f.surname AS full_name,
+           f.initial || '. ' || f.surname AS alias,
+           f.n_full, i.n_alias
+    FROM f JOIN i ON f.conv_id = i.conv_id
+                 AND f.initial = i.initial AND f.surname = i.surname
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8356,6 +8439,8 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "alias_linking": q_alias_linking,
+    "source_overlap": q_source_overlap,
     "doc_novelty": q_doc_novelty,
     "vocab_growth": q_vocab_growth,
     "web_corpus_build": q_web_corpus_build,
@@ -8546,6 +8631,8 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "alias_linking": o_alias_linking,
+    "source_overlap": o_source_overlap,
     "doc_novelty": o_doc_novelty,
     "vocab_growth": o_vocab_growth,
     "web_corpus_build": o_web_corpus_build,

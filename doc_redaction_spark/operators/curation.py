@@ -690,3 +690,51 @@ def vocab_growth(
         "new_tokens",
         F.sum("new_tokens").over(w_cum).cast("long").alias("cum_vocab"),
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = 4,
+    max_sources: int = 10,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct token ``n``-grams they share — the provenance view
+    that catches one feed mirroring another (or a benchmark leaking into
+    a crawl slice) before per-document dedup ever runs.
+
+    The ubiquity cap is the max_df discipline of the dedup family: a
+    gram present in more than ``max_sources`` sources is corpus
+    background (stopword runs, boilerplate) and would contribute a
+    quadratic pair bomb — it is excluded BEFORE the self-join, so the
+    pair join only sees grams with 2..max_sources sources (bounded
+    fan-out per gram). Grams are literal (no hash-collision term);
+    distinct per source, so volume within a source does not inflate the
+    overlap.
+
+    Output: ``(source_a, source_b, shared_grams)`` with
+    source_a < source_b — only pairs sharing ≥1 qualifying gram appear.
+    """
+    from doc_redaction_spark.operators.dedup import _gram_positions
+
+    dist = (
+        _gram_positions(docs, text_col, source_col, n, hashed=False)
+        .select("id", "g")
+        .distinct()
+    )
+    ubiq = (
+        dist.groupBy("g")
+        .agg(F.count("*").alias("_ns"))
+        .filter((F.col("_ns") >= 2) & (F.col("_ns") <= max_sources))
+        .select("g")
+    )
+    qual = dist.join(ubiq, "g")
+    a = qual.select(F.col("g"), F.col("id").alias("source_a"))
+    b = qual.select(F.col("g"), F.col("id").alias("source_b"))
+    return (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )

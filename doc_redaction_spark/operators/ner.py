@@ -19,6 +19,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 NER_SCHEMA = (
     "conv_id string, turn_idx int,"
@@ -94,3 +95,80 @@ def ner_spans(turns: DataFrame, text_col: str = "clean_text", fake: bool = False
             )
 
     return turns.select("conv_id", "turn_idx", text_col).mapInPandas(run, NER_SCHEMA)
+
+
+# alias linking: TitleCase "Given Surname" vs initialed "G. Surname" —
+# ASCII-explicit classes, identical in Java regex / RE2 / Python re
+FULL_NAME_PATTERN = r"\b([A-Z][a-z]+) ([A-Z][a-z]+)\b"
+INITIAL_NAME_PATTERN = r"\b([A-Z])\. ([A-Z][a-z]+)\b"
+
+
+def alias_linking(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-conversation person-alias resolution — the
+    coreference-lite step redaction consistency needs: "J. Smith" in
+    turn 7 must receive the SAME pseudonym as "John Smith" in turn 2
+    (the reference's pseudonym map keys on exact distinct strings,
+    tools/data_anonymise.py — unlinked aliases leak identity through
+    inconsistent replacements).
+
+    Link rule: same conversation, same surname, and the initial equals
+    the given name's first letter. Both mention shapes come from one
+    JVM ``regexp_extract_all`` pass each; the link is an equi-join on
+    ``(conv, surname, initial)`` — conversation-keyed like every other
+    per-conversation stage. Counting distinct turn-position mentions is
+    deliberately left to callers; this returns the link table.
+
+    Output: ``(conv_id, full_name, alias, n_full, n_alias)`` —
+    n_full/n_alias = occurrence counts of each shape in the
+    conversation.
+    """
+    full = (
+        turns.select(
+            F.col(conv_col).alias("conv_id"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(FULL_NAME_PATTERN),
+                    F.lit(0),
+                )
+            ).alias("m"),
+        )
+        .select(
+            "conv_id",
+            F.split(F.col("m"), " ").getItem(0).alias("given"),
+            F.split(F.col("m"), " ").getItem(1).alias("surname"),
+        )
+        .groupBy("conv_id", "given", "surname")
+        .agg(F.count("*").cast("long").alias("n_full"))
+        .withColumn("initial", F.substring("given", 1, 1))
+    )
+    init = (
+        turns.select(
+            F.col(conv_col).alias("conv_id"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(INITIAL_NAME_PATTERN),
+                    F.lit(0),
+                )
+            ).alias("m"),
+        )
+        .select(
+            "conv_id",
+            F.substring(F.col("m"), 1, 1).alias("initial"),
+            F.split(F.col("m"), r"\. ").getItem(1).alias("surname"),
+        )
+        .groupBy("conv_id", "initial", "surname")
+        .agg(F.count("*").cast("long").alias("n_alias"))
+    )
+    return full.join(init, ["conv_id", "initial", "surname"]).select(
+        "conv_id",
+        F.concat_ws(" ", "given", "surname").alias("full_name"),
+        F.concat(F.col("initial"), F.lit(". "), F.col("surname")).alias("alias"),
+        "n_full",
+        "n_alias",
+    )

@@ -428,3 +428,19 @@ def test_vocab_growth_buckets_and_cumsum(spark):
     got = {r.bucket: (r.new_tokens, r.cum_vocab)
            for r in vocab_growth(docs, buckets=2).collect()}
     assert got == {0: (6, 6), 1: (5, 11)}
+
+
+def test_alias_linking_surname_initial_rule(spark):
+    from doc_redaction_spark.operators.ner import alias_linking
+
+    rows = [
+        ("c1", "John Smith met J. Smith and J. Smith again"),
+        ("c1", "Baker Street has Mary Jones but M. Brown"),  # no links
+        ("c2", "J. Smith alone"),  # alias without full name -> no link
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    got = [
+        (r.conv_id, r.full_name, r.alias, r.n_full, r.n_alias)
+        for r in alias_linking(df).collect()
+    ]
+    assert got == [("c1", "John Smith", "J. Smith", 1, 2)]
