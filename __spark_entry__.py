@@ -8426,6 +8426,70 @@ def o_alias_linking():
     """
 
 
+def q_redact_fake_name(spark, sf_dir):
+    """7th redaction strategy — deterministic fake names
+    (operators/spans.py 'fake_name'): the reference replaces PERSON with
+    Faker first names, one fake per DISTINCT real name
+    (tools/data_anonymise.py:216,446-449,2177-2178) but
+    non-deterministically; this renders the same contract as
+    pool[md5(salt|name) % 100] over a fixed gazetteer slice, so the
+    release is rerun-stable and the oracle recomputes every
+    replacement."""
+    from doc_redaction_spark.operators.detect import detect_apply_fused_udf
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    title = F.element_at(
+        F.array(*[F.lit(t) for t, _, _ in _TITLED_TEMPLATES]),
+        (F.col("c_custkey") % 5).cast("int") + 1,
+    )
+    name = F.element_at(
+        F.array(*[F.lit(n) for _, n, _ in _TITLED_TEMPLATES]),
+        (F.col("c_custkey") % 5).cast("int") + 1,
+    )
+    t = cust.select(
+        F.col("c_custkey").alias("row_key"),
+        F.concat(F.lit("call "), title, F.lit(" "), name, F.lit(" now")).alias(
+            "text"
+        ),
+    )
+    cfg = PipelineConfig(
+        entities=("PERSON_TITLED",),
+        strategy="fake_name",
+        salt="s42",
+        score_threshold=0.9,
+    )
+    return t.withColumn("_r", detect_apply_fused_udf(cfg)(F.col("text"))).select(
+        "row_key", F.col("_r").getField("redacted_text").alias("redacted_text")
+    )
+
+
+def o_redact_fake_name():
+    from doc_redaction_spark.operators.spans import FAKE_NAME_POOL
+
+    pool = ", ".join(f"'{n}'" for n in FAKE_NAME_POOL)
+    titles = ", ".join(f"'{t}'" for t, _, _ in _TITLED_TEMPLATES)
+    names = ", ".join(f"'{n}'" for _, n, _ in _TITLED_TEMPLATES)
+    valid = ", ".join(str(v) for _, _, v in _TITLED_TEMPLATES)
+    idx = (
+        "CAST(CAST(('0x' || substr(md5('s42|' || lower(name)), 1, 8))"
+        " AS BIGINT) % 100 AS INTEGER) + 1"
+    )
+    return f"""
+    WITH t AS (
+      SELECT c_custkey AS row_key,
+             ([{titles}])[CAST(c_custkey % 5 AS INTEGER) + 1] AS title,
+             ([{names}])[CAST(c_custkey % 5 AS INTEGER) + 1] AS name,
+             ([{valid}])[CAST(c_custkey % 5 AS INTEGER) + 1] AS ok
+      FROM customer)
+    SELECT row_key,
+           CASE WHEN ok = 1
+                THEN 'call ' || title || ' ' || ([{pool}])[{idx}] || ' now'
+                ELSE 'call ' || title || ' ' || name || ' now' END
+             AS redacted_text
+    FROM t
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8439,6 +8503,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "redact_fake_name": q_redact_fake_name,
     "alias_linking": q_alias_linking,
     "source_overlap": q_source_overlap,
     "doc_novelty": q_doc_novelty,
@@ -8631,6 +8696,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "redact_fake_name": o_redact_fake_name,
     "alias_linking": o_alias_linking,
     "source_overlap": o_source_overlap,
     "doc_novelty": o_doc_novelty,

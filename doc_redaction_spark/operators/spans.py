@@ -32,7 +32,26 @@ import hashlib
 
 Span = tuple  # (entity_type: str, start: int, end: int, score: float)
 
-STRATEGIES = ("redact_replace", "entity_type", "redact", "hash", "mask", "pseudonym")
+STRATEGIES = (
+    "redact_replace", "entity_type", "redact", "hash", "mask", "pseudonym",
+    "fake_name",
+)
+
+# fake_name replacement pool: a FIXED 100-name slice of the public
+# gazetteer list (sorted first so the pool is order-stable however the
+# source list evolves). The reference's fake_first_name strategy draws
+# from Faker NON-deterministically but keys one fake per DISTINCT real
+# name (tools/data_anonymise.py:216,446-449,2177-2178); this is the
+# deterministic rendering of that contract: pool[md5(salt|name) % 100],
+# so the same real name always gets the same fake name and the whole
+# release is rerun- and oracle-stable.
+def _fake_name_pool() -> tuple:
+    from doc_redaction_spark.functions.gazetteer_data import GIVEN_NAMES
+
+    return tuple(sorted(GIVEN_NAMES))[:100]
+
+
+FAKE_NAME_POOL = _fake_name_pool()
 
 
 def resolve_overlaps(spans: list[Span]) -> list[Span]:
@@ -117,6 +136,12 @@ def _replacement(text: str, span: Span, strategy: str, salt: str) -> str:
     if strategy == "pseudonym":
         h = hashlib.sha256(f"{salt}|{covered.lower()}".encode("utf-8")).hexdigest()[:8]
         return f"{etype.lower()}_{h}"
+    if strategy == "fake_name":
+        idx = int(
+            hashlib.md5(f"{salt}|{covered.lower()}".encode("utf-8")).hexdigest()[:8],
+            16,
+        ) % len(FAKE_NAME_POOL)
+        return FAKE_NAME_POOL[idx]
     raise ValueError(f"unknown strategy {strategy!r}")
 
 

@@ -444,3 +444,28 @@ def test_alias_linking_surname_initial_rule(spark):
         for r in alias_linking(df).collect()
     ]
     assert got == [("c1", "John Smith", "J. Smith", 1, 2)]
+
+
+def test_fake_name_strategy_distinct_map_consistency():
+    import hashlib
+
+    from doc_redaction_spark.operators.spans import (
+        FAKE_NAME_POOL,
+        apply_spans,
+    )
+
+    text = "met Alice Brown and Alice Brown again"
+    spans = [
+        ("PERSON", 4, 15, 0.9),
+        ("PERSON", 20, 31, 0.9),
+    ]
+    out = apply_spans(text, spans, strategy="fake_name", salt="s42")
+    idx = int(hashlib.md5(b"s42|alice brown").hexdigest()[:8], 16) % 100
+    fake = FAKE_NAME_POOL[idx]
+    # SAME real name -> SAME fake name (the reference's unique-names map)
+    assert out == f"met {fake} and {fake} again"
+    # a different name gets an independent draw
+    out2 = apply_spans("met Bob Reed", [("PERSON", 4, 12, 0.9)],
+                       strategy="fake_name", salt="s42")
+    idx2 = int(hashlib.md5(b"s42|bob reed").hexdigest()[:8], 16) % 100
+    assert out2 == f"met {FAKE_NAME_POOL[idx2]}"
