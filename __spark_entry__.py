@@ -5844,11 +5844,12 @@ _TITLED_TEMPLATES = [
 ]
 
 
-def q_person_titled(spark, sf_dir):
-    """Deterministic high-precision PERSON path: title-context names
-    (reference's spaCy PERSON is model-dependent; this closes the
-    rule-expressible slice — TITLES_LIST + TitleCase words — with exact
-    spans over the NAME only)."""
+def _titled_fixture(spark, sf_dir):
+    """The titled-person fixture shared by q_person_titled and
+    q_redact_fake_name (fixture constructions that exist twice
+    desynchronize silently — the _warc_files/_MEMO_SECRET lesson):
+    (row_key, text) where text = 'call <title> <name> now' cycled from
+    _TITLED_TEMPLATES by custkey % 5."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     title = F.element_at(
         F.array(*[F.lit(t) for t, _, _ in _TITLED_TEMPLATES]),
@@ -5858,10 +5859,20 @@ def q_person_titled(spark, sf_dir):
         F.array(*[F.lit(n) for _, n, _ in _TITLED_TEMPLATES]),
         (F.col("c_custkey") % 5).cast("int") + 1,
     )
-    t = cust.select(
+    return cust.select(
         F.col("c_custkey").alias("row_key"),
-        F.concat(F.lit("call "), title, F.lit(" "), name, F.lit(" now")).alias("text"),
+        F.concat(F.lit("call "), title, F.lit(" "), name, F.lit(" now")).alias(
+            "text"
+        ),
     )
+
+
+def q_person_titled(spark, sf_dir):
+    """Deterministic high-precision PERSON path: title-context names
+    (reference's spaCy PERSON is model-dependent; this closes the
+    rule-expressible slice — TITLES_LIST + TitleCase words — with exact
+    spans over the NAME only)."""
+    t = _titled_fixture(spark, sf_dir)
     cfg = PipelineConfig(entities=("PERSON_TITLED",), score_threshold=0.9)
     from doc_redaction_spark.operators.detect import detect_spans_udf
 
@@ -8189,31 +8200,32 @@ def q_web_corpus_build(spark, sf_dir):
     parse (sources/warc_lite.py) → host extraction → registrable-domain
     blocklist verdict (functions/urls.py, suffix equi-join) → per-record
     token count + trigram language-ID → keep verdict (clean host AND
-    >= 10 tokens). One Arrow parse stage, one blob-assembly exchange,
-    one verdict groupBy — everything else map-only."""
+    >= 10 tokens). ONE Arrow parse stage (the payload-derived columns
+    ride through the verdict's key_cols — functionally dependent on the
+    record key — instead of a second parse branch joined back), one
+    blob-assembly exchange, one verdict groupBy."""
     from doc_redaction_spark.functions.textstats import lang_ngram_pred_col
     from doc_redaction_spark.functions.urls import domain_blocklist_verdict
     from doc_redaction_spark.operators.curation import tokens_col
     from doc_redaction_spark.sources.warc_lite import warc_to_records
 
-    recs = warc_to_records(_warc_files(spark, sf_dir)).withColumn(
-        "host", F.lower(F.regexp_extract("target_uri", _HOST_PATTERN, 1))
+    recs = warc_to_records(_warc_files(spark, sf_dir)).select(
+        "file_id",
+        "rec_idx",
+        "target_uri",
+        F.lower(F.regexp_extract("target_uri", _HOST_PATTERN, 1)).alias("host"),
+        F.size(tokens_col("payload")).cast("long").alias("n_tok"),
+        lang_ngram_pred_col("payload"),
     )
     blocked = spark.createDataFrame(
         [("co.uk",), ("chat-logs.org",)], "domain string"
     )
     verdict = domain_blocklist_verdict(
-        recs, blocked, key_cols=("file_id", "rec_idx")
+        recs,
+        blocked,
+        key_cols=("file_id", "rec_idx", "target_uri", "n_tok", "lang_ngram_pred"),
     )
-    enriched = recs.select(
-        "file_id",
-        "rec_idx",
-        "target_uri",
-        F.size(tokens_col("payload")).cast("long").alias("n_tok"),
-        lang_ngram_pred_col("payload"),
-    )
-    j = enriched.join(verdict.select("file_id", "rec_idx", "blocked_domain", "blocked"), ["file_id", "rec_idx"])
-    return j.select(
+    return verdict.select(
         "file_id",
         "rec_idx",
         "target_uri",
@@ -8307,7 +8319,6 @@ def q_vocab_growth(spark, sf_dir):
     # (~40 tokens), which would collapse the curve to one row — plant a
     # token family whose first occurrences spread across the id range
     # (token g<K> first appears at doc 37K) so every decile contributes
-    d = F.col("doc_id").cast("long")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.concat(
@@ -8437,21 +8448,7 @@ def q_redact_fake_name(spark, sf_dir):
     replacement."""
     from doc_redaction_spark.operators.detect import detect_apply_fused_udf
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    title = F.element_at(
-        F.array(*[F.lit(t) for t, _, _ in _TITLED_TEMPLATES]),
-        (F.col("c_custkey") % 5).cast("int") + 1,
-    )
-    name = F.element_at(
-        F.array(*[F.lit(n) for _, n, _ in _TITLED_TEMPLATES]),
-        (F.col("c_custkey") % 5).cast("int") + 1,
-    )
-    t = cust.select(
-        F.col("c_custkey").alias("row_key"),
-        F.concat(F.lit("call "), title, F.lit(" "), name, F.lit(" now")).alias(
-            "text"
-        ),
-    )
+    t = _titled_fixture(spark, sf_dir)
     cfg = PipelineConfig(
         entities=("PERSON_TITLED",),
         strategy="fake_name",

@@ -37,21 +37,34 @@ STRATEGIES = (
     "fake_name",
 )
 
-# fake_name replacement pool: a FIXED 100-name slice of the public
-# gazetteer list (sorted first so the pool is order-stable however the
-# source list evolves). The reference's fake_first_name strategy draws
-# from Faker NON-deterministically but keys one fake per DISTINCT real
-# name (tools/data_anonymise.py:216,446-449,2177-2178); this is the
-# deterministic rendering of that contract: pool[md5(salt|name) % 100],
-# so the same real name always gets the same fake name and the whole
-# release is rerun- and oracle-stable.
-def _fake_name_pool() -> tuple:
-    from doc_redaction_spark.functions.gazetteer_data import GIVEN_NAMES
-
-    return tuple(sorted(GIVEN_NAMES))[:100]
-
-
-FAKE_NAME_POOL = _fake_name_pool()
+# fake_name replacement pool — PINNED as an explicit literal, not a
+# slice of GIVEN_NAMES: pool[md5(salt|name) % 100] makes every shipped
+# replacement a function of this exact 100-tuple, so growing the
+# gazetteer must NOT silently remap already-released fake names (a
+# computed sorted()[:100] slice would shift whenever a name is added
+# before the 100th entry). The reference's fake_first_name strategy
+# draws from Faker NON-deterministically but keys one fake per DISTINCT
+# real name (tools/data_anonymise.py:216,446-449,2177-2178); this is
+# the deterministic rendering of that contract.
+FAKE_NAME_POOL = (
+    "Aaron", "Abel", "Abigail", "Abraham", "Ada", "Adam",
+    "Addison", "Adeline", "Adrian", "Adriana", "Agnes", "Aidan",
+    "Aiden", "Aileen", "Aimee", "Alan", "Alana", "Albert",
+    "Alberto", "Alejandro", "Alex", "Alexa", "Alexander", "Alexandra",
+    "Alexandria", "Alexis", "Alfred", "Alfredo", "Alice", "Alicia",
+    "Alina", "Alisha", "Alison", "Alissa", "Allan", "Allen",
+    "Allison", "Alma", "Alondra", "Alvin", "Alyssa", "Amanda",
+    "Amber", "Amelia", "Amos", "Amy", "Ana", "Anastasia",
+    "Andre", "Andrea", "Andres", "Andrew", "Andy", "Angel",
+    "Angela", "Angelica", "Angelina", "Angie", "Anita", "Ann",
+    "Anna", "Annabelle", "Anne", "Annette", "Annie", "Anthony",
+    "Antonia", "Antonio", "April", "Archie", "Ariana", "Arianna",
+    "Ariel", "Arlene", "Armando", "Arnold", "Arthur", "Arturo",
+    "Asher", "Ashley", "Ashton", "Aubrey", "Audrey", "August",
+    "Aurora", "Austin", "Autumn", "Ava", "Avery", "Axel",
+    "Bailey", "Barbara", "Barry", "Beatrice", "Beau", "Becky",
+    "Belinda", "Bella", "Ben", "Benjamin",
+)
 
 
 def resolve_overlaps(spans: list[Span]) -> list[Span]:

@@ -80,6 +80,8 @@ def parse_warc(blob: str) -> list[dict]:
         if "content-length" not in fields:
             raise ValueError("missing Content-Length")
         clen = int(fields["content-length"])
+        if clen < 0:
+            raise ValueError(f"negative Content-Length: {clen}")
         body_start = hdr_end + 4
         body_end = body_start + clen
         if body_end + 4 > len(data):
@@ -115,11 +117,15 @@ def warc_to_records(
             rows = []
             for fid, blob in zip(pdf[id_col], pdf[warc_col]):
                 try:
+                    # int(fid) INSIDE the guard: a NULL file_id arrives as
+                    # NaN/NA and must count as one malformed input row,
+                    # not a 4x task failure
+                    fid_i = int(fid)
                     parsed = parse_warc(blob)
-                except (ValueError, AttributeError, UnicodeDecodeError):
+                except (ValueError, AttributeError, TypeError, UnicodeDecodeError):
                     continue
                 for r in parsed:
-                    r["file_id"] = int(fid)
+                    r["file_id"] = fid_i
                     rows.append(r)
             yield pd.DataFrame(rows, columns=cols)
 

@@ -521,3 +521,11 @@ def test_rendezvous_assignment_is_map_only(spark, queries):
     plan = _plan(rendezvous_shards(docs, 8))
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_web_corpus_build_single_parse_stage(spark, queries):
+    """web_corpus_build: the payload-derived columns ride through the
+    verdict's key_cols — exactly ONE Arrow WARC-parse stage, never a
+    second parse branch joined back."""
+    plan = _plan(queries["web_corpus_build"](spark, SF))
+    assert plan.count("MapInPandas") == 1, plan

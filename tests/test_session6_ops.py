@@ -469,3 +469,19 @@ def test_fake_name_strategy_distinct_map_consistency():
                        strategy="fake_name", salt="s42")
     idx2 = int(hashlib.md5(b"s42|bob reed").hexdigest()[:8], 16) % 100
     assert out2 == f"met {FAKE_NAME_POOL[idx2]}"
+
+
+def test_parse_warc_negative_length_and_null_fid(spark):
+    import pytest as _pytest
+
+    from doc_redaction_spark.sources.warc_lite import parse_warc, warc_to_records
+
+    with _pytest.raises(ValueError):
+        parse_warc("WARC/1.0\r\nContent-Length: -4\r\n\r\n")
+    # NULL file_id = one malformed input row, not a task failure
+    good = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n"
+            "Content-Length: 2\r\n\r\nhi\r\n\r\n")
+    df = spark.createDataFrame([(None, good), (1, good)],
+                               "file_id long, warc string")
+    out = warc_to_records(df).collect()
+    assert [(r.file_id, r.payload) for r in out] == [(1, "hi")]
