@@ -8487,6 +8487,122 @@ def o_redact_fake_name():
     """
 
 
+def q_spell_correct(spark, sf_dir):
+    """Did-you-mean spelling correction (operators/search.py
+    spell_correct — distributed SymSpell: deletion-neighborhood explode
+    + equi-join + JVM levenshtein verify, no Python stage). Fixture
+    corrupts the 20 hottest corpus tokens (2nd char dropped) and the
+    corrector must map each back into the vocabulary."""
+    from doc_redaction_spark.operators.curation import tokens_col
+    from doc_redaction_spark.operators.search import spell_correct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    vocab = (
+        docs.select(F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    queries = (
+        vocab.filter(F.length("tok") >= 4)
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(20)
+        .select(
+            F.concat(
+                F.col("tok").substr(F.lit(1), F.lit(1)),
+                F.col("tok").substr(F.lit(3), F.length("tok")),
+            ).alias("qterm")
+        )
+        .distinct()
+    )
+    return spell_correct(queries, vocab)
+
+
+def o_spell_correct():
+    toks = _DOC_TOKENS_DUCK
+    dels = (
+        "list_distinct(list_transform(generate_series(0, length({t})), i ->"
+        " CASE WHEN i = 0 THEN {t}"
+        " ELSE substr({t}, 1, i - 1) || substr({t}, i + 1, length({t})) END))"
+    )
+    return f"""
+    WITH vocab AS (SELECT x AS tok, CAST(count(*) AS BIGINT) AS cnt
+                   FROM documents, unnest({toks}) AS u(x) GROUP BY x),
+    q AS (SELECT DISTINCT substr(tok, 1, 1) || substr(tok, 3, length(tok))
+                   AS qterm
+          FROM (SELECT tok FROM vocab WHERE length(tok) >= 4
+                ORDER BY cnt DESC, tok LIMIT 20)),
+    qv AS (SELECT qterm, unnest({dels.format(t="lower(qterm)")}) AS v FROM q),
+    vv AS (SELECT tok AS suggestion, cnt, unnest({dels.format(t="tok")}) AS v
+           FROM vocab),
+    cand AS (SELECT DISTINCT qterm, suggestion, cnt
+             FROM qv JOIN vv USING (v)),
+    scored AS (SELECT qterm, suggestion, cnt,
+                      CAST(levenshtein(lower(qterm), suggestion) AS BIGINT)
+                        AS distance
+               FROM cand),
+    ranked AS (SELECT qterm, suggestion, distance, cnt,
+                      row_number() OVER (PARTITION BY qterm
+                                         ORDER BY distance, cnt DESC,
+                                                  suggestion) AS rk
+               FROM scored WHERE distance <= 1)
+    SELECT qterm, suggestion, distance, cnt FROM ranked WHERE rk = 1
+    """
+
+
+def q_search_snippets(spark, sf_dir):
+    """Search-result snippets (operators/search.py search_snippets): for
+    each BM25 top-5 hit, the 8-token window with the most query-term
+    hits, terms **highlighted** — the display stage completing the
+    search stack (retrieve → rerank → correct → complete → highlight).
+    Candidate-bounded: the corpus is never exploded here."""
+    from doc_redaction_spark.operators.search import bm25_topk, search_snippets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    cand = bm25_topk(docs, _BM25_QUERIES, k=5)
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, qtext string")
+    return search_snippets(cand, docs, queries, window=8)
+
+
+def o_search_snippets():
+    from doc_redaction_spark.operators.search import duckdb_bm25_chain_sql
+
+    toks = _DOC_TOKENS_DUCK
+    qvals = ", ".join(
+        "({}, '{}')".format(qid, t.replace("'", "''")) for qid, t in _BM25_QUERIES
+    )
+    qtoks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(qtext, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH {duckdb_bm25_chain_sql(_BM25_QUERIES, k=5)},
+    qq AS (SELECT CAST(query_id AS BIGINT) AS query_id, {qtoks} AS qt
+           FROM (VALUES {qvals}) AS vq(query_id, qtext)),
+    cd AS (SELECT b.query_id, b.doc_id, b.rank AS bm25_rank, d.text, qq.qt,
+                  {toks} AS t
+           FROM bmtop b JOIN documents d ON d.doc_id = b.doc_id
+                        JOIN qq ON qq.query_id = b.query_id),
+    tp AS (SELECT query_id, doc_id, bm25_rank, t, qt, i - 1 AS pos,
+                  CAST(list_contains(qt, t[i]) AS INTEGER) AS hit
+           FROM cd, unnest(generate_series(1, len(t))) AS u(i)),
+    rl AS (SELECT *, sum(hit) OVER (PARTITION BY query_id, doc_id
+                                    ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+                       AS cnt
+           FROM tp),
+    bst AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                                         ORDER BY cnt DESC, pos) AS rk
+            FROM rl)
+    SELECT query_id, doc_id, bm25_rank,
+           CAST(pos AS BIGINT) AS start_pos,
+           CAST(cnt AS BIGINT) AS n_hits,
+           array_to_string(list_transform(t[pos + 1 : pos + 8], tk ->
+             CASE WHEN list_contains(qt, tk) THEN '**' || tk || '**'
+                  ELSE tk END), ' ') AS snippet
+    FROM bst WHERE rk = 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8500,6 +8616,8 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "search_snippets": q_search_snippets,
+    "spell_correct": q_spell_correct,
     "redact_fake_name": q_redact_fake_name,
     "alias_linking": q_alias_linking,
     "source_overlap": q_source_overlap,
@@ -8693,6 +8811,8 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "search_snippets": o_search_snippets,
+    "spell_correct": o_spell_correct,
     "redact_fake_name": o_redact_fake_name,
     "alias_linking": o_alias_linking,
     "source_overlap": o_source_overlap,

@@ -607,3 +607,145 @@ def prefix_autocomplete(
             F.col("cnt").alias("n_occurrences"),
         )
     )
+
+
+def _deletion_variants_col(tok):
+    """All strings formed by deleting ≤1 character of ``tok`` (the token
+    itself included) — the SymSpell k=1 neighborhood, as a pure JVM HOF
+    (index 0 = no deletion; index i = drop char i)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.length(tok)),
+            lambda di: F.when(di == 0, tok).otherwise(
+                F.concat(
+                    tok.substr(F.lit(1), di - 1),
+                    tok.substr(di + 1, F.length(tok)),
+                )
+            ),
+        )
+    )
+
+
+def spell_correct(
+    queries: DataFrame,
+    vocab: DataFrame,
+    qterm_col: str = "qterm",
+    tok_col: str = "tok",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Query spelling correction against the corpus vocabulary — the
+    did-you-mean stage of the search stack (bm25_topk retrieves,
+    prefix_autocomplete completes, this corrects). Distributed SymSpell:
+    both sides explode into their ≤1-deletion neighborhoods and
+    equi-join on the variant — every distance-≤1 pair shares a variant
+    (substitution: both delete position i; insert/delete: one side
+    deletes) — then the JVM ``levenshtein`` verifies (a shared variant
+    is necessary, not sufficient: 'ab'/'ba' share 'a' but distance 2).
+    O(|vocab|·len) index rows instead of |queries|×|vocab| comparisons;
+    no Python stage anywhere (contrast: recognizers.FuzzyRecognizer is
+    the same idea as an in-UDF phrase matcher).
+
+    Best suggestion per query term: (distance asc, corpus count desc,
+    token asc). Exact vocab hits return themselves at distance 0.
+
+    Output: ``(qterm, suggestion, distance, cnt)`` — query terms with no
+    distance-≤1 vocabulary word emit no rows.
+    """
+    # select-then-withColumn, not one projection: aliasing a column and
+    # exploding an expression over it in the SAME select trips Spark 4's
+    # lateral-column-alias resolver (INTERNAL_ERROR — the
+    # domain_blocklist_verdict lesson)
+    qv = queries.select(F.col(qterm_col).alias("qterm")).withColumn(
+        "_v", F.explode(_deletion_variants_col(F.lower(F.col("qterm"))))
+    )
+    vv = vocab.select(
+        F.col(tok_col).alias("suggestion"), F.col(cnt_col).alias("cnt")
+    ).withColumn("_v", F.explode(_deletion_variants_col(F.col("suggestion"))))
+    cand = (
+        qv.join(vv, "_v")
+        .select("qterm", "suggestion", "cnt")
+        .distinct()
+        .withColumn(
+            "distance",
+            F.levenshtein(F.lower(F.col("qterm")), F.col("suggestion")).cast("long"),
+        )
+        .filter(F.col("distance") <= 1)
+    )
+    w = Window.partitionBy("qterm").orderBy(
+        F.asc("distance"), F.desc("cnt"), F.asc("suggestion")
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("qterm", "suggestion", "distance", F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+def search_snippets(
+    candidates: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Result-snippet generation — the highlight stage of the search
+    stack: for each (query, retrieved doc) pair, the ``window``-token
+    span with the most query-term hits (ties: earliest), query terms
+    wrapped in ``**``.
+
+    ``candidates`` is bm25_topk output; ``queries`` is
+    ``(query_id, qtext)``. Everything runs on the CANDIDATE set
+    (k·|queries| docs), so carrying the doc text through the token
+    explode and the rolling window is bounded — the corpus itself is
+    never exploded here (retrieval already paid that). Rolling hit
+    count = one window frame (ROWS CURRENT..window−1 FOLLOWING) per
+    candidate; argmax = one more bounded window.
+
+    Output: ``(query_id, doc_id, bm25_rank, start_pos, n_hits,
+    snippet)`` — one row per candidate.
+    """
+    q = queries.select("query_id", tokens_col("qtext").alias("_qt"))
+    cd = (
+        candidates.select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
+        .join(docs.select(F.col(id_col).alias("doc_id"), text_col), "doc_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    tp = cd.select(
+        "query_id",
+        "doc_id",
+        "bm25_rank",
+        text_col,
+        "_qt",
+        F.posexplode(tokens_col(text_col)).alias("pos", "_tok"),
+    ).withColumn("_hit", F.array_contains("_qt", F.col("_tok")).cast("int"))
+    w_roll = (
+        Window.partitionBy("query_id", "doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    w_best = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.desc("_cnt"), F.asc("pos")
+    )
+    best = (
+        tp.withColumn("_cnt", F.sum("_hit").over(w_roll))
+        .withColumn("_rk", F.row_number().over(w_best))
+        .filter(F.col("_rk") == 1)
+    )
+    snippet = F.array_join(
+        F.transform(
+            F.slice(tokens_col(text_col), F.col("pos") + 1, window),
+            lambda tk: F.when(
+                F.array_contains(F.col("_qt"), tk), F.concat(F.lit("**"), tk, F.lit("**"))
+            ).otherwise(tk),
+        ),
+        " ",
+    )
+    return best.select(
+        "query_id",
+        "doc_id",
+        "bm25_rank",
+        F.col("pos").cast("long").alias("start_pos"),
+        F.col("_cnt").cast("long").alias("n_hits"),
+        snippet.alias("snippet"),
+    )

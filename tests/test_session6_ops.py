@@ -485,3 +485,38 @@ def test_parse_warc_negative_length_and_null_fid(spark):
                                "file_id long, warc string")
     out = warc_to_records(df).collect()
     assert [(r.file_id, r.payload) for r in out] == [(1, "hi")]
+
+
+def test_spell_correct_picks_distance_then_frequency(spark):
+    from doc_redaction_spark.operators.search import spell_correct
+
+    vocab = spark.createDataFrame(
+        [("table", 100), ("cable", 5), ("tble", 1), ("zzz", 9)],
+        "tok string, cnt long",
+    )
+    qs = spark.createDataFrame([("tble",), ("tabble",), ("qqqq",)], "qterm string")
+    got = {r.qterm: (r.suggestion, r.distance, r.cnt)
+           for r in spell_correct(qs, vocab).collect()}
+    # exact vocab hit wins at distance 0 even with tiny count
+    assert got["tble"] == ("tble", 0, 1)
+    # insertion: 'tabble' -> 'table' at distance 1
+    assert got["tabble"] == ("table", 1, 100)
+    # nothing within distance 1 -> no row
+    assert "qqqq" not in got
+
+
+def test_search_snippets_window_and_highlight(spark):
+    from doc_redaction_spark.operators.search import search_snippets
+
+    cand = spark.createDataFrame([(1, 1, 7)], "query_id long, rank long, doc_id long")
+    docs = spark.createDataFrame(
+        [(7, "aa bb cc dd kw1 kw2 ee ff gg")], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame([(1, "kw1 kw2")], "query_id long, qtext string")
+    r = search_snippets(cand, docs, qs, window=4).collect()[0]
+    # best 4-token window starts at 'dd' (pos 3): covers kw1+kw2 = 2 hits;
+    # ties with windows at pos 2 broken by earlier pos... pos 2 window
+    # 'cc dd kw1 kw2' also has 2 hits and is earlier -> pos 2 wins
+    assert (r.start_pos, r.n_hits) == (2, 2)
+    assert r.snippet == "cc dd **kw1** **kw2**"
+    assert r.bm25_rank == 1
