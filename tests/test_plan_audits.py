@@ -529,3 +529,20 @@ def test_web_corpus_build_single_parse_stage(spark, queries):
     second parse branch joined back."""
     plan = _plan(queries["web_corpus_build"](spark, SF))
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_spell_correct_no_python_no_cartesian(spark, queries):
+    """spell_correct: deletion-neighborhood equi-join + JVM levenshtein —
+    zero Python stages, zero cartesian/nested-loop joins."""
+    plan = _plan(queries["spell_correct"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_search_snippets_candidate_bounded_windows(spark, queries):
+    """search_snippets: windows partition on (query, doc) — bounded
+    candidate partitions; no Python stage."""
+    plan = _plan(queries["search_snippets"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
