@@ -8603,6 +8603,70 @@ def o_search_snippets():
     """
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product quantization (operators/similarity.py pq_encode — the
+    FAISS IVF-PQ memory layout): 8 subspaces x 16 Lloyd-refined
+    sub-centroids each (the shared _build_ivf kernel per subspace), each
+    64-dim vector stored as 8 sub-centroid ids + an exact integer
+    quantization-quality total."""
+    from doc_redaction_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_encode(emb, m=8, dsub=8, n_codes=16, refine_iters=1, seed_mod=8)
+
+
+def o_pq_encode():
+    m, dsub = 8, 8
+    csim = (
+        f"list_sum(list_transform(generate_series(1, {dsub}),"
+        " i -> vec[i] * cvec[i]))"
+        " / (sqrt(list_sum(list_transform(vec, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(cvec, x2 -> x2 * x2))))"
+    )
+    mean8 = "[" + ", ".join(
+        f"floor(avg(vec[{i + 1}]) * 1e6) / 1e6" for i in range(dsub)
+    ) + "]"
+    ctes = []
+    finals = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, s * dsub + dsub
+        ctes.append(
+            f"""c{s} AS (SELECT vec_id AS id,
+          list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+    sd{s} AS (SELECT id AS cid, vec AS cvec FROM c{s}
+        WHERE ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % 8 = 0
+        ORDER BY id LIMIT 16),
+    a{s}0 AS (SELECT id, vec, cid FROM (
+        SELECT c{s}.id, c{s}.vec, sd{s}.cid,
+               row_number() OVER (PARTITION BY c{s}.id
+                                  ORDER BY {csim} DESC, sd{s}.cid) AS rk
+        FROM c{s} CROSS JOIN sd{s}) WHERE rk = 1),
+    ct{s} AS (SELECT cid, {mean8} AS cvec FROM a{s}0 GROUP BY cid),
+    a{s}1 AS (SELECT id, cid, sim FROM (
+        SELECT c{s}.id, ct{s}.cid, {csim} AS sim,
+               row_number() OVER (PARTITION BY c{s}.id
+                                  ORDER BY {csim} DESC, ct{s}.cid) AS rk
+        FROM c{s} CROSS JOIN ct{s}) WHERE rk = 1),
+    f{s} AS (SELECT id, {s} AS sub, cid AS code,
+                    CAST(floor(sim * 1e6) AS BIGINT) AS sim6 FROM a{s}1)"""
+        )
+        finals.append(f"SELECT * FROM f{s}")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + ",\n    allf AS ("
+        + "\n    UNION ALL ".join(finals)
+        + """)
+    SELECT id AS vec_id,
+           array_to_string(list(CAST(code AS VARCHAR) ORDER BY sub), ',')
+             AS codes,
+           CAST(sum(sim6) AS BIGINT) AS sim_x1e6_total
+    FROM allf GROUP BY id
+    """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8616,6 +8680,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "pq_encode": q_pq_encode,
     "search_snippets": q_search_snippets,
     "spell_correct": q_spell_correct,
     "redact_fake_name": q_redact_fake_name,
@@ -8811,6 +8876,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "pq_encode": o_pq_encode,
     "search_snippets": o_search_snippets,
     "spell_correct": o_spell_correct,
     "redact_fake_name": o_redact_fake_name,

@@ -528,3 +528,76 @@ def sq8_quantize(
         .cast("long")
         .alias("max_err_x1e6"),
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 8,
+    dsub: int = 8,
+    n_codes: int = 16,
+    refine_iters: int = 1,
+    seed_mod: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization (Jégou et al.) — the FAISS IVF-PQ memory
+    layout for billion-scale ANN: split each vector into ``m``
+    subvectors of ``dsub`` dims, learn ``n_codes`` centroids PER
+    subspace (reusing the module's deterministic ``_build_ivf`` Lloyd
+    kernel — seed pick by md5, floor-scaled means, so codebooks are
+    bit-identical cross-engine), and store each vector as its m nearest
+    sub-centroid ids. With m=8/n_codes=16 a 64-dim float vector
+    compresses to 8 nibbles. Spherical variant: nearest = max cosine
+    (the module's similarity convention), not L2.
+
+    Also reports the quantization quality per vector:
+    ``sim_x1e6_total`` = Σ_s floor(cos(subvec_s, centroid_s)·10⁶) —
+    per-subspace floors then an integer sum, so the total is
+    order-independent and exact.
+
+    The m codebook builds are a driver loop over subspaces (m is a
+    small constant); each build is the corpus-distributed IVF kernel.
+    NOTE: like every _build_ivf caller, construction EXECUTES Lloyd
+    rounds immediately per subspace.
+
+    Output: ``(id_col, codes string ',' joined in subspace order,
+    sim_x1e6_total BIGINT)``.
+    """
+    v = F.transform(vec_col, lambda xq: xq.cast("double"))
+    parts = []
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("id"),
+            F.slice(v, s * dsub + 1, dsub).alias("vec"),
+        )
+        cent, assigned = _build_ivf(
+            sub, n_codes, "vec", "id", dsub, refine_iters, seed_mod
+        )
+        sim = _dot(F.col("vec"), F.col("cvec")) / (
+            _norm(F.col("vec")) * _norm(F.col("cvec"))
+        )
+        parts.append(
+            assigned.join(cent, "cid").select(
+                "id",
+                F.lit(s).alias("_sub"),
+                F.col("cid").alias("_code"),
+                F.floor(sim * 1e6).cast("long").alias("_sim6"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_sub", "_code"))),
+                    lambda pc2: pc2["_code"].cast("string"),
+                ),
+                ",",
+            ).alias("codes"),
+            F.sum("_sim6").cast("long").alias("sim_x1e6_total"),
+        )
+        .select(F.col("id").alias(id_col), "codes", "sim_x1e6_total")
+    )

@@ -520,3 +520,24 @@ def test_search_snippets_window_and_highlight(spark):
     assert (r.start_pos, r.n_hits) == (2, 2)
     assert r.snippet == "cc dd **kw1** **kw2**"
     assert r.bm25_rank == 1
+
+
+def test_pq_encode_shapes_and_quality_bounds(spark):
+    from doc_redaction_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = pq_encode(emb, m=4, dsub=16, n_codes=4, refine_iters=1, seed_mod=4)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:10]:
+        codes = r.codes.split(",")
+        assert len(codes) == 4  # one code per subspace, in order
+        # cosine to own centroid is in (-1, 1]; 4 subspaces -> <= 4e6
+        assert r.sim_x1e6_total <= 4_000_000
+    # codebook is shared: distinct codes per subspace <= n_codes
+    from collections import defaultdict
+    per_sub = defaultdict(set)
+    for r in rows:
+        for i, c in enumerate(r.codes.split(",")):
+            per_sub[i].add(c)
+    assert all(len(v) <= 4 for v in per_sub.values())
