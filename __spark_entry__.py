@@ -8615,8 +8615,10 @@ def q_pq_encode(spark, sf_dir):
     return pq_encode(emb, m=8, dsub=8, n_codes=16, refine_iters=1, seed_mod=8)
 
 
-def o_pq_encode():
-    m, dsub = 8, 8
+def _pq_chain_sql(m: int = 8, dsub: int = 8) -> list:
+    """Per-subspace PQ codebook CTEs (seed pick → 1 Lloyd refine →
+    final assign) ending in f{s}(id, sub, code, sim6) — shared by
+    o_pq_encode and o_pq_topk (the bmtop/kwtop chain discipline)."""
     csim = (
         f"list_sum(list_transform(generate_series(1, {dsub}),"
         " i -> vec[i] * cvec[i]))"
@@ -8652,6 +8654,11 @@ def o_pq_encode():
                     CAST(floor(sim * 1e6) AS BIGINT) AS sim6 FROM a{s}1)"""
         )
         finals.append(f"SELECT * FROM f{s}")
+    return [ctes, finals]
+
+
+def o_pq_encode():
+    ctes, finals = _pq_chain_sql(8, 8)
     return (
         "WITH "
         + ",\n    ".join(ctes)
@@ -8663,6 +8670,62 @@ def o_pq_encode():
              AS codes,
            CAST(sum(sim6) AS BIGINT) AS sim_x1e6_total
     FROM allf GROUP BY id
+    """
+    )
+
+
+def q_pq_topk(spark, sf_dir):
+    """ADC search over PQ codes (operators/similarity.py pq_topk): each
+    query broadcasts one m×16 sub-centroid LUT; candidates score as the
+    integer sum of LUT entries for their codes — corpus vectors never
+    touched at query time. Queries = vec_id < 5, mirroring
+    embedding_cosine_topk."""
+    from doc_redaction_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return pq_topk(emb, qs, k=10, m=8, dsub=8, n_codes=16)
+
+
+def o_pq_topk():
+    m, dsub = 8, 8
+    ctes, _finals = _pq_chain_sql(m, dsub)
+    qsim = (
+        f"list_sum(list_transform(generate_series(1, {dsub}),"
+        " qi -> qvec[qi] * cvec[qi]))"
+        " / (sqrt(list_sum(list_transform(qvec, qx -> qx * qx)))"
+        " * sqrt(list_sum(list_transform(cvec, qx2 -> qx2 * qx2))))"
+    )
+    joins = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, s * dsub + dsub
+        ctes.append(
+            f"""qv{s} AS (SELECT vec_id AS qid,
+          list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS qvec
+        FROM embeddings WHERE vec_id < 5),
+    lut{s} AS (SELECT qid, cid, CAST(floor(({qsim}) * 1e6) AS BIGINT) AS sim6
+               FROM qv{s} CROSS JOIN ct{s})"""
+        )
+        joins.append(
+            f"SELECT lut{s}.qid, a{s}1.id, lut{s}.sim6"
+            f" FROM a{s}1 JOIN lut{s} ON a{s}1.cid = lut{s}.cid"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + ",\n    allj AS ("
+        + "\n    UNION ALL ".join(joins)
+        + """),
+    sc AS (SELECT qid, id, CAST(sum(sim6) AS BIGINT) AS score_x1e6
+           FROM allj WHERE id <> qid GROUP BY qid, id),
+    rk AS (SELECT qid, id, score_x1e6,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY score_x1e6 DESC, id) AS rk
+           FROM sc)
+    SELECT qid, id AS vec_id, score_x1e6, CAST(rk AS INTEGER) AS rk
+    FROM rk WHERE rk <= 10
     """
     )
 
@@ -8680,6 +8743,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "pq_topk": q_pq_topk,
     "pq_encode": q_pq_encode,
     "search_snippets": q_search_snippets,
     "spell_correct": q_spell_correct,
@@ -8876,6 +8940,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "pq_topk": o_pq_topk,
     "pq_encode": o_pq_encode,
     "search_snippets": o_search_snippets,
     "spell_correct": o_spell_correct,

@@ -601,3 +601,86 @@ def pq_encode(
         )
         .select(F.col("id").alias(id_col), "codes", "sim_x1e6_total")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    dsub: int = 8,
+    n_codes: int = 16,
+    refine_iters: int = 1,
+    seed_mod: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — how a PQ index is
+    actually SEARCHED: each query computes one m×n_codes lookup table of
+    sub-centroid similarities (tiny, broadcast), the corpus contributes
+    only its codes (m small ints per vector), and a candidate's score is
+    the integer sum of per-subspace LUT entries — the corpus vectors are
+    never touched at query time. Score_x1e6 = Σ_s floor(cos(q_s,
+    centroid(code_s))·10⁶): per-subspace floors then an integer sum, so
+    ranking is exact and order-independent (no float-sum ties).
+
+    Plan: m codebook builds (the shared ``_build_ivf``), codes = m×N
+    small rows, LUT join on (subspace, code) against a broadcast
+    m×n_codes×|queries| table, one combinable groupBy — the classic
+    memory/compute shape that makes billion-vector search fit a cache
+    line budget. Self-matches (id == qid) are excluded, mirroring
+    cosine_topk.
+
+    Output: ``(qid, id_col, score_x1e6 BIGINT, rk INT)``.
+    """
+    v = F.transform(vec_col, lambda xq2: xq2.cast("double"))
+    code_parts, lut_parts = [], []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("id"), F.slice(v, s * dsub + 1, dsub).alias("vec")
+        )
+        cent, assigned = _build_ivf(
+            sub, n_codes, "vec", "id", dsub, refine_iters, seed_mod
+        )
+        code_parts.append(
+            assigned.select("id", F.lit(s).alias("_sub"), F.col("cid"))
+        )
+        qsub = queries.select(
+            F.col(qid_col).alias("qid"),
+            F.slice(v, s * dsub + 1, dsub).alias("vec"),
+        )
+        qsim = _dot(F.col("vec"), F.col("cvec")) / (
+            _norm(F.col("vec")) * _norm(F.col("cvec"))
+        )
+        lut_parts.append(
+            qsub.crossJoin(F.broadcast(cent)).select(
+                "qid",
+                F.lit(s).alias("_sub"),
+                "cid",
+                F.floor(qsim * 1e6).cast("long").alias("_sim6"),
+            )
+        )
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionByName(p)
+    lut = lut_parts[0]
+    for p in lut_parts[1:]:
+        lut = lut.unionByName(p)
+    scored = (
+        codes.join(F.broadcast(lut), ["_sub", "cid"])
+        .filter(F.col("id") != F.col("qid"))
+        .groupBy("qid", "id")
+        .agg(F.sum("_sim6").cast("long").alias("score_x1e6"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_x1e6"), F.col("id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid",
+            F.col("id").alias(id_col),
+            "score_x1e6",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

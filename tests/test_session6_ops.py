@@ -541,3 +541,21 @@ def test_pq_encode_shapes_and_quality_bounds(spark):
         for i, c in enumerate(r.codes.split(",")):
             per_sub[i].add(c)
     assert all(len(v) <= 4 for v in per_sub.values())
+
+
+def test_pq_topk_recall_against_exact(spark):
+    from doc_redaction_spark.operators.similarity import cosine_topk, pq_topk
+    from pyspark.sql import functions as F2
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id < 3").select(F2.col("vec_id").alias("qid"), "embedding")
+    exact = {(r.qid, r.vec_id) for r in cosine_topk(emb, qs, k=10).collect()}
+    approx = {(r.qid, r.vec_id) for r in
+              pq_topk(emb, qs, k=10, m=4, dsub=16, n_codes=8).collect()}
+    # ADC over 4x8 codebooks of near-orthogonal random vectors is
+    # legitimately lossy — require non-trivial overlap, not high recall
+    # (measured 0.2 on this fixture)
+    overlap = len(exact & approx) / len(exact)
+    assert overlap >= 0.15, (overlap, len(exact), len(approx))
+    # structural: 10 results per query, self excluded
+    assert len(approx) == 30 and all(q != v for q, v in approx)
