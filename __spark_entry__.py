@@ -8730,6 +8730,74 @@ def o_pq_topk():
     )
 
 
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (operators/privacy.py t_closeness_report — the
+    trilogy leg k/l miss: a class whose sensitive DISTRIBUTION deviates
+    from the global leaks even when large and diverse). Fixture routes
+    in-debt customers into a 'DEBT' class whose all-negative acctbal
+    distribution must flag, while the ordinary segments stay close to
+    global. Exact-integer EMD over bucketed CDFs."""
+    from doc_redaction_spark.operators.privacy import t_closeness_report
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.when(F.col("c_acctbal") < 0, F.lit("DEBT"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.col("c_acctbal"),
+    )
+    return t_closeness_report(
+        cust, ["seg"], "c_acctbal", lo=-1000.0, hi=10000.0, buckets=10
+    )
+
+
+def o_t_closeness():
+    bk = (
+        "least(9, greatest(0, CAST(floor((CAST(c_acctbal AS DOUBLE)"
+        " - (-1000.0e0)) * 10 / 11000.0e0) AS INTEGER)))"
+    )
+    return f"""
+    WITH q AS (SELECT CASE WHEN c_acctbal < 0 THEN 'DEBT'
+                           ELSE c_mktsegment END AS seg,
+                      {bk} AS bk
+               FROM customer),
+    cls AS (SELECT seg, bk, CAST(count(*) AS BIGINT) AS cn
+            FROM q GROUP BY seg, bk),
+    sizes AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY seg),
+    grid AS (SELECT seg, n, CAST(i AS INTEGER) AS bk
+             FROM sizes, unnest(generate_series(0, 9)) AS u(i)),
+    gl AS (SELECT CAST(i AS INTEGER) AS bk,
+                  CAST(coalesce(gn, 0) AS BIGINT) AS gn
+           FROM unnest(generate_series(0, 9)) AS u(i)
+           LEFT JOIN (SELECT bk, count(*) AS gn FROM q GROUP BY bk) gg
+             ON gg.bk = CAST(i AS INTEGER)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM q),
+    gcum AS (SELECT bk, sum(gn) OVER (ORDER BY bk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g_cum
+             FROM gl),
+    ccum AS (SELECT grid.seg, grid.n, grid.bk,
+                    sum(coalesce(cls.cn, 0)) OVER (PARTITION BY grid.seg
+                      ORDER BY grid.bk
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS c_cum
+             FROM grid LEFT JOIN cls
+               ON grid.seg = cls.seg AND grid.bk = cls.bk),
+    terms AS (SELECT seg, ccum.n AS n,
+                     abs(CAST(c_cum AS HUGEINT) * nn.N
+                         - CAST(g_cum AS HUGEINT) * ccum.n) AS num
+              FROM ccum JOIN gcum USING (bk), nn),
+    agg AS (SELECT seg, max(n) AS n2, CAST(sum(num) AS HUGEINT) AS s
+            FROM terms GROUP BY seg)
+    SELECT seg,
+           CAST(n2 AS BIGINT) AS class_size,
+           CAST((s * 1000000) // (CAST(n2 AS HUGEINT)
+                 * (SELECT N FROM nn) * 10) AS BIGINT) AS emd_x1e6,
+           CAST(CASE WHEN (s * 1000000) // (CAST(n2 AS HUGEINT)
+                 * (SELECT N FROM nn) * 10) > 250000
+                THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+    FROM agg
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8743,6 +8811,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "t_closeness": q_t_closeness,
     "pq_topk": q_pq_topk,
     "pq_encode": q_pq_encode,
     "search_snippets": q_search_snippets,
@@ -8940,6 +9009,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "t_closeness": o_t_closeness,
     "pq_topk": o_pq_topk,
     "pq_encode": o_pq_encode,
     "search_snippets": o_search_snippets,

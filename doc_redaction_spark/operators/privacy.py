@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -174,3 +174,99 @@ def memorization_risk(
             F.min("g").alias("min_gram"),
         )
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    lo: float,
+    hi: float,
+    buckets: int = 10,
+    t_x1e6: int = 250_000,
+) -> DataFrame:
+    """t-closeness audit (Li et al.) — the third leg of the privacy
+    trilogy: k-anonymity bounds class SIZE, l-diversity bounds value
+    VARIETY, t-closeness bounds how much a class's sensitive-value
+    DISTRIBUTION deviates from the global one (a class that is 90%
+    in-debt in a 10%-in-debt population leaks, however large and
+    diverse it is).
+
+    For an ordered numeric attribute the standard distance is the
+    earth-mover's over the bucketed CDFs: EMD = (1/B)·Σ_b |F_class(b) −
+    F_global(b)|. Computed EXACTLY in integers: with class cumulative
+    counts c_b (class size n) and global cumulative counts g_b (total
+    N), ``emd_x1e6 = (Σ_b |c_b·N − g_b·n| · 10⁶) div (n·N·B)`` — one
+    cross-engine-exact number per class, no float CDFs. Values are
+    clamped into [lo, hi); bucket = floor((x−lo)·B/(hi−lo)).
+
+    Plan: one bucketed count per (class, bucket) + one per bucket
+    globally (both combinable), cumulative sums over B-row windows
+    per class, one 1-row global broadcast. Classes × B rows total —
+    tiny next to the data.
+
+    Output: ``(*qi_cols, class_size, emd_x1e6, at_risk)`` with
+    ``at_risk = emd_x1e6 > t_x1e6``.
+    """
+    span = hi - lo
+    x = F.col(sensitive_col).cast("double")
+    b = F.least(
+        F.lit(buckets - 1),
+        F.greatest(F.lit(0), F.floor((x - lo) * buckets / span).cast("int")),
+    )
+    base = df.select(*qi_cols, b.alias("_b"))
+    cls = base.groupBy(*qi_cols, "_b").agg(F.count("*").cast("long").alias("_cn"))
+    # every (class, bucket) pair must exist for the CDF walk — cross the
+    # class list with the bucket range (classes × B rows, tiny)
+    classes = base.groupBy(*qi_cols).agg(F.count("*").cast("long").alias("_cls_n"))
+    grid = classes.select(
+        *qi_cols,
+        "_cls_n",
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("_b"),
+    )
+    # global CDF on the FULL bucket spine: a bucket with zero global
+    # rows still contributes |c_cum·N − g_cum·n| to the EMD sum, so it
+    # must exist as a row (an inner join on observed buckets would
+    # silently drop those terms). B rows — the unpartitioned window is
+    # bounded by ``buckets``, not data.
+    spine = df.sparkSession.range(buckets).select(F.col("id").cast("int").alias("_b"))
+    glob = (
+        spine.join(base.groupBy("_b").agg(F.count("*").cast("long").alias("_gn")), "_b", "left")
+        .na.fill({"_gn": 0})
+        .crossJoin(F.broadcast(base.agg(F.count("*").cast("long").alias("_gtot"))))
+    )
+    w_c = Window.partitionBy(*qi_cols).orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_g = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    g_cum = (
+        glob.withColumn("_g_cum", F.sum("_gn").over(w_g))
+        .select("_b", "_g_cum", "_gtot")
+    )
+    j = (
+        grid.join(cls, [*qi_cols, "_b"], "left")
+        .na.fill({"_cn": 0})
+        .withColumn("_c_cum", F.sum("_cn").over(w_c))
+        .join(g_cum, "_b")
+    )
+    # NOTE column names differ by more than case: Spark SQL resolution
+    # is case-insensitive, so _N beside _n (or _N2 beside _n2) is an
+    # AMBIGUOUS_REFERENCE error
+    num = F.abs(
+        F.col("_c_cum").cast("decimal(38,0)") * F.col("_gtot")
+        - F.col("_g_cum").cast("decimal(38,0)") * F.col("_cls_n")
+    )
+    agg = j.groupBy(*qi_cols).agg(
+        F.max("_cls_n").alias("_n2"),
+        F.max("_gtot").alias("_gtot2"),
+        F.sum(num).alias("_num"),
+    )
+    emd = F.expr(
+        f"CAST((_num * 1000000) div (CAST(_n2 AS DECIMAL(38,0)) * _gtot2"
+        f" * {int(buckets)}) AS BIGINT)"
+    )
+    return agg.select(
+        *qi_cols,
+        F.col("_n2").cast("long").alias("class_size"),
+        emd.alias("emd_x1e6"),
+    ).withColumn("at_risk", (F.col("emd_x1e6") > t_x1e6).cast("int"))

@@ -559,3 +559,28 @@ def test_pq_topk_recall_against_exact(spark):
     assert overlap >= 0.15, (overlap, len(exact), len(approx))
     # structural: 10 results per query, self excluded
     assert len(approx) == 30 and all(q != v for q, v in approx)
+
+
+def test_t_closeness_exact_emd(spark):
+    from doc_redaction_spark.operators.privacy import t_closeness_report
+
+    # classes a={1,2} (buckets 0,1) and b={9,9.5} (bucket 4); N=4, B=5.
+    # class a: sum|c_cum*N - g_cum*n| over buckets = 2+4+4+4+0 = 14
+    # emd_x1e6 = 14e6 // (2*4*5) = 350000 -> at risk at t=0.25
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 9.0), ("b", 9.5)], "seg string, x double"
+    )
+    got = sorted(
+        (r.seg, r.class_size, r.emd_x1e6, r.at_risk)
+        for r in t_closeness_report(df, ["seg"], "x", lo=0.0, hi=10.0,
+                                    buckets=5).collect()
+    )
+    assert got == [("a", 2, 350000, 1), ("b", 2, 350000, 1)]
+    # a class matching the global distribution has EMD 0
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("b", 1.0), ("b", 9.0)], "seg string, x double"
+    )
+    got2 = {r.seg: r.emd_x1e6 for r in
+            t_closeness_report(df2, ["seg"], "x", lo=0.0, hi=10.0,
+                               buckets=5).collect()}
+    assert got2 == {"a": 0, "b": 0}
