@@ -8798,6 +8798,79 @@ def o_t_closeness():
     """
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/search.py rrf_fuse — the
+    industry-standard lexical+vector hybrid): BM25 top-10 fused with
+    cosine top-10 (query vector = the embedding sharing the query's id)
+    by Σ floor(1e9/(60+rank)) — rank-only fusion, exact integers, no
+    score-scale comparison."""
+    from doc_redaction_spark.operators.search import bm25_topk, rrf_fuse
+    from doc_redaction_spark.operators.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    lex = bm25_topk(docs, _BM25_QUERIES, k=10).select("query_id", "doc_id", "rank")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda xe: xe.cast("double")).alias("embedding")
+    )
+    qids = [qid for qid, _ in _BM25_QUERIES]
+    qs = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    vec = cosine_topk(emb, qs, k=10).select(
+        F.col("qid").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("rk").cast("long").alias("rank"),
+    )
+    return rrf_fuse(lex, vec, k=10, c=60)
+
+
+def o_hybrid_rrf():
+    from doc_redaction_spark.operators.search import duckdb_bm25_chain_sql
+
+    qids = ", ".join(str(qid) for qid, _ in _BM25_QUERIES)
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    na = "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = "sqrt(list_sum(list_transform(b.embedding, x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE))))"
+    return f"""
+    WITH {duckdb_bm25_chain_sql(_BM25_QUERIES, k=10)},
+    vsc AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+                   {dot} / ({na} * {nb}) AS sim
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id IN ({qids}) AND b.vec_id <> a.vec_id),
+    vrk AS (SELECT query_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
+            FROM vsc),
+    vtop AS (SELECT * FROM vrk WHERE rank <= 10),
+    la AS (SELECT query_id, doc_id,
+                  CAST(floor(1000000000 / (rank + 60)) AS BIGINT) AS sa,
+                  rank AS ra
+           FROM bmtop),
+    lb AS (SELECT query_id, doc_id,
+                  CAST(floor(1000000000 / (rank + 60)) AS BIGINT) AS sb,
+                  rank AS rb
+           FROM vtop),
+    fj AS (SELECT coalesce(la.query_id, lb.query_id) AS query_id,
+                  coalesce(la.doc_id, lb.doc_id) AS doc_id,
+                  coalesce(sa, 0) + coalesce(sb, 0) AS fused,
+                  least(coalesce(ra, 1073741824),
+                        coalesce(rb, 1073741824)) AS best
+           FROM la FULL OUTER JOIN lb
+             ON la.query_id = lb.query_id AND la.doc_id = lb.doc_id),
+    fr AS (SELECT query_id, doc_id, fused,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY fused DESC, best, doc_id)
+                    AS fused_rank
+           FROM fj)
+    SELECT query_id, doc_id, CAST(fused AS BIGINT) AS rrf_x1e9,
+           CAST(fused_rank AS INTEGER) AS fused_rank
+    FROM fr WHERE fused_rank <= 10
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8811,6 +8884,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "hybrid_rrf": q_hybrid_rrf,
     "t_closeness": q_t_closeness,
     "pq_topk": q_pq_topk,
     "pq_encode": q_pq_encode,
@@ -9009,6 +9083,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "hybrid_rrf": o_hybrid_rrf,
     "t_closeness": o_t_closeness,
     "pq_topk": o_pq_topk,
     "pq_encode": o_pq_encode,

@@ -749,3 +749,55 @@ def search_snippets(
         F.col("_cnt").cast("long").alias("n_hits"),
         snippet.alias("snippet"),
     )
+
+
+def rrf_fuse(
+    list_a: DataFrame,
+    list_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) — the industry-standard
+    way to combine a lexical and a vector ranking (what search engines
+    actually ship for "hybrid"): fused score = Σ_lists 1/(c + rank),
+    robust to incomparable score scales because only RANKS enter.
+
+    Both inputs are ``(query_id, doc_id, rank)`` ranked lists (extra
+    columns ignored). Exact-integer rendering: each term is
+    ``floor(10⁹/(c + rank))`` — flooring per term before the sum keeps
+    the fusion deterministic and cross-engine (a float 1/(c+r) sum
+    ties unpredictably in the last ulp). A doc absent from one list
+    contributes 0 from it (full-outer join on the (query, doc) key —
+    candidate-sized). Ties: fused desc, best single-list rank asc,
+    doc_id asc.
+
+    Output: ``(query_id, doc_id, rrf_x1e9, fused_rank)`` — top ``k``
+    per query.
+    """
+    t = F.floor(F.lit(10**9) / (F.col("rank") + c)).cast("long")
+    a = list_a.select("query_id", "doc_id", t.alias("_sa"), F.col("rank").alias("_ra"))
+    bl = list_b.select("query_id", "doc_id", t.alias("_sb"), F.col("rank").alias("_rb"))
+    j = (
+        a.join(bl, ["query_id", "doc_id"], "full_outer")
+        .na.fill({"_sa": 0, "_sb": 0})
+        .withColumn(
+            "_best",
+            F.least(
+                F.coalesce(F.col("_ra"), F.lit(1 << 30)),
+                F.coalesce(F.col("_rb"), F.lit(1 << 30)),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.col("_sa") + F.col("_sb")), F.asc("_best"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("_sa") + F.col("_sb")).cast("long").alias("rrf_x1e9"),
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+    )

@@ -584,3 +584,21 @@ def test_t_closeness_exact_emd(spark):
             t_closeness_report(df2, ["seg"], "x", lo=0.0, hi=10.0,
                                buckets=5).collect()}
     assert got2 == {"a": 0, "b": 0}
+
+
+def test_rrf_fuse_math_and_missing_lists(spark):
+    from doc_redaction_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 20, 1), (1, 30, 2)], "query_id long, doc_id long, rank long"
+    )
+    got = {r.doc_id: (r.rrf_x1e9, r.fused_rank)
+           for r in rrf_fuse(a, b, k=10, c=60).collect()}
+    s1, s2 = 10**9 // 61, 10**9 // 62
+    # doc 20: rank 2 in a + rank 1 in b -> both lists beat single-list docs
+    assert got[20] == (s1 + s2, 1)
+    # docs 10 and 30 each appear once at rank 1/2 respectively
+    assert got[10] == (s1, 2) and got[30] == (s2, 3)
