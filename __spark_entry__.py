@@ -8871,6 +8871,34 @@ def o_hybrid_rrf():
     """
 
 
+def q_write_plan(spark, sf_dir):
+    """Partitioned-write layout planner (functions/zorder.py
+    write_plan_report): per-source payload mass → ceil file counts at a
+    64 KiB demo target — the sizing arithmetic between tiny-file scan
+    poisoning and single-task mega-files."""
+    from doc_redaction_spark.functions.zorder import write_plan_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("source", "text")
+    return write_plan_report(docs, target_bytes=64 * 1024)
+
+
+def o_write_plan():
+    t = 64 * 1024
+    files = f"greatest(1, (n_bytes + {t} - 1) // {t})"
+    return f"""
+    WITH a AS (SELECT source,
+                      CAST(count(*) AS BIGINT) AS n_rows,
+                      CAST(sum(strlen(coalesce(text, ''))) AS BIGINT)
+                        AS n_bytes
+               FROM documents GROUP BY source)
+    SELECT source, n_rows, n_bytes,
+           CAST({files} AS BIGINT) AS n_files,
+           CAST((n_rows + {files} - 1) // ({files}) AS BIGINT)
+             AS rows_per_file
+    FROM a
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8884,6 +8912,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "write_plan": q_write_plan,
     "hybrid_rrf": q_hybrid_rrf,
     "t_closeness": q_t_closeness,
     "pq_topk": q_pq_topk,
@@ -9083,6 +9112,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "write_plan": o_write_plan,
     "hybrid_rrf": o_hybrid_rrf,
     "t_closeness": o_t_closeness,
     "pq_topk": o_pq_topk,

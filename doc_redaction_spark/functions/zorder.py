@@ -122,3 +122,43 @@ def zorder_layout_report(
             F.max("_b").alias("b_max"),
         )
     )
+
+
+def write_plan_report(
+    df: DataFrame,
+    part_col: str = "source",
+    text_col: str = "text",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """File-layout planner for partitioned writes — the sizing pass a
+    100 TB writer runs BEFORE ``repartition(n).write.partitionBy(...)``:
+    per partition value, the UTF-8 payload mass, the file count that
+    hits ``target_bytes`` (ceil — never a zero-file partition), and the
+    rows-per-file that count implies. Too-small files poison the next
+    reader's scan planning (the tiny-parquet maxPartitionBytes gotcha);
+    too-large ones serialize single tasks — this report is the exact
+    arithmetic between those failure modes, computed in one
+    map-side-combinable aggregate (integer ceil = (a+b−1) div b).
+
+    Output: ``(part_col, n_rows, n_bytes, n_files, rows_per_file)``.
+    """
+    agg = df.groupBy(part_col).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.octet_length(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long")
+        .alias("n_bytes"),
+    )
+    files = F.expr(f"greatest(1L, (n_bytes + {int(target_bytes)} - 1) div {int(target_bytes)})")
+    return agg.select(
+        part_col,
+        "n_rows",
+        "n_bytes",
+        files.cast("long").alias("n_files"),
+        F.expr(
+            f"(n_rows + greatest(1L, (n_bytes + {int(target_bytes)} - 1)"
+            f" div {int(target_bytes)}) - 1) div greatest(1L, (n_bytes"
+            f" + {int(target_bytes)} - 1) div {int(target_bytes)})"
+        )
+        .cast("long")
+        .alias("rows_per_file"),
+    )

@@ -602,3 +602,18 @@ def test_rrf_fuse_math_and_missing_lists(spark):
     assert got[20] == (s1 + s2, 1)
     # docs 10 and 30 each appear once at rank 1/2 respectively
     assert got[10] == (s1, 2) and got[30] == (s2, 3)
+
+
+def test_write_plan_ceil_math(spark):
+    from doc_redaction_spark.functions.zorder import write_plan_report
+
+    docs = spark.createDataFrame(
+        [("a", "x" * 100), ("a", "y" * 100), ("b", "z" * 10)],
+        "source string, text string",
+    )
+    got = {r.source: (r.n_rows, r.n_bytes, r.n_files, r.rows_per_file)
+           for r in write_plan_report(docs, target_bytes=150).collect()}
+    # a: 200 bytes / 150 -> ceil 2 files, ceil(2 rows / 2) = 1 row/file
+    assert got["a"] == (2, 200, 2, 1)
+    # b: 10 bytes -> floor would be 0, clamp to 1 file
+    assert got["b"] == (1, 10, 1, 1)
