@@ -1325,10 +1325,14 @@ def o_interval_join_events():
     """
 
 
-_DOC_TOKENS_DUCK = (
-    "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+# the DuckDB rendering of the shared token spec, column-templated —
+# format with c=<column expr>; _DOC_TOKENS_DUCK is the text-column
+# instance most oracles use
+_DOC_TOKENS_DUCK_T = (
+    "list_filter(string_split(lower(regexp_replace(coalesce({c}, ''),"
     " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
 )
+_DOC_TOKENS_DUCK = _DOC_TOKENS_DUCK_T.format(c="text")
 
 
 def _doc_tokens(spark, sf_dir):
@@ -8023,10 +8027,7 @@ def o_extractive_summary():
     from doc_redaction_spark.operators.search import duckdb_tfidf_chain_sql
     from doc_redaction_spark.operators.summarize import SENT_PATTERN
 
-    stoks = (
-        "list_filter(string_split(lower(regexp_replace(coalesce(sent, ''),"
-        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
-    )
+    stoks = _DOC_TOKENS_DUCK_T.format(c="sent")
     return f"""
     WITH d2 AS (SELECT doc_id,
                        substr(coalesce(text, ''), 1, 80) || '. '
@@ -8240,10 +8241,7 @@ def q_web_corpus_build(spark, sf_dir):
 def o_web_corpus_build():
     from doc_redaction_spark.functions.textstats import duckdb_lang_ngram_pred
 
-    toks = (
-        "list_filter(string_split(lower(regexp_replace(coalesce(payload, ''),"
-        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
-    )
+    toks = _DOC_TOKENS_DUCK_T.format(c="payload")
     return f"""
     WITH p AS (SELECT doc_id, {_WARC_PAYLOAD_SQL} AS payload,
                       {_warc_uri_sql()} AS target_uri
@@ -8570,10 +8568,7 @@ def o_search_snippets():
     qvals = ", ".join(
         "({}, '{}')".format(qid, t.replace("'", "''")) for qid, t in _BM25_QUERIES
     )
-    qtoks = (
-        "list_filter(string_split(lower(regexp_replace(coalesce(qtext, ''),"
-        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
-    )
+    qtoks = _DOC_TOKENS_DUCK_T.format(c="qtext")
     return f"""
     WITH {duckdb_bm25_chain_sql(_BM25_QUERIES, k=5)},
     qq AS (SELECT CAST(query_id AS BIGINT) AS query_id, {qtoks} AS qt

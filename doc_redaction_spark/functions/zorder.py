@@ -148,17 +148,17 @@ def write_plan_report(
         .cast("long")
         .alias("n_bytes"),
     )
-    files = F.expr(f"greatest(1L, (n_bytes + {int(target_bytes)} - 1) div {int(target_bytes)})")
-    return agg.select(
-        part_col,
-        "n_rows",
-        "n_bytes",
-        files.cast("long").alias("n_files"),
-        F.expr(
-            f"(n_rows + greatest(1L, (n_bytes + {int(target_bytes)} - 1)"
-            f" div {int(target_bytes)}) - 1) div greatest(1L, (n_bytes"
-            f" + {int(target_bytes)} - 1) div {int(target_bytes)})"
+    # materialize n_files once, derive rows_per_file FROM it — the
+    # sizing formula must exist in exactly one place
+    files = F.expr(
+        f"greatest(1L, (n_bytes + {int(target_bytes)} - 1)"
+        f" div {int(target_bytes)})"
+    )
+    return (
+        agg.withColumn("n_files", files.cast("long"))
+        .withColumn(
+            "rows_per_file",
+            F.expr("(n_rows + n_files - 1) div n_files").cast("long"),
         )
-        .cast("long")
-        .alias("rows_per_file"),
+        .select(part_col, "n_rows", "n_bytes", "n_files", "rows_per_file")
     )

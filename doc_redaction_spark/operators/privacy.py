@@ -206,7 +206,8 @@ def t_closeness_report(
     tiny next to the data.
 
     Output: ``(*qi_cols, class_size, emd_x1e6, at_risk)`` with
-    ``at_risk = emd_x1e6 > t_x1e6``.
+    ``at_risk = emd_x1e6 > t_x1e6``; ``class_size`` counts rows with an
+    OBSERVED (non-NULL) sensitive value.
     """
     span = hi - lo
     x = F.col(sensitive_col).cast("double")
@@ -214,7 +215,11 @@ def t_closeness_report(
         F.lit(buckets - 1),
         F.greatest(F.lit(0), F.floor((x - lo) * buckets / span).cast("int")),
     )
-    base = df.select(*qi_cols, b.alias("_b"))
+    # NULL sensitive values carry no distribution information — they are
+    # excluded from BOTH the class and global CDFs (and from class_size /
+    # N, so partially-NULL classes are not silently inflated); all-NULL
+    # disclosure is k_anonymity_report's l_distinct <= 1 rule's business
+    base = df.filter(x.isNotNull()).select(*qi_cols, b.alias("_b"))
     cls = base.groupBy(*qi_cols, "_b").agg(F.count("*").cast("long").alias("_cn"))
     # every (class, bucket) pair must exist for the CDF walk — cross the
     # class list with the bucket range (classes × B rows, tiny)

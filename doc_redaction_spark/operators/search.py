@@ -696,29 +696,33 @@ def search_snippets(
 
     ``candidates`` is bm25_topk output; ``queries`` is
     ``(query_id, qtext)``. Everything runs on the CANDIDATE set
-    (k·|queries| docs), so carrying the doc text through the token
-    explode and the rolling window is bounded — the corpus itself is
-    never exploded here (retrieval already paid that). Rolling hit
-    count = one window frame (ROWS CURRENT..window−1 FOLLOWING) per
-    candidate; argmax = one more bounded window.
+    (k·|queries| docs), so the token explode and windows are bounded —
+    and the exploded stream carries only (keys, pos, hit), never the
+    document text: the windows shuffle/sort the stream, so a kept text
+    column would move doc_len COPIES of every document through them.
+    The text joins back exactly once per surviving best-window row to
+    render the snippet. Rolling hit count = one window frame (ROWS
+    CURRENT..window−1 FOLLOWING) per candidate; argmax = one more
+    bounded window.
 
     Output: ``(query_id, doc_id, bm25_rank, start_pos, n_hits,
-    snippet)`` — one row per candidate.
+    snippet)`` — one row per candidate, INCLUDING candidates whose doc
+    is missing from ``docs`` or tokenizes to nothing (NULL
+    start_pos/snippet, n_hits 0), so externally-ranked candidate lists
+    are never silently shortened.
     """
     q = queries.select("query_id", tokens_col("qtext").alias("_qt"))
-    cd = (
-        candidates.select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
-        .join(docs.select(F.col(id_col).alias("doc_id"), text_col), "doc_id")
-        .join(F.broadcast(q), "query_id")
+    cand = candidates.select(
+        "query_id", "doc_id", F.col("rank").alias("bm25_rank")
     )
+    d = docs.select(F.col(id_col).alias("doc_id"), text_col)
+    cd = cand.join(d, "doc_id").join(F.broadcast(q), "query_id")
     tp = cd.select(
         "query_id",
         "doc_id",
-        "bm25_rank",
-        text_col,
-        "_qt",
         F.posexplode(tokens_col(text_col)).alias("pos", "_tok"),
-    ).withColumn("_hit", F.array_contains("_qt", F.col("_tok")).cast("int"))
+        F.array_contains("_qt", F.col("_tok")).cast("int").alias("_hit"),
+    ).drop("_tok")
     w_roll = (
         Window.partitionBy("query_id", "doc_id")
         .orderBy("pos")
@@ -731,23 +735,30 @@ def search_snippets(
         tp.withColumn("_cnt", F.sum("_hit").over(w_roll))
         .withColumn("_rk", F.row_number().over(w_best))
         .filter(F.col("_rk") == 1)
+        .select("query_id", "doc_id", "pos", "_cnt")
     )
     snippet = F.array_join(
         F.transform(
             F.slice(tokens_col(text_col), F.col("pos") + 1, window),
             lambda tk: F.when(
-                F.array_contains(F.col("_qt"), tk), F.concat(F.lit("**"), tk, F.lit("**"))
+                F.array_contains(F.col("_qt"), tk),
+                F.concat(F.lit("**"), tk, F.lit("**")),
             ).otherwise(tk),
         ),
         " ",
     )
-    return best.select(
-        "query_id",
-        "doc_id",
-        "bm25_rank",
-        F.col("pos").cast("long").alias("start_pos"),
-        F.col("_cnt").cast("long").alias("n_hits"),
-        snippet.alias("snippet"),
+    return (
+        cand.join(best, ["query_id", "doc_id"], "left")
+        .join(d, "doc_id", "left")
+        .join(F.broadcast(q), "query_id", "left")
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_rank",
+            F.col("pos").cast("long").alias("start_pos"),
+            F.coalesce(F.col("_cnt"), F.lit(0)).cast("long").alias("n_hits"),
+            F.when(F.col("pos").isNotNull(), snippet).alias("snippet"),
+        )
     )
 
 

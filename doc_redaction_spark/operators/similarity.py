@@ -530,6 +530,32 @@ def sq8_quantize(
     )
 
 
+def _pq_codebooks(
+    emb: DataFrame,
+    m: int,
+    dsub: int,
+    n_codes: int,
+    refine_iters: int,
+    seed_mod: int,
+    vec_col: str,
+    id_col: str,
+):
+    """Yield ``(s, cent, assigned)`` per subspace — the ONE place the
+    subspace slicing meets ``_build_ivf`` (pq_encode and pq_topk both
+    consume this, so the codes a query scores against are structurally
+    the codes the encoder stored — the shared-fixture discipline)."""
+    v = F.transform(vec_col, lambda xq: xq.cast("double"))
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("id"),
+            F.slice(v, s * dsub + 1, dsub).alias("vec"),
+        )
+        cent, assigned = _build_ivf(
+            sub, n_codes, "vec", "id", dsub, refine_iters, seed_mod
+        )
+        yield s, cent, assigned
+
+
 def pq_encode(
     emb: DataFrame,
     m: int = 8,
@@ -556,23 +582,16 @@ def pq_encode(
     order-independent and exact.
 
     The m codebook builds are a driver loop over subspaces (m is a
-    small constant); each build is the corpus-distributed IVF kernel.
-    NOTE: like every _build_ivf caller, construction EXECUTES Lloyd
-    rounds immediately per subspace.
+    small constant); each build is the corpus-distributed IVF kernel —
+    fully lazy (no driver actions: dsub is known, so no dim probe runs).
 
     Output: ``(id_col, codes string ',' joined in subspace order,
     sim_x1e6_total BIGINT)``.
     """
-    v = F.transform(vec_col, lambda xq: xq.cast("double"))
     parts = []
-    for s in range(m):
-        sub = emb.select(
-            F.col(id_col).alias("id"),
-            F.slice(v, s * dsub + 1, dsub).alias("vec"),
-        )
-        cent, assigned = _build_ivf(
-            sub, n_codes, "vec", "id", dsub, refine_iters, seed_mod
-        )
+    for s, cent, assigned in _pq_codebooks(
+        emb, m, dsub, n_codes, refine_iters, seed_mod, vec_col, id_col
+    ):
         sim = _dot(F.col("vec"), F.col("cvec")) / (
             _norm(F.col("vec")) * _norm(F.col("cvec"))
         )
@@ -634,21 +653,17 @@ def pq_topk(
 
     Output: ``(qid, id_col, score_x1e6 BIGINT, rk INT)``.
     """
-    v = F.transform(vec_col, lambda xq2: xq2.cast("double"))
+    vq = F.transform(vec_col, lambda xq2: xq2.cast("double"))
     code_parts, lut_parts = [], []
-    for s in range(m):
-        sub = corpus.select(
-            F.col(id_col).alias("id"), F.slice(v, s * dsub + 1, dsub).alias("vec")
-        )
-        cent, assigned = _build_ivf(
-            sub, n_codes, "vec", "id", dsub, refine_iters, seed_mod
-        )
+    for s, cent, assigned in _pq_codebooks(
+        corpus, m, dsub, n_codes, refine_iters, seed_mod, vec_col, id_col
+    ):
         code_parts.append(
             assigned.select("id", F.lit(s).alias("_sub"), F.col("cid"))
         )
         qsub = queries.select(
             F.col(qid_col).alias("qid"),
-            F.slice(v, s * dsub + 1, dsub).alias("vec"),
+            F.slice(vq, s * dsub + 1, dsub).alias("vec"),
         )
         qsim = _dot(F.col("vec"), F.col("cvec")) / (
             _norm(F.col("vec")) * _norm(F.col("cvec"))

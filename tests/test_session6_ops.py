@@ -617,3 +617,36 @@ def test_write_plan_ceil_math(spark):
     assert got["a"] == (2, 200, 2, 1)
     # b: 10 bytes -> floor would be 0, clamp to 1 file
     assert got["b"] == (1, 10, 1, 1)
+
+
+def test_search_snippets_keeps_missing_and_empty_docs(spark):
+    from doc_redaction_spark.operators.search import search_snippets
+
+    cand = spark.createDataFrame(
+        [(1, 1, 7), (1, 2, 8), (1, 3, 9)],
+        "query_id long, rank long, doc_id long",
+    )
+    docs = spark.createDataFrame(
+        [(7, "kw here"), (8, "   ")], "doc_id long, text string"  # 9 missing
+    )
+    qs = spark.createDataFrame([(1, "kw")], "query_id long, qtext string")
+    rows = {r.doc_id: r for r in search_snippets(cand, docs, qs, window=2).collect()}
+    assert len(rows) == 3  # contract: one row per candidate
+    assert rows[7].snippet == "**kw** here" and rows[7].n_hits == 1
+    assert rows[8].snippet is None and rows[8].n_hits == 0  # empty tokens
+    assert rows[9].snippet is None and rows[9].start_pos is None  # missing doc
+
+
+def test_t_closeness_null_sensitive_excluded(spark):
+    from doc_redaction_spark.operators.privacy import t_closeness_report
+
+    # all-NULL class contributes no distribution rows at all
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("n", None), ("n", None)],
+        "seg string, x double",
+    )
+    got = {r.seg: (r.class_size, r.emd_x1e6)
+           for r in t_closeness_report(df, ["seg"], "x", lo=0.0, hi=10.0,
+                                       buckets=5).collect()}
+    assert "n" not in got  # no observed values -> no class row
+    assert got["a"] == (2, 0)  # class a IS the whole observed population
