@@ -8894,6 +8894,52 @@ def o_write_plan():
     """
 
 
+def q_pq_stored(spark, sf_dir):
+    """The STORED-PQ-index round trip of pq_topk: persist per-subspace
+    codebooks + the id-bucketed CODES table (save_pq_index — m small
+    ints per vector, vectors not even IN the index), then answer the
+    query batch from it (pq_topk_from_index). Codebooks come from the
+    SHARED _pq_codebooks generator, so the probe is byte-identical to
+    end-to-end pq_topk and reuses its oracle. Same external-table /
+    per-pid warehouse hygiene as q_embedding_ivf_stored; the tiny top-k
+    result is materialized before the tables drop, so this query
+    EXECUTES at construction."""
+    from doc_redaction_spark.operators.similarity import (
+        pq_topk_from_index,
+        save_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    ktbl, ctbl = f"reg_pq_codes_{os.getpid()}", f"reg_pq_centroids_{os.getpid()}"
+    tdir = f"/tmp/spark_graft_reg_pq_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {ktbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {ctbl}")
+    try:
+        save_pq_index(
+            emb, ktbl, ctbl, m=8, dsub=8, n_codes=16, seed_mod=8,
+            buckets=8, path_prefix=tdir,
+        )
+        spark.catalog.refreshTable(ktbl)
+        spark.catalog.refreshTable(ctbl)
+        return pq_topk_from_index(
+            spark, qs, k=10, codes_table=ktbl, centroid_table=ctbl,
+            m=8, dsub=8,
+        ).localCheckpoint()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ktbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {ctbl}")
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+def o_pq_stored():
+    # stored-index probe is byte-identical to end-to-end pq_topk
+    # (shared _pq_codebooks) — same oracle
+    return o_pq_topk()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8907,6 +8953,7 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "pq_stored": q_pq_stored,
     "write_plan": q_write_plan,
     "hybrid_rrf": q_hybrid_rrf,
     "t_closeness": q_t_closeness,
@@ -9107,6 +9154,7 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "pq_stored": o_pq_stored,
     "write_plan": o_write_plan,
     "hybrid_rrf": o_hybrid_rrf,
     "t_closeness": o_t_closeness,

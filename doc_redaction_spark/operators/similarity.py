@@ -699,3 +699,115 @@ def pq_topk(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def save_pq_index(
+    corpus: DataFrame,
+    codes_table: str = "pq_codes",
+    centroid_table: str = "pq_centroids",
+    m: int = 8,
+    dsub: int = 8,
+    n_codes: int = 16,
+    refine_iters: int = 1,
+    seed_mod: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    buckets: int = 16,
+    path_prefix: str | None = None,
+) -> None:
+    """Persist the PQ structure as warehouse tables — the compressed
+    sibling of save_ivf_index: per-subspace centroids
+    ``(sub, cid, cvec)`` (m·n_codes rows, tiny) plus the corpus CODES
+    ``(id, sub, cid)`` bucketed by ``id`` — m small ints per vector,
+    the whole point of PQ: at query time only this table and the
+    centroid table are read, never the vectors. Codebooks come from
+    the SAME ``_pq_codebooks`` generator the end-to-end ``pq_topk``
+    uses, so probing the stored index is byte-identical to running
+    pq_topk end to end (pinned by
+    tests/test_similarity.py::test_pq_stored_index_equivalence).
+    """
+    cent_parts, code_parts = [], []
+    for s, cent, assigned in _pq_codebooks(
+        corpus, m, dsub, n_codes, refine_iters, seed_mod, vec_col, id_col
+    ):
+        cent_parts.append(cent.select(F.lit(s).alias("sub"), "cid", "cvec"))
+        code_parts.append(
+            assigned.select("id", F.lit(s).alias("sub"), "cid")
+        )
+    allc = cent_parts[0]
+    for p in cent_parts[1:]:
+        allc = allc.unionByName(p)
+    allk = code_parts[0]
+    for p in code_parts[1:]:
+        allk = allk.unionByName(p)
+    cw = allc.write.mode("overwrite")
+    if path_prefix:
+        cw = cw.option("path", f"{path_prefix}/{centroid_table}")
+    cw.saveAsTable(centroid_table)
+    kw = allk.repartition(buckets, "id").write.mode("overwrite").bucketBy(
+        buckets, "id"
+    ).sortBy("id")
+    if path_prefix:
+        kw = kw.option("path", f"{path_prefix}/{codes_table}")
+    kw.saveAsTable(codes_table)
+
+
+def pq_topk_from_index(
+    spark,
+    queries: DataFrame,
+    k: int = 10,
+    codes_table: str = "pq_codes",
+    centroid_table: str = "pq_centroids",
+    m: int = 8,
+    dsub: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """ADC top-k against a STORED PQ index: queries build their LUTs
+    from the stored centroid table (m·n_codes rows, broadcast), the
+    stored codes table supplies candidates — corpus vectors are not
+    read at all (they are not even IN the index). Byte-identical to
+    ``pq_topk`` on the same corpus/parameters.
+    """
+    cent = spark.table(centroid_table)
+    codes = spark.table(codes_table).withColumnRenamed("sub", "_sub")
+    v = F.transform(vec_col, lambda xq3: xq3.cast("double"))
+    lut_parts = []
+    for s in range(m):
+        qsub = queries.select(
+            F.col(qid_col).alias("qid"),
+            F.slice(v, s * dsub + 1, dsub).alias("vec"),
+        )
+        cs = cent.filter(F.col("sub") == s).select("cid", "cvec")
+        qsim = _dot(F.col("vec"), F.col("cvec")) / (
+            _norm(F.col("vec")) * _norm(F.col("cvec"))
+        )
+        lut_parts.append(
+            qsub.crossJoin(F.broadcast(cs)).select(
+                "qid",
+                F.lit(s).alias("_sub"),
+                "cid",
+                F.floor(qsim * 1e6).cast("long").alias("_sim6"),
+            )
+        )
+    lut = lut_parts[0]
+    for p in lut_parts[1:]:
+        lut = lut.unionByName(p)
+    scored = (
+        codes.join(F.broadcast(lut), ["_sub", "cid"])
+        .filter(F.col("id") != F.col("qid"))
+        .groupBy("qid", "id")
+        .agg(F.sum("_sim6").cast("long").alias("score_x1e6"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_x1e6"), F.col("id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid",
+            F.col("id").alias(id_col),
+            "score_x1e6",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -295,3 +295,38 @@ def test_semantic_dedup_plan_no_cartesian(spark, emb_df):
         for kind in ("SortMergeJoin [cid", "ShuffledHashJoin [cid",
                      "BroadcastHashJoin [cid")
     ), plan
+
+
+def test_pq_stored_index_equivalence(spark, tmp_path):
+    """Probing the stored PQ index is byte-identical to end-to-end
+    pq_topk (shared _pq_codebooks) — the stored-index contract."""
+    from pyspark.sql import functions as F2
+
+    from doc_redaction_spark.operators.similarity import (
+        pq_topk,
+        pq_topk_from_index,
+        save_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id < 3").select(F2.col("vec_id").alias("qid"), "embedding")
+    spark.sql("DROP TABLE IF EXISTS t_pq_codes")
+    spark.sql("DROP TABLE IF EXISTS t_pq_cent")
+    try:
+        save_pq_index(
+            emb, "t_pq_codes", "t_pq_cent", m=4, dsub=16, n_codes=8,
+            seed_mod=4, buckets=4, path_prefix=str(tmp_path),
+        )
+        spark.catalog.refreshTable("t_pq_codes")
+        spark.catalog.refreshTable("t_pq_cent")
+        stored = pq_topk_from_index(
+            spark, qs, k=10, codes_table="t_pq_codes",
+            centroid_table="t_pq_cent", m=4, dsub=16,
+        ).orderBy("qid", "rk").collect()
+        direct = pq_topk(
+            emb, qs, k=10, m=4, dsub=16, n_codes=8, seed_mod=4
+        ).orderBy("qid", "rk").collect()
+        assert stored == direct and len(stored) == 30
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pq_codes")
+        spark.sql("DROP TABLE IF EXISTS t_pq_cent")
