@@ -131,6 +131,11 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "fuzzy_deny2",
         "embedding_ivf_stored",
         "line_dedup",
+        # session-6 representatives: the compressed-ANN path, the
+        # JVM-only SymSpell join, and the Arrow WARC parse
+        "pq_encode",
+        "spell_correct",
+        "warc_ingest",
     ]
     qs = entrymod.queries()
     out = {}

@@ -584,6 +584,13 @@ def pq_encode(
     The m codebook builds are a driver loop over subspaces (m is a
     small constant); each build is the corpus-distributed IVF kernel —
     fully lazy (no driver actions: dsub is known, so no dim probe runs).
+    Plan-audited cost of the reuse-first design: the unfused build
+    scans the corpus ~5× per subspace (seed pool + two Lloyd
+    assignment passes; 40 FileScans at m=8). That is an INDEX-BUILD
+    cost, paid once: the 100 TB path is ``save_pq_index`` +
+    ``pq_topk_from_index``, where queries read only the stored codes
+    and codebooks — this end-to-end form exists to be oracle-checkable
+    in one plan.
 
     Output: ``(id_col, codes string ',' joined in subspace order,
     sim_x1e6_total BIGINT)``.

@@ -546,3 +546,13 @@ def test_search_snippets_candidate_bounded_windows(spark, queries):
     plan = _plan(queries["search_snippets"](spark, SF))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_paths_no_python_no_cartesian(spark, queries):
+    """pq_encode / pq_topk: codebook builds, code assignment, and ADC
+    scoring are all JVM-side — no Python stage; the only nested-loop
+    joins are broadcast-tiny centroid/LUT sides."""
+    for name in ("pq_encode", "pq_topk"):
+        plan = _plan(queries[name](spark, SF))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
