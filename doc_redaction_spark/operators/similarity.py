@@ -629,6 +629,49 @@ def pq_encode(
     )
 
 
+def _pq_lut_rows(queries, cent, s: int, dsub: int, vec_col: str, qid_col: str):
+    """One query's LUT rows for subspace ``s``: (qid, _sub, cid, _sim6)
+    — floor(cos·1e6) against every sub-centroid. Shared by pq_topk and
+    pq_topk_from_index so query-side scoring has ONE definition."""
+    vq = F.transform(vec_col, lambda xq2: xq2.cast("double"))
+    qsub = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.slice(vq, s * dsub + 1, dsub).alias("vec"),
+    )
+    qsim = _dot(F.col("vec"), F.col("cvec")) / (
+        _norm(F.col("vec")) * _norm(F.col("cvec"))
+    )
+    return qsub.crossJoin(F.broadcast(cent)).select(
+        "qid",
+        F.lit(s).alias("_sub"),
+        "cid",
+        F.floor(qsim * 1e6).cast("long").alias("_sim6"),
+    )
+
+
+def _adc_topk(codes, lut, k: int, id_col: str) -> DataFrame:
+    """The ADC scoring + top-k kernel over (id, _sub, cid) codes and a
+    broadcast LUT — ONE implementation for the end-to-end and stored
+    paths (the duplicated-IVF-builder lesson, again)."""
+    scored = (
+        codes.join(F.broadcast(lut), ["_sub", "cid"])
+        .filter(F.col("id") != F.col("qid"))
+        .groupBy("qid", "id")
+        .agg(F.sum("_sim6").cast("long").alias("score_x1e6"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_x1e6"), F.col("id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid",
+            F.col("id").alias(id_col),
+            "score_x1e6",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -660,7 +703,6 @@ def pq_topk(
 
     Output: ``(qid, id_col, score_x1e6 BIGINT, rk INT)``.
     """
-    vq = F.transform(vec_col, lambda xq2: xq2.cast("double"))
     code_parts, lut_parts = [], []
     for s, cent, assigned in _pq_codebooks(
         corpus, m, dsub, n_codes, refine_iters, seed_mod, vec_col, id_col
@@ -668,44 +710,14 @@ def pq_topk(
         code_parts.append(
             assigned.select("id", F.lit(s).alias("_sub"), F.col("cid"))
         )
-        qsub = queries.select(
-            F.col(qid_col).alias("qid"),
-            F.slice(vq, s * dsub + 1, dsub).alias("vec"),
-        )
-        qsim = _dot(F.col("vec"), F.col("cvec")) / (
-            _norm(F.col("vec")) * _norm(F.col("cvec"))
-        )
-        lut_parts.append(
-            qsub.crossJoin(F.broadcast(cent)).select(
-                "qid",
-                F.lit(s).alias("_sub"),
-                "cid",
-                F.floor(qsim * 1e6).cast("long").alias("_sim6"),
-            )
-        )
+        lut_parts.append(_pq_lut_rows(queries, cent, s, dsub, vec_col, qid_col))
     codes = code_parts[0]
     for p in code_parts[1:]:
         codes = codes.unionByName(p)
     lut = lut_parts[0]
     for p in lut_parts[1:]:
         lut = lut.unionByName(p)
-    scored = (
-        codes.join(F.broadcast(lut), ["_sub", "cid"])
-        .filter(F.col("id") != F.col("qid"))
-        .groupBy("qid", "id")
-        .agg(F.sum("_sim6").cast("long").alias("score_x1e6"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score_x1e6"), F.col("id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "qid",
-            F.col("id").alias(id_col),
-            "score_x1e6",
-            F.col("rk").cast("int").alias("rk"),
-        )
-    )
+    return _adc_topk(codes, lut, k, id_col)
 
 
 def save_pq_index(
@@ -733,24 +745,50 @@ def save_pq_index(
     pq_topk end to end (pinned by
     tests/test_similarity.py::test_pq_stored_index_equivalence).
     """
-    cent_parts, code_parts = [], []
-    for s, cent, assigned in _pq_codebooks(
-        corpus, m, dsub, n_codes, refine_iters, seed_mod, vec_col, id_col
-    ):
-        cent_parts.append(cent.select(F.lit(s).alias("sub"), "cid", "cvec"))
-        code_parts.append(
-            assigned.select("id", F.lit(s).alias("sub"), "cid")
+    spark = corpus.sparkSession
+    # phase 1: build + persist the codebooks (one Lloyd lineage, one job)
+    cent_parts = [
+        cent.select(F.lit(s).alias("sub"), "cid", "cvec")
+        for s, cent, _assigned in _pq_codebooks(
+            corpus, m, dsub, n_codes, refine_iters, seed_mod, vec_col, id_col
         )
+    ]
     allc = cent_parts[0]
     for p in cent_parts[1:]:
         allc = allc.unionByName(p)
-    allk = code_parts[0]
-    for p in code_parts[1:]:
-        allk = allk.unionByName(p)
     cw = allc.write.mode("overwrite")
     if path_prefix:
         cw = cw.option("path", f"{path_prefix}/{centroid_table}")
     cw.saveAsTable(centroid_table)
+    spark.catalog.refreshTable(centroid_table)
+    # phase 2: assign codes against the STORED centroids — the codes are
+    # then consistent with the persisted table BY CONSTRUCTION (two
+    # independent jobs re-running the Lloyd chain could in principle
+    # disagree on a floor boundary), and the build cost drops to one
+    # assignment scan per subspace instead of a second full Lloyd run
+    stored = spark.table(centroid_table)
+    v = F.transform(vec_col, lambda xqs: xqs.cast("double"))
+    code_parts = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("id"),
+            F.slice(v, s * dsub + 1, dsub).alias("vec"),
+        )
+        cs = stored.filter(F.col("sub") == s).select("cid", "cvec")
+        sim_c = _dot(F.col("vec"), F.col("cvec")) / (
+            _norm(F.col("vec")) * _norm(F.col("cvec"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("csim"), F.col("cid"))
+        code_parts.append(
+            sub.crossJoin(F.broadcast(cs))
+            .withColumn("csim", sim_c)
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") == 1)
+            .select("id", F.lit(s).alias("sub"), "cid")
+        )
+    allk = code_parts[0]
+    for p in code_parts[1:]:
+        allk = allk.unionByName(p)
     kw = allk.repartition(buckets, "id").write.mode("overwrite").bucketBy(
         buckets, "id"
     ).sortBy("id")
@@ -778,43 +816,26 @@ def pq_topk_from_index(
     ``pq_topk`` on the same corpus/parameters.
     """
     cent = spark.table(centroid_table)
+    # fail fast on a parameter/index mismatch: probing with the wrong
+    # m/dsub silently drops or misaligns subspaces (the inner LUT join
+    # hides it) — the check is one driver read of the m×n_codes table
+    shape = cent.agg(
+        (F.max("sub") + 1).alias("m"), F.max(F.size("cvec")).alias("dsub")
+    ).first()
+    if shape["m"] != m or shape["dsub"] != dsub:
+        raise ValueError(
+            f"index {centroid_table} was built with m={shape['m']},"
+            f" dsub={shape['dsub']}; caller passed m={m}, dsub={dsub}"
+        )
     codes = spark.table(codes_table).withColumnRenamed("sub", "_sub")
-    v = F.transform(vec_col, lambda xq3: xq3.cast("double"))
-    lut_parts = []
-    for s in range(m):
-        qsub = queries.select(
-            F.col(qid_col).alias("qid"),
-            F.slice(v, s * dsub + 1, dsub).alias("vec"),
+    lut_parts = [
+        _pq_lut_rows(
+            queries, cent.filter(F.col("sub") == s).select("cid", "cvec"),
+            s, dsub, vec_col, qid_col,
         )
-        cs = cent.filter(F.col("sub") == s).select("cid", "cvec")
-        qsim = _dot(F.col("vec"), F.col("cvec")) / (
-            _norm(F.col("vec")) * _norm(F.col("cvec"))
-        )
-        lut_parts.append(
-            qsub.crossJoin(F.broadcast(cs)).select(
-                "qid",
-                F.lit(s).alias("_sub"),
-                "cid",
-                F.floor(qsim * 1e6).cast("long").alias("_sim6"),
-            )
-        )
+        for s in range(m)
+    ]
     lut = lut_parts[0]
     for p in lut_parts[1:]:
         lut = lut.unionByName(p)
-    scored = (
-        codes.join(F.broadcast(lut), ["_sub", "cid"])
-        .filter(F.col("id") != F.col("qid"))
-        .groupBy("qid", "id")
-        .agg(F.sum("_sim6").cast("long").alias("score_x1e6"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score_x1e6"), F.col("id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "qid",
-            F.col("id").alias(id_col),
-            "score_x1e6",
-            F.col("rk").cast("int").alias("rk"),
-        )
-    )
+    return _adc_topk(codes, lut, k, id_col)
