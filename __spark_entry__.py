@@ -8941,6 +8941,160 @@ def o_pq_stored():
 
 
 # ---------------------------------------------------------------------------
+# queries — session 7: transcript → training-data assembly
+# ---------------------------------------------------------------------------
+
+# retry/clone-augmented transcripts: conversations c≡2 (mod 5) get a '_r'
+# retry clone of their first 5 turns (the harness-retry shape: identical
+# prefix, then the run was abandoned); conversations c≡4 (mod 5) get a
+# full '_x' twin (exact duplicate — exercises the equal-length keep-first
+# tie rule). Shared byte-for-byte between the Spark builder and the CTE.
+TRX_RETRY_CTE = """
+    trx AS (
+      SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts
+      UNION ALL
+      SELECT conv_id || '_r', turn_idx, role, text, tool, ts FROM transcripts
+      WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 5 = 2 AND turn_idx < 5
+      UNION ALL
+      SELECT conv_id || '_x', turn_idx, role, text, tool, ts FROM transcripts
+      WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 5 = 4
+    )"""
+
+
+def _tr_retries(spark, sf_dir):
+    """Spark twin of TRX_RETRY_CTE."""
+    tr = _tr(spark, sf_dir).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    cnum = F.substring("conv_id", 2, 10).cast("int")
+    retry = tr.filter((cnum % 5 == 2) & (F.col("turn_idx") < 5)).select(
+        F.concat("conv_id", F.lit("_r")).alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+    )
+    clone = tr.filter(cnum % 5 == 4).select(
+        F.concat("conv_id", F.lit("_x")).alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+    )
+    return tr.unionByName(retry).unionByName(clone)
+
+
+def q_conv_prefix_dedup(spark, sf_dir):
+    """Retry/branch conversation dedup (operators/convops.py
+    conversation_prefix_dedup): per-turn md5(role ⊕ text) hashes fold
+    into prefix-chain arrays via ONE aggregate HOF (linear in turns),
+    then full-length chains equi-join prefix rows on the chain hash —
+    texts never enter the join. Fixture plants '_r' retry prefixes and
+    '_x' exact twins (TRX_RETRY_CTE); the oracle recomputes every
+    chain with a quadratic list_reduce fold — the spec the linear
+    plan must match."""
+    from doc_redaction_spark.operators.convops import conversation_prefix_dedup
+
+    return conversation_prefix_dedup(_tr_retries(spark, sf_dir))
+
+
+def o_conv_prefix_dedup():
+    return f"""
+    {TR_CTE},
+    {TRX_RETRY_CTE},
+    t AS (SELECT conv_id, turn_idx,
+                 md5(role || chr(1) || coalesce(text, '')) AS th
+          FROM trx),
+    ag AS (SELECT conv_id, list(th ORDER BY turn_idx) AS hs
+           FROM t GROUP BY conv_id),
+    e0 AS (SELECT conv_id, CAST(len(hs) AS BIGINT) AS n_turns,
+                  unnest(generate_series(1, len(hs))) AS k, hs
+           FROM ag),
+    e AS (SELECT conv_id, n_turns, k,
+                 list_reduce(list_prepend('', hs[1:k]),
+                             (acc, x) -> md5(acc || x)) AS chain
+          FROM e0),
+    d AS (SELECT f.conv_id AS conv_a, min(p.conv_id) AS dup_of
+          FROM e f JOIN e p ON f.chain = p.chain
+           AND f.k = f.n_turns
+           AND p.conv_id <> f.conv_id
+           AND (p.n_turns > f.n_turns
+                OR (p.n_turns = f.n_turns AND p.conv_id < f.conv_id))
+          GROUP BY f.conv_id)
+    SELECT ag.conv_id, CAST(len(ag.hs) AS BIGINT) AS n_turns,
+           CAST(CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS is_prefix_dup,
+           d.dup_of
+    FROM ag LEFT JOIN d ON ag.conv_id = d.conv_a
+    """
+
+
+def q_chat_render(spark, sf_dir):
+    """Chat-template offset map (operators/convops.py chat_render):
+    per-turn ``<|role|>\\n{text}\\n`` piece offsets, loss mask, and
+    content md5 — three conv_id-keyed window sums, the concatenated
+    conversation string is NEVER materialized (at 10^12 turns it would
+    be a second copy of the corpus; the offsets are enough for the
+    packing writer, and tests prove exact reconstruction)."""
+    from doc_redaction_spark.operators.convops import chat_render
+
+    return chat_render(_tr(spark, sf_dir))
+
+
+def o_chat_render():
+    return f"""
+    {TR_CTE},
+    p AS (SELECT conv_id, turn_idx, role,
+                 '<|' || role || '|>' || chr(10) || coalesce(text, '')
+                   || chr(10) AS piece
+          FROM transcripts),
+    w AS (SELECT conv_id, turn_idx, role,
+                 CAST(length(piece) AS BIGINT) AS piece_len,
+                 CAST(coalesce(sum(length(piece)) OVER (
+                      PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_off,
+                 CAST(sum(length(piece)) OVER (PARTITION BY conv_id)
+                   AS BIGINT) AS conv_render_len,
+                 md5(piece) AS piece_md5
+          FROM p)
+    SELECT conv_id, turn_idx, role, start_off,
+           start_off + piece_len AS end_off, piece_len,
+           CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS INTEGER)
+             AS loss_mask,
+           conv_render_len, piece_md5
+    FROM w
+    """
+
+
+def q_sft_pairs(spark, sf_dir):
+    """SFT example boundaries (operators/convops.py sft_pairs): for each
+    assistant turn, the largest prior-turn suffix fitting a 64-token
+    budget — a prefix-sum comparison resolved by a conv-keyed equi-join
+    (bounded-history contract), emitting boundaries not concatenated
+    prompts. Oracle = the same prefix-sum spec in SQL."""
+    from doc_redaction_spark.operators.convops import sft_pairs
+
+    return sft_pairs(_tr(spark, sf_dir), budget=64)
+
+
+def o_sft_pairs():
+    return f"""
+    {TR_CTE},
+    t AS (SELECT conv_id, turn_idx, role,
+                 CAST({duckdb_token_count('text')} AS BIGINT) AS n_tok
+          FROM transcripts),
+    c AS (SELECT conv_id, turn_idx, role, n_tok,
+                 sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS cum
+          FROM t),
+    a AS (SELECT conv_id, turn_idx, cum - n_tok AS ca,
+                 n_tok AS resp_tokens
+          FROM c WHERE role = 'assistant')
+    SELECT a.conv_id, a.turn_idx,
+           CAST(min(b.turn_idx) AS BIGINT) AS ctx_from,
+           CAST(count(*) AS BIGINT) AS n_ctx_turns,
+           CAST(max(a.ca - (b.cum - b.n_tok)) AS BIGINT) AS ctx_tokens,
+           CAST(a.resp_tokens AS BIGINT) AS resp_tokens
+    FROM a JOIN c b ON a.conv_id = b.conv_id AND b.turn_idx < a.turn_idx
+      AND a.ca - (b.cum - b.n_tok) <= 64
+    GROUP BY a.conv_id, a.turn_idx, a.resp_tokens
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -8953,6 +9107,9 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "conv_prefix_dedup": q_conv_prefix_dedup,
+    "chat_render": q_chat_render,
+    "sft_pairs": q_sft_pairs,
     "pq_stored": q_pq_stored,
     "write_plan": q_write_plan,
     "hybrid_rrf": q_hybrid_rrf,
@@ -9154,6 +9311,9 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "conv_prefix_dedup": o_conv_prefix_dedup,
+    "chat_render": o_chat_render,
+    "sft_pairs": o_sft_pairs,
     "pq_stored": o_pq_stored,
     "write_plan": o_write_plan,
     "hybrid_rrf": o_hybrid_rrf,

@@ -157,3 +157,239 @@ def conversation_lang_mix(
             (F.col("n_langs") > 1).cast("int").alias("code_switched"),
         )
     )
+
+def conversation_prefix_dedup(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Retry/branch conversation dedup via turn-hash prefix chains.
+
+    Agent harnesses retry: a failed run is re-launched and the new
+    conversation repeats the old one's turns verbatim before diverging —
+    or never diverges (an exact duplicate). Training on both inflates
+    the shared prefix exactly like document near-dups inflate shared
+    boilerplate. A conversation is a *prefix duplicate* iff its full
+    turn sequence equals the first ``L`` turns of some LONGER
+    conversation (or an equal-length twin with a smaller ``conv_id`` —
+    the dedup family's keep-first tie rule).
+
+    Plan shape (linear in total turns, never pairwise over texts):
+    per-turn hash ``md5(role ⊕ text)`` → per-conversation ordered hash
+    array (collect bounded by conversation length — the same
+    bounded-history contract as ``context_trim``) → ONE ``aggregate``
+    HOF builds the running prefix-chain array ``chain_k = md5(chain_{k-1}
+    ‖ h_k)`` in a single pass → posexplode to (conv, k, chain) rows →
+    the full-length chains equi-join the prefix rows ON THE CHAIN HASH
+    (O(total turns) join input, md5-collision-free by the family's
+    standard assumption). Texts never enter the join.
+
+    Output: ``(conv_id, n_turns, is_prefix_dup INT, dup_of)`` — one row
+    per conversation; ``dup_of`` is the smallest qualifying superset
+    conversation, NULL for kept rows.
+    """
+    th = F.md5(
+        F.concat(
+            F.col(role_col), F.lit("\x01"), F.coalesce(F.col(text_col), F.lit(""))
+        )
+    )
+    per = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        th.alias("th"),
+    )
+    arr = per.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "th"))).alias("sarr")
+    )
+    hs = F.transform(F.col("sarr"), lambda s_el: s_el["th"])
+    # one aggregate pass builds ALL prefix chains; distinct lambda names
+    # guard the Spark-4 sibling-HOF cross-binding (CLAUDE.md invariant)
+    chains = F.aggregate(
+        hs,
+        F.array().cast("array<string>"),
+        lambda acc_ch, x_th: F.concat(
+            acc_ch,
+            F.array(
+                F.md5(
+                    F.concat(
+                        F.coalesce(F.try_element_at(acc_ch, F.lit(-1)), F.lit("")),
+                        x_th,
+                    )
+                )
+            ),
+        ),
+    )
+    withc = arr.select("conv_id", chains.alias("chains"))
+    ex = withc.select(
+        "conv_id",
+        F.size("chains").cast("long").alias("n_turns"),
+        F.posexplode("chains").alias("pos", "chain"),
+    ).select(
+        "conv_id", "n_turns", (F.col("pos") + 1).cast("long").alias("k"), "chain"
+    )
+    fulls = ex.filter(F.col("k") == F.col("n_turns")).select(
+        F.col("conv_id").alias("conv_a"), F.col("n_turns").alias("la"), "chain"
+    )
+    pre = ex.select(
+        F.col("conv_id").alias("conv_b"), F.col("n_turns").alias("lb"), "chain"
+    )
+    dup = (
+        fulls.join(pre, "chain")
+        .filter(
+            (F.col("conv_a") != F.col("conv_b"))
+            & (
+                (F.col("lb") > F.col("la"))
+                | ((F.col("lb") == F.col("la")) & (F.col("conv_b") < F.col("conv_a")))
+            )
+        )
+        .groupBy("conv_a")
+        .agg(F.min("conv_b").alias("dup_of"))
+    )
+    return (
+        withc.select("conv_id", F.size("chains").cast("long").alias("n_turns"))
+        .join(dup, F.col("conv_id") == F.col("conv_a"), "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.col("dup_of").isNotNull().cast("int").alias("is_prefix_dup"),
+            "dup_of",
+        )
+    )
+
+
+def chat_render(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chat-template render plan: per-turn character offsets + loss mask.
+
+    The SFT example builder's layout step: each turn renders as
+    ``<|role|>\\n{text}\\n`` and the conversation is their in-order
+    concatenation. This operator emits the OFFSET MAP — where each
+    turn's rendered piece starts/ends in the conversation string and
+    whether it is loss-masked (only assistant turns train) — without
+    materializing the concatenated string: at 10^12 turns the offsets
+    are three window sums keyed on the pipeline's standard ``conv_id``
+    partitioning, while the strings would be a second copy of the
+    corpus. ``piece_md5`` carries the content fingerprint so a
+    downstream writer (or a test) can verify exact reconstruction.
+
+    Output: ``(conv_id, turn_idx, role, start_off, end_off, piece_len,
+    loss_mask INT, conv_render_len, piece_md5)``.
+    """
+    piece = F.concat(
+        F.lit("<|"),
+        F.col(role_col),
+        F.lit("|>\n"),
+        F.coalesce(F.col(text_col), F.lit("")),
+        F.lit("\n"),
+    )
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = Window.partitionBy(conv_col)
+    return (
+        turns.select(conv_col, idx_col, role_col, piece.alias("_piece"))
+        .withColumn("piece_len", F.length("_piece").cast("long"))
+        .withColumn(
+            "start_off", F.coalesce(F.sum("piece_len").over(w), F.lit(0)).cast("long")
+        )
+        .withColumn("end_off", (F.col("start_off") + F.col("piece_len")).cast("long"))
+        .withColumn("conv_render_len", F.sum("piece_len").over(tot).cast("long"))
+        .select(
+            conv_col,
+            idx_col,
+            role_col,
+            "start_off",
+            "end_off",
+            "piece_len",
+            (F.col(role_col) == "assistant").cast("int").alias("loss_mask"),
+            "conv_render_len",
+            F.md5("_piece").alias("piece_md5"),
+        )
+    )
+
+
+def sft_pairs(
+    turns: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """(context, response) SFT pair extraction under a token budget.
+
+    For every assistant turn, the training example is (the largest
+    suffix of the PRIOR turns whose token sum fits ``budget``, the
+    assistant turn itself) — ``context_trim``'s rule applied per
+    response instead of per conversation. Emits example BOUNDARIES
+    (first context turn, counts, token masses), not materialized prompt
+    strings: at corpus scale the concatenated contexts are quadratic in
+    conversation length while the boundaries are one row per response.
+
+    Plan shape: one ``conv_id`` window builds the running token prefix
+    sum ``c_i``; the budget cut is then a pure prefix-sum comparison —
+    turn ``j`` enters response ``i``'s context iff ``c_{i-1} − c_{j-1}
+    ≤ budget`` — resolved by a conv-keyed equi-join between assistant
+    rows and prior-turn rows (per-conversation quadratic candidate set,
+    bounded by the same bounded-history contract as ``context_trim``;
+    an unbounded-history corpus would swap in a two-pointer
+    ``applyInPandas`` with identical semantics). Responses with no
+    prior turn that fits (or none at all) yield no pair.
+
+    Output: ``(conv_id, turn_idx, ctx_from, n_ctx_turns, ctx_tokens,
+    resp_tokens)`` — ``ctx_from`` is the first included context turn.
+    """
+    base = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        token_count_col(text_col).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = base.withColumn("cum", F.sum("n_tok").over(w))
+    a = c.filter(F.col("role") == "assistant").select(
+        F.col("conv_id").alias("a_conv"),
+        F.col("turn_idx").alias("a_idx"),
+        (F.col("cum") - F.col("n_tok")).alias("ca"),
+        F.col("n_tok").alias("resp_tokens"),
+    )
+    cand = c.select(
+        F.col("conv_id").alias("b_conv"),
+        F.col("turn_idx").alias("b_idx"),
+        (F.col("cum") - F.col("n_tok")).alias("cb"),
+    )
+    j = (
+        a.join(
+            cand,
+            (F.col("a_conv") == F.col("b_conv"))
+            & (F.col("b_idx") < F.col("a_idx"))
+            & (F.col("ca") - F.col("cb") <= F.lit(budget)),
+        )
+        .groupBy("a_conv", "a_idx", "ca", "resp_tokens")
+        .agg(
+            F.min("b_idx").cast("long").alias("ctx_from"),
+            F.count("*").cast("long").alias("n_ctx_turns"),
+            F.max(F.col("ca") - F.col("cb")).cast("long").alias("ctx_tokens"),
+        )
+    )
+    return j.select(
+        F.col("a_conv").alias("conv_id"),
+        F.col("a_idx").alias("turn_idx"),
+        "ctx_from",
+        "n_ctx_turns",
+        "ctx_tokens",
+        "resp_tokens",
+    )

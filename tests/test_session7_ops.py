@@ -1,0 +1,165 @@
+"""Session-7 operators: transcript → training-data assembly.
+
+conversation_prefix_dedup / chat_render / sft_pairs (operators/convops.py).
+Hand-computed fixtures; the corpus-scale value checks live in the registry
+oracles (conv_prefix_dedup, chat_render, sft_pairs).
+"""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.convops import (
+    chat_render,
+    conversation_prefix_dedup,
+    sft_pairs,
+)
+
+TS = datetime.datetime(2024, 1, 1)
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, r, t, "", TS) for (c, i, r, t) in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+class TestConversationPrefixDedup:
+    def test_retry_twin_and_divergent(self, spark):
+        rows = [
+            # A: the original 3-turn conversation
+            ("A", 0, "user", "hi"),
+            ("A", 1, "assistant", "hello"),
+            ("A", 2, "user", "bye"),
+            # B: a retry that died after 2 turns — proper prefix of A
+            ("B", 0, "user", "hi"),
+            ("B", 1, "assistant", "hello"),
+            # C: an exact twin of A (equal length → keep-first tie rule)
+            ("C", 0, "user", "hi"),
+            ("C", 1, "assistant", "hello"),
+            ("C", 2, "user", "bye"),
+            # D: diverges at the last turn — NOT a prefix of anything
+            ("D", 0, "user", "hi"),
+            ("D", 1, "assistant", "hello"),
+            ("D", 2, "user", "DIFFERENT"),
+        ]
+        out = {
+            r["conv_id"]: r
+            for r in conversation_prefix_dedup(_turns(spark, rows)).collect()
+        }
+        assert out["A"]["is_prefix_dup"] == 0 and out["A"]["dup_of"] is None
+        assert out["B"]["is_prefix_dup"] == 1 and out["B"]["dup_of"] == "A"
+        assert out["C"]["is_prefix_dup"] == 1 and out["C"]["dup_of"] == "A"
+        assert out["D"]["is_prefix_dup"] == 0
+        assert out["A"]["n_turns"] == 3 and out["B"]["n_turns"] == 2
+
+    def test_role_is_part_of_identity(self, spark):
+        # same texts, different role on turn 1 → not a prefix duplicate
+        rows = [
+            ("A", 0, "user", "hi"),
+            ("A", 1, "assistant", "ok"),
+            ("B", 0, "user", "hi"),
+            ("B", 1, "user", "ok"),
+        ]
+        out = {
+            r["conv_id"]: r
+            for r in conversation_prefix_dedup(_turns(spark, rows)).collect()
+        }
+        assert out["A"]["is_prefix_dup"] == 0
+        assert out["B"]["is_prefix_dup"] == 0
+
+    def test_min_dup_of_among_supersets(self, spark):
+        # Z's 1-turn prefix matches both A and B — dup_of = min conv_id
+        rows = [
+            ("A", 0, "user", "hi"),
+            ("A", 1, "assistant", "a-branch"),
+            ("B", 0, "user", "hi"),
+            ("B", 1, "assistant", "b-branch"),
+            ("Z", 0, "user", "hi"),
+        ]
+        out = {
+            r["conv_id"]: r
+            for r in conversation_prefix_dedup(_turns(spark, rows)).collect()
+        }
+        assert out["Z"]["is_prefix_dup"] == 1 and out["Z"]["dup_of"] == "A"
+        assert out["A"]["is_prefix_dup"] == 0 and out["B"]["is_prefix_dup"] == 0
+
+
+class TestChatRender:
+    def test_offsets_reconstruct_exactly(self, spark):
+        rows = [
+            ("A", 0, "user", "hi there"),
+            ("A", 1, "assistant", "hello"),
+            ("A", 2, "user", ""),
+            ("B", 0, "system", "x"),
+        ]
+        out = sorted(
+            chat_render(_turns(spark, rows)).collect(),
+            key=lambda r: (r["conv_id"], r["turn_idx"]),
+        )
+        # rebuild each conversation string from the fixture and check
+        # every (start, end) slices out exactly the turn's piece
+        rendered = {}
+        for c, i, role, text in rows:
+            rendered.setdefault(c, []).append(f"<|{role}|>\n{text}\n")
+        full = {c: "".join(ps) for c, ps in rendered.items()}
+        for r in out:
+            piece = f"<|{r['role']}|>\n"
+            assert full[r["conv_id"]][r["start_off"] : r["end_off"]].startswith(piece)
+            assert r["end_off"] - r["start_off"] == r["piece_len"]
+            assert r["conv_render_len"] == len(full[r["conv_id"]])
+        # loss mask only on assistant turns
+        masks = {(r["conv_id"], r["turn_idx"]): r["loss_mask"] for r in out}
+        assert masks[("A", 1)] == 1
+        assert masks[("A", 0)] == 0 and masks[("B", 0)] == 0
+
+    def test_contiguous_coverage(self, spark):
+        rows = [("A", i, "user", f"turn {i}") for i in range(5)]
+        out = sorted(
+            chat_render(_turns(spark, rows)).collect(), key=lambda r: r["turn_idx"]
+        )
+        assert out[0]["start_off"] == 0
+        for a, b in zip(out, out[1:]):
+            assert b["start_off"] == a["end_off"]
+        assert out[-1]["end_off"] == out[-1]["conv_render_len"]
+
+
+class TestSftPairs:
+    def test_budget_cuts_context(self, spark):
+        # token counts: t0=2, t1=3, t2=1, t3(assistant)=2
+        rows = [
+            ("A", 0, "user", "a b"),
+            ("A", 1, "assistant", "c d e"),
+            ("A", 2, "user", "f"),
+            ("A", 3, "assistant", "g h"),
+        ]
+        out = {
+            r["turn_idx"]: r
+            for r in sft_pairs(_turns(spark, rows), budget=4).collect()
+        }
+        # turn 1: context = turn 0 alone (2 tokens ≤ 4)
+        assert out[1]["ctx_from"] == 0
+        assert out[1]["n_ctx_turns"] == 1
+        assert out[1]["ctx_tokens"] == 2
+        assert out[1]["resp_tokens"] == 3
+        # turn 3: suffix fitting 4 = turns 1..2 (3+1=4); turn 0 would
+        # push it to 6 — dropped from the front
+        assert out[3]["ctx_from"] == 1
+        assert out[3]["n_ctx_turns"] == 2
+        assert out[3]["ctx_tokens"] == 4
+
+    def test_first_turn_assistant_and_oversize_prior_drop(self, spark):
+        rows = [
+            ("A", 0, "assistant", "no context at all"),
+            ("B", 0, "user", "one two three four five"),
+            ("B", 1, "assistant", "reply"),
+        ]
+        out = sft_pairs(_turns(spark, rows), budget=4).collect()
+        # A turn 0 has no prior turn; B's only prior turn is 5 tokens > 4
+        assert out == []
+
+    def test_non_assistant_turns_emit_nothing(self, spark):
+        rows = [("A", 0, "user", "q"), ("A", 1, "tool", "r")]
+        assert sft_pairs(_turns(spark, rows), budget=10).collect() == []
