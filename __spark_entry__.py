@@ -8948,32 +8948,44 @@ def o_pq_stored():
 # retry clone of their first 5 turns (the harness-retry shape: identical
 # prefix, then the run was abandoned); conversations c≡4 (mod 5) get a
 # full '_x' twin (exact duplicate — exercises the equal-length keep-first
-# tie rule). Shared byte-for-byte between the Spark builder and the CTE.
-TRX_RETRY_CTE = """
+# tie rule). ONE template rendered to both engines.
+_TRX_COLS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def trx_retry_cte(scan: str = "transcripts", cols: tuple = _TRX_COLS) -> str:
+    rest = ", ".join(c for c in cols if c != "conv_id")
+    return f"""
     trx AS (
-      SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts
+      SELECT conv_id, {rest} FROM {scan}
       UNION ALL
-      SELECT conv_id || '_r', turn_idx, role, text, tool, ts FROM transcripts
+      SELECT conv_id || '_r', {rest} FROM {scan}
       WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 5 = 2 AND turn_idx < 5
       UNION ALL
-      SELECT conv_id || '_x', turn_idx, role, text, tool, ts FROM transcripts
+      SELECT conv_id || '_x', {rest} FROM {scan}
       WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 5 = 4
     )"""
 
 
-def _tr_retries(spark, sf_dir):
-    """Spark twin of TRX_RETRY_CTE."""
-    tr = _tr(spark, sf_dir).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+TRX_RETRY_CTE = trx_retry_cte()
+
+
+def _retries_union(base: DataFrame, cols: tuple = _TRX_COLS) -> DataFrame:
+    """Spark twin of trx_retry_cte over an arbitrary base projection."""
+    rest = [c for c in cols if c != "conv_id"]
+    tr = base.select(*cols)
     cnum = F.substring("conv_id", 2, 10).cast("int")
     retry = tr.filter((cnum % 5 == 2) & (F.col("turn_idx") < 5)).select(
-        F.concat("conv_id", F.lit("_r")).alias("conv_id"),
-        "turn_idx", "role", "text", "tool", "ts",
+        F.concat("conv_id", F.lit("_r")).alias("conv_id"), *rest
     )
     clone = tr.filter(cnum % 5 == 4).select(
-        F.concat("conv_id", F.lit("_x")).alias("conv_id"),
-        "turn_idx", "role", "text", "tool", "ts",
+        F.concat("conv_id", F.lit("_x")).alias("conv_id"), *rest
     )
     return tr.unionByName(retry).unionByName(clone)
+
+
+def _tr_retries(spark, sf_dir):
+    """Retry/clone-augmented transcripts (TRX_RETRY_CTE's Spark twin)."""
+    return _retries_union(_tr(spark, sf_dir))
 
 
 def q_conv_prefix_dedup(spark, sf_dir):
@@ -9094,6 +9106,199 @@ def o_sft_pairs():
     """
 
 
+# fenced-block planting: d ≡ 0 (mod 3) → one python block; d ≡ 1 → an
+# info-string-less block AND an sql block (multi-block indexing teeth);
+# d = turn_idx·37 + conv number reconstructs the generator's doc_id.
+_CB_CASE_SQL = """
+    cb AS (SELECT conv_id, turn_idx,
+      text || CASE CAST((turn_idx * 37
+                        + CAST(substr(conv_id, 2, 10) AS INTEGER)) % 3
+                   AS INTEGER)
+        WHEN 0 THEN chr(10) || '```python' || chr(10) || 'print('
+                    || CAST(turn_idx AS VARCHAR) || ')' || chr(10) || '```'
+        WHEN 1 THEN chr(10) || '```' || chr(10) || 'plain block for '
+                    || conv_id || chr(10) || '```' || ' and ```sql'
+                    || chr(10) || 'SELECT 1;' || chr(10) || '```'
+        ELSE '' END AS text
+      FROM transcripts)"""
+
+
+def q_code_blocks(spark, sf_dir):
+    """Fenced code-block harvest (operators/markdown.py
+    extract_code_blocks): ONE pattern (FENCE_PATTERN, three-dialect
+    subset: [\\s\\S]*? instead of (?s), explicit class instead of \\w)
+    rendered to Java regex and RE2; two index-aligned extract_all
+    calls + posexplode, map-only. Emits lang/size/line-count/body-md5
+    per block — bodies never travel past the operator."""
+    from doc_redaction_spark.operators.markdown import extract_code_blocks
+
+    tr = _tr(spark, sf_dir)
+    d = F.col("turn_idx").cast("int") * 37 + F.substring("conv_id", 2, 10).cast("int")
+    py_block = F.concat(
+        F.lit("\n```python\nprint("),
+        F.col("turn_idx").cast("string"),
+        F.lit(")\n```"),
+    )
+    two_blocks = F.concat(
+        F.lit("\n```\nplain block for "),
+        F.col("conv_id"),
+        F.lit("\n``` and ```sql\nSELECT 1;\n```"),
+    )
+    txt = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, py_block).when(d % 3 == 1, two_blocks).otherwise(F.lit("")),
+    )
+    return extract_code_blocks(
+        tr.select("conv_id", "turn_idx", txt.alias("text"))
+    )
+
+
+def o_code_blocks():
+    from doc_redaction_spark.operators.markdown import duckdb_code_blocks_sql
+
+    return f"""
+    {TR_CTE},
+    {_CB_CASE_SQL},
+    {duckdb_code_blocks_sql('cb')}
+    """
+
+
+# sft_curation fixture plantings, shared Spark/SQL: conversations
+# c ≡ 5 (mod 7) become French (lang-gate teeth); assistant turns with
+# d ≡ 3 (mod 11) grow a refusal marker; both BEFORE the retry/clone
+# union so clones stay byte-identical prefixes. Two appended edge
+# conversations exercise the 'length' and 'no_assistant' reasons.
+_FR_TEXT = "je vous remercie et je suis heureux de parler avec vous numero "
+_REFUSAL_TAIL = " I cannot help with that request."
+_SOLO_TEXT = "hello there this is the only turn of the conversation"
+
+
+def _sft_fixture(spark, sf_dir):
+    cols = ("conv_id", "turn_idx", "role", "text")
+    tr = _tr(spark, sf_dir).select(*cols)
+    cnum = F.substring("conv_id", 2, 10).cast("int")
+    d = F.col("turn_idx").cast("int") * 37 + cnum
+    fr = F.when(
+        cnum % 7 == 5, F.concat(F.lit(_FR_TEXT), d.cast("string"))
+    ).otherwise(F.col("text"))
+    planted = F.when(
+        (F.col("role") == "assistant") & (d % 11 == 3),
+        F.concat(fr, F.lit(_REFUSAL_TAIL)),
+    ).otherwise(fr)
+    base = tr.select("conv_id", "turn_idx", "role", planted.alias("text"))
+    extra = spark.createDataFrame(
+        [
+            ("zz_solo", 0, "assistant", _SOLO_TEXT),
+            ("zz_nouser", 0, "user", "first question here please"),
+            ("zz_nouser", 1, "user", "second question here please"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    return _retries_union(base, cols).unionByName(extra)
+
+
+def _sft_fixture_sql() -> str:
+    return f"""
+    sft0 AS (SELECT conv_id, turn_idx, role,
+      CASE WHEN CAST(substr(conv_id, 2, 10) AS INTEGER) % 7 = 5
+           THEN '{_FR_TEXT}' || CAST(turn_idx * 37
+                + CAST(substr(conv_id, 2, 10) AS INTEGER) AS VARCHAR)
+           ELSE text END AS text
+      FROM transcripts),
+    sft1 AS (SELECT conv_id, turn_idx, role,
+      CASE WHEN role = 'assistant'
+            AND CAST((turn_idx * 37
+                     + CAST(substr(conv_id, 2, 10) AS INTEGER)) % 11
+                AS INTEGER) = 3
+           THEN text || '{_REFUSAL_TAIL}'
+           ELSE text END AS text
+      FROM sft0),
+    {trx_retry_cte('sft1', ('conv_id', 'turn_idx', 'role', 'text'))},
+    sft AS (SELECT conv_id, turn_idx, role, text FROM trx
+      UNION ALL SELECT 'zz_solo', 0, 'assistant', '{_SOLO_TEXT}'
+      UNION ALL SELECT 'zz_nouser', 0, 'user', 'first question here please'
+      UNION ALL SELECT 'zz_nouser', 1, 'user', 'second question here please')"""
+
+
+def q_sft_curation(spark, sf_dir):
+    """Conversation-level SFT keep/drop verdict (operators/convops.py
+    sft_curation) — the transcript twin of corpus_curation: composes
+    conversation_prefix_dedup (retry/twin keep-first), the assistant
+    REFUSAL_PATTERN battery, conversation_lang_mix dominant-language
+    gate, and shape gates, all conv_id-keyed so the shuffles co-plan.
+    The fixture plants French conversations, refusal turns, retries,
+    twins, and two edge conversations so EVERY reason leg fires at
+    sf0.01. Oracle recomputes the full composition: quadratic prefix-
+    chain fold ∘ trigram argmax ∘ refusal battery."""
+    from doc_redaction_spark.operators.convops import sft_curation
+
+    return sft_curation(_sft_fixture(spark, sf_dir))
+
+
+def o_sft_curation():
+    from doc_redaction_spark.functions.textstats import duckdb_lang_ngram_pred
+    from doc_redaction_spark.operators.convops import duckdb_refusal_count
+
+    return f"""
+    {TR_CTE},
+    {_sft_fixture_sql()},
+    st AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_assistant,
+                  CAST(sum(CASE WHEN role = 'assistant'
+                           THEN {duckdb_refusal_count('text')}
+                           ELSE 0 END) AS BIGINT) AS refusals
+           FROM sft GROUP BY conv_id),
+    pt AS (SELECT conv_id, turn_idx,
+                  md5(role || chr(1) || coalesce(text, '')) AS th
+           FROM sft),
+    pag AS (SELECT conv_id, list(th ORDER BY turn_idx) AS hs
+            FROM pt GROUP BY conv_id),
+    pe0 AS (SELECT conv_id, CAST(len(hs) AS BIGINT) AS nt,
+                   unnest(generate_series(1, len(hs))) AS k, hs
+            FROM pag),
+    pe AS (SELECT conv_id, nt, k,
+                  list_reduce(list_prepend('', hs[1:k]),
+                              (acc, x) -> md5(acc || x)) AS chain
+           FROM pe0),
+    pd AS (SELECT f.conv_id AS conv_a
+           FROM pe f JOIN pe p ON f.chain = p.chain
+            AND f.k = f.nt AND p.conv_id <> f.conv_id
+            AND (p.nt > f.nt
+                 OR (p.nt = f.nt AND p.conv_id < f.conv_id))
+           GROUP BY f.conv_id),
+    lper AS (SELECT conv_id, {duckdb_lang_ngram_pred('text')} AS lang
+             FROM sft),
+    lcnt AS (SELECT conv_id, lang, count(*) AS n
+             FROM lper GROUP BY conv_id, lang),
+    lr AS (SELECT conv_id, lang,
+                  row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY n DESC, lang) AS rk
+           FROM lcnt),
+    jj AS (SELECT st.conv_id, st.n_turns, st.n_assistant, st.refusals,
+                  lr.lang AS dominant_lang,
+                  CAST(CASE WHEN pd.conv_a IS NOT NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS is_prefix_dup
+           FROM st
+           JOIN lr ON st.conv_id = lr.conv_id AND lr.rk = 1
+           LEFT JOIN pd ON st.conv_id = pd.conv_a),
+    rz AS (SELECT *,
+                  CASE WHEN is_prefix_dup = 1 THEN 'prefix_dup'
+                       WHEN refusals > 0 THEN 'refusal'
+                       WHEN dominant_lang <> 'en' THEN 'lang'
+                       WHEN n_assistant = 0 THEN 'no_assistant'
+                       WHEN n_turns < 2 OR n_turns > 2000 THEN 'length'
+                       ELSE 'ok' END AS reason
+           FROM jj)
+    SELECT conv_id, n_turns, n_assistant, refusals, dominant_lang,
+           is_prefix_dup,
+           CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INTEGER)
+             AS keep,
+           reason
+    FROM rz
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9110,6 +9315,8 @@ _QUERIES: dict[str, Callable] = {
     "conv_prefix_dedup": q_conv_prefix_dedup,
     "chat_render": q_chat_render,
     "sft_pairs": q_sft_pairs,
+    "code_blocks": q_code_blocks,
+    "sft_curation": q_sft_curation,
     "pq_stored": q_pq_stored,
     "write_plan": q_write_plan,
     "hybrid_rrf": q_hybrid_rrf,
@@ -9314,6 +9521,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "conv_prefix_dedup": o_conv_prefix_dedup,
     "chat_render": o_chat_render,
     "sft_pairs": o_sft_pairs,
+    "code_blocks": o_code_blocks,
+    "sft_curation": o_sft_curation,
     "pq_stored": o_pq_stored,
     "write_plan": o_write_plan,
     "hybrid_rrf": o_hybrid_rrf,

@@ -393,3 +393,97 @@ def sft_pairs(
         "ctx_tokens",
         "resp_tokens",
     )
+
+# ---------------------------------------------------------------------------
+# SFT curation: refusal gate + conversation-level keep verdict
+# ---------------------------------------------------------------------------
+
+# Assistant-refusal battery — the SFT-data hygiene filter (training on
+# refusals teaches the model to refuse everything). ONE spec, rendered to
+# Spark (Java regex) and DuckDB (RE2) below; three-dialect common subset
+# (no lookaround, inline (?i) applied at render time).
+REFUSAL_PATTERN = (
+    r"\b(i cannot help|i can't help|i am unable to|i won't be able to"
+    r"|as an ai,? i cannot)\b"
+)
+
+
+def refusal_count_col(text_col: str = "text") -> Column:
+    """Per-turn refusal-marker count (JVM regexp_count, case-insensitive)."""
+    return F.coalesce(
+        F.regexp_count(
+            F.coalesce(F.col(text_col), F.lit("")),
+            F.lit("(?i)" + REFUSAL_PATTERN),
+        ),
+        F.lit(0),
+    )
+
+
+def duckdb_refusal_count(expr: str) -> str:
+    """DuckDB rendering of the same count (extract_all has no flags arg —
+    inline (?i), same as the recognizer oracle battery)."""
+    pat = ("(?i)" + REFUSAL_PATTERN).replace("'", "''")
+    return f"len(regexp_extract_all(coalesce({expr}, ''), '{pat}'))"
+
+
+def sft_curation(
+    turns: DataFrame,
+    min_turns: int = 2,
+    max_turns: int = 2000,
+    keep_lang: str = "en",
+) -> DataFrame:
+    """Conversation-level SFT keep/drop verdict — the transcript twin of
+    the document-side ``corpus_curation`` composition.
+
+    Composes four already-verified conversation signals, all keyed on
+    ``conv_id`` so their shuffles co-plan:
+
+    * ``conversation_prefix_dedup`` — retries/twins drop (keep-first);
+    * the refusal battery over ASSISTANT turns (``REFUSAL_PATTERN``);
+    * ``conversation_lang_mix`` — dominant language must be ``keep_lang``;
+    * shape gates: ≥1 assistant turn, ``min_turns ≤ n ≤ max_turns``.
+
+    ``reason`` names the FIRST failing rule in the fixed precedence
+    (prefix_dup → refusal → lang → no_assistant → length → ok) so drop
+    accounting is deterministic and auditable.
+
+    Output: ``(conv_id, n_turns, n_assistant, refusals, dominant_lang,
+    is_prefix_dup INT, keep INT, reason)``.
+    """
+    stats = turns.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "assistant").cast("long"))
+        .cast("long")
+        .alias("n_assistant"),
+        F.sum(
+            F.when(F.col("role") == "assistant", refusal_count_col("text")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("refusals"),
+    )
+    dedup = conversation_prefix_dedup(turns).select("conv_id", "is_prefix_dup")
+    lang = conversation_lang_mix(turns).select("conv_id", "dominant_lang")
+    j = stats.join(dedup, "conv_id").join(lang, "conv_id")
+    reason = (
+        F.when(F.col("is_prefix_dup") == 1, F.lit("prefix_dup"))
+        .when(F.col("refusals") > 0, F.lit("refusal"))
+        .when(F.col("dominant_lang") != keep_lang, F.lit("lang"))
+        .when(F.col("n_assistant") == 0, F.lit("no_assistant"))
+        .when(
+            (F.col("n_turns") < min_turns) | (F.col("n_turns") > max_turns),
+            F.lit("length"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "conv_id",
+        "n_turns",
+        "n_assistant",
+        "refusals",
+        "dominant_lang",
+        "is_prefix_dup",
+        (reason == "ok").cast("int").alias("keep"),
+        reason.alias("reason"),
+    )

@@ -1,0 +1,99 @@
+"""Markdown fenced-code-block harvest over transcript turns.
+
+Code-training pipelines mine assistant turns for fenced blocks
+(````lang … ```` spans) — the transcript analog of the reference's
+per-format text extraction (its dispatch never sees markdown because its
+inputs are files, not conversations; `/root/reference/tools/
+file_conversion.py` routes on file suffix). The extraction is one pair
+of ``regexp_extract_all`` calls (JVM regex, whole-stage codegen — no
+Python) + a posexplode, so the plan is map-only until a downstream
+rollup.
+
+Pattern discipline (CLAUDE.md): the fence spec lives ONCE here and is
+rendered to Spark (Java regex) and DuckDB (RE2) from the same string —
+``[\\s\\S]*?`` instead of a ``(?s)`` flag and an explicit
+``[A-Za-z0-9_]`` class instead of ``\\w`` keep it in the three-dialect
+common subset (Python ``\\w`` is unicode-aware; Java/RE2 are ASCII).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# group 1 = info string (language tag, may be empty); group 2 = body
+# (everything up to the next closing fence, lazily)
+FENCE_PATTERN = r"```([A-Za-z0-9_]*)\n([\s\S]*?)```"
+
+
+def _sql_quote(pat: str) -> str:
+    return pat.replace("'", "''")
+
+
+def extract_code_blocks(
+    df: DataFrame,
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """One row per fenced code block: ``(*key_cols, block_idx, lang,
+    n_chars, n_lines, body_md5)``.
+
+    ``lang`` is the fence info string ('' → 'plain'); ``n_lines`` counts
+    newline terminators (a body with no trailing newline still counts
+    its last line via the +1-unless-empty rule below — deviation: bodies
+    here always come from ``…\\n```` fences so the count is exact);
+    ``body_md5`` fingerprints content so the (potentially large) body
+    never travels past this operator. Map-only: two extract_all calls
+    over the same pattern (different groups — the arrays are index-
+    aligned by construction) and one posexplode.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    langs = F.regexp_extract_all(txt, F.lit(FENCE_PATTERN), F.lit(1))
+    bodies = F.regexp_extract_all(txt, F.lit(FENCE_PATTERN), F.lit(2))
+    keys = [F.col(k) for k in key_cols]
+    ex = df.select(
+        *keys,
+        langs.alias("_langs"),
+        F.posexplode(bodies).alias("_pos", "_body"),
+    )
+    body = F.col("_body")
+    return ex.select(
+        *key_cols,
+        (F.col("_pos") + 1).cast("long").alias("block_idx"),
+        F.when(
+            F.element_at("_langs", F.col("_pos") + 1) == "", F.lit("plain")
+        )
+        .otherwise(F.element_at("_langs", F.col("_pos") + 1))
+        .alias("lang"),
+        F.length(body).cast("long").alias("n_chars"),
+        (F.length(body) - F.length(F.replace(body, F.lit("\n"), F.lit(""))))
+        .cast("long")
+        .alias("n_lines"),
+        F.md5(body).alias("body_md5"),
+    )
+
+
+def duckdb_code_blocks_sql(
+    scan: str, text_expr: str = "text", key_exprs: str = "conv_id, turn_idx"
+) -> str:
+    """DuckDB rendering of the same extraction (RE2 side of the shared
+    FENCE_PATTERN; list indexing mirrors the posexplode alignment)."""
+    pat = _sql_quote(FENCE_PATTERN)
+    return f"""
+    cbx AS (SELECT {key_exprs},
+                   regexp_extract_all(coalesce({text_expr}, ''), '{pat}', 1)
+                     AS langs,
+                   regexp_extract_all(coalesce({text_expr}, ''), '{pat}', 2)
+                     AS bodies
+            FROM {scan}),
+    cbe AS (SELECT {key_exprs}, langs,
+                   unnest(generate_series(1, len(bodies))) AS bi, bodies
+            FROM cbx)
+    SELECT {key_exprs}, CAST(bi AS BIGINT) AS block_idx,
+           CASE WHEN langs[bi] = '' THEN 'plain' ELSE langs[bi] END AS lang,
+           CAST(length(bodies[bi]) AS BIGINT) AS n_chars,
+           CAST(length(bodies[bi])
+                - length(replace(bodies[bi], chr(10), '')) AS BIGINT)
+             AS n_lines,
+           md5(bodies[bi]) AS body_md5
+    FROM cbe"""

@@ -163,3 +163,96 @@ class TestSftPairs:
     def test_non_assistant_turns_emit_nothing(self, spark):
         rows = [("A", 0, "user", "q"), ("A", 1, "tool", "r")]
         assert sft_pairs(_turns(spark, rows), budget=10).collect() == []
+
+
+class TestExtractCodeBlocks:
+    def test_blocks_langs_and_counts(self, spark):
+        from doc_redaction_spark.operators.markdown import extract_code_blocks
+
+        txt = (
+            "intro ```python\nprint(1)\nprint(2)\n``` middle "
+            "```\nno lang\n``` tail"
+        )
+        rows = [("A", 0, "user", txt), ("A", 1, "user", "no blocks")]
+        out = sorted(
+            extract_code_blocks(_turns(spark, rows)).collect(),
+            key=lambda r: r["block_idx"],
+        )
+        assert len(out) == 2
+        assert out[0]["lang"] == "python"
+        assert out[0]["n_lines"] == 2
+        assert out[0]["n_chars"] == len("print(1)\nprint(2)\n")
+        assert out[1]["lang"] == "plain"
+        assert out[1]["n_lines"] == 1
+        # turn with no fences emits nothing
+        assert all(r["turn_idx"] == 0 for r in out)
+
+    def test_unclosed_fence_ignored(self, spark):
+        from doc_redaction_spark.operators.markdown import extract_code_blocks
+
+        rows = [("A", 0, "user", "```python\nnever closed")]
+        assert extract_code_blocks(_turns(spark, rows)).collect() == []
+
+    def test_embedded_backticks_inside_body(self, spark):
+        from doc_redaction_spark.operators.markdown import extract_code_blocks
+
+        # a single backtick inside the body must not close the fence
+        rows = [("A", 0, "user", "```sql\nSELECT '`x`';\n```")]
+        out = extract_code_blocks(_turns(spark, rows)).collect()
+        assert len(out) == 1 and out[0]["lang"] == "sql"
+        assert out[0]["n_chars"] == len("SELECT '`x`';\n")
+
+
+class TestSftCuration:
+    def test_reason_precedence_and_keep(self, spark):
+        from doc_redaction_spark.operators.convops import sft_curation
+
+        fr = (
+            "je vous remercie et je suis heureux de parler avec vous "
+            "aujourd'hui mon ami"
+        )
+        rows = [
+            # K: clean keeper
+            ("K", 0, "user", "hello how are you today my friend"),
+            ("K", 1, "assistant", "i am doing well thank you for asking"),
+            # R: refusal on the assistant turn
+            ("R", 0, "user", "please do the thing for me now"),
+            ("R", 1, "assistant", "I cannot help with that request"),
+            # FR: dominant language is french
+            ("FR", 0, "user", fr),
+            ("FR", 1, "assistant", fr + " encore"),
+            # P: exact twin of K with a later id → prefix_dup
+            ("P0", 0, "user", "hello how are you today my friend"),
+            ("P0", 1, "assistant", "i am doing well thank you for asking"),
+            # S: single turn → length
+            ("S", 0, "assistant", "the only turn of this conversation here"),
+            # U: no assistant turns
+            ("U", 0, "user", "first question for you right now"),
+            ("U", 1, "user", "second question for you right now"),
+        ]
+        turns = spark.createDataFrame(
+            [(c, i, r, t) for c, i, r, t in rows],
+            "conv_id string, turn_idx int, role string, text string",
+        )
+        out = {r["conv_id"]: r for r in sft_curation(turns).collect()}
+        # K vs P0: keep-first → K keeps ('K' < 'P0')
+        assert out["K"]["reason"] == "ok" and out["K"]["keep"] == 1
+        assert out["P0"]["reason"] == "prefix_dup" and out["P0"]["keep"] == 0
+        assert out["R"]["reason"] == "refusal" and out["R"]["refusals"] == 1
+        assert out["FR"]["reason"] == "lang" and out["FR"]["dominant_lang"] == "fr"
+        assert out["S"]["reason"] == "length"
+        assert out["U"]["reason"] == "no_assistant"
+
+    def test_refusal_case_insensitive_and_non_assistant_ignored(self, spark):
+        from doc_redaction_spark.operators.convops import sft_curation
+
+        rows = [
+            # the USER saying "i cannot help" must not trip the gate
+            ("A", 0, "user", "i cannot help noticing the weather is nice"),
+            ("A", 1, "assistant", "indeed it is a very nice day today"),
+        ]
+        turns = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        out = {r["conv_id"]: r for r in sft_curation(turns).collect()}
+        assert out["A"]["refusals"] == 0 and out["A"]["reason"] == "ok"
