@@ -9299,6 +9299,88 @@ def o_sft_curation():
     """
 
 
+def q_bigram_surprisal(spark, sf_dir):
+    """Order-2 LM scoring (operators/curation.py bigram_surprisal):
+    add-one-smoothed corpus bigram model, per-doc mean surprisal
+    log2-BUCKETED in the integer domain (floor_log2(c1+V) −
+    floor_log2(c12+1) — float ln() is not bit-identical cross-engine).
+    Context counts come from the bigram table, not the token stream;
+    the vocabulary count broadcasts. Catches shuffled/word-salad text
+    whose unigrams are common (the unigram_surprisal blind spot)."""
+    from doc_redaction_spark.operators.curation import bigram_surprisal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return bigram_surprisal(docs)
+
+
+def o_bigram_surprisal():
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id AS id, {toks} AS tks FROM documents),
+    bg0 AS (SELECT id, unnest(generate_series(1, greatest(len(tks) - 1, 0)))
+                     AS i, tks
+            FROM tk),
+    bg AS (SELECT id, tks[i] || ' ' || tks[i + 1] AS g FROM bg0),
+    dbf AS (SELECT id, g, CAST(count(*) AS BIGINT) AS bf
+            FROM bg GROUP BY id, g),
+    cbf AS (SELECT g, CAST(sum(bf) AS BIGINT) AS c12 FROM dbf GROUP BY g),
+    cx AS (SELECT string_split(g, ' ')[1] AS w1,
+                  CAST(sum(c12) AS BIGINT) AS c1
+           FROM cbf GROUP BY string_split(g, ' ')[1]),
+    vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+           FROM (SELECT unnest(tks) AS tok FROM tk)),
+    s AS (SELECT cbf.g,
+                 (length(bin(cx.c1 + vv.v)) - 1)
+                 - (length(bin(cbf.c12 + 1)) - 1) AS s
+          FROM cbf JOIN cx ON string_split(cbf.g, ' ')[1] = cx.w1
+          CROSS JOIN vv),
+    d AS (SELECT dbf.id, CAST(sum(dbf.bf) AS BIGINT) AS n_bi,
+                 CAST(sum(dbf.bf * s.s) AS BIGINT) AS sum_s
+          FROM dbf JOIN s ON dbf.g = s.g GROUP BY dbf.id)
+    SELECT doc_id,
+           CAST(coalesce(d.n_bi, 0) AS BIGINT) AS n_bi,
+           coalesce(floor(d.sum_s * 10000 / d.n_bi) / 10000, 0.0e0)
+               AS surprisal
+    FROM documents LEFT JOIN d ON documents.doc_id = d.id
+    """
+
+
+def q_dp_histogram(spark, sf_dir):
+    """Seeded two-sided-geometric count release (operators/privacy.py
+    dp_histogram — the count companion to rr_estimate): per-category
+    noise Z = sign·min(K, 16), K = leading Bernoulli(3/4) successes
+    from md5 coins keyed (key, salt, i) — exact integer comparisons, no
+    floats, and the ORACLE resamples the identical coins so the
+    mechanism itself is value-hash-checked. Key = event_type × 20
+    user buckets (~120 categories at sf0.01)."""
+    from doc_redaction_spark.operators.privacy import dp_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keyed = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(":"), (F.col("user_id") % 20).cast("string")
+        ).alias("cat")
+    )
+    return dp_histogram(keyed, "cat")
+
+
+def o_dp_histogram():
+    from doc_redaction_spark.operators.privacy import duckdb_dp_histogram_sql
+
+    body = duckdb_dp_histogram_sql(
+        "(SELECT event_type || ':' || CAST(user_id % 20 AS VARCHAR) AS cat"
+        " FROM events)",
+        "cat",
+        out_key="cat",
+    )
+    return f"""
+    WITH {body}
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9317,6 +9399,8 @@ _QUERIES: dict[str, Callable] = {
     "sft_pairs": q_sft_pairs,
     "code_blocks": q_code_blocks,
     "sft_curation": q_sft_curation,
+    "bigram_surprisal": q_bigram_surprisal,
+    "dp_histogram": q_dp_histogram,
     "pq_stored": q_pq_stored,
     "write_plan": q_write_plan,
     "hybrid_rrf": q_hybrid_rrf,
@@ -9523,6 +9607,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "sft_pairs": o_sft_pairs,
     "code_blocks": o_code_blocks,
     "sft_curation": o_sft_curation,
+    "bigram_surprisal": o_bigram_surprisal,
+    "dp_histogram": o_dp_histogram,
     "pq_stored": o_pq_stored,
     "write_plan": o_write_plan,
     "hybrid_rrf": o_hybrid_rrf,

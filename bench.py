@@ -136,6 +136,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "pq_encode",
         "spell_correct",
         "warc_ingest",
+        # session-7 representatives: the prefix-chain conversation dedup
+        # (aggregate-HOF + hash join) and the conv-level curation capstone
+        "conv_prefix_dedup",
+        "sft_curation",
     ]
     qs = entrymod.queries()
     out = {}

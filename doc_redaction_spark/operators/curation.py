@@ -738,3 +738,75 @@ def source_overlap(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("shared_grams"))
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-bigram-LM document scoring — the order-2 extension of
+    ``unigram_surprisal`` (the deterministic KenLM-filter analog): train
+    an add-one-smoothed bigram model on the corpus itself, score each
+    document by its mean per-bigram surprisal. A document whose token
+    PAIRS are corpus-rare (shuffled text, word salad, concatenation
+    seams) scores high even when its unigrams are common — the signal a
+    unigram filter is blind to.
+
+    Same documented deviation as the unigram op: surprisal is
+    log2-BUCKETED in the integer domain — s(w1,w2) = floor_log2(c(w1) +
+    V) − floor_log2(c(w1,w2) + 1), the bucketed form of
+    log2((c1+V)/(c12+1)) with add-one smoothing — float ln() is not
+    bit-identical cross-engine, integer digit counts are.
+
+    Plan shape: bigram stream via the shared ``_gram_positions`` kernel
+    (n=2, literal grams) → per-(doc, bigram) counts (map-side
+    combinable) → corpus bigram table → context counts c(w1) by one more
+    combinable agg over the BIGRAM table (not the token stream — it is
+    vocabulary², not corpus, sized) → per-doc sum. The 1-row vocabulary
+    count broadcasts.
+
+    Output: ``(id_col, n_bi BIGINT, surprisal DOUBLE floored 4dp)``;
+    docs with <2 tokens report (0, 0.0).
+    """
+    from doc_redaction_spark.operators.dedup import _gram_positions
+
+    bi = _gram_positions(docs, text_col, id_col, 2, hashed=False)
+    dbf = bi.groupBy("id", "g").agg(F.count("*").alias("bf"))
+    cbf = dbf.groupBy("g").agg(F.sum("bf").alias("c12"))
+    w1 = F.split(F.col("g"), " ").getItem(0)
+    c1t = (
+        cbf.select(w1.alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    uni = _gram_positions(docs, text_col, id_col, 1, hashed=False)
+    vocab = uni.select("g").distinct().agg(F.count("*").alias("_V"))
+    s = (
+        cbf.withColumn("w1", w1)
+        .join(c1t, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("_a", F.col("c1") + F.col("_V"))
+        .withColumn("_b", F.col("c12") + F.lit(1))
+        .select("g", (_floor_log2("_a") - _floor_log2("_b")).alias("s"))
+    )
+    per_doc = (
+        dbf.join(s, "g")
+        .groupBy("id")
+        .agg(
+            F.sum("bf").alias("n_bi"),
+            F.sum(F.col("bf") * F.col("s")).alias("sum_s"),
+        )
+    )
+    scored = per_doc.select(
+        "id",
+        F.col("n_bi").cast("long").alias("n_bi"),
+        (F.floor(F.col("sum_s") * SCALE / F.col("n_bi")) / SCALE).alias("surprisal"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(scored, F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_bi", F.lit(0)).cast("long").alias("n_bi"),
+            F.coalesce("surprisal", F.lit(0.0)).alias("surprisal"),
+        )
+    )

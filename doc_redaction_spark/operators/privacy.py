@@ -275,3 +275,95 @@ def t_closeness_report(
         F.col("_n2").cast("long").alias("class_size"),
         emd.alias("emd_x1e6"),
     ).withColumn("at_risk", (F.col("emd_x1e6") > t_x1e6).cast("int"))
+
+
+def dp_histogram(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "dp",
+    cap: int = 16,
+) -> DataFrame:
+    """Seeded two-sided-geometric histogram release — the count-release
+    companion to ``randomized_response`` (which releases a RATE): each
+    category's true count is perturbed by ``Z = sign · min(K, cap)``
+    where ``K`` is the number of leading successes in a chain of
+    Bernoulli(3/4) coins and ``sign`` is a fair coin — i.e. magnitude
+    ~ Geometric(1/4) truncated at ``cap``, the standard discrete-
+    Laplace-style mechanism for integer counts (α = 3/4 ↔ ε ≈ ln(4/3)
+    per unit sensitivity; the truncation at ``cap`` and the doubled
+    zero mass make the ε bound approximate — stated, not hidden).
+
+    All coins are seeded md5 draws keyed on ``(key, salt, i)`` — the
+    module's randomized-response discipline: the release is
+    deterministic, replayable, and the ORACLE samples the exact same
+    noise, so the mechanism itself is value-hash-checked cross-engine.
+    Coin ``i`` succeeds iff ``u32(key:salt:mag:i) · 4 < 3 · 2³²`` —
+    exact integer comparison, no floats.
+
+    Map-only after one combinable groupBy: the coin chain is a per-KEY
+    constant-length array (``cap`` draws), so the release costs
+    O(categories), not O(rows). Output: ``(key_col, n, noise, released
+    BIGINT)`` — a production release projects ``released`` only (n and
+    noise are returned for audit/verification).
+    """
+    from doc_redaction_spark.operators.sampling import _hash_u32
+
+    cnt = df.groupBy(key_col).agg(F.count("*").cast("long").alias("n"))
+    key = F.col(key_col).cast("string")
+    flags = F.transform(
+        F.sequence(F.lit(0), F.lit(cap - 1)),
+        lambda i_dp: (
+            _hash_u32(F.concat(key, F.lit(f":{salt}:mag:"), i_dp.cast("string")))
+            * 4
+            < F.lit(3 * 2**32)
+        ).cast("int"),
+    )
+    pos = F.array_position(flags, 0)  # 1-based; 0 when all cap coins succeed
+    k = F.when(pos == 0, F.lit(cap)).otherwise(pos - 1).cast("long")
+    sign = F.when(
+        _hash_u32(F.concat(key, F.lit(f":{salt}:sign"))) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return cnt.select(
+        key_col,
+        "n",
+        (sign * k).cast("long").alias("noise"),
+        (F.col("n") + sign * k).cast("long").alias("released"),
+    )
+
+
+def duckdb_dp_histogram_sql(
+    scan: str, key_expr: str, salt: str = "dp", cap: int = 16,
+    out_key: str = "k",
+) -> str:
+    """DuckDB rendering of the same mechanism (same md5 coins, same
+    integer comparisons — the noise itself is hash-checked).
+
+    GOTCHA that cost the first rendering a red row: DuckDB 1.0.0's
+    ``list_position(list, elem)`` returns **0**, not NULL, when the
+    element is absent (newer docs say NULL), so an ``IS NULL`` guard for
+    the all-successes chain never fired and the cap leg released ±1
+    instead of ±cap — deterministically wrong for the ~1% of keys
+    ((3/4)^16) whose 16 coins all succeed. This rendering avoids
+    list_position entirely: the coin chain materializes as per-(key, i)
+    rows via unnest and K (leading successes) = min(first-failure
+    index), version-robust in both NULL and 0 conventions."""
+    from doc_redaction_spark.operators.sampling import duckdb_hash_u32
+
+    mag = duckdb_hash_u32(f"k || ':{salt}:mag:' || CAST(i AS VARCHAR)")
+    sgn = duckdb_hash_u32(f"k || ':{salt}:sign'")
+    return f"""
+    dpc AS (SELECT {key_expr} AS k, CAST(count(*) AS BIGINT) AS n
+            FROM {scan} GROUP BY {key_expr}),
+    dpi AS (SELECT k, n, unnest(generate_series(0, {cap - 1})) AS i
+            FROM dpc),
+    dpg AS (SELECT k, any_value(n) AS n,
+                   min(CASE WHEN {mag} * 4 >= {3 * 2**32} THEN i END)
+                     AS firstfail
+            FROM dpi GROUP BY k),
+    dpk AS (SELECT k, n,
+                   CAST(coalesce(firstfail, {cap}) AS BIGINT) AS kk,
+                   CASE WHEN {sgn} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM dpg)
+    SELECT k AS {out_key}, n, CAST(sgn * kk AS BIGINT) AS noise,
+           CAST(n + sgn * kk AS BIGINT) AS released
+    FROM dpk"""

@@ -556,3 +556,52 @@ def test_pq_paths_no_python_no_cartesian(spark, queries):
         plan = _plan(queries[name](spark, SF))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_code_blocks_is_map_only_no_python(spark, queries):
+    """Fenced-block harvest: generators + projections only — no
+    Exchange (nothing groups), no Python stage (JVM regexp)."""
+    plan = _plan(queries["code_blocks"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in plan, plan
+
+
+def test_chat_render_single_conv_exchange_no_joins(spark, queries):
+    """Offset map = window sums over ONE conv_id partitioning: exactly
+    one shuffle, zero joins, zero Python, and the conversation string
+    is never concatenated (no concat of a collected array)."""
+    plan = _plan(queries["chat_render"](spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    for marker in ("Join", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_conv_prefix_dedup_joins_on_chain_hash_only(spark, queries):
+    """The dedup join must carry chain hashes, never turn text: no
+    'text' column may appear in any join or exchange line."""
+    plan = _plan(queries["conv_prefix_dedup"](spark, SF))
+    for ln in plan.splitlines():
+        if "Join" in ln or "Exchange" in ln:
+            assert "text#" not in ln, ln
+    # equi-join on the chain hash, not a cartesian/theta join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dp_histogram_single_aggregate_no_joins(spark, queries):
+    """Count + map-only noise: one aggregate pair (partial/final over
+    one exchange), no joins, no Python."""
+    plan = _plan(queries["dp_histogram"](spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    for marker in ("Join", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_sft_pairs_conv_equi_join_not_cartesian(spark, queries):
+    """The budget cut joins assistants to priors ON conv_id (equi) —
+    never a cartesian/nested-loop over the corpus."""
+    plan = _plan(queries["sft_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -256,3 +256,69 @@ class TestSftCuration:
         )
         out = {r["conv_id"]: r for r in sft_curation(turns).collect()}
         assert out["A"]["refusals"] == 0 and out["A"]["reason"] == "ok"
+
+
+class TestBigramSurprisal:
+    def test_rare_pair_scores_above_common_pair(self, spark):
+        from doc_redaction_spark.operators.curation import bigram_surprisal
+
+        # V={a,b}; c(a)=5 as bigram-context; s(aa)=fl2(7)-fl2(5)=0,
+        # s(ab)=fl2(7)-fl2(2)=1 → repeated-pair doc scores 0, rare 1
+        docs = spark.createDataFrame(
+            [(1, "a a a a a"), (2, "a b")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+        assert out[1]["n_bi"] == 4 and out[1]["surprisal"] == 0.0
+        assert out[2]["n_bi"] == 1 and out[2]["surprisal"] == 1.0
+
+    def test_short_and_empty_docs_zero(self, spark):
+        from doc_redaction_spark.operators.curation import bigram_surprisal
+
+        docs = spark.createDataFrame(
+            [(1, "solo"), (2, ""), (3, None), (4, "a b")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+        for d in (1, 2, 3):
+            assert out[d]["n_bi"] == 0 and out[d]["surprisal"] == 0.0
+        assert out[4]["n_bi"] == 1
+
+
+class TestDpHistogram:
+    @staticmethod
+    def _expected(key, n, salt="dp", cap=16):
+        import hashlib
+
+        u = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        k = cap
+        for i in range(cap):
+            if u(f"{key}:{salt}:mag:{i}") * 4 >= 3 * 2**32:
+                k = i
+                break
+        sign = 1 if u(f"{key}:{salt}:sign") % 2 == 0 else -1
+        return n + sign * k, sign * k
+
+    def test_matches_hashlib_reference(self, spark):
+        from doc_redaction_spark.operators.privacy import dp_histogram
+
+        rows = [("x",)] * 10 + [("y",)] * 3 + [("click:11",)] * 90
+        df = spark.createDataFrame(rows, "cat string")
+        out = {r["cat"]: r for r in dp_histogram(df, "cat").collect()}
+        for key, n in (("x", 10), ("y", 3), ("click:11", 90)):
+            released, noise = self._expected(key, n)
+            assert out[key]["released"] == released, key
+            assert out[key]["noise"] == noise, key
+        # click:11's 16 leading successes exercise the truncation cap
+        assert abs(out["click:11"]["noise"]) == 16
+
+    def test_noise_bounded_and_deterministic(self, spark):
+        from doc_redaction_spark.operators.privacy import dp_histogram
+
+        df = spark.createDataFrame(
+            [(f"k{i % 25}",) for i in range(500)], "cat string"
+        )
+        a = sorted(dp_histogram(df, "cat").collect())
+        b = sorted(dp_histogram(df, "cat").collect())
+        assert a == b
+        assert all(abs(r["noise"]) <= 16 for r in a)
+        assert all(r["released"] == r["n"] + r["noise"] for r in a)
