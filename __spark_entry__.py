@@ -2293,31 +2293,40 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def o_dedup_minhash_lsh():
+def _mh_oracle_parts(num_hashes: int = _MH_HASHES, bands_n: int = _MH_BANDS):
+    """Shared DuckDB renderings of the MinHash pipeline pieces (same
+    arithmetic as minhash_signature: one 28-bit md5-derived base hash
+    per shingle, then per-seed (a*h + c) mod 2^31-1 integer mixes).
+    Returns (sig_expr, band_cols, band_match_pred, est_jaccard_expr) —
+    used by the document, incremental, and conversation-level oracles
+    so the signature spec lives once."""
     from doc_redaction_spark.operators.dedup import MINHASH_CONSTS, MINHASH_P
 
-    rows = _MH_HASHES // _MH_BANDS
-    # same arithmetic as minhash_signature: one 28-bit md5-derived base
-    # hash per shingle, then per-seed (a*h + c) mod 2^31-1 integer mixes
+    rows = num_hashes // bands_n
     sig = (
         "["
         + ", ".join(
             f"list_min(list_transform(bh, h -> ({a} * h + {c}) % {MINHASH_P}))"
-            for a, c in MINHASH_CONSTS[:_MH_HASHES]
+            for a, c in MINHASH_CONSTS[:num_hashes]
         )
         + "]"
     )
     bands = ", ".join(
         f"md5(array_to_string(list_transform(sig[{b * rows + 1}:{(b + 1) * rows}],"
         f" v -> CAST(v AS VARCHAR)), '|')) AS bh{b}"
-        for b in range(_MH_BANDS)
+        for b in range(bands_n)
     )
-    band_match = " OR ".join(f"a.bh{b} = b.bh{b}" for b in range(_MH_BANDS))
+    band_match = " OR ".join(f"a.bh{b} = b.bh{b}" for b in range(bands_n))
     est = (
-        f"round(list_sum(list_transform(generate_series(1, {_MH_HASHES}),"
+        f"round(list_sum(list_transform(generate_series(1, {num_hashes}),"
         f" i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))"
-        f" / {_MH_HASHES}.0e0, 4)"
+        f" / {num_hashes}.0e0, 4)"
     )
+    return sig, bands, band_match, est
+
+
+def o_dedup_minhash_lsh():
+    sig, bands, band_match, est = _mh_oracle_parts()
     return f"""
     WITH docs_plus AS ({documents_plus_sql()}),
     sh AS (SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM docs_plus),
@@ -2347,28 +2356,7 @@ def q_dedup_incremental(spark, sf_dir):
 
 
 def o_dedup_incremental():
-    from doc_redaction_spark.operators.dedup import MINHASH_CONSTS, MINHASH_P
-
-    rows = _MH_HASHES // _MH_BANDS
-    sig = (
-        "["
-        + ", ".join(
-            f"list_min(list_transform(bh, h -> ({a} * h + {c}) % {MINHASH_P}))"
-            for a, c in MINHASH_CONSTS[:_MH_HASHES]
-        )
-        + "]"
-    )
-    bands = ", ".join(
-        f"md5(array_to_string(list_transform(sig[{b * rows + 1}:{(b + 1) * rows}],"
-        f" v -> CAST(v AS VARCHAR)), '|')) AS bh{b}"
-        for b in range(_MH_BANDS)
-    )
-    band_match = " OR ".join(f"a.bh{b} = b.bh{b}" for b in range(_MH_BANDS))
-    est = (
-        f"round(list_sum(list_transform(generate_series(1, {_MH_HASHES}),"
-        f" i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))"
-        f" / {_MH_HASHES}.0e0, 4)"
-    )
+    sig, bands, band_match, est = _mh_oracle_parts()
     return f"""
     WITH base AS (SELECT doc_id, text FROM documents),
     newb AS (SELECT doc_id + 500000 AS doc_id, text FROM base WHERE doc_id % 11 = 0),
@@ -9381,6 +9369,83 @@ def o_dp_histogram():
     """
 
 
+# divergent-retry fixture: conversations c≡1 (mod 5) get a '_d' full-length
+# copy whose turns at turn_idx≡3 (mod 7) are edited (' alt' appended) — the
+# retry-with-edits shape that breaks prefix chains but keeps turn-set
+# similarity high. ONE template, both engines.
+_TRX_DIVERGE_CTE = """
+    trxd AS (
+      SELECT conv_id, turn_idx, role, text FROM transcripts
+      UNION ALL
+      SELECT conv_id || '_d', turn_idx, role,
+             CASE WHEN turn_idx % 7 = 3 THEN text || ' alt' ELSE text END
+      FROM transcripts
+      WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 5 = 1
+    )"""
+
+
+def _tr_diverged(spark, sf_dir):
+    """Spark twin of _TRX_DIVERGE_CTE."""
+    tr = _tr(spark, sf_dir).select("conv_id", "turn_idx", "role", "text")
+    cnum = F.substring("conv_id", 2, 10).cast("int")
+    div = tr.filter(cnum % 5 == 1).select(
+        F.concat("conv_id", F.lit("_d")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(
+            F.col("turn_idx") % 7 == 3, F.concat("text", F.lit(" alt"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return tr.unionByName(div)
+
+
+def q_conv_near_dup(spark, sf_dir):
+    """Divergent-retry detection (operators/convops.py
+    conversation_near_dup): conversations become pseudo-documents of
+    per-turn content hashes and the EXISTING MinHash-LSH kernel runs
+    over turn-bigram shingles — an edited turn costs two shingles, so
+    retries-with-edits surface as near-dup conversation pairs where
+    prefix dedup structurally cannot (one changed turn breaks every
+    later prefix chain). Fixture plants '_d' copies with 1-in-7 turns
+    edited; the oracle recomputes the full signature math through the
+    shared _mh_oracle_parts spec."""
+    from doc_redaction_spark.operators.convops import conversation_near_dup
+
+    return conversation_near_dup(
+        _tr_diverged(spark, sf_dir), threshold=0.35, num_hashes=16, bands=8
+    )
+
+
+def o_conv_near_dup():
+    # 8 bands × 2 rows: band-collision recall ≈ 1−(1−J²)⁸ ≈ 0.9 at J=0.5
+    # (the 4×4 default caught only half the planted pairs)
+    sig, bands, band_match, est = _mh_oracle_parts(16, 8)
+    return f"""
+    {TR_CTE},
+    {_TRX_DIVERGE_CTE},
+    cnt AS (SELECT conv_id, turn_idx,
+                   md5(role || chr(1) || coalesce(text, '')) AS th
+            FROM trxd),
+    cna AS (SELECT conv_id, list(th ORDER BY turn_idx) AS hs
+            FROM cnt GROUP BY conv_id),
+    csh AS (SELECT conv_id AS id,
+                   CASE WHEN len(hs) >= 2 THEN
+                     list_distinct(list_transform(
+                       generate_series(1, len(hs) - 1),
+                       i -> hs[i] || ' ' || hs[i + 1]))
+                   ELSE [] END AS shingles
+            FROM cna),
+    cbh AS (SELECT id, list_transform(shingles,
+                x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS bh
+            FROM csh WHERE len(shingles) > 0),
+    csg AS (SELECT id, {sig} AS sig FROM cbh),
+    cbd AS (SELECT id, sig, {bands} FROM csg)
+    SELECT a.id AS id1, b.id AS id2, {est} AS est_jaccard
+    FROM cbd a JOIN cbd b ON a.id < b.id AND ({band_match})
+    WHERE {est} >= 0.35
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9401,6 +9466,7 @@ _QUERIES: dict[str, Callable] = {
     "sft_curation": q_sft_curation,
     "bigram_surprisal": q_bigram_surprisal,
     "dp_histogram": q_dp_histogram,
+    "conv_near_dup": q_conv_near_dup,
     "pq_stored": q_pq_stored,
     "write_plan": q_write_plan,
     "hybrid_rrf": q_hybrid_rrf,
@@ -9609,6 +9675,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "sft_curation": o_sft_curation,
     "bigram_surprisal": o_bigram_surprisal,
     "dp_histogram": o_dp_histogram,
+    "conv_near_dup": o_conv_near_dup,
     "pq_stored": o_pq_stored,
     "write_plan": o_write_plan,
     "hybrid_rrf": o_hybrid_rrf,

@@ -190,15 +190,10 @@ def conversation_prefix_dedup(
     per conversation; ``dup_of`` is the smallest qualifying superset
     conversation, NULL for kept rows.
     """
-    th = F.md5(
-        F.concat(
-            F.col(role_col), F.lit("\x01"), F.coalesce(F.col(text_col), F.lit(""))
-        )
-    )
     per = turns.select(
         F.col(conv_col).alias("conv_id"),
         F.col(idx_col).alias("turn_idx"),
-        th.alias("th"),
+        turn_hash_col(role_col, text_col).alias("th"),
     )
     arr = per.groupBy("conv_id").agg(
         F.array_sort(F.collect_list(F.struct("turn_idx", "th"))).alias("sarr")
@@ -486,4 +481,73 @@ def sft_curation(
         "is_prefix_dup",
         (reason == "ok").cast("int").alias("keep"),
         reason.alias("reason"),
+    )
+
+
+def turn_hash_col(role_col: str = "role", text_col: str = "text") -> Column:
+    """Per-turn content hash ``md5(role ⊕ 0x01 ⊕ text)`` — the shared
+    turn-identity spec used by conversation_prefix_dedup and
+    conversation_near_dup (one definition, one oracle rendering)."""
+    return F.md5(
+        F.concat(
+            F.col(role_col), F.lit("\x01"), F.coalesce(F.col(text_col), F.lit(""))
+        )
+    )
+
+
+def conversation_near_dup(
+    turns: DataFrame,
+    threshold: float = 0.35,
+    num_hashes: int = 16,
+    bands: int = 4,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Divergent-retry detection: conversation pairs whose TURN SETS are
+    near-identical even though some turns were edited — the case
+    ``conversation_prefix_dedup`` structurally misses (one changed turn
+    breaks every later prefix chain).
+
+    Each conversation becomes a pseudo-document whose tokens are its
+    per-turn content hashes (``turn_hash_col``, order preserved), and
+    the EXISTING MinHash-LSH kernel runs over turn-bigram shingles —
+    so conversation similarity = Jaccard over consecutive turn PAIRS,
+    order-sensitive the same way the document path's word shingles are.
+    An edited turn costs only its two adjacent shingles; a divergent
+    tail decays similarity proportionally. All the kernel's scale
+    properties carry over unchanged: banded candidate generation,
+    ``id1 < id2`` equi-joins, no all-pairs work.
+
+    The per-conversation hash-doc build is the family's bounded-history
+    collect (same contract as context_trim / prefix_dedup).
+
+    Output: ``(id1, id2, est_jaccard)`` — conversation id pairs.
+    """
+    from doc_redaction_spark.operators.dedup import minhash_lsh_pairs
+
+    per = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        turn_hash_col(role_col, text_col).alias("th"),
+    )
+    hdocs = (
+        per.groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "th"))).alias("sarr"))
+        .select(
+            "conv_id",
+            F.concat_ws(
+                " ", F.transform(F.col("sarr"), lambda s_nd: s_nd["th"])
+            ).alias("hdoc"),
+        )
+    )
+    return minhash_lsh_pairs(
+        hdocs,
+        text_col="hdoc",
+        id_col="conv_id",
+        n=2,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
     )

@@ -605,3 +605,15 @@ def test_sft_pairs_conv_equi_join_not_cartesian(spark, queries):
     plan = _plan(queries["sft_pairs"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_conv_near_dup_banded_equi_join_no_cartesian(spark, queries):
+    """Conversation near-dup inherits the dedup family's candidate
+    discipline: banded equi-join, id1<id2, never cartesian — and turn
+    text never crosses a join (only hashes and signatures do)."""
+    plan = _plan(queries["conv_near_dup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in plan.splitlines():
+        if "Join" in ln or "Exchange" in ln:
+            assert "text#" not in ln, ln

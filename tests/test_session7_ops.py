@@ -322,3 +322,41 @@ class TestDpHistogram:
         assert a == b
         assert all(abs(r["noise"]) <= 16 for r in a)
         assert all(r["released"] == r["n"] + r["noise"] for r in a)
+
+
+class TestConversationNearDup:
+    def test_edited_retry_found_prefix_dedup_blind(self, spark):
+        from doc_redaction_spark.operators.convops import (
+            conversation_near_dup,
+            conversation_prefix_dedup,
+        )
+
+        base = [(f"t{i}", f"turn number {i} with some shared words") for i in range(12)]
+        rows = []
+        for i, (_, t) in enumerate(base):
+            rows.append(("A", i, "user", t))
+            # B: same conversation with ONE early turn edited
+            rows.append(("B", i, "user", t + " EDIT" if i == 2 else t))
+            # C: unrelated conversation
+            rows.append(("C", i, "user", f"completely different content {i} xyz"))
+        turns = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        pairs = conversation_near_dup(turns, threshold=0.35, bands=8).collect()
+        assert {(p["id1"], p["id2"]) for p in pairs} == {("A", "B")}
+        # prefix dedup is structurally blind to the same pair
+        pd = {r["conv_id"]: r for r in conversation_prefix_dedup(turns).collect()}
+        assert pd["A"]["is_prefix_dup"] == 0 and pd["B"]["is_prefix_dup"] == 0
+
+    def test_identical_conversations_score_one(self, spark):
+        from doc_redaction_spark.operators.convops import conversation_near_dup
+
+        rows = []
+        for c in ("X", "Y"):
+            for i in range(6):
+                rows.append((c, i, "user", f"same text for turn {i}"))
+        turns = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        pairs = conversation_near_dup(turns, threshold=0.5, bands=8).collect()
+        assert len(pairs) == 1 and pairs[0]["est_jaccard"] == 1.0
