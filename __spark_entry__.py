@@ -9169,8 +9169,12 @@ def _sft_fixture(spark, sf_dir):
     fr = F.when(
         cnum % 7 == 5, F.concat(F.lit(_FR_TEXT), d.cast("string"))
     ).otherwise(F.col("text"))
+    # refusals plant only in conversations c ≡ 0 (mod 3): long
+    # conversations hit the d-residue for SOME turn at every SF, so a
+    # conv-level gate is needed to keep a stable fraction of clean
+    # conversations at sf0.1 (first rendering kept 0 rows there)
     planted = F.when(
-        (F.col("role") == "assistant") & (d % 11 == 3),
+        (F.col("role") == "assistant") & (d % 11 == 3) & (cnum % 3 == 0),
         F.concat(fr, F.lit(_REFUSAL_TAIL)),
     ).otherwise(fr)
     base = tr.select("conv_id", "turn_idx", "role", planted.alias("text"))
@@ -9198,6 +9202,7 @@ def _sft_fixture_sql() -> str:
             AND CAST((turn_idx * 37
                      + CAST(substr(conv_id, 2, 10) AS INTEGER)) % 11
                 AS INTEGER) = 3
+            AND CAST(substr(conv_id, 2, 10) AS INTEGER) % 3 = 0
            THEN text || '{_REFUSAL_TAIL}'
            ELSE text END AS text
       FROM sft0),
@@ -9223,7 +9228,10 @@ def q_sft_curation(spark, sf_dir):
     return sft_curation(_sft_fixture(spark, sf_dir))
 
 
-def o_sft_curation():
+def _sft_curation_chain_sql() -> str:
+    """CTE chain ending in ``verdict`` (the sft_curation output) over the
+    sft fixture — shared by o_sft_curation and the o_sft_shards capstone
+    so the composed oracle reuses the standalone spec verbatim."""
     from doc_redaction_spark.functions.textstats import duckdb_lang_ngram_pred
     from doc_redaction_spark.operators.convops import duckdb_refusal_count
 
@@ -9277,13 +9285,89 @@ def o_sft_curation():
                        WHEN n_assistant = 0 THEN 'no_assistant'
                        WHEN n_turns < 2 OR n_turns > 2000 THEN 'length'
                        ELSE 'ok' END AS reason
-           FROM jj)
+           FROM jj),
+    verdict AS (SELECT conv_id, n_turns, n_assistant, refusals,
+                       dominant_lang, is_prefix_dup,
+                       CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END
+                         AS INTEGER) AS keep,
+                       reason
+                FROM rz)"""
+
+
+def o_sft_curation():
+    return f"""
+    {_sft_curation_chain_sql()}
     SELECT conv_id, n_turns, n_assistant, refusals, dominant_lang,
-           is_prefix_dup,
-           CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INTEGER)
-             AS keep,
-           reason
-    FROM rz
+           is_prefix_dup, keep, reason
+    FROM verdict
+    """
+
+
+def q_sft_shards(spark, sf_dir):
+    """SFT shard-layout capstone: kept conversations (sft_curation) get
+    per-conversation token masses, a STABLE rendezvous shard assignment
+    (resize moves ~1/(N+1) of conversations — operators/sampling.py
+    rendezvous_shards), and exact within-shard sequence numbers + token
+    offsets via per-shard windows — no global sort anywhere; shards are
+    the parallel unit, offsets are prefix sums inside each. The oracle
+    reuses the sft_curation chain verbatim plus the rendezvous argmax
+    spec — the full composition is value-hash-checked."""
+    from doc_redaction_spark.functions.textstats import token_count_col
+    from doc_redaction_spark.operators.convops import sft_curation
+    from doc_redaction_spark.operators.sampling import rendezvous_shards
+
+    fx = _sft_fixture(spark, sf_dir)
+    kept = sft_curation(fx).filter(F.col("keep") == 1).select("conv_id")
+    ntok = fx.groupBy("conv_id").agg(
+        F.sum(token_count_col("text")).cast("long").alias("n_tok")
+    )
+    convs = kept.join(ntok, "conv_id")
+    sh = rendezvous_shards(convs, 8, id_col="conv_id")
+    j = convs.join(sh, "conv_id")
+    w = Window.partitionBy("shard").orderBy("conv_id")
+    wt = Window.partitionBy("shard")
+    return (
+        j.withColumn("seq_in_shard", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "start_off",
+            F.coalesce(
+                F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("shard_tokens", F.sum("n_tok").over(wt).cast("long"))
+        .select(
+            "conv_id", "n_tok", "shard", "seq_in_shard", "start_off",
+            "shard_tokens",
+        )
+    )
+
+
+def o_sft_shards():
+    from doc_redaction_spark.functions.textstats import duckdb_token_count
+    from doc_redaction_spark.operators.sampling import duckdb_rendezvous_shard
+
+    return f"""
+    {_sft_curation_chain_sql()},
+    kt AS (SELECT conv_id, CAST(sum({duckdb_token_count('text')}) AS BIGINT)
+                    AS n_tok
+           FROM sft GROUP BY conv_id),
+    kc AS (SELECT v.conv_id, kt.n_tok
+           FROM verdict v JOIN kt ON v.conv_id = kt.conv_id
+           WHERE v.keep = 1),
+    shx AS (SELECT conv_id, n_tok,
+                   {duckdb_rendezvous_shard('conv_id', 8)} AS shard
+            FROM kc)
+    SELECT conv_id, n_tok, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY conv_id)
+             AS BIGINT) AS seq_in_shard,
+           CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard
+                ORDER BY conv_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_off,
+           CAST(sum(n_tok) OVER (PARTITION BY shard) AS BIGINT)
+             AS shard_tokens
+    FROM shx
     """
 
 
@@ -9467,6 +9551,7 @@ _QUERIES: dict[str, Callable] = {
     "bigram_surprisal": q_bigram_surprisal,
     "dp_histogram": q_dp_histogram,
     "conv_near_dup": q_conv_near_dup,
+    "sft_shards": q_sft_shards,
     "pq_stored": q_pq_stored,
     "write_plan": q_write_plan,
     "hybrid_rrf": q_hybrid_rrf,
@@ -9676,6 +9761,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "bigram_surprisal": o_bigram_surprisal,
     "dp_histogram": o_dp_histogram,
     "conv_near_dup": o_conv_near_dup,
+    "sft_shards": o_sft_shards,
     "pq_stored": o_pq_stored,
     "write_plan": o_write_plan,
     "hybrid_rrf": o_hybrid_rrf,
