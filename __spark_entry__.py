@@ -8990,34 +8990,46 @@ def q_conv_prefix_dedup(spark, sf_dir):
     return conversation_prefix_dedup(_tr_retries(spark, sf_dir))
 
 
+def _prefix_chain_sql(scan: str) -> str:
+    """CTE block for prefix-chain dup detection over ``scan`` (conv_id,
+    turn_idx, role, text): ends with ``pcag`` (conv_id, hs) and
+    ``pcdup`` (conv_a, dup_of). ONE rendering of the turn-hash + fold +
+    keep-first tie-rule spec (Spark twin:
+    convops.conversation_prefix_dedup) — shared by o_conv_prefix_dedup
+    and the sft_curation chain so the spec cannot desynchronize."""
+    from doc_redaction_spark.operators.convops import duckdb_turn_hash
+
+    return f"""
+    pct AS (SELECT conv_id, turn_idx, {duckdb_turn_hash()} AS th
+            FROM {scan}),
+    pcag AS (SELECT conv_id, list(th ORDER BY turn_idx) AS hs
+             FROM pct GROUP BY conv_id),
+    pce0 AS (SELECT conv_id, CAST(len(hs) AS BIGINT) AS n_turns,
+                    unnest(generate_series(1, len(hs))) AS k, hs
+             FROM pcag),
+    pce AS (SELECT conv_id, n_turns, k,
+                   list_reduce(list_prepend('', hs[1:k]),
+                               (acc, x) -> md5(acc || x)) AS chain
+            FROM pce0),
+    pcdup AS (SELECT f.conv_id AS conv_a, min(p.conv_id) AS dup_of
+              FROM pce f JOIN pce p ON f.chain = p.chain
+               AND f.k = f.n_turns
+               AND p.conv_id <> f.conv_id
+               AND (p.n_turns > f.n_turns
+                    OR (p.n_turns = f.n_turns AND p.conv_id < f.conv_id))
+              GROUP BY f.conv_id)"""
+
+
 def o_conv_prefix_dedup():
     return f"""
     {TR_CTE},
     {TRX_RETRY_CTE},
-    t AS (SELECT conv_id, turn_idx,
-                 md5(role || chr(1) || coalesce(text, '')) AS th
-          FROM trx),
-    ag AS (SELECT conv_id, list(th ORDER BY turn_idx) AS hs
-           FROM t GROUP BY conv_id),
-    e0 AS (SELECT conv_id, CAST(len(hs) AS BIGINT) AS n_turns,
-                  unnest(generate_series(1, len(hs))) AS k, hs
-           FROM ag),
-    e AS (SELECT conv_id, n_turns, k,
-                 list_reduce(list_prepend('', hs[1:k]),
-                             (acc, x) -> md5(acc || x)) AS chain
-          FROM e0),
-    d AS (SELECT f.conv_id AS conv_a, min(p.conv_id) AS dup_of
-          FROM e f JOIN e p ON f.chain = p.chain
-           AND f.k = f.n_turns
-           AND p.conv_id <> f.conv_id
-           AND (p.n_turns > f.n_turns
-                OR (p.n_turns = f.n_turns AND p.conv_id < f.conv_id))
-          GROUP BY f.conv_id)
-    SELECT ag.conv_id, CAST(len(ag.hs) AS BIGINT) AS n_turns,
+    {_prefix_chain_sql('trx')}
+    SELECT pcag.conv_id, CAST(len(pcag.hs) AS BIGINT) AS n_turns,
            CAST(CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
              AS is_prefix_dup,
            d.dup_of
-    FROM ag LEFT JOIN d ON ag.conv_id = d.conv_a
+    FROM pcag LEFT JOIN pcdup d ON pcag.conv_id = d.conv_a
     """
 
 
@@ -9077,7 +9089,8 @@ def o_sft_pairs():
                  CAST({duckdb_token_count('text')} AS BIGINT) AS n_tok
           FROM transcripts),
     c AS (SELECT conv_id, turn_idx, role, n_tok,
-                 sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                 sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS cum
           FROM t),
     a AS (SELECT conv_id, turn_idx, cum - n_tok AS ca,
@@ -9245,24 +9258,7 @@ def _sft_curation_chain_sql() -> str:
                            THEN {duckdb_refusal_count('text')}
                            ELSE 0 END) AS BIGINT) AS refusals
            FROM sft GROUP BY conv_id),
-    pt AS (SELECT conv_id, turn_idx,
-                  md5(role || chr(1) || coalesce(text, '')) AS th
-           FROM sft),
-    pag AS (SELECT conv_id, list(th ORDER BY turn_idx) AS hs
-            FROM pt GROUP BY conv_id),
-    pe0 AS (SELECT conv_id, CAST(len(hs) AS BIGINT) AS nt,
-                   unnest(generate_series(1, len(hs))) AS k, hs
-            FROM pag),
-    pe AS (SELECT conv_id, nt, k,
-                  list_reduce(list_prepend('', hs[1:k]),
-                              (acc, x) -> md5(acc || x)) AS chain
-           FROM pe0),
-    pd AS (SELECT f.conv_id AS conv_a
-           FROM pe f JOIN pe p ON f.chain = p.chain
-            AND f.k = f.nt AND p.conv_id <> f.conv_id
-            AND (p.nt > f.nt
-                 OR (p.nt = f.nt AND p.conv_id < f.conv_id))
-           GROUP BY f.conv_id),
+    {_prefix_chain_sql('sft')},
     lper AS (SELECT conv_id, {duckdb_lang_ngram_pred('text')} AS lang
              FROM sft),
     lcnt AS (SELECT conv_id, lang, count(*) AS n
@@ -9273,11 +9269,11 @@ def _sft_curation_chain_sql() -> str:
            FROM lcnt),
     jj AS (SELECT st.conv_id, st.n_turns, st.n_assistant, st.refusals,
                   lr.lang AS dominant_lang,
-                  CAST(CASE WHEN pd.conv_a IS NOT NULL THEN 1 ELSE 0 END
+                  CAST(CASE WHEN pcdup.conv_a IS NOT NULL THEN 1 ELSE 0 END
                     AS INTEGER) AS is_prefix_dup
            FROM st
            JOIN lr ON st.conv_id = lr.conv_id AND lr.rk = 1
-           LEFT JOIN pd ON st.conv_id = pd.conv_a),
+           LEFT JOIN pcdup ON st.conv_id = pcdup.conv_a),
     rz AS (SELECT *,
                   CASE WHEN is_prefix_dup = 1 THEN 'prefix_dup'
                        WHEN refusals > 0 THEN 'refusal'
@@ -9501,14 +9497,16 @@ def q_conv_near_dup(spark, sf_dir):
 
 
 def o_conv_near_dup():
+    from doc_redaction_spark.operators.convops import duckdb_turn_hash
+
     # 8 bands × 2 rows: band-collision recall ≈ 1−(1−J²)⁸ ≈ 0.9 at J=0.5
     # (the 4×4 default caught only half the planted pairs)
     sig, bands, band_match, est = _mh_oracle_parts(16, 8)
+    _cnd_turn_hash = duckdb_turn_hash()
     return f"""
     {TR_CTE},
     {_TRX_DIVERGE_CTE},
-    cnt AS (SELECT conv_id, turn_idx,
-                   md5(role || chr(1) || coalesce(text, '')) AS th
+    cnt AS (SELECT conv_id, turn_idx, {_cnd_turn_hash} AS th
             FROM trxd),
     cna AS (SELECT conv_id, list(th ORDER BY turn_idx) AS hs
             FROM cnt GROUP BY conv_id),

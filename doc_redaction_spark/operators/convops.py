@@ -551,3 +551,10 @@ def conversation_near_dup(
         bands=bands,
         threshold=threshold,
     )
+
+
+def duckdb_turn_hash(role_expr: str = "role", text_expr: str = "text") -> str:
+    """DuckDB rendering of ``turn_hash_col`` — the ONE turn-identity
+    spec (md5(role ⊕ 0x01 ⊕ text)), shared by every conversation-dedup
+    oracle."""
+    return f"md5({role_expr} || chr(1) || coalesce({text_expr}, ''))"
