@@ -9071,6 +9071,23 @@ def o_chat_render():
     """
 
 
+def q_sft_pairs_scan(spark, sf_dir):
+    """The LINEAR two-pointer rendering of sft_pairs (impl='scan': one
+    Arrow applyInPandas sweep per conversation — the monster-
+    conversation scale path; 40k-turn stress: 2.8 s vs the join path's
+    10.5 s, gap quadratic-vs-linear from there). Token counts still
+    come from the shared JVM expression; the pandas kernel is pure
+    integer arithmetic. Oracle = the same prefix-sum spec as sft_pairs,
+    so the driver hashes BOTH implementations against one truth."""
+    from doc_redaction_spark.operators.convops import sft_pairs
+
+    return sft_pairs(_tr(spark, sf_dir), budget=64, impl="scan")
+
+
+def o_sft_pairs_scan():
+    return o_sft_pairs()
+
+
 def q_sft_pairs(spark, sf_dir):
     """SFT example boundaries (operators/convops.py sft_pairs): for each
     assistant turn, the largest prior-turn suffix fitting a 64-token
@@ -9550,6 +9567,7 @@ _QUERIES: dict[str, Callable] = {
     "dp_histogram": q_dp_histogram,
     "conv_near_dup": q_conv_near_dup,
     "sft_shards": q_sft_shards,
+    "sft_pairs_scan": q_sft_pairs_scan,
     "pq_stored": q_pq_stored,
     "write_plan": q_write_plan,
     "hybrid_rrf": q_hybrid_rrf,
@@ -9760,6 +9778,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "dp_histogram": o_dp_histogram,
     "conv_near_dup": o_conv_near_dup,
     "sft_shards": o_sft_shards,
+    "sft_pairs_scan": o_sft_pairs_scan,
     "pq_stored": o_pq_stored,
     "write_plan": o_write_plan,
     "hybrid_rrf": o_hybrid_rrf,

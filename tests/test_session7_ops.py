@@ -360,3 +360,42 @@ class TestConversationNearDup:
         )
         pairs = conversation_near_dup(turns, threshold=0.5, bands=8).collect()
         assert len(pairs) == 1 and pairs[0]["est_jaccard"] == 1.0
+
+
+class TestSftPairsScan:
+    def test_randomized_equivalence_with_join_path(self, spark):
+        import random
+
+        random.seed(11)
+        rows = []
+        for ci in range(40):
+            for t in range(random.randint(1, 20)):
+                role = random.choice(["user", "assistant", "tool"])
+                text = " ".join(
+                    f"w{random.randint(0, 9)}"
+                    for _ in range(random.randint(0, 10))
+                )
+                rows.append((f"c{ci}", t, role, text))
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        a = set(map(tuple, sft_pairs(df, budget=15).collect()))
+        b = set(map(tuple, sft_pairs(df, budget=15, impl="scan").collect()))
+        assert a == b and len(a) > 0
+
+    def test_hand_case_and_bad_impl(self, spark):
+        import pytest as _pytest
+
+        rows = [
+            ("A", 0, "user", "a b"),
+            ("A", 1, "assistant", "c d e"),
+            ("A", 2, "user", "f"),
+            ("A", 3, "assistant", "g h"),
+        ]
+        out = {
+            r["turn_idx"]: r
+            for r in sft_pairs(_turns(spark, rows), budget=4, impl="scan").collect()
+        }
+        assert out[3]["ctx_from"] == 1 and out[3]["ctx_tokens"] == 4
+        with _pytest.raises(ValueError):
+            sft_pairs(_turns(spark, rows), budget=4, impl="nope")
