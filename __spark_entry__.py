@@ -9545,6 +9545,110 @@ def o_conv_near_dup():
     """
 
 
+_TOOLS = ("search", "browser", "python", "calculator")
+_TEMPLATES = (
+    "Thanks for reaching out. Is there anything else I can help with today?",
+    "I have completed the requested task and updated the records accordingly.",
+    "Could you clarify what you mean so I can assist you better?",
+)
+
+
+def q_tool_transitions(spark, sf_dir):
+    """Tool-call transition matrix (operators/convops.py
+    tool_transitions): per-conversation in-order tool sequences →
+    src→dst edge counts with conversation reach, '<start>' entries
+    included. The stream shrinks to tool turns BEFORE the lag-window
+    shuffle. Fixture varies the tool column over four tools keyed on
+    the generator's doc_id so every edge class appears."""
+    from doc_redaction_spark.operators.convops import tool_transitions
+
+    tr = _tr(spark, sf_dir)
+    d = (
+        F.col("turn_idx").cast("long") * 37
+        + F.substring("conv_id", 2, 10).cast("long")
+    )
+    tools = F.array(*[F.lit(t) for t in _TOOLS])
+    tool2 = F.when(
+        F.col("role") == "tool",
+        F.element_at(tools, (F.floor(d / 4) % 4).cast("int") + 1),
+    ).otherwise(F.lit(""))
+    return tool_transitions(
+        tr.select("conv_id", "turn_idx", "role", tool2.alias("tool"))
+    )
+
+
+def o_tool_transitions():
+    tools = ", ".join(f"'{t}'" for t in _TOOLS)
+    return f"""
+    {TR_CTE},
+    tt AS (SELECT conv_id, turn_idx,
+             CASE WHEN role = 'tool'
+                  THEN ([{tools}])[CAST(((turn_idx * 37
+                       + CAST(substr(conv_id, 2, 10) AS INTEGER)) // 4) % 4
+                       AS INTEGER) + 1]
+                  ELSE '' END AS tool
+           FROM transcripts),
+    tf AS (SELECT conv_id, turn_idx, tool FROM tt WHERE tool <> ''),
+    te AS (SELECT conv_id,
+                  coalesce(lag(tool) OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx), '<start>') AS src,
+                  tool AS dst
+           FROM tf)
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+    FROM te GROUP BY src, dst
+    """
+
+
+def q_template_turns(spark, sf_dir):
+    """Template-response mining (operators/convops.py template_turns):
+    exact-hash groupBy over assistant turns, kept when the same text
+    appears in ≥3 distinct conversations — the transcript twin of
+    line-level boilerplate dedup and a deny/boilerplate candidate
+    feed. Fixture replaces 1-in-9 assistant turns with one of three
+    canned replies spread across conversations."""
+    from doc_redaction_spark.operators.convops import template_turns
+
+    tr = _tr(spark, sf_dir)
+    d = (
+        F.col("turn_idx").cast("long") * 37
+        + F.substring("conv_id", 2, 10).cast("long")
+    )
+    tpl = F.array(*[F.lit(t) for t in _TEMPLATES])
+    text2 = F.when(
+        (F.col("role") == "assistant") & (d % 9 == 5),
+        F.element_at(tpl, (F.floor(d / 9) % 3).cast("int") + 1),
+    ).otherwise(F.col("text"))
+    return template_turns(
+        tr.select("conv_id", "role", text2.alias("text")), min_convs=3
+    )
+
+
+def o_template_turns():
+    tpl = ", ".join("'" + t.replace("'", "''") + "'" for t in _TEMPLATES)
+    return f"""
+    {TR_CTE},
+    tx AS (SELECT conv_id, role,
+             CASE WHEN role = 'assistant'
+                   AND (turn_idx * 37
+                        + CAST(substr(conv_id, 2, 10) AS INTEGER)) % 9 = 5
+                  THEN ([{tpl}])[CAST(((turn_idx * 37
+                       + CAST(substr(conv_id, 2, 10) AS INTEGER)) // 9) % 3
+                       AS INTEGER) + 1]
+                  ELSE coalesce(text, '') END AS text
+           FROM transcripts
+           WHERE role = 'assistant'),
+    g AS (SELECT md5(text) AS text_md5,
+                 CAST(count(*) AS BIGINT) AS n_uses,
+                 CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                 CAST(min(length(text)) AS BIGINT) AS n_chars,
+                 min(text) AS exemplar
+          FROM tx GROUP BY md5(text))
+    SELECT text_md5, n_uses, n_convs, n_chars, exemplar
+    FROM g WHERE n_convs >= 3
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9568,6 +9672,8 @@ _QUERIES: dict[str, Callable] = {
     "conv_near_dup": q_conv_near_dup,
     "sft_shards": q_sft_shards,
     "sft_pairs_scan": q_sft_pairs_scan,
+    "tool_transitions": q_tool_transitions,
+    "template_turns": q_template_turns,
     "pq_stored": q_pq_stored,
     "write_plan": q_write_plan,
     "hybrid_rrf": q_hybrid_rrf,
@@ -9779,6 +9885,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "conv_near_dup": o_conv_near_dup,
     "sft_shards": o_sft_shards,
     "sft_pairs_scan": o_sft_pairs_scan,
+    "tool_transitions": o_tool_transitions,
+    "template_turns": o_template_turns,
     "pq_stored": o_pq_stored,
     "write_plan": o_write_plan,
     "hybrid_rrf": o_hybrid_rrf,

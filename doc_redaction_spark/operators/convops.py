@@ -616,3 +616,75 @@ def duckdb_turn_hash(role_expr: str = "role", text_expr: str = "text") -> str:
     spec (md5(role ⊕ 0x01 ⊕ text)), shared by every conversation-dedup
     oracle."""
     return f"md5({role_expr} || chr(1) || coalesce({text_expr}, ''))"
+
+
+def tool_transitions(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Tool-call transition matrix over agent transcripts: for every
+    conversation's in-order sequence of TOOL turns, count src→dst
+    transitions (plus '<start>' entries), with conversation reach per
+    edge — the workflow-shape report an agent-harness owner reads to
+    see which tools chain into which (and where loops burn turns).
+
+    One conv-keyed lag window over tool turns only (the stream shrinks
+    before the shuffle), one combinable groupBy. Empty/NULL tool values
+    are not tool calls and are filtered first.
+
+    Output: ``(src, dst, n BIGINT, n_convs BIGINT)``.
+    """
+    t = turns.filter(
+        F.coalesce(F.col(tool_col), F.lit("")) != ""
+    ).select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.col(tool_col).alias("tool"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    e = t.select(
+        "conv_id",
+        F.coalesce(F.lag("tool").over(w), F.lit("<start>")).alias("src"),
+        F.col("tool").alias("dst"),
+    )
+    return e.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+
+
+def template_turns(
+    turns: DataFrame,
+    min_convs: int = 3,
+    role: str = "assistant",
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Template-response mining: texts a single role repeats across many
+    conversations (canned replies, macro boilerplate) — the transcript
+    twin of line-level boilerplate dedup, and the deny-list/boilerplate
+    candidate feed for the clean battery. Exact-hash groupBy over the
+    chosen role's turns; a text qualifies when it appears in ≥
+    ``min_convs`` DISTINCT conversations. The exemplar text rides
+    along via ``min`` (texts in one group are identical by definition,
+    so any pick is the text itself — min keeps it deterministic).
+
+    Output: ``(text_md5, n_uses BIGINT, n_convs BIGINT, n_chars BIGINT,
+    exemplar)``.
+    """
+    t = turns.filter(F.col("role") == role).select(
+        F.col(conv_col).alias("conv_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    )
+    return (
+        t.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count("*").cast("long").alias("n_uses"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.min(F.length("text")).cast("long").alias("n_chars"),
+            F.min("text").alias("exemplar"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )

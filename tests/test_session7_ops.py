@@ -399,3 +399,57 @@ class TestSftPairsScan:
         assert out[3]["ctx_from"] == 1 and out[3]["ctx_tokens"] == 4
         with _pytest.raises(ValueError):
             sft_pairs(_turns(spark, rows), budget=4, impl="nope")
+
+
+class TestToolTransitions:
+    def test_edges_and_start_marker(self, spark):
+        from doc_redaction_spark.operators.convops import tool_transitions
+
+        rows = [
+            ("A", 0, "user", "q", "", TS),
+            ("A", 1, "tool", "r", "search", TS),
+            ("A", 2, "tool", "r", "python", TS),
+            ("A", 3, "user", "q", "", TS),
+            ("A", 4, "tool", "r", "python", TS),
+            ("B", 0, "tool", "r", "search", TS),
+            # NULL tool is not a call
+            ("B", 1, "tool", "r", None, TS),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        out = {(r["src"], r["dst"]): r for r in tool_transitions(df).collect()}
+        assert out[("<start>", "search")]["n"] == 2
+        assert out[("<start>", "search")]["n_convs"] == 2
+        assert out[("search", "python")]["n"] == 1
+        # the intervening user turn does NOT break the tool chain
+        assert out[("python", "python")]["n"] == 1
+        assert len(out) == 3
+
+
+class TestTemplateTurns:
+    def test_min_convs_gate_and_exemplar(self, spark):
+        from doc_redaction_spark.operators.convops import template_turns
+
+        canned = "Is there anything else I can help with?"
+        rows = [
+            ("A", 0, "assistant", canned),
+            ("B", 0, "assistant", canned),
+            ("C", 0, "assistant", canned),
+            ("C", 1, "assistant", canned),       # reuse in same conv
+            ("A", 1, "assistant", "unique reply one"),
+            ("B", 1, "user", canned),            # wrong role — ignored
+            ("D", 0, "assistant", "only two"),
+            ("E", 0, "assistant", "only two"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        out = template_turns(df, min_convs=3).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["exemplar"] == canned
+        assert r["n_uses"] == 4 and r["n_convs"] == 3
+        assert r["n_chars"] == len(canned)
