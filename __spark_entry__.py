@@ -8990,27 +8990,34 @@ def q_conv_prefix_dedup(spark, sf_dir):
     return conversation_prefix_dedup(_tr_retries(spark, sf_dir))
 
 
-def _prefix_chain_sql(scan: str) -> str:
-    """CTE block for prefix-chain dup detection over ``scan`` (conv_id,
-    turn_idx, role, text): ends with ``pcag`` (conv_id, hs) and
-    ``pcdup`` (conv_a, dup_of). ONE rendering of the turn-hash + fold +
-    keep-first tie-rule spec (Spark twin:
-    convops.conversation_prefix_dedup) — shared by o_conv_prefix_dedup
-    and the sft_curation chain so the spec cannot desynchronize."""
+def _chain_rows_sql(scan: str, p: str) -> str:
+    """CTE block rendering convops.conv_chain_rows over ``scan``
+    (conv_id, turn_idx, role, text): ends with ``{p}e`` = (conv_id,
+    n_turns, k, chain) — the quadratic list_reduce fold that specs the
+    operator's linear aggregate-HOF build. ONE rendering, shared by the
+    standalone, curation-chain, and stored-index oracles."""
     from doc_redaction_spark.operators.convops import duckdb_turn_hash
 
     return f"""
-    pct AS (SELECT conv_id, turn_idx, {duckdb_turn_hash()} AS th
+    {p}t AS (SELECT conv_id, turn_idx, {duckdb_turn_hash()} AS th
             FROM {scan}),
-    pcag AS (SELECT conv_id, list(th ORDER BY turn_idx) AS hs
-             FROM pct GROUP BY conv_id),
-    pce0 AS (SELECT conv_id, CAST(len(hs) AS BIGINT) AS n_turns,
+    {p}ag AS (SELECT conv_id, list(th ORDER BY turn_idx) AS hs
+             FROM {p}t GROUP BY conv_id),
+    {p}e0 AS (SELECT conv_id, CAST(len(hs) AS BIGINT) AS n_turns,
                     unnest(generate_series(1, len(hs))) AS k, hs
-             FROM pcag),
-    pce AS (SELECT conv_id, n_turns, k,
+             FROM {p}ag),
+    {p}e AS (SELECT conv_id, n_turns, k,
                    list_reduce(list_prepend('', hs[1:k]),
                                (acc, x) -> md5(acc || x)) AS chain
-            FROM pce0),
+            FROM {p}e0)"""
+
+
+def _prefix_chain_sql(scan: str) -> str:
+    """_chain_rows_sql plus the self-join keep-first dup rule — ends
+    with ``pcag`` (conv_id, hs) and ``pcdup`` (conv_a, dup_of); shared
+    by o_conv_prefix_dedup and the sft_curation chain."""
+    return f"""
+    {_chain_rows_sql(scan, 'pc')},
     pcdup AS (SELECT f.conv_id AS conv_a, min(p.conv_id) AS dup_of
               FROM pce f JOIN pce p ON f.chain = p.chain
                AND f.k = f.n_turns
@@ -9545,6 +9552,89 @@ def o_conv_near_dup():
     """
 
 
+def q_conv_prefix_stored(spark, sf_dir):
+    """The STORED-index round trip of conversation prefix dedup — the
+    5th stored-index family member (LSH bands, IVF, BM25 postings, PQ
+    codes, now conversation chains): the corpus's prefix-chain rows
+    persist as a bucketed+sorted-on-chain warehouse table
+    (save_conv_chain_index — corpus chains computed and shuffled ONCE),
+    then an ingestion batch of retry/twin/novel conversations probes it
+    via prefix_dedup_against_index, computing only batch-side chains.
+    Keep-first here means the CORPUS always wins (it is already kept).
+    Same per-pid table + drop-before-return lifecycle as bm25_stored;
+    this query EXECUTES at construction. Oracle recomputes both sides'
+    chains through the shared _chain_rows_sql spec."""
+    from doc_redaction_spark.operators.convops import (
+        prefix_dedup_against_index,
+        save_conv_chain_index,
+    )
+
+    corpus = _tr(spark, sf_dir).select("conv_id", "turn_idx", "role", "text")
+    cnum = F.substring("conv_id", 2, 10).cast("int")
+    batch = (
+        corpus.filter((cnum % 5 == 2) & (F.col("turn_idx") < 5))
+        .select(
+            F.concat("conv_id", F.lit("_r")).alias("conv_id"),
+            "turn_idx", "role", "text",
+        )
+        .unionByName(
+            corpus.filter(cnum % 5 == 4).select(
+                F.concat("conv_id", F.lit("_x")).alias("conv_id"),
+                "turn_idx", "role", "text",
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    ("zz_new", 0, "user", "a brand new question"),
+                    ("zz_new", 1, "assistant", "a brand new answer"),
+                ],
+                "conv_id string, turn_idx int, role string, text string",
+            )
+        )
+    )
+    tbl = f"reg_conv_chain_{os.getpid()}"
+    tdir = f"/tmp/spark_graft_reg_convchain_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    try:
+        save_conv_chain_index(corpus, spark, tbl, tdir)
+        spark.catalog.refreshTable(tbl)
+        return prefix_dedup_against_index(batch, spark, tbl).localCheckpoint()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+def o_conv_prefix_stored():
+    return f"""
+    {TR_CTE},
+    newb AS (
+      SELECT conv_id || '_r' AS conv_id, turn_idx, role, text
+      FROM transcripts
+      WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 5 = 2 AND turn_idx < 5
+      UNION ALL
+      SELECT conv_id || '_x', turn_idx, role, text FROM transcripts
+      WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 5 = 4
+      UNION ALL SELECT 'zz_new', 0, 'user', 'a brand new question'
+      UNION ALL SELECT 'zz_new', 1, 'assistant', 'a brand new answer'
+    ),
+    {_chain_rows_sql('transcripts', 'cx')},
+    {_chain_rows_sql('newb', 'nx')},
+    nf AS (SELECT conv_id AS conv_a, n_turns AS la, chain
+           FROM nxe WHERE k = n_turns),
+    d AS (SELECT nf.conv_a, min(cxe.conv_id) AS dup_of
+          FROM nf JOIN cxe ON nf.chain = cxe.chain
+           AND cxe.conv_id <> nf.conv_a
+          GROUP BY nf.conv_a)
+    SELECT nf.conv_a AS conv_id, nf.la AS n_turns,
+           CAST(CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS is_prefix_dup,
+           d.dup_of
+    FROM nf LEFT JOIN d ON nf.conv_a = d.conv_a
+    """
+
+
 _TOOLS = ("search", "browser", "python", "calculator")
 _TEMPLATES = (
     "Thanks for reaching out. Is there anything else I can help with today?",
@@ -9674,6 +9764,7 @@ _QUERIES: dict[str, Callable] = {
     "sft_pairs_scan": q_sft_pairs_scan,
     "tool_transitions": q_tool_transitions,
     "template_turns": q_template_turns,
+    "conv_prefix_stored": q_conv_prefix_stored,
     "pq_stored": q_pq_stored,
     "write_plan": q_write_plan,
     "hybrid_rrf": q_hybrid_rrf,
@@ -9887,6 +9978,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "sft_pairs_scan": o_sft_pairs_scan,
     "tool_transitions": o_tool_transitions,
     "template_turns": o_template_turns,
+    "conv_prefix_stored": o_conv_prefix_stored,
     "pq_stored": o_pq_stored,
     "write_plan": o_write_plan,
     "hybrid_rrf": o_hybrid_rrf,

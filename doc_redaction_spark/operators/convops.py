@@ -190,6 +190,54 @@ def conversation_prefix_dedup(
     per conversation; ``dup_of`` is the smallest qualifying superset
     conversation, NULL for kept rows.
     """
+    ex = conv_chain_rows(turns, conv_col, idx_col, role_col, text_col)
+    fulls = ex.filter(F.col("k") == F.col("n_turns")).select(
+        F.col("conv_id").alias("conv_a"), F.col("n_turns").alias("la"), "chain"
+    )
+    pre = ex.select(
+        F.col("conv_id").alias("conv_b"), F.col("n_turns").alias("lb"), "chain"
+    )
+    dup = (
+        fulls.join(pre, "chain")
+        .filter(
+            (F.col("conv_a") != F.col("conv_b"))
+            & (
+                (F.col("lb") > F.col("la"))
+                | ((F.col("lb") == F.col("la")) & (F.col("conv_b") < F.col("conv_a")))
+            )
+        )
+        .groupBy("conv_a")
+        .agg(F.min("conv_b").alias("dup_of"))
+    )
+    return (
+        ex.filter(F.col("k") == F.col("n_turns"))
+        .select("conv_id", "n_turns")
+        .join(dup, F.col("conv_id") == F.col("conv_a"), "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.col("dup_of").isNotNull().cast("int").alias("is_prefix_dup"),
+            "dup_of",
+        )
+    )
+
+
+def conv_chain_rows(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """The prefix-chain kernel: one row per (conversation, prefix
+    length) with the running chain hash ``chain_k = md5(chain_{k-1} ‖
+    h_k)`` — built in ONE aggregate-HOF pass over the per-conversation
+    ordered turn-hash array (bounded-history collect). This is both the
+    in-memory join input of ``conversation_prefix_dedup`` and the
+    storable payload of ``save_conv_chain_index``.
+
+    Output: ``(conv_id, n_turns, k, chain)``.
+    """
     per = turns.select(
         F.col(conv_col).alias("conv_id"),
         F.col(idx_col).alias("turn_idx"),
@@ -216,38 +264,80 @@ def conversation_prefix_dedup(
             ),
         ),
     )
-    withc = arr.select("conv_id", chains.alias("chains"))
-    ex = withc.select(
-        "conv_id",
-        F.size("chains").cast("long").alias("n_turns"),
-        F.posexplode("chains").alias("pos", "chain"),
-    ).select(
-        "conv_id", "n_turns", (F.col("pos") + 1).cast("long").alias("k"), "chain"
+    return (
+        arr.select("conv_id", chains.alias("chains"))
+        .select(
+            "conv_id",
+            F.size("chains").cast("long").alias("n_turns"),
+            F.posexplode("chains").alias("pos", "chain"),
+        )
+        .select(
+            "conv_id", "n_turns", (F.col("pos") + 1).cast("long").alias("k"), "chain"
+        )
     )
-    fulls = ex.filter(F.col("k") == F.col("n_turns")).select(
-        F.col("conv_id").alias("conv_a"), F.col("n_turns").alias("la"), "chain"
+
+
+def save_conv_chain_index(
+    turns: DataFrame,
+    spark,
+    table: str,
+    path: str,
+    buckets: int = 8,
+) -> None:
+    """Persist the corpus's prefix-chain rows as a bucketed+sorted
+    warehouse table keyed on ``chain`` — the conversation-dedup member
+    of the stored-index family (LSH bands, IVF assignments, BM25
+    postings, PQ codes). Ingestion batches then prefix-dedup against
+    the corpus via ``prefix_dedup_against_index`` with the corpus side
+    joining from a ``Bucketed: true`` scan — corpus chains are computed
+    and shuffled ONCE at build time, never per batch.
+    """
+    rows = conv_chain_rows(turns)
+    (
+        rows.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, "chain")
+        .sortBy("chain")
+        .format("parquet")
+        .saveAsTable(table)
     )
-    pre = ex.select(
-        F.col("conv_id").alias("conv_b"), F.col("n_turns").alias("lb"), "chain"
+
+
+def prefix_dedup_against_index(
+    new_turns: DataFrame,
+    spark,
+    table: str,
+) -> DataFrame:
+    """Incremental ingestion prefix-dedup: each NEW conversation's
+    full-length chain probes the stored corpus chain index — a match at
+    any corpus prefix row means the new conversation repeats an
+    already-kept conversation's opening turns verbatim (or all of
+    them), and keep-first drops it. Only batch-side chains are computed
+    here; the corpus side is the bucketed scan.
+
+    Output: ``(conv_id, n_turns, is_prefix_dup INT, dup_of)`` for the
+    BATCH conversations.
+    """
+    fulls = (
+        conv_chain_rows(new_turns)
+        .filter(F.col("k") == F.col("n_turns"))
+        .select(F.col("conv_id").alias("conv_a"), F.col("n_turns").alias("la"), "chain")
+    )
+    idx = spark.table(table).select(
+        F.col("conv_id").alias("conv_b"), "chain"
     )
     dup = (
-        fulls.join(pre, "chain")
-        .filter(
-            (F.col("conv_a") != F.col("conv_b"))
-            & (
-                (F.col("lb") > F.col("la"))
-                | ((F.col("lb") == F.col("la")) & (F.col("conv_b") < F.col("conv_a")))
-            )
-        )
+        fulls.join(idx, "chain")
+        .filter(F.col("conv_a") != F.col("conv_b"))
         .groupBy("conv_a")
         .agg(F.min("conv_b").alias("dup_of"))
     )
     return (
-        withc.select("conv_id", F.size("chains").cast("long").alias("n_turns"))
-        .join(dup, F.col("conv_id") == F.col("conv_a"), "left")
+        fulls.select("conv_a", "la")
+        .join(dup, "conv_a", "left")
         .select(
-            "conv_id",
-            "n_turns",
+            F.col("conv_a").alias("conv_id"),
+            F.col("la").alias("n_turns"),
             F.col("dup_of").isNotNull().cast("int").alias("is_prefix_dup"),
             "dup_of",
         )

@@ -617,3 +617,52 @@ def test_conv_near_dup_banded_equi_join_no_cartesian(spark, queries):
     for ln in plan.splitlines():
         if "Join" in ln or "Exchange" in ln:
             assert "text#" not in ln, ln
+
+
+def test_conv_chain_index_corpus_side_is_shuffle_free(spark, tmp_path):
+    """The stored conversation-chain index (save_conv_chain_index:
+    bucketBy(chain) + sortBy) must let prefix_dedup_against_index read
+    the CORPUS side with zero Exchange — only the ingestion batch's
+    chains shuffle into the chain layout."""
+    from doc_redaction_spark.operators.convops import (
+        prefix_dedup_against_index,
+        save_conv_chain_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (f"c{ci}", t, "user", f"conversation {ci} turn {t}")
+            for ci in range(50)
+            for t in range(6)
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    spark.sql("DROP TABLE IF EXISTS conv_chain_idx")
+    save_conv_chain_index(
+        corpus, spark, "conv_chain_idx", str(tmp_path / "cc_idx"), buckets=8
+    )
+    batch = spark.createDataFrame(
+        # c3's first 3 turns (a retry prefix) + a novel conversation
+        [("r3", t, "user", f"conversation 3 turn {t}") for t in range(3)]
+        + [("novel", 0, "user", "fresh content")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = prefix_dedup_against_index(batch, spark, "conv_chain_idx")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # the only exchanges into the chain layout come from the batch
+        # side (fulls + its dup-join reuse); the corpus table contributes
+        # none beyond its bucketed scan
+        for ln in plan.splitlines():
+            if "FileScan" in ln and "conv_chain_idx" in ln:
+                assert "Bucketed: true" in ln, ln
+        rows = {r["conv_id"]: r for r in out.collect()}
+        assert rows["r3"]["is_prefix_dup"] == 1 and rows["r3"]["dup_of"] == "c3"
+        assert rows["novel"]["is_prefix_dup"] == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS conv_chain_idx")
