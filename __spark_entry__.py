@@ -9080,9 +9080,9 @@ def o_chat_render():
 
 def q_sft_pairs_scan(spark, sf_dir):
     """The LINEAR two-pointer rendering of sft_pairs (impl='scan': one
-    Arrow applyInPandas sweep per conversation — the monster-
-    conversation scale path; 40k-turn stress: 2.8 s vs the join path's
-    10.5 s, gap quadratic-vs-linear from there). Token counts still
+    Arrow applyInPandas pass per conversation, context starts via one
+    vectorized np.searchsorted — the monster-conversation scale path;
+    40k-turn stress: 0.8 s warm vs the join path's 10.5 s). Token counts still
     come from the shared JVM expression; the pandas kernel is pure
     integer arithmetic. Oracle = the same prefix-sum spec as sft_pairs,
     so the driver hashes BOTH implementations against one truth."""
@@ -9131,6 +9131,18 @@ def o_sft_pairs():
     """
 
 
+
+def _doc_id_col():
+    """Reconstructs the generator's doc_id from (conv_id, turn_idx):
+    doc_id = turn_idx·N_CONVS + conv number (synth.py construction) —
+    the ONE rendering every planted-fixture query derives its mod-class
+    plantings from (SQL mirrors spell the same arithmetic inline)."""
+    return (
+        F.col("turn_idx").cast("long") * N_CONVS
+        + F.substring("conv_id", 2, 10).cast("long")
+    )
+
+
 # fenced-block planting: d ≡ 0 (mod 3) → one python block; d ≡ 1 → an
 # info-string-less block AND an sql block (multi-block indexing teeth);
 # d = turn_idx·37 + conv number reconstructs the generator's doc_id.
@@ -9158,7 +9170,7 @@ def q_code_blocks(spark, sf_dir):
     from doc_redaction_spark.operators.markdown import extract_code_blocks
 
     tr = _tr(spark, sf_dir)
-    d = F.col("turn_idx").cast("int") * 37 + F.substring("conv_id", 2, 10).cast("int")
+    d = _doc_id_col()
     py_block = F.concat(
         F.lit("\n```python\nprint("),
         F.col("turn_idx").cast("string"),
@@ -9202,7 +9214,7 @@ def _sft_fixture(spark, sf_dir):
     cols = ("conv_id", "turn_idx", "role", "text")
     tr = _tr(spark, sf_dir).select(*cols)
     cnum = F.substring("conv_id", 2, 10).cast("int")
-    d = F.col("turn_idx").cast("int") * 37 + cnum
+    d = _doc_id_col()
     fr = F.when(
         cnum % 7 == 5, F.concat(F.lit(_FR_TEXT), d.cast("string"))
     ).otherwise(F.col("text"))
@@ -9598,7 +9610,7 @@ def q_conv_prefix_stored(spark, sf_dir):
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(tdir, ignore_errors=True)
     try:
-        save_conv_chain_index(corpus, spark, tbl, tdir)
+        save_conv_chain_index(corpus, tbl, tdir)
         spark.catalog.refreshTable(tbl)
         return prefix_dedup_against_index(batch, spark, tbl).localCheckpoint()
     finally:
@@ -9653,10 +9665,7 @@ def q_tool_transitions(spark, sf_dir):
     from doc_redaction_spark.operators.convops import tool_transitions
 
     tr = _tr(spark, sf_dir)
-    d = (
-        F.col("turn_idx").cast("long") * 37
-        + F.substring("conv_id", 2, 10).cast("long")
-    )
+    d = _doc_id_col()
     tools = F.array(*[F.lit(t) for t in _TOOLS])
     tool2 = F.when(
         F.col("role") == "tool",
@@ -9700,10 +9709,7 @@ def q_template_turns(spark, sf_dir):
     from doc_redaction_spark.operators.convops import template_turns
 
     tr = _tr(spark, sf_dir)
-    d = (
-        F.col("turn_idx").cast("long") * 37
-        + F.substring("conv_id", 2, 10).cast("long")
-    )
+    d = _doc_id_col()
     tpl = F.array(*[F.lit(t) for t in _TEMPLATES])
     text2 = F.when(
         (F.col("role") == "assistant") & (d % 9 == 5),

@@ -639,7 +639,7 @@ def test_conv_chain_index_corpus_side_is_shuffle_free(spark, tmp_path):
     )
     spark.sql("DROP TABLE IF EXISTS conv_chain_idx")
     save_conv_chain_index(
-        corpus, spark, "conv_chain_idx", str(tmp_path / "cc_idx"), buckets=8
+        corpus, "conv_chain_idx", str(tmp_path / "cc_idx"), buckets=8
     )
     batch = spark.createDataFrame(
         # c3's first 3 turns (a retry prefix) + a novel conversation
