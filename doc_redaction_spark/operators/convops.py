@@ -277,6 +277,28 @@ def conv_chain_rows(
     )
 
 
+def save_conv_chain_rows(
+    rows: DataFrame,
+    table: str,
+    path: str | None = None,
+    buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write chain rows (``conv_chain_rows`` output, optionally with
+    ingest-metadata columns) as the bucketed+sorted-on-chain index table
+    — the rows-level writer ``save_conv_chain_index`` and the streaming
+    ingestion processor share."""
+    w = rows.write.mode(mode)
+    if path is not None:
+        w = w.option("path", path)
+    (
+        w.bucketBy(buckets, "chain")
+        .sortBy("chain")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def save_conv_chain_index(
     turns: DataFrame,
     table: str,
@@ -291,15 +313,7 @@ def save_conv_chain_index(
     joining from a ``Bucketed: true`` scan — corpus chains are computed
     and shuffled ONCE at build time, never per batch.
     """
-    rows = conv_chain_rows(turns)
-    (
-        rows.write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(buckets, "chain")
-        .sortBy("chain")
-        .format("parquet")
-        .saveAsTable(table)
-    )
+    save_conv_chain_rows(conv_chain_rows(turns), table, path, buckets)
 
 
 def prefix_dedup_against_index(

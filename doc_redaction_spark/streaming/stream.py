@@ -432,3 +432,162 @@ def dedup_events_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         id_cols
     )
+
+
+def run_streaming_conv_prefix_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_table: str = "conv_chain_index",
+    index_path: str | None = None,
+    schema: str = "conv_id string, turn_idx int, role string, text string",
+    buckets: int = 8,
+    run_id: int = 0,
+) -> None:
+    """Streaming CONVERSATION ingestion dedup — the transcript twin of
+    ``run_streaming_incremental_dedup``: each micro-batch of COMPLETE
+    conversations (the normal landing shape: a transcript arrives when
+    its session ends; partial-conversation batches are out of contract)
+    is checked for retry/twin prefix-duplicates against (a) the other
+    conversations in the SAME batch (keep-first tie rule) and (b) the
+    STORED bucketed chain index of everything ingested before it
+    (corpus wins), writes per-conversation verdicts, and appends only
+    its NOVEL conversations' chain rows to the index.
+
+    Same restart contract as the document path: verdicts land as a
+    batch_id partition OVERWRITE; index rows carry (ingest_run,
+    ingest_batch_id) so a replayed batch probes exactly the pre-batch
+    corpus; the append anti-joins this batch's already-present
+    (conv_id, k) rows so a partial first-attempt append is repaired,
+    never skipped-and-lost. Batch ≡ one-shot pinned by
+    tests/test_streaming.py.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    process = make_conv_prefix_processor(
+        spark, out_dir, index_table, index_path, buckets=buckets, run_id=run_id
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def make_conv_prefix_processor(
+    spark: SparkSession,
+    out_dir: str,
+    index_table: str,
+    index_path: str | None = None,
+    buckets: int = 8,
+    run_id: int = 0,
+):
+    """Per-micro-batch kernel of run_streaming_conv_prefix_dedup,
+    exposed so the replay-idempotency test can re-run a batch exactly
+    as foreachBatch would after a failure."""
+    from doc_redaction_spark.operators.convops import (
+        conv_chain_rows,
+        save_conv_chain_rows,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = conv_chain_rows(batch_df).localCheckpoint()
+        fulls = rows.filter(F.col("k") == F.col("n_turns")).select(
+            F.col("conv_id").alias("conv_a"),
+            F.col("n_turns").alias("la"),
+            "chain",
+        )
+        # within-batch dups (the document path's blind spot at batch 0):
+        # the full self-join rule, keep-first ties by conv_id
+        pre = rows.select(
+            F.col("conv_id").alias("conv_b"), F.col("n_turns").alias("lb"), "chain"
+        )
+        dup_w = (
+            fulls.join(pre, "chain")
+            .filter(
+                (F.col("conv_a") != F.col("conv_b"))
+                & (
+                    (F.col("lb") > F.col("la"))
+                    | (
+                        (F.col("lb") == F.col("la"))
+                        & (F.col("conv_b") < F.col("conv_a"))
+                    )
+                )
+            )
+            .select("conv_a", F.col("conv_b").alias("dup_of"))
+        )
+        have_index = spark.catalog.tableExists(index_table)
+        if have_index:
+            spark.catalog.refreshTable(index_table)
+            base_all = spark.table(index_table)
+            mine = (F.col("ingest_run") == run_id) & (
+                F.col("ingest_batch_id") == batch_id
+            )
+            base = base_all.filter(~mine)
+            # cross-corpus: ANY corpus prefix row matching the new full
+            # chain — the corpus conversation is already kept, it wins
+            dup_x = (
+                fulls.join(
+                    base.select(F.col("conv_id").alias("conv_b"), "chain"),
+                    "chain",
+                )
+                .filter(F.col("conv_a") != F.col("conv_b"))
+                .select("conv_a", F.col("conv_b").alias("dup_of"))
+            )
+            dup_all = dup_w.unionByName(dup_x)
+        else:
+            dup_all = dup_w
+        dup = dup_all.groupBy("conv_a").agg(F.min("dup_of").alias("dup_of"))
+        verdicts = (
+            fulls.select("conv_a", "la")
+            .join(dup, "conv_a", "left")
+            .select(
+                F.col("conv_a").alias("conv_id"),
+                F.col("la").alias("n_turns"),
+                F.col("dup_of").isNotNull().cast("int").alias("is_prefix_dup"),
+                "dup_of",
+            )
+        )
+        # batch_id-keyed partition overwrite: replays replace, never dup
+        verdicts.write.mode("overwrite").parquet(
+            f"{out_dir}/verdicts/batch_id={batch_id}"
+        )
+        dup_ids = (
+            spark.read.parquet(f"{out_dir}/verdicts/batch_id={batch_id}")
+            .filter(F.col("is_prefix_dup") == 1)
+            .select("conv_id")
+            .distinct()
+        )
+        novel = (
+            rows.join(dup_ids, "conv_id", "left_anti")
+            .withColumn("ingest_run", F.lit(run_id).cast("long"))
+            .withColumn("ingest_batch_id", F.lit(batch_id).cast("long"))
+        )
+        if have_index:
+            # idempotent append (parquet append is not atomic): anti-join
+            # the (conv_id, k) rows this batch already wrote and append
+            # only the remainder — full replay appends nothing, a
+            # partial-commit replay repairs the missing rows
+            present = (
+                spark.table(index_table)
+                .filter(
+                    (F.col("ingest_run") == run_id)
+                    & (F.col("ingest_batch_id") == batch_id)
+                )
+                .select("conv_id", "k")
+            )
+            todo = novel.join(present, ["conv_id", "k"], "left_anti")
+            save_conv_chain_rows(todo, index_table, buckets=buckets, mode="append")
+        else:
+            save_conv_chain_rows(
+                novel, index_table, path=index_path,
+                buckets=buckets, mode="overwrite",
+            )
+
+    return process

@@ -675,3 +675,108 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
         spark.read.parquet(d), gap="30 minutes"
     ).collect())
     assert got == want and len(want) >= 3
+
+
+def test_streaming_conv_prefix_dedup_matches_batch(spark, tmp_path):
+    """Streaming conversation ingestion dedup: micro-batches probe the
+    stored chain index AND self-dedup within the batch; verdicts must
+    equal folding the same batches sequentially through the operators
+    (stream ≡ batch), and dup conversations never enter the index."""
+    from doc_redaction_spark.streaming.stream import (
+        run_streaming_conv_prefix_dedup,
+    )
+
+    conv = lambda cid, texts: [
+        (cid, i, "user", t) for i, t in enumerate(texts)
+    ]
+    batches = [
+        # A kept; B = A-retry prefix within the SAME batch → dup of A
+        conv("A", ["hi", "hello", "bye"]) + conv("B", ["hi", "hello"]),
+        # C = exact twin of A across batches → dup of A; D novel
+        conv("C", ["hi", "hello", "bye"]) + conv("D", ["fresh", "stuff"]),
+        # E = prefix of D → dup of D; F novel
+        conv("E", ["fresh"]) + conv("F", ["else entirely"]),
+    ]
+    inp = str(tmp_path / "conv_in")
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        ).coalesce(1).write.mode("append").parquet(inp)
+    out = str(tmp_path / "cp_out")
+    spark.sql("DROP TABLE IF EXISTS conv_stream_idx")
+    try:
+        run_streaming_conv_prefix_dedup(
+            spark, inp, out, str(tmp_path / "cp_ckpt"),
+            index_table="conv_stream_idx",
+            index_path=str(tmp_path / "conv_stream_idx"),
+        )
+        v = {
+            r["conv_id"]: r
+            for r in spark.read.parquet(f"{out}/verdicts").collect()
+        }
+        assert v["A"]["is_prefix_dup"] == 0
+        assert v["B"]["is_prefix_dup"] == 1 and v["B"]["dup_of"] == "A"
+        assert v["C"]["is_prefix_dup"] == 1 and v["C"]["dup_of"] == "A"
+        assert v["D"]["is_prefix_dup"] == 0
+        assert v["E"]["is_prefix_dup"] == 1 and v["E"]["dup_of"] == "D"
+        assert v["F"]["is_prefix_dup"] == 0
+        # keep-first: only kept conversations' chains live in the index.
+        # (refresh first: the outer session's relation cache still holds
+        # the file listing from the LAST batch's probe — the same
+        # staleness the processor itself refreshes around, see
+        # make_incremental_dedup_processor's comment)
+        spark.catalog.refreshTable("conv_stream_idx")
+        idx_convs = {
+            r["conv_id"]
+            for r in spark.table("conv_stream_idx").select("conv_id").distinct().collect()
+        }
+        assert idx_convs == {"A", "D", "F"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS conv_stream_idx")
+
+
+def test_streaming_conv_prefix_replay_idempotent(spark, tmp_path):
+    """foreachBatch re-runs the last uncommitted batch after a failure:
+    re-invoking the processor on an already-committed batch must leave
+    verdicts AND index rows byte-identical (partition overwrite +
+    (conv_id, k)-keyed repair append)."""
+    from doc_redaction_spark.streaming.stream import make_conv_prefix_processor
+
+    out = str(tmp_path / "rp_out")
+    spark.sql("DROP TABLE IF EXISTS conv_replay_idx")
+    try:
+        process = make_conv_prefix_processor(
+            spark, out, "conv_replay_idx",
+            index_path=str(tmp_path / "conv_replay_idx"),
+        )
+        b0 = spark.createDataFrame(
+            [("A", 0, "user", "hi"), ("A", 1, "user", "there")],
+            "conv_id string, turn_idx int, role string, text string",
+        )
+        b1 = spark.createDataFrame(
+            [("B", 0, "user", "hi"), ("Z", 0, "user", "new thing")],
+            "conv_id string, turn_idx int, role string, text string",
+        )
+        process(b0, 0)
+        process(b1, 1)
+        snap_v = sorted(
+            map(tuple, spark.read.parquet(f"{out}/verdicts").collect())
+        )
+        snap_i = sorted(
+            map(tuple, spark.table("conv_replay_idx").collect())
+        )
+        # full replay of batch 1 (crash after commit, re-run)
+        process(b1, 1)
+        assert sorted(
+            map(tuple, spark.read.parquet(f"{out}/verdicts").collect())
+        ) == snap_v
+        spark.catalog.refreshTable("conv_replay_idx")
+        assert sorted(
+            map(tuple, spark.table("conv_replay_idx").collect())
+        ) == snap_i
+        # B is a 1-turn prefix of A → dup; Z novel and indexed once
+        v = {r[0]: r for r in snap_v}
+        assert v["B"][2] == 1 and v["B"][3] == "A"
+        assert v["Z"][2] == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS conv_replay_idx")
