@@ -8423,6 +8423,106 @@ def o_alias_linking():
     """
 
 
+def q_transcripts_report(spark, sf_dir):
+    """Per-role transcripts health dashboard — the conversation-corpus
+    twin of corpus_report: turn/conversation counts, token mass, exact
+    mean tokens (integral ×1000), refusal-marker turns (the shared
+    REFUSAL_PATTERN battery), email-bearing turns (the shared
+    EMAIL_PATTERN recognizer), and the exact-duplicate turn count via
+    the shared turn_hash_col fingerprint (repeated (role ⊕ text) turns
+    within a role). Two combinable aggregates total: one role-level
+    pass, one hash-grouping pass for the dup stats — the turns scan is
+    shared, never one scan per stat family."""
+    from doc_redaction_spark.functions.recognizers import EMAIL_PATTERN
+    from doc_redaction_spark.functions.textstats import token_count_col
+    from doc_redaction_spark.operators.convops import (
+        refusal_count_col,
+        turn_hash_col,
+    )
+
+    tr = _tr(spark, sf_dir)
+    base = tr.select(
+        "conv_id",
+        "role",
+        token_count_col("text").cast("long").alias("n_tok"),
+        (refusal_count_col("text") > 0).cast("long").alias("is_refusal"),
+        (
+            F.coalesce(
+                F.regexp_count(
+                    F.coalesce(F.col("text"), F.lit("")), F.lit(EMAIL_PATTERN)
+                ),
+                F.lit(0),
+            )
+            > 0
+        ).cast("long").alias("has_email"),
+        turn_hash_col().alias("th"),
+    )
+    stats = base.groupBy("role").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.sum("is_refusal").cast("long").alias("refusal_turns"),
+        F.sum("has_email").cast("long").alias("email_turns"),
+    )
+    dup = (
+        base.groupBy("role", "th")
+        .agg(F.count("*").alias("c"))
+        .groupBy("role")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("dup_turns")
+        )
+    )
+    return stats.join(dup, "role").select(
+        "role",
+        "n_turns",
+        "n_convs",
+        "sum_tokens",
+        F.expr("sum_tokens * 1000 div n_turns").alias("mean_tok_x1000"),
+        "refusal_turns",
+        "email_turns",
+        "dup_turns",
+    )
+
+
+def o_transcripts_report():
+    from doc_redaction_spark.functions.recognizers import EMAIL_PATTERN
+    from doc_redaction_spark.functions.textstats import duckdb_token_count
+    from doc_redaction_spark.operators.convops import (
+        duckdb_refusal_count,
+        duckdb_turn_hash,
+    )
+
+    email = (
+        f"len(regexp_extract_all(coalesce(text, ''), '{_sq(EMAIL_PATTERN)}'))"
+    )
+    return f"""
+    {TR_CTE},
+    b AS (SELECT conv_id, role,
+                 CAST({duckdb_token_count('text')} AS BIGINT) AS n_tok,
+                 CASE WHEN {duckdb_refusal_count('text')} > 0
+                      THEN 1 ELSE 0 END AS is_refusal,
+                 CASE WHEN {email} > 0 THEN 1 ELSE 0 END AS has_email,
+                 {duckdb_turn_hash()} AS th
+          FROM transcripts),
+    st AS (SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+                  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+                  CAST(sum(is_refusal) AS BIGINT) AS refusal_turns,
+                  CAST(sum(has_email) AS BIGINT) AS email_turns
+           FROM b GROUP BY role),
+    dg AS (SELECT role, th, count(*) AS c FROM b GROUP BY role, th),
+    dd AS (SELECT role, CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                    AS BIGINT) AS dup_turns
+           FROM dg GROUP BY role)
+    SELECT st.role, n_turns, n_convs, sum_tokens,
+           CAST(sum_tokens * 1000 // n_turns AS BIGINT) AS mean_tok_x1000,
+           refusal_turns, email_turns, dup_turns
+    FROM st JOIN dd ON st.role = dd.role
+    """
+
+
 def q_conv_pseudonym_map(spark, sf_dir):
     """Conversation-consistent pseudonym map (operators/ner.py
     conv_pseudonym_map): 'J. Smith' resolves to 'John Smith''s
@@ -9843,6 +9943,7 @@ _QUERIES: dict[str, Callable] = {
     "template_turns": q_template_turns,
     "conv_prefix_stored": q_conv_prefix_stored,
     "conv_pseudonym_map": q_conv_pseudonym_map,
+    "transcripts_report": q_transcripts_report,
     "pq_stored": q_pq_stored,
     "write_plan": q_write_plan,
     "hybrid_rrf": q_hybrid_rrf,
@@ -10058,6 +10159,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "template_turns": o_template_turns,
     "conv_prefix_stored": o_conv_prefix_stored,
     "conv_pseudonym_map": o_conv_pseudonym_map,
+    "transcripts_report": o_transcripts_report,
     "pq_stored": o_pq_stored,
     "write_plan": o_write_plan,
     "hybrid_rrf": o_hybrid_rrf,
