@@ -9917,6 +9917,330 @@ def o_template_turns():
 
 
 # ---------------------------------------------------------------------------
+# queries — session 8: preference mining, loop detection, leakage audit
+# ---------------------------------------------------------------------------
+
+# branch-augmented transcripts: on top of TRX_RETRY_CTE's '_r' retry
+# prefixes and '_x' exact twins, conversations c≡3 (mod 5) get TWO
+# divergent branch clones '_b'/'_b2' — the first B turns verbatim, then
+# the turn at turn_idx == B EDITED (two different edits). B is the
+# conversation's first assistant turn index ≥ 1: roles cycle (c+k)%4 in
+# the fixture, so B ≡ (1−c) ≡ (3c+1) (mod 4), mapped 0→4. The divergent
+# turn is therefore an ASSISTANT turn preceded by a shared USER turn —
+# the preference-pair shape. ONE template rendered to both engines.
+_TRB_BEXPR = (
+    "CASE WHEN (3 * CAST(substr(conv_id, 2, 10) AS INTEGER) + 1) % 4 = 0 "
+    "THEN 4 ELSE (3 * CAST(substr(conv_id, 2, 10) AS INTEGER) + 1) % 4 END"
+)
+
+
+def trb_branch_cte(scan: str = "transcripts") -> str:
+    legs = []
+    for suffix, edit in (("_b", " (revised)"), ("_b2", " (retry)")):
+        legs.append(f"""
+      SELECT conv_id || '{suffix}' AS conv_id, turn_idx, role,
+             CASE WHEN turn_idx = {_TRB_BEXPR}
+                  THEN text || '{edit}' ELSE text END AS text, tool, ts
+      FROM {scan}
+      WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 5 = 3
+        AND turn_idx <= {_TRB_BEXPR}""")
+    return f"""
+    trb AS (
+      SELECT conv_id, turn_idx, role, text, tool, ts FROM trx
+      UNION ALL {' UNION ALL '.join(legs)}
+    )"""
+
+
+TRB_BRANCH_CTE = trb_branch_cte()
+
+
+def _tr_branches(spark, sf_dir):
+    """Spark twin of TRB_BRANCH_CTE: the trx retry/twin union plus the
+    '_b'/'_b2' divergent branch clones. Branch legs derive from the
+    ORIGINALS (clone conv_ids like 'c3_r' would fail the substr→int
+    cast both engines use to pick branched conversations)."""
+    base = _tr(spark, sf_dir)
+    out = _retries_union(base)
+    cnum = F.substring("conv_id", 2, 10).cast("int")
+    b = F.when((3 * cnum + 1) % 4 == 0, F.lit(4)).otherwise((3 * cnum + 1) % 4)
+    for suffix, edit in (("_b", " (revised)"), ("_b2", " (retry)")):
+        leg = base.filter((cnum % 5 == 3) & (F.col("turn_idx") <= b)).select(
+            F.concat("conv_id", F.lit(suffix)).alias("conv_id"),
+            "turn_idx",
+            "role",
+            F.when(F.col("turn_idx") == b, F.concat("text", F.lit(edit)))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "tool",
+            "ts",
+        )
+        out = out.unionByName(leg)
+    return out
+
+
+def q_dpo_pairs(spark, sf_dir):
+    """Preference-pair mining (operators/convops.py preference_pairs):
+    conversation pairs sharing an exact turn-hash prefix that diverge at
+    an assistant turn — each divergent retry yields ONE (chosen,
+    rejected) row at its true divergence point (chains never re-equal
+    after diverging). Fixture plants two edited branches per c≡3 (mod 5)
+    conversation → 3 pairs each (orig↔b, orig↔b2, b↔b2); the '_r'/'_x'
+    clones prove truncations and exact twins yield NO pairs. Oracle =
+    the shared quadratic chain spec + the same divergence join."""
+    from doc_redaction_spark.operators.convops import preference_pairs
+
+    return preference_pairs(_tr_branches(spark, sf_dir))
+
+
+def o_dpo_pairs():
+    from doc_redaction_spark.operators.convops import duckdb_turn_hash
+
+    return f"""
+    {TR_CTE},
+    {TRX_RETRY_CTE},
+    {TRB_BRANCH_CTE},
+    {_chain_rows_sql('trb', 'dp')},
+    dprk AS (SELECT conv_id,
+                    row_number() OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS rk,
+                    role, {duckdb_turn_hash()} AS th
+             FROM trb),
+    dpp AS (SELECT e.conv_id, e.n_turns, e.k, e.chain,
+                   r.role AS next_role, r.th AS next_th
+            FROM dpe e JOIN dprk r
+              ON r.conv_id = e.conv_id AND r.rk = e.k + 1),
+    pr AS (SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                  CAST(a.k AS BIGINT) AS prefix_len,
+                  CAST(a.n_turns AS BIGINT) AS ta,
+                  CAST(b.n_turns AS BIGINT) AS tb,
+                  a.next_th AS resp_a_md5, b.next_th AS resp_b_md5
+           FROM dpp a JOIN dpp b
+             ON a.chain = b.chain AND a.conv_id < b.conv_id
+           WHERE a.next_th <> b.next_th
+             AND a.next_role = 'assistant' AND b.next_role = 'assistant')
+    SELECT conv_a, conv_b, prefix_len,
+           CASE WHEN ta >= tb THEN conv_a ELSE conv_b END AS chosen,
+           CASE WHEN ta >= tb THEN conv_b ELSE conv_a END AS rejected,
+           CASE WHEN ta >= tb THEN ta ELSE tb END AS chosen_turns,
+           CASE WHEN ta >= tb THEN tb ELSE ta END AS rejected_turns,
+           resp_a_md5, resp_b_md5
+    FROM pr
+    """
+
+
+def q_response_diversity(spark, sf_dir):
+    """Prompt→response diversity (operators/convops.py
+    response_diversity): identical user prompts followed by assistant
+    turns, with distinct-response counts — separates canned-FAQ prompts
+    (many uses, one response) from preference-data candidates (one
+    prompt, several responses). On the branch fixture: '_x' twins and
+    '_r' retries produce n_distinct_resp=1 rows, the '_b'/'_b2'
+    divergence prompts produce n_distinct_resp=3 rows."""
+    from doc_redaction_spark.operators.convops import response_diversity
+
+    return response_diversity(_tr_branches(spark, sf_dir))
+
+
+def o_response_diversity():
+    return f"""
+    {TR_CTE},
+    {TRX_RETRY_CTE},
+    {TRB_BRANCH_CTE},
+    per AS (SELECT conv_id, turn_idx, role, coalesce(text, '') AS text
+            FROM trb),
+    adj AS (SELECT conv_id, role, text,
+                   lead(role) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS next_role,
+                   lead(md5(text)) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) AS resp_md5
+            FROM per)
+    SELECT md5(text) AS prompt_md5,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT resp_md5) AS BIGINT) AS n_distinct_resp,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           min(text) AS exemplar
+    FROM adj
+    WHERE role = 'user' AND next_role = 'assistant'
+    GROUP BY md5(text)
+    HAVING count(*) >= 2
+    """
+
+
+# loop-augmented transcripts: conversations c≡1 (mod 5) get a planted
+# period-1 loop (4 identical assistant turns), c≡0 (mod 5) a period-2
+# ping-pong (6 alternating turns) — appended at turn_idx 100000+i, past
+# any fixture turn index. ONE template rendered to both engines.
+def trl_loop_cte(scan: str = "transcripts") -> str:
+    return f"""
+    trl AS (
+      SELECT conv_id, turn_idx, role, text FROM {scan}
+      UNION ALL
+      SELECT DISTINCT conv_id, CAST(100000 + i AS INTEGER) AS turn_idx,
+             'assistant' AS role,
+             'Retrying the same search query.' AS text
+      FROM {scan}, unnest(generate_series(0, 3)) AS g(i)
+      WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 5 = 1
+      UNION ALL
+      SELECT DISTINCT conv_id, CAST(100000 + i AS INTEGER) AS turn_idx,
+             'assistant' AS role,
+             CASE WHEN i % 2 = 0 THEN 'Checking the cache again.'
+                  ELSE 'Cache still empty.' END AS text
+      FROM {scan}, unnest(generate_series(0, 5)) AS g(i)
+      WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 5 = 0
+    )"""
+
+
+TRL_LOOP_CTE = trl_loop_cte()
+
+
+def _tr_loops(spark, sf_dir):
+    """Spark twin of TRL_LOOP_CTE."""
+    tr = _tr(spark, sf_dir).select("conv_id", "turn_idx", "role", "text")
+    cnum = F.substring("conv_id", 2, 10).cast("int")
+
+    def planted(mod: int, hi: int, text_of):
+        return (
+            tr.filter(cnum % 5 == mod)
+            .select("conv_id")
+            .distinct()
+            .select(
+                "conv_id",
+                F.explode(F.sequence(F.lit(0), F.lit(hi))).alias("i"),
+            )
+            .select(
+                "conv_id",
+                (F.lit(100000) + F.col("i")).cast("int").alias("turn_idx"),
+                F.lit("assistant").alias("role"),
+                text_of(F.col("i")).alias("text"),
+            )
+        )
+
+    p1 = planted(1, 3, lambda i: F.lit("Retrying the same search query."))
+    p2 = planted(
+        0,
+        5,
+        lambda i: F.when(i % 2 == 0, F.lit("Checking the cache again.")).otherwise(
+            F.lit("Cache still empty.")
+        ),
+    )
+    return tr.unionByName(p1).unionByName(p2)
+
+
+def q_agent_loops(spark, sf_dir):
+    """Stuck-agent loop detection (operators/convops.py
+    agent_loop_report): per-conversation turn-hash repetition report —
+    period-1 runs (identical consecutive turns) via a running island id,
+    period-2 ping-pong via lag-2 equality, all on ONE conv-keyed window
+    family. Fixture plants a 4-turn identical run (c≡1 mod 5 →
+    max_run=4) and a 6-turn A-B alternation (c≡0 mod 5 → rep2=4);
+    unplanted conversations must report max_run=1, rep1=rep2=0."""
+    from doc_redaction_spark.operators.convops import agent_loop_report
+
+    return agent_loop_report(_tr_loops(spark, sf_dir))
+
+
+def o_agent_loops():
+    from doc_redaction_spark.operators.convops import duckdb_turn_hash
+
+    return f"""
+    {TR_CTE},
+    {TRL_LOOP_CTE},
+    per AS (SELECT conv_id, turn_idx, {duckdb_turn_hash()} AS th FROM trl),
+    f AS (SELECT conv_id, turn_idx,
+                 CASE WHEN lag(th) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) IS NULL
+                       OR th <> lag(th) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx)
+                      THEN 1 ELSE 0 END AS new_run,
+                 CASE WHEN th = lag(th, 2) OVER (PARTITION BY conv_id
+                                                 ORDER BY turn_idx)
+                      THEN 1 ELSE 0 END AS is_rep2
+          FROM per),
+    g AS (SELECT conv_id, is_rep2,
+                 sum(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+          FROM f),
+    runs AS (SELECT conv_id, run_id, count(*) AS run_len,
+                    sum(is_rep2) AS rep2_part
+             FROM g GROUP BY conv_id, run_id)
+    SELECT conv_id,
+           CAST(sum(run_len) AS BIGINT) AS n_turns,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(run_len) - count(*) AS BIGINT) AS rep1,
+           CAST(sum(rep2_part) AS BIGINT) AS rep2,
+           CAST(max(run_len) AS BIGINT) AS max_run,
+           CAST(CASE WHEN max(run_len) >= 3 OR sum(rep2_part) >= 3
+                THEN 1 ELSE 0 END AS INTEGER) AS looping
+    FROM runs GROUP BY conv_id
+    """
+
+
+_LEAK_FRACS = [("train", 0.5), ("val", 0.25), ("test", 0.25)]
+
+
+def q_split_leakage(spark, sf_dir):
+    """Train/eval split-leakage audit (operators/curation.py
+    split_leakage): hash_split assigns documents_plus to
+    train/val/test, minhash_lsh_pairs finds near-dups, and every eval
+    doc with a train near-dup gets one contamination row (smallest
+    train dup + strongest similarity). Composes the two kernels the
+    driver already hashes standalone; the planted +100000/+200000
+    clones land on both sides of the split boundary by hash."""
+    from doc_redaction_spark.operators.curation import split_leakage
+
+    return split_leakage(
+        documents_plus(spark, sf_dir),
+        _LEAK_FRACS,
+        salt="leak0",
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        threshold=0.5,
+    )
+
+
+def o_split_leakage():
+    from doc_redaction_spark.operators.sampling import _HASH_SPACE, duckdb_hash_u32
+
+    sig, bands, band_match, est = _mh_oracle_parts()
+    h = duckdb_hash_u32("'leak0:' || CAST(doc_id AS VARCHAR)")
+    cum1 = _LEAK_FRACS[0][1]
+    cum2 = cum1 + _LEAK_FRACS[1][1]
+    b1, b2 = int(cum1 * _HASH_SPACE), int(cum2 * _HASH_SPACE)
+    return f"""
+    WITH docs_plus AS ({documents_plus_sql()}),
+    sh AS (SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM docs_plus),
+    bhs AS (SELECT id, list_transform(shingles,
+                x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS bh
+            FROM sh WHERE len(shingles) > 0),
+    sigs AS (SELECT id, {sig} AS sig FROM bhs),
+    banded AS (SELECT id, sig, {bands} FROM sigs),
+    prs AS (SELECT a.id AS id1, b.id AS id2, {est} AS est_jaccard
+            FROM banded a JOIN banded b ON a.id < b.id AND ({band_match})
+            WHERE {est} >= 0.5),
+    sp AS (SELECT doc_id, CASE WHEN {h} < {b1} THEN 'train'
+                               WHEN {h} < {b2} THEN 'val'
+                               ELSE 'test' END AS split
+           FROM docs_plus),
+    j AS (SELECT p.id1, p.id2, s1.split AS split1, s2.split AS split2,
+                 p.est_jaccard
+          FROM prs p JOIN sp s1 ON s1.doc_id = p.id1
+                     JOIN sp s2 ON s2.doc_id = p.id2),
+    lk AS (SELECT id1 AS doc_id, split1 AS split, id2 AS train_id,
+                  est_jaccard
+           FROM j WHERE split1 <> 'train' AND split2 = 'train'
+           UNION ALL
+           SELECT id2 AS doc_id, split2 AS split, id1 AS train_id,
+                  est_jaccard
+           FROM j WHERE split2 <> 'train' AND split1 = 'train')
+    SELECT doc_id, split, CAST(count(*) AS BIGINT) AS n_train_dups,
+           min(train_id) AS dup_in_train,
+           max(est_jaccard) AS max_est_jaccard
+    FROM lk GROUP BY doc_id, split
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -9929,6 +10253,10 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "dpo_pairs": q_dpo_pairs,
+    "agent_loops": q_agent_loops,
+    "response_diversity": q_response_diversity,
+    "split_leakage": q_split_leakage,
     "conv_prefix_dedup": q_conv_prefix_dedup,
     "chat_render": q_chat_render,
     "sft_pairs": q_sft_pairs,
@@ -10145,6 +10473,10 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "dpo_pairs": o_dpo_pairs,
+    "agent_loops": o_agent_loops,
+    "response_diversity": o_response_diversity,
+    "split_leakage": o_split_leakage,
     "conv_prefix_dedup": o_conv_prefix_dedup,
     "chat_render": o_chat_render,
     "sft_pairs": o_sft_pairs,

@@ -714,6 +714,229 @@ def conversation_near_dup(
     )
 
 
+def preference_pairs(
+    turns: DataFrame,
+    role: str = "assistant",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Preference-pair (DPO/RLHF) mining from divergent retry branches.
+
+    When a harness re-runs a conversation and the model answers the SAME
+    context differently (an edited retry — the case
+    ``conversation_prefix_dedup`` keeps both of and
+    ``conversation_near_dup`` only scores), the two branches are a
+    natural preference pair: identical prompt prefix, two candidate
+    responses. A pair is emitted for every two conversations whose
+    prefix CHAINS are equal at some length ``k`` while their (k+1)-th
+    turns differ AND are both ``role`` turns (the trainable-response
+    case). Chains diverge permanently after the first differing turn,
+    so each conversation pair yields exactly ONE row — at its true
+    divergence point.
+
+    ``chosen`` applies the retry heuristic: the branch that CONTINUED
+    for more turns was the accepted one (the abandoned branch is the
+    rejection); equal lengths keep the smaller ``conv_id`` — the dedup
+    family's tie rule. Downstream rankers can re-label from the
+    response hashes.
+
+    Plan shape: ``conv_chain_rows`` (one aggregate-HOF pass, linear in
+    turns) + a per-conversation rank window on the SAME conv-keyed
+    partitioning, then ONE equi-join on the chain hash. Join group
+    sizes = retry fan-out per exact prefix (naturally small); texts
+    never enter the join — only 32-byte hashes.
+
+    Output: ``(conv_a, conv_b, prefix_len, chosen, rejected,
+    chosen_turns, rejected_turns, resp_a_md5, resp_b_md5)``.
+    """
+    ch = conv_chain_rows(turns, conv_col, idx_col, role_col, text_col)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = (
+        turns.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(idx_col).alias("turn_idx"),
+            F.col(role_col).alias("next_role"),
+            turn_hash_col(role_col, text_col).alias("next_th"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .drop("turn_idx")
+    )
+    p = ch.join(
+        nxt, (ch["conv_id"] == nxt["conv_id"]) & (nxt["rk"] == ch["k"] + 1)
+    ).select(
+        ch["conv_id"], ch["n_turns"], ch["k"], ch["chain"], "next_role", "next_th"
+    )
+    a = p.select(
+        F.col("conv_id").alias("conv_a"),
+        F.col("n_turns").alias("ta"),
+        F.col("k").alias("prefix_len"),
+        "chain",
+        F.col("next_role").alias("role_a"),
+        F.col("next_th").alias("resp_a_md5"),
+    )
+    b = p.select(
+        F.col("conv_id").alias("conv_b"),
+        F.col("n_turns").alias("tb"),
+        "chain",
+        F.col("next_role").alias("role_b"),
+        F.col("next_th").alias("resp_b_md5"),
+    )
+    chosen_a = (F.col("ta") > F.col("tb")) | (F.col("ta") == F.col("tb"))
+    return (
+        a.join(b, "chain")
+        .filter(
+            (F.col("conv_a") < F.col("conv_b"))
+            & (F.col("resp_a_md5") != F.col("resp_b_md5"))
+            & (F.col("role_a") == role)
+            & (F.col("role_b") == role)
+        )
+        .select(
+            "conv_a",
+            "conv_b",
+            "prefix_len",
+            F.when(chosen_a, F.col("conv_a")).otherwise(F.col("conv_b")).alias(
+                "chosen"
+            ),
+            F.when(chosen_a, F.col("conv_b")).otherwise(F.col("conv_a")).alias(
+                "rejected"
+            ),
+            F.when(chosen_a, F.col("ta")).otherwise(F.col("tb")).alias("chosen_turns"),
+            F.when(chosen_a, F.col("tb")).otherwise(F.col("ta")).alias(
+                "rejected_turns"
+            ),
+            "resp_a_md5",
+            "resp_b_md5",
+        )
+    )
+
+
+def agent_loop_report(
+    turns: DataFrame,
+    min_run: int = 3,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stuck-agent loop detection: per-conversation repetition report
+    over turn content hashes — the transcript-hygiene gate that catches
+    an agent re-issuing the same tool call / response until the harness
+    kills it (period-1 runs) or ping-ponging between two states
+    (period-2 alternation). Both inflate training data with degenerate
+    trajectories exactly like document-level repetition (the Gopher
+    battery's conversational twin).
+
+    Per-turn hash (``turn_hash_col``) → ONE conv-keyed window computes
+    ``lag1``/``lag2`` equality flags and a running run-id (island start
+    = hash differs from predecessor), then two map-side-combinable
+    groupBys: (conv, run) run lengths → per-conversation rollup. No
+    per-(conv, hash) shuffle — everything stays on the pipeline's
+    standard ``conv_id`` partitioning.
+
+    ``rep1`` = turns equal to their predecessor (n_turns − n_runs),
+    ``rep2`` = turns equal to the turn two back (counts A-B-A-B cycles
+    a run-length check misses), ``max_run`` = longest identical run,
+    ``looping`` = max_run ≥ min_run OR rep2 ≥ min_run.
+
+    Output: ``(conv_id, n_turns, n_runs, rep1, rep2, max_run,
+    looping INT)``.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    per = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        turn_hash_col(role_col, text_col).alias("th"),
+    )
+    lag1 = F.lag("th", 1).over(w)
+    lag2 = F.lag("th", 2).over(w)
+    flagged = per.select(
+        "conv_id",
+        "turn_idx",
+        (lag1.isNull() | (F.col("th") != lag1)).cast("long").alias("new_run"),
+        (F.col("th") == lag2).cast("long").alias("is_rep2"),
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = flagged.groupBy("conv_id", "run_id").agg(
+        F.count("*").cast("long").alias("run_len"),
+        F.sum(F.coalesce("is_rep2", F.lit(0))).cast("long").alias("rep2_part"),
+    )
+    return (
+        runs.groupBy("conv_id")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_turns"),
+            F.count("*").cast("long").alias("n_runs"),
+            F.sum("rep2_part").cast("long").alias("rep2"),
+            F.max("run_len").cast("long").alias("max_run"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_runs",
+            (F.col("n_turns") - F.col("n_runs")).cast("long").alias("rep1"),
+            "rep2",
+            "max_run",
+            ((F.col("max_run") >= min_run) | (F.col("rep2") >= min_run))
+            .cast("int")
+            .alias("looping"),
+        )
+    )
+
+
+def response_diversity(
+    turns: DataFrame,
+    min_pairs: int = 2,
+    prompt_role: str = "user",
+    resp_role: str = "assistant",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Prompt→response diversity: for every distinct ``prompt_role``
+    text immediately followed by a ``resp_role`` turn, count how often
+    it occurs and how many DISTINCT responses it drew — the signal that
+    separates canned-FAQ prompts (many uses, one response: dedup to
+    one) from genuine preference data (one prompt, several responses:
+    ``preference_pairs`` feed) across the corpus.
+
+    One conv-keyed lead window (adjacency), one combinable groupBy on
+    the prompt hash; responses enter the aggregate as hashes, never
+    full texts. ``exemplar`` rides along via min() — the grouped texts
+    are identical by definition.
+
+    Output: ``(prompt_md5, n_pairs, n_distinct_resp, n_convs,
+    exemplar)`` for prompts with ≥ ``min_pairs`` adjacent pairs.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    per = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    )
+    adj = per.select(
+        "conv_id",
+        "role",
+        "text",
+        F.lead("role").over(w).alias("next_role"),
+        F.lead(F.md5("text")).over(w).alias("resp_md5"),
+    ).filter((F.col("role") == prompt_role) & (F.col("next_role") == resp_role))
+    return (
+        adj.groupBy(F.md5("text").alias("prompt_md5"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("resp_md5").cast("long").alias("n_distinct_resp"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.min("text").alias("exemplar"),
+        )
+        .filter(F.col("n_pairs") >= min_pairs)
+    )
+
+
 def duckdb_turn_hash(role_expr: str = "role", text_expr: str = "text") -> str:
     """DuckDB rendering of ``turn_hash_col`` — the ONE turn-identity
     spec (md5(role ⊕ 0x01 ⊕ text)), shared by every conversation-dedup

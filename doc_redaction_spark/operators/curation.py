@@ -810,3 +810,89 @@ def bigram_surprisal(
             F.coalesce("surprisal", F.lit(0.0)).alias("surprisal"),
         )
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    fractions: list[tuple[str, float]],
+    train_label: str = "train",
+    salt: str = "split0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Train/eval split-leakage audit: near-duplicate pairs that CROSS
+    the hash-split boundary — the contamination check a training
+    pipeline runs after splitting (an eval doc with a near-dup in train
+    measures memorization, not generalization; Lee et al.'s dedup paper
+    documents the benchmark inflation).
+
+    Composes two already-verified kernels on their own terms:
+    ``sampling.hash_split`` assigns every doc a deterministic split
+    (map-only, no shuffle) and ``dedup.minhash_lsh_pairs`` produces the
+    near-dup pairs (banded candidates, id1 < id2, no all-pairs work).
+    The split table is two slim columns joined onto the pair list
+    (pairs ≪ corpus, so both joins are AQE-broadcastable), then each
+    cross-boundary pair is re-oriented eval-side-first and rolled up
+    per contaminated EVAL doc — the actionable unit (drop or re-split
+    that doc), with keep-first evidence (smallest train dup) and the
+    strongest similarity.
+
+    Output: ``(doc_id, split, n_train_dups, dup_in_train,
+    max_est_jaccard)`` — one row per eval doc with ≥1 train near-dup.
+    """
+    from doc_redaction_spark.operators.dedup import minhash_lsh_pairs
+    from doc_redaction_spark.operators.sampling import hash_split
+
+    s = hash_split(
+        docs.select(id_col), fractions, id_col=id_col, salt=salt
+    ).select(F.col(id_col).alias("_sid"), "split")
+    pairs = (
+        minhash_lsh_pairs(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        )
+        .join(
+            s.select(
+                F.col("_sid").alias("id1"), F.col("split").alias("split1")
+            ),
+            "id1",
+        )
+        .join(
+            s.select(
+                F.col("_sid").alias("id2"), F.col("split").alias("split2")
+            ),
+            "id2",
+        )
+    )
+    fwd = pairs.filter(
+        (F.col("split1") != train_label) & (F.col("split2") == train_label)
+    ).select(
+        F.col("id1").alias("eval_id"),
+        F.col("split1").alias("split"),
+        F.col("id2").alias("train_id"),
+        "est_jaccard",
+    )
+    rev = pairs.filter(
+        (F.col("split2") != train_label) & (F.col("split1") == train_label)
+    ).select(
+        F.col("id2").alias("eval_id"),
+        F.col("split2").alias("split"),
+        F.col("id1").alias("train_id"),
+        "est_jaccard",
+    )
+    return (
+        fwd.unionByName(rev)
+        .groupBy(F.col("eval_id").alias("doc_id"), F.col("split"))
+        .agg(
+            F.count("*").cast("long").alias("n_train_dups"),
+            F.min("train_id").alias("dup_in_train"),
+            F.max("est_jaccard").alias("max_est_jaccard"),
+        )
+    )

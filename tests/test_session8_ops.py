@@ -1,0 +1,222 @@
+"""Session-8 operators: preference mining, loop detection, prompt
+diversity (operators/convops.py) and split-leakage audit
+(operators/curation.py). Hand-computed fixtures; corpus-scale value
+checks live in the registry oracles (dpo_pairs, agent_loops,
+response_diversity, split_leakage).
+"""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.convops import (
+    agent_loop_report,
+    preference_pairs,
+    response_diversity,
+)
+from doc_redaction_spark.operators.curation import split_leakage
+
+TS = datetime.datetime(2024, 1, 1)
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, r, t, "", TS) for (c, i, r, t) in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+class TestPreferencePairs:
+    def test_divergent_branch_yields_one_pair(self, spark):
+        rows = [
+            # A: accepted run — 4 turns
+            ("A", 0, "user", "hi"),
+            ("A", 1, "assistant", "hello"),
+            ("A", 2, "user", "explain X"),
+            ("A", 3, "assistant", "X is good"),
+            # B: retry that answered turn 3 DIFFERENTLY, then stopped
+            ("B", 0, "user", "hi"),
+            ("B", 1, "assistant", "hello"),
+            ("B", 2, "user", "explain X"),
+            ("B", 3, "assistant", "X is bad"),
+        ]
+        out = preference_pairs(_turns(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["conv_a"], r["conv_b"]) == ("A", "B")
+        # divergence after the 3 shared turns; A continued no further
+        # than B (equal length) → tie rule keeps the smaller conv_id
+        assert r["prefix_len"] == 3
+        assert r["chosen"] == "A" and r["rejected"] == "B"
+        assert r["chosen_turns"] == 4 and r["rejected_turns"] == 4
+        assert r["resp_a_md5"] != r["resp_b_md5"]
+
+    def test_longer_branch_wins(self, spark):
+        rows = [
+            ("A", 0, "user", "hi"),
+            ("A", 1, "assistant", "first answer"),
+            # B repeats the prompt, answers differently, and CONTINUES
+            ("B", 0, "user", "hi"),
+            ("B", 1, "assistant", "second answer"),
+            ("B", 2, "user", "thanks"),
+        ]
+        r = preference_pairs(_turns(spark, rows)).collect()[0]
+        assert r["prefix_len"] == 1
+        assert r["chosen"] == "B" and r["rejected"] == "A"
+        assert r["chosen_turns"] == 3 and r["rejected_turns"] == 2
+
+    def test_no_pair_for_prefix_truncation_or_twin(self, spark):
+        rows = [
+            ("A", 0, "user", "hi"),
+            ("A", 1, "assistant", "hello"),
+            # B: strict prefix of A (no divergent turn)
+            ("B", 0, "user", "hi"),
+            # C: exact twin of A (no differing turn)
+            ("C", 0, "user", "hi"),
+            ("C", 1, "assistant", "hello"),
+        ]
+        assert preference_pairs(_turns(spark, rows)).count() == 0
+
+    def test_non_assistant_divergence_excluded(self, spark):
+        rows = [
+            ("A", 0, "user", "hi"),
+            ("A", 1, "user", "follow-up one"),
+            ("B", 0, "user", "hi"),
+            ("B", 1, "user", "follow-up two"),
+        ]
+        assert preference_pairs(_turns(spark, rows)).count() == 0
+
+
+class TestAgentLoopReport:
+    def test_period1_run(self, spark):
+        rows = [
+            ("A", 0, "user", "start"),
+            ("A", 1, "assistant", "same call"),
+            ("A", 2, "assistant", "same call"),
+            ("A", 3, "assistant", "same call"),
+            ("A", 4, "assistant", "same call"),
+        ]
+        r = agent_loop_report(_turns(spark, rows)).collect()[0]
+        assert r["n_turns"] == 5 and r["n_runs"] == 2
+        assert r["rep1"] == 3 and r["max_run"] == 4
+        # positions 3, 4 also equal the turn two back
+        assert r["rep2"] == 2
+        assert r["looping"] == 1
+
+    def test_period2_pingpong(self, spark):
+        rows = [
+            ("A", 0, "assistant", "ping"),
+            ("A", 1, "assistant", "pong"),
+            ("A", 2, "assistant", "ping"),
+            ("A", 3, "assistant", "pong"),
+            ("A", 4, "assistant", "ping"),
+            ("A", 5, "assistant", "pong"),
+        ]
+        r = agent_loop_report(_turns(spark, rows)).collect()[0]
+        # no immediate repeats, but every turn from idx 2 matches lag-2
+        assert r["rep1"] == 0 and r["max_run"] == 1
+        assert r["rep2"] == 4
+        assert r["looping"] == 1
+
+    def test_clean_conversation_not_looping(self, spark):
+        rows = [
+            ("A", 0, "user", "one"),
+            ("A", 1, "assistant", "two"),
+            ("A", 2, "user", "three"),
+        ]
+        r = agent_loop_report(_turns(spark, rows)).collect()[0]
+        assert r["rep1"] == 0 and r["rep2"] == 0 and r["max_run"] == 1
+        assert r["looping"] == 0
+
+    def test_role_is_part_of_identity(self, spark):
+        # same text, different roles → NOT a run
+        rows = [
+            ("A", 0, "user", "same"),
+            ("A", 1, "assistant", "same"),
+            ("A", 2, "user", "same"),
+        ]
+        r = agent_loop_report(_turns(spark, rows)).collect()[0]
+        assert r["max_run"] == 1 and r["rep1"] == 0
+        # lag-2 equality DOES hold (user "same" at 0 and 2)
+        assert r["rep2"] == 1
+
+
+class TestResponseDiversity:
+    def test_counts_distinct_responses(self, spark):
+        rows = [
+            ("A", 0, "user", "how do I reset?"),
+            ("A", 1, "assistant", "press the button"),
+            ("B", 0, "user", "how do I reset?"),
+            ("B", 1, "assistant", "hold for 5 seconds"),
+            ("C", 0, "user", "how do I reset?"),
+            ("C", 1, "assistant", "press the button"),
+            # non-adjacent / wrong-role pairs never count
+            ("D", 0, "user", "how do I reset?"),
+            ("D", 1, "tool", "lookup"),
+            ("E", 0, "user", "unique question"),
+            ("E", 1, "assistant", "unique answer"),
+        ]
+        out = response_diversity(_turns(spark, rows), min_pairs=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["exemplar"] == "how do I reset?"
+        assert r["n_pairs"] == 3 and r["n_distinct_resp"] == 2
+        assert r["n_convs"] == 3
+
+    def test_same_prompt_twice_in_one_conversation(self, spark):
+        rows = [
+            ("A", 0, "user", "status?"),
+            ("A", 1, "assistant", "running"),
+            ("A", 2, "user", "status?"),
+            ("A", 3, "assistant", "done"),
+        ]
+        r = response_diversity(_turns(spark, rows), min_pairs=2).collect()[0]
+        assert r["n_pairs"] == 2 and r["n_distinct_resp"] == 2
+        assert r["n_convs"] == 1
+
+
+class TestSplitLeakage:
+    def test_cross_split_near_dup_reported(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [(i, base + (" tail" if i % 2 else "")) for i in range(20)]
+            + [(100 + i, f"totally unrelated document number {i} "
+                         f"with its own words {i}") for i in range(5)],
+            "doc_id long, text string",
+        )
+        out = split_leakage(
+            docs, [("train", 0.5), ("val", 0.25), ("test", 0.25)],
+            salt="t0", num_hashes=16, bands=4, threshold=0.5,
+        )
+        rows = out.collect()
+        # the 20 near-identical docs straddle the split boundary; every
+        # reported row is an eval doc pointing at a train dup
+        assert len(rows) > 0
+        from doc_redaction_spark.operators.sampling import hash_split
+
+        splits = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(
+                docs.select("doc_id"),
+                [("train", 0.5), ("val", 0.25), ("test", 0.25)],
+                salt="t0",
+            ).collect()
+        }
+        for r in rows:
+            assert splits[r["doc_id"]] in ("val", "test")
+            assert splits[r["dup_in_train"]] == "train"
+            assert r["n_train_dups"] >= 1
+            assert r["max_est_jaccard"] >= 0.5
+        # the unrelated docs never appear
+        assert all(r["doc_id"] < 100 for r in rows)
+
+    def test_no_pairs_no_rows(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"document {i} about topic {i} only " * 3) for i in range(6)],
+            "doc_id long, text string",
+        )
+        out = split_leakage(
+            docs, [("train", 0.5), ("val", 0.5)], salt="t1"
+        )
+        assert out.count() == 0
