@@ -10176,6 +10176,101 @@ def o_agent_loops():
     """
 
 
+# corruption-augmented transcripts for the integrity report: c≡1 (mod 7)
+# gets a byte-identical clone of turn 0 (double delivery → duplicate
+# turn_idx, equal ts — the tie the (idx, ts) window order must keep
+# verdict-neutral), c≡2 (mod 7) an appended turn at idx 9000 with a LATE
+# timestamp (index gap only), c≡3 (mod 7) one at idx 9001 with an EARLY
+# timestamp (gap + non-monotonic ts). ONE template, both engines.
+def trq_corrupt_cte(scan: str = "transcripts") -> str:
+    return f"""
+    trq AS (
+      SELECT conv_id, turn_idx, ts FROM {scan}
+      UNION ALL
+      SELECT conv_id, turn_idx, ts FROM {scan}
+      WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 7 = 1 AND turn_idx = 0
+      UNION ALL
+      SELECT DISTINCT conv_id, CAST(9000 AS INTEGER) AS turn_idx,
+             TIMESTAMP '2030-01-01 00:00:00' AS ts
+      FROM {scan} WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 7 = 2
+      UNION ALL
+      SELECT DISTINCT conv_id, CAST(9001 AS INTEGER) AS turn_idx,
+             TIMESTAMP '2000-01-01 00:00:00' AS ts
+      FROM {scan} WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 7 = 3
+    )"""
+
+
+TRQ_CORRUPT_CTE = trq_corrupt_cte()
+
+
+def _tr_corrupt(spark, sf_dir):
+    """Spark twin of TRQ_CORRUPT_CTE."""
+    tr = _tr(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    cnum = F.substring("conv_id", 2, 10).cast("int")
+    dup = tr.filter((cnum % 7 == 1) & (F.col("turn_idx") == 0))
+    late = (
+        tr.filter(cnum % 7 == 2)
+        .select("conv_id")
+        .distinct()
+        .select(
+            "conv_id",
+            F.lit(9000).cast("int").alias("turn_idx"),
+            F.to_timestamp(F.lit("2030-01-01 00:00:00")).alias("ts"),
+        )
+    )
+    early = (
+        tr.filter(cnum % 7 == 3)
+        .select("conv_id")
+        .distinct()
+        .select(
+            "conv_id",
+            F.lit(9001).cast("int").alias("turn_idx"),
+            F.to_timestamp(F.lit("2000-01-01 00:00:00")).alias("ts"),
+        )
+    )
+    return tr.unionByName(dup).unionByName(late).unionByName(early)
+
+
+def q_conv_integrity(spark, sf_dir):
+    """Conversation structural-integrity report (operators/convops.py
+    conversation_integrity): duplicate turn indexes, index gaps, and
+    non-monotonic timestamps per conversation — the DQ gate run before
+    any operator that trusts (conv_id, turn_idx) ordering. Fixture
+    plants each corruption class separately; clean conversations must
+    report ok=1."""
+    from doc_redaction_spark.operators.convops import conversation_integrity
+
+    return conversation_integrity(_tr_corrupt(spark, sf_dir))
+
+
+def o_conv_integrity():
+    return f"""
+    {TR_CTE},
+    {TRQ_CORRUPT_CTE},
+    f AS (SELECT conv_id, turn_idx, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx, ts) IS NULL
+                       OR ts >= lag(ts) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx, ts)
+                      THEN 1 ELSE 0 END AS mono
+          FROM trq)
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_distinct_idx,
+           CAST(CASE WHEN count(*) > count(DISTINCT turn_idx)
+                THEN 1 ELSE 0 END AS INTEGER) AS has_dup_idx,
+           CAST(max(turn_idx) - min(turn_idx) + 1 AS BIGINT) AS idx_span,
+           CAST(max(turn_idx) - min(turn_idx) + 1
+                - count(DISTINCT turn_idx) AS BIGINT) AS n_gaps,
+           CAST(min(mono) AS INTEGER) AS ts_monotonic,
+           CAST(CASE WHEN count(*) = count(DISTINCT turn_idx)
+                  AND max(turn_idx) - min(turn_idx) + 1
+                      = count(DISTINCT turn_idx)
+                  AND min(mono) = 1 THEN 1 ELSE 0 END AS INTEGER) AS ok
+    FROM f GROUP BY conv_id
+    """
+
+
 _LEAK_FRACS = [("train", 0.5), ("val", 0.25), ("test", 0.25)]
 
 
@@ -10254,6 +10349,7 @@ _QUERIES: dict[str, Callable] = {
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
     "dpo_pairs": q_dpo_pairs,
+    "conv_integrity": q_conv_integrity,
     "agent_loops": q_agent_loops,
     "response_diversity": q_response_diversity,
     "split_leakage": q_split_leakage,
@@ -10474,6 +10570,7 @@ _QUERIES: dict[str, Callable] = {
 
 _ORACLES: dict[str, Callable[[], str]] = {
     "dpo_pairs": o_dpo_pairs,
+    "conv_integrity": o_conv_integrity,
     "agent_loops": o_agent_loops,
     "response_diversity": o_response_diversity,
     "split_leakage": o_split_leakage,

@@ -937,6 +937,78 @@ def response_diversity(
     )
 
 
+def conversation_integrity(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation structural-integrity report — the transcripts
+    twin of the document pipeline's dq_report, run BEFORE any operator
+    that trusts ``(conv_id, turn_idx)`` ordering (every window in this
+    family). Catches the three corruptions ingestion actually produces:
+    duplicate turn indexes (double-delivery / replay without the
+    idempotent sink), index gaps (dropped turns), and non-monotonic
+    timestamps (clock skew or mis-merged shards).
+
+    ONE conv-keyed window (the pipeline's standard partitioning) for
+    the timestamp-monotonicity flag, one combinable groupBy for the
+    counts. The lag window orders by ``(turn_idx, ts)`` so duplicate
+    indexes don't make the verdict order-dependent: equal-idx rows
+    compare smaller-ts-first, and any residual tie has equal
+    timestamps — flag-neutral either way.
+
+    Output: ``(conv_id, n_turns, n_distinct_idx, has_dup_idx INT,
+    idx_span, n_gaps, ts_monotonic INT, ok INT)`` where
+    ``n_gaps = (max−min+1) − n_distinct_idx``.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    per = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.col(ts_col).alias("ts"),
+    )
+    lagts = F.lag("ts").over(w)
+    flagged = per.withColumn(
+        "mono", (lagts.isNull() | (F.col("ts") >= lagts)).cast("int")
+    )
+    return (
+        flagged.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.countDistinct("turn_idx").cast("long").alias("n_distinct_idx"),
+            F.min("turn_idx").cast("long").alias("_min_idx"),
+            F.max("turn_idx").cast("long").alias("_max_idx"),
+            F.min("mono").alias("_mono"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_distinct_idx",
+            (F.col("n_turns") > F.col("n_distinct_idx")).cast("int").alias(
+                "has_dup_idx"
+            ),
+            (F.col("_max_idx") - F.col("_min_idx") + 1).cast("long").alias(
+                "idx_span"
+            ),
+            (F.col("_max_idx") - F.col("_min_idx") + 1 - F.col("n_distinct_idx"))
+            .cast("long")
+            .alias("n_gaps"),
+            F.col("_mono").cast("int").alias("ts_monotonic"),
+            (
+                (F.col("n_turns") == F.col("n_distinct_idx"))
+                & (
+                    F.col("_max_idx") - F.col("_min_idx") + 1
+                    == F.col("n_distinct_idx")
+                )
+                & (F.col("_mono") == 1)
+            )
+            .cast("int")
+            .alias("ok"),
+        )
+    )
+
+
 def duckdb_turn_hash(role_expr: str = "role", text_expr: str = "text") -> str:
     """DuckDB rendering of ``turn_hash_col`` — the ONE turn-identity
     spec (md5(role ⊕ 0x01 ⊕ text)), shared by every conversation-dedup

@@ -220,3 +220,57 @@ class TestSplitLeakage:
             docs, [("train", 0.5), ("val", 0.5)], salt="t1"
         )
         assert out.count() == 0
+
+
+class TestConversationIntegrity:
+    def _report(self, spark, rows):
+        df = spark.createDataFrame(
+            [(c, i, "user", "t", "", ts) for (c, i, ts) in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        from doc_redaction_spark.operators.convops import (
+            conversation_integrity,
+        )
+
+        return {r["conv_id"]: r for r in conversation_integrity(df).collect()}
+
+    def test_clean_conversation_ok(self, spark):
+        t = datetime.datetime(2024, 1, 1)
+        d = datetime.timedelta(seconds=1)
+        r = self._report(spark, [("A", i, t + i * d) for i in range(4)])["A"]
+        assert r["ok"] == 1 and r["has_dup_idx"] == 0
+        assert r["n_gaps"] == 0 and r["ts_monotonic"] == 1
+
+    def test_duplicate_index_flagged(self, spark):
+        t = datetime.datetime(2024, 1, 1)
+        rows = [("A", 0, t), ("A", 0, t), ("A", 1, t)]
+        r = self._report(spark, rows)["A"]
+        assert r["has_dup_idx"] == 1 and r["ok"] == 0
+        # equal-ts double delivery is a dup, NOT a monotonicity breach
+        assert r["ts_monotonic"] == 1 and r["n_gaps"] == 0
+
+    def test_index_gap_flagged(self, spark):
+        t = datetime.datetime(2024, 1, 1)
+        d = datetime.timedelta(seconds=1)
+        rows = [("A", 0, t), ("A", 1, t + d), ("A", 5, t + 2 * d)]
+        r = self._report(spark, rows)["A"]
+        assert r["n_gaps"] == 3 and r["idx_span"] == 6 and r["ok"] == 0
+        assert r["has_dup_idx"] == 0 and r["ts_monotonic"] == 1
+
+    def test_nonmonotonic_ts_flagged(self, spark):
+        t = datetime.datetime(2024, 1, 1)
+        d = datetime.timedelta(seconds=1)
+        rows = [("A", 0, t + 9 * d), ("A", 1, t), ("A", 2, t + d)]
+        r = self._report(spark, rows)["A"]
+        assert r["ts_monotonic"] == 0 and r["ok"] == 0
+        assert r["has_dup_idx"] == 0 and r["n_gaps"] == 0
+
+    def test_nonzero_start_is_gap_free(self, spark):
+        # span counts from min(turn_idx): a conversation starting at 3
+        # with contiguous indexes has no gaps
+        t = datetime.datetime(2024, 1, 1)
+        d = datetime.timedelta(seconds=1)
+        rows = [("A", 3, t), ("A", 4, t + d), ("A", 5, t + 2 * d)]
+        r = self._report(spark, rows)["A"]
+        assert r["n_gaps"] == 0 and r["ok"] == 1
