@@ -10271,6 +10271,250 @@ def o_conv_integrity():
     """
 
 
+def q_prefix_cache(spark, sf_dir):
+    """Prefix-sharing / KV-cache report (operators/convops.py
+    prefix_cache_stats): per prefix depth k, how many conversations
+    share each exact prefix chain and how much token mass a
+    prefix-caching trainer/server computes once per DISTINCT chain
+    instead of once per conversation. Fixture = the retry/clone-
+    augmented transcripts (TRX_RETRY_CTE) so real sharing exists; the
+    oracle recomputes every chain with the quadratic list_reduce
+    fold."""
+    from doc_redaction_spark.operators.convops import prefix_cache_stats
+
+    return prefix_cache_stats(_tr_retries(spark, sf_dir))
+
+
+def o_prefix_cache():
+    return f"""
+    {TR_CTE},
+    {TRX_RETRY_CTE},
+    {_chain_rows_sql('trx', 'pq')},
+    tk AS (SELECT conv_id,
+                  CAST(row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx) AS BIGINT) AS k,
+                  {duckdb_token_count('text')} AS tok
+           FROM trx),
+    j AS (SELECT e.k, e.chain, tk.tok
+          FROM pqe e JOIN tk ON e.conv_id = tk.conv_id AND e.k = tk.k),
+    pc AS (SELECT k, chain, count(*) AS n_convs, sum(tok) AS tok_sum,
+                  min(tok) AS tok_one
+           FROM j GROUP BY k, chain)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(sum(n_convs) AS BIGINT) AS n_turns_total,
+           CAST(count(*) AS BIGINT) AS n_distinct_prefixes,
+           CAST(sum(tok_sum) AS BIGINT) AS tokens_total,
+           CAST(sum(tok_one) AS BIGINT) AS tokens_unique
+    FROM pc GROUP BY k
+    """
+
+
+# continuation-augmented transcripts for session stitching: c≡3 (mod 5)
+# conversations get a '_cont' successor that re-sends the predecessor's
+# last 2 turns verbatim (idx 0,1 — ts kept) then adds 2 new turns. ONE
+# template, both engines.
+def trs_cont_cte(scan: str = "transcripts") -> str:
+    return f"""
+    trs AS (
+      SELECT conv_id, turn_idx, role, text, ts FROM {scan}
+      UNION ALL
+      SELECT conv_id || '_cont',
+             CAST(turn_idx - (mx - 1) AS INTEGER) AS turn_idx,
+             role, text, ts
+      FROM (SELECT conv_id, turn_idx, role, text, ts,
+                   max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+            FROM {scan}
+            WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 5 = 3) s
+      WHERE turn_idx >= mx - 1
+      UNION ALL
+      SELECT conv_id || '_cont', CAST(2 AS INTEGER), 'user',
+             'continue: ' || conv_id, mxts + to_seconds(CAST(100 AS BIGINT))
+      FROM (SELECT conv_id, max(ts) AS mxts FROM {scan}
+            WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 5 = 3
+            GROUP BY conv_id) m1
+      UNION ALL
+      SELECT conv_id || '_cont', CAST(3 AS INTEGER), 'assistant',
+             'resuming work on ' || conv_id,
+             mxts + to_seconds(CAST(200 AS BIGINT))
+      FROM (SELECT conv_id, max(ts) AS mxts FROM {scan}
+            WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 5 = 3
+            GROUP BY conv_id) m2
+    )"""
+
+
+TRS_CONT_CTE = trs_cont_cte()
+
+
+def _tr_stitch(spark, sf_dir):
+    """Spark twin of TRS_CONT_CTE."""
+    tr = _tr(spark, sf_dir).select("conv_id", "turn_idx", "role", "text", "ts")
+    cnum = F.substring("conv_id", 2, 10).cast("int")
+    base3 = tr.filter(cnum % 5 == 3)
+    wmx = Window.partitionBy("conv_id")
+    tail = (
+        base3.withColumn("mx", F.max("turn_idx").over(wmx))
+        .filter(F.col("turn_idx") >= F.col("mx") - 1)
+        .select(
+            F.concat("conv_id", F.lit("_cont")).alias("conv_id"),
+            (F.col("turn_idx") - (F.col("mx") - 1)).cast("int").alias("turn_idx"),
+            "role",
+            "text",
+            "ts",
+        )
+    )
+    m = base3.groupBy("conv_id").agg(F.max("ts").alias("mxts"))
+    new1 = m.select(
+        F.concat("conv_id", F.lit("_cont")).alias("conv_id"),
+        F.lit(2).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("continue: "), "conv_id").alias("text"),
+        (F.col("mxts") + F.expr("INTERVAL 100 SECOND")).alias("ts"),
+    )
+    new2 = m.select(
+        F.concat("conv_id", F.lit("_cont")).alias("conv_id"),
+        F.lit(3).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.concat(F.lit("resuming work on "), "conv_id").alias("text"),
+        (F.col("mxts") + F.expr("INTERVAL 200 SECOND")).alias("ts"),
+    )
+    return tr.unionByName(tail).unionByName(new1).unionByName(new2)
+
+
+def q_conv_stitch(spark, sf_dir):
+    """Split-session stitching (operators/convops.py
+    conversation_stitching): conversation B continues A when B's first
+    k turns repeat A's last k verbatim — head/tail md5-fold signatures
+    joined on ONE equi-join, texts never enter the join. Fixture
+    plants '_cont' successors (TRS_CONT_CTE); the oracle folds the
+    signatures with list_reduce."""
+    from doc_redaction_spark.operators.convops import conversation_stitching
+
+    return conversation_stitching(_tr_stitch(spark, sf_dir), k=2)
+
+
+def o_conv_stitch():
+    from doc_redaction_spark.operators.convops import duckdb_turn_hash
+
+    return f"""
+    {TR_CTE},
+    {TRS_CONT_CTE},
+    p AS (SELECT conv_id, turn_idx, {duckdb_turn_hash()} AS th, ts FROM trs),
+    a AS (SELECT conv_id, list(th ORDER BY turn_idx) AS hs,
+                 min(ts) AS first_ts, CAST(count(*) AS BIGINT) AS n_turns
+          FROM p GROUP BY conv_id),
+    s AS (SELECT conv_id, first_ts, n_turns,
+                 list_reduce(list_prepend('', hs[1:2]),
+                             (acc, x) -> md5(acc || x)) AS head_sig,
+                 list_reduce(list_prepend('', hs[len(hs)-1:len(hs)]),
+                             (acc, x) -> md5(acc || x)) AS tail_sig
+          FROM a WHERE len(hs) >= 2)
+    SELECT pv.conv_id AS prev_conv, nx.conv_id AS next_conv,
+           CAST(2 AS INTEGER) AS overlap_k,
+           pv.n_turns AS prev_n_turns, nx.n_turns AS next_n_turns
+    FROM s pv JOIN s nx ON pv.tail_sig = nx.head_sig
+    WHERE nx.n_turns > 2 AND pv.conv_id <> nx.conv_id
+      AND pv.first_ts <= nx.first_ts
+    """
+
+
+def q_erasure_audit(spark, sf_dir):
+    """Right-to-be-forgotten propagation audit (operators/convops.py
+    erasure_audit): after anti-joining the deletion list out, report
+    kept conversations still carrying byte-identical turn COPIES of
+    deleted content (retry clones, replayed prefixes) via the shared
+    turn-hash. Deletion set = base conversations with conv number ≡ 2
+    or 4 (mod 9) — chosen so BOTH leak classes of the retry fixture
+    fire (a '_r' prefix retry and a '_x' full clone)."""
+    from doc_redaction_spark.operators.convops import erasure_audit
+
+    tr = _tr(spark, sf_dir)
+    # try_cast, not cast: Catalyst infers this predicate across the
+    # operator's semi/anti joins onto the retry-fixture side, where
+    # '_r'/'_x' suffixed ids would make an ANSI cast throw
+    cnum = F.substring("conv_id", 2, 10).try_cast("int")
+    deleted = (
+        tr.select("conv_id").distinct().filter((cnum % 9 == 2) | (cnum % 9 == 4))
+    )
+    return erasure_audit(_tr_retries(spark, sf_dir), deleted)
+
+
+def o_erasure_audit():
+    from doc_redaction_spark.operators.convops import duckdb_turn_hash
+
+    return f"""
+    {TR_CTE},
+    {TRX_RETRY_CTE},
+    del AS (SELECT DISTINCT conv_id FROM transcripts
+            WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 9 IN (2, 4)),
+    per AS (SELECT conv_id, {duckdb_turn_hash()} AS th,
+                   length(coalesce(text, '')) AS chars
+            FROM trx),
+    dh AS (SELECT DISTINCT th FROM per
+           WHERE conv_id IN (SELECT conv_id FROM del) AND chars >= 40),
+    kept AS (SELECT conv_id, th FROM per
+             WHERE conv_id NOT IN (SELECT conv_id FROM del))
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_leaked_turns,
+           CAST(count(DISTINCT th) AS BIGINT) AS n_distinct_leaked
+    FROM kept WHERE th IN (SELECT th FROM dh)
+    GROUP BY conv_id
+    """
+
+
+def q_reply_latency(spark, sf_dir):
+    """Per-(role, tool) EXACT reply-latency percentiles
+    (operators/convops.py reply_latency_percentiles): integer-second
+    gap distribution resolved over the VALUE HISTOGRAM with the
+    winsorized ceil-rank rule — no approxQuantile, no global sort.
+    Fixture jitters ts by (doc_id % 13) seconds so the distribution
+    has real spread at every SF; doc_id is reconstructed from the
+    fixture identity doc_id = turn_idx*37 + conv_number (synth.py
+    N_CONVS) since _tr projects it away."""
+    from doc_redaction_spark.operators.convops import reply_latency_percentiles
+
+    tr = _tr(spark, sf_dir).withColumn(
+        "ts",
+        F.expr(
+            "ts + make_dt_interval(0, 0, 0, CAST("
+            "(CAST(turn_idx AS BIGINT) * 37"
+            " + CAST(substr(conv_id, 2, 10) AS BIGINT)) % 13 AS DOUBLE))"
+        ),
+    )
+    return reply_latency_percentiles(tr)
+
+
+def o_reply_latency():
+    return f"""
+    {TR_CTE},
+    trj AS (SELECT conv_id, turn_idx, role, tool,
+                   ts + to_seconds(
+                     (CAST(turn_idx AS BIGINT) * 37
+                      + CAST(substr(conv_id, 2, 10) AS BIGINT)) % 13) AS ts
+            FROM transcripts),
+    g AS (SELECT role, tool,
+                 lead(epoch_us(ts) // 1000000) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx)
+                 - (epoch_us(ts) // 1000000) AS gap
+          FROM trj),
+    h AS (SELECT role, tool, gap, count(*) AS c
+          FROM g WHERE gap IS NOT NULL GROUP BY role, tool, gap),
+    cc AS (SELECT role, tool, gap, c,
+                  sum(c) OVER (PARTITION BY role, tool ORDER BY gap
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+                  sum(c) OVER (PARTITION BY role, tool) AS n
+           FROM h)
+    SELECT role, tool,
+           CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN gap END)
+                AS BIGINT) AS p50_s,
+           CAST(min(CASE WHEN cum >= (19 * n + 19) // 20 THEN gap END)
+                AS BIGINT) AS p95_s,
+           CAST(max(gap) AS BIGINT) AS max_s
+    FROM cc GROUP BY role, tool
+    """
+
+
 _LEAK_FRACS = [("train", 0.5), ("val", 0.25), ("test", 0.25)]
 
 
@@ -10350,6 +10594,10 @@ _QUERIES: dict[str, Callable] = {
     # driver greens and inputs untouched this round
     "dpo_pairs": q_dpo_pairs,
     "conv_integrity": q_conv_integrity,
+    "prefix_cache": q_prefix_cache,
+    "conv_stitch": q_conv_stitch,
+    "erasure_audit": q_erasure_audit,
+    "reply_latency": q_reply_latency,
     "agent_loops": q_agent_loops,
     "response_diversity": q_response_diversity,
     "split_leakage": q_split_leakage,
@@ -10571,6 +10819,10 @@ _QUERIES: dict[str, Callable] = {
 _ORACLES: dict[str, Callable[[], str]] = {
     "dpo_pairs": o_dpo_pairs,
     "conv_integrity": o_conv_integrity,
+    "prefix_cache": o_prefix_cache,
+    "conv_stitch": o_conv_stitch,
+    "erasure_audit": o_erasure_audit,
+    "reply_latency": o_reply_latency,
     "agent_loops": o_agent_loops,
     "response_diversity": o_response_diversity,
     "split_leakage": o_split_leakage,

@@ -1087,3 +1087,309 @@ def template_turns(
         )
         .filter(F.col("n_convs") >= min_convs)
     )
+
+
+def prefix_cache_stats(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Prefix-sharing (KV-cache) report per prefix depth ``k`` — how
+    much token mass a prefix-caching trainer/server saves on this
+    corpus. Conversations sharing the chain hash at depth ``k`` have
+    byte-identical first-``k`` turns (md5-collision-free by the dedup
+    family's standard assumption), so the ``k``-th turn's tokens are
+    computed once per DISTINCT chain instead of once per conversation:
+    ``tokens_total − tokens_unique`` is exactly the cacheable mass at
+    that depth.
+
+    Plan: the ``conv_chain_rows`` kernel (ONE aggregate-HOF pass) joined
+    back to the per-turn token counts on ``(conv_id, k)`` — both sides
+    keyed on the family's standard conversation partitioning — then two
+    combinable groupBys (per-(k, chain), per-k). Linear in total turns;
+    texts never enter a join.
+
+    Output: ``(k, n_turns_total, n_distinct_prefixes, tokens_total,
+    tokens_unique)`` — all BIGINT, one row per depth.
+    """
+    chains = conv_chain_rows(turns, conv_col, idx_col, role_col, text_col)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    toks = (
+        turns.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(idx_col).alias("turn_idx"),
+            token_count_col(text_col).cast("long").alias("tok"),
+        )
+        .withColumn("k", F.row_number().over(w).cast("long"))
+        .drop("turn_idx")
+    )
+    per_chain = (
+        chains.join(toks, ["conv_id", "k"])
+        .groupBy("k", "chain")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.sum("tok").alias("tok_sum"),
+            F.min("tok").alias("tok_one"),
+        )
+    )
+    return per_chain.groupBy("k").agg(
+        F.sum("n_convs").cast("long").alias("n_turns_total"),
+        F.count("*").cast("long").alias("n_distinct_prefixes"),
+        F.sum("tok_sum").cast("long").alias("tokens_total"),
+        F.sum("tok_one").cast("long").alias("tokens_unique"),
+    )
+
+
+def conversation_stitching(
+    turns: DataFrame,
+    k: int = 2,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Find split sessions: conversation B continues conversation A when
+    B's FIRST ``k`` turns repeat A's LAST ``k`` turns verbatim (the
+    standard resume-with-context pattern: a new session re-sends the
+    tail of the previous one before adding new turns). Stitching these
+    back together de-fragments multi-session agent runs before
+    training-example extraction.
+
+    Per conversation ONE bounded collect (the family's bounded-history
+    contract) yields the ordered turn-hash array; the head/tail
+    signatures are md5 folds of the first/last ``k`` hashes, and
+    candidates come from ONE equi-join on the signature — texts never
+    enter the join, and no pairwise conversation comparison exists.
+    A continuation must ADD content (``n_turns > k``) and must not
+    start before its predecessor (``first_ts`` ordering; equal allowed
+    for clock-coarse harnesses).
+
+    Output: ``(prev_conv, next_conv, overlap_k INT, prev_n_turns,
+    next_n_turns)``.
+    """
+    per = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        turn_hash_col(role_col, text_col).alias("th"),
+        F.col(ts_col).alias("ts"),
+    )
+    arr = per.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "th"))).alias("sarr"),
+        F.min("ts").alias("first_ts"),
+        F.count("*").cast("long").alias("n_turns"),
+    )
+    hs = F.transform(F.col("sarr"), lambda s_el: s_el["th"])
+
+    def sig(sl):
+        return F.aggregate(
+            sl, F.lit(""), lambda acc_sg, x_sg: F.md5(F.concat(acc_sg, x_sg))
+        )
+
+    sigs = arr.filter(F.col("n_turns") >= k).select(
+        "conv_id",
+        "first_ts",
+        "n_turns",
+        sig(F.slice(hs, 1, k)).alias("head_sig"),
+        sig(F.slice(hs, -k, k)).alias("tail_sig"),
+    )
+    prev = sigs.select(
+        F.col("conv_id").alias("prev_conv"),
+        F.col("tail_sig").alias("sig"),
+        F.col("first_ts").alias("prev_first_ts"),
+        F.col("n_turns").alias("prev_n_turns"),
+    )
+    nxt = sigs.filter(F.col("n_turns") > k).select(
+        F.col("conv_id").alias("next_conv"),
+        F.col("head_sig").alias("sig"),
+        F.col("first_ts").alias("next_first_ts"),
+        F.col("n_turns").alias("next_n_turns"),
+    )
+    return (
+        prev.join(nxt, "sig")
+        .filter(
+            (F.col("prev_conv") != F.col("next_conv"))
+            & (F.col("prev_first_ts") <= F.col("next_first_ts"))
+        )
+        .select(
+            "prev_conv",
+            "next_conv",
+            F.lit(k).cast("int").alias("overlap_k"),
+            "prev_n_turns",
+            "next_n_turns",
+        )
+    )
+
+
+def erasure_audit(
+    turns: DataFrame,
+    deleted: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_chars: int = 40,
+) -> DataFrame:
+    """Right-to-be-forgotten propagation check. Deleting the listed
+    conversations (anti-join) removes their ROWS — but retry clones and
+    harness-replayed prefixes carry byte-identical COPIES of the same
+    turns under other conv_ids, and those survive the delete. This
+    audit reports every kept conversation that still contains a turn
+    whose ``md5(role ⊕ text)`` hash occurs in the deleted set —
+    the residual-copy list an erasure pipeline must also purge (or
+    re-redact) before certifying the delete.
+
+    ``min_chars`` gates identifying content: short ubiquitous turns
+    ("ok", "yes") match everywhere and are not evidence of a copy.
+
+    Plan: hash-keyed semi/anti joins only — no windows, no collects;
+    the deleted set and its hash set shuffle on their own keys.
+
+    Output: ``(conv_id, n_leaked_turns BIGINT, n_distinct_leaked
+    BIGINT)`` — kept conversations with ≥1 residual copy.
+    """
+    per = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        turn_hash_col(role_col, text_col).alias("th"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("chars"),
+    )
+    del_set = deleted.select(F.col(conv_col).alias("conv_id")).distinct()
+    del_hashes = (
+        per.join(del_set, "conv_id", "semi")
+        .filter(F.col("chars") >= min_chars)
+        .select("th")
+        .distinct()
+    )
+    kept = per.join(del_set, "conv_id", "anti")
+    return (
+        kept.join(del_hashes, "th", "semi")
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_leaked_turns"),
+            F.countDistinct("th").cast("long").alias("n_distinct_leaked"),
+        )
+    )
+
+
+def reply_latency_percentiles(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(role, tool) reply-latency percentile report — EXACT p50/p95
+    over the integer-second gap distribution, no approxQuantile (sketch
+    results change with partitioning and break rerun determinism and
+    the value oracle).
+
+    Latencies are integer seconds, so the selection runs over the VALUE
+    HISTOGRAM: one conv-keyed window for ``lead`` (the family's shared
+    partitioning), one map-side-combinable groupBy to ``(role, tool,
+    gap) → count``, then the ceil-rank threshold ``(num·n + den−1) div
+    den`` (the ``winsorized_stats`` rule) is resolved by a cumulative
+    window over the per-group DISTINCT gap values — thousands of rows,
+    not the corpus, so group skew cannot form.
+
+    Output: ``(role, tool, n_gaps, p50_s, p95_s, max_s)`` — all exact
+    integers.
+    """
+    epoch_s = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    g = (
+        turns.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(idx_col).alias("turn_idx"),
+            "role",
+            "tool",
+            epoch_s.alias("_s"),
+        )
+        .withColumn("_gap", F.lead("_s").over(w) - F.col("_s"))
+        .filter(F.col("_gap").isNotNull())
+    )
+    hist = g.groupBy("role", "tool", "_gap").agg(F.count("*").alias("_c"))
+    wcum = (
+        Window.partitionBy("role", "tool")
+        .orderBy("_gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("role", "tool")
+    cum = (
+        hist.withColumn("_cum", F.sum("_c").over(wcum))
+        .withColumn("_n", F.sum("_c").over(wtot))
+        .withColumn("_r50", F.expr("(_n + 1) div 2"))
+        .withColumn("_r95", F.expr("(19 * _n + 19) div 20"))
+    )
+    return cum.groupBy("role", "tool").agg(
+        F.max("_n").cast("long").alias("n_gaps"),
+        F.min(F.when(F.col("_cum") >= F.col("_r50"), F.col("_gap")))
+        .cast("long")
+        .alias("p50_s"),
+        F.min(F.when(F.col("_cum") >= F.col("_r95"), F.col("_gap")))
+        .cast("long")
+        .alias("p95_s"),
+        F.max("_gap").cast("long").alias("max_s"),
+    )
+
+
+def topic_segments(
+    turns: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 4,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical-cohesion topic segmentation (TextTiling's gap rule in the
+    exact integer domain): a segment boundary opens BEFORE turn ``t``
+    when the distinct-token overlap between ``t`` and its predecessor
+    drops below ``threshold_num/threshold_den`` — compared rationally
+    (``den·|inter| < num·|union|``), never through a float, so the same
+    boundaries fire in Spark and the oracle. Long agent transcripts
+    split at these boundaries before example extraction, instead of at
+    arbitrary token offsets.
+
+    Plan: ONE window over the family's standard conversation
+    partitioning (``lag`` of the distinct-token array + the running
+    boundary sum); the set algebra is JVM ``array_intersect`` /
+    ``array_union`` — map-side, no extra shuffle, and the token arrays
+    never enter a join.
+
+    Output per turn: ``(conv_id, turn_idx, seg_id BIGINT, inter BIGINT,
+    uni BIGINT)`` — ``seg_id`` is 0-based per conversation; ``inter``/
+    ``uni`` describe the transition from the previous turn (0/0 for the
+    first turn).
+    """
+    from doc_redaction_spark.operators.curation import tokens_col
+
+    per = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.array_distinct(tokens_col(text_col)).alias("tk"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_idx = F.lag("turn_idx").over(w)
+    prev_tk = F.coalesce(F.lag("tk").over(w), F.array().cast("array<string>"))
+    inter0 = F.size(F.array_intersect(prev_tk, F.col("tk"))).cast("long")
+    uni0 = F.size(F.array_union(prev_tk, F.col("tk"))).cast("long")
+    staged = per.select(
+        "conv_id",
+        "turn_idx",
+        F.when(prev_idx.isNull(), F.lit(0)).otherwise(inter0).alias("inter"),
+        F.when(prev_idx.isNull(), F.lit(0)).otherwise(uni0).alias("uni"),
+        F.when(prev_idx.isNull(), F.lit(0))
+        .when(
+            F.lit(int(threshold_den)) * inter0 < F.lit(int(threshold_num)) * uni0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_flag"),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return staged.select(
+        "conv_id",
+        "turn_idx",
+        F.sum("_flag").over(wcum).cast("long").alias("seg_id"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+    )

@@ -1,0 +1,213 @@
+"""Session-9 operators: prefix-cache stats, split-session stitching,
+erasure (right-to-be-forgotten) audit, and exact reply-latency
+percentiles (operators/convops.py). Hand-computed fixtures; corpus-
+scale value checks live in the registry oracles (prefix_cache,
+conv_stitch, erasure_audit, reply_latency).
+"""
+
+import datetime
+
+from doc_redaction_spark.operators.convops import (
+    conversation_stitching,
+    erasure_audit,
+    prefix_cache_stats,
+    reply_latency_percentiles,
+)
+
+TS = datetime.datetime(2024, 1, 1)
+SEC = datetime.timedelta(seconds=1)
+
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def _turns(spark, rows):
+    """rows: (conv_id, turn_idx, role, text[, tool[, ts_offset_s]])."""
+    full = []
+    for r in rows:
+        c, i, role, text = r[0], r[1], r[2], r[3]
+        tool = r[4] if len(r) > 4 else ""
+        off = r[5] if len(r) > 5 else i
+        full.append((c, i, role, text, tool, TS + off * SEC))
+    return spark.createDataFrame(full, SCHEMA)
+
+
+class TestPrefixCacheStats:
+    def test_shared_prefix_mass_counted_once(self, spark):
+        rows = [
+            # A and B share turns 0-1 byte-identically, diverge at 2
+            ("A", 0, "user", "hello"),  # 1 token
+            ("A", 1, "assistant", "hi there"),  # 2 tokens
+            ("A", 2, "user", "what now"),  # 2 tokens
+            ("B", 0, "user", "hello"),
+            ("B", 1, "assistant", "hi there"),
+            ("B", 2, "user", "different path"),  # 2 tokens
+            # C: singleton
+            ("C", 0, "user", "solo"),  # 1 token
+        ]
+        out = {
+            r["k"]: r for r in prefix_cache_stats(_turns(spark, rows)).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        # depth 1: 3 turns, 2 distinct chains (A/B share, C alone);
+        # cacheable mass = tokens_total - tokens_unique = 3 - 2 = 1
+        assert out[1]["n_turns_total"] == 3
+        assert out[1]["n_distinct_prefixes"] == 2
+        assert out[1]["tokens_total"] == 3
+        assert out[1]["tokens_unique"] == 2
+        # depth 2: A,B still share — the 2-token turn computed once
+        assert out[2]["n_turns_total"] == 2
+        assert out[2]["n_distinct_prefixes"] == 1
+        assert out[2]["tokens_total"] == 4
+        assert out[2]["tokens_unique"] == 2
+        # depth 3: diverged — nothing cacheable
+        assert out[3]["n_distinct_prefixes"] == 2
+        assert out[3]["tokens_total"] == 4
+        assert out[3]["tokens_unique"] == 4
+
+    def test_same_text_different_role_not_shared(self, spark):
+        rows = [
+            ("A", 0, "user", "ping"),
+            ("B", 0, "assistant", "ping"),
+        ]
+        out = {
+            r["k"]: r for r in prefix_cache_stats(_turns(spark, rows)).collect()
+        }
+        assert out[1]["n_distinct_prefixes"] == 2
+        assert out[1]["tokens_unique"] == out[1]["tokens_total"]
+
+
+class TestConversationStitching:
+    def test_continuation_detected(self, spark):
+        rows = [
+            ("A", 0, "user", "start"),
+            ("A", 1, "assistant", "working"),
+            ("A", 2, "user", "more please"),
+            ("A", 3, "assistant", "done part one"),
+            # B re-sends A's last 2 turns, then adds content, later ts
+            ("B", 0, "user", "more please", "", 10),
+            ("B", 1, "assistant", "done part one", "", 11),
+            ("B", 2, "user", "continue", "", 12),
+        ]
+        out = conversation_stitching(_turns(spark, rows), k=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["prev_conv"], r["next_conv"]) == ("A", "B")
+        assert r["overlap_k"] == 2
+        assert (r["prev_n_turns"], r["next_n_turns"]) == (4, 3)
+
+    def test_no_added_content_is_not_a_continuation(self, spark):
+        # B is exactly A's tail (n_turns == k): a replay, not a resume
+        rows = [
+            ("A", 0, "user", "one two"),
+            ("A", 1, "assistant", "three"),
+            ("B", 0, "user", "one two", "", 10),
+            ("B", 1, "assistant", "three", "", 11),
+        ]
+        assert conversation_stitching(_turns(spark, rows), k=2).count() == 0
+
+    def test_earlier_start_cannot_continue_later_conv(self, spark):
+        rows = [
+            # "continuation" B starts BEFORE A — ordering filter drops it
+            ("A", 0, "user", "alpha", "", 100),
+            ("A", 1, "assistant", "beta", "", 101),
+            ("B", 0, "user", "alpha", "", 0),
+            ("B", 1, "assistant", "beta", "", 1),
+            ("B", 2, "user", "gamma", "", 2),
+        ]
+        assert conversation_stitching(_turns(spark, rows), k=2).count() == 0
+
+
+class TestErasureAudit:
+    LONG = "this sentence is definitely longer than forty characters total"
+
+    def _audit(self, spark, rows, deleted_ids, **kw):
+        turns = _turns(spark, rows)
+        deleted = spark.createDataFrame(
+            [(c,) for c in deleted_ids], "conv_id string"
+        )
+        return {
+            r["conv_id"]: r
+            for r in erasure_audit(turns, deleted, **kw).collect()
+        }
+
+    def test_residual_copy_reported(self, spark):
+        rows = [
+            ("D", 0, "user", self.LONG),
+            ("D", 1, "assistant", "ok"),
+            # E carries a byte-identical copy of D's long turn
+            ("E", 0, "user", self.LONG),
+            ("E", 1, "assistant", "fine"),
+            # F shares only the short ubiquitous turn
+            ("F", 0, "assistant", "ok"),
+        ]
+        out = self._audit(spark, rows, ["D"])
+        assert set(out) == {"E"}
+        assert out["E"]["n_leaked_turns"] == 1
+        assert out["E"]["n_distinct_leaked"] == 1
+
+    def test_short_turns_gated_by_min_chars(self, spark):
+        rows = [
+            ("D", 0, "user", "yes"),
+            ("E", 0, "user", "yes"),
+        ]
+        assert self._audit(spark, rows, ["D"]) == {}
+        # lowering the gate exposes it
+        out = self._audit(spark, rows, ["D"], min_chars=1)
+        assert out["E"]["n_leaked_turns"] == 1
+
+    def test_deleted_conversations_never_reported(self, spark):
+        rows = [
+            ("D1", 0, "user", self.LONG),
+            ("D2", 0, "user", self.LONG),
+        ]
+        # both carriers deleted — nothing kept leaks
+        assert self._audit(spark, rows, ["D1", "D2"]) == {}
+
+    def test_repeated_copy_counts_turns_and_distinct(self, spark):
+        rows = [
+            ("D", 0, "user", self.LONG),
+            ("E", 0, "user", self.LONG),
+            ("E", 1, "user", self.LONG),
+        ]
+        out = self._audit(spark, rows, ["D"])
+        assert out["E"]["n_leaked_turns"] == 2
+        assert out["E"]["n_distinct_leaked"] == 1
+
+
+class TestReplyLatencyPercentiles:
+    def test_exact_ceil_rank_percentiles(self, spark):
+        # gaps 1,2,3,4 s in one (role, tool) group: n=4,
+        # r50=(4+1)//2=2 → p50=2; r95=(19*4+19)//20=4 → p95=4
+        offs = [0, 1, 3, 6, 10]
+        rows = [
+            ("A", i, "user", "t", "", off) for i, off in enumerate(offs)
+        ]
+        out = reply_latency_percentiles(_turns(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["role"], r["tool"]) == ("user", "")
+        assert r["n_gaps"] == 4
+        assert r["p50_s"] == 2 and r["p95_s"] == 4 and r["max_s"] == 4
+
+    def test_gap_attributed_to_leading_turn_group(self, spark):
+        # the gap between turn i and i+1 belongs to turn i's (role, tool)
+        rows = [
+            ("A", 0, "user", "q", "", 0),
+            ("A", 1, "assistant", "a", "", 5),
+            ("A", 2, "user", "q2", "", 7),
+        ]
+        out = {
+            (r["role"], r["tool"]): r
+            for r in reply_latency_percentiles(_turns(spark, rows)).collect()
+        }
+        assert out[("user", "")]["p50_s"] == 5  # user→assistant gap
+        assert out[("assistant", "")]["p50_s"] == 2
+        # last turn has no successor — no gap row
+        assert out[("user", "")]["n_gaps"] == 1
+
+    def test_single_turn_conversation_emits_nothing(self, spark):
+        rows = [("A", 0, "user", "only", "", 0)]
+        assert reply_latency_percentiles(_turns(spark, rows)).count() == 0
