@@ -10515,6 +10515,46 @@ def o_reply_latency():
     """
 
 
+def q_topic_segments(spark, sf_dir):
+    """Lexical-cohesion topic segmentation (operators/convops.py
+    topic_segments): TextTiling's gap rule in the exact integer domain
+    — a segment boundary opens before a turn whose distinct-token
+    overlap with its predecessor drops below 1/4, compared rationally
+    (4·|inter| < |union|) so the same boundaries fire in both engines.
+    Per-turn output keeps (inter, uni) so the verdict is auditable."""
+    from doc_redaction_spark.operators.convops import topic_segments
+
+    return topic_segments(_tr(spark, sf_dir))
+
+
+def o_topic_segments():
+    tok = _DOC_TOKENS_DUCK_T.format(c="text")
+    return f"""
+    {TR_CTE},
+    p AS (SELECT conv_id, turn_idx, list_distinct({tok}) AS tk
+          FROM transcripts),
+    s AS (SELECT conv_id, turn_idx, tk,
+                 lag(tk) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pt
+          FROM p),
+    f0 AS (SELECT conv_id, turn_idx,
+                  len(list_filter(pt, x -> list_contains(tk, x))) AS i0,
+                  len(pt) + len(tk) AS pu
+           FROM s),
+    f AS (SELECT conv_id, turn_idx,
+                 CAST(coalesce(i0, 0) AS BIGINT) AS inter,
+                 CAST(coalesce(pu - i0, 0) AS BIGINT) AS uni,
+                 CASE WHEN i0 IS NULL THEN 0
+                      WHEN 4 * i0 < pu - i0 THEN 1 ELSE 0 END AS fl
+          FROM f0)
+    SELECT conv_id, turn_idx,
+           CAST(sum(fl) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS seg_id,
+           inter, uni
+    FROM f
+    """
+
+
 _LEAK_FRACS = [("train", 0.5), ("val", 0.25), ("test", 0.25)]
 
 
@@ -10598,6 +10638,7 @@ _QUERIES: dict[str, Callable] = {
     "conv_stitch": q_conv_stitch,
     "erasure_audit": q_erasure_audit,
     "reply_latency": q_reply_latency,
+    "topic_segments": q_topic_segments,
     "agent_loops": q_agent_loops,
     "response_diversity": q_response_diversity,
     "split_leakage": q_split_leakage,
@@ -10823,6 +10864,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "conv_stitch": o_conv_stitch,
     "erasure_audit": o_erasure_audit,
     "reply_latency": o_reply_latency,
+    "topic_segments": o_topic_segments,
     "agent_loops": o_agent_loops,
     "response_diversity": o_response_diversity,
     "split_leakage": o_split_leakage,

@@ -211,3 +211,70 @@ class TestReplyLatencyPercentiles:
     def test_single_turn_conversation_emits_nothing(self, spark):
         rows = [("A", 0, "user", "only", "", 0)]
         assert reply_latency_percentiles(_turns(spark, rows)).count() == 0
+
+
+class TestTopicSegments:
+    def test_boundary_opens_on_low_overlap(self, spark):
+        from doc_redaction_spark.operators.convops import topic_segments
+
+        rows = [
+            # turns 0-1 cohesive (overlap 2/4 >= 1/4); turn 2 disjoint
+            ("A", 0, "user", "Hello world foo"),
+            ("A", 1, "assistant", "hello world bar"),
+            ("A", 2, "user", "totally new topic here"),
+        ]
+        out = {
+            r["turn_idx"]: r
+            for r in topic_segments(_turns(spark, rows)).collect()
+        }
+        assert (out[0]["seg_id"], out[0]["inter"], out[0]["uni"]) == (0, 0, 0)
+        # {hello, world} shared after lowering; 4*2 < 4 is false -> same seg
+        assert (out[1]["seg_id"], out[1]["inter"], out[1]["uni"]) == (0, 2, 4)
+        # zero overlap with 4 + 3 distinct tokens -> boundary
+        assert (out[2]["seg_id"], out[2]["inter"], out[2]["uni"]) == (1, 0, 7)
+
+    def test_exact_quarter_overlap_is_not_a_boundary(self, spark):
+        from doc_redaction_spark.operators.convops import topic_segments
+
+        # inter=1 ({a}), union=4 ({a,b,c,d}): 4*1 < 4 is FALSE -- the
+        # rational rule keeps the exact-threshold case in-segment
+        rows = [
+            ("A", 0, "user", "a b"),
+            ("A", 1, "user", "a c d"),
+        ]
+        out = {
+            r["turn_idx"]: r
+            for r in topic_segments(_turns(spark, rows)).collect()
+        }
+        assert (out[1]["seg_id"], out[1]["inter"], out[1]["uni"]) == (0, 1, 4)
+
+    def test_threshold_is_parametric(self, spark):
+        from doc_redaction_spark.operators.convops import topic_segments
+
+        rows = [
+            ("A", 0, "user", "a b"),
+            ("A", 1, "user", "a c d"),
+        ]
+        # 1/2 threshold: 2*1 < 1*4 -> boundary fires
+        out = {
+            r["turn_idx"]: r
+            for r in topic_segments(
+                _turns(spark, rows), threshold_num=1, threshold_den=2
+            ).collect()
+        }
+        assert out[1]["seg_id"] == 1
+
+    def test_empty_turns_and_conv_isolation(self, spark):
+        from doc_redaction_spark.operators.convops import topic_segments
+
+        rows = [
+            ("A", 0, "user", "alpha beta"),
+            ("A", 1, "user", ""),  # uni=2, inter=0 -> boundary
+            ("A", 2, "user", ""),  # both empty: uni=0 -> no boundary
+            ("B", 0, "user", "alpha beta"),  # first turn of B: seg 0
+        ]
+        out = topic_segments(_turns(spark, rows)).collect()
+        byk = {(r["conv_id"], r["turn_idx"]): r for r in out}
+        assert byk[("A", 1)]["seg_id"] == 1
+        assert byk[("A", 2)]["seg_id"] == 1
+        assert byk[("B", 0)]["seg_id"] == 0
