@@ -10555,6 +10555,149 @@ def o_topic_segments():
     """
 
 
+def q_context_profile(spark, sf_dir):
+    """Context-length distribution of training examples
+    (operators/convops.py context_length_profile): every assistant turn
+    is one example whose context = all prior turns; the report buckets
+    the context token length by exact power-of-two (floor-log2 = binary
+    digit count − 1, the repo's integer-domain rule) and carries the
+    target token mass per bucket — what batch shaping / bucketed
+    packing reads before building batches."""
+    from doc_redaction_spark.operators.convops import context_length_profile
+
+    return context_length_profile(_tr(spark, sf_dir))
+
+
+def o_context_profile():
+    toks = duckdb_token_count("text")
+    return f"""
+    {TR_CTE},
+    p AS (SELECT conv_id, turn_idx, role,
+                 CAST({toks} AS BIGINT) AS tok
+          FROM transcripts),
+    cx AS (SELECT role, tok,
+                  coalesce(sum(tok) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS ctx
+           FROM p),
+    e AS (SELECT CAST(CASE WHEN ctx > 0
+                      THEN length(bin(CAST(ctx AS BIGINT))) - 1
+                      ELSE 0 END AS BIGINT) AS ctx_bucket,
+                 ctx, tok
+          FROM cx WHERE role = 'assistant')
+    SELECT ctx_bucket,
+           CAST(count(*) AS BIGINT) AS n_examples,
+           CAST(min(ctx) AS BIGINT) AS ctx_min,
+           CAST(max(ctx) AS BIGINT) AS ctx_max,
+           CAST(sum(ctx) AS BIGINT) AS ctx_tokens,
+           CAST(sum(tok) AS BIGINT) AS target_tokens
+    FROM e GROUP BY ctx_bucket
+    """
+
+
+# content-bearing corruption fixture for turn_order_repair: c≡1 (mod 7)
+# gets a byte-identical double delivery of turn 0 (same ts — must
+# collapse), c≡2 (mod 7) a clock-skewed replay of turn 1 (+50 s — must
+# collapse keeping the EARLIEST ts), c≡3 (mod 7) a same-index CONFLICT
+# at turn 1 (distinct text, SAME ts — both survive; only the turn-hash
+# tiebreak orders them), c≡4 (mod 7) an appended idx-9000 note (gap to
+# close). ONE template, both engines.
+def trr_repair_cte(scan: str = "transcripts") -> str:
+    return f"""
+    trr AS (
+      SELECT conv_id, turn_idx, role, text, ts FROM {scan}
+      UNION ALL
+      SELECT conv_id, turn_idx, role, text, ts FROM {scan}
+      WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 7 = 1 AND turn_idx = 0
+      UNION ALL
+      SELECT conv_id, turn_idx, role, text,
+             ts + to_seconds(CAST(50 AS BIGINT)) AS ts
+      FROM {scan}
+      WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 7 = 2 AND turn_idx = 1
+      UNION ALL
+      SELECT conv_id, turn_idx, 'user' AS role,
+             'edited: ' || conv_id AS text, ts
+      FROM {scan}
+      WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 7 = 3 AND turn_idx = 1
+      UNION ALL
+      SELECT DISTINCT conv_id, CAST(9000 AS INTEGER) AS turn_idx,
+             'system' AS role, 'late audit note' AS text,
+             TIMESTAMP '2030-01-01 00:00:00' AS ts
+      FROM {scan} WHERE CAST(substr(conv_id, 2, 10) AS INTEGER) % 7 = 4
+    )"""
+
+
+TRR_REPAIR_CTE = trr_repair_cte()
+
+
+def _tr_repair(spark, sf_dir):
+    """Spark twin of TRR_REPAIR_CTE."""
+    tr = _tr(spark, sf_dir).select("conv_id", "turn_idx", "role", "text", "ts")
+    cnum = F.substring("conv_id", 2, 10).cast("int")
+    dup = tr.filter((cnum % 7 == 1) & (F.col("turn_idx") == 0))
+    skew = (
+        tr.filter((cnum % 7 == 2) & (F.col("turn_idx") == 1))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 50 SECOND"))
+    )
+    conflict = tr.filter((cnum % 7 == 3) & (F.col("turn_idx") == 1)).select(
+        "conv_id",
+        "turn_idx",
+        F.lit("user").alias("role"),
+        F.concat(F.lit("edited: "), "conv_id").alias("text"),
+        "ts",
+    )
+    gap = (
+        tr.filter(cnum % 7 == 4)
+        .select("conv_id")
+        .distinct()
+        .select(
+            "conv_id",
+            F.lit(9000).cast("int").alias("turn_idx"),
+            F.lit("system").alias("role"),
+            F.lit("late audit note").alias("text"),
+            F.to_timestamp(F.lit("2030-01-01 00:00:00")).alias("ts"),
+        )
+    )
+    return (
+        tr.unionByName(dup)
+        .unionByName(skew)
+        .unionByName(conflict)
+        .unionByName(gap)
+    )
+
+
+def q_turn_repair(spark, sf_dir):
+    """Turn-order repair (operators/convops.py turn_order_repair): the
+    fix-side twin of conv_integrity — collapse harness-replay content
+    copies (keep earliest ts) and re-number every conversation
+    contiguously from 0 by the deterministic total order (orig_idx, ts,
+    turn_hash). Fixture = TRR_REPAIR_CTE so every repair class fires,
+    including the equal-ts conflict only the hash tiebreak can order;
+    the oracle replays the same groupBy + row_number in DuckDB."""
+    from doc_redaction_spark.operators.convops import turn_order_repair
+
+    return turn_order_repair(_tr_repair(spark, sf_dir))
+
+
+def o_turn_repair():
+    from doc_redaction_spark.operators.convops import duckdb_turn_hash
+
+    return f"""
+    {TR_CTE},
+    {TRR_REPAIR_CTE},
+    d AS (SELECT conv_id, turn_idx AS orig_idx, role, text,
+                 {duckdb_turn_hash()} AS th, min(ts) AS ts
+          FROM trr GROUP BY conv_id, turn_idx, role, text, th)
+    SELECT conv_id,
+           CAST(row_number() OVER (PARTITION BY conv_id
+                                   ORDER BY orig_idx, ts, th) - 1
+                AS INTEGER) AS new_idx,
+           orig_idx, role, text, ts
+    FROM d
+    """
+
+
 _LEAK_FRACS = [("train", 0.5), ("val", 0.25), ("test", 0.25)]
 
 
@@ -10639,6 +10782,8 @@ _QUERIES: dict[str, Callable] = {
     "erasure_audit": q_erasure_audit,
     "reply_latency": q_reply_latency,
     "topic_segments": q_topic_segments,
+    "context_profile": q_context_profile,
+    "turn_repair": q_turn_repair,
     "agent_loops": q_agent_loops,
     "response_diversity": q_response_diversity,
     "split_leakage": q_split_leakage,
@@ -10865,6 +11010,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "erasure_audit": o_erasure_audit,
     "reply_latency": o_reply_latency,
     "topic_segments": o_topic_segments,
+    "context_profile": o_context_profile,
+    "turn_repair": o_turn_repair,
     "agent_loops": o_agent_loops,
     "response_diversity": o_response_diversity,
     "split_leakage": o_split_leakage,

@@ -1393,3 +1393,111 @@ def topic_segments(
         F.col("inter").cast("long").alias("inter"),
         F.col("uni").cast("long").alias("uni"),
     )
+
+
+def context_length_profile(
+    turns: DataFrame,
+    assistant_role: str = "assistant",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length distribution of the training examples a chat
+    corpus yields: every assistant turn is one example whose CONTEXT is
+    all prior turns in its conversation, and batch shaping / bucketed
+    packing / serving-cache sizing all key off how that context length
+    is distributed. Buckets are exact power-of-two (floor-log2 via
+    binary digit count — the repo's integer-domain rule; float log2
+    differs cross-engine in the last ulp), so the histogram is
+    oracle-stable.
+
+    Plan: ONE conv-keyed window (exclusive running token sum — the
+    family's standard partitioning, no conversation is ever collected)
+    then a map-side-combinable groupBy on the ~40 possible buckets.
+
+    Output: ``(ctx_bucket, n_examples, ctx_min, ctx_max, ctx_tokens,
+    target_tokens)`` — ctx_bucket = floor(log2(ctx)) for ctx > 0 else 0;
+    target_tokens is the mass the model would be trained to emit at
+    that context size.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per = (
+        turns.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(idx_col).alias("turn_idx"),
+            F.col(role_col).alias("role"),
+            token_count_col(text_col).cast("long").alias("tok"),
+        )
+        .withColumn("ctx", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+        .filter(F.col("role") == assistant_role)
+    )
+    bucket = (
+        F.when(F.col("ctx") > 0, F.length(F.bin(F.col("ctx"))) - 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    return (
+        per.select(bucket.alias("ctx_bucket"), "ctx", "tok")
+        .groupBy("ctx_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_examples"),
+            F.min("ctx").cast("long").alias("ctx_min"),
+            F.max("ctx").cast("long").alias("ctx_max"),
+            F.sum("ctx").cast("long").alias("ctx_tokens"),
+            F.sum("tok").cast("long").alias("target_tokens"),
+        )
+    )
+
+
+def turn_order_repair(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Repair the corruption classes ``conversation_integrity`` reports
+    so downstream (conv_id, turn_idx)-trusting operators can run:
+
+    * duplicate CONTENT copies at the same index (harness replays) —
+      rows equal on ``(turn_idx, role, text)`` collapse to one, keeping
+      the EARLIEST timestamp (first write wins);
+    * index gaps and residual same-index conflicts (distinct texts at
+      one index) — every surviving turn is re-numbered contiguously
+      from 0 by the total order ``(turn_idx, ts, turn_hash)``; the hash
+      tiebreak makes the order deterministic even when a replay
+      clock-skews two distinct turns onto the same (idx, ts).
+
+    Plan: one groupBy and one window, both keyed on the conversation —
+    the family's standard partitioning, nothing collected. Output:
+    ``(conv_id, new_idx INT, orig_idx, role, text, ts)``; ``new_idx``
+    is the repaired contiguous index, ``orig_idx`` the source index for
+    lineage.
+    """
+    dedup = (
+        turns.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(idx_col).alias("orig_idx"),
+            F.col(role_col).alias("role"),
+            F.col(text_col).alias("text"),
+            F.col(ts_col).alias("ts"),
+            turn_hash_col(role_col, text_col).alias("_th"),
+        )
+        .groupBy("conv_id", "orig_idx", "role", "text", "_th")
+        .agg(F.min("ts").alias("ts"))
+    )
+    w = Window.partitionBy("conv_id").orderBy("orig_idx", "ts", "_th")
+    return dedup.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("new_idx"),
+        "orig_idx",
+        "role",
+        "text",
+        "ts",
+    )
