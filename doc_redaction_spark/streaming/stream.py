@@ -526,6 +526,16 @@ def make_conv_prefix_processor(
         if have_index:
             spark.catalog.refreshTable(index_table)
             base_all = spark.table(index_table)
+            if ("ingest_batch_id" not in base_all.columns
+                    or "ingest_run" not in base_all.columns):
+                raise ValueError(
+                    f"index table {index_table!r} lacks ingest_batch_id — "
+                    "the streaming processor owns its index; to seed one "
+                    "from an existing corpus, save_conv_chain_rows a chain "
+                    "table with .withColumn('ingest_run', "
+                    "lit(-1).cast('long')).withColumn('ingest_batch_id', "
+                    "lit(-1).cast('long')) first"
+                )
             mine = (F.col("ingest_run") == run_id) & (
                 F.col("ingest_batch_id") == batch_id
             )
@@ -576,10 +586,7 @@ def make_conv_prefix_processor(
             # partial-commit replay repairs the missing rows
             present = (
                 spark.table(index_table)
-                .filter(
-                    (F.col("ingest_run") == run_id)
-                    & (F.col("ingest_batch_id") == batch_id)
-                )
+                .filter(mine)
                 .select("conv_id", "k")
             )
             todo = novel.join(present, ["conv_id", "k"], "left_anti")

@@ -477,7 +477,6 @@ class TestConvPseudonymMap:
         a_alias = out[("A", "J. Smith")]
         assert a_alias["canonical"] == "John Smith"
         assert a_alias["fake"] == a_full["fake"]  # the consistency claim
-        assert out[("A", "Mary Jones")]["fake"] != a_full["fake"] or True
         # unlinked alias keeps itself as canonical (different draw)
         b_alias = out[("B", "J. Smith")]
         assert b_alias["canonical"] == "J. Smith"
@@ -485,6 +484,12 @@ class TestConvPseudonymMap:
         import hashlib
 
         from doc_redaction_spark.operators.spans import FAKE_NAME_POOL
+
+        # Mary Jones draws from HER OWN canonical, not John Smith's
+        m_idx = int(
+            hashlib.md5(b"t|mary jones").hexdigest()[:8], 16
+        ) % len(FAKE_NAME_POOL)
+        assert out[("A", "Mary Jones")]["fake"] == FAKE_NAME_POOL[m_idx]
 
         idx = int(hashlib.md5(b"t|john smith").hexdigest()[:8], 16) % len(
             FAKE_NAME_POOL
