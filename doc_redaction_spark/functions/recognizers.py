@@ -27,6 +27,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+from doc_redaction_spark.functions import secrets as _sec
+
 # ---------------------------------------------------------------------------
 # pattern constants (shared with oracle SQL — keep RE2-compatible)
 # ---------------------------------------------------------------------------
@@ -394,6 +396,20 @@ BUILTIN_RECOGNIZERS: dict[str, RegexRecognizer] = {
             staticmethod(aba_ok),
         ),
         RegexRecognizer("PERSON_TITLED", PERSON_TITLED_PATTERN, group=1, score=0.95),
+        # credential recognizers (functions/secrets.py) — the transcript
+        # payload's machine-credential PII class; same pattern+validator
+        # shape as the checksum members above
+        RegexRecognizer("AWS_ACCESS_KEY", _sec.AWS_ACCESS_KEY_PATTERN),
+        RegexRecognizer(
+            "GITHUB_TOKEN", _sec.GITHUB_TOKEN_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
+            staticmethod(_sec.github_token_ok),
+        ),
+        RegexRecognizer("SLACK_TOKEN", _sec.SLACK_TOKEN_PATTERN),
+        RegexRecognizer(
+            "JWT_TOKEN", _sec.JWT_PATTERN, _PY_FLAGS_DEFAULT, 1.0, 0,
+            staticmethod(_sec.jwt_ok),
+        ),
+        RegexRecognizer("PEM_PRIVATE_KEY", _sec.PEM_PRIVATE_KEY_PATTERN),
     ]
 }
 

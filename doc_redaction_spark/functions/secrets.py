@@ -1,0 +1,120 @@
+"""Credential/secret recognizers for agent-transcript redaction.
+
+Agent transcripts carry a PII class the reference's document corpus
+rarely sees: machine credentials echoed through tool output — cloud
+access keys, VCS personal-access tokens, chat-platform bot tokens,
+signed JWTs, PEM private-key blocks. The reference's recognizer
+registry (``/root/reference/tools/load_spacy_model_custom_recognisers
+.py`` — regex patterns + checksum validators wrapped as Presidio
+``PatternRecognizer``s, e.g. the DEA check digit at :200-240) has no
+credential members; these extend the same ``RegexRecognizer`` shape
+(pattern + optional structural validator) so the detect/redact stages
+need no changes and every redaction strategy applies unchanged.
+
+All patterns stay in the three-dialect regex common subset (Java /
+RE2 / Python ``re``: no lookaround, no backrefs). Validators are
+Python-side, run inside the Arrow detect UDF exactly like
+``luhn_ok`` / ``iban_ok``.
+
+Public formats implemented:
+
+* AWS access key id — ``AKIA|ASIA`` + 16 uppercase base32-ish chars
+  (the published AWS IAM unique-identifier prefixes; prefix IS the
+  structural check, no validator).
+* GitHub personal-access token — ``gh[pousr]_`` + 30 random base62
+  chars + a 6-char base62-encoded CRC32 checksum of the random part
+  (GitHub engineering blog, "Behind GitHub's new authentication token
+  formats", 2021). The checksum makes this a *validating* recognizer
+  like CREDIT_CARD/Luhn: random 40-char lookalikes are rejected.
+* Slack token — ``xox[baprs]-…`` (Slack API token families).
+* JWT — three dot-joined base64url segments (RFC 7519 compact
+  serialization); validator requires header and payload to base64url-
+  decode into brace-delimited JSON objects.
+* PEM private-key block — RFC 7468 textual encoding; the whole
+  BEGIN/END frame plus base64 body is one span so redaction removes
+  the key material, not just the header line.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import zlib
+
+# -- patterns (three-dialect common subset) ---------------------------------
+
+AWS_ACCESS_KEY_PATTERN = r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b"
+
+GITHUB_TOKEN_PATTERN = r"\bgh[pousr]_[A-Za-z0-9]{36}\b"
+
+SLACK_TOKEN_PATTERN = r"\bxox[baprs]-[0-9A-Za-z-]{8,58}[0-9A-Za-z]\b"
+
+# \b after the final segment: base64url chars include '-' and '_'; '_' is a
+# word char and '-' ends the match anyway, so the boundary is well-defined.
+JWT_PATTERN = (
+    r"\beyJ[A-Za-z0-9_-]{5,}\.[A-Za-z0-9_-]{2,}\.[A-Za-z0-9_-]{2,}\b"
+)
+
+PEM_PRIVATE_KEY_PATTERN = (
+    r"-----BEGIN (?:RSA |EC |DSA |OPENSSH |ENCRYPTED )?PRIVATE KEY-----"
+    r"[A-Za-z0-9+/=\s]*?"
+    r"-----END (?:RSA |EC |DSA |OPENSSH |ENCRYPTED )?PRIVATE KEY-----"
+)
+
+# -- GitHub token checksum ---------------------------------------------------
+
+_B62_ALPHABET = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
+def _b62_encode(n: int, width: int = 6) -> str:
+    """Base62 with the 0-9A-Za-z alphabet, zero-padded to ``width``.
+
+    62**6 > 2**32, so any CRC32 value fits in 6 chars.
+    """
+    out = ""
+    while n:
+        n, r = divmod(n, 62)
+        out = _B62_ALPHABET[r] + out
+    return out.rjust(width, "0")
+
+
+def make_github_token(rand30: str, prefix: str = "ghp") -> str:
+    """Construct a checksum-valid GitHub-format token (fixture helper).
+
+    ``rand30`` must be 30 base62 chars; the last 6 token chars are the
+    base62-encoded CRC32 of ``rand30`` (the published format).
+    """
+    if len(rand30) != 30:
+        raise ValueError("rand30 must be exactly 30 chars")
+    return f"{prefix}_{rand30}{_b62_encode(zlib.crc32(rand30.encode('ascii')))}"
+
+
+def github_token_ok(s: str) -> bool:
+    """CRC32-base62 checksum check for ``gh?_`` + 36-char tokens."""
+    body = s[4:]
+    if len(body) != 36:
+        return False
+    rand30, checksum = body[:30], body[30:]
+    return _b62_encode(zlib.crc32(rand30.encode("ascii"))) == checksum
+
+
+# -- JWT structural validator -------------------------------------------------
+
+
+def _b64url_json_object(seg: str) -> bool:
+    pad = -len(seg) % 4
+    if pad == 3:  # length ≡ 1 mod 4 is never valid base64
+        return False
+    try:
+        raw = base64.urlsafe_b64decode(seg + "=" * pad)
+    except (binascii.Error, ValueError):
+        return False
+    return raw[:1] == b"{" and raw[-1:] == b"}"
+
+
+def jwt_ok(s: str) -> bool:
+    """Header and payload segments must decode to brace-delimited JSON."""
+    parts = s.split(".")
+    if len(parts) != 3:
+        return False
+    return _b64url_json_object(parts[0]) and _b64url_json_object(parts[1])
