@@ -10903,6 +10903,154 @@ def o_secrets_scan():
     """
 
 
+def q_secret_leak_audit(spark, sf_dir):
+    """Cross-conversation secret propagation (operators/convops.py
+    secret_propagation_report): planted AWS keys — 7 md5-derived keys
+    spread across conversations by the fixture identity (leak) plus one
+    key pinned to a single conversation via d % 2849 (7·11·37: its
+    conv_id = d % 37 is constant, so it must NOT appear — exercising the
+    min_convs gate both ways at every SF). Extraction is the live
+    AWS_ACCESS_KEY recognizer pattern, JVM-side."""
+    from doc_redaction_spark.operators.convops import secret_propagation_report
+
+    tr = _tr(spark, sf_dir)
+    d = (
+        F.col("turn_idx").cast("long") * 37
+        + F.substring("conv_id", 2, 10).cast("long")
+    )
+    spread = F.concat(
+        F.lit("AKIA"),
+        F.upper(F.substring(F.md5(F.concat(F.lit("sk"), (d % 7).cast("string"))), 1, 16)),
+    )
+    solo = F.concat(F.lit("AKIA"), F.upper(F.substring(F.md5(F.lit("solo")), 1, 16)))
+    planted = tr.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(d % 11 == 0, F.concat(F.lit(" key "), spread)).otherwise(F.lit("")),
+            F.when(d % 2849 == 5, F.concat(F.lit(" key "), solo)).otherwise(F.lit("")),
+        ),
+    )
+    return secret_propagation_report(planted)
+
+
+def o_secret_leak_audit():
+    d = "(CAST(turn_idx AS BIGINT) * 37 + CAST(substr(conv_id, 2, 10) AS BIGINT))"
+    return f"""
+    {TR_CTE},
+    planted AS (
+      SELECT conv_id, ts,
+             text
+             || CASE WHEN {d} % 11 = 0
+                THEN ' key AKIA' || upper(substr(md5('sk' ||
+                       CAST({d} % 7 AS VARCHAR)), 1, 16))
+                ELSE '' END
+             || CASE WHEN {d} % 2849 = 5
+                THEN ' key AKIA' || upper(substr(md5('solo'), 1, 16))
+                ELSE '' END AS text
+      FROM transcripts),
+    ex AS (
+      SELECT conv_id, ts,
+             unnest(regexp_extract_all(text,
+               '\\b(?:AKIA|ASIA)[0-9A-Z]{{16}}\\b', 0)) AS secret
+      FROM planted)
+    SELECT secret,
+           arg_min(conv_id, ts) AS first_conv,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(count(*) AS BIGINT) AS n_turns
+    FROM ex GROUP BY secret
+    HAVING count(DISTINCT conv_id) >= 2
+    """
+
+
+def q_tool_json_pii(spark, sf_dir):
+    """PII detection routed through JSON tool-call payloads: tool turns
+    carry structured arguments; ``get_json_object`` (JVM-side) extracts
+    the argument string and the detect stage runs on IT, producing spans
+    with offsets in the ARGUMENT's coordinate space (what a tool-payload
+    redactor rewrites in place). The email plant is built from the
+    fixture identity so offsets are closed-form."""
+    tr = _tr(spark, sf_dir).filter(F.col("role") == "tool")
+    payload = F.concat(
+        F.lit('{"name":"search","args":{"email":"user'),
+        F.col("turn_idx").cast("string"),
+        F.lit("@"),
+        F.col("conv_id"),
+        F.lit('.example.com","note":"ok"}}'),
+    )
+    arg = F.get_json_object(payload, "$.args.email")
+    t = tr.select("conv_id", "turn_idx", arg.alias("arg_text"))
+    cfg = PipelineConfig(entities=("EMAIL_ADDRESS",))
+    from doc_redaction_spark.operators.detect import detect_spans_udf
+
+    spans = t.withColumn("spans", detect_spans_udf(cfg)(F.col("arg_text")))
+    ex = spans.select(
+        "conv_id", "turn_idx", F.explode_outer("spans").alias("sp")
+    ).filter(F.col("sp").isNotNull())
+    return ex.select(
+        "conv_id",
+        "turn_idx",
+        F.col("sp.entity_type").alias("entity_type"),
+        F.col("sp.start").alias("start"),
+        F.col("sp.end").alias("end"),
+    )
+
+
+def o_tool_json_pii():
+    return f"""
+    {TR_CTE},
+    t AS (SELECT conv_id, turn_idx,
+                 json_extract_string(
+                   '{{"name":"search","args":{{"email":"user'
+                   || CAST(turn_idx AS VARCHAR) || '@' || conv_id
+                   || '.example.com","note":"ok"}}}}',
+                   '$.args.email') AS arg_text
+          FROM transcripts WHERE role = 'tool')
+    SELECT conv_id, turn_idx,
+           'EMAIL_ADDRESS' AS entity_type,
+           0 AS start,
+           CAST(length(arg_text) AS INTEGER) AS "end"
+    FROM t
+    """
+
+
+def q_padding_waste(spark, sf_dir):
+    """Length-bucketed batch padding-waste report
+    (operators/packing.py padding_waste_report): power-of-two token
+    buckets, batches of 8 filled in (length DESC, doc_id) order,
+    pad-to-batch-max waste per bucket. Rank is the two-phase
+    (bucket, tok)-tie form — no bucket ever becomes one sort task."""
+    from doc_redaction_spark.operators.packing import padding_waste_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return padding_waste_report(docs, batch_size=8)
+
+
+def o_padding_waste():
+    toks = duckdb_token_count("text")
+    return f"""
+    WITH p AS (SELECT doc_id, CAST({toks} AS BIGINT) AS tok FROM documents),
+    b AS (SELECT doc_id, tok,
+                 CAST(CASE WHEN tok > 0
+                      THEN length(bin(CAST(tok AS BIGINT))) - 1
+                      ELSE 0 END AS BIGINT) AS bucket
+          FROM p),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY bucket ORDER BY tok DESC, doc_id) AS rn
+          FROM b),
+    g AS (SELECT bucket, (rn - 1) // 8 AS batch,
+                 count(*) AS n, max(tok) AS mx, sum(tok) AS s
+          FROM r GROUP BY bucket, (rn - 1) // 8)
+    SELECT bucket,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(s) AS BIGINT) AS total_tokens,
+           CAST(sum(n * mx) AS BIGINT) AS padded_tokens,
+           CAST(sum(n * mx) - sum(s) AS BIGINT) AS padding_waste
+    FROM g GROUP BY bucket
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10917,6 +11065,9 @@ _QUERIES: dict[str, Callable] = {
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
     "secrets_scan": q_secrets_scan,
+    "secret_leak_audit": q_secret_leak_audit,
+    "tool_json_pii": q_tool_json_pii,
+    "padding_waste": q_padding_waste,
     "dpo_pairs": q_dpo_pairs,
     "conv_integrity": q_conv_integrity,
     "prefix_cache": q_prefix_cache,
@@ -11146,6 +11297,9 @@ _QUERIES: dict[str, Callable] = {
 
 _ORACLES: dict[str, Callable[[], str]] = {
     "secrets_scan": o_secrets_scan,
+    "secret_leak_audit": o_secret_leak_audit,
+    "tool_json_pii": o_tool_json_pii,
+    "padding_waste": o_padding_waste,
     "dpo_pairs": o_dpo_pairs,
     "conv_integrity": o_conv_integrity,
     "prefix_cache": o_prefix_cache,

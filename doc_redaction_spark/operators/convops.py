@@ -1501,3 +1501,50 @@ def turn_order_repair(
         "text",
         "ts",
     )
+
+
+def secret_propagation_report(
+    turns: DataFrame,
+    pattern: str | None = None,
+    min_convs: int = 2,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cross-conversation secret-propagation audit: credential strings
+    (default: the AWS access-key recognizer pattern,
+    ``functions/secrets.py``) that surface in MORE THAN ONE conversation
+    — the transcript corpus's highest-severity leak signal (a key echoed
+    by a tool in conv A reappearing in conv B means it escaped its
+    session; the RTBF twin of ``erasure audit``, for credentials).
+
+    Plan: one map-only ``regexp_extract_all`` + explode (JVM regex, no
+    Python stage), then ONE groupBy on the secret value — secrets are
+    high-cardinality and near-unique, so the shuffle is skew-free by
+    construction. ``first_conv`` is exact ``min_by`` over the (unique)
+    timestamp.
+
+    Output: ``secret, first_conv, n_convs, n_turns`` — only secrets
+    seen in >= ``min_convs`` distinct conversations.
+    """
+    if pattern is None:
+        from doc_redaction_spark.functions.secrets import AWS_ACCESS_KEY_PATTERN
+
+        pattern = AWS_ACCESS_KEY_PATTERN
+    sql_pat = pattern.replace("\\", "\\\\").replace("'", "''")
+    ex = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(ts_col).alias("ts"),
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '{sql_pat}', 0)")
+        ).alias("secret"),
+    )
+    return (
+        ex.groupBy("secret")
+        .agg(
+            F.min_by("conv_id", F.col("ts")).alias("first_conv"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.count("*").cast("long").alias("n_turns"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )

@@ -150,3 +150,87 @@ def chunk_documents(
             "chunk_text",
         )
     )
+
+
+def padding_waste_report(
+    docs: DataFrame,
+    batch_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batching padding-waste report — what a training
+    loader reads before choosing bucket boundaries: if examples are
+    grouped into power-of-two length buckets and filled into batches of
+    ``batch_size`` in (length DESC, id) order, how many pad tokens does
+    each bucket burn? (Pad-to-batch-max semantics: every batch member is
+    padded to the batch's longest example.)
+
+    Bucket = floor_log2(token count) in the exact integer domain
+    (binary digit count — the repo's cross-engine rule), 0 for empty
+    docs. Batch assembly needs a rank within each bucket; a plain
+    ``row_number() over (partition by bucket order by tok desc, id)``
+    puts a whole bucket in ONE sort task (the hot mid-length bucket
+    holds most of a 10^12-doc corpus). Same two-phase trick as
+    ``token_packing``/``salted_row_number``, keyed on the ORDER value
+    itself: phase 1 ranks within (bucket, tok) ties by ``id_col``
+    (bounded partitions — one distinct token length each); phase 2
+    offsets each tie-group by the running count of strictly-longer docs
+    in its bucket, a window over the per-(bucket, tok) aggregate (at
+    most one row per distinct length — tiny even at corpus scale).
+
+    Output, one row per bucket: ``bucket, n_docs, n_batches,
+    total_tokens, padded_tokens, padding_waste`` (all BIGINT).
+
+    No reference counterpart (the reference never batches for training);
+    LLM-data-pipeline brief, sibling of token_packing and
+    context_length_profile.
+    """
+    from doc_redaction_spark.functions.textstats import token_count_col
+
+    p = docs.select(
+        F.col(id_col).alias("_id"),
+        token_count_col(text_col).cast("long").alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.when(F.col("tok") > 0, F.length(F.bin(F.col("tok"))) - 1)
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    # phase 1: rank inside each (bucket, tok) tie-group
+    w_tie = Window.partitionBy("bucket", "tok").orderBy("_id")
+    ranked = p.withColumn("_tie_rn", F.row_number().over(w_tie))
+    # phase 2: offset = docs with strictly larger tok in the same bucket
+    counts = p.groupBy("bucket", "tok").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("tok").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("bucket", "tok", "_off")
+    rn = (
+        ranked.join(offsets, ["bucket", "tok"])
+        .withColumn("rn", F.col("_off") + F.col("_tie_rn"))
+    )
+    per_batch = (
+        rn.withColumn("batch", ((F.col("rn") - 1) / batch_size).cast("long"))
+        .groupBy("bucket", "batch")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("tok").alias("mx"),
+            F.sum("tok").alias("s"),
+        )
+    )
+    return (
+        per_batch.groupBy("bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_batches"),
+            F.sum("s").cast("long").alias("total_tokens"),
+            F.sum(F.col("n") * F.col("mx")).cast("long").alias("padded_tokens"),
+            (F.sum(F.col("n") * F.col("mx")) - F.sum("s"))
+            .cast("long")
+            .alias("padding_waste"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""padding_waste_report (operators/packing.py) and
+secret_propagation_report (operators/convops.py) unit laws."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.convops import secret_propagation_report
+from doc_redaction_spark.operators.packing import padding_waste_report
+
+
+def _brute_padding(rows, batch_size):
+    """Reference computation: rank per bucket by (tok desc, id), fill
+    batches, pad to batch max."""
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for _id, tok in rows:
+        b = tok.bit_length() - 1 if tok > 0 else 0
+        buckets[b].append((_id, tok))
+    out = {}
+    for b, docs in buckets.items():
+        docs.sort(key=lambda x: (-x[1], x[0]))
+        n_docs = len(docs)
+        total = sum(t for _, t in docs)
+        padded = 0
+        batches = 0
+        for i in range(0, n_docs, batch_size):
+            chunk = [t for _, t in docs[i : i + batch_size]]
+            padded += len(chunk) * max(chunk)
+            batches += 1
+        out[b] = (n_docs, batches, total, padded, padded - total)
+    return out
+
+
+def test_padding_waste_matches_brute_force(spark):
+    rows = [(i, (i * 37) % 100) for i in range(200)] + [(1000, 0), (1001, 1)]
+    df = spark.createDataFrame(
+        [(i, "w " * t) for i, t in rows], "doc_id long, text string"
+    )
+    # token_count of "w " * t is t words — verify on one row first
+    from doc_redaction_spark.functions.textstats import token_count_col
+
+    probe = df.filter(F.col("doc_id") == 3).select(
+        token_count_col("text").alias("n")
+    ).collect()[0]["n"]
+    assert probe == (3 * 37) % 100
+
+    got = {
+        r["bucket"]: (
+            r["n_docs"], r["n_batches"], r["total_tokens"],
+            r["padded_tokens"], r["padding_waste"],
+        )
+        for r in padding_waste_report(df, batch_size=8).collect()
+    }
+    want = _brute_padding(rows, 8)
+    assert got == want
+
+
+def test_padding_waste_full_batches_of_equal_lengths_have_zero_waste(spark):
+    df = spark.createDataFrame(
+        [(i, "tok " * 16) for i in range(32)], "doc_id long, text string"
+    )
+    rows = padding_waste_report(df, batch_size=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["padding_waste"] == 0
+    assert rows[0]["n_batches"] == 4
+
+
+def _ts(i):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i)
+
+
+def test_secret_propagation_flags_cross_conv_only(spark):
+    k1 = "AKIA" + "A" * 16   # in 2 convs
+    k2 = "ASIA" + "B" * 16   # single conv -> filtered
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, f"key {k1} here", _ts(10)),
+            ("c2", 0, f"echo {k1}", _ts(5)),
+            ("c2", 1, f"again {k1}", _ts(6)),
+            ("c3", 0, f"private {k2}", _ts(1)),
+        ],
+        "conv_id string, turn_idx int, text string, ts timestamp",
+    )
+    out = {r["secret"]: r for r in secret_propagation_report(df).collect()}
+    assert set(out) == {k1}
+    r = out[k1]
+    assert r["n_convs"] == 2 and r["n_turns"] == 3
+    assert r["first_conv"] == "c2"  # earliest ts wins, not conv order
+
+
+def test_secret_propagation_boundary_and_charset(spark):
+    # embedded in a longer word -> \b rejects; lowercase tail -> charset rejects
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "xAKIA0123456789ABCDEFy", _ts(0)),
+            ("c2", 0, "AKIA0123456789abcdef", _ts(1)),
+        ],
+        "conv_id string, turn_idx int, text string, ts timestamp",
+    )
+    assert secret_propagation_report(df, min_convs=1).count() == 0
