@@ -11051,6 +11051,86 @@ def o_padding_waste():
     """
 
 
+def _q_span_values(spark, sf_dir):
+    """Shared: pipeline spans joined with role + covered text."""
+    out = extract_and_redact(_tr(spark, sf_dir), PIPE_CFG, with_row_number=False)
+    spans = span_table(out).join(
+        out.select("conv_id", "turn_idx", "role", "clean_text"),
+        ["conv_id", "turn_idx"],
+    )
+    return spans.withColumn(
+        "value", F.expr("substring(clean_text, start + 1, end - start)")
+    )
+
+
+def q_pii_echo_audit(spark, sf_dir):
+    """PII echo audit (operators/convops.py pii_echo_audit): entity
+    values a user introduced that the assistant later repeats in the
+    same conversation. The fixture's cycling templates guarantee every
+    conversation has user-introduced values (postcode/phone/IP) that
+    later assistant turns repeat, while emails (unique per turn) never
+    echo — both legs fire at every SF."""
+    from doc_redaction_spark.operators.convops import pii_echo_audit
+
+    v = _q_span_values(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "entity_type", "value"
+    )
+    return pii_echo_audit(v)
+
+
+def o_pii_echo_audit():
+    return f"""
+    {_spans_oracle_cte()},
+    v AS (SELECT a.conv_id, a.turn_idx, t.role, a.etype AS entity_type,
+                 substr(b.ct, a.s + 1, a.e - a.s) AS value
+          FROM allspans a
+          JOIN base b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+          JOIN transcripts t ON t.conv_id = a.conv_id
+                            AND t.turn_idx = a.turn_idx),
+    u AS (SELECT conv_id, entity_type, value,
+                 min(turn_idx) AS first_user_turn
+          FROM v WHERE role = 'user'
+          GROUP BY conv_id, entity_type, value),
+    e AS (SELECT v.conv_id, v.entity_type, v.value, u.first_user_turn,
+                 min(v.turn_idx) AS first_echo_turn,
+                 count(DISTINCT v.turn_idx) AS n_echo_turns
+          FROM v JOIN u ON u.conv_id = v.conv_id
+                       AND u.entity_type = v.entity_type
+                       AND u.value = v.value
+          WHERE v.role = 'assistant' AND v.turn_idx > u.first_user_turn
+          GROUP BY v.conv_id, v.entity_type, v.value, u.first_user_turn)
+    SELECT conv_id, entity_type, value, first_user_turn, first_echo_turn,
+           CAST(n_echo_turns AS BIGINT) AS n_echo_turns
+    FROM e
+    """
+
+
+def q_pii_loss_mask(spark, sf_dir):
+    """Char spans → token-index loss masks (operators/convops.py
+    pii_token_mask): tok_start/tok_end are prefix token counts under the
+    shared \\S+ token spec — the "don't train on PII positions" mask a
+    trainer consumes alongside chat_render's whole-turn masks. Map-only
+    over the span table."""
+    from doc_redaction_spark.operators.convops import pii_token_mask
+
+    v = _q_span_values(spark, sf_dir)
+    return pii_token_mask(v)
+
+
+def o_pii_loss_mask():
+    ts = duckdb_token_count("substr(b.ct, 1, a.s)")
+    te = duckdb_token_count("substr(b.ct, 1, a.e)")
+    return f"""
+    {_spans_oracle_cte()}
+    SELECT a.conv_id, a.turn_idx, a.etype AS entity_type,
+           a.s AS start, a.e AS "end",
+           CAST({ts} AS BIGINT) AS tok_start,
+           CAST({te} AS BIGINT) AS tok_end
+    FROM allspans a
+    JOIN base b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11066,6 +11146,8 @@ _QUERIES: dict[str, Callable] = {
     # driver greens and inputs untouched this round
     "secrets_scan": q_secrets_scan,
     "secret_leak_audit": q_secret_leak_audit,
+    "pii_echo_audit": q_pii_echo_audit,
+    "pii_loss_mask": q_pii_loss_mask,
     "tool_json_pii": q_tool_json_pii,
     "padding_waste": q_padding_waste,
     "dpo_pairs": q_dpo_pairs,
@@ -11298,6 +11380,8 @@ _QUERIES: dict[str, Callable] = {
 _ORACLES: dict[str, Callable[[], str]] = {
     "secrets_scan": o_secrets_scan,
     "secret_leak_audit": o_secret_leak_audit,
+    "pii_echo_audit": o_pii_echo_audit,
+    "pii_loss_mask": o_pii_loss_mask,
     "tool_json_pii": o_tool_json_pii,
     "padding_waste": o_padding_waste,
     "dpo_pairs": o_dpo_pairs,

@@ -1548,3 +1548,84 @@ def secret_propagation_report(
         )
         .filter(F.col("n_convs") >= min_convs)
     )
+
+
+def pii_echo_audit(
+    span_values: DataFrame,
+    user_role: str = "user",
+    echo_role: str = "assistant",
+) -> DataFrame:
+    """PII echo audit: entity VALUES a user introduced that the
+    assistant later repeats in the same conversation — the
+    "model repeats the user's phone number" policy signal a per-turn
+    span table cannot see (it scores turns independently; the echo is a
+    CROSS-turn join on the covered text).
+
+    Input: one row per detected span with its covered text —
+    ``(conv_id, turn_idx, role, entity_type, value)``.
+
+    Plan: user-side first-introduction aggregate (groupBy, map-side
+    combinable), then ONE equi-join on (conv_id, entity_type, value)
+    against assistant-side spans — never a theta join; the echo
+    condition ``turn_idx > first_user_turn`` is a post-join filter on
+    co-located rows. Both shuffles key on conv_id-prefixed composites,
+    so Zipf-long conversations are already spread by value.
+
+    Output: ``conv_id, entity_type, value, first_user_turn,
+    first_echo_turn, n_echo_turns`` (echo turns counted DISTINCT).
+    """
+    u = (
+        span_values.filter(F.col("role") == user_role)
+        .groupBy("conv_id", "entity_type", "value")
+        .agg(F.min("turn_idx").alias("first_user_turn"))
+    )
+    a = span_values.filter(F.col("role") == echo_role)
+    return (
+        a.join(u, ["conv_id", "entity_type", "value"])
+        .filter(F.col("turn_idx") > F.col("first_user_turn"))
+        .groupBy("conv_id", "entity_type", "value", "first_user_turn")
+        .agg(
+            F.min("turn_idx").alias("first_echo_turn"),
+            F.countDistinct("turn_idx").cast("long").alias("n_echo_turns"),
+        )
+    )
+
+
+def pii_token_mask(
+    spans_with_text: DataFrame,
+    text_col: str = "clean_text",
+) -> DataFrame:
+    """Char-offset PII spans → TOKEN index ranges (the loss-mask form a
+    trainer consumes: "don't learn these token positions", the
+    span-level complement of chat_render's whole-turn masks).
+
+    Convention (exact cross-engine): ``tok_start`` = token count of the
+    text prefix of length ``start``; ``tok_end`` = token count of the
+    prefix of length ``end``; masked token ordinals are
+    ``[tok_start, tok_end)``. Both engines run the SAME token spec
+    (``textstats.TOKEN_PATTERN``) on the SAME substring, so the edge
+    behavior at non-token-aligned boundaries is part of the spec, not
+    an implementation accident.
+
+    Map-only: two regexp_count calls per span row, no shuffle.
+    """
+    from doc_redaction_spark.functions.textstats import TOKEN_PATTERN
+
+    def _prefix_tokens(upto) -> Column:
+        return F.coalesce(
+            F.regexp_count(
+                F.substring(F.col(text_col), F.lit(1), upto),
+                F.lit(TOKEN_PATTERN),
+            ),
+            F.lit(0),
+        ).cast("long")
+
+    return spans_with_text.select(
+        "conv_id",
+        "turn_idx",
+        "entity_type",
+        "start",
+        "end",
+        _prefix_tokens(F.col("start")).alias("tok_start"),
+        _prefix_tokens(F.col("end")).alias("tok_end"),
+    )

@@ -100,3 +100,55 @@ def test_secret_propagation_boundary_and_charset(spark):
         "conv_id string, turn_idx int, text string, ts timestamp",
     )
     assert secret_propagation_report(df, min_convs=1).count() == 0
+
+
+def test_pii_echo_audit_laws(spark):
+    from doc_redaction_spark.operators.convops import pii_echo_audit
+
+    rows = [
+        # v1 introduced by user@t1, echoed by assistant@t3 and t5
+        ("c1", 1, "user", "PHONE_NUMBER", "555"),
+        ("c1", 3, "assistant", "PHONE_NUMBER", "555"),
+        ("c1", 5, "assistant", "PHONE_NUMBER", "555"),
+        # assistant says it BEFORE the user -> not an echo
+        ("c1", 0, "assistant", "EMAIL_ADDRESS", "a@b.c"),
+        ("c1", 2, "user", "EMAIL_ADDRESS", "a@b.c"),
+        # same value in a DIFFERENT conversation -> no cross-conv echo
+        ("c2", 1, "user", "PHONE_NUMBER", "777"),
+        ("c3", 2, "assistant", "PHONE_NUMBER", "777"),
+        # same-turn repeat (turn_idx == first_user_turn) -> not an echo
+        ("c4", 2, "user", "IP_ADDRESS", "10.0.0.1"),
+        ("c4", 2, "assistant", "IP_ADDRESS", "10.0.0.1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, "
+        "entity_type string, value string"
+    )
+    got = pii_echo_audit(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["conv_id"], r["value"]) == ("c1", "555")
+    assert r["first_user_turn"] == 1 and r["first_echo_turn"] == 3
+    assert r["n_echo_turns"] == 2
+
+
+def test_pii_token_mask_prefix_convention(spark):
+    from doc_redaction_spark.operators.convops import pii_token_mask
+
+    text = "call 555 now or 555 later"
+    rows = [
+        ("c1", 0, "PHONE_NUMBER", 5, 8, text),    # "555" -> token 1
+        ("c1", 0, "PHONE_NUMBER", 16, 19, text),  # second "555" -> token 4
+        ("c1", 0, "X", 0, 4, text),               # "call" -> token 0
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, entity_type string, "
+        "start int, end int, clean_text string"
+    )
+    got = {
+        (r["start"]): (r["tok_start"], r["tok_end"])
+        for r in pii_token_mask(df).collect()
+    }
+    assert got[5] == (1, 2)
+    assert got[16] == (4, 5)
+    assert got[0] == (0, 1)
