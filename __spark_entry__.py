@@ -11131,6 +11131,119 @@ def o_pii_loss_mask():
     """
 
 
+def q_transcripts_secrets(spark, sf_dir):
+    """Credential redaction END-TO-END through the transcripts pipeline
+    (clean battery → Arrow detect → span apply): per-turn planted AWS
+    keys survive the clean stage and come back as entity_type-strategy
+    replacements; the oracle re-derives offsets via strpos over the SAME
+    three-dialect clean spec and pins redacted_text byte-equal. This is
+    the integration leg secrets_scan (detect-only, raw text) does not
+    cover."""
+    tr = _tr(spark, sf_dir)
+    d = (
+        F.col("turn_idx").cast("long") * 37
+        + F.substring("conv_id", 2, 10).cast("long")
+    )
+    secret = F.concat(
+        F.lit("AKIA"),
+        F.upper(F.substring(F.md5(F.concat(F.lit("tk"), d.cast("string"))), 1, 16)),
+    )
+    planted = tr.withColumn("text", F.concat(F.col("text"), F.lit(" key "), secret))
+    cfg = PipelineConfig(entities=("AWS_ACCESS_KEY",), strategy="entity_type")
+    out = extract_and_redact(planted, cfg, with_row_number=False)
+    sp = span_table(out)
+    return sp.join(
+        out.select("conv_id", "turn_idx", "redacted_text"),
+        ["conv_id", "turn_idx"],
+    ).select(
+        "conv_id", "turn_idx", "entity_type", "start", "end", "redacted_text"
+    )
+
+
+def o_transcripts_secrets():
+    ct = duckdb_clean_sql("text")
+    return f"""
+    {TR_CTE},
+    p AS (SELECT conv_id, turn_idx,
+                 text || ' key AKIA'
+                      || upper(substr(md5('tk' || CAST(doc_id AS VARCHAR)), 1, 16))
+                   AS text,
+                 'AKIA' || upper(substr(md5('tk' || CAST(doc_id AS VARCHAR)), 1, 16))
+                   AS secret
+          FROM transcripts),
+    c AS (SELECT conv_id, turn_idx, secret, {ct} AS ctext FROM p)
+    SELECT conv_id, turn_idx, 'AWS_ACCESS_KEY' AS entity_type,
+           CAST(strpos(ctext, secret) - 1 AS INTEGER) AS start,
+           CAST(strpos(ctext, secret) - 1 + 20 AS INTEGER) AS "end",
+           replace(ctext, secret, '<AWS_ACCESS_KEY>') AS redacted_text
+    FROM c
+    """
+
+
+def q_lang_fertility(spark, sf_dir):
+    """Tokenizer fertility by language — BPE-ish tokens per whitespace
+    word, per trigram-predicted language: the tokenizer-eval metric a
+    multilingual corpus reads before allocating vocabulary (fertility >>1
+    for a language means its text fragments into many subword tokens).
+    Integer-exact: fert_x10000 = floor(sum_bpe * 10000 / sum_words).
+    All JVM-side (regexp_count alternations + one groupBy on ≤4 keys,
+    map-side combinable)."""
+    from doc_redaction_spark.functions.textstats import (
+        bpe_token_count_col,
+        lang_ngram_pred_col,
+        token_count_col,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    samples = F.array(*[F.lit(s) for _, s in _LANG_SAMPLES])
+    t = cust.select(
+        F.concat(
+            F.element_at(samples, (F.col("c_custkey") % 4).cast("int") + 1),
+            F.lit(" "),
+            F.col("c_name"),
+        ).alias("text")
+    )
+    scored = t.select(
+        lang_ngram_pred_col("text").alias("lang"),
+        token_count_col("text").cast("long").alias("words"),
+        bpe_token_count_col("text").cast("long").alias("bpe"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("sum_words"),
+        F.sum("bpe").cast("long").alias("sum_bpe_tokens"),
+        F.floor(F.sum("bpe") * 10000 / F.sum("words"))
+        .cast("long")
+        .alias("fert_x10000"),
+    )
+
+
+def o_lang_fertility():
+    from doc_redaction_spark.functions.textstats import (
+        duckdb_bpe_token_count,
+        duckdb_lang_ngram_pred,
+        duckdb_token_count,
+    )
+
+    samples = ", ".join(f"'{s}'" for _, s in _LANG_SAMPLES)
+    return f"""
+    WITH t AS (
+      SELECT ([{samples}])[CAST(c_custkey % 4 AS INTEGER) + 1]
+             || ' ' || c_name AS text
+      FROM customer),
+    s AS (SELECT {duckdb_lang_ngram_pred('text')} AS lang,
+                 CAST({duckdb_token_count('text')} AS BIGINT) AS words,
+                 CAST({duckdb_bpe_token_count('text')} AS BIGINT) AS bpe
+          FROM t)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS sum_words,
+           CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens,
+           CAST(floor(sum(bpe) * 10000 / sum(words)) AS BIGINT) AS fert_x10000
+    FROM s GROUP BY lang
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11148,6 +11261,8 @@ _QUERIES: dict[str, Callable] = {
     "secret_leak_audit": q_secret_leak_audit,
     "pii_echo_audit": q_pii_echo_audit,
     "pii_loss_mask": q_pii_loss_mask,
+    "transcripts_secrets": q_transcripts_secrets,
+    "lang_fertility": q_lang_fertility,
     "tool_json_pii": q_tool_json_pii,
     "padding_waste": q_padding_waste,
     "dpo_pairs": q_dpo_pairs,
@@ -11382,6 +11497,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "secret_leak_audit": o_secret_leak_audit,
     "pii_echo_audit": o_pii_echo_audit,
     "pii_loss_mask": o_pii_loss_mask,
+    "transcripts_secrets": o_transcripts_secrets,
+    "lang_fertility": o_lang_fertility,
     "tool_json_pii": o_tool_json_pii,
     "padding_waste": o_padding_waste,
     "dpo_pairs": o_dpo_pairs,

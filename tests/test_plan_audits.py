@@ -666,3 +666,33 @@ def test_conv_chain_index_corpus_side_is_shuffle_free(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS conv_chain_idx")
+
+
+def test_secret_propagation_is_jvm_only_single_agg(spark, queries):
+    """Credential extraction stays JVM-side (regexp_extract_all +
+    explode, no Python stage); the only shuffle is the secret groupBy
+    (near-unique keys — skew-free by construction)."""
+    plan = _plan(queries["secret_leak_audit"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_padding_waste_rank_partitions_by_bucket_and_tok(spark, queries):
+    """The two-phase rank: the row-level window partitions by
+    (bucket, tok) tie-groups, never by bucket alone — a hot length
+    bucket must not become ONE sort task."""
+    plan = _plan(queries["padding_waste"](spark, SF))
+    import re as _re
+
+    # every row_number window spec must carry BOTH keys
+    for m in _re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
+        line = m.group(0)
+        assert "bucket" in line and "tok" in line, line
+
+
+def test_lang_fertility_is_jvm_map_side_agg(spark, queries):
+    plan = _plan(queries["lang_fertility"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # partial aggregate before the exchange (map-side combine on <=4 keys)
+    assert "partial" in plan.lower()
