@@ -598,3 +598,180 @@ def make_conv_prefix_processor(
             )
 
     return process
+
+
+def save_secret_index(
+    rows: DataFrame,
+    table: str,
+    path: str | None = None,
+    buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write first-seen secret rows as the bucketed+sorted-on-secret
+    index table — the credential member of the stored-index family
+    (LSH bands, IVF assignments, BM25 postings, PQ codes, conv chains):
+    micro-batch probes equi-join on ``secret`` against a ``Bucketed:
+    true`` scan, no corpus-side exchange."""
+    w = rows.write.mode(mode)
+    if path is not None:
+        w = w.option("path", path)
+    w.bucketBy(buckets, "secret").sortBy("secret").format("parquet").saveAsTable(table)
+
+
+def make_secret_monitor_processor(
+    spark: SparkSession,
+    out_dir: str,
+    index_table: str,
+    index_path: str | None = None,
+    pattern: str | None = None,
+    buckets: int = 8,
+    run_id: int = 0,
+):
+    """Per-micro-batch kernel of ``run_streaming_secret_monitor`` —
+    incremental cross-conversation credential-leak detection, the
+    streaming twin of ``convops.secret_propagation_report``.
+
+    Each batch: extract credential strings (JVM ``regexp_extract_all``,
+    default = the AWS access-key recognizer), resolve every secret's
+    CANONICAL first-seen conversation (the stored index wins; within the
+    batch, min (ts, conv_id)), emit one ALERT row per (secret, conv)
+    sighting whose conv differs from the canonical owner, and append
+    only never-seen secrets' first-seen rows to the index.
+
+    Restart contract (same as the dedup processors): alerts land as a
+    ``batch_id`` partition OVERWRITE; index rows carry (ingest_run,
+    ingest_batch_id) so a replayed batch probes exactly the pre-batch
+    corpus; the append anti-joins this batch's already-present secrets
+    so a partial first-attempt append is repaired, never lost.
+    """
+    if pattern is None:
+        from doc_redaction_spark.functions.secrets import AWS_ACCESS_KEY_PATTERN
+
+        pattern = AWS_ACCESS_KEY_PATTERN
+    sql_pat = pattern.replace("\\", "\\\\").replace("'", "''")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ex = batch_df.select(
+            "conv_id",
+            "ts",
+            F.explode(
+                F.expr(f"regexp_extract_all(text, '{sql_pat}', 0)")
+            ).alias("secret"),
+        )
+        batch_first = (
+            ex.groupBy("secret")
+            .agg(F.min(F.struct("ts", "conv_id")).alias("m"))
+            .select(
+                "secret",
+                F.col("m.conv_id").alias("batch_first_conv"),
+                F.col("m.ts").alias("batch_first_ts"),
+            )
+        )
+        have_index = spark.catalog.tableExists(index_table)
+        if have_index:
+            spark.catalog.refreshTable(index_table)
+            base_all = spark.table(index_table)
+            if ("ingest_batch_id" not in base_all.columns
+                    or "ingest_run" not in base_all.columns):
+                raise ValueError(
+                    f"index table {index_table!r} lacks ingest metadata — "
+                    "the streaming processor owns its index; seed one with "
+                    "save_secret_index over rows carrying ingest_run=-1, "
+                    "ingest_batch_id=-1"
+                )
+            mine = (F.col("ingest_run") == run_id) & (
+                F.col("ingest_batch_id") == batch_id
+            )
+            base = base_all.filter(~mine)
+            canon = batch_first.join(
+                base.select("secret", F.col("first_conv").alias("idx_conv")),
+                "secret",
+                "left",
+            ).select(
+                "secret",
+                F.coalesce("idx_conv", "batch_first_conv").alias("first_conv"),
+                "batch_first_conv",
+                "batch_first_ts",
+            )
+        else:
+            canon = batch_first.select(
+                "secret",
+                F.col("batch_first_conv").alias("first_conv"),
+                "batch_first_conv",
+                "batch_first_ts",
+            )
+        sightings = ex.groupBy("secret", "conv_id").agg(
+            F.count("*").cast("long").alias("n_turns")
+        )
+        alerts = (
+            sightings.join(canon.select("secret", "first_conv"), "secret")
+            .filter(F.col("conv_id") != F.col("first_conv"))
+            .select("secret", "conv_id", "first_conv", "n_turns")
+        )
+        alerts.write.mode("overwrite").parquet(
+            f"{out_dir}/alerts/batch_id={batch_id}"
+        )
+        # never-seen = absent from the PRE-batch index (the authoritative
+        # test; the coalesce above may equal batch_first_conv by
+        # coincidence when the index owner is the same conversation)
+        novel_base = (
+            canon.join(base.select("secret"), "secret", "left_anti")
+            if have_index
+            else canon
+        )
+        novel = novel_base.select(
+            "secret",
+            F.col("batch_first_conv").alias("first_conv"),
+            F.col("batch_first_ts").alias("first_ts"),
+        ).withColumn("ingest_run", F.lit(run_id).cast("long")).withColumn(
+            "ingest_batch_id", F.lit(batch_id).cast("long")
+        )
+        if have_index:
+            present = (
+                spark.table(index_table).filter(mine).select("secret")
+            )
+            todo = novel.join(present, ["secret"], "left_anti")
+            save_secret_index(todo, index_table, buckets=buckets, mode="append")
+        else:
+            save_secret_index(
+                novel, index_table, path=index_path,
+                buckets=buckets, mode="overwrite",
+            )
+
+    return process
+
+
+def run_streaming_secret_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_table: str = "secret_first_seen",
+    index_path: str | None = None,
+    schema: str = "conv_id string, turn_idx int, role string, text string, ts timestamp",
+    pattern: str | None = None,
+    buckets: int = 8,
+    run_id: int = 0,
+) -> None:
+    """Streaming credential-leak monitor: micro-batches of transcript
+    turns probe the stored first-seen secret index; any credential
+    surfacing OUTSIDE its first-seen conversation raises an alert row
+    the moment it lands (vs the batch report, which only sees it on the
+    next full sweep). Stream ≡ batch and replay idempotency pinned by
+    tests/test_streaming_secrets.py."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    process = make_secret_monitor_processor(
+        spark, out_dir, index_table, index_path,
+        pattern=pattern, buckets=buckets, run_id=run_id,
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,115 @@
+"""Streaming credential-leak monitor (streaming/stream.py
+make_secret_monitor_processor): stream ≡ batch first-seen semantics,
+alert-on-foreign-conversation, replay idempotency."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+K1 = "AKIA" + "A" * 16
+K2 = "AKIA" + "B" * 16
+K3 = "ASIA" + "C" * 16
+
+
+def _ts(i):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+
+
+def test_streaming_secret_monitor_stream_matches_batch(spark, tmp_path):
+    """Three ts-ordered micro-batches; union of alerts == the one-shot
+    first-seen spec over the whole input (secret sighted in any conv
+    other than its global first-seen conv)."""
+    from doc_redaction_spark.streaming.stream import run_streaming_secret_monitor
+
+    batches = [
+        # K1 born in c1; K2 born in c2
+        [("c1", 0, "tool", f"creds {K1} ok", _ts(0)),
+         ("c2", 0, "tool", f"other {K2}", _ts(1))],
+        # K1 leaks into c2 (alert); K1 again in c1 (no alert); K3 born c3
+        [("c2", 1, "assistant", f"echo {K1}", _ts(10)),
+         ("c1", 1, "user", f"mine {K1}", _ts(11)),
+         ("c3", 0, "tool", f"new {K3}", _ts(12))],
+        # K2 leaks into c1 and c3; K3 stays home
+        [("c1", 2, "tool", f"{K2} drifted", _ts(20)),
+         ("c3", 1, "tool", f"{K2} and {K3}", _ts(21))],
+    ]
+    inp = str(tmp_path / "sm_in")
+    for rows in batches:
+        _df(spark, rows).coalesce(1).write.mode("append").parquet(inp)
+    out = str(tmp_path / "sm_out")
+    spark.sql("DROP TABLE IF EXISTS secret_mon_idx")
+    try:
+        run_streaming_secret_monitor(
+            spark, inp, out, str(tmp_path / "sm_ckpt"),
+            index_table="secret_mon_idx",
+            index_path=str(tmp_path / "secret_mon_idx"),
+        )
+        alerts = {
+            (r["secret"], r["conv_id"]): r
+            for r in spark.read.parquet(f"{out}/alerts").collect()
+        }
+        assert set(alerts) == {(K1, "c2"), (K2, "c1"), (K2, "c3")}
+        assert alerts[(K1, "c2")]["first_conv"] == "c1"
+        assert alerts[(K2, "c1")]["first_conv"] == "c2"
+        assert alerts[(K2, "c3")]["first_conv"] == "c2"
+        # index: one first-seen row per secret, owner = global first conv
+        spark.catalog.refreshTable("secret_mon_idx")
+        idx = {r["secret"]: r for r in spark.table("secret_mon_idx").collect()}
+        assert set(idx) == {K1, K2, K3}
+        assert idx[K1]["first_conv"] == "c1"
+        assert idx[K2]["first_conv"] == "c2"
+        assert idx[K3]["first_conv"] == "c3"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS secret_mon_idx")
+
+
+def test_streaming_secret_monitor_within_batch_leak_and_replay(spark, tmp_path):
+    """A leak fully inside ONE batch still alerts (min-(ts, conv) owner);
+    replaying a committed batch leaves alerts and index byte-identical."""
+    from doc_redaction_spark.streaming.stream import make_secret_monitor_processor
+
+    out = str(tmp_path / "rp_out")
+    spark.sql("DROP TABLE IF EXISTS secret_rp_idx")
+    try:
+        process = make_secret_monitor_processor(
+            spark, out, "secret_rp_idx",
+            index_path=str(tmp_path / "secret_rp_idx"),
+        )
+        b0 = _df(spark, [
+            ("cA", 0, "tool", f"born {K1}", _ts(0)),
+            ("cB", 0, "user", f"stolen {K1}", _ts(1)),  # same-batch leak
+        ])
+        b1 = _df(spark, [
+            ("cC", 0, "tool", f"reborn? {K1}", _ts(30)),  # cross-batch leak
+        ])
+        process(b0, 0)
+        process(b1, 1)
+        snap_a = sorted(map(tuple, spark.read.parquet(f"{out}/alerts").collect()))
+        spark.catalog.refreshTable("secret_rp_idx")
+        snap_i = sorted(map(tuple, spark.table("secret_rp_idx").collect()))
+        # within-batch alert (cB) and cross-batch alert (cC), owner cA
+        got = {(r[0], r[1]) for r in snap_a}
+        assert got == {(K1, "cB"), (K1, "cC")}
+        assert len(snap_i) == 1 and snap_i[0][1] == "cA"
+        # full replay of batch 1
+        process(b1, 1)
+        assert sorted(
+            map(tuple, spark.read.parquet(f"{out}/alerts").collect())
+        ) == snap_a
+        spark.catalog.refreshTable("secret_rp_idx")
+        assert sorted(map(tuple, spark.table("secret_rp_idx").collect())) == snap_i
+        # replay of batch 0 too (the batch that CREATED the index)
+        process(b0, 0)
+        assert sorted(
+            map(tuple, spark.read.parquet(f"{out}/alerts").collect())
+        ) == snap_a
+        spark.catalog.refreshTable("secret_rp_idx")
+        assert sorted(map(tuple, spark.table("secret_rp_idx").collect())) == snap_i
+    finally:
+        spark.sql("DROP TABLE IF EXISTS secret_rp_idx")
