@@ -1,0 +1,54 @@
+"""Prompt-injection heuristics over agent transcripts.
+
+Agent transcripts carry a class of adversarial content plain document
+corpora do not: tool outputs and user turns that try to STEER the
+assistant ("ignore previous instructions", spoofed system prompts,
+exfiltration directives). A training-data pipeline wants these flagged
+before SFT (they teach the model to obey injected instructions) and a
+serving-side monitor wants them counted per source.
+
+Heuristic pattern battery, ONE spec rendered to all three dialects
+(Spark Java regex / DuckDB RE2 / Python ``re``): inline ``(?i)``, no
+lookaround, no backrefs — the repo's shared-subset rule. These are
+deliberately high-precision surface patterns (the classic public
+injection phrasebook), not a classifier; the scan reports counts, it
+does not judge.
+
+No reference-repo counterpart (the reference redacts PII, it does not
+audit instruction-following attacks); part of the transcripts-payload
+brief alongside the credential recognizers (``functions/secrets.py``).
+"""
+
+from __future__ import annotations
+
+# category → pattern (3-dialect common subset, inline (?i))
+INJECTION_PATTERNS: dict[str, str] = {
+    # direct instruction override
+    "override": (
+        r"(?i)\b(?:ignore|disregard|forget)\b"
+        r"[^.\n]{0,40}\b(?:previous|prior|above|earlier|all)\b"
+        r"[^.\n]{0,20}\binstructions?\b"
+    ),
+    # spoofed system/authority framing
+    "system_spoof": (
+        r"(?i)(?:\[system\]|<system>|new system prompt\b"
+        r"|\byou are now\b[^.\n]{0,40}\b(?:mode|assistant|ai|system)\b)"
+    ),
+    # exfiltration directive: send/post content to an external URL
+    "exfil": (
+        r"(?i)\b(?:send|post|upload|forward)\b[^.\n]{0,40}"
+        r"\bto\b[^.\n]{0,10}https?://"
+    ),
+    # guardrail-disabling framing
+    "jailbreak": (
+        r"(?i)\b(?:without (?:any )?(?:restrictions?|limitations?|filters?)"
+        r"|developer mode|do anything now)\b"
+    ),
+}
+
+
+def duckdb_injection_count(expr: str, category: str) -> str:
+    """DuckDB rendering of the SAME pattern (RE2: inline (?i) works in
+    regexp_extract_all; single-escape the backslashes)."""
+    pat = INJECTION_PATTERNS[category].replace("'", "''")
+    return f"len(regexp_extract_all(coalesce({expr}, ''), '{pat}'))"

@@ -1629,3 +1629,39 @@ def pii_token_mask(
         _prefix_tokens(F.col("start")).alias("tok_start"),
         _prefix_tokens(F.col("end")).alias("tok_end"),
     )
+
+
+def injection_scan(
+    turns: DataFrame,
+    text_col: str = "text",
+    role_col: str = "role",
+) -> DataFrame:
+    """Prompt-injection surface scan (functions/injection.py): per
+    (role, category) — turns hit and total matches, the full matrix
+    including zero rows (a report that silently omits a category reads
+    as "clean" when it means "never checked").
+
+    Map-only JVM ``regexp_count`` per category (one pass over the text,
+    4 counters per row), then an unpivot and a map-side-combinable
+    groupBy on ≤ roles×4 keys. Nothing here is per-row Python.
+    """
+    from doc_redaction_spark.functions.injection import INJECTION_PATTERNS
+
+    cats = list(INJECTION_PATTERNS)
+    counted = turns.select(
+        F.col(role_col).alias("role"),
+        *[
+            F.coalesce(
+                F.regexp_count(
+                    F.coalesce(F.col(text_col), F.lit("")), F.lit(pat)
+                ),
+                F.lit(0),
+            ).alias(cat)
+            for cat, pat in INJECTION_PATTERNS.items()
+        ],
+    )
+    long = counted.unpivot("role", cats, "category", "hits")
+    return long.groupBy("role", "category").agg(
+        F.sum((F.col("hits") > 0).cast("long")).cast("long").alias("n_turns"),
+        F.sum("hits").cast("long").alias("n_hits"),
+    )
