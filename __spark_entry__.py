@@ -11315,6 +11315,118 @@ def o_injection_scan():
     """
 
 
+# entropy-scan plants, cycled by doc_id % 4 on doc_id % 9 == 1 turns:
+# 3-class flag / single-class repeat / 2-class hex (the >=16-distinct leg)
+# / pure alphabet (never flags)
+_ENT_PLANTS = [
+    "Xk9mQ2pLr7VtB3nZs8WdY4hJcF6gTa1e",
+    "aaaaaaaaaaaaaaaaaaaaaaaa",
+    "ABCDEF0123456789ABCDEF0123",
+    "abcdefghijklmnopqrstuvwxyz",
+]
+
+
+def q_entropy_scan(spark, sf_dir):
+    """Generic high-entropy credential candidates (operators/convops.py
+    entropy_credential_scan): unknown-format keys flagged by an exact
+    integer entropy proxy — char classes × distinct chars over maximal
+    base64ish runs. Plants cycle a 3-class flag, a single-class repeat,
+    a 2-class hex key (the distinct>=16 leg), and a pure alphabet that
+    must never flag."""
+    from doc_redaction_spark.operators.convops import entropy_credential_scan
+
+    tr = _tr(spark, sf_dir)
+    d = (
+        F.col("turn_idx").cast("long") * 37
+        + F.substring("conv_id", 2, 10).cast("long")
+    )
+    plants = F.array(*[F.lit(p) for p in _ENT_PLANTS])
+    planted = tr.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 9 == 1,
+                F.concat(F.lit(" tok "), F.element_at(plants, (d % 4).cast("int") + 1)),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return entropy_credential_scan(planted)
+
+
+def o_entropy_scan():
+    d = "(CAST(turn_idx AS BIGINT) * 37 + CAST(substr(conv_id, 2, 10) AS BIGINT))"
+    plants = ", ".join(f"'{p}'" for p in _ENT_PLANTS)
+    return f"""
+    {TR_CTE},
+    p AS (SELECT conv_id, turn_idx, role,
+                 text || CASE WHEN {d} % 9 = 1
+                         THEN ' tok ' || ([{plants}])[CAST({d} % 4 AS INTEGER) + 1]
+                         ELSE '' END AS text
+          FROM transcripts),
+    ex AS (SELECT conv_id, turn_idx, role,
+                  unnest(regexp_extract_all(text, '[A-Za-z0-9+/=_-]{{24,}}'))
+                    AS token
+           FROM p),
+    m AS (SELECT conv_id, turn_idx, role, token,
+                 CAST(len(list_distinct(regexp_extract_all(token, '.')))
+                      AS BIGINT) AS n_distinct,
+                 CAST((CASE WHEN regexp_matches(token, '[a-z]') THEN 1 ELSE 0 END)
+                    + (CASE WHEN regexp_matches(token, '[A-Z]') THEN 1 ELSE 0 END)
+                    + (CASE WHEN regexp_matches(token, '[0-9]') THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_classes
+          FROM ex)
+    SELECT conv_id, turn_idx, role, token, n_distinct, n_classes
+    FROM m
+    WHERE (n_classes >= 3 AND n_distinct >= 12)
+       OR (n_classes = 2 AND n_distinct >= 16)
+    """
+
+
+def q_confusable_scan(spark, sf_dir):
+    """Mixed-script homoglyph word scan (operators/convops.py
+    confusable_scan): words mixing ASCII letters with non-ASCII
+    codepoints evade every ASCII-shaped recognizer. The fixture's own
+    smart-punct template ('secret…') fires naturally; planted Cyrillic
+    lookalikes ('vіsit pаypal-verify.com') land on ~1/17 of turns; the
+    bare em-dash ('—', no Latin) pins the negative leg."""
+    from doc_redaction_spark.operators.convops import confusable_scan
+
+    tr = _tr(spark, sf_dir)
+    d = (
+        F.col("turn_idx").cast("long") * 37
+        + F.substring("conv_id", 2, 10).cast("long")
+    )
+    planted = tr.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(d % 17 == 2, F.lit(" vіsit pаypal-verify.com")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return confusable_scan(planted)
+
+
+def o_confusable_scan():
+    d = "(CAST(turn_idx AS BIGINT) * 37 + CAST(substr(conv_id, 2, 10) AS BIGINT))"
+    return f"""
+    {TR_CTE},
+    p AS (SELECT role,
+                 text || CASE WHEN {d} % 17 = 2
+                         THEN ' vіsit pаypal-verify.com' ELSE '' END AS text
+          FROM transcripts),
+    ex AS (SELECT role,
+                  unnest(list_filter(regexp_extract_all(text, '\\S+'),
+                    x -> regexp_matches(x, '[A-Za-z]')
+                     AND regexp_matches(x, '[^\\x00-\\x7F]'))) AS word
+           FROM p)
+    SELECT role, word, CAST(count(*) AS BIGINT) AS n_turns
+    FROM ex GROUP BY role, word
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11335,6 +11447,8 @@ _QUERIES: dict[str, Callable] = {
     "transcripts_secrets": q_transcripts_secrets,
     "lang_fertility": q_lang_fertility,
     "injection_scan": q_injection_scan,
+    "entropy_scan": q_entropy_scan,
+    "confusable_scan": q_confusable_scan,
     "tool_json_pii": q_tool_json_pii,
     "padding_waste": q_padding_waste,
     "dpo_pairs": q_dpo_pairs,
@@ -11572,6 +11686,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "transcripts_secrets": o_transcripts_secrets,
     "lang_fertility": o_lang_fertility,
     "injection_scan": o_injection_scan,
+    "entropy_scan": o_entropy_scan,
+    "confusable_scan": o_confusable_scan,
     "tool_json_pii": o_tool_json_pii,
     "padding_waste": o_padding_waste,
     "dpo_pairs": o_dpo_pairs,

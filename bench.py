@@ -140,6 +140,12 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         # (aggregate-HOF + hash join) and the conv-level curation capstone
         "conv_prefix_dedup",
         "sft_curation",
+        # session-10 representatives: E2E credential redaction through the
+        # Arrow detect path, the two-phase padding-waste rank, and the
+        # JVM injection-pattern battery
+        "transcripts_secrets",
+        "padding_waste",
+        "injection_scan",
     ]
     qs = entrymod.queries()
     out = {}

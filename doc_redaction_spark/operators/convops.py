@@ -1665,3 +1665,83 @@ def injection_scan(
         F.sum((F.col("hits") > 0).cast("long")).cast("long").alias("n_turns"),
         F.sum("hits").cast("long").alias("n_hits"),
     )
+
+
+def entropy_credential_scan(
+    turns: DataFrame,
+    min_len: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """Generic high-entropy credential candidates — the unknown-format
+    key leg of the credential family (functions/secrets.py knows AWS /
+    GitHub / Slack / JWT / PEM shapes; a vendor-specific token matches
+    none of them but still looks like line noise).
+
+    Exact integer entropy PROXY (float Shannon entropy is not
+    bit-identical cross-engine): a candidate is any maximal
+    ``[A-Za-z0-9+/=_-]{min_len,}`` run; it is flagged iff
+    (>= 3 char classes AND >= 12 distinct chars) OR
+    (exactly 2 classes AND >= 16 distinct — the hex-key shape).
+    Single-class runs (aaaa…, pure alphabets) never flag.
+
+    Map-only: extract_all + explode + per-token native HOFs; no
+    shuffle, no Python stage.
+
+    Output: ``conv_id, turn_idx, role, token, n_distinct, n_classes``
+    for flagged candidates.
+    """
+    cand_pat = "[A-Za-z0-9+/=_-]{" + str(min_len) + ",}"
+    ex = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '{cand_pat}', 0)")
+        ).alias("token"),
+    )
+    m = ex.withColumn(
+        "n_distinct",
+        F.expr("size(array_distinct(regexp_extract_all(token, '.', 0)))")
+        .cast("long"),
+    ).withColumn(
+        "n_classes",
+        (
+            F.col("token").rlike("[a-z]").cast("int")
+            + F.col("token").rlike("[A-Z]").cast("int")
+            + F.col("token").rlike("[0-9]").cast("int")
+        ).cast("long"),
+    )
+    return m.filter(
+        ((F.col("n_classes") >= 3) & (F.col("n_distinct") >= 12))
+        | ((F.col("n_classes") == 2) & (F.col("n_distinct") >= 16))
+    )
+
+
+def confusable_scan(
+    turns: DataFrame,
+    text_col: str = "text",
+    role_col: str = "role",
+) -> DataFrame:
+    """Mixed-script (homoglyph) word scan — the redaction-evasion audit:
+    a word mixing ASCII letters with non-ASCII codepoints (Cyrillic а in
+    'pаypal', fullwidth digits in a phone number) slips past every
+    ASCII-shaped recognizer while reading identically to a human. Flag
+    and count such words per role so the cleaning stage knows what to
+    fold before detection.
+
+    One native HOF chain (extract words → filter both-script words →
+    explode) then a map-side-combinable groupBy. BMP codepoints only in
+    the spec examples: Java regex counts UTF-16 units where RE2/Python
+    count codepoints, so astral-plane chars are outside the shared
+    dialect contract (documented, not silently divergent).
+    """
+    words = F.expr(
+        f"filter(regexp_extract_all({text_col}, '\\\\S+', 0), "
+        "x -> x rlike '[A-Za-z]' AND x rlike '[^\\\\x00-\\\\x7F]')"
+    )
+    ex = turns.select(
+        F.col(role_col).alias("role"), F.explode(words).alias("word")
+    )
+    return ex.groupBy("role", "word").agg(
+        F.count("*").cast("long").alias("n_turns")
+    )

@@ -198,3 +198,37 @@ def test_injection_scan_matrix_and_multi_category(spark):
     assert out[("tool", "system_spoof")] == (1, 2)
     assert out[("tool", "jailbreak")] == (1, 1)
     assert out[("assistant", "override")] == (0, 0)
+
+
+def test_entropy_credential_scan_rule_legs(spark):
+    from doc_redaction_spark.operators.convops import entropy_credential_scan
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "tool", "key Xk9mQ2pLr7VtB3nZs8WdY4hJcF6gTa1e end"),
+            ("c1", 1, "tool", "rep aaaaaaaaaaaaaaaaaaaaaaaa end"),
+            ("c1", 2, "tool", "hex ABCDEF0123456789ABCDEF0123 end"),
+            ("c1", 3, "tool", "abc abcdefghijklmnopqrstuvwxyz end"),
+            ("c1", 4, "tool", "short Xk9mQ2pLr7V end"),  # < 24 chars
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    got = {r["turn_idx"]: r for r in entropy_credential_scan(df).collect()}
+    assert set(got) == {0, 2}
+    assert got[0]["n_classes"] == 3 and got[0]["n_distinct"] == 32
+    assert got[2]["n_classes"] == 2 and got[2]["n_distinct"] == 16
+
+
+def test_confusable_scan_mixed_script_only(spark):
+    from doc_redaction_spark.operators.convops import confusable_scan
+
+    df = spark.createDataFrame(
+        [
+            ("user", "vіsit pаypal.com now"),   # Cyrillic і and а
+            ("user", "plain ascii words only"),
+            ("tool", "secret… — …"),            # ellipsis word; bare dashes excluded
+        ],
+        "role string, text string",
+    )
+    got = {(r["role"], r["word"]): r["n_turns"] for r in confusable_scan(df).collect()}
+    assert set(got) == {("user", "vіsit"), ("user", "pаypal.com"), ("tool", "secret…")}
