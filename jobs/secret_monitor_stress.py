@@ -1,0 +1,134 @@
+"""Streaming credential-leak monitor backlog stress.
+
+Drives make_secret_monitor_processor over N micro-batches with a GROWING
+stored first-seen index: each batch carries novel secrets (index grows
+linearly) plus reappearances of batch-0 secrets in foreign conversations
+(every batch must alert). Per-batch wall-clock must stay ~flat — the
+probe equi-joins the bucketed index on ``secret`` instead of re-scanning
+history. The FINAL batch is then replayed through the processor directly
+(the live failure-replay path) and alerts/index idempotency asserted.
+
+Usage:  python jobs/secret_monitor_stress.py [n_batches] [turns_per_batch]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+
+    from pyspark.sql import functions as F
+
+    from doc_redaction_spark.session import get_spark
+    from doc_redaction_spark.streaming.stream import make_secret_monitor_processor
+
+    spark = get_spark(app_name="secret_stress", cores=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="secret_stress_")
+    out = f"{tmp}/out"
+    table = "stress_secret_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    proc = make_secret_monitor_processor(
+        spark, out, table, index_path=f"{tmp}/{table}"
+    )
+
+    def batch_df(b: int):
+        # per turn i of batch b: 10% of turns carry a NOVEL secret keyed
+        # (b, i); 5% re-echo a batch-0 secret from a FOREIGN conversation
+        base = spark.range(per_batch).select(
+            F.concat(F.lit("c"), (F.col("id") % 997).cast("string")).alias("conv_id"),
+            (F.col("id") / 997).cast("int").alias("turn_idx"),
+            F.lit("tool").alias("role"),
+            F.concat(
+                F.lit("turn text "),
+                F.col("id").cast("string"),
+                F.when(
+                    F.col("id") % 10 == 0,
+                    F.concat(
+                        F.lit(" key AKIA"),
+                        F.upper(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"n{b}|"), F.col("id").cast("string")
+                                    )
+                                ),
+                                1,
+                                16,
+                            )
+                        ),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    (F.col("id") % 20 == 1) & (F.lit(b) > 0),
+                    F.concat(
+                        F.lit(" key AKIA"),
+                        F.upper(
+                            F.substring(
+                                F.md5(
+                                    F.concat(F.lit("n0|"), (F.col("id") * 10 % per_batch).cast("string"))
+                                ),
+                                1,
+                                16,
+                            )
+                        ),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("id") + F.lit(b * per_batch))
+            ).alias("ts"),
+        )
+        return base
+
+    times = []
+    for b in range(n_batches):
+        df = batch_df(b).localCheckpoint()
+        t0 = time.perf_counter()
+        proc(df, b)
+        times.append(round(time.perf_counter() - t0, 2))
+
+    # replay the final batch: alerts + index must be unchanged
+    last = n_batches - 1
+    alerts_before = (
+        spark.read.parquet(f"{out}/alerts").groupBy().count().collect()[0][0]
+    )
+    spark.catalog.refreshTable(table)
+    idx_before = spark.table(table).count()
+    proc(batch_df(last), last)
+    alerts_after = (
+        spark.read.parquet(f"{out}/alerts").groupBy().count().collect()[0][0]
+    )
+    spark.catalog.refreshTable(table)
+    idx_after = spark.table(table).count()
+
+    result = {
+        "n_batches": n_batches,
+        "turns_per_batch": per_batch,
+        "per_batch_sec": times,
+        "first5_avg": round(sum(times[:5]) / 5, 2),
+        "last5_avg": round(sum(times[-5:]) / 5, 2),
+        "index_rows": idx_after,
+        "alerts": alerts_after,
+        "replay_idempotent": (alerts_before == alerts_after)
+        and (idx_before == idx_after),
+    }
+    print(json.dumps(result))
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
