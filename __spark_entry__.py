@@ -11427,6 +11427,86 @@ def o_confusable_scan():
     """
 
 
+def q_confusable_fold(spark, sf_dir):
+    """Confusable folding — the FIX-side twin of confusable_scan: fold
+    homoglyphs to their ASCII skeleton (functions/injection.py
+    CONFUSABLE_FROM/TO, codepoint-wise translate in all three engines)
+    and re-run detection. The plant is an AWS key whose prefix carries a
+    Cyrillic А ('AKIА…'): the ASCII-shaped recognizer misses it raw
+    (n_raw = 0, computed independently by both engines, not assumed) and
+    finds it folded — offsets are raw positions because the fold is
+    codepoint-1:1."""
+    from doc_redaction_spark.functions.injection import (
+        CONFUSABLE_FROM,
+        CONFUSABLE_TO,
+    )
+
+    tr = _tr(spark, sf_dir)
+    d = (
+        F.col("turn_idx").cast("long") * 37
+        + F.substring("conv_id", 2, 10).cast("long")
+    )
+    secret_tail = F.upper(
+        F.substring(F.md5(F.concat(F.lit("cf"), d.cast("string"))), 1, 16)
+    )
+    planted = tr.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" key AKIА"), secret_tail),
+    )
+    aws_pat = r"\\b(?:AKIA|ASIA)[0-9A-Z]{16}\\b"
+    folded = planted.select(
+        "conv_id",
+        "turn_idx",
+        F.expr(f"size(regexp_extract_all(text, '{aws_pat}', 0))")
+        .cast("long")
+        .alias("n_raw"),
+        F.translate(F.col("text"), CONFUSABLE_FROM, CONFUSABLE_TO).alias("ftext"),
+    )
+    cfg = PipelineConfig(entities=("AWS_ACCESS_KEY",))
+    from doc_redaction_spark.operators.detect import detect_spans_udf
+
+    spans = folded.withColumn("spans", detect_spans_udf(cfg)(F.col("ftext")))
+    ex = spans.select(
+        "conv_id", "turn_idx", "n_raw", F.explode_outer("spans").alias("sp")
+    ).filter(F.col("sp").isNotNull())
+    return ex.select(
+        "conv_id",
+        "turn_idx",
+        "n_raw",
+        F.col("sp.entity_type").alias("entity_type"),
+        F.col("sp.start").alias("start"),
+        F.col("sp.end").alias("end"),
+    )
+
+
+def o_confusable_fold():
+    from doc_redaction_spark.functions.injection import (
+        CONFUSABLE_FROM,
+        CONFUSABLE_TO,
+    )
+
+    d = "(CAST(turn_idx AS BIGINT) * 37 + CAST(substr(conv_id, 2, 10) AS BIGINT))"
+    return f"""
+    {TR_CTE},
+    p AS (SELECT conv_id, turn_idx,
+                 text || ' key AKIА'
+                      || upper(substr(md5('cf' || CAST({d} AS VARCHAR)), 1, 16))
+                   AS text,
+                 'AKIA' || upper(substr(md5('cf' || CAST({d} AS VARCHAR)), 1, 16))
+                   AS secret
+          FROM transcripts),
+    f AS (SELECT conv_id, turn_idx, secret,
+                 CAST(len(regexp_extract_all(text,
+                   '\\b(?:AKIA|ASIA)[0-9A-Z]{{16}}\\b')) AS BIGINT) AS n_raw,
+                 translate(text, '{CONFUSABLE_FROM}', '{CONFUSABLE_TO}') AS ftext
+          FROM p)
+    SELECT conv_id, turn_idx, n_raw, 'AWS_ACCESS_KEY' AS entity_type,
+           CAST(strpos(ftext, secret) - 1 AS INTEGER) AS start,
+           CAST(strpos(ftext, secret) - 1 + 20 AS INTEGER) AS "end"
+    FROM f
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11449,6 +11529,7 @@ _QUERIES: dict[str, Callable] = {
     "injection_scan": q_injection_scan,
     "entropy_scan": q_entropy_scan,
     "confusable_scan": q_confusable_scan,
+    "confusable_fold": q_confusable_fold,
     "tool_json_pii": q_tool_json_pii,
     "padding_waste": q_padding_waste,
     "dpo_pairs": q_dpo_pairs,
@@ -11688,6 +11769,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "injection_scan": o_injection_scan,
     "entropy_scan": o_entropy_scan,
     "confusable_scan": o_confusable_scan,
+    "confusable_fold": o_confusable_fold,
     "tool_json_pii": o_tool_json_pii,
     "padding_waste": o_padding_waste,
     "dpo_pairs": o_dpo_pairs,

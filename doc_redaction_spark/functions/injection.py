@@ -52,3 +52,24 @@ def duckdb_injection_count(expr: str, category: str) -> str:
     regexp_extract_all; single-escape the backslashes)."""
     pat = INJECTION_PATTERNS[category].replace("'", "''")
     return f"len(regexp_extract_all(coalesce({expr}, ''), '{pat}'))"
+
+
+# ---------------------------------------------------------------------------
+# confusable folding — the fix-side twin of operators/convops.confusable_scan
+# ---------------------------------------------------------------------------
+
+# Homoglyph → ASCII skeleton map (the high-frequency Cyrillic/Greek
+# lookalikes from the public Unicode confusables table, BMP only). ONE
+# constant rendered to all three engines via their codepoint-wise
+# translate(): Spark F.translate, DuckDB translate(), Python
+# str.maketrans — all operate on codepoints, so the spec is shared.
+CONFUSABLE_FROM = "аеіорѕсхууАЕІОРСХА‐‑‒–—"
+CONFUSABLE_TO = "aeiopscxyyAEIOPCXA-----"
+
+# NOTE: duplicates in CONFUSABLE_FROM are harmless (first mapping wins in
+# Python; position-wise in SQL translate) as long as FROM/TO agree — the
+# test pins the three-way agreement on the phrasebook.
+
+
+def fold_confusables_py(s: str) -> str:
+    return s.translate(str.maketrans(CONFUSABLE_FROM, CONFUSABLE_TO))

@@ -232,3 +232,49 @@ def test_confusable_scan_mixed_script_only(spark):
     )
     got = {(r["role"], r["word"]): r["n_turns"] for r in confusable_scan(df).collect()}
     assert set(got) == {("user", "vіsit"), ("user", "pаypal.com"), ("tool", "secret…")}
+
+
+def test_confusable_fold_three_way_agreement():
+    """Python str.translate, DuckDB translate(), and (via the oracle
+    contract) Spark F.translate must fold identically; FROM/TO must be
+    codepoint-aligned."""
+    import duckdb
+
+    from doc_redaction_spark.functions.injection import (
+        CONFUSABLE_FROM,
+        CONFUSABLE_TO,
+        fold_confusables_py,
+    )
+
+    assert len(CONFUSABLE_FROM) == len(CONFUSABLE_TO)
+    # duplicated FROM entries must map to the same target
+    seen = {}
+    for f, t in zip(CONFUSABLE_FROM, CONFUSABLE_TO):
+        assert seen.setdefault(f, t) == t
+    probe = "pаypal vіsit AKIА0123 Прривет — ok"
+    py = fold_confusables_py(probe)
+    duck = duckdb.connect().execute(
+        "SELECT translate(?, ?, ?)", [probe, CONFUSABLE_FROM, CONFUSABLE_TO]
+    ).fetchone()[0]
+    assert py == duck
+    assert "paypal" in py and "AKIA0123" in py and "visit" in py
+
+
+def test_confusable_fold_recovers_detection(spark):
+    from pyspark.sql import functions as F
+
+    from doc_redaction_spark.config import PipelineConfig
+    from doc_redaction_spark.functions.injection import (
+        CONFUSABLE_FROM,
+        CONFUSABLE_TO,
+    )
+    from doc_redaction_spark.operators.detect import detect_spans_py
+
+    raw = "key AKIА0123456789ABCDEF end"  # Cyrillic А in the prefix
+    cfg = PipelineConfig(entities=("AWS_ACCESS_KEY",))
+    assert detect_spans_py(raw, cfg) == []
+    folded = spark.range(1).select(
+        F.translate(F.lit(raw), CONFUSABLE_FROM, CONFUSABLE_TO).alias("t")
+    ).collect()[0]["t"]
+    spans = detect_spans_py(folded, cfg)
+    assert len(spans) == 1 and folded[spans[0][1] : spans[0][2]].startswith("AKIA")
