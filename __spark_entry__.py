@@ -108,6 +108,21 @@ def _tr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcripts_from_documents(spark, sf_dir)
 
 
+def _tr_doc_id():
+    """Reconstruct the fixture identity doc_id = turn_idx*37 + conv_number
+    (synth.py N_CONVS) — _tr projects doc_id away; plants key off it."""
+    return (
+        F.col("turn_idx").cast("long") * 37
+        + F.substring("conv_id", 2, 10).cast("long")
+    )
+
+
+# the same identity as a DuckDB expression (the transcripts CTE keeps a
+# real doc_id column, but plant CASE arms that must mirror the Spark
+# reconstruction byte-for-byte use this single rendering)
+TR_DOC_ID_SQL = "(CAST(turn_idx AS BIGINT) * 37 + CAST(substr(conv_id, 2, 10) AS BIGINT))"
+
+
 TR_CTE = f"WITH transcripts AS ({transcripts_sql('documents')})"
 CLEAN_SQL = duckdb_clean_sql("text")
 
@@ -10914,10 +10929,7 @@ def q_secret_leak_audit(spark, sf_dir):
     from doc_redaction_spark.operators.convops import secret_propagation_report
 
     tr = _tr(spark, sf_dir)
-    d = (
-        F.col("turn_idx").cast("long") * 37
-        + F.substring("conv_id", 2, 10).cast("long")
-    )
+    d = _tr_doc_id()
     spread = F.concat(
         F.lit("AKIA"),
         F.upper(F.substring(F.md5(F.concat(F.lit("sk"), (d % 7).cast("string"))), 1, 16)),
@@ -10935,7 +10947,7 @@ def q_secret_leak_audit(spark, sf_dir):
 
 
 def o_secret_leak_audit():
-    d = "(CAST(turn_idx AS BIGINT) * 37 + CAST(substr(conv_id, 2, 10) AS BIGINT))"
+    d = TR_DOC_ID_SQL
     return f"""
     {TR_CTE},
     planted AS (
@@ -11140,10 +11152,7 @@ def q_transcripts_secrets(spark, sf_dir):
     the integration leg secrets_scan (detect-only, raw text) does not
     cover."""
     tr = _tr(spark, sf_dir)
-    d = (
-        F.col("turn_idx").cast("long") * 37
-        + F.substring("conv_id", 2, 10).cast("long")
-    )
+    d = _tr_doc_id()
     secret = F.concat(
         F.lit("AKIA"),
         F.upper(F.substring(F.md5(F.concat(F.lit("tk"), d.cast("string"))), 1, 16)),
@@ -11264,10 +11273,7 @@ def q_injection_scan(spark, sf_dir):
     from doc_redaction_spark.operators.convops import injection_scan
 
     tr = _tr(spark, sf_dir)
-    d = (
-        F.col("turn_idx").cast("long") * 37
-        + F.substring("conv_id", 2, 10).cast("long")
-    )
+    d = _tr_doc_id()
     plants = F.array(*[F.lit(p) for p in _INJ_PLANTS])
     planted = tr.withColumn(
         "text",
@@ -11287,7 +11293,7 @@ def o_injection_scan():
         duckdb_injection_count,
     )
 
-    d = "(CAST(turn_idx AS BIGINT) * 37 + CAST(substr(conv_id, 2, 10) AS BIGINT))"
+    d = TR_DOC_ID_SQL
     plants = ", ".join("'" + p.replace("'", "''") + "'" for p in _INJ_PLANTS)
     counts = ",\n             ".join(
         f"CAST({duckdb_injection_count('text', cat)} AS BIGINT) AS c_{cat}"
@@ -11336,10 +11342,7 @@ def q_entropy_scan(spark, sf_dir):
     from doc_redaction_spark.operators.convops import entropy_credential_scan
 
     tr = _tr(spark, sf_dir)
-    d = (
-        F.col("turn_idx").cast("long") * 37
-        + F.substring("conv_id", 2, 10).cast("long")
-    )
+    d = _tr_doc_id()
     plants = F.array(*[F.lit(p) for p in _ENT_PLANTS])
     planted = tr.withColumn(
         "text",
@@ -11355,7 +11358,7 @@ def q_entropy_scan(spark, sf_dir):
 
 
 def o_entropy_scan():
-    d = "(CAST(turn_idx AS BIGINT) * 37 + CAST(substr(conv_id, 2, 10) AS BIGINT))"
+    d = TR_DOC_ID_SQL
     plants = ", ".join(f"'{p}'" for p in _ENT_PLANTS)
     return f"""
     {TR_CTE},
@@ -11393,10 +11396,7 @@ def q_confusable_scan(spark, sf_dir):
     from doc_redaction_spark.operators.convops import confusable_scan
 
     tr = _tr(spark, sf_dir)
-    d = (
-        F.col("turn_idx").cast("long") * 37
-        + F.substring("conv_id", 2, 10).cast("long")
-    )
+    d = _tr_doc_id()
     planted = tr.withColumn(
         "text",
         F.concat(
@@ -11410,7 +11410,7 @@ def q_confusable_scan(spark, sf_dir):
 
 
 def o_confusable_scan():
-    d = "(CAST(turn_idx AS BIGINT) * 37 + CAST(substr(conv_id, 2, 10) AS BIGINT))"
+    d = TR_DOC_ID_SQL
     return f"""
     {TR_CTE},
     p AS (SELECT role,
@@ -11442,10 +11442,7 @@ def q_confusable_fold(spark, sf_dir):
     )
 
     tr = _tr(spark, sf_dir)
-    d = (
-        F.col("turn_idx").cast("long") * 37
-        + F.substring("conv_id", 2, 10).cast("long")
-    )
+    d = _tr_doc_id()
     secret_tail = F.upper(
         F.substring(F.md5(F.concat(F.lit("cf"), d.cast("string"))), 1, 16)
     )
@@ -11485,7 +11482,7 @@ def o_confusable_fold():
         CONFUSABLE_TO,
     )
 
-    d = "(CAST(turn_idx AS BIGINT) * 37 + CAST(substr(conv_id, 2, 10) AS BIGINT))"
+    d = TR_DOC_ID_SQL
     return f"""
     {TR_CTE},
     p AS (SELECT conv_id, turn_idx,

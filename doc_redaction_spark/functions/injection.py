@@ -66,9 +66,11 @@ def duckdb_injection_count(expr: str, category: str) -> str:
 CONFUSABLE_FROM = "аеіорѕсхууАЕІОРСХА‐‑‒–—"
 CONFUSABLE_TO = "aeiopscxyyAEIOPCXA-----"
 
-# NOTE: duplicates in CONFUSABLE_FROM are harmless (first mapping wins in
-# Python; position-wise in SQL translate) as long as FROM/TO agree — the
-# test pins the three-way agreement on the phrasebook.
+# NOTE: duplicates in CONFUSABLE_FROM are harmless ONLY because every
+# duplicate maps to the same target (pinned by the alignment test):
+# Python's str.maketrans keeps the LAST mapping for a duplicated key,
+# while Spark/DuckDB translate() keep the FIRST — a duplicate with a
+# conflicting target would diverge silently across engines.
 
 
 def fold_confusables_py(s: str) -> str:

@@ -186,6 +186,76 @@ def run_streaming_incremental_dedup(
     q.awaitTermination()
 
 
+def _index_replay_view(
+    spark: SparkSession,
+    index_table: str,
+    run_id: int,
+    batch_id: int,
+    seed_saver: str,
+):
+    """Replay-scoped view of an EXISTING stored index — the restart
+    contract every streaming index processor shares (minhash bands,
+    conversation chains, secret first-seen). Refreshes the relation
+    cache (appends run through micro-batch session clones; the outer
+    session's listing is stale otherwise), guards the ingest-metadata
+    schema, and returns ``(base, mine)``: ``base`` excludes exactly the
+    rows this (run, batch) wrote on a previous attempt, so a replayed
+    batch probes the pre-batch corpus. Keyed on (run, batch id), NOT
+    content overlap — a batch legitimately re-ingesting already-indexed
+    content must still probe it (see make_incremental_dedup_processor).
+    """
+    spark.catalog.refreshTable(index_table)
+    base_all = spark.table(index_table)
+    if ("ingest_batch_id" not in base_all.columns
+            or "ingest_run" not in base_all.columns):
+        raise ValueError(
+            f"index table {index_table!r} lacks ingest_batch_id — the "
+            "streaming processor owns its index; to seed one from an "
+            f"existing corpus, {seed_saver} rows with "
+            ".withColumn('ingest_run', lit(-1).cast('long'))"
+            ".withColumn('ingest_batch_id', lit(-1).cast('long')) first"
+        )
+    mine = (F.col("ingest_run") == run_id) & (
+        F.col("ingest_batch_id") == batch_id
+    )
+    return base_all.filter(~mine), mine
+
+
+def _stamp_ingest(df: DataFrame, run_id: int, batch_id: int) -> DataFrame:
+    return df.withColumn("ingest_run", F.lit(run_id).cast("long")).withColumn(
+        "ingest_batch_id", F.lit(batch_id).cast("long")
+    )
+
+
+def _append_index_idempotent(
+    spark: SparkSession,
+    saver,
+    novel: DataFrame,
+    index_table: str,
+    index_path: str | None,
+    key_cols: tuple,
+    buckets: int,
+    have_index: bool,
+    mine,
+) -> None:
+    """Append-or-create with the repair contract all stored-index
+    processors share: a parquet append is NOT all-or-nothing — a crash
+    during job commit can leave part of this batch's rows visible.
+    Anti-join the rows this (run, batch) already wrote (by ``key_cols``)
+    and append only the remainder: first attempt appends all, a full
+    replay appends nothing, a partial-commit replay repairs the missing
+    rows instead of skipping-and-losing."""
+    if have_index:
+        present = spark.table(index_table).filter(mine).select(*key_cols)
+        todo = novel.join(present, list(key_cols), "left_anti")
+        saver(todo, index_table, buckets=buckets, mode="append")
+    else:
+        saver(
+            novel, index_table, path=index_path,
+            buckets=buckets, mode="overwrite",
+        )
+
+
 def make_incremental_dedup_processor(
     spark: SparkSession,
     out_dir: str,
@@ -232,21 +302,6 @@ def make_incremental_dedup_processor(
         # corpus index with its own bands
         have_index = recover_band_index(spark, index_table)
         if have_index:
-            # appends ran through the micro-batch session clone; the
-            # outer session's relation cache still holds the previous
-            # batch's file listing — refresh or the probe reads stale
-            spark.catalog.refreshTable(index_table)
-            base_all = spark.table(index_table)
-            if ("ingest_batch_id" not in base_all.columns
-                    or "ingest_run" not in base_all.columns):
-                raise ValueError(
-                    f"index table {index_table!r} lacks ingest_batch_id — "
-                    "the streaming processor owns its index; to seed one "
-                    "from an existing corpus, save_minhash_band_index a "
-                    "band table with .withColumn('ingest_run', "
-                    "lit(-1).cast('long')).withColumn('ingest_batch_id', "
-                    "lit(-1).cast('long')) first"
-                )
             # probe side = everything ingested by OTHER batches. On a
             # clean run that is the whole index; on a failure replay it
             # excludes exactly the rows this batch's first attempt wrote,
@@ -258,10 +313,10 @@ def make_incremental_dedup_processor(
             # into the index. The run component keeps a restarted-from-
             # scratch stream (batch ids back at 0) from shadowing an
             # earlier lifecycle's batch 0 rows.
-            mine = (F.col("ingest_run") == run_id) & (
-                F.col("ingest_batch_id") == batch_id
+            base, mine = _index_replay_view(
+                spark, index_table, run_id, batch_id,
+                "save_minhash_band_index",
             )
-            base = base_all.filter(~mine)
             pairs = incremental_minhash_pairs(
                 new_bands=new_bands,
                 base_bands=base,
@@ -286,33 +341,14 @@ def make_incremental_dedup_processor(
             .select(F.col("new_id").alias("id"))
             .distinct()
         )
-        novel = (
-            new_bands.join(dup_ids, "id", "left_anti")
-            .withColumn("ingest_run", F.lit(run_id).cast("long"))
-            .withColumn("ingest_batch_id", F.lit(batch_id).cast("long"))
+        novel = _stamp_ingest(
+            new_bands.join(dup_ids, "id", "left_anti"), run_id, batch_id
         )
-        if have_index:
-            # idempotent append: a parquet append is NOT all-or-nothing —
-            # a crash during job commit can leave part of this batch's
-            # band rows visible. Anti-join the rows this batch already
-            # wrote (by (id, band) under its own ingest_batch_id) and
-            # append only the remainder: first attempt appends all, a
-            # full replay appends nothing, a partial-commit replay
-            # repairs the missing rows instead of skipping-and-losing.
-            present = (
-                spark.table(index_table)
-                .filter(mine)
-                .select("id", "band")
-            )
-            todo = novel.join(present, ["id", "band"], "left_anti")
-            save_minhash_band_index(
-                todo, index_table, buckets=buckets, mode="append"
-            )
-        else:
-            save_minhash_band_index(
-                novel, index_table, buckets=buckets,
-                path=index_path, mode="overwrite",
-            )
+        _append_index_idempotent(
+            spark, save_minhash_band_index, novel, index_table, index_path,
+            ("id", "band"), buckets, have_index,
+            mine if have_index else None,
+        )
         if compact_every and batch_id % compact_every == compact_every - 1:
             # generation dir scoped by (run, batch): a second lifecycle's
             # batch ids restart at 0 and must not overwrite a directory
@@ -524,22 +560,9 @@ def make_conv_prefix_processor(
         )
         have_index = spark.catalog.tableExists(index_table)
         if have_index:
-            spark.catalog.refreshTable(index_table)
-            base_all = spark.table(index_table)
-            if ("ingest_batch_id" not in base_all.columns
-                    or "ingest_run" not in base_all.columns):
-                raise ValueError(
-                    f"index table {index_table!r} lacks ingest_batch_id — "
-                    "the streaming processor owns its index; to seed one "
-                    "from an existing corpus, save_conv_chain_rows a chain "
-                    "table with .withColumn('ingest_run', "
-                    "lit(-1).cast('long')).withColumn('ingest_batch_id', "
-                    "lit(-1).cast('long')) first"
-                )
-            mine = (F.col("ingest_run") == run_id) & (
-                F.col("ingest_batch_id") == batch_id
+            base, mine = _index_replay_view(
+                spark, index_table, run_id, batch_id, "save_conv_chain_rows"
             )
-            base = base_all.filter(~mine)
             # cross-corpus: ANY corpus prefix row matching the new full
             # chain — the corpus conversation is already kept, it wins
             dup_x = (
@@ -574,28 +597,14 @@ def make_conv_prefix_processor(
             .select("conv_id")
             .distinct()
         )
-        novel = (
-            rows.join(dup_ids, "conv_id", "left_anti")
-            .withColumn("ingest_run", F.lit(run_id).cast("long"))
-            .withColumn("ingest_batch_id", F.lit(batch_id).cast("long"))
+        novel = _stamp_ingest(
+            rows.join(dup_ids, "conv_id", "left_anti"), run_id, batch_id
         )
-        if have_index:
-            # idempotent append (parquet append is not atomic): anti-join
-            # the (conv_id, k) rows this batch already wrote and append
-            # only the remainder — full replay appends nothing, a
-            # partial-commit replay repairs the missing rows
-            present = (
-                spark.table(index_table)
-                .filter(mine)
-                .select("conv_id", "k")
-            )
-            todo = novel.join(present, ["conv_id", "k"], "left_anti")
-            save_conv_chain_rows(todo, index_table, buckets=buckets, mode="append")
-        else:
-            save_conv_chain_rows(
-                novel, index_table, path=index_path,
-                buckets=buckets, mode="overwrite",
-            )
+        _append_index_idempotent(
+            spark, save_conv_chain_rows, novel, index_table, index_path,
+            ("conv_id", "k"), buckets, have_index,
+            mine if have_index else None,
+        )
 
     return process
 
@@ -651,13 +660,18 @@ def make_secret_monitor_processor(
     sql_pat = pattern.replace("\\", "\\\\").replace("'", "''")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch, auto-cleaned materialization: the extraction feeds
+        # the first-seen aggregate, the sighting counts AND the index
+        # append — without it the full-text regexp scan re-runs for
+        # every downstream action (same rationale as the other
+        # processors' localCheckpoint of their derived rows)
         ex = batch_df.select(
             "conv_id",
             "ts",
             F.explode(
                 F.expr(f"regexp_extract_all(text, '{sql_pat}', 0)")
             ).alias("secret"),
-        )
+        ).localCheckpoint()
         batch_first = (
             ex.groupBy("secret")
             .agg(F.min(F.struct("ts", "conv_id")).alias("m"))
@@ -669,20 +683,9 @@ def make_secret_monitor_processor(
         )
         have_index = spark.catalog.tableExists(index_table)
         if have_index:
-            spark.catalog.refreshTable(index_table)
-            base_all = spark.table(index_table)
-            if ("ingest_batch_id" not in base_all.columns
-                    or "ingest_run" not in base_all.columns):
-                raise ValueError(
-                    f"index table {index_table!r} lacks ingest metadata — "
-                    "the streaming processor owns its index; seed one with "
-                    "save_secret_index over rows carrying ingest_run=-1, "
-                    "ingest_batch_id=-1"
-                )
-            mine = (F.col("ingest_run") == run_id) & (
-                F.col("ingest_batch_id") == batch_id
+            base, mine = _index_replay_view(
+                spark, index_table, run_id, batch_id, "save_secret_index"
             )
-            base = base_all.filter(~mine)
             canon = batch_first.join(
                 base.select("secret", F.col("first_conv").alias("idx_conv")),
                 "secret",
@@ -719,24 +722,20 @@ def make_secret_monitor_processor(
             if have_index
             else canon
         )
-        novel = novel_base.select(
-            "secret",
-            F.col("batch_first_conv").alias("first_conv"),
-            F.col("batch_first_ts").alias("first_ts"),
-        ).withColumn("ingest_run", F.lit(run_id).cast("long")).withColumn(
-            "ingest_batch_id", F.lit(batch_id).cast("long")
+        novel = _stamp_ingest(
+            novel_base.select(
+                "secret",
+                F.col("batch_first_conv").alias("first_conv"),
+                F.col("batch_first_ts").alias("first_ts"),
+            ),
+            run_id,
+            batch_id,
         )
-        if have_index:
-            present = (
-                spark.table(index_table).filter(mine).select("secret")
-            )
-            todo = novel.join(present, ["secret"], "left_anti")
-            save_secret_index(todo, index_table, buckets=buckets, mode="append")
-        else:
-            save_secret_index(
-                novel, index_table, path=index_path,
-                buckets=buckets, mode="overwrite",
-            )
+        _append_index_idempotent(
+            spark, save_secret_index, novel, index_table, index_path,
+            ("secret",), buckets, have_index,
+            mine if have_index else None,
+        )
 
     return process
 
