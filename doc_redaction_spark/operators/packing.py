@@ -157,6 +157,7 @@ def padding_waste_report(
     batch_size: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_width: int = 100_000,
 ) -> DataFrame:
     """Length-bucketed batching padding-waste report — what a training
     loader reads before choosing bucket boundaries: if examples are
@@ -171,12 +172,15 @@ def padding_waste_report(
     ``row_number() over (partition by bucket order by tok desc, id)``
     puts a whole bucket in ONE sort task (the hot mid-length bucket
     holds most of a 10^12-doc corpus). Same two-phase trick as
-    ``token_packing``/``salted_row_number``, keyed on the ORDER value
-    itself: phase 1 ranks within (bucket, tok) ties by ``id_col``
-    (bounded partitions — one distinct token length each); phase 2
-    offsets each tie-group by the running count of strictly-longer docs
-    in its bucket, a window over the per-(bucket, tok) aggregate (at
-    most one row per distinct length — tiny even at corpus scale).
+    ``token_packing``/``salted_row_number``, keyed on the ORDER value:
+    phase 1 ranks within (bucket, tok, floor(id/bucket_width)) cells —
+    the id-range salt matters because a tie GROUP is unbounded too (a
+    fixed-size-chunk corpus puts every doc at the same token count);
+    phase 2 offsets each cell by (a) the running count of strictly
+    longer docs in its bucket and (b) the running count of earlier
+    id-range cells in its tie group, both windows over per-cell
+    aggregates (one row per distinct (length, id-range) — tiny).
+    Requires a numeric, unique ``id_col`` (true for doc_id).
 
     Output, one row per bucket: ``bucket, n_docs, n_batches,
     total_tokens, padded_tokens, padding_waste`` (all BIGINT).
@@ -196,11 +200,22 @@ def padding_waste_report(
         .otherwise(F.lit(0))
         .cast("long"),
     )
-    # phase 1: rank inside each (bucket, tok) tie-group
-    w_tie = Window.partitionBy("bucket", "tok").orderBy("_id")
-    ranked = p.withColumn("_tie_rn", F.row_number().over(w_tie))
-    # phase 2: offset = docs with strictly larger tok in the same bucket
-    counts = p.groupBy("bucket", "tok").agg(F.count("*").alias("_n"))
+    p = p.withColumn("_sb", F.floor(F.col("_id") / bucket_width).cast("long"))
+    # phase 1: rank inside each bounded (bucket, tok, id-range) cell
+    w_tie = Window.partitionBy("bucket", "tok", "_sb").orderBy("_id")
+    ranked = p.withColumn("_cell_rn", F.row_number().over(w_tie))
+    # phase 2a: within a tie group, offset = docs in earlier id-range cells
+    cells = p.groupBy("bucket", "tok", "_sb").agg(F.count("*").alias("_cn"))
+    w_cell = (
+        Window.partitionBy("bucket", "tok")
+        .orderBy("_sb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cells = cells.withColumn(
+        "_coff", F.coalesce(F.sum("_cn").over(w_cell), F.lit(0))
+    )
+    # phase 2b: offset = docs with strictly larger tok in the same bucket
+    counts = cells.groupBy("bucket", "tok").agg(F.sum("_cn").alias("_n"))
     w_off = (
         Window.partitionBy("bucket")
         .orderBy(F.col("tok").desc())
@@ -210,8 +225,10 @@ def padding_waste_report(
         "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
     ).select("bucket", "tok", "_off")
     rn = (
-        ranked.join(offsets, ["bucket", "tok"])
-        .withColumn("rn", F.col("_off") + F.col("_tie_rn"))
+        ranked.join(cells.select("bucket", "tok", "_sb", "_coff"),
+                    ["bucket", "tok", "_sb"])
+        .join(offsets, ["bucket", "tok"])
+        .withColumn("rn", F.col("_off") + F.col("_coff") + F.col("_cell_rn"))
     )
     per_batch = (
         rn.withColumn("batch", ((F.col("rn") - 1) / batch_size).cast("long"))

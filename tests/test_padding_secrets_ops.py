@@ -278,3 +278,23 @@ def test_confusable_fold_recovers_detection(spark):
     ).collect()[0]["t"]
     spans = detect_spans_py(folded, cfg)
     assert len(spans) == 1 and folded[spans[0][1] : spans[0][2]].startswith("AKIA")
+
+
+def test_padding_waste_salted_cells_exact(spark):
+    """bucket_width smaller than the id range forces multiple id-range
+    cells per tie group (the uniform-length adversarial shape: a
+    fixed-size-chunk corpus puts EVERY doc at one token count) — the
+    three-part rank must still equal the plain global window."""
+    # 150 docs all 16 tokens + 50 docs of varying length, ids interleaved
+    rows = [(i, 16) for i in range(150)] + [(1000 + i, 10 + (i % 7)) for i in range(50)]
+    df = spark.createDataFrame(
+        [(i, "w " * t) for i, t in rows], "doc_id long, text string"
+    )
+    got = {
+        r["bucket"]: (
+            r["n_docs"], r["n_batches"], r["total_tokens"],
+            r["padded_tokens"], r["padding_waste"],
+        )
+        for r in padding_waste_report(df, batch_size=8, bucket_width=20).collect()
+    }
+    assert got == _brute_padding(rows, 8)
