@@ -11504,6 +11504,49 @@ def o_confusable_fold():
     """
 
 
+def q_conv_digest(spark, sf_dir):
+    """Conversation digest (operators/convops.py conversation_digest):
+    top-3 most representative turns per conversation by hits against the
+    conversation's own tf-idf keywords — the shared
+    search.tfidf_keywords kernel keyed by conv_id over raw turn rows, so
+    the conversation string is never materialized. The deterministic
+    conversation twin of the reference's LLM summariser surface."""
+    from doc_redaction_spark.operators.convops import conversation_digest
+
+    return conversation_digest(_tr(spark, sf_dir))
+
+
+def o_conv_digest():
+    from doc_redaction_spark.operators.search import duckdb_tfidf_chain_sql
+
+    chain = duckdb_tfidf_chain_sql(k=5, table="convdocs")
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    {TR_CTE},
+    convdocs AS (SELECT conv_id AS doc_id, text FROM transcripts),
+    {chain},
+    tt AS (SELECT conv_id AS id, turn_idx, unnest({toks}) AS tok
+           FROM transcripts),
+    hits AS (SELECT tt.id, tt.turn_idx, CAST(count(*) AS BIGINT) AS kw_hits
+             FROM tt JOIN kwtop k ON k.id = tt.id AND k.tok = tt.tok
+             GROUP BY tt.id, tt.turn_idx),
+    tscored AS (SELECT t.conv_id AS id, t.turn_idx,
+                  coalesce(h.kw_hits, 0) AS kw_hits
+           FROM transcripts t
+           LEFT JOIN hits h ON h.id = t.conv_id AND h.turn_idx = t.turn_idx),
+    trk AS (SELECT id, turn_idx, kw_hits,
+                  row_number() OVER (PARTITION BY id
+                                     ORDER BY kw_hits DESC, turn_idx) AS rank
+           FROM tscored)
+    SELECT id AS conv_id, turn_idx, CAST(kw_hits AS BIGINT) AS kw_hits,
+           CAST(rank AS BIGINT) AS rank
+    FROM trk WHERE rank <= 3
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11527,6 +11570,7 @@ _QUERIES: dict[str, Callable] = {
     "entropy_scan": q_entropy_scan,
     "confusable_scan": q_confusable_scan,
     "confusable_fold": q_confusable_fold,
+    "conv_digest": q_conv_digest,
     "tool_json_pii": q_tool_json_pii,
     "padding_waste": q_padding_waste,
     "dpo_pairs": q_dpo_pairs,
@@ -11767,6 +11811,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "entropy_scan": o_entropy_scan,
     "confusable_scan": o_confusable_scan,
     "confusable_fold": o_confusable_fold,
+    "conv_digest": o_conv_digest,
     "tool_json_pii": o_tool_json_pii,
     "padding_waste": o_padding_waste,
     "dpo_pairs": o_dpo_pairs,

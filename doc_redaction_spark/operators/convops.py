@@ -1745,3 +1745,64 @@ def confusable_scan(
     return ex.groupBy("role", "word").agg(
         F.count("*").cast("long").alias("n_turns")
     )
+
+
+def conversation_digest(
+    turns: DataFrame,
+    n_top: int = 3,
+    top_terms: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation digest — the top-``n_top`` most REPRESENTATIVE turns
+    per conversation, scored by hits against the conversation's own
+    tf-idf keywords (the conversation twin of ``summarize.luhn_summary``,
+    turns playing the sentence role; the reference's LLM summariser
+    surface, tools/summaries.py:517,668, re-expressed deterministically).
+
+    The keyword kernel is ``search.tfidf_keywords`` called with
+    ``id_col='conv_id'`` over the raw TURN rows — per-(conv, token)
+    counts aggregate across a conversation's turns directly, so the
+    conversation string is never materialized (the chat_render rule).
+    idf is over conversations, exactly the kernel's rational no-ln form.
+
+    Scale: keyword join = equi-join on (conv, token) with ``top_terms``
+    rows per conversation on the right; the rank window partitions by
+    conversation (bounded by its turn count — the 100k-turn monster is
+    one partition of slim integer rows, measured fine in chat_render).
+
+    Output: ``conv_id, turn_idx, kw_hits, rank`` — rank by
+    (kw_hits desc, turn_idx asc).
+    """
+    from doc_redaction_spark.operators.curation import tokens_col
+    from doc_redaction_spark.operators.search import tfidf_keywords
+
+    kw = tfidf_keywords(
+        turns.select("conv_id", text_col), k=top_terms,
+        text_col=text_col, id_col="conv_id",
+    ).select(F.col("conv_id").alias("id"), "tok")
+    ttoks = turns.select(
+        F.col("conv_id").alias("id"),
+        "turn_idx",
+        F.explode(tokens_col(text_col)).alias("tok"),
+    )
+    hits = (
+        ttoks.join(kw, ["id", "tok"])
+        .groupBy("id", "turn_idx")
+        .agg(F.count("*").cast("long").alias("kw_hits"))
+    )
+    scored = (
+        turns.select(F.col("conv_id").alias("id"), "turn_idx")
+        .join(hits, ["id", "turn_idx"], "left")
+        .na.fill({"kw_hits": 0})
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("kw_hits"), F.asc("turn_idx"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_top)
+        .select(
+            F.col("id").alias("conv_id"),
+            "turn_idx",
+            "kw_hits",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -298,3 +298,34 @@ def test_padding_waste_salted_cells_exact(spark):
         for r in padding_waste_report(df, batch_size=8, bucket_width=20).collect()
     }
     assert got == _brute_padding(rows, 8)
+
+
+def test_conversation_digest_picks_keyword_dense_turns(spark):
+    from doc_redaction_spark.operators.convops import conversation_digest
+
+    # c1's distinctive vocabulary lives in turns 1 and 3; turn 0 is
+    # corpus-common boilerplate shared with c2/c3 (low idf)
+    rows = [
+        ("c1", 0, "hello there hello there"),
+        ("c1", 1, "quantum flux capacitor quantum"),
+        ("c1", 2, "ok"),
+        ("c1", 3, "flux capacitor design quantum"),
+        ("c2", 0, "hello there hello there"),
+        ("c2", 1, "banana bread recipe"),
+        ("c3", 0, "hello there hello there"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {
+        (r["conv_id"], r["rank"]): r
+        for r in conversation_digest(df, n_top=2).collect()
+    }
+    assert out[("c1", 1)]["turn_idx"] in (1, 3)
+    assert out[("c1", 2)]["turn_idx"] in (1, 3)
+    assert out[("c1", 1)]["kw_hits"] >= out[("c1", 2)]["kw_hits"]
+    # single-content conversations still emit ranked rows
+    assert ("c2", 1) in out and ("c3", 1) in out
+    # every conversation emits at most n_top rows
+    from collections import Counter
+
+    c = Counter(conv for conv, _ in out)
+    assert max(c.values()) <= 2
