@@ -11547,6 +11547,78 @@ def o_conv_digest():
     """
 
 
+def q_injection_outcome(spark, sf_dir):
+    """Injection outcome audit (operators/convops.py injection_outcome):
+    for every injected turn, did the next assistant turn refuse?
+    Injection plants reuse the injection_scan fixture (~1/13 of turns,
+    cycling categories); refusal markers are planted independently on
+    ~1/3 of assistant turns, so refused/complied/unanswered rows all
+    appear at every SF."""
+    from doc_redaction_spark.operators.convops import injection_outcome
+
+    tr = _tr(spark, sf_dir)
+    d = _tr_doc_id()
+    plants = F.array(*[F.lit(p) for p in _INJ_PLANTS])
+    planted = tr.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 13 == 3, F.element_at(plants, (d % 4).cast("int") + 1)
+            ).otherwise(F.lit("")),
+            F.when(
+                (F.col("role") == "assistant") & (d % 3 == 0),
+                F.lit(" I cannot help with that."),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return injection_outcome(planted)
+
+
+def o_injection_outcome():
+    from doc_redaction_spark.functions.injection import (
+        INJECTION_PATTERNS,
+        duckdb_injection_count,
+    )
+    from doc_redaction_spark.operators.convops import duckdb_refusal_count
+
+    d = TR_DOC_ID_SQL
+    plants = ", ".join("'" + p.replace("'", "''") + "'" for p in _INJ_PLANTS)
+    inj_sum = " + ".join(
+        duckdb_injection_count("text", cat) for cat in INJECTION_PATTERNS
+    )
+    return f"""
+    {TR_CTE},
+    p AS (SELECT conv_id, turn_idx, role,
+                 text
+                 || CASE WHEN {d} % 13 = 3
+                    THEN ([{plants}])[CAST({d} % 4 AS INTEGER) + 1]
+                    ELSE '' END
+                 || CASE WHEN role = 'assistant' AND {d} % 3 = 0
+                    THEN ' I cannot help with that.' ELSE '' END AS text
+          FROM transcripts),
+    m AS (SELECT conv_id, turn_idx, role,
+                 CAST({inj_sum} AS BIGINT) AS inj_hits,
+                 CASE WHEN role = 'assistant'
+                      THEN {{'ti': turn_idx,
+                             'ref': CAST(CASE WHEN {duckdb_refusal_count('text')} > 0
+                                         THEN 1 ELSE 0 END AS INTEGER)}}
+                 END AS asst
+          FROM p),
+    n AS (SELECT conv_id, turn_idx, role, inj_hits,
+                 first_value(asst IGNORE NULLS) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+          FROM m)
+    SELECT conv_id, turn_idx, role, inj_hits,
+           CAST(CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS responded,
+           nxt.ti AS resp_turn_idx,
+           CAST(coalesce(nxt.ref, 0) AS INTEGER) AS refused
+    FROM n WHERE inj_hits > 0
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11571,6 +11643,7 @@ _QUERIES: dict[str, Callable] = {
     "confusable_scan": q_confusable_scan,
     "confusable_fold": q_confusable_fold,
     "conv_digest": q_conv_digest,
+    "injection_outcome": q_injection_outcome,
     "tool_json_pii": q_tool_json_pii,
     "padding_waste": q_padding_waste,
     "dpo_pairs": q_dpo_pairs,
@@ -11812,6 +11885,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "confusable_scan": o_confusable_scan,
     "confusable_fold": o_confusable_fold,
     "conv_digest": o_conv_digest,
+    "injection_outcome": o_injection_outcome,
     "tool_json_pii": o_tool_json_pii,
     "padding_waste": o_padding_waste,
     "dpo_pairs": o_dpo_pairs,

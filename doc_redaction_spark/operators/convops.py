@@ -1806,3 +1806,63 @@ def conversation_digest(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def injection_outcome(
+    turns: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Injection OUTCOME audit — did the assistant resist? For every
+    turn carrying prompt-injection hits (functions/injection.py
+    battery), find the conversation's NEXT assistant turn and score it
+    against the refusal battery: ``refused=1`` means the assistant
+    pushed back, ``refused=0`` with ``responded=1`` is the dangerous
+    row (it answered an injected instruction — exactly what SFT must
+    not learn), ``responded=0`` means the conversation ended on the
+    injection.
+
+    One conv-keyed window (first non-null assistant struct over the
+    FOLLOWING frame — the same per-conversation partitioning every
+    pipeline stage shuffles on), then a filter to injection turns.
+    All JVM-side regexp_count, no Python stage.
+
+    Output: ``conv_id, turn_idx, role, inj_hits, responded,
+    resp_turn_idx, refused``.
+    """
+    from doc_redaction_spark.functions.injection import INJECTION_PATTERNS
+
+    inj = None
+    for pat in INJECTION_PATTERNS.values():
+        c = F.coalesce(
+            F.regexp_count(F.coalesce(F.col(text_col), F.lit("")), F.lit(pat)),
+            F.lit(0),
+        )
+        inj = c if inj is None else inj + c
+    marked = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        inj.cast("long").alias("inj_hits"),
+        F.when(
+            F.col("role") == "assistant",
+            F.struct(
+                F.col("turn_idx").alias("ti"),
+                (refusal_count_col(text_col) > 0).cast("int").alias("ref"),
+            ),
+        ).alias("_asst"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = marked.withColumn("_next", F.first("_asst", ignorenulls=True).over(w))
+    return nxt.filter(F.col("inj_hits") > 0).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "inj_hits",
+        F.col("_next").isNotNull().cast("int").alias("responded"),
+        F.col("_next.ti").alias("resp_turn_idx"),
+        F.coalesce(F.col("_next.ref"), F.lit(0)).alias("refused"),
+    )
