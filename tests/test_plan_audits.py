@@ -696,3 +696,20 @@ def test_lang_fertility_is_jvm_map_side_agg(spark, queries):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # partial aggregate before the exchange (map-side combine on <=4 keys)
     assert "partial" in plan.lower()
+
+
+def test_injection_outcome_single_window_exchange_jvm_only(spark, queries):
+    """The outcome audit is one conv-keyed window over slim marked rows:
+    no Python stage, and every Exchange hashes on conv_id (the window),
+    never a global sort."""
+    plan = _plan(queries["injection_outcome"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_conv_digest_no_cartesian_no_python(spark, queries):
+    """Keyword join is an equi-join on (conv, token); nothing explodes
+    into a cartesian and nothing drops to Python."""
+    plan = _plan(queries["conv_digest"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
