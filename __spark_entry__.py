@@ -11619,6 +11619,81 @@ def o_injection_outcome():
     """
 
 
+def q_tool_grounding(spark, sf_dir):
+    """Tool-grounding rate (operators/convops.py tool_grounding): token
+    5-gram containment between each tool turn and its next assistant
+    turn. Tool turns all carry a conv-keyed result phrase; assistant
+    turns quote it only when d % 3 == 0, so grounded and ungrounded
+    pairs both appear at every SF."""
+    from doc_redaction_spark.operators.convops import tool_grounding
+
+    tr = _tr(spark, sf_dir)
+    d = _tr_doc_id()
+    quote = F.concat(
+        F.lit(" alpha beta gamma delta epsilon zeta mark"),
+        F.substring("conv_id", 2, 10),
+    )
+    planted = tr.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("role") == "tool", F.concat(F.lit(" result"), quote))
+            .when(
+                (F.col("role") == "assistant") & (d % 3 == 0),
+                F.concat(F.lit(" quoting"), quote),
+            )
+            .otherwise(F.lit("")),
+        ),
+    )
+    return tool_grounding(planted)
+
+
+def o_tool_grounding():
+    d = TR_DOC_ID_SQL
+    n = 5
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    grams = (
+        f"list_distinct(list_transform(range(1, len(toks) - {n} + 2),"
+        f" i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' ')))"
+    )
+    quote = "' alpha beta gamma delta epsilon zeta mark' || substr(conv_id, 2, 10)"
+    return f"""
+    {TR_CTE},
+    p AS (SELECT conv_id, turn_idx, role,
+                 text || CASE WHEN role = 'tool'
+                              THEN ' result' || {quote}
+                         WHEN role = 'assistant' AND {d} % 3 = 0
+                              THEN ' quoting' || {quote}
+                         ELSE '' END AS text
+          FROM transcripts),
+    g AS (SELECT conv_id, turn_idx, role, {grams} AS grams
+          FROM (SELECT conv_id, turn_idx, role, {toks} AS toks FROM p)),
+    nx AS (SELECT conv_id, turn_idx, role, grams,
+                  first_value(CASE WHEN role = 'assistant' THEN turn_idx END
+                              IGNORE NULLS) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                    AS asst_turn_idx
+           FROM g),
+    pr AS (SELECT conv_id, turn_idx AS tool_turn_idx, asst_turn_idx, grams AS tg
+           FROM nx WHERE role = 'tool' AND asst_turn_idx IS NOT NULL),
+    jj AS (SELECT pr.conv_id, pr.tool_turn_idx, pr.asst_turn_idx,
+                  CAST(len(pr.tg) AS BIGINT) AS n_tool_grams,
+                  CAST(len(list_distinct(list_intersect(pr.tg, a.grams)))
+                       AS BIGINT) AS n_grounded
+           FROM pr JOIN g a ON a.conv_id = pr.conv_id
+                           AND a.turn_idx = pr.asst_turn_idx)
+    SELECT conv_id, tool_turn_idx, asst_turn_idx, n_tool_grams, n_grounded,
+           CAST(CASE WHEN n_tool_grams > 0
+                THEN floor(n_grounded * 10000 / n_tool_grams)
+                ELSE 0 END AS BIGINT) AS grounded_x10000
+    FROM jj
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11644,6 +11719,7 @@ _QUERIES: dict[str, Callable] = {
     "confusable_fold": q_confusable_fold,
     "conv_digest": q_conv_digest,
     "injection_outcome": q_injection_outcome,
+    "tool_grounding": q_tool_grounding,
     "tool_json_pii": q_tool_json_pii,
     "padding_waste": q_padding_waste,
     "dpo_pairs": q_dpo_pairs,
@@ -11886,6 +11962,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "confusable_fold": o_confusable_fold,
     "conv_digest": o_conv_digest,
     "injection_outcome": o_injection_outcome,
+    "tool_grounding": o_tool_grounding,
     "tool_json_pii": o_tool_json_pii,
     "padding_waste": o_padding_waste,
     "dpo_pairs": o_dpo_pairs,

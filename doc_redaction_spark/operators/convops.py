@@ -1866,3 +1866,83 @@ def injection_outcome(
         F.col("_next.ti").alias("resp_turn_idx"),
         F.coalesce(F.col("_next.ref"), F.lit(0)).alias("refused"),
     )
+
+
+def tool_grounding(
+    turns: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tool-grounding rate — how much of a tool turn's content the NEXT
+    assistant turn actually carries (token n-gram containment): the
+    agent-quality metric separating grounded answers from ones that
+    ignore their own tool results, and the attribution signal RAG
+    training reads. Exact integer domain: distinct token ``n``-grams of
+    the tool turn, intersected with the following assistant turn's.
+
+    Plan: a SLIM conv-keyed window finds each tool turn's first
+    following assistant turn (only (conv, idx, role) shuffle through
+    it — the sft_pairs rule: boundaries first, text joined back after),
+    then two conv-co-keyed equi-joins attach the two texts and a
+    map-only HOF chain builds/intersects the gram sets. No Python, no
+    cartesian.
+
+    Output: ``conv_id, tool_turn_idx, asst_turn_idx, n_tool_grams,
+    n_grounded, grounded_x10000`` (floor ratio; 0-gram tool turns report
+    0). Tool turns with no following assistant turn emit no row.
+    """
+    from doc_redaction_spark.operators.curation import tokens_col
+
+    slim = turns.select("conv_id", "turn_idx", "role")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = slim.withColumn(
+        "asst_turn_idx",
+        F.first(
+            F.when(F.col("role") == "assistant", F.col("turn_idx")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    pairs = nxt.filter(
+        (F.col("role") == "tool") & F.col("asst_turn_idx").isNotNull()
+    ).select("conv_id", F.col("turn_idx").alias("tool_turn_idx"), "asst_turn_idx")
+
+    def grams(col: str):
+        toks = tokens_col(col)
+        seq = F.sequence(F.lit(1), F.size(toks) - n + 1)
+        g = F.transform(seq, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        # guard: Spark sequence(1, k) DESCENDS for k < 1 — empty out
+        # short turns explicitly (DuckDB range() is empty there natively)
+        return F.array_distinct(
+            F.when(F.size(toks) >= n, g).otherwise(F.array().cast("array<string>"))
+        )
+
+    tool_side = turns.select(
+        "conv_id",
+        F.col("turn_idx").alias("tool_turn_idx"),
+        grams(text_col).alias("_tg"),
+    )
+    asst_side = turns.select(
+        "conv_id",
+        F.col("turn_idx").alias("asst_turn_idx"),
+        grams(text_col).alias("_ag"),
+    )
+    j = pairs.join(tool_side, ["conv_id", "tool_turn_idx"]).join(
+        asst_side, ["conv_id", "asst_turn_idx"]
+    )
+    n_tool = F.size("_tg").cast("long")
+    n_ground = F.size(F.array_intersect("_tg", "_ag")).cast("long")
+    return j.select(
+        "conv_id",
+        "tool_turn_idx",
+        "asst_turn_idx",
+        n_tool.alias("n_tool_grams"),
+        n_ground.alias("n_grounded"),
+        F.when(n_tool > 0, F.floor(n_ground * 10000 / n_tool))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("grounded_x10000"),
+    )

@@ -356,3 +356,30 @@ def test_injection_outcome_legs(spark):
     assert out["c2"]["resp_turn_idx"] == 2
     assert (out["c3"]["responded"], out["c3"]["refused"]) == (0, 0)
     assert out["c3"]["resp_turn_idx"] is None
+
+
+def test_tool_grounding_containment(spark):
+    from doc_redaction_spark.operators.convops import tool_grounding
+
+    rows = [
+        # fully grounded: assistant repeats the whole tool result
+        ("c1", 0, "tool", "alpha beta gamma delta epsilon zeta"),
+        ("c1", 1, "assistant", "so alpha beta gamma delta epsilon zeta indeed"),
+        # ungrounded: assistant ignores the result entirely
+        ("c2", 0, "tool", "alpha beta gamma delta epsilon zeta"),
+        ("c2", 1, "user", "thanks"),
+        ("c2", 2, "assistant", "completely different response text here now"),
+        # short tool output (< 5 tokens): 0 grams -> ratio 0, no crash
+        ("c3", 0, "tool", "tiny output"),
+        ("c3", 1, "assistant", "tiny output echoed"),
+        # tool turn with NO following assistant turn: no row
+        ("c4", 0, "tool", "alpha beta gamma delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = {r["conv_id"]: r for r in tool_grounding(df).collect()}
+    assert set(out) == {"c1", "c2", "c3"}
+    g1 = out["c1"]
+    assert g1["n_tool_grams"] == 2 and g1["n_grounded"] == 2
+    assert g1["grounded_x10000"] == 10000
+    assert out["c2"]["n_grounded"] == 0 and out["c2"]["asst_turn_idx"] == 2
+    assert out["c3"]["n_tool_grams"] == 0 and out["c3"]["grounded_x10000"] == 0
