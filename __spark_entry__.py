@@ -10918,6 +10918,32 @@ def o_secrets_scan():
     """
 
 
+def _leak_planted(spark, sf_dir):
+    """Shared leak fixture: 7 md5-derived AWS keys spread across
+    conversations by the fixture identity plus one key pinned to a
+    single conversation via d % 2849 (7·11·37 — its conv_id = d % 37 is
+    constant). Used by secret_leak_audit AND the safety-verdict
+    capstone."""
+    tr = _tr(spark, sf_dir)
+    d = _tr_doc_id()
+    spread = F.concat(
+        F.lit("AKIA"),
+        F.upper(F.substring(F.md5(F.concat(F.lit("sk"), (d % 7).cast("string"))), 1, 16)),
+    )
+    solo = F.concat(F.lit("AKIA"), F.upper(F.substring(F.md5(F.lit("solo")), 1, 16)))
+    return tr.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                (d % 11 == 0) & ((d % 37) % 3 != 2),
+                F.concat(F.lit(" key "), spread),
+            ).otherwise(F.lit("")),
+            F.when(d % 2849 == 5, F.concat(F.lit(" key "), solo)).otherwise(F.lit("")),
+        ),
+    )
+
+
 def q_secret_leak_audit(spark, sf_dir):
     """Cross-conversation secret propagation (operators/convops.py
     secret_propagation_report): planted AWS keys — 7 md5-derived keys
@@ -10928,32 +10954,19 @@ def q_secret_leak_audit(spark, sf_dir):
     AWS_ACCESS_KEY recognizer pattern, JVM-side."""
     from doc_redaction_spark.operators.convops import secret_propagation_report
 
-    tr = _tr(spark, sf_dir)
-    d = _tr_doc_id()
-    spread = F.concat(
-        F.lit("AKIA"),
-        F.upper(F.substring(F.md5(F.concat(F.lit("sk"), (d % 7).cast("string"))), 1, 16)),
-    )
-    solo = F.concat(F.lit("AKIA"), F.upper(F.substring(F.md5(F.lit("solo")), 1, 16)))
-    planted = tr.withColumn(
-        "text",
-        F.concat(
-            F.col("text"),
-            F.when(d % 11 == 0, F.concat(F.lit(" key "), spread)).otherwise(F.lit("")),
-            F.when(d % 2849 == 5, F.concat(F.lit(" key "), solo)).otherwise(F.lit("")),
-        ),
-    )
-    return secret_propagation_report(planted)
+    return secret_propagation_report(_leak_planted(spark, sf_dir))
 
 
-def o_secret_leak_audit():
+def _leak_cte_sql() -> str:
+    """The leak fixture + extraction as CTEs ending in ``ex(conv_id, ts,
+    secret)`` — shared by o_secret_leak_audit and the safety-verdict
+    capstone (same plant spec as _leak_planted)."""
     d = TR_DOC_ID_SQL
     return f"""
-    {TR_CTE},
     planted AS (
       SELECT conv_id, ts,
              text
-             || CASE WHEN {d} % 11 = 0
+             || CASE WHEN {d} % 11 = 0 AND ({d} % 37) % 3 <> 2
                 THEN ' key AKIA' || upper(substr(md5('sk' ||
                        CAST({d} % 7 AS VARCHAR)), 1, 16))
                 ELSE '' END
@@ -10965,7 +10978,13 @@ def o_secret_leak_audit():
       SELECT conv_id, ts,
              unnest(regexp_extract_all(text,
                '\\b(?:AKIA|ASIA)[0-9A-Z]{{16}}\\b', 0)) AS secret
-      FROM planted)
+      FROM planted)"""
+
+
+def o_secret_leak_audit():
+    return f"""
+    {TR_CTE},
+    {_leak_cte_sql()}
     SELECT secret,
            arg_min(conv_id, ts) AS first_conv,
            CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
@@ -11280,7 +11299,8 @@ def q_injection_scan(spark, sf_dir):
         F.concat(
             F.col("text"),
             F.when(
-                d % 13 == 3, F.element_at(plants, (d % 4).cast("int") + 1)
+                (d % 13 == 3) & ((d % 37) % 4 != 1),
+                F.element_at(plants, (d % 4).cast("int") + 1),
             ).otherwise(F.lit("")),
         ),
     )
@@ -11306,7 +11326,7 @@ def o_injection_scan():
     return f"""
     {TR_CTE},
     p AS (SELECT role,
-                 text || CASE WHEN {d} % 13 = 3
+                 text || CASE WHEN {d} % 13 = 3 AND ({d} % 37) % 4 <> 1
                          THEN ([{plants}])[CAST({d} % 4 AS INTEGER) + 1]
                          ELSE '' END AS text
           FROM transcripts),
@@ -11564,7 +11584,8 @@ def q_injection_outcome(spark, sf_dir):
         F.concat(
             F.col("text"),
             F.when(
-                d % 13 == 3, F.element_at(plants, (d % 4).cast("int") + 1)
+                (d % 13 == 3) & ((d % 37) % 4 != 1),
+                F.element_at(plants, (d % 4).cast("int") + 1),
             ).otherwise(F.lit("")),
             F.when(
                 (F.col("role") == "assistant") & (d % 3 == 0),
@@ -11591,7 +11612,7 @@ def o_injection_outcome():
     {TR_CTE},
     p AS (SELECT conv_id, turn_idx, role,
                  text
-                 || CASE WHEN {d} % 13 = 3
+                 || CASE WHEN {d} % 13 = 3 AND ({d} % 37) % 4 <> 1
                     THEN ([{plants}])[CAST({d} % 4 AS INTEGER) + 1]
                     ELSE '' END
                  || CASE WHEN role = 'assistant' AND {d} % 3 = 0
@@ -11694,6 +11715,75 @@ def o_tool_grounding():
     """
 
 
+def q_safety_verdict(spark, sf_dir):
+    """Agent-transcript SAFETY verdict — the session capstone composing
+    the three audits as a production keep/drop gate would: a
+    conversation is dropped for (precedence) an UNREFUSED injection >
+    a LEAKED credential > a PII echo; otherwise ok. Each leg reuses its
+    registry query verbatim (injection_outcome, secret_leak_audit via
+    the shared plant + sightings kernel, pii_echo_audit); the verdict
+    is three conv-keyed left joins over the distinct-conversation
+    spine."""
+    from doc_redaction_spark.operators.convops import extract_secret_sightings
+
+    bad_inj = (
+        q_injection_outcome(spark, sf_dir)
+        .filter((F.col("responded") == 1) & (F.col("refused") == 0))
+        .groupBy("conv_id")
+        .agg(F.count("*").cast("long").alias("n_bad_injections"))
+    )
+    leaked = q_secret_leak_audit(spark, sf_dir).select("secret")
+    conv_leaks = (
+        extract_secret_sightings(_leak_planted(spark, sf_dir))
+        .join(leaked, "secret")
+        .groupBy("conv_id")
+        .agg(F.countDistinct("secret").cast("long").alias("n_leaked_secrets"))
+    )
+    echoes = (
+        q_pii_echo_audit(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.count("*").cast("long").alias("n_echoes"))
+    )
+    from doc_redaction_spark.operators.convops import compose_safety_verdict
+
+    convs = _tr(spark, sf_dir).select("conv_id").distinct()
+    return compose_safety_verdict(convs, bad_inj, conv_leaks, echoes)
+
+
+def o_safety_verdict():
+    # each leg's full oracle nests verbatim as a derived table (its WITH
+    # scope shadows the outer one) — the composition never restates a
+    # leg's spec
+    return f"""
+    {TR_CTE},
+    {_leak_cte_sql()},
+    bad AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_bad_injections
+            FROM ( {o_injection_outcome()} )
+            WHERE responded = 1 AND refused = 0 GROUP BY conv_id),
+    lk AS (SELECT secret FROM ( {o_secret_leak_audit()} )),
+    clk AS (SELECT conv_id,
+                   CAST(count(DISTINCT secret) AS BIGINT) AS n_leaked_secrets
+            FROM ex JOIN lk USING (secret) GROUP BY conv_id),
+    ec AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_echoes
+           FROM ( {o_pii_echo_audit()} ) GROUP BY conv_id),
+    cv AS (SELECT DISTINCT conv_id FROM transcripts)
+    SELECT cv.conv_id,
+           coalesce(bad.n_bad_injections, 0) AS n_bad_injections,
+           coalesce(clk.n_leaked_secrets, 0) AS n_leaked_secrets,
+           coalesce(ec.n_echoes, 0) AS n_echoes,
+           CASE WHEN coalesce(bad.n_bad_injections, 0) > 0
+                     THEN 'unrefused_injection'
+                WHEN coalesce(clk.n_leaked_secrets, 0) > 0
+                     THEN 'secret_leak'
+                WHEN coalesce(ec.n_echoes, 0) > 0 THEN 'pii_echo'
+                ELSE 'ok' END AS verdict
+    FROM cv
+    LEFT JOIN bad ON bad.conv_id = cv.conv_id
+    LEFT JOIN clk ON clk.conv_id = cv.conv_id
+    LEFT JOIN ec ON ec.conv_id = cv.conv_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11720,6 +11810,7 @@ _QUERIES: dict[str, Callable] = {
     "conv_digest": q_conv_digest,
     "injection_outcome": q_injection_outcome,
     "tool_grounding": q_tool_grounding,
+    "safety_verdict": q_safety_verdict,
     "tool_json_pii": q_tool_json_pii,
     "padding_waste": q_padding_waste,
     "dpo_pairs": q_dpo_pairs,
@@ -11963,6 +12054,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "conv_digest": o_conv_digest,
     "injection_outcome": o_injection_outcome,
     "tool_grounding": o_tool_grounding,
+    "safety_verdict": o_safety_verdict,
     "tool_json_pii": o_tool_json_pii,
     "padding_waste": o_padding_waste,
     "dpo_pairs": o_dpo_pairs,

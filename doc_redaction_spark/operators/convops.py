@@ -1503,6 +1503,30 @@ def turn_order_repair(
     )
 
 
+def extract_secret_sightings(
+    turns: DataFrame,
+    pattern: str | None = None,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One sighting row per credential match — ``(conv_id, ts, secret)``,
+    map-only JVM regexp (no Python stage). The extraction kernel
+    secret_propagation_report aggregates and the safety-verdict capstone
+    joins for per-conversation leak membership."""
+    if pattern is None:
+        from doc_redaction_spark.functions.secrets import AWS_ACCESS_KEY_PATTERN
+
+        pattern = AWS_ACCESS_KEY_PATTERN
+    sql_pat = pattern.replace("\\", "\\\\").replace("'", "''")
+    return turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(ts_col).alias("ts"),
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '{sql_pat}', 0)")
+        ).alias("secret"),
+    )
+
 def secret_propagation_report(
     turns: DataFrame,
     pattern: str | None = None,
@@ -1531,13 +1555,8 @@ def secret_propagation_report(
         from doc_redaction_spark.functions.secrets import AWS_ACCESS_KEY_PATTERN
 
         pattern = AWS_ACCESS_KEY_PATTERN
-    sql_pat = pattern.replace("\\", "\\\\").replace("'", "''")
-    ex = turns.select(
-        F.col(conv_col).alias("conv_id"),
-        F.col(ts_col).alias("ts"),
-        F.explode(
-            F.expr(f"regexp_extract_all({text_col}, '{sql_pat}', 0)")
-        ).alias("secret"),
+    ex = extract_secret_sightings(
+        turns, pattern, conv_col=conv_col, text_col=text_col, ts_col=ts_col
     )
     return (
         ex.groupBy("secret")
@@ -1945,4 +1964,39 @@ def tool_grounding(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("grounded_x10000"),
+    )
+
+
+def compose_safety_verdict(
+    convs: DataFrame,
+    bad_injections: DataFrame,
+    leaked_secrets: DataFrame,
+    echoes: DataFrame,
+) -> DataFrame:
+    """Per-conversation safety keep/drop verdict with fixed reason
+    precedence: unrefused_injection > secret_leak > pii_echo > ok.
+    Inputs are conv-keyed counts from the three audits
+    (``n_bad_injections`` / ``n_leaked_secrets`` / ``n_echoes``); the
+    spine is the distinct-conversation table so clean conversations get
+    an explicit ``ok`` row (a gate that silently drops unflagged rows
+    cannot prove it examined them). Three conv-keyed left joins — the
+    same shuffle family as every per-conversation stage."""
+    out = (
+        convs.join(bad_injections, "conv_id", "left")
+        .join(leaked_secrets, "conv_id", "left")
+        .join(echoes, "conv_id", "left")
+        .na.fill({"n_bad_injections": 0, "n_leaked_secrets": 0, "n_echoes": 0})
+    )
+    verdict = (
+        F.when(F.col("n_bad_injections") > 0, F.lit("unrefused_injection"))
+        .when(F.col("n_leaked_secrets") > 0, F.lit("secret_leak"))
+        .when(F.col("n_echoes") > 0, F.lit("pii_echo"))
+        .otherwise(F.lit("ok"))
+    )
+    return out.select(
+        "conv_id",
+        "n_bad_injections",
+        "n_leaked_secrets",
+        "n_echoes",
+        verdict.alias("verdict"),
     )

@@ -383,3 +383,30 @@ def test_tool_grounding_containment(spark):
     assert g1["grounded_x10000"] == 10000
     assert out["c2"]["n_grounded"] == 0 and out["c2"]["asst_turn_idx"] == 2
     assert out["c3"]["n_tool_grams"] == 0 and out["c3"]["grounded_x10000"] == 0
+
+
+def test_compose_safety_verdict_precedence_and_ok(spark):
+    from doc_redaction_spark.operators.convops import compose_safety_verdict
+
+    convs = spark.createDataFrame(
+        [("c1",), ("c2",), ("c3",), ("c4",)], "conv_id string"
+    )
+    bad = spark.createDataFrame([("c1", 2)], "conv_id string, n_bad_injections long")
+    leaks = spark.createDataFrame(
+        [("c1", 1), ("c2", 3)], "conv_id string, n_leaked_secrets long"
+    )
+    ech = spark.createDataFrame(
+        [("c1", 5), ("c2", 1), ("c3", 2)], "conv_id string, n_echoes long"
+    )
+    out = {
+        r["conv_id"]: r["verdict"]
+        for r in compose_safety_verdict(convs, bad, leaks, ech).collect()
+    }
+    # precedence: injection beats leak beats echo; clean conv gets an
+    # explicit ok row
+    assert out == {
+        "c1": "unrefused_injection",
+        "c2": "secret_leak",
+        "c3": "pii_echo",
+        "c4": "ok",
+    }
