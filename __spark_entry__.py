@@ -11283,6 +11283,29 @@ _INJ_PLANTS = [
 ]
 
 
+def _inj_plant_col():
+    """Shared injection plant: phrasebook samples on ~1/13 of turns,
+    cycling all four categories, with conversations conv%4==1 left
+    injection-free (the safety-verdict spine needs injection-free
+    conversations). ONE spec for injection_scan, injection_outcome and
+    the capstone."""
+    d = _tr_doc_id()
+    plants = F.array(*[F.lit(p) for p in _INJ_PLANTS])
+    return F.when(
+        (d % 13 == 3) & ((d % 37) % 4 != 1),
+        F.element_at(plants, (d % 4).cast("int") + 1),
+    ).otherwise(F.lit(""))
+
+
+def _inj_plant_case_sql() -> str:
+    d = TR_DOC_ID_SQL
+    plants = ", ".join("'" + p.replace("'", "''") + "'" for p in _INJ_PLANTS)
+    return (
+        f"CASE WHEN {d} % 13 = 3 AND ({d} % 37) % 4 <> 1 "
+        f"THEN ([{plants}])[CAST({d} % 4 AS INTEGER) + 1] ELSE '' END"
+    )
+
+
 def q_injection_scan(spark, sf_dir):
     """Prompt-injection surface scan (operators/convops.py
     injection_scan over functions/injection.py's 4-category battery):
@@ -11291,18 +11314,8 @@ def q_injection_scan(spark, sf_dir):
     categories; one plant hits two categories at once."""
     from doc_redaction_spark.operators.convops import injection_scan
 
-    tr = _tr(spark, sf_dir)
-    d = _tr_doc_id()
-    plants = F.array(*[F.lit(p) for p in _INJ_PLANTS])
-    planted = tr.withColumn(
-        "text",
-        F.concat(
-            F.col("text"),
-            F.when(
-                (d % 13 == 3) & ((d % 37) % 4 != 1),
-                F.element_at(plants, (d % 4).cast("int") + 1),
-            ).otherwise(F.lit("")),
-        ),
+    planted = _tr(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), _inj_plant_col())
     )
     return injection_scan(planted)
 
@@ -11313,8 +11326,6 @@ def o_injection_scan():
         duckdb_injection_count,
     )
 
-    d = TR_DOC_ID_SQL
-    plants = ", ".join("'" + p.replace("'", "''") + "'" for p in _INJ_PLANTS)
     counts = ",\n             ".join(
         f"CAST({duckdb_injection_count('text', cat)} AS BIGINT) AS c_{cat}"
         for cat in INJECTION_PATTERNS
@@ -11325,10 +11336,7 @@ def o_injection_scan():
     )
     return f"""
     {TR_CTE},
-    p AS (SELECT role,
-                 text || CASE WHEN {d} % 13 = 3 AND ({d} % 37) % 4 <> 1
-                         THEN ([{plants}])[CAST({d} % 4 AS INTEGER) + 1]
-                         ELSE '' END AS text
+    p AS (SELECT role, text || {_inj_plant_case_sql()} AS text
           FROM transcripts),
     c AS (SELECT role,
              {counts}
@@ -11540,10 +11548,7 @@ def o_conv_digest():
     from doc_redaction_spark.operators.search import duckdb_tfidf_chain_sql
 
     chain = duckdb_tfidf_chain_sql(k=5, table="convdocs")
-    toks = (
-        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
-        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
-    )
+    toks = _DOC_TOKENS_DUCK
     return f"""
     {TR_CTE},
     convdocs AS (SELECT conv_id AS doc_id, text FROM transcripts),
@@ -11576,17 +11581,12 @@ def q_injection_outcome(spark, sf_dir):
     appear at every SF."""
     from doc_redaction_spark.operators.convops import injection_outcome
 
-    tr = _tr(spark, sf_dir)
     d = _tr_doc_id()
-    plants = F.array(*[F.lit(p) for p in _INJ_PLANTS])
-    planted = tr.withColumn(
+    planted = _tr(spark, sf_dir).withColumn(
         "text",
         F.concat(
             F.col("text"),
-            F.when(
-                (d % 13 == 3) & ((d % 37) % 4 != 1),
-                F.element_at(plants, (d % 4).cast("int") + 1),
-            ).otherwise(F.lit("")),
+            _inj_plant_col(),
             F.when(
                 (F.col("role") == "assistant") & (d % 3 == 0),
                 F.lit(" I cannot help with that."),
@@ -11604,7 +11604,6 @@ def o_injection_outcome():
     from doc_redaction_spark.operators.convops import duckdb_refusal_count
 
     d = TR_DOC_ID_SQL
-    plants = ", ".join("'" + p.replace("'", "''") + "'" for p in _INJ_PLANTS)
     inj_sum = " + ".join(
         duckdb_injection_count("text", cat) for cat in INJECTION_PATTERNS
     )
@@ -11612,9 +11611,7 @@ def o_injection_outcome():
     {TR_CTE},
     p AS (SELECT conv_id, turn_idx, role,
                  text
-                 || CASE WHEN {d} % 13 = 3 AND ({d} % 37) % 4 <> 1
-                    THEN ([{plants}])[CAST({d} % 4 AS INTEGER) + 1]
-                    ELSE '' END
+                 || {_inj_plant_case_sql()}
                  || CASE WHEN role = 'assistant' AND {d} % 3 = 0
                     THEN ' I cannot help with that.' ELSE '' END AS text
           FROM transcripts),
@@ -11672,10 +11669,7 @@ def q_tool_grounding(spark, sf_dir):
 def o_tool_grounding():
     d = TR_DOC_ID_SQL
     n = 5
-    toks = (
-        "list_filter(string_split(lower(regexp_replace(coalesce(text, ''),"
-        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
-    )
+    toks = _DOC_TOKENS_DUCK
     grams = (
         f"list_distinct(list_transform(range(1, len(toks) - {n} + 2),"
         f" i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' ')))"

@@ -146,6 +146,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "transcripts_secrets",
         "padding_waste",
         "injection_scan",
+        # the composed three-audit capstone (windows + three conv-keyed joins)
+        "safety_verdict",
     ]
     qs = entrymod.queries()
     out = {}

@@ -75,3 +75,29 @@ CONFUSABLE_TO = "aeiopscxyyAEIOPCXA-----"
 
 def fold_confusables_py(s: str) -> str:
     return s.translate(str.maketrans(CONFUSABLE_FROM, CONFUSABLE_TO))
+
+
+def injection_count_cols(text_col: str = "text"):
+    """Per-category JVM regexp_count columns — the single Spark rendering
+    of the battery (injection_scan unpivots these; injection_outcome
+    sums them). Import F lazily so this module stays importable without
+    a Spark session."""
+    from pyspark.sql import functions as F
+
+    return {
+        cat: F.coalesce(
+            F.regexp_count(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(pat)
+            ),
+            F.lit(0),
+        )
+        for cat, pat in INJECTION_PATTERNS.items()
+    }
+
+
+def injection_hits_col(text_col: str = "text"):
+    """Total injection hits across all categories (one Column)."""
+    total = None
+    for c in injection_count_cols(text_col).values():
+        total = c if total is None else total + c
+    return total

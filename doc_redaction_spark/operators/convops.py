@@ -1527,6 +1527,7 @@ def extract_secret_sightings(
         ).alias("secret"),
     )
 
+
 def secret_propagation_report(
     turns: DataFrame,
     pattern: str | None = None,
@@ -1664,20 +1665,13 @@ def injection_scan(
     4 counters per row), then an unpivot and a map-side-combinable
     groupBy on ≤ roles×4 keys. Nothing here is per-row Python.
     """
-    from doc_redaction_spark.functions.injection import INJECTION_PATTERNS
+    from doc_redaction_spark.functions.injection import injection_count_cols
 
-    cats = list(INJECTION_PATTERNS)
+    count_cols = injection_count_cols(text_col)
+    cats = list(count_cols)
     counted = turns.select(
         F.col(role_col).alias("role"),
-        *[
-            F.coalesce(
-                F.regexp_count(
-                    F.coalesce(F.col(text_col), F.lit("")), F.lit(pat)
-                ),
-                F.lit(0),
-            ).alias(cat)
-            for cat, pat in INJECTION_PATTERNS.items()
-        ],
+        *[c.alias(cat) for cat, c in count_cols.items()],
     )
     long = counted.unpivot("role", cats, "category", "hits")
     return long.groupBy("role", "category").agg(
@@ -1771,6 +1765,8 @@ def conversation_digest(
     n_top: int = 3,
     top_terms: int = 5,
     text_col: str = "text",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
 ) -> DataFrame:
     """Conversation digest — the top-``n_top`` most REPRESENTATIVE turns
     per conversation, scored by hits against the conversation's own
@@ -1790,19 +1786,27 @@ def conversation_digest(
     one partition of slim integer rows, measured fine in chat_render).
 
     Output: ``conv_id, turn_idx, kw_hits, rank`` — rank by
-    (kw_hits desc, turn_idx asc).
+    (kw_hits desc, turn_idx asc). Requires unique (conv_col, idx_col)
+    (the conversation_integrity contract — run turn_order_repair first
+    on dirty input; a duplicated index makes the rank tie
+    engine-dependent).
     """
     from doc_redaction_spark.operators.curation import tokens_col
     from doc_redaction_spark.operators.search import tfidf_keywords
 
+    base = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.col(text_col).alias("_t"),
+    )
     kw = tfidf_keywords(
-        turns.select("conv_id", text_col), k=top_terms,
-        text_col=text_col, id_col="conv_id",
+        base.select("conv_id", "_t"), k=top_terms,
+        text_col="_t", id_col="conv_id",
     ).select(F.col("conv_id").alias("id"), "tok")
-    ttoks = turns.select(
+    ttoks = base.select(
         F.col("conv_id").alias("id"),
         "turn_idx",
-        F.explode(tokens_col(text_col)).alias("tok"),
+        F.explode(tokens_col("_t")).alias("tok"),
     )
     hits = (
         ttoks.join(kw, ["id", "tok"])
@@ -1810,7 +1814,7 @@ def conversation_digest(
         .agg(F.count("*").cast("long").alias("kw_hits"))
     )
     scored = (
-        turns.select(F.col("conv_id").alias("id"), "turn_idx")
+        base.select(F.col("conv_id").alias("id"), "turn_idx")
         .join(hits, ["id", "turn_idx"], "left")
         .na.fill({"kw_hits": 0})
     )
@@ -1830,6 +1834,9 @@ def conversation_digest(
 def injection_outcome(
     turns: DataFrame,
     text_col: str = "text",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
 ) -> DataFrame:
     """Injection OUTCOME audit — did the assistant resist? For every
     turn carrying prompt-injection hits (functions/injection.py
@@ -1847,25 +1854,23 @@ def injection_outcome(
 
     Output: ``conv_id, turn_idx, role, inj_hits, responded,
     resp_turn_idx, refused``.
-    """
-    from doc_redaction_spark.functions.injection import INJECTION_PATTERNS
 
-    inj = None
-    for pat in INJECTION_PATTERNS.values():
-        c = F.coalesce(
-            F.regexp_count(F.coalesce(F.col(text_col), F.lit("")), F.lit(pat)),
-            F.lit(0),
-        )
-        inj = c if inj is None else inj + c
+    Requires unique (conv_col, idx_col) — the conversation_integrity
+    contract; run turn_order_repair first on dirty input (a duplicated
+    turn index makes "the next assistant turn" ill-defined and the
+    window tie engine-dependent).
+    """
+    from doc_redaction_spark.functions.injection import injection_hits_col
+
     marked = turns.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        inj.cast("long").alias("inj_hits"),
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        injection_hits_col(text_col).cast("long").alias("inj_hits"),
         F.when(
-            F.col("role") == "assistant",
+            F.col(role_col) == "assistant",
             F.struct(
-                F.col("turn_idx").alias("ti"),
+                F.col(idx_col).alias("ti"),
                 (refusal_count_col(text_col) > 0).cast("int").alias("ref"),
             ),
         ).alias("_asst"),
@@ -1891,6 +1896,9 @@ def tool_grounding(
     turns: DataFrame,
     n: int = 5,
     text_col: str = "text",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
 ) -> DataFrame:
     """Tool-grounding rate — how much of a tool turn's content the NEXT
     assistant turn actually carries (token n-gram containment): the
@@ -1909,9 +1917,19 @@ def tool_grounding(
     Output: ``conv_id, tool_turn_idx, asst_turn_idx, n_tool_grams,
     n_grounded, grounded_x10000`` (floor ratio; 0-gram tool turns report
     0). Tool turns with no following assistant turn emit no row.
+    Requires unique (conv_col, idx_col) — the conversation_integrity
+    contract; run turn_order_repair first on dirty input (duplicated
+    indexes make "the next assistant turn" engine-dependent).
     """
     from doc_redaction_spark.operators.curation import tokens_col
 
+    turns = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        F.col(text_col).alias("_t"),
+    )
+    text_col = "_t"
     slim = turns.select("conv_id", "turn_idx", "role")
     w = (
         Window.partitionBy("conv_id")
