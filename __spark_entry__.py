@@ -11778,6 +11778,73 @@ def o_safety_verdict():
     """
 
 
+def q_eml_ingest(spark, sf_dir):
+    """EML email ingest (sources/eml_lite.py — build→parse round trip):
+    multipart/alternative messages built JVM-side from the documents
+    fixture, parsed back by the stdlib-email Arrow stage. Trap plants:
+    folded Subject headers (d%5==0, must unfold to one space),
+    lowercase header names (d%3==0), boundary-LOOKALIKE lines inside
+    the plain body (d%7==0 — a parser that scans instead of honoring
+    the declared boundary truncates them), and messages truncated
+    before the closing boundary (d%11==0 — earlier parts must still
+    parse). Oracle = the closed-form field reconstruction."""
+    from doc_redaction_spark.sources.eml_lite import eml_to_messages
+
+    d = F.col("doc_id").cast("long")
+    body = F.concat(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60),
+        F.lit(" plain "),
+        d.cast("string"),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit("\r\n--b"), d.cast("string"), F.lit("x lookalike")),
+        ).otherwise(F.lit("")),
+    )
+    bnd = F.concat(F.lit("b"), d.cast("string"))
+    subj = F.when(
+        d % 5 == 0, F.concat(F.lit("Subject: Report\r\n "), d.cast("string"))
+    ).otherwise(F.concat(F.lit("Subject: Report "), d.cast("string")))
+    from_hdr = F.when(d % 3 == 0, F.lit("from: ")).otherwise(F.lit("From: "))
+    eml = F.concat(
+        from_hdr, F.lit("sender"), d.cast("string"), F.lit("@corp.example\r\n"),
+        F.lit("To: user"), (d % 50).cast("string"), F.lit("@example.com\r\n"),
+        F.lit("Message-ID: <m"), d.cast("string"), F.lit("@corp.example>\r\n"),
+        subj, F.lit("\r\n"),
+        F.lit('Content-Type: multipart/alternative; boundary="'), bnd,
+        F.lit('"\r\n\r\n'),
+        F.lit("--"), bnd, F.lit("\r\nContent-Type: text/plain\r\n\r\n"),
+        body, F.lit("\r\n"),
+        F.lit("--"), bnd, F.lit("\r\nContent-Type: text/html\r\n\r\n<p>html "),
+        d.cast("string"), F.lit("</p>\r\n"),
+        F.when(d % 11 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("--"), bnd, F.lit("--\r\n"))
+        ),
+    )
+    files = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("msg_id"), eml.alias("eml")
+    )
+    return eml_to_messages(files)
+
+
+def o_eml_ingest():
+    return """
+    SELECT CAST(doc_id AS BIGINT) AS msg_id,
+           'sender' || CAST(doc_id AS VARCHAR) || '@corp.example' AS from_addr,
+           'user' || CAST(doc_id % 50 AS VARCHAR) || '@example.com' AS to_addr,
+           '<m' || CAST(doc_id AS VARCHAR) || '@corp.example>' AS message_id,
+           'Report ' || CAST(doc_id AS VARCHAR) AS subject,
+           substr(coalesce(text, ''), 1, 60) || ' plain '
+             || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 7 = 0
+                THEN chr(13) || chr(10) || '--b' || CAST(doc_id AS VARCHAR)
+                     || 'x lookalike'
+                ELSE '' END AS body_text,
+           3 AS n_parts,
+           1 AS ok
+    FROM documents
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11805,6 +11872,7 @@ _QUERIES: dict[str, Callable] = {
     "injection_outcome": q_injection_outcome,
     "tool_grounding": q_tool_grounding,
     "safety_verdict": q_safety_verdict,
+    "eml_ingest": q_eml_ingest,
     "tool_json_pii": q_tool_json_pii,
     "padding_waste": q_padding_waste,
     "dpo_pairs": q_dpo_pairs,
@@ -12049,6 +12117,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "injection_outcome": o_injection_outcome,
     "tool_grounding": o_tool_grounding,
     "safety_verdict": o_safety_verdict,
+    "eml_ingest": o_eml_ingest,
     "tool_json_pii": o_tool_json_pii,
     "padding_waste": o_padding_waste,
     "dpo_pairs": o_dpo_pairs,

@@ -1,0 +1,89 @@
+"""EML / RFC-5322 email source — the mailbox member of the source
+family (PDF bytes, DOCX XML, XLSX, XFDF, WARC, HTML; reference file
+dispatch: ``/root/reference/tools/file_conversion.py`` routes by
+extension — email corpora are a standard redaction target the
+reference's tabular/open-text paths would otherwise flatten).
+
+Parsing is the stdlib ``email`` package under ``policy.default``
+(header unfolding, case-insensitive header names, lenient MIME) run as
+an Arrow ``mapInPandas`` stage — one task parses a batch of raw
+messages, no driver-side loops, no per-row Python UDF.
+
+Dialect traps honored (the pdf_lite /Length lesson, mail edition):
+* body lines that LOOK like MIME boundaries ("--b7x …") must stay in
+  the body — the parser keys on the DECLARED boundary, never scans;
+* folded headers (continuation lines) unfold to a single space;
+* header names are case-insensitive ("from:" == "From:");
+* a message truncated before its closing boundary still yields its
+  complete earlier parts (lenient MIME), never an exception.
+
+Tests: tests/test_eml_lite.py; registry query ``eml_ingest`` builds
+messages JVM-side from the documents fixture and the oracle is the
+closed-form field reconstruction.
+"""
+
+from __future__ import annotations
+
+import email
+from email import policy
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+OUT_SCHEMA = (
+    "msg_id long, from_addr string, to_addr string, message_id string, "
+    "subject string, body_text string, n_parts int, ok int"
+)
+
+
+def parse_eml(raw: str) -> dict:
+    """One message → header/body dict. Never raises: the stdlib parser
+    is lenient and every field falls back to '' (ok=0 only when no
+    text/plain body could be located)."""
+    msg = email.message_from_string(raw or "", policy=policy.default)
+    body = ""
+    ok = 0
+    try:
+        part = msg.get_body(preferencelist=("plain",))
+        if part is not None:
+            body = part.get_content()
+            ok = 1
+    except Exception:
+        pass
+    return {
+        "from_addr": str(msg.get("From") or ""),
+        "to_addr": str(msg.get("To") or ""),
+        "message_id": str(msg.get("Message-ID") or ""),
+        "subject": str(msg.get("Subject") or ""),
+        "body_text": body,
+        "n_parts": len(list(msg.walk())),
+        "ok": ok,
+    }
+
+
+def eml_to_messages(
+    files: DataFrame,
+    eml_col: str = "eml",
+    id_col: str = "msg_id",
+) -> DataFrame:
+    """(id, raw EML string) rows → parsed message rows (OUT_SCHEMA).
+    Map-only Arrow stage; partitioning of the input is preserved, so a
+    mail corpus sharded by file lands one task per shard."""
+    import pandas as pd
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[eml_col]):
+                rec = parse_eml(raw)
+                rec["msg_id"] = int(mid)
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "msg_id", "from_addr", "to_addr", "message_id",
+                    "subject", "body_text", "n_parts", "ok",
+                ],
+            )
+
+    return files.select(id_col, eml_col).mapInPandas(scan, OUT_SCHEMA)

@@ -1,0 +1,76 @@
+"""EML source (sources/eml_lite.py) — stdlib-email parse laws."""
+
+from doc_redaction_spark.sources.eml_lite import parse_eml
+
+
+def _mk(d, from_name="From", folded=False, truncated=False, lookalike=False):
+    b = f"b{d}"
+    subj = f"Subject: Report\r\n {d}" if folded else f"Subject: Report {d}"
+    body = f"doc text {d} plain"
+    if lookalike:
+        body += f"\r\n--{b}x lookalike"
+    s = (
+        f"{from_name}: sender{d}@corp.example\r\n"
+        f"To: user{d % 50}@example.com\r\n"
+        f"Message-ID: <m{d}@corp.example>\r\n"
+        f"{subj}\r\n"
+        f'Content-Type: multipart/alternative; boundary="{b}"\r\n\r\n'
+        f"--{b}\r\nContent-Type: text/plain\r\n\r\n{body}\r\n"
+        f"--{b}\r\nContent-Type: text/html\r\n\r\n<p>html {d}</p>\r\n"
+    )
+    if not truncated:
+        s += f"--{b}--\r\n"
+    return s, body
+
+
+def test_parse_basic_fields():
+    raw, body = _mk(7)
+    rec = parse_eml(raw)
+    assert rec["from_addr"] == "sender7@corp.example"
+    assert rec["to_addr"] == "user7@example.com"
+    assert rec["message_id"] == "<m7@corp.example>"
+    assert rec["subject"] == "Report 7"
+    assert rec["body_text"] == body
+    assert rec["n_parts"] == 3 and rec["ok"] == 1
+
+
+def test_folded_header_unfolds_to_one_space():
+    raw, _ = _mk(5, folded=True)
+    assert parse_eml(raw)["subject"] == "Report 5"
+
+
+def test_header_names_case_insensitive():
+    raw, _ = _mk(3, from_name="from")
+    assert parse_eml(raw)["from_addr"] == "sender3@corp.example"
+
+
+def test_boundary_lookalike_stays_in_body():
+    raw, body = _mk(7, lookalike=True)
+    rec = parse_eml(raw)
+    assert rec["body_text"] == body
+    assert "--b7x lookalike" in rec["body_text"]
+
+
+def test_truncated_message_keeps_earlier_parts():
+    raw, body = _mk(11, truncated=True)
+    rec = parse_eml(raw)
+    assert rec["body_text"] == body and rec["ok"] == 1
+
+
+def test_garbage_never_raises():
+    rec = parse_eml("not an email at all \x00\x01")
+    assert rec["ok"] in (0, 1) and isinstance(rec["body_text"], str)
+    assert parse_eml("")["ok"] in (0, 1)
+
+
+def test_mapinpandas_roundtrip(spark):
+    from doc_redaction_spark.sources.eml_lite import eml_to_messages
+
+    rows = [(d, _mk(d, lookalike=(d % 7 == 0))[0]) for d in range(20)]
+    df = spark.createDataFrame(rows, "msg_id long, eml string")
+    out = {r["msg_id"]: r for r in eml_to_messages(df).collect()}
+    assert len(out) == 20
+    assert out[0]["body_text"].endswith("--b0x lookalike")
+    assert out[1]["subject"] == "Report 1"
+    plan = eml_to_messages(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Exchange" not in plan
