@@ -11845,6 +11845,66 @@ def o_eml_ingest():
     """
 
 
+def q_mbox_ingest(spark, sf_dir):
+    """mbox container ingest (sources/eml_lite.py split_mbox +
+    mbox_to_messages): messages packed 10-per-file with RFC-4155
+    postmark lines, bodies on d%9==0 carrying an ESCAPED '>From ' line —
+    the splitter must key on unescaped postmarks only and undo one
+    escape level. Oracle = closed-form reconstruction with rec_idx =
+    rank within file."""
+    from doc_redaction_spark.sources.eml_lite import mbox_to_messages
+
+    d = F.col("doc_id").cast("long")
+    body = F.concat(
+        F.lit("body "),
+        d.cast("string"),
+        F.when(d % 9 == 0, F.lit("\n>From here it is body text")).otherwise(
+            F.lit("")
+        ),
+    )
+    msg = F.concat(
+        F.lit("From sender"), d.cast("string"),
+        F.lit("@x Thu Jan  1 00:00:00 2024\n"),
+        F.lit("From: sender"), d.cast("string"), F.lit("@corp.example\n"),
+        F.lit("Subject: R "), d.cast("string"), F.lit("\n\n"),
+        body, F.lit("\n"),
+    )
+    files = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.expr("CAST(doc_id AS BIGINT) div 10").alias("file_id"),
+            F.struct(d.alias("doc_id"), msg.alias("m")).alias("s"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda x: x["m"]),
+                "",
+            ).alias("mbox")
+        )
+    )
+    return mbox_to_messages(files)
+
+
+def o_mbox_ingest():
+    return """
+    SELECT CAST(doc_id // 10 AS BIGINT) AS file_id,
+           CAST(row_number() OVER (PARTITION BY doc_id // 10
+                                   ORDER BY doc_id) - 1 AS BIGINT) AS msg_id,
+           'sender' || CAST(doc_id AS VARCHAR) || '@corp.example' AS from_addr,
+           '' AS to_addr,
+           '' AS message_id,
+           'R ' || CAST(doc_id AS VARCHAR) AS subject,
+           'body ' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 9 = 0
+                THEN chr(10) || 'From here it is body text' ELSE '' END
+             || chr(10) AS body_text,
+           1 AS n_parts,
+           1 AS ok
+    FROM documents
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11873,6 +11933,7 @@ _QUERIES: dict[str, Callable] = {
     "tool_grounding": q_tool_grounding,
     "safety_verdict": q_safety_verdict,
     "eml_ingest": q_eml_ingest,
+    "mbox_ingest": q_mbox_ingest,
     "tool_json_pii": q_tool_json_pii,
     "padding_waste": q_padding_waste,
     "dpo_pairs": q_dpo_pairs,
@@ -12118,6 +12179,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "tool_grounding": o_tool_grounding,
     "safety_verdict": o_safety_verdict,
     "eml_ingest": o_eml_ingest,
+    "mbox_ingest": o_mbox_ingest,
     "tool_json_pii": o_tool_json_pii,
     "padding_waste": o_padding_waste,
     "dpo_pairs": o_dpo_pairs,

@@ -87,3 +87,61 @@ def eml_to_messages(
             )
 
     return files.select(id_col, eml_col).mapInPandas(scan, OUT_SCHEMA)
+
+
+def split_mbox(blob: str) -> list[str]:
+    """mbox container → raw message strings. Messages are delimited by
+    postmark lines beginning ``From `` at column 0 (RFC 4155); body
+    lines that themselves began with ``From `` were escaped to
+    ``>From `` by the writer, so a splitter keying on unescaped
+    postmarks only can never split inside a body. The escape is undone
+    here (one level: ``>From `` → ``From ``; deeper quoting ``>>From``
+    stays, as mbox readers do)."""
+    if not blob:
+        return []
+    out: list[str] = []
+    cur: list[str] = []
+    for line in blob.splitlines(keepends=True):
+        if line.startswith("From "):
+            if cur:
+                out.append("".join(cur))
+            cur = []  # postmark line itself is not part of the message
+        elif line.startswith(">From "):
+            cur.append(line[1:])
+        else:
+            cur.append(line)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def mbox_to_messages(
+    files: DataFrame,
+    mbox_col: str = "mbox",
+    file_col: str = "file_id",
+) -> DataFrame:
+    """(file_id, mbox blob) rows → parsed message rows with provenance
+    ``(file_id, rec_idx)`` + OUT_SCHEMA fields (msg_id = rec_idx within
+    the file). Map-only Arrow stage, same shape as warc_to_records."""
+    import pandas as pd
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for fid, blob in zip(pdf[file_col], pdf[mbox_col]):
+                for i, raw in enumerate(split_mbox(blob)):
+                    rec = parse_eml(raw)
+                    rec["file_id"] = int(fid)
+                    rec["msg_id"] = i
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_id", "msg_id", "from_addr", "to_addr",
+                    "message_id", "subject", "body_text", "n_parts", "ok",
+                ],
+            )
+
+    return files.select(file_col, mbox_col).mapInPandas(
+        scan, "file_id long, " + OUT_SCHEMA
+    )

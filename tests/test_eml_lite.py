@@ -74,3 +74,40 @@ def test_mapinpandas_roundtrip(spark):
     assert out[1]["subject"] == "Report 1"
     plan = eml_to_messages(df)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "Exchange" not in plan
+
+
+def test_split_mbox_postmarks_and_escaping():
+    from doc_redaction_spark.sources.eml_lite import split_mbox
+
+    m1 = "From: a@x\r\nSubject: s1\r\n\r\nbody one\n>From the start it worked\n"
+    m2 = "From: b@x\r\nSubject: s2\r\n\r\nbody two\n"
+    blob = (
+        "From a@x Thu Jan  1 00:00:00 2024\n" + m1
+        + "From b@x Thu Jan  1 00:01:00 2024\n" + m2
+    )
+    got = split_mbox(blob)
+    assert len(got) == 2
+    # one level of >From unescaped; the escaped line never split the message
+    assert "From the start it worked" in got[0]
+    assert got[1] == m2
+    assert split_mbox("") == []
+
+
+def test_mbox_to_messages_provenance(spark):
+    from doc_redaction_spark.sources.eml_lite import mbox_to_messages
+
+    def msg(d):
+        return (
+            f"From sender{d}@x Thu Jan  1 00:00:00 2024\n"
+            f"From: sender{d}@corp.example\nSubject: R {d}\n\nbody {d}\n"
+        )
+
+    blob0 = msg(0) + msg(1)
+    blob1 = msg(2)
+    df = spark.createDataFrame(
+        [(0, blob0), (1, blob1)], "file_id long, mbox string"
+    )
+    out = {(r["file_id"], r["msg_id"]): r for r in mbox_to_messages(df).collect()}
+    assert set(out) == {(0, 0), (0, 1), (1, 0)}
+    assert out[(0, 1)]["from_addr"] == "sender1@corp.example"
+    assert out[(1, 0)]["body_text"].strip() == "body 2"
