@@ -11905,6 +11905,115 @@ def o_mbox_ingest():
     """
 
 
+def _media_params(spark, sf_dir):
+    d = F.col("doc_id").cast("long")
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("doc_id"),
+        (4 + d % 5).cast("int").alias("w"),
+        (3 + d % 3).cast("int").alias("h"),
+        (d % 256).cast("int").alias("r"),
+        ((d * 7) % 256).cast("int").alias("g"),
+        ((d * 13) % 256).cast("int").alias("b"),
+        (d % 1000).cast("int").alias("amp"),
+        (8 + (d % 50) * 4).cast("int").alias("nf"),
+    )
+
+
+def q_bmp_decode(spark, sf_dir):
+    """REAL image decode (sources/multimodal.py decode_bmp — pure-struct
+    24-bit BMP, no PIL): blobs built Python-side from per-doc params
+    (solid fill, 4-byte row padding), decoded back to integer-exact
+    pixel stats. Every 13th blob is truncated mid-pixel-array → ok=0
+    with zeroed stats (corrupt-blob tolerance, never an exception).
+    Oracle = closed-form width/height/channel-sum arithmetic."""
+    import pandas as pd
+
+    from doc_redaction_spark.sources.multimodal import bmp_stats, build_bmp
+
+    def build(batches):
+        for pdf in batches:
+            blobs = []
+            for did, w, h, r, g, b in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["r"], pdf["g"], pdf["b"]
+            ):
+                blob = build_bmp(int(w), int(h), (int(r), int(g), int(b)))
+                if did % 13 == 4:
+                    blob = blob[: len(blob) - 5]
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    media = _media_params(spark, sf_dir).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+    return bmp_stats(media)
+
+
+def o_bmp_decode():
+    return """
+    WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h,
+                      doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
+                      (doc_id * 13) % 256 AS b,
+                      CASE WHEN doc_id % 13 = 4 THEN 0 ELSE 1 END AS ok
+               FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN ok = 1 THEN w ELSE 0 END AS INTEGER) AS width,
+           CAST(CASE WHEN ok = 1 THEN h ELSE 0 END AS INTEGER) AS height,
+           CAST(CASE WHEN ok = 1 THEN w * h ELSE 0 END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN ok = 1 THEN r * w * h ELSE 0 END AS BIGINT) AS sum_r,
+           CAST(CASE WHEN ok = 1 THEN g * w * h ELSE 0 END AS BIGINT) AS sum_g,
+           CAST(CASE WHEN ok = 1 THEN b * w * h ELSE 0 END AS BIGINT) AS sum_b,
+           CAST(ok AS INTEGER) AS ok
+    FROM p
+    """
+
+
+def q_wav_decode(spark, sf_dir):
+    """REAL audio decode (sources/multimodal.py decode_wav — stdlib wave
+    + struct, no ffmpeg): mono 16-bit PCM square waves built per doc,
+    decoded to integer-exact features (mean-|amplitude| numerator is
+    exactly amp × frames). Every 17th blob is truncated inside the data
+    chunk → ok=0 (stdlib wave reports fewer frames than the header
+    claims; the decoder treats the mismatch as corrupt). Oracle =
+    closed-form arithmetic."""
+    import pandas as pd
+
+    from doc_redaction_spark.sources.multimodal import build_wav, wav_stats
+
+    def build(batches):
+        for pdf in batches:
+            blobs = []
+            for did, amp, nf in zip(pdf["doc_id"], pdf["amp"], pdf["nf"]):
+                blob = build_wav(int(amp), int(nf))
+                if did % 17 == 3:
+                    blob = blob[: len(blob) - 7]
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    media = _media_params(spark, sf_dir).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+    return wav_stats(media)
+
+
+def o_wav_decode():
+    return """
+    WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      doc_id % 1000 AS amp, 8 + (doc_id % 50) * 4 AS nf,
+                      CASE WHEN doc_id % 17 = 3 THEN 0 ELSE 1 END AS ok
+               FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN ok = 1 THEN 1 ELSE 0 END AS INTEGER) AS n_channels,
+           CAST(CASE WHEN ok = 1 THEN 8000 ELSE 0 END AS INTEGER) AS framerate,
+           CAST(CASE WHEN ok = 1 THEN nf ELSE 0 END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN ok = 1 THEN nf * 1000 // 8000 ELSE 0 END AS BIGINT)
+             AS duration_ms,
+           CAST(CASE WHEN ok = 1 THEN amp * nf ELSE 0 END AS BIGINT) AS sum_abs,
+           CAST(ok AS INTEGER) AS ok
+    FROM p
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11934,6 +12043,8 @@ _QUERIES: dict[str, Callable] = {
     "safety_verdict": q_safety_verdict,
     "eml_ingest": q_eml_ingest,
     "mbox_ingest": q_mbox_ingest,
+    "bmp_decode": q_bmp_decode,
+    "wav_decode": q_wav_decode,
     "tool_json_pii": q_tool_json_pii,
     "padding_waste": q_padding_waste,
     "dpo_pairs": q_dpo_pairs,
@@ -12180,6 +12291,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "safety_verdict": o_safety_verdict,
     "eml_ingest": o_eml_ingest,
     "mbox_ingest": o_mbox_ingest,
+    "bmp_decode": o_bmp_decode,
+    "wav_decode": o_wav_decode,
     "tool_json_pii": o_tool_json_pii,
     "padding_waste": o_padding_waste,
     "dpo_pairs": o_dpo_pairs,

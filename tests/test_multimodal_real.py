@@ -1,0 +1,62 @@
+"""Real dependency-free media decode (sources/multimodal.py BMP/WAV)."""
+
+from doc_redaction_spark.sources.multimodal import (
+    build_bmp,
+    build_wav,
+    decode_bmp,
+    decode_wav,
+)
+
+
+def test_bmp_roundtrip_exact():
+    rec = decode_bmp(build_bmp(5, 3, (10, 20, 30)))
+    assert rec == {"width": 5, "height": 3, "n_pixels": 15,
+                   "sum_r": 150, "sum_g": 300, "sum_b": 450, "ok": 1}
+
+
+def test_bmp_row_padding_widths():
+    # widths 4..8 exercise 0/1/2/3-byte row padding
+    for w in range(4, 9):
+        rec = decode_bmp(build_bmp(w, 2, (1, 2, 3)))
+        assert (rec["ok"], rec["width"], rec["sum_b"]) == (1, w, 3 * w * 2)
+
+
+def test_bmp_corrupt_tolerance():
+    blob = build_bmp(5, 3, (9, 9, 9))
+    assert decode_bmp(blob[:-5])["ok"] == 0      # truncated pixels
+    assert decode_bmp(blob[:30])["ok"] == 0      # truncated header
+    assert decode_bmp(b"PNGnope")["ok"] == 0     # wrong magic
+    assert decode_bmp(b"")["ok"] == 0
+
+
+def test_wav_roundtrip_exact():
+    rec = decode_wav(build_wav(700, 16))
+    assert rec == {"n_channels": 1, "framerate": 8000, "n_frames": 16,
+                   "duration_ms": 2, "sum_abs": 700 * 16, "ok": 1}
+
+
+def test_wav_truncation_even_and_odd_both_corrupt():
+    blob = build_wav(500, 40)
+    assert decode_wav(blob[:-7])["ok"] == 0   # odd-byte cut
+    assert decode_wav(blob[:-8])["ok"] == 0   # even-byte cut (header mismatch)
+    assert decode_wav(b"RIFFgarbage")["ok"] == 0
+
+
+def test_media_stats_are_map_only(spark):
+    from pyspark.sql import functions as F
+
+    from doc_redaction_spark.sources.multimodal import bmp_stats, wav_stats
+
+    df = spark.createDataFrame(
+        [(1, bytearray(build_bmp(4, 2, (1, 2, 3))))],
+        "doc_id long, payload binary",
+    )
+    out = bmp_stats(df).collect()[0]
+    assert out["ok"] == 1 and out["n_pixels"] == 8
+    plan = bmp_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    dfw = spark.createDataFrame(
+        [(1, bytearray(build_wav(9, 8)))], "doc_id long, payload binary"
+    )
+    w = wav_stats(dfw).collect()[0]
+    assert w["ok"] == 1 and w["sum_abs"] == 72
