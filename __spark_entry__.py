@@ -12014,6 +12014,55 @@ def o_wav_decode():
     """
 
 
+def q_bmp_resize(spark, sf_dir):
+    """REAL pixel resize (sources/multimodal.py resize_bmp —
+    nearest-neighbor integer downsample, BMP in → BMP out, re-decoded
+    so the output bytes are proven valid): factor-2 over the bmp_decode
+    fixture; new dims are ceil-halves, channel sums scale with the new
+    pixel count (solid fill). Corrupt inputs stay ok=0 rows."""
+    import pandas as pd
+
+    from doc_redaction_spark.sources.multimodal import bmp_resize_stats, build_bmp
+
+    def build(batches):
+        for pdf in batches:
+            blobs = []
+            for did, w, h, r, g, b in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["r"], pdf["g"], pdf["b"]
+            ):
+                blob = build_bmp(int(w), int(h), (int(r), int(g), int(b)))
+                if did % 13 == 4:
+                    blob = blob[: len(blob) - 5]
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    media = _media_params(spark, sf_dir).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+    return bmp_resize_stats(media, factor=2)
+
+
+def o_bmp_resize():
+    return """
+    WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      (4 + doc_id % 5 + 1) // 2 AS w2,
+                      (3 + doc_id % 3 + 1) // 2 AS h2,
+                      doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
+                      (doc_id * 13) % 256 AS b,
+                      CASE WHEN doc_id % 13 = 4 THEN 0 ELSE 1 END AS ok
+               FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN ok = 1 THEN w2 ELSE 0 END AS INTEGER) AS width,
+           CAST(CASE WHEN ok = 1 THEN h2 ELSE 0 END AS INTEGER) AS height,
+           CAST(CASE WHEN ok = 1 THEN w2 * h2 ELSE 0 END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN ok = 1 THEN r * w2 * h2 ELSE 0 END AS BIGINT) AS sum_r,
+           CAST(CASE WHEN ok = 1 THEN g * w2 * h2 ELSE 0 END AS BIGINT) AS sum_g,
+           CAST(CASE WHEN ok = 1 THEN b * w2 * h2 ELSE 0 END AS BIGINT) AS sum_b,
+           CAST(ok AS INTEGER) AS ok
+    FROM p
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12045,6 +12094,7 @@ _QUERIES: dict[str, Callable] = {
     "mbox_ingest": q_mbox_ingest,
     "bmp_decode": q_bmp_decode,
     "wav_decode": q_wav_decode,
+    "bmp_resize": q_bmp_resize,
     "tool_json_pii": q_tool_json_pii,
     "padding_waste": q_padding_waste,
     "dpo_pairs": q_dpo_pairs,
@@ -12293,6 +12343,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "mbox_ingest": o_mbox_ingest,
     "bmp_decode": o_bmp_decode,
     "wav_decode": o_wav_decode,
+    "bmp_resize": o_bmp_resize,
     "tool_json_pii": o_tool_json_pii,
     "padding_waste": o_padding_waste,
     "dpo_pairs": o_dpo_pairs,

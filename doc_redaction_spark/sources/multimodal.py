@@ -256,19 +256,54 @@ import struct
 import wave
 
 
-def build_bmp(width: int, height: int, rgb: tuple) -> bytes:
-    """Minimal uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER),
-    solid ``rgb`` fill — the fixture/writer side of the round trip.
-    Rows are padded to 4-byte multiples per the format."""
-    r, g, b = rgb
-    row = bytes([b, g, r]) * width
-    pad = (-len(row)) % 4
-    pixels = (row + b"\x00" * pad) * height
+def build_bmp_rows(rows: list) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP from explicit pixel rows
+    (``rows[y][x] = (r, g, b)``, row 0 = top — stored bottom-up per the
+    format). Rows are padded to 4-byte multiples."""
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        for r, g, b in rows[y]:
+            body += bytes((b, g, r))
+        body += b"\x00" * ((-width * 3) % 4)
     off = 14 + 40
-    header = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
-                       len(pixels), 2835, 2835, 0, 0)
-    return header + info + pixels
+                       len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def build_bmp(width: int, height: int, rgb: tuple) -> bytes:
+    """Solid-fill convenience wrapper over ``build_bmp_rows``."""
+    return build_bmp_rows([[rgb] * width] * height)
+
+
+def resize_bmp(blob: bytes, factor: int) -> bytes | None:
+    """REAL nearest-neighbor integer-factor downsample, BMP in → BMP
+    out: output pixel (x, y) = input pixel (x·factor, y·factor), so the
+    result is byte-exactly determined (no float resampling kernels —
+    the oracle rule). Returns None for corrupt input (the ok=0 path)."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    meta = decode_bmp(blob)
+    if not meta["ok"]:
+        return None
+    w, h = meta["width"], meta["height"]
+    off = struct.unpack_from("<I", blob, 10)[0]
+    stride = (w * 3 + 3) // 4 * 4
+    height_raw = struct.unpack_from("<i", blob, 22)[0]
+    rows = []
+    for y in range(0, h, factor):
+        # storage is bottom-up when the header height is positive
+        sy = (h - 1 - y) if height_raw > 0 else y
+        base = off + sy * stride
+        row = []
+        for x in range(0, w, factor):
+            b, g, r = blob[base + 3 * x : base + 3 * x + 3]
+            row.append((r, g, b))
+        rows.append(row)
+    return build_bmp_rows(rows)
 
 
 def decode_bmp(blob: bytes) -> dict:
@@ -389,3 +424,28 @@ def wav_stats(media: DataFrame, blob_col: str = "payload") -> DataFrame:
                 "duration_ms", "sum_abs", "ok"])
 
     return media.select("doc_id", blob_col).mapInPandas(scan, WAV_SCHEMA)
+
+
+def bmp_resize_stats(
+    media: DataFrame, factor: int = 2, blob_col: str = "payload"
+) -> DataFrame:
+    """Resize-then-decode in one map-only Arrow stage: REAL pixel path
+    (resize_bmp nearest-neighbor) re-encoded and re-decoded, so the
+    emitted stats prove the OUTPUT bytes are a valid BMP of the resized
+    image, not just arithmetic on the input. Corrupt inputs → ok=0."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zero = {"width": 0, "height": 0, "n_pixels": 0,
+                "sum_r": 0, "sum_g": 0, "sum_b": 0, "ok": 0}
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                small = resize_bmp(bytes(blob), factor)
+                rec = decode_bmp(small) if small is not None else dict(zero)
+                rec["doc_id"] = int(did)
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_pixels",
+                "sum_r", "sum_g", "sum_b", "ok"])
+
+    return media.select("doc_id", blob_col).mapInPandas(scan, BMP_SCHEMA)

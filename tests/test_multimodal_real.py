@@ -60,3 +60,34 @@ def test_media_stats_are_map_only(spark):
     )
     w = wav_stats(dfw).collect()[0]
     assert w["ok"] == 1 and w["sum_abs"] == 72
+
+
+def test_bmp_resize_nearest_neighbor_exact():
+    from doc_redaction_spark.sources.multimodal import (
+        build_bmp_rows,
+        resize_bmp,
+    )
+
+    # gradient: pixel (x, y) = (x, y, x + y); factor 2 picks x∈{0,2,4},
+    # y∈{0,2} -> sums computable by hand
+    rows = [[(x, y, x + y) for x in range(6)] for y in range(4)]
+    small = decode_bmp(resize_bmp(build_bmp_rows(rows), 2))
+    assert (small["width"], small["height"]) == (3, 2)
+    assert (small["sum_r"], small["sum_g"], small["sum_b"]) == (12, 6, 18)
+
+
+def test_bmp_resize_factor_one_is_identity():
+    from doc_redaction_spark.sources.multimodal import resize_bmp
+
+    blob = build_bmp(5, 3, (7, 8, 9))
+    assert decode_bmp(resize_bmp(blob, 1)) == decode_bmp(blob)
+
+
+def test_bmp_resize_corrupt_returns_none():
+    from doc_redaction_spark.sources.multimodal import resize_bmp
+
+    import pytest as _pytest
+
+    assert resize_bmp(b"nope", 2) is None
+    with _pytest.raises(ValueError):
+        resize_bmp(build_bmp(4, 2, (1, 1, 1)), 0)
