@@ -12063,6 +12063,104 @@ def o_bmp_resize():
     """
 
 
+def q_wav_windows(spark, sf_dir):
+    """Audio feature extraction over frame windows (sources/multimodal.py
+    wav_window_features): per-16-frame exact |amplitude| mass. The
+    square-wave fixture makes every window's sum exactly amp × frames —
+    incl. the short final window when nf % 16 != 0 (nf = 8 + 4·(d%50)
+    is ≡ 0 or 4 or 8 or 12 mod 16, so short windows appear at every
+    SF). Corrupt blobs (d%17==3) emit zero rows."""
+    import pandas as pd
+
+    from doc_redaction_spark.sources.multimodal import (
+        build_wav,
+        wav_window_features,
+    )
+
+    def build(batches):
+        for pdf in batches:
+            blobs = []
+            for did, amp, nf in zip(pdf["doc_id"], pdf["amp"], pdf["nf"]):
+                blob = build_wav(int(amp), int(nf))
+                if did % 17 == 3:
+                    blob = blob[: len(blob) - 7]
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    media = _media_params(spark, sf_dir).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+    return wav_window_features(media, window=16)
+
+
+def o_wav_windows():
+    return """
+    WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      doc_id % 1000 AS amp, 8 + (doc_id % 50) * 4 AS nf
+               FROM documents
+               WHERE doc_id % 17 <> 3),
+    w AS (SELECT doc_id, amp, nf,
+                 unnest(range(0, CAST((nf + 15) // 16 AS BIGINT))) AS window_idx
+          FROM p)
+    SELECT doc_id,
+           CAST(window_idx AS BIGINT) AS window_idx,
+           CAST(least(16, nf - window_idx * 16) AS INTEGER) AS n_in_window,
+           CAST(amp * least(16, nf - window_idx * 16) AS BIGINT) AS sum_abs
+    FROM w
+    """
+
+
+def q_blob_dispatch(spark, sf_dir):
+    """Magic-byte blob dispatch (sources/multimodal.py sniff_blob_type —
+    the blob-level twin of readers.py's extension dispatch; crawled
+    corpora have no extensions): a mixed corpus of BMP / WAV / PDF-ish /
+    mbox / unknown blobs cycled by d%5, routed and rolled up per type."""
+    import pandas as pd
+
+    from doc_redaction_spark.sources.multimodal import (
+        blob_dispatch,
+        build_bmp,
+        build_wav,
+    )
+
+    def build(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                k = did % 5
+                if k == 0:
+                    blobs.append(build_bmp(4, 2, (1, 2, 3)))
+                elif k == 1:
+                    blobs.append(build_wav(5, 8))
+                elif k == 2:
+                    blobs.append(b"%PDF-1.4 stub")
+                elif k == 3:
+                    blobs.append(b"From a@x Thu Jan  1 00:00:00 2024\nFrom: a@x\n\nhi\n")
+                else:
+                    blobs.append(b"\x00\x01opaque")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    media = _media_params(spark, sf_dir).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+    return (
+        blob_dispatch(media)
+        .groupBy("blob_type")
+        .agg(F.count("*").cast("long").alias("n_blobs"))
+    )
+
+
+def o_blob_dispatch():
+    return """
+    WITH t AS (SELECT CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+                      WHEN 2 THEN 'pdf' WHEN 3 THEN 'mbox'
+                      ELSE 'unknown' END AS blob_type
+               FROM documents)
+    SELECT blob_type, CAST(count(*) AS BIGINT) AS n_blobs
+    FROM t GROUP BY blob_type
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12095,6 +12193,8 @@ _QUERIES: dict[str, Callable] = {
     "bmp_decode": q_bmp_decode,
     "wav_decode": q_wav_decode,
     "bmp_resize": q_bmp_resize,
+    "wav_windows": q_wav_windows,
+    "blob_dispatch": q_blob_dispatch,
     "tool_json_pii": q_tool_json_pii,
     "padding_waste": q_padding_waste,
     "dpo_pairs": q_dpo_pairs,
@@ -12344,6 +12444,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "bmp_decode": o_bmp_decode,
     "wav_decode": o_wav_decode,
     "bmp_resize": o_bmp_resize,
+    "wav_windows": o_wav_windows,
+    "blob_dispatch": o_blob_dispatch,
     "tool_json_pii": o_tool_json_pii,
     "padding_waste": o_padding_waste,
     "dpo_pairs": o_dpo_pairs,

@@ -449,3 +449,80 @@ def bmp_resize_stats(
                 "sum_r", "sum_g", "sum_b", "ok"])
 
     return media.select("doc_id", blob_col).mapInPandas(scan, BMP_SCHEMA)
+
+
+def wav_window_features(
+    media: DataFrame, window: int = 16, blob_col: str = "payload"
+) -> DataFrame:
+    """Audio feature extraction over frame windows — one row per
+    ``window``-frame slice with the exact integer |amplitude| mass
+    (the energy-proxy a speech/music gate thresholds on; float RMS
+    would not cross the oracle bit-exactly, the repo's integer rule).
+    The last window may be short (n_in_window < window). Map-only
+    Arrow stage; corrupt blobs emit zero rows."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import io as _io
+        import wave as _wave
+
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                meta = decode_wav(bytes(blob))
+                if not meta["ok"]:
+                    continue
+                with _wave.open(_io.BytesIO(bytes(blob)), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                vals = _struct.unpack(f"<{len(raw) // 2}h", raw)
+                for wi in range(0, len(vals), window):
+                    chunk = vals[wi : wi + window]
+                    rows.append({
+                        "doc_id": int(did),
+                        "window_idx": wi // window,
+                        "n_in_window": len(chunk),
+                        "sum_abs": sum(abs(v) for v in chunk),
+                    })
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "window_idx", "n_in_window", "sum_abs"])
+
+    return media.select("doc_id", blob_col).mapInPandas(
+        scan, "doc_id long, window_idx long, n_in_window int, sum_abs long"
+    )
+
+
+_MAGIC_ROUTES = (
+    (b"BM", "bmp"),
+    (b"RIFF", "wav"),
+    (b"%PDF", "pdf"),
+    (b"WARC/", "warc"),
+    (b"PK\x03\x04", "zip_office"),
+    (b"From ", "mbox"),
+    (b"<?xml", "xml"),
+)
+
+
+def sniff_blob_type(blob: bytes) -> str:
+    """Magic-byte dispatch — the BLOB-level twin of readers.py's
+    extension dispatch (reference tools/file_conversion.py routes by
+    extension; a crawled corpus has no extensions). Longest-prefix
+    match over the public signatures; unknown → 'unknown'."""
+    for magic, name in _MAGIC_ROUTES:
+        if blob[: len(magic)] == magic:
+            return name
+    return "unknown"
+
+
+def blob_dispatch(media: DataFrame, blob_col: str = "payload") -> DataFrame:
+    """(doc_id, blob) → (doc_id, blob_type) via magic bytes; map-only."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": [int(d) for d in pdf["doc_id"]],
+                "blob_type": [sniff_blob_type(bytes(b)) for b in pdf[blob_col]],
+            })
+
+    return media.select("doc_id", blob_col).mapInPandas(
+        scan, "doc_id long, blob_type string"
+    )

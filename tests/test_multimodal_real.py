@@ -91,3 +91,37 @@ def test_bmp_resize_corrupt_returns_none():
     assert resize_bmp(b"nope", 2) is None
     with _pytest.raises(ValueError):
         resize_bmp(build_bmp(4, 2, (1, 1, 1)), 0)
+
+
+def test_wav_window_features_short_tail(spark):
+    from doc_redaction_spark.sources.multimodal import (
+        build_wav,
+        wav_window_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(build_wav(10, 20))),     # 16 + short 4
+         (2, bytearray(build_wav(10, 20)[:-7]))],  # corrupt -> no rows
+        "doc_id long, payload binary",
+    )
+    out = {(r["doc_id"], r["window_idx"]): r
+           for r in wav_window_features(df, window=16).collect()}
+    assert set(out) == {(1, 0), (1, 1)}
+    assert (out[(1, 0)]["n_in_window"], out[(1, 0)]["sum_abs"]) == (16, 160)
+    assert (out[(1, 1)]["n_in_window"], out[(1, 1)]["sum_abs"]) == (4, 40)
+
+
+def test_blob_dispatch_magic_routes():
+    from doc_redaction_spark.sources.multimodal import sniff_blob_type
+
+    from doc_redaction_spark.sources.multimodal import build_bmp, build_wav
+
+    assert sniff_blob_type(build_bmp(2, 2, (0, 0, 0))) == "bmp"
+    assert sniff_blob_type(build_wav(1, 4)) == "wav"
+    assert sniff_blob_type(b"%PDF-1.7") == "pdf"
+    assert sniff_blob_type(b"WARC/1.0\r\n") == "warc"
+    assert sniff_blob_type(b"PK\x03\x04docx") == "zip_office"
+    assert sniff_blob_type(b"From a@b Thu") == "mbox"
+    assert sniff_blob_type(b"<?xml version") == "xml"
+    assert sniff_blob_type(b"") == "unknown"
+    assert sniff_blob_type(b"\x89PNG") == "unknown"
