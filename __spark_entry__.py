@@ -11919,16 +11919,12 @@ def _media_params(spark, sf_dir):
     )
 
 
-def q_bmp_decode(spark, sf_dir):
-    """REAL image decode (sources/multimodal.py decode_bmp — pure-struct
-    24-bit BMP, no PIL): blobs built Python-side from per-doc params
-    (solid fill, 4-byte row padding), decoded back to integer-exact
-    pixel stats. Every 13th blob is truncated mid-pixel-array → ok=0
-    with zeroed stats (corrupt-blob tolerance, never an exception).
-    Oracle = closed-form width/height/channel-sum arithmetic."""
+def _bmp_blob_builder():
+    """Shared BMP fixture builder (bmp_decode + bmp_resize): solid fill
+    from _media_params, every 13th blob truncated by 5 bytes."""
     import pandas as pd
 
-    from doc_redaction_spark.sources.multimodal import bmp_stats, build_bmp
+    from doc_redaction_spark.sources.multimodal import build_bmp
 
     def build(batches):
         for pdf in batches:
@@ -11942,8 +11938,40 @@ def q_bmp_decode(spark, sf_dir):
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
 
+    return build
+
+
+def _wav_blob_builder():
+    """Shared WAV fixture builder (wav_decode + wav_windows): square
+    waves from _media_params, every 17th blob truncated by 7 bytes."""
+    import pandas as pd
+
+    from doc_redaction_spark.sources.multimodal import build_wav
+
+    def build(batches):
+        for pdf in batches:
+            blobs = []
+            for did, amp, nf in zip(pdf["doc_id"], pdf["amp"], pdf["nf"]):
+                blob = build_wav(int(amp), int(nf))
+                if did % 17 == 3:
+                    blob = blob[: len(blob) - 7]
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    return build
+
+
+def q_bmp_decode(spark, sf_dir):
+    """REAL image decode (sources/multimodal.py decode_bmp — pure-struct
+    24-bit BMP, no PIL): blobs built Python-side from per-doc params
+    (solid fill, 4-byte row padding), decoded back to integer-exact
+    pixel stats. Every 13th blob is truncated mid-pixel-array → ok=0
+    with zeroed stats (corrupt-blob tolerance, never an exception).
+    Oracle = closed-form width/height/channel-sum arithmetic."""
+    from doc_redaction_spark.sources.multimodal import bmp_stats
+
     media = _media_params(spark, sf_dir).mapInPandas(
-        build, "doc_id long, payload binary"
+        _bmp_blob_builder(), "doc_id long, payload binary"
     )
     return bmp_stats(media)
 
@@ -11976,22 +12004,10 @@ def q_wav_decode(spark, sf_dir):
     chunk → ok=0 (stdlib wave reports fewer frames than the header
     claims; the decoder treats the mismatch as corrupt). Oracle =
     closed-form arithmetic."""
-    import pandas as pd
-
-    from doc_redaction_spark.sources.multimodal import build_wav, wav_stats
-
-    def build(batches):
-        for pdf in batches:
-            blobs = []
-            for did, amp, nf in zip(pdf["doc_id"], pdf["amp"], pdf["nf"]):
-                blob = build_wav(int(amp), int(nf))
-                if did % 17 == 3:
-                    blob = blob[: len(blob) - 7]
-                blobs.append(blob)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+    from doc_redaction_spark.sources.multimodal import wav_stats
 
     media = _media_params(spark, sf_dir).mapInPandas(
-        build, "doc_id long, payload binary"
+        _wav_blob_builder(), "doc_id long, payload binary"
     )
     return wav_stats(media)
 
@@ -12020,24 +12036,10 @@ def q_bmp_resize(spark, sf_dir):
     so the output bytes are proven valid): factor-2 over the bmp_decode
     fixture; new dims are ceil-halves, channel sums scale with the new
     pixel count (solid fill). Corrupt inputs stay ok=0 rows."""
-    import pandas as pd
-
-    from doc_redaction_spark.sources.multimodal import bmp_resize_stats, build_bmp
-
-    def build(batches):
-        for pdf in batches:
-            blobs = []
-            for did, w, h, r, g, b in zip(
-                pdf["doc_id"], pdf["w"], pdf["h"], pdf["r"], pdf["g"], pdf["b"]
-            ):
-                blob = build_bmp(int(w), int(h), (int(r), int(g), int(b)))
-                if did % 13 == 4:
-                    blob = blob[: len(blob) - 5]
-                blobs.append(blob)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+    from doc_redaction_spark.sources.multimodal import bmp_resize_stats
 
     media = _media_params(spark, sf_dir).mapInPandas(
-        build, "doc_id long, payload binary"
+        _bmp_blob_builder(), "doc_id long, payload binary"
     )
     return bmp_resize_stats(media, factor=2)
 
@@ -12070,25 +12072,10 @@ def q_wav_windows(spark, sf_dir):
     incl. the short final window when nf % 16 != 0 (nf = 8 + 4·(d%50)
     is ≡ 0 or 4 or 8 or 12 mod 16, so short windows appear at every
     SF). Corrupt blobs (d%17==3) emit zero rows."""
-    import pandas as pd
-
-    from doc_redaction_spark.sources.multimodal import (
-        build_wav,
-        wav_window_features,
-    )
-
-    def build(batches):
-        for pdf in batches:
-            blobs = []
-            for did, amp, nf in zip(pdf["doc_id"], pdf["amp"], pdf["nf"]):
-                blob = build_wav(int(amp), int(nf))
-                if did % 17 == 3:
-                    blob = blob[: len(blob) - 7]
-                blobs.append(blob)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+    from doc_redaction_spark.sources.multimodal import wav_window_features
 
     media = _media_params(spark, sf_dir).mapInPandas(
-        build, "doc_id long, payload binary"
+        _wav_blob_builder(), "doc_id long, payload binary"
     )
     return wav_window_features(media, window=16)
 

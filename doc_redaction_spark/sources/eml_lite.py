@@ -46,7 +46,15 @@ def parse_eml(raw: str) -> dict:
     try:
         part = msg.get_body(preferencelist=("plain",))
         if part is not None:
-            body = part.get_content()
+            cte = (part.get("Content-Transfer-Encoding") or "").lower()
+            if cte in ("", "7bit", "8bit"):
+                # str-parsed identity payload: get_content() would round-
+                # trip through the declared/default charset and mangle
+                # anything non-ASCII to \uFFFD / escape text while still
+                # reporting ok=1 — take the raw payload instead
+                body = part.get_payload()
+            else:
+                body = part.get_content()
             ok = 1
     except Exception:
         pass
@@ -101,7 +109,14 @@ def split_mbox(blob: str) -> list[str]:
         return []
     out: list[str] = []
     cur: list[str] = []
-    for line in blob.splitlines(keepends=True):
+    segs = blob.split("\n")
+    lines = [s + "\n" for s in segs[:-1]]
+    if segs[-1]:
+        lines.append(segs[-1])
+    # \n-only splitting: str.splitlines would also break on U+2028/\x85
+    # etc., turning a body char before 'From ' into a false postmark that
+    # silently deletes the line (RFC-4155 writers only escape after \n)
+    for line in lines:
         if line.startswith("From "):
             if cur:
                 out.append("".join(cur))

@@ -286,13 +286,10 @@ def resize_bmp(blob: bytes, factor: int) -> bytes | None:
     the oracle rule). Returns None for corrupt input (the ok=0 path)."""
     if factor < 1:
         raise ValueError("factor must be >= 1")
-    meta = decode_bmp(blob)
-    if not meta["ok"]:
+    hdr = _bmp_header(blob)
+    if hdr is None:
         return None
-    w, h = meta["width"], meta["height"]
-    off = struct.unpack_from("<I", blob, 10)[0]
-    stride = (w * 3 + 3) // 4 * 4
-    height_raw = struct.unpack_from("<i", blob, 22)[0]
+    off, w, h, stride, height_raw = hdr
     rows = []
     for y in range(0, h, factor):
         # storage is bottom-up when the header height is positive
@@ -306,6 +303,26 @@ def resize_bmp(blob: bytes, factor: int) -> bytes | None:
     return build_bmp_rows(rows)
 
 
+def _bmp_header(blob: bytes):
+    """Validated 24-bit BMP header → (off, width, height_abs, stride,
+    height_raw) or None. The offset field is bounds-checked (>= 54 and
+    inside the blob) — a zeroed offset would otherwise pass the length
+    check and "decode" header bytes as pixels with ok=1."""
+    if len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    off = struct.unpack_from("<I", blob, 10)[0]
+    width, height = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    comp = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or comp != 0 or width <= 0 or height == 0:
+        return None
+    h = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    if off < 54 or off > len(blob) or len(blob) < off + stride * h:
+        return None
+    return off, width, h, stride, height
+
+
 def decode_bmp(blob: bytes) -> dict:
     """24-bit uncompressed BMP → integer-exact stats: width, height, and
     per-channel pixel-mean numerators (sum) plus n_pixels, so the caller
@@ -314,18 +331,10 @@ def decode_bmp(blob: bytes) -> dict:
     out = {"width": 0, "height": 0, "n_pixels": 0,
            "sum_r": 0, "sum_g": 0, "sum_b": 0, "ok": 0}
     try:
-        if len(blob) < 54 or blob[:2] != b"BM":
+        hdr = _bmp_header(blob)
+        if hdr is None:
             return out
-        off = struct.unpack_from("<I", blob, 10)[0]
-        width, height = struct.unpack_from("<ii", blob, 18)
-        bpp = struct.unpack_from("<H", blob, 28)[0]
-        comp = struct.unpack_from("<I", blob, 30)[0]
-        if bpp != 24 or comp != 0 or width <= 0 or height == 0:
-            return out
-        h = abs(height)
-        stride = (width * 3 + 3) // 4 * 4
-        if len(blob) < off + stride * h:
-            return out
+        off, width, h, stride, _ = hdr
         sr = sg = sb = 0
         for y in range(h):
             base = off + y * stride
@@ -356,34 +365,41 @@ def build_wav(amplitude: int, n_frames: int, framerate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+def _wav_read(blob: bytes):
+    """Validated 16-bit PCM read → (n_channels, framerate, n_frames,
+    samples tuple) or None. A header-vs-data frame-count mismatch is
+    corrupt, not a shorter file (an even-byte truncation would otherwise
+    yield silently partial sums against the header's frame count)."""
+    try:
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            nch, sw, fr, nf = (w.getnchannels(), w.getsampwidth(),
+                               w.getframerate(), w.getnframes())
+            if sw != 2:
+                return None
+            raw = w.readframes(nf)
+        if len(raw) != nf * nch * 2:
+            return None
+        return nch, fr, nf, struct.unpack(f"<{len(raw) // 2}h", raw)
+    except Exception:
+        return None
+
+
 def decode_wav(blob: bytes) -> dict:
     """WAV PCM → integer-exact features: channels, framerate, n_frames,
     duration_ms (floor), and the mean-|amplitude| numerator sum_abs
     (exact int). Corrupt blobs return ok=0."""
     out = {"n_channels": 0, "framerate": 0, "n_frames": 0,
            "duration_ms": 0, "sum_abs": 0, "ok": 0}
-    try:
-        with wave.open(io.BytesIO(blob), "rb") as w:
-            nch, sw, fr, nf = (w.getnchannels(), w.getsampwidth(),
-                               w.getframerate(), w.getnframes())
-            if sw != 2:
-                return out
-            raw = w.readframes(nf)
-        if len(raw) != nf * nch * 2:
-            # truncated data chunk: the header promises more frames than
-            # the blob carries — corrupt, not a shorter file (an
-            # even-byte truncation would otherwise yield silently
-            # partial sums against the header's frame count)
-            return out
-        vals = struct.unpack(f"<{len(raw) // 2}h", raw)
-        out.update(
-            n_channels=nch, framerate=fr, n_frames=nf,
-            duration_ms=nf * 1000 // fr if fr else 0,
-            sum_abs=sum(abs(v) for v in vals), ok=1,
-        )
+    rd = _wav_read(blob)
+    if rd is None:
         return out
-    except Exception:
-        return out
+    nch, fr, nf, vals = rd
+    out.update(
+        n_channels=nch, framerate=fr, n_frames=nf,
+        duration_ms=nf * 1000 // fr if fr else 0,
+        sum_abs=sum(abs(v) for v in vals), ok=1,
+    )
+    return out
 
 
 BMP_SCHEMA = ("doc_id long, width int, height int, n_pixels long, "
@@ -462,19 +478,13 @@ def wav_window_features(
     Arrow stage; corrupt blobs emit zero rows."""
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct as _struct
-        import io as _io
-        import wave as _wave
-
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf["doc_id"], pdf[blob_col]):
-                meta = decode_wav(bytes(blob))
-                if not meta["ok"]:
+                rd = _wav_read(bytes(blob))
+                if rd is None:
                     continue
-                with _wave.open(_io.BytesIO(bytes(blob)), "rb") as w:
-                    raw = w.readframes(w.getnframes())
-                vals = _struct.unpack(f"<{len(raw) // 2}h", raw)
+                _, _, _, vals = rd
                 for wi in range(0, len(vals), window):
                     chunk = vals[wi : wi + window]
                     rows.append({
@@ -493,7 +503,6 @@ def wav_window_features(
 
 _MAGIC_ROUTES = (
     (b"BM", "bmp"),
-    (b"RIFF", "wav"),
     (b"%PDF", "pdf"),
     (b"WARC/", "warc"),
     (b"PK\x03\x04", "zip_office"),
@@ -506,7 +515,12 @@ def sniff_blob_type(blob: bytes) -> str:
     """Magic-byte dispatch — the BLOB-level twin of readers.py's
     extension dispatch (reference tools/file_conversion.py routes by
     extension; a crawled corpus has no extensions). Longest-prefix
-    match over the public signatures; unknown → 'unknown'."""
+    match over the public signatures; unknown → 'unknown'. RIFF is a
+    CONTAINER (WebP/AVI/ANI share it) — 'wav' requires the WAVE form
+    tag at bytes 8..12; other RIFF forms report 'riff_other' so a
+    media class never silently masquerades as corrupt audio."""
+    if blob[:4] == b"RIFF":
+        return "wav" if blob[8:12] == b"WAVE" else "riff_other"
     for magic, name in _MAGIC_ROUTES:
         if blob[: len(magic)] == magic:
             return name

@@ -111,3 +111,20 @@ def test_mbox_to_messages_provenance(spark):
     assert set(out) == {(0, 0), (0, 1), (1, 0)}
     assert out[(0, 1)]["from_addr"] == "sender1@corp.example"
     assert out[(1, 0)]["body_text"].strip() == "body 2"
+
+
+def test_non_ascii_body_preserved_exactly():
+    raw = "From: a@x\r\nSubject: s\r\n\r\n日本語 héllo — text\r\n"
+    rec = parse_eml(raw)
+    assert rec["ok"] == 1
+    assert rec["body_text"] == "日本語 héllo — text\r\n"
+
+
+def test_unicode_line_separator_never_splits_mbox():
+    from doc_redaction_spark.sources.eml_lite import split_mbox
+
+    body = "line one From the middle\nend\n"
+    blob = "From a@x Thu Jan  1 00:00:00 2024\nFrom: a@x\nSubject: s\n\n" + body
+    got = split_mbox(blob)
+    assert len(got) == 1
+    assert "From the middle" in got[0]

@@ -125,3 +125,17 @@ def test_blob_dispatch_magic_routes():
     assert sniff_blob_type(b"<?xml version") == "xml"
     assert sniff_blob_type(b"") == "unknown"
     assert sniff_blob_type(b"\x89PNG") == "unknown"
+
+
+def test_bmp_zeroed_offset_is_corrupt():
+    blob = bytearray(build_bmp(4, 2, (8, 9, 10)))
+    blob[10:14] = b"\x00\x00\x00\x00"
+    assert decode_bmp(bytes(blob))["ok"] == 0
+
+
+def test_riff_container_disambiguation():
+    from doc_redaction_spark.sources.multimodal import sniff_blob_type
+
+    assert sniff_blob_type(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "riff_other"
+    assert sniff_blob_type(b"RIFF\x00\x00\x00\x00AVI LIST") == "riff_other"
+    assert sniff_blob_type(build_wav(1, 4)) == "wav"
