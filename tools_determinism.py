@@ -24,6 +24,10 @@ DEFAULT_PICKS = [
     "subdocument_dup", "dedup_lemma", "dedup_minhash_lsh",
     "reading_order_3col", "pdf_bytes_to_words", "embedding_ivf",
     "tabular_anonymise",
+    # session-10 representatives: ordered-window audits, two-phase rank,
+    # and the Arrow media/mail round trips
+    "safety_verdict", "padding_waste", "tool_grounding",
+    "transcripts_secrets", "mbox_ingest", "wav_windows",
 ]
 
 CONFIGS = [(4, 7), (16, 48)]  # (cores, shuffle partitions) — coprime-ish
