@@ -12149,6 +12149,148 @@ def o_blob_dispatch():
 
 
 # ---------------------------------------------------------------------------
+# session-11: chat-JSONL source, robots gate, redirect resolution,
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def q_chat_jsonl_ingest(spark, sf_dir):
+    """Chat-format JSONL ingest (sources/chat_jsonl.py — write→parse
+    round trip): the transcripts fixture is rendered to one JSON line
+    per conversation by the writer twin (to_json, messages sorted by
+    turn_idx, empty tool emitted as JSON null) and parsed back by the
+    pure-JVM from_json+explode reader. Trap plants: d%13 turns carry a
+    quote, a backslash, a newline, and a non-ASCII ellipsis in content
+    (JSON escape round trip), and three corrupt lines (truncated JSON,
+    non-JSON, wrong-typed messages) are unioned in and must be DROPPED,
+    not nulled. Oracle = the closed-form transcripts reconstruction —
+    the JSON layer must be invisible byte-for-byte."""
+    from doc_redaction_spark.sources.chat_jsonl import (
+        chat_jsonl_to_turns,
+        turns_to_chat_jsonl,
+    )
+
+    tr = _tr(spark, sf_dir)
+    plant = F.when(
+        _tr_doc_id() % 13 == 0, F.lit(' "q\\ \n nl… end')
+    ).otherwise(F.lit(""))
+    tr = tr.withColumn("text", F.concat(F.col("text"), plant))
+    lines = turns_to_chat_jsonl(tr).select("line")
+    corrupt = spark.createDataFrame(
+        [
+            ('{"conversation_id": "cX", "messages": [{"turn_idx": 0,',),
+            ("not json at all",),
+            ('{"messages": 42}',),
+        ],
+        "line string",
+    )
+    out = chat_jsonl_to_turns(lines.unionByName(corrupt))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
+    )
+
+
+def o_chat_jsonl_ingest():
+    return f"""
+    {TR_CTE}
+    SELECT conv_id, turn_idx, role,
+           text || CASE WHEN {TR_DOC_ID_SQL} % 13 = 0
+                   THEN ' "q\\ ' || chr(10) || ' nl… end' ELSE '' END AS text,
+           tool
+    FROM transcripts
+    """
+
+
+def q_robots_gate(spark, sf_dir):
+    """Crawl-politeness gate (operators/robots.py parse_robots +
+    robots_gate): robots.txt bodies for the 5 base hosts are built
+    closed-form — an Evil-bot group that must be IGNORED (it disallows
+    everything), a ``User-agent: *`` group with a digit-keyed Disallow
+    and a longer Allow override, an empty ``Disallow:`` no-op, comment
+    and blank lines, and for chat-logs.org a STACKED two-UA group whose
+    Disallow must apply. URLs = the transcripts fixture's visited URLs
+    reconstructed closed-form (subdomain hosts have no robots.txt →
+    default allow). Oracle inlines the rule set the bodies parse to, so
+    a parse bug or a precedence bug both land in the verdict hash."""
+    from doc_redaction_spark.operators.robots import parse_robots, robots_gate
+
+    k = F.col("r_regionkey").cast("int")
+    hosts = F.array(*[F.lit(h) for h in URL_HOSTS])
+    host = F.element_at(hosts, k + 1)
+    body = F.concat(
+        F.lit("# crawl policy "), k.cast("string"), F.lit("\n"),
+        F.lit("User-agent: Evil-bot\nDisallow: /\n\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /page?id="), k.cast("string"),
+        F.lit("  # digit bucket\n"),
+        F.lit("Allow: /page?id="), k.cast("string"), k.cast("string"),
+        F.lit("\nDisallow:\n"),
+        F.when(
+            k == 2,
+            F.lit("\nUser-agent: Helper\nUser-agent: *\nDisallow: /page?id=7\n"),
+        ).otherwise(F.lit("")),
+    )
+    robots = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        host.alias("host"), body.alias("body")
+    )
+    d = F.col("doc_id").cast("long")
+    sub = F.when(
+        d % 2 == 1, F.concat(F.lit("m"), (d % 7).cast("string"), F.lit("."))
+    ).otherwise(F.lit(""))
+    urls = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("url_id"),
+        F.concat(sub, F.element_at(hosts, (d % 5).cast("int") + 1)).alias(
+            "host"
+        ),
+        F.concat(F.lit("/page?id="), d.cast("string")).alias("path"),
+    )
+    return robots_gate(urls, parse_robots(robots))
+
+
+def o_robots_gate():
+    hosts = ", ".join(f"'{h}'" for h in URL_HOSTS)
+    return f"""
+    WITH rules AS (
+      SELECT ([{hosts}])[k + 1] AS host, pfx AS path_prefix, a AS allow
+      FROM (SELECT CAST(r_regionkey AS INTEGER) AS k FROM region),
+      LATERAL (SELECT * FROM (VALUES
+        ('/page?id=' || CAST(k AS VARCHAR), 0),
+        ('/page?id=' || CAST(k AS VARCHAR) || CAST(k AS VARCHAR), 1)
+      ) v(pfx, a)) l
+      UNION ALL
+      SELECT 'chat-logs.org', '/page?id=7', 0
+    ),
+    urls AS (
+      SELECT CAST(doc_id AS BIGINT) AS url_id,
+             (CASE WHEN doc_id % 2 = 1
+                   THEN 'm' || CAST(doc_id % 7 AS VARCHAR) || '.' ELSE '' END)
+               || ([{hosts}])[CAST(doc_id % 5 AS INTEGER) + 1] AS host,
+             '/page?id=' || CAST(doc_id AS VARCHAR) AS path
+      FROM documents
+    ),
+    matches AS (
+      SELECT u.url_id, r.allow, len(r.path_prefix) AS l
+      FROM urls u JOIN rules r
+        ON u.host = r.host AND starts_with(u.path, r.path_prefix)
+    ),
+    ranked AS (
+      SELECT url_id, allow, l,
+             row_number() OVER (PARTITION BY url_id
+                                ORDER BY l DESC, allow DESC) AS rk
+      FROM matches
+    )
+    SELECT u.url_id, u.host, u.path,
+           CAST(coalesce(r.allow, 1) AS INTEGER) AS allowed,
+           CAST(coalesce(r.l, 0) AS INTEGER) AS match_len
+    FROM urls u LEFT JOIN ranked r ON u.url_id = r.url_id AND r.rk = 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -12161,6 +12303,8 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "chat_jsonl_ingest": q_chat_jsonl_ingest,
+    "robots_gate": q_robots_gate,
     "secrets_scan": q_secrets_scan,
     "secret_leak_audit": q_secret_leak_audit,
     "pii_echo_audit": q_pii_echo_audit,
@@ -12412,6 +12556,8 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "chat_jsonl_ingest": o_chat_jsonl_ingest,
+    "robots_gate": o_robots_gate,
     "secrets_scan": o_secrets_scan,
     "secret_leak_audit": o_secret_leak_audit,
     "pii_echo_audit": o_pii_echo_audit,

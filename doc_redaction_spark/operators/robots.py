@@ -1,0 +1,132 @@
+"""robots.txt parsing + longest-match URL gating — the crawl-politeness
+filter a web-corpus ingestion pipeline runs before anything else
+(reference scope: doc_redaction consumes already-fetched documents;
+a 100 TB crawl corpus must first drop URLs its robots policies exclude,
+the same curation slot as functions/urls.py's blocklist gate).
+
+Semantics (the published REP / Google subset, literal prefixes only —
+``*``/``$`` wildcards are out of the supported subset and documented so):
+
+* only groups whose ``User-agent`` set includes ``*`` apply;
+* consecutive ``User-agent`` lines stack onto ONE group;
+* ``#`` starts a comment anywhere on a line; blank lines are ignored
+  (they do NOT close a group — directives bind to the last UA run);
+* an empty ``Disallow:`` (or ``Allow:``) value is a no-op;
+* verdict per URL = the matching rule with the LONGEST path prefix;
+  a tie between Allow and Disallow at the same length → Allow wins;
+  no matching rule (or no robots.txt for the host) → allowed.
+
+Plan shape at scale: parsing is two window passes over exploded lines
+partitioned by host — robots bodies are capped at 500 KiB by the REP,
+so no host ever skews a partition. The gate is one equi-join on host
+(rules are a broadcastable dim: a few rules per crawled host) followed
+by one map-side-combinable max(struct) aggregation — the winning-rule
+argmax never sorts.
+
+Tests: tests/test_robots.py; registry query ``robots_gate`` builds
+robots bodies closed-form and the oracle inlines the parsed rule set,
+so a parse bug surfaces as a verdict hash mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_KEY_RE = r"^([A-Za-z-]+)\s*:"
+_VAL_RE = r"^[A-Za-z-]+\s*:\s*(.*)$"
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """robots.txt bodies → rule rows ``(host, path_prefix, allow)`` for
+    the ``User-agent: *`` groups. Pure JVM (split/posexplode/regex +
+    two host-keyed windows), one distinct at the end."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.coalesce(F.col(body_col), F.lit("")), "\n"))
+        .alias("pos", "raw"),
+    )
+    clean = F.trim(F.regexp_replace("raw", "#.*", ""))
+    kv = lines.select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract(clean, _KEY_RE, 1)).alias("key"),
+        F.trim(F.regexp_extract(clean, _VAL_RE, 1)).alias("val"),
+    ).where(F.col("key") != "")
+
+    seq = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    # a UA line NOT preceded by another UA line opens a new group, so
+    # stacked User-agent lines share one group id
+    new_grp = (
+        (is_ua == 1) & (F.coalesce(F.lag(is_ua).over(seq), F.lit(0)) == 0)
+    ).cast("int")
+    grouped = kv.select(
+        "host", "pos", "key", "val", F.sum(new_grp).over(seq).alias("grp")
+    )
+    star = F.max(
+        ((F.col("key") == "user-agent") & (F.col("val") == "*")).cast("int")
+    ).over(Window.partitionBy("host", "grp"))
+    return (
+        grouped.select("host", "key", "val", star.alias("star"))
+        .where(
+            (F.col("star") == 1)
+            & F.col("key").isin("allow", "disallow")
+            & (F.col("val") != "")
+        )
+        .select(
+            "host",
+            F.col("val").alias("path_prefix"),
+            (F.col("key") == "allow").cast("int").alias("allow"),
+        )
+        .distinct()
+    )
+
+
+def robots_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str = "url_id",
+    host_col: str = "host",
+    path_col: str = "path",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Gate URLs against parsed rules. ``urls`` needs a unique id plus
+    host/path columns; returns one row per URL with ``allowed`` (1/0)
+    and ``match_len`` (0 = no rule matched → default allow).
+
+    Winner selection is ``max(struct(prefix_len, allow))`` — tuple
+    order gives longest-match first and Allow on length ties, exactly
+    the REP precedence, with no window sort and no tie ambiguity in
+    the output (the winning prefix TEXT is deliberately not emitted:
+    two distinct same-length prefixes with one verdict would make the
+    output order-dependent)."""
+    r = F.broadcast(rules) if broadcast_rules else rules
+    j = urls.join(
+        r,
+        (urls[host_col] == r["host"])
+        & urls[path_col].startswith(r["path_prefix"]),
+        "left",
+    )
+    w = F.max(
+        F.when(
+            r["path_prefix"].isNotNull(),
+            F.struct(
+                F.length(r["path_prefix"]).alias("l"),
+                r["allow"].alias("a"),
+            ),
+        )
+    )
+    return (
+        j.groupBy(urls[id_col], urls[host_col], urls[path_col])
+        .agg(w.alias("w"))
+        .select(
+            F.col(id_col),
+            F.col(host_col),
+            F.col(path_col),
+            F.coalesce(F.col("w.a"), F.lit(1)).cast("int").alias("allowed"),
+            F.coalesce(F.col("w.l"), F.lit(0)).cast("int").alias("match_len"),
+        )
+    )

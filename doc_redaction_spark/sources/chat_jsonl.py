@@ -1,0 +1,130 @@
+"""Chat-format JSONL source — the conversation member of the source
+family (PDF bytes, DOCX, XLSX, XFDF, WARC, EML/mbox; reference file
+dispatch: ``/root/reference/tools/file_conversion.py`` routes by
+extension — exported chat logs are the native interchange format of the
+transcripts payload this engine targets, and the reference's
+tabular/open-text paths would flatten their nested messages array).
+
+One JSONL line = one conversation::
+
+    {"conversation_id": "c7",
+     "messages": [{"turn_idx": 0, "role": "user",
+                   "content": "...", "tool": null}, ...]}
+
+Parsing is 100% JVM-side: ``from_json`` with an explicit schema +
+``explode`` of the messages array — no Python stage at all, so the
+scan, the JSON decode, and the turn fan-out all sit inside one
+whole-stage-codegen pipeline (a 100 TB chat-log corpus parses at
+parquet-scan speed, one task per input split, zero shuffles).
+
+Dialect traps honored (the pdf_lite /Length lesson, chat edition):
+* JSON string escapes (``\\"``, ``\\\\``, ``\\n``, ``\\u2026``) must
+  round-trip to the original bytes — the registry query plants all of
+  them and the DuckDB oracle reconstructs the unescaped text;
+* absent optional fields (``tool``) parse to NULL, never to ``""`` —
+  the caller decides the fill;
+* a corrupt / truncated line yields NULL from ``from_json``
+  (PERMISSIVE) and is dropped with its count preserved via the
+  ``ok`` flag on the conversation level, never an exception;
+* messages keep their OWN ``turn_idx`` field — chat exports may be
+  sparse (deleted turns), so array position is NOT the turn index.
+
+Tests: tests/test_chat_jsonl.py; registry query ``chat_jsonl_ingest``
+renders conversations JVM-side from the transcripts fixture and the
+oracle is the closed-form reconstruction from the transcripts CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# explicit schema: from_json silently NULLs a line that fails to bind
+MESSAGE_FIELDS = "turn_idx INT, role STRING, content STRING, tool STRING"
+CHAT_SCHEMA = (
+    f"conversation_id STRING, messages ARRAY<STRUCT<{MESSAGE_FIELDS}>>"
+)
+
+
+def parse_chat_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """JSONL line column → one row per conversation with the parsed
+    struct and an ``ok`` flag (0 = unparseable / missing required
+    fields). Map-only; keep for lineage counts before exploding."""
+    j = F.from_json(F.col(line_col), CHAT_SCHEMA)
+    ok = (
+        j.isNotNull()
+        & j["conversation_id"].isNotNull()
+        & j["messages"].isNotNull()
+    ).cast("int")
+    return df.select(j.alias("chat"), ok.alias("ok"))
+
+
+def chat_jsonl_to_turns(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Chat JSONL lines → turn rows ``(conv_id, turn_idx, role, text,
+    tool)`` matching the engine's transcripts input schema
+    (BASELINE.json input_hint). Corrupt lines are dropped (count them
+    first via :func:`parse_chat_lines` if lineage needs them); absent
+    ``tool`` stays NULL.
+
+    Plan shape: scan → from_json → explode, all whole-stage-codegen;
+    no shuffle, no Python. At cluster scale each input split parses
+    independently — conversation boundaries never span lines, so there
+    is no cross-partition stitching problem.
+    """
+    parsed = parse_chat_lines(df, line_col)
+    m = F.explode("chat.messages").alias("m")
+    out = parsed.where(F.col("ok") == 1).select(
+        F.col("chat.conversation_id").alias("conv_id"), m
+    )
+    return out.select(
+        "conv_id",
+        F.col("m.turn_idx").alias("turn_idx"),
+        F.col("m.role").alias("role"),
+        F.col("m.content").alias("text"),
+        F.col("m.tool").alias("tool"),
+    )
+
+
+def turns_to_chat_jsonl(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str | None = "tool",
+) -> DataFrame:
+    """Writer twin: turn rows → one JSONL line per conversation
+    (``conv_id``, ``line``). Messages are ordered by ``turn_idx``
+    (array_sort on a struct whose FIRST field is the index — the
+    documented unique-(conv, idx) contract makes this total). An empty
+    ``tool`` value is emitted as JSON null (``to_json`` drops nulls),
+    mirroring how chat exports omit absent fields.
+
+    One groupBy(conv) shuffle; the line is built by ``to_json`` so
+    every escape is the JVM writer's, guaranteeing read-back parity
+    with :func:`chat_jsonl_to_turns`.
+    """
+    tool = (
+        F.when(F.col(tool_col) != "", F.col(tool_col)).otherwise(
+            F.lit(None).cast("string")
+        )
+        if tool_col is not None
+        else F.lit(None).cast("string")
+    )
+    msg = F.struct(
+        F.col(idx_col).cast("int").alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        F.col(text_col).alias("content"),
+        tool.alias("tool"),
+    )
+    per_conv = (
+        turns.select(F.col(conv_col).alias("conv_id"), msg.alias("m"))
+        .groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list("m")).alias("messages"))
+    )
+    line = F.to_json(
+        F.struct(
+            F.col("conv_id").alias("conversation_id"), F.col("messages")
+        )
+    )
+    return per_conv.select("conv_id", line.alias("line"))

@@ -1,0 +1,71 @@
+"""Chat-JSONL source (sources/chat_jsonl.py) — round-trip and
+corrupt-line laws."""
+
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.sources.chat_jsonl import (
+    chat_jsonl_to_turns,
+    parse_chat_lines,
+    turns_to_chat_jsonl,
+)
+
+ROWS = [
+    ("c1", 0, "user", 'he said "hi" \\ there', ""),
+    ("c1", 1, "assistant", "line1\nline2 … done", ""),
+    ("c1", 5, "tool", "sparse index survives", "search"),
+    ("c2", 0, "user", "unicode: héllo wörld", ""),
+]
+SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string"
+
+
+def _round_trip(spark, rows):
+    turns = spark.createDataFrame(rows, SCHEMA)
+    lines = turns_to_chat_jsonl(turns).select("line")
+    return chat_jsonl_to_turns(lines)
+
+
+def test_round_trip_bytes_and_sparse_index(spark):
+    out = _round_trip(spark, ROWS)
+    got = {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.tool)
+        for r in out.collect()
+    }
+    assert len(got) == len(ROWS)
+    for conv, idx, role, text, tool in ROWS:
+        r, t, tl = got[(conv, idx)]
+        assert (r, t) == (role, text)
+        # empty tool is emitted as JSON null and parsed back as NULL
+        assert tl == (tool if tool else None)
+
+
+def test_corrupt_lines_dropped_not_nulled(spark):
+    good = turns_to_chat_jsonl(spark.createDataFrame(ROWS, SCHEMA)).select(
+        "line"
+    )
+    bad = spark.createDataFrame(
+        [
+            ('{"conversation_id": "cX", "messages": [{"turn_idx":',),
+            ("garbage",),
+            ('{"messages": 42}',),
+            ('{"conversation_id": "cY"}',),  # messages missing
+        ],
+        "line string",
+    )
+    out = chat_jsonl_to_turns(good.unionByName(bad))
+    assert out.count() == len(ROWS)
+    assert out.where(F.col("conv_id").isNull()).count() == 0
+
+
+def test_parse_chat_lines_ok_flag(spark):
+    df = spark.createDataFrame(
+        [('{"conversation_id": "c1", "messages": []}',), ("nope",)],
+        "line string",
+    )
+    flags = [r.ok for r in parse_chat_lines(df).orderBy("ok").collect()]
+    assert flags == [0, 1]
+
+
+def test_no_python_stage_in_plan(spark):
+    out = _round_trip(spark, ROWS)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

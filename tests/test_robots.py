@@ -1,0 +1,113 @@
+"""robots.txt parse + longest-match gate (operators/robots.py) laws."""
+
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.operators.robots import parse_robots, robots_gate
+
+BODY_A = """# policy for host a
+User-agent: Evil-bot
+Disallow: /
+
+User-agent: *
+Disallow: /private  # trailing comment
+Allow: /private/ok
+Disallow:
+
+User-agent: Other
+Allow: /private
+"""
+
+# stacked User-agent lines share one group; the * makes it apply
+BODY_B = """User-agent: Helper
+User-agent: *
+Disallow: /admin
+"""
+
+# no * group at all -> no rules -> everything allowed
+BODY_C = """User-agent: OnlyBot
+Disallow: /
+"""
+
+
+def _rules(spark):
+    df = spark.createDataFrame(
+        [("a.com", BODY_A), ("b.com", BODY_B), ("c.com", BODY_C)],
+        "host string, body string",
+    )
+    return parse_robots(df)
+
+
+def test_parse_star_groups_only(spark):
+    got = {
+        (r.host, r.path_prefix, r.allow) for r in _rules(spark).collect()
+    }
+    # Evil-bot's Disallow: / and Other's Allow: /private must NOT appear;
+    # the empty Disallow: is a no-op
+    assert got == {
+        ("a.com", "/private", 0),
+        ("a.com", "/private/ok", 1),
+        ("b.com", "/admin", 0),
+    }
+
+
+def test_gate_longest_match_and_defaults(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/private/ok/page"),  # Allow (longer prefix)
+            (2, "a.com", "/private/no"),  # Disallow
+            (3, "a.com", "/public"),  # no rule -> allow, match_len 0
+            (4, "b.com", "/admin/x"),  # stacked-UA Disallow applies
+            (5, "c.com", "/anything"),  # no * group -> allow
+            (6, "nohost.com", "/x"),  # host absent from robots -> allow
+        ],
+        "url_id int, host string, path string",
+    )
+    out = {
+        r.url_id: (r.allowed, r.match_len)
+        for r in robots_gate(urls, _rules(spark)).collect()
+    }
+    assert out == {
+        1: (1, len("/private/ok")),
+        2: (0, len("/private")),
+        3: (1, 0),
+        4: (0, len("/admin")),
+        5: (1, 0),
+        6: (1, 0),
+    }
+
+
+def test_allow_wins_length_tie(spark):
+    # one path matching two same-length prefixes with opposite verdicts
+    rules = spark.createDataFrame(
+        [("h", "/pg", 0), ("h", "/pg", 1)],
+        "host string, path_prefix string, allow int",
+    )
+    urls = spark.createDataFrame(
+        [(1, "h", "/pg/x")], "url_id int, host string, path string"
+    )
+    out = robots_gate(urls, rules).collect()[0]
+    assert (out.allowed, out.match_len) == (1, 3)
+
+
+def test_gate_output_row_per_url(spark):
+    urls = spark.createDataFrame(
+        [(i, "a.com", f"/private/{i}") for i in range(20)],
+        "url_id int, host string, path string",
+    )
+    out = robots_gate(urls, _rules(spark))
+    assert out.count() == 20
+    assert out.select("url_id").distinct().count() == 20
+
+
+def test_no_python_stage_in_gate_plan(spark):
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/x")], "url_id int, host string, path string"
+    )
+    plan = (
+        robots_gate(urls, _rules(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Broadcast" in plan  # rules dim is broadcast
