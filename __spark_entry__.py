@@ -12290,6 +12290,99 @@ def o_robots_gate():
     """
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py
+    resolve_redirects — pointer doubling, 5 joins for a 32-hop cap).
+    Edges are closed-form over documents: blocks of 50 ids, chain edges
+    d→d+1 for the first L(b) = (7·b) % 45 positions (lengths 0..44, so
+    blocks with L ≥ 33 exceed the cap → unresolved leg), plus a back
+    edge chain-end→block-head for b % 9 == 4 blocks (planted cycles —
+    every node in those blocks is unresolved at exactly cap hops). The
+    oracle walks the SAME edges step-by-step via a recursive CTE, so
+    the doubling algebra (exact hops, exact finals, the
+    chain-exactly-cap boundary) is value-checked."""
+    from doc_redaction_spark.operators.redirects import resolve_redirects
+
+    d = F.col("doc_id").cast("long")
+    b = F.floor(d / 50).cast("long")
+    p = d % 50
+    L = (b * 7) % 45
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("d"), b.alias("b"), p.alias("p"), L.alias("L")
+    )
+    chain = docs.where(F.col("p") < F.col("L")).select(
+        F.col("d").alias("src"), (F.col("d") + 1).alias("dst")
+    )
+    back = docs.where(
+        (F.col("p") == F.col("L")) & (F.col("b") % 9 == 4)
+    ).select(F.col("d").alias("src"), (F.col("b") * 50).alias("dst"))
+    return resolve_redirects(chain.unionByName(back), max_hops=32)
+
+
+def o_redirect_resolve():
+    return """
+    WITH RECURSIVE dd AS (
+      SELECT CAST(doc_id AS BIGINT) AS d,
+             CAST((doc_id - (doc_id % 50)) / 50 AS BIGINT) AS b,
+             CAST(doc_id % 50 AS BIGINT) AS p
+      FROM documents
+    ),
+    edges AS (
+      SELECT d AS src, d + 1 AS dst FROM dd WHERE p < (b * 7) % 45
+      UNION ALL
+      SELECT d AS src, b * 50 AS dst FROM dd
+      WHERE p = (b * 7) % 45 AND b % 9 = 4
+    ),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, CAST(1 AS BIGINT) FROM edges
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON w.cur = e.src
+      WHERE w.hops < 32
+    ),
+    last AS (
+      SELECT src, cur, hops,
+             row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+      FROM walk
+    )
+    SELECT l.src, l.cur AS final, CAST(l.hops AS BIGINT) AS hops,
+           CAST(CASE WHEN EXISTS (SELECT 1 FROM edges e WHERE e.src = l.cur)
+                THEN 0 ELSE 1 END AS INTEGER) AS resolved
+    FROM last l WHERE rn = 1
+    """
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for retrieval training (operators/search.py
+    mine_hard_negatives): the top-2 BM25 results per query are the
+    labeled positives (the self-labeling fixture — real labels come
+    from clicks/judgments), and the miner returns the top-10
+    highest-scoring NON-positive docs with rank 1..10 contiguous
+    (exclusion before ranking, not a ranked list with holes). Scores
+    are the exact shared _score_and_rank BIGINTs, so the
+    negative-vs-positive margin is directly comparable. Oracle = the
+    shared BM25 CTE chain with bmtop(k=2) as positives, anti-joined
+    and re-ranked."""
+    from doc_redaction_spark.operators.search import (
+        bm25_topk,
+        mine_hard_negatives,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pos = bm25_topk(docs, _BM25_QUERIES, k=2).select("query_id", "doc_id")
+    return mine_hard_negatives(docs, _BM25_QUERIES, pos, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+def o_hard_negatives():
+    from doc_redaction_spark.operators.search import duckdb_hard_negatives_sql
+
+    return duckdb_hard_negatives_sql(_BM25_QUERIES, "", k=10, pos_k=2)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12305,6 +12398,8 @@ _QUERIES: dict[str, Callable] = {
     # driver greens and inputs untouched this round
     "chat_jsonl_ingest": q_chat_jsonl_ingest,
     "robots_gate": q_robots_gate,
+    "redirect_resolve": q_redirect_resolve,
+    "hard_negatives": q_hard_negatives,
     "secrets_scan": q_secrets_scan,
     "secret_leak_audit": q_secret_leak_audit,
     "pii_echo_audit": q_pii_echo_audit,
@@ -12558,6 +12653,8 @@ _QUERIES: dict[str, Callable] = {
 _ORACLES: dict[str, Callable[[], str]] = {
     "chat_jsonl_ingest": o_chat_jsonl_ingest,
     "robots_gate": o_robots_gate,
+    "redirect_resolve": o_redirect_resolve,
+    "hard_negatives": o_hard_negatives,
     "secrets_scan": o_secrets_scan,
     "secret_leak_audit": o_secret_leak_audit,
     "pii_echo_audit": o_pii_echo_audit,

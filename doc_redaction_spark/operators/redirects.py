@@ -1,0 +1,97 @@
+"""Redirect-chain resolution — collapse a web corpus's redirect map to
+terminal URLs (reference scope: doc_redaction consumes already-fetched
+documents; a crawl corpus must first canonicalize every captured URL to
+its redirect target or dedup keys split across hops — the same curation
+slot as functions/urls.py canonicalization and operators/robots.py).
+
+Semantics (the crawler contract, e.g. curl ``--max-redirs``): follow at
+most ``max_hops`` redirect edges from each source; if a terminal node
+(one with no outgoing edge) is reached, the source is **resolved** with
+its exact hop count; otherwise (a longer chain OR a redirect cycle —
+the two are deliberately indistinguishable, exactly as a browser's
+"too many redirects" verdict) it is **unresolved** and ``final`` is the
+node reached after exactly ``max_hops`` edges (deterministic).
+
+Scale story — pointer doubling, not step-by-step walking: the jump
+table J_r maps every source to the node ``min(2^r, dist)`` edges ahead,
+and one self-join squares it (J_{r+1} = J_r ∘ J_r), so ``max_hops = 32``
+costs **5 shuffle joins** instead of 32, each hash-partitioned on the
+node id — a 100 TB redirect map resolves in O(log max_hops) rounds with
+no driver-side iteration on data. Like duplicate_components, this is an
+ITERATIVE operator: each round localCheckpoints (plan stays flat, the
+self-join never builds a 2^r-leaf tree), so it EXECUTES at construction
+time; write the result out and dereference it at scale.
+
+Contract: ``src`` is unique in ``edges`` (a redirect map is
+single-valued — an HTTP response has one Location header). Duplicate
+srcs are not detected here; they would fan the self-join out.
+
+Tests: tests/test_redirects.py; registry query ``redirect_resolve``
+builds a closed-form edge set (short chains, >max_hops chains, planted
+cycle blocks) and the oracle is a DuckDB recursive CTE walking the same
+edges step-by-step — the doubling algebra is value-checked exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    max_hops: int = 32,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve every edge source to ``(src, final, hops, resolved)``.
+
+    ``max_hops`` must be a power of two (the squaring rounds land on it
+    exactly; round your crawler's cap up). ``resolved`` is 1 when a
+    terminal was reached within ``max_hops`` edges, else 0 with
+    ``final`` = the node after exactly ``max_hops`` edges.
+
+    Executes at construction time (per-round localCheckpoint — see
+    module docstring).
+    """
+    if max_hops < 1 or (max_hops & (max_hops - 1)) != 0:
+        raise ValueError(f"max_hops must be a positive power of two, got {max_hops}")
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("cur"))
+    srcs = e.select(F.col("u").alias("_t")).distinct()
+    # J_0: one edge followed; done iff the landing node has no outgoing
+    j = (
+        e.join(srcs, F.col("cur") == F.col("_t"), "left")
+        .select(
+            "u",
+            "cur",
+            F.lit(1).cast("long").alias("hops"),
+            F.col("_t").isNull().cast("int").alias("done"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_hops.bit_length() - 1):
+        b = j.select(
+            F.col("u").alias("_bu"),
+            F.col("cur").alias("_bcur"),
+            F.col("hops").alias("_bhops"),
+            F.col("done").alias("_bdone"),
+        )
+        # not-done entries sit at a node that HAS an outgoing edge, so
+        # the inner join matches exactly one jump-table row (src unique)
+        advanced = (
+            j.where(F.col("done") == 0)
+            .join(b, F.col("cur") == F.col("_bu"))
+            .select(
+                "u",
+                F.col("_bcur").alias("cur"),
+                (F.col("hops") + F.col("_bhops")).alias("hops"),
+                F.col("_bdone").alias("done"),
+            )
+        )
+        j = j.where(F.col("done") == 1).unionByName(advanced).localCheckpoint()
+    return j.select(
+        F.col("u").alias(src_col),
+        F.col("cur").alias("final"),
+        F.col("hops").cast("long").alias("hops"),
+        F.col("done").cast("int").alias("resolved"),
+    )

@@ -812,3 +812,103 @@ def rrf_fuse(
             F.col("fused_rank").cast("int").alias("fused_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (retrieval / embedding training)
+# ---------------------------------------------------------------------------
+
+
+def mine_hard_negatives(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    positives: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_salts: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` hard negatives per query: the highest-BM25-scoring
+    documents that are NOT the query's labeled positives — the standard
+    mining pass for contrastive retrieval / embedding training (random
+    negatives are too easy; the model learns from near-misses).
+
+    ``positives`` is a (query_id, doc_id) labels frame, assumed tiny
+    relative to the corpus (a handful of labeled docs per query — it
+    broadcasts). Exclusion happens BEFORE ranking (a left_anti on the
+    per-term matched frame), so rank 1..k is a contiguous ranking of
+    the non-positive corpus, not a top-(k+p) with holes. Scoring and
+    the salted two-phase top-k are the exact shared kernel of
+    ``bm25_topk`` (_score_and_rank) — scores here and scores there are
+    the same BIGINTs, so a mined negative's margin vs the positive is
+    directly comparable.
+
+    Output: (query_id, rank, doc_id, score); only documents matching
+    >= 1 query term are candidates (a zero-overlap doc is not a HARD
+    negative by construction).
+    """
+    spark = docs.sparkSession
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok")
+        )
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
+    )
+    df_tok = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    pos = positives.select(
+        F.col("query_id").alias("_pq"), F.col(id_col).alias("_pd")
+    )
+    matched = (
+        tf.join(F.broadcast(_qterms(spark, queries)), "tok")
+        .join(
+            F.broadcast(pos),
+            (F.col("query_id") == F.col("_pq")) & (F.col("id") == F.col("_pd")),
+            "left_anti",
+        )
+        .join(df_tok, "tok")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    return _score_and_rank(matched, k, k1, b, n_salts, id_col)
+
+
+def duckdb_hard_negatives_sql(
+    queries: list[tuple[int, str]],
+    positives_cte: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    pos_k: int = 0,
+) -> str:
+    """Oracle: the shared BM25 CTE chain, positives anti-joined out of
+    the scored frame, re-ranked. ``positives_cte`` is the name of a CTE
+    (or derived table) with columns (query_id, doc_id); pass ``pos_k``
+    > 0 to instead label the chain's own top-``pos_k`` (``bmtop``) as
+    the positives — the self-labeling fixture the registry query uses.
+    The chain's rank cap must cover the exclusions, so the chain is
+    rendered with k + pos_k (only bmtop consumes it; ``sc`` is
+    unfiltered either way)."""
+    src = "bmtop" if pos_k > 0 else positives_cte
+    return f"""
+    WITH {duckdb_bm25_chain_sql(queries, k=(pos_k if pos_k > 0 else k), k1=k1, b=b, table=table)},
+    neg AS (
+      SELECT sc.query_id, sc.id, sc.score FROM sc
+      WHERE NOT EXISTS (SELECT 1 FROM {src} p
+                        WHERE p.query_id = sc.query_id AND p.doc_id = sc.id)
+    ),
+    nrk AS (SELECT query_id, id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, id) AS rank
+            FROM neg)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, score
+    FROM nrk WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """

@@ -1,0 +1,78 @@
+"""Redirect-chain resolution (operators/redirects.py) — pointer-doubling
+vs a Python step-by-step walk, plus contract laws."""
+
+import pytest
+
+from doc_redaction_spark.operators.redirects import resolve_redirects
+
+
+def _walk(edges, src, cap):
+    nxt = dict(edges)
+    cur, hops = nxt[src], 1
+    while hops < cap and cur in nxt:
+        cur, hops = nxt[cur], hops + 1
+    return cur, hops, int(cur not in nxt)
+
+
+def _check(spark, edges, cap=32):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.src: (r.final, r.hops, r.resolved)
+        for r in resolve_redirects(df, max_hops=cap).collect()
+    }
+    assert set(got) == {s for s, _ in edges}
+    for s, _ in edges:
+        assert got[s] == _walk(edges, s, cap), f"src {s}"
+
+
+def test_chains_and_terminals(spark):
+    # chain 1->2->3->4 (terminal), plus a 1-hop 10->11
+    _check(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+
+
+def test_cycle_is_unresolved_with_cap_hops(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (9, 1)]  # 3-cycle + a feeder
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.src: r for r in resolve_redirects(df, max_hops=8).collect()}
+    for s in (1, 2, 3, 9):
+        assert out[s].resolved == 0
+        assert out[s].hops == 8
+    _check(spark, edges, cap=8)  # final node exact too
+
+
+def test_chain_longer_than_cap(spark):
+    edges = [(i, i + 1) for i in range(40)]  # dist(0) = 40 > 32
+    _check(spark, edges, cap=32)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.src: r for r in resolve_redirects(df).collect()}
+    assert (out[0].resolved, out[0].hops, out[0].final) == (0, 32, 32)
+    assert (out[20].resolved, out[20].hops, out[20].final) == (1, 20, 40)
+
+
+def test_chain_exactly_cap_resolves(spark):
+    edges = [(i, i + 1) for i in range(8)]  # dist(0) = 8 == cap
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.src: r for r in resolve_redirects(df, max_hops=8).collect()}
+    assert (out[0].resolved, out[0].hops, out[0].final) == (1, 8, 8)
+
+
+def test_self_loop(spark):
+    _check(spark, [(5, 5), (6, 5)], cap=4)
+
+
+def test_max_hops_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    for bad in (0, 3, 20, -8):
+        with pytest.raises(ValueError):
+            resolve_redirects(df, max_hops=bad)
+
+
+def test_string_nodes(spark):
+    edges = [("a/x", "b/y"), ("b/y", "c/z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.src: r for r in resolve_redirects(df, max_hops=4).collect()}
+    assert (out["a/x"].final, out["a/x"].hops, out["a/x"].resolved) == (
+        "c/z",
+        2,
+        1,
+    )

@@ -204,3 +204,70 @@ def test_append_bm25_index_equals_full_rebuild(spark, tmp_path):
         for t in (t_inc, t_full):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             spark.sql(f"DROP TABLE IF EXISTS {t}_stats")
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def _hn_docs(spark):
+    rng = random.Random(11)
+    vocab = ["hash", "join", "table", "scan", "sort", "merge", "fast", "slow"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(12))) for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def test_hard_negatives_excludes_positives_and_ranks_contiguously(spark):
+    from doc_redaction_spark.operators.search import mine_hard_negatives
+
+    docs, _ = _hn_docs(spark)
+    queries = [(1, "fast hash join"), (2, "slow sort")]
+    pos = bm25_topk(docs, queries, k=3).select("query_id", "doc_id")
+    out = mine_hard_negatives(docs, queries, pos, k=5).collect()
+    pos_set = {(r.query_id, r.doc_id) for r in pos.collect()}
+    for r in out:
+        assert (r.query_id, r.doc_id) not in pos_set
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_hard_negatives_equals_bm25_tail_after_exclusion(spark):
+    """With positives = exact top-p, negatives must equal the bm25
+    ranking with those p entries removed and ranks shifted up."""
+    from doc_redaction_spark.operators.search import mine_hard_negatives
+
+    docs, _ = _hn_docs(spark)
+    queries = [(1, "fast hash join"), (2, "slow sort")]
+    p, k = 3, 5
+    full = bm25_topk(docs, queries, k=p + k).collect()
+    pos = bm25_topk(docs, queries, k=p).select("query_id", "doc_id")
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in mine_hard_negatives(docs, queries, pos, k=k).collect()
+    }
+    want = {
+        (r.query_id, r.rank - p): (r.doc_id, r.score)
+        for r in full
+        if r.rank > p
+    }
+    assert got == want and len(got) > 0
+
+
+def test_hard_negatives_scores_match_bm25_scale(spark):
+    from doc_redaction_spark.operators.search import mine_hard_negatives
+
+    docs, _ = _hn_docs(spark)
+    queries = [(7, "merge table scan")]
+    pos = spark.createDataFrame([(7, 0)], "query_id long, doc_id long")
+    base = {
+        r.doc_id: r.score for r in bm25_topk(docs, queries, k=60).collect()
+    }
+    for r in mine_hard_negatives(docs, queries, pos, k=10).collect():
+        assert r.score == base[r.doc_id]
+        assert r.doc_id != 0
