@@ -8102,11 +8102,13 @@ _WARC_PAYLOAD_SQL = (
 )
 
 
-def _warc_files(spark, sf_dir):
+def _warc_files(spark, sf_dir, payload_fn=None):
     """documents packed 10-per-file into WARC/1.0 blobs, records
-    concatenated in doc order — (file_id, warc)."""
+    concatenated in doc order — (file_id, warc). ``payload_fn(d)``
+    overrides the default payload builder (http_responses packs raw
+    HTTP responses instead of bare text)."""
     d = F.col("doc_id").cast("long")
-    payload = _warc_payload_spark(d)
+    payload = (payload_fn or _warc_payload_spark)(d)
     rec = F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
         _warc_uri_spark(d),
@@ -12383,6 +12385,425 @@ def o_hard_negatives():
     return duckdb_hard_negatives_sql(_BM25_QUERIES, "", k=10, pos_k=2)
 
 
+# --- sitemap fixture: ONE Spark builder + ONE SQL rendering (the WARC
+# fixture convention). 20 urls per sitemap file; every 11th loc carries
+# a query string whose & is XML-escaped in the document (the parse must
+# unescape it back); every 3rd entry has NO <lastmod>.
+def _sitemap_loc_spark(d):
+    hosts = F.array(*[F.lit(h) for h in URL_HOSTS])
+    return F.concat(
+        F.lit("https://"),
+        F.element_at(hosts, (d % 5).cast("int") + 1),
+        F.lit("/doc/"),
+        d.cast("string"),
+        F.when(d % 11 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+    )
+
+
+def _sitemap_loc_sql() -> str:
+    alts = ", ".join(f"'{h}'" for h in URL_HOSTS)
+    return (
+        f"'https://' || ([{alts}])[CAST(doc_id % 5 AS INTEGER) + 1]"
+        " || '/doc/' || CAST(doc_id AS VARCHAR)"
+        " || CASE WHEN doc_id % 11 = 0 THEN '?a=1&b=2' ELSE '' END"
+    )
+
+
+def _sitemap_lastmod_spark(d):
+    return F.when(
+        d % 3 != 0,
+        F.concat(
+            F.lit("2026-"),
+            F.lpad(((d % 12) + 1).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad(((d % 28) + 1).cast("string"), 2, "0"),
+        ),
+    ).otherwise(F.lit(""))
+
+
+_SITEMAP_LASTMOD_SQL = (
+    "CASE WHEN doc_id % 3 <> 0 THEN '2026-'"
+    " || lpad(CAST((doc_id % 12) + 1 AS VARCHAR), 2, '0') || '-'"
+    " || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') ELSE '' END"
+)
+
+
+def _sitemap_files(spark, sf_dir):
+    """documents packed 20-per-file into sitemap XML blobs — the loc's
+    ``&`` is escaped to ``&amp;`` in the XML (the parser must round-trip
+    it), lastmod entries omit the element entirely when absent."""
+    d = F.col("doc_id").cast("long")
+    loc_xml = F.replace(_sitemap_loc_spark(d), F.lit("&"), F.lit("&amp;"))
+    lastmod = _sitemap_lastmod_spark(d)
+    entry = F.concat(
+        F.lit("<url><loc>"),
+        loc_xml,
+        F.lit("</loc>"),
+        F.when(
+            lastmod != "",
+            F.concat(F.lit("<lastmod>"), lastmod, F.lit("</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.expr("CAST(doc_id AS BIGINT) div 20").alias("site_id"),
+            F.struct(d.alias("doc_id"), entry.alias("e")).alias("s"),
+        )
+        .groupBy("site_id")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("s")), lambda sr: sr["e"]
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+
+
+def q_sitemap_ingest(spark, sf_dir):
+    """Sitemap ingest (sources/sitemap_lite.py sitemap_urls — the
+    crawl-frontier feed beside robots_gate and redirect_resolve):
+    documents packed 20-per-file into sitemaps.org XML built JVM-side,
+    parsed back by the map-only block→field→unescape chain. Teeth:
+    every 11th loc has an ``&amp;``-escaped query string that must
+    unescape to ``&``; every 3rd entry has no <lastmod> (must surface
+    as '' without shifting url_idx). Oracle = the closed-form entry
+    reconstruction."""
+    from doc_redaction_spark.sources.sitemap_lite import sitemap_urls
+
+    return sitemap_urls(_sitemap_files(spark, sf_dir), keys=("site_id",))
+
+
+def o_sitemap_ingest():
+    return f"""
+    SELECT CAST(doc_id // 20 AS BIGINT) AS site_id,
+           CAST(row_number() OVER (PARTITION BY doc_id // 20
+                                   ORDER BY doc_id) - 1 AS BIGINT) AS url_idx,
+           {_sitemap_loc_sql()} AS loc,
+           {_SITEMAP_LASTMOD_SQL} AS lastmod
+    FROM documents
+    """
+
+
+def q_recrawl_stale(spark, sf_dir):
+    """Recrawl staleness verdict (sources/sitemap_lite.py
+    recrawl_verdict): the parsed sitemap joins the crawl ledger
+    (fetched_at = 2026-06-15 for docs with d%4 != 1) and every verdict
+    leg fires — 'fetch' (never fetched, d%4==1), 'refetch' via missing
+    lastmod (d%3==0), 'refetch' via lastmod > fetched_at (months
+    July–December), 'skip' (months January–June, incl. the equal-date
+    boundary at June 15 which must NOT refetch). Timestamps are ISO
+    strings compared lexicographically — no parse, no timezone."""
+    from doc_redaction_spark.sources.sitemap_lite import (
+        recrawl_verdict,
+        sitemap_urls,
+    )
+
+    sm = sitemap_urls(_sitemap_files(spark, sf_dir), keys=("site_id",))
+    d = F.col("doc_id").cast("long")
+    fetched = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(d % 4 != 1)
+        .select(
+            _sitemap_loc_spark(d).alias("loc"),
+            F.lit("2026-06-15").alias("fetched_at"),
+        )
+    )
+    return recrawl_verdict(sm, fetched)
+
+
+def o_recrawl_stale():
+    return f"""
+    WITH sm AS (SELECT doc_id, {_sitemap_loc_sql()} AS loc,
+                       {_SITEMAP_LASTMOD_SQL} AS lastmod
+                FROM documents)
+    SELECT loc, lastmod,
+           CASE WHEN doc_id % 4 <> 1 THEN '2026-06-15' ELSE '' END
+             AS fetched_at,
+           CASE WHEN doc_id % 4 = 1 THEN 'fetch'
+                WHEN lastmod = '' THEN 'refetch'
+                WHEN lastmod > '2026-06-15' THEN 'refetch'
+                ELSE 'skip' END AS verdict
+    FROM sm
+    """
+
+
+def q_pptx_slides(spark, sf_dir):
+    """PPTX slide-text scan (sources/pptx_xml.py pptx_paragraphs — the
+    DrawingML sibling of docx_paragraphs): slides built JVM-side with a
+    title paragraph, a body paragraph split MID-WORD across two
+    ``<a:t>`` runs (per-run concatenation must reassemble it), a
+    runless layout paragraph (dropped without renumbering — para_idx 2
+    never appears), and a second body paragraph. Every 13th doc's first
+    body carries raw ``<&>`` characters XML-escaped in the runs — the
+    unescape round trip is value-checked. Oracle = the closed-form
+    paragraph reconstruction."""
+    from doc_redaction_spark.sources.pptx_xml import pptx_paragraphs
+
+    d = F.col("doc_id").cast("long")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    raw0 = F.concat(
+        F.substring(t, 1, 40),
+        F.when(d % 13 == 0, F.lit("<&>")).otherwise(F.lit("")),
+    )
+    raw1 = F.substring(t, 41, 60)
+
+    def esc(c):
+        c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+        return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+    xml = F.concat(
+        F.lit("<p:sld><p:txBody><a:p><a:r><a:t>Slide "),
+        d.cast("string"),
+        F.lit("</a:t></a:r></a:p><a:p><a:r><a:t>"),
+        esc(F.substring(raw0, 1, 20)),
+        F.lit('</a:t></a:r><a:r><a:t xml:space="preserve">'),
+        esc(F.substring(raw0, 21, 100)),
+        F.lit("</a:t></a:r></a:p><a:p><a:pPr/></a:p><a:p><a:r><a:t>"),
+        esc(raw1),
+        F.lit("</a:t></a:r></a:p></p:txBody></p:sld>"),
+    )
+    slides = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("doc_id"),
+        (d % 3).cast("int").alias("slide_idx"),
+        xml.alias("xml"),
+    )
+    return pptx_paragraphs(slides, keys=("doc_id", "slide_idx"))
+
+
+def o_pptx_slides():
+    return """
+    WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      CAST(doc_id % 3 AS INTEGER) AS slide_idx,
+                      coalesce(text, '') AS t
+               FROM documents),
+    u AS (
+      SELECT doc_id, slide_idx, 0 AS para_idx,
+             'Slide ' || CAST(doc_id AS VARCHAR) AS para_text FROM p
+      UNION ALL
+      SELECT doc_id, slide_idx, 1,
+             substr(t, 1, 40)
+             || CASE WHEN doc_id % 13 = 0 THEN '<&>' ELSE '' END FROM p
+      UNION ALL
+      SELECT doc_id, slide_idx, 3, substr(t, 41, 60) FROM p
+    )
+    SELECT doc_id, slide_idx, CAST(para_idx AS BIGINT) AS para_idx,
+           para_text
+    FROM u WHERE para_text <> ''
+    """
+
+
+# --- HTTP-response fixture: payloads are raw HTTP/1.x responses (the
+# real content of a WARC 'response' record). Status cycles d%4 incl. a
+# terse no-reason-phrase 204; Content-Type cycles d%6 over case/quoting
+# variants, a charset parameter, a missing header, and a non-text type.
+_HTTP_STATUSES = ["200 OK", "301 Moved Permanently", "404 Not Found", "204"]
+_HTTP_CT_LINES = [
+    "Content-Type: text/html; charset=UTF-8\r\n",
+    "Content-Type: text/html\r\n",
+    "content-type: application/json; charset=iso-8859-1\r\n",
+    'Content-Type: TEXT/HTML; Charset="utf-8"\r\n',
+    "",
+    "Content-Type: image/png\r\n",
+]
+
+
+def _http_payload_spark(d):
+    status = F.element_at(
+        F.array(*[F.lit(s) for s in _HTTP_STATUSES]), (d % 4).cast("int") + 1
+    )
+    ct = F.element_at(
+        F.array(*[F.lit(s) for s in _HTTP_CT_LINES]), (d % 6).cast("int") + 1
+    )
+    return F.concat(
+        F.lit("HTTP/1.1 "),
+        status,
+        F.lit("\r\n"),
+        ct,
+        F.lit("X-Doc: "),
+        d.cast("string"),
+        F.lit("\r\n\r\n"),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+
+
+def _http_payload_sql() -> str:
+    sts = ", ".join(f"'{s}'" for s in _HTTP_STATUSES)
+    cts = ", ".join(
+        "'" + c.replace("\r\n", "\\r\\n") + "'" for c in _HTTP_CT_LINES
+    ).replace("\\r\\n", "' || chr(13) || chr(10) || '")
+    crlf = "chr(13) || chr(10)"
+    return (
+        f"'HTTP/1.1 ' || ([{sts}])[CAST(doc_id % 4 AS INTEGER) + 1]"
+        f" || {crlf} || ([{cts}])[CAST(doc_id % 6 AS INTEGER) + 1]"
+        f" || 'X-Doc: ' || CAST(doc_id AS VARCHAR)"
+        f" || {crlf} || {crlf} || coalesce(text, '')"
+    )
+
+
+def q_http_responses(spark, sf_dir):
+    """HTTP response parse over WARC records (functions/http.py over
+    sources/warc_lite.py): WARC blobs whose payloads are raw HTTP/1.x
+    responses are record-parsed, then the protocol fields come out of
+    pure JVM column expressions — status (incl. the terse no-reason
+    204 line), lowercased media type, charset parameter across
+    case/quoting variants, body length after the FIRST CRLFCRLF — and
+    the corpus keep gate (200 AND text/html) that routes records away
+    BEFORE extraction pays for them. Oracle rebuilds the payload
+    closed-form and applies the DuckDB rendering of the same parse
+    spec, so every field is value-checked cross-dialect."""
+    from doc_redaction_spark.functions.http import (
+        http_body_col,
+        http_charset_col,
+        http_content_type_col,
+        http_status_col,
+    )
+    from doc_redaction_spark.sources.warc_lite import warc_to_records
+
+    recs = warc_to_records(_warc_files(spark, sf_dir, _http_payload_spark))
+    status = http_status_col("payload")
+    ct = http_content_type_col("payload")
+    return recs.select(
+        "file_id",
+        "rec_idx",
+        "target_uri",
+        status.alias("status"),
+        ct.alias("content_type"),
+        http_charset_col("payload").alias("charset"),
+        F.length(http_body_col("payload")).cast("long").alias("body_chars"),
+        ((status == 200) & (ct == "text/html")).cast("int").alias("keep"),
+    )
+
+
+def o_http_responses():
+    from doc_redaction_spark.functions.http import (
+        duckdb_http_body,
+        duckdb_http_charset,
+        duckdb_http_content_type,
+        duckdb_http_status,
+    )
+
+    return f"""
+    WITH p AS (SELECT doc_id, {_http_payload_sql()} AS payload,
+                      {_warc_uri_sql()} AS target_uri
+               FROM documents)
+    SELECT CAST(doc_id // 10 AS BIGINT) AS file_id,
+           CAST(row_number() OVER (PARTITION BY doc_id // 10
+                                   ORDER BY doc_id) - 1 AS INTEGER)
+             AS rec_idx,
+           target_uri,
+           {duckdb_http_status("payload")} AS status,
+           {duckdb_http_content_type("payload")} AS content_type,
+           {duckdb_http_charset("payload")} AS charset,
+           CAST(length({duckdb_http_body("payload")}) AS BIGINT)
+             AS body_chars,
+           CAST(CASE WHEN {duckdb_http_status("payload")} = 200
+                      AND {duckdb_http_content_type("payload")} = 'text/html'
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM p
+    """
+
+
+_PHRASE_QUERIES = [
+    (1, "fast table"),
+    (2, "sort table window"),
+    (3, "a a"),
+    (4, "the line sort"),
+]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search (operators/search.py phrase_match — the
+    positional-index query BM25 cannot express): phrases over the
+    documents corpus incl. a repeated-term phrase ('a a') whose
+    overlapping occurrences must each count. ONE combinable groupBy on
+    (query, doc, start) — no per-term positional self-join chain.
+    Oracle = the same vote-counting spec over generate_subscripts
+    positions with identical tokenize_py term rows."""
+    from doc_redaction_spark.operators.search import phrase_match
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return phrase_match(docs, _PHRASE_QUERIES).orderBy("query_id", "doc_id")
+
+
+def o_phrase_search():
+    from doc_redaction_spark.operators.search import duckdb_phrase_match_sql
+
+    return duckdb_phrase_match_sql(_PHRASE_QUERIES)
+
+
+def q_crawl_schedule(spark, sf_dir):
+    """Per-host politeness schedule (operators/robots.py
+    parse_crawl_delay + politeness_schedule): robots bodies per base
+    host carry an Evil-bot Crawl-delay 99 that must be IGNORED, a
+    ``User-agent: *`` delay k+2, for host 2 a SECOND star group with
+    delay 9 (max wins), and host 4 has no directive at all (the
+    default_delay=3 leg). The i-th URL of a host fetches at
+    (i−1)·delay seconds — the sequential per-host lane IS the
+    politeness contract, so the host-window sort never exceeds one
+    host's frontier. Oracle = closed-form delays + the same window."""
+    from doc_redaction_spark.operators.robots import (
+        parse_crawl_delay,
+        politeness_schedule,
+    )
+
+    k = F.col("r_regionkey").cast("int")
+    hosts = F.array(*[F.lit(h) for h in URL_HOSTS])
+    body = F.concat(
+        F.lit("User-agent: Evil-bot\nCrawl-delay: 99\n\n"),
+        F.when(
+            k != 4,
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                (k + 2).cast("string"),
+                F.lit("\n"),
+            ),
+        ).otherwise(F.lit("User-agent: *\nDisallow: /tmp\n")),
+        F.when(
+            k == 2, F.lit("\nUser-agent: Helper\nUser-agent: *\nCrawl-delay: 9\n")
+        ).otherwise(F.lit("")),
+    )
+    robots = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        F.element_at(hosts, k + 1).alias("host"), body.alias("body")
+    )
+    d = F.col("doc_id").cast("long")
+    urls = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("url_id"),
+        F.element_at(hosts, (d % 5).cast("int") + 1).alias("host"),
+    )
+    return politeness_schedule(urls, parse_crawl_delay(robots), default_delay=3)
+
+
+def o_crawl_schedule():
+    alts = ", ".join(f"'{h}'" for h in URL_HOSTS)
+    return f"""
+    WITH u AS (SELECT CAST(doc_id AS BIGINT) AS url_id,
+                      ([{alts}])[CAST(doc_id % 5 AS INTEGER) + 1] AS host,
+                      CAST(CASE WHEN doc_id % 5 = 2 THEN 9
+                                WHEN doc_id % 5 = 4 THEN 3
+                                ELSE (doc_id % 5) + 2 END AS BIGINT)
+                        AS delay_s
+               FROM documents)
+    SELECT url_id, host,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY url_id)
+                AS INTEGER) AS slot,
+           delay_s,
+           CAST((row_number() OVER (PARTITION BY host ORDER BY url_id) - 1)
+                * delay_s AS BIGINT) AS offset_s
+    FROM u
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12400,6 +12821,12 @@ _QUERIES: dict[str, Callable] = {
     "robots_gate": q_robots_gate,
     "redirect_resolve": q_redirect_resolve,
     "hard_negatives": q_hard_negatives,
+    "sitemap_ingest": q_sitemap_ingest,
+    "recrawl_stale": q_recrawl_stale,
+    "pptx_slides": q_pptx_slides,
+    "http_responses": q_http_responses,
+    "phrase_search": q_phrase_search,
+    "crawl_schedule": q_crawl_schedule,
     "secrets_scan": q_secrets_scan,
     "secret_leak_audit": q_secret_leak_audit,
     "pii_echo_audit": q_pii_echo_audit,
@@ -12655,6 +13082,12 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "robots_gate": o_robots_gate,
     "redirect_resolve": o_redirect_resolve,
     "hard_negatives": o_hard_negatives,
+    "sitemap_ingest": o_sitemap_ingest,
+    "recrawl_stale": o_recrawl_stale,
+    "pptx_slides": o_pptx_slides,
+    "http_responses": o_http_responses,
+    "phrase_search": o_phrase_search,
+    "crawl_schedule": o_crawl_schedule,
     "secrets_scan": o_secrets_scan,
     "secret_leak_audit": o_secret_leak_audit,
     "pii_echo_audit": o_pii_echo_audit,

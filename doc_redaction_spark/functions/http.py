@@ -1,0 +1,133 @@
+"""HTTP/1.x response parsing — status line, Content-Type media type,
+charset parameter, body split. The layer between WARC record ingest
+(sources/warc_lite.py: a WARC ``response`` record's payload IS the raw
+HTTP response) and every downstream text stage: a web corpus keeps
+``200`` + ``text/html`` and routes everything else away BEFORE paying
+for extraction (reference scope: doc_redaction starts at already-
+decoded files — ``/root/reference/tools/file_conversion.py`` — so the
+protocol layer in front is ours).
+
+One spec, three dialects (the repo convention): Spark Column
+expressions (JVM, whole-stage codegen — the hot path is map-only),
+DuckDB SQL renderers (the oracle), Python (unit-test reference). All
+patterns live in the Java/RE2/``re`` common subset; header names match
+case-insensitively per RFC 9110, values are trimmed, the media type is
+lowercased (it is case-insensitive by spec; the charset token too).
+
+Contract: the header block is everything before the FIRST CRLFCRLF;
+the body is everything after it ('' when the separator is absent — a
+truncated response has headers, not a body). A payload that does not
+start with a valid ``HTTP/1.x <3-digit>`` status line gets status 0
+(not NULL: 0 is unreachable as a real status, and a non-null int
+column survives every downstream comparison without NULL-logic
+surprises). Missing Content-Type / charset are ''.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SEP = "\r\n\r\n"
+STATUS_PATTERN = r"^HTTP/1\.[01] ([0-9]{3})(?: |\r|$)"
+CTYPE_PATTERN = r"(?im)^content-type[ \t]*:[ \t]*([^;\r\n]*)"
+CHARSET_PATTERN = r"(?im)^content-type[^\r\n]*;[ \t]*charset=\"?([A-Za-z0-9_.:\-]+)"
+
+
+def _payload(col) -> Column:
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.coalesce(c, F.lit(""))
+
+
+def http_head_col(col) -> Column:
+    p = _payload(col)
+    sep = F.instr(p, _SEP)
+    return F.when(sep > 0, F.substring(p, F.lit(1), sep - 1)).otherwise(p)
+
+
+def http_body_col(col) -> Column:
+    p = _payload(col)
+    sep = F.instr(p, _SEP)
+    return F.when(
+        sep > 0, F.substring(p, sep + F.lit(4), F.length(p))
+    ).otherwise(F.lit(""))
+
+
+def http_status_col(col) -> Column:
+    s = F.regexp_extract(http_head_col(col), STATUS_PATTERN, 1)
+    return F.when(s != "", s.cast("int")).otherwise(F.lit(0))
+
+
+def http_content_type_col(col) -> Column:
+    return F.lower(F.trim(F.regexp_extract(http_head_col(col), CTYPE_PATTERN, 1)))
+
+
+def http_charset_col(col) -> Column:
+    return F.lower(F.regexp_extract(http_head_col(col), CHARSET_PATTERN, 1))
+
+
+# --- DuckDB renderings (oracle dialect) ------------------------------------
+
+_SEP_SQL = "chr(13) || chr(10) || chr(13) || chr(10)"
+
+
+def duckdb_http_head(expr: str) -> str:
+    p = f"coalesce({expr}, '')"
+    return (
+        f"CASE WHEN strpos({p}, {_SEP_SQL}) > 0"
+        f" THEN substr({p}, 1, strpos({p}, {_SEP_SQL}) - 1) ELSE {p} END"
+    )
+
+
+def duckdb_http_body(expr: str) -> str:
+    p = f"coalesce({expr}, '')"
+    return (
+        f"CASE WHEN strpos({p}, {_SEP_SQL}) > 0"
+        f" THEN substr({p}, strpos({p}, {_SEP_SQL}) + 4) ELSE '' END"
+    )
+
+
+def _sq(pattern: str) -> str:
+    # DuckDB single-quoted literals: only quotes need doubling
+    # (backslash is not an escape character in standard SQL strings)
+    return pattern.replace("'", "''")
+
+
+def duckdb_http_status(expr: str) -> str:
+    h = duckdb_http_head(expr)
+    m = f"regexp_extract({h}, '{_sq(STATUS_PATTERN)}', 1)"
+    return f"CAST(CASE WHEN {m} <> '' THEN CAST({m} AS INTEGER) ELSE 0 END AS INTEGER)"
+
+
+def duckdb_http_content_type(expr: str) -> str:
+    h = duckdb_http_head(expr)
+    return f"lower(trim(regexp_extract({h}, '{_sq(CTYPE_PATTERN)}', 1)))"
+
+
+def duckdb_http_charset(expr: str) -> str:
+    h = duckdb_http_head(expr)
+    return f"lower(regexp_extract({h}, '{_sq(CHARSET_PATTERN)}', 1))"
+
+
+# --- Python reference (unit tests) ------------------------------------------
+
+_STATUS_RE = re.compile(STATUS_PATTERN)
+_CTYPE_RE = re.compile(CTYPE_PATTERN)
+_CHARSET_RE = re.compile(CHARSET_PATTERN)
+
+
+def http_parse_py(payload: str) -> dict:
+    p = payload or ""
+    i = p.find(_SEP)
+    head, body = (p[:i], p[i + 4 :]) if i >= 0 else (p, "")
+    ms = _STATUS_RE.search(head)
+    mc = _CTYPE_RE.search(head)
+    mch = _CHARSET_RE.search(head)
+    return {
+        "status": int(ms.group(1)) if ms else 0,
+        "content_type": (mc.group(1).strip().lower() if mc else ""),
+        "charset": (mch.group(1).lower() if mch else ""),
+        "body": body,
+    }

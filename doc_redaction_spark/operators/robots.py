@@ -37,12 +37,11 @@ _KEY_RE = r"^([A-Za-z-]+)\s*:"
 _VAL_RE = r"^[A-Za-z-]+\s*:\s*(.*)$"
 
 
-def parse_robots(
-    df: DataFrame, host_col: str = "host", body_col: str = "body"
-) -> DataFrame:
-    """robots.txt bodies → rule rows ``(host, path_prefix, allow)`` for
-    the ``User-agent: *`` groups. Pure JVM (split/posexplode/regex +
-    two host-keyed windows), one distinct at the end."""
+def _star_group_kv(df: DataFrame, host_col: str, body_col: str) -> DataFrame:
+    """Shared group machinery: robots.txt bodies → ``(host, key, val)``
+    rows belonging to ``User-agent: *`` groups (key lowercased, comments
+    stripped, blank lines ignored, stacked UA lines = one group). Used
+    by parse_robots (allow/disallow) and parse_crawl_delay."""
     lines = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.coalesce(F.col(body_col), F.lit("")), "\n"))
@@ -69,19 +68,80 @@ def parse_robots(
     star = F.max(
         ((F.col("key") == "user-agent") & (F.col("val") == "*")).cast("int")
     ).over(Window.partitionBy("host", "grp"))
+    return grouped.select("host", "key", "val", star.alias("star")).where(
+        F.col("star") == 1
+    )
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """robots.txt bodies → rule rows ``(host, path_prefix, allow)`` for
+    the ``User-agent: *`` groups. Pure JVM (split/posexplode/regex +
+    two host-keyed windows), one distinct at the end."""
     return (
-        grouped.select("host", "key", "val", star.alias("star"))
-        .where(
-            (F.col("star") == 1)
-            & F.col("key").isin("allow", "disallow")
-            & (F.col("val") != "")
-        )
+        _star_group_kv(df, host_col, body_col)
+        .where(F.col("key").isin("allow", "disallow") & (F.col("val") != ""))
         .select(
             "host",
             F.col("val").alias("path_prefix"),
             (F.col("key") == "allow").cast("int").alias("allow"),
         )
         .distinct()
+    )
+
+
+def parse_crawl_delay(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """``Crawl-delay`` seconds per host from the ``User-agent: *``
+    groups — the de-facto politeness directive (not in RFC 9309 but
+    honored by major crawlers). Integer values only (the common form);
+    when multiple star groups disagree, the MAX wins (the conservative
+    read). Hosts with no parseable directive are absent — callers apply
+    their default. Output: (host, crawl_delay long)."""
+    return (
+        _star_group_kv(df, host_col, body_col)
+        .where((F.col("key") == "crawl-delay") & F.col("val").rlike(r"^[0-9]+$"))
+        .groupBy("host")
+        .agg(F.max(F.col("val").cast("long")).alias("crawl_delay"))
+    )
+
+
+def politeness_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    default_delay: int = 1,
+    id_col: str = "url_id",
+    host_col: str = "host",
+    broadcast_delays: bool = True,
+) -> DataFrame:
+    """Per-host fetch schedule under Crawl-delay: the i-th URL of a host
+    (ordered by ``id_col`` — any stable unique key) fetches at offset
+    ``(i−1) · delay`` seconds from the host's crawl start. One window
+    per host plus one equi-join against the (broadcastable: one row per
+    host) delay dim. The per-host sort is the politeness contract
+    itself — a host's fetch lane is sequential BY DESIGN, so the window
+    partition is never wider than one host's frontier, and hot hosts
+    cost sort-of-their-own-URLs, not a global sort.
+
+    Output: (url_id, host, slot, delay_s, offset_s) — slot 1-based."""
+    d = delays.select(
+        F.col(host_col).alias("_dh"), F.col("crawl_delay").alias("_delay")
+    )
+    if broadcast_delays:
+        d = F.broadcast(d)
+    j = urls.join(d, urls[host_col] == F.col("_dh"), "left")
+    delay = F.coalesce(F.col("_delay"), F.lit(default_delay)).cast("long")
+    slot = F.row_number().over(
+        Window.partitionBy(urls[host_col]).orderBy(urls[id_col])
+    )
+    return j.select(
+        urls[id_col].alias(id_col),
+        urls[host_col].alias(host_col),
+        slot.alias("slot"),
+        delay.alias("delay_s"),
+        ((slot - F.lit(1)) * delay).cast("long").alias("offset_s"),
     )
 
 

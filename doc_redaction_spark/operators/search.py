@@ -912,3 +912,108 @@ def duckdb_hard_negatives_sql(
     FROM nrk WHERE rank <= {k}
     ORDER BY query_id, rank
     """
+
+
+# ---------------------------------------------------------------------------
+# exact phrase search (positional postings)
+# ---------------------------------------------------------------------------
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrases: list[tuple[int, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase occurrences per document — the positional-index
+    query that BM25's bag-of-words scoring cannot express ("hash join"
+    must match adjacently and in order, not as two independent terms).
+
+    Plan: positional postings (posexplode of the shared token spec)
+    join a BROADCAST (tok → (query_id, term_idx, n_terms)) phrase-term
+    dim; every match votes for the occurrence start ``pos − term_idx``,
+    and a start is a real occurrence iff it collects exactly
+    ``n_terms`` votes — term i can vote for a given start at most once
+    (the posting at start+i either equals term i or it doesn't), so
+    ``count(*) == n_terms`` is exact even for phrases with repeated
+    terms ("the cat the"), and overlapping occurrences each get their
+    own start. ONE map-side-combinable groupBy on (query, doc, start);
+    the k−1-positional-self-joins rendering would shuffle the postings
+    k−1 times — this shape shuffles once regardless of phrase length.
+
+    Output: (query_id, doc_id, n_hits, first_pos) — one row per
+    (phrase, doc) with ≥ 1 occurrence; ``first_pos`` is the 0-based
+    token index of the earliest occurrence. Phrase terms are tokenized
+    driver-side by ``tokenize_py`` (the same spec the corpus side
+    applies JVM-side), so a phrase that tokenizes to nothing raises.
+    """
+    spark = docs.sparkSession
+    rows = []
+    for qid, phrase in phrases:
+        terms = tokenize_py(phrase)
+        if not terms:
+            raise ValueError(f"phrase {qid} tokenizes to nothing: {phrase!r}")
+        rows += [(qid, i, t, len(terms)) for i, t in enumerate(terms)]
+    pterms = spark.createDataFrame(
+        rows, "query_id long, term_idx int, tok string, n_terms int"
+    )
+    postings = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
+    )
+    votes = postings.join(F.broadcast(pterms), "tok").select(
+        "query_id",
+        "id",
+        (F.col("pos") - F.col("term_idx")).alias("start"),
+        "n_terms",
+    )
+    occ = (
+        votes.groupBy("query_id", "id", "start", "n_terms")
+        .agg(F.count("*").alias("_v"))
+        .where(F.col("_v") == F.col("n_terms"))
+    )
+    return (
+        occ.groupBy("query_id", "id")
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.min("start").cast("long").alias("first_pos"),
+        )
+        .select("query_id", F.col("id").alias(id_col), "n_hits", "first_pos")
+    )
+
+
+def duckdb_phrase_match_sql(
+    phrases: list[tuple[int, str]], table: str = "documents"
+) -> str:
+    """Oracle: the same vote-counting spec over generate_subscripts
+    positions; phrase terms go through the SAME ``tokenize_py`` and are
+    inlined as VALUES, so both engines consume identical term rows."""
+    toks = (
+        "list_filter(string_split(lower(regexp_replace(coalesce({c}, ''),"
+        " '\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    rows = []
+    for qid, phrase in phrases:
+        terms = tokenize_py(phrase)
+        rows += [
+            "({}, {}, '{}', {})".format(qid, i, t.replace("'", "''"), len(terms))
+            for i, t in enumerate(terms)
+        ]
+    return f"""
+    WITH pt(query_id, term_idx, tok, n_terms) AS (VALUES {", ".join(rows)}),
+    tk AS (SELECT doc_id AS id,
+                  generate_subscripts({toks.format(c="text")}, 1) - 1 AS pos,
+                  unnest({toks.format(c="text")}) AS tok
+           FROM {table}),
+    v AS (SELECT pt.query_id, tk.id, tk.pos - pt.term_idx AS start,
+                 pt.n_terms
+          FROM tk JOIN pt USING (tok)),
+    occ AS (SELECT query_id, id, start FROM v
+            GROUP BY query_id, id, start, n_terms
+            HAVING count(*) = n_terms)
+    SELECT CAST(query_id AS BIGINT) AS query_id, id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(start) AS BIGINT) AS first_pos
+    FROM occ GROUP BY query_id, id
+    ORDER BY query_id, doc_id
+    """

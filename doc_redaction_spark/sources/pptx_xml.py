@@ -1,0 +1,59 @@
+"""PPTX (PresentationML / DrawingML) slide-text scan — the third member
+of the zip-office family (DOCX paragraphs: sources/docx_xml.py, XLSX
+sheets: sources/xlsx_lite.py). The reference's file dispatch converts
+office formats before redacting (``/root/reference/tools/
+file_conversion.py``); slides carry the same PII as documents, so a
+corpus engine owes them the same paragraph extraction.
+
+A slide part (``ppt/slides/slideN.xml``) holds text as DrawingML
+``<a:p>`` paragraphs whose visible text is the in-order concatenation
+of their ``<a:t>`` run texts — runs split mid-word by formatting
+boundaries exactly like WordprocessingML runs, so naive per-run rows
+would shear words apart. Identical decomposition to the DOCX scan, with
+the DrawingML tag names: split at ``</a:p>`` → concatenate ``<a:t>``
+runs per fragment → shared XML entity unescape (``&amp;`` last) → drop
+runless fragments (layout-only shapes) without renumbering. Map-only:
+split → posexplode → regexp_extract_all → array_join; no shuffle, no
+UDF, no parser library — the zip layer is upstream (blob dispatch in
+sources/multimodal.py routes zip-office containers; member decompression
+is stdlib ``zipfile`` at the edge, the XML columns here are the already-
+extracted slide parts, the same contract docx_paragraphs uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.sources.docx_xml import _unescape
+
+PARA_SPLIT_PATTERN = r"(?is)</a:p\s*>"
+RUN_TEXT_PATTERN = r"(?is)<a:t(?:\s[^>]*)?>(.*?)</a:t\s*>"
+
+
+def pptx_paragraphs(
+    df: DataFrame, xml_col: str = "xml", keys: tuple = ("doc_id", "slide_idx")
+) -> DataFrame:
+    """keys… + slide XML → one row per text paragraph: keys… +
+    (para_idx long, para_text string). Same contract as
+    docx_paragraphs: ``para_idx`` is the fragment's position in the
+    slide; runless fragments are dropped but never renumber the rest."""
+    frags = F.split(F.col(xml_col), PARA_SPLIT_PATTERN)
+    ex = df.select(
+        *[F.col(k) for k in keys],
+        F.posexplode(frags).alias("para_idx", "_frag"),
+    )
+    text = _unescape(
+        F.array_join(
+            F.regexp_extract_all(F.col("_frag"), F.lit(RUN_TEXT_PATTERN), 1), ""
+        )
+    )
+    return (
+        ex.withColumn("para_text", text)
+        .filter(F.col("para_text") != "")
+        .select(
+            *[F.col(k) for k in keys],
+            F.col("para_idx").cast("long").alias("para_idx"),
+            "para_text",
+        )
+    )

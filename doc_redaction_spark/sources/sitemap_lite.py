@@ -1,0 +1,120 @@
+"""sitemaps.org XML ingest + recrawl-staleness verdict — the crawl-
+frontier feed that pairs with the robots gate (operators/robots.py) and
+redirect resolution (operators/redirects.py): a polite crawler reads
+``/sitemap.xml`` to learn WHAT to fetch and WHEN it last changed, then
+recrawls only what is stale (reference scope: doc_redaction consumes
+already-fetched documents — ``/root/reference/tools/file_conversion.py``
+dispatch — so the fetch-planning stage in front of it is ours to build).
+
+Format subset (sitemaps.org protocol 0.9): a ``<urlset>`` of ``<url>``
+entries, each with a mandatory ``<loc>`` and an optional ``<lastmod>``
+(W3C datetime; DATE-ONLY and full forms both pass through as strings —
+ISO-8601 strings compare lexicographically, so staleness never parses a
+timestamp and cannot drift across engines). The same pattern machinery
+as the DOCX scan (sources/docx_xml.py): machine-written XML decomposed
+with patterns from the Java/RE2/Python-``re`` common subset — block
+extract → per-block field extract → entity unescape (the shared
+XML_UNESCAPES table, ``&amp;`` last). Map-only: regexp_extract_all →
+posexplode → two extracts; no shuffle, no UDF, no XML parser library.
+
+``build_sitemap`` writes the same subset deterministically so build →
+parse round trips are oracle-able; ``recrawl_verdict`` is the staleness
+join: never-fetched → fetch, ``lastmod > fetched_at`` → refetch,
+else skip (entries WITHOUT a lastmod are conservatively stale — the
+protocol says you may only skip when lastmod proves freshness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.sources.docx_xml import XML_UNESCAPES, _unescape
+
+URL_BLOCK_PATTERN = r"(?is)<url(?:\s[^>]*)?>(.*?)</url\s*>"
+LOC_PATTERN = r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>"
+LASTMOD_PATTERN = r"(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>"
+
+
+def _escape_py(s: str) -> str:
+    for ent, ch in reversed(XML_UNESCAPES):  # & first when escaping
+        s = s.replace(ch, ent)
+    return s
+
+
+def build_sitemap(urls: list[dict]) -> str:
+    """Entries → sitemap XML string. Each entry: ``loc`` (required),
+    ``lastmod`` (optional). Values are XML-escaped on the way in, so a
+    build→parse round trip returns the original strings."""
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>\n<urlset>']
+    for u in urls:
+        parts.append("<url><loc>" + _escape_py(u["loc"]) + "</loc>")
+        if u.get("lastmod"):
+            parts.append("<lastmod>" + _escape_py(u["lastmod"]) + "</lastmod>")
+        parts.append("</url>")
+    parts.append("</urlset>")
+    return "".join(parts)
+
+
+def sitemap_urls(
+    df: DataFrame, xml_col: str = "xml", keys: tuple = ("site_id",)
+) -> DataFrame:
+    """keys… + sitemap XML → one row per ``<url>`` entry: keys… +
+    (url_idx long, loc string, lastmod string). ``url_idx`` is the
+    entry's position in the document; entries with an empty ``<loc>``
+    are dropped but do not renumber the rest; a missing ``<lastmod>``
+    is the empty string (NOT NULL — '' < every date, so a no-lastmod
+    entry sorts as "unknown, assume stale" in lexicographic compares).
+    """
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(URL_BLOCK_PATTERN), 1)
+    ex = df.select(
+        *[F.col(k) for k in keys],
+        F.posexplode(blocks).alias("url_idx", "_blk"),
+    )
+    loc = _unescape(F.regexp_extract(F.col("_blk"), LOC_PATTERN, 1))
+    lastmod = _unescape(F.regexp_extract(F.col("_blk"), LASTMOD_PATTERN, 1))
+    return (
+        ex.withColumn("loc", loc)
+        .filter(F.col("loc") != "")
+        .select(
+            *[F.col(k) for k in keys],
+            F.col("url_idx").cast("long").alias("url_idx"),
+            "loc",
+            lastmod.alias("lastmod"),
+        )
+    )
+
+
+def recrawl_verdict(
+    sitemap: DataFrame,
+    fetched: DataFrame,
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    fetched_at_col: str = "fetched_at",
+) -> DataFrame:
+    """Staleness join: sitemap entries LEFT JOIN the crawl ledger on the
+    exact URL. Output one row per sitemap entry:
+    (loc, lastmod, fetched_at, verdict) with verdict ∈
+    {'fetch' (never fetched), 'refetch' (lastmod missing — unknown
+    freshness — or lastmod > fetched_at), 'skip'}. Both timestamps are
+    ISO-8601 STRINGS compared lexicographically — no timestamp parse,
+    no timezone drift, identical semantics in all three dialects. The
+    ledger side is expected unique per URL (one last-fetch row); dupes
+    would fan the join out, as in any ledger join."""
+    led = fetched.select(
+        F.col(loc_col).alias("_floc"),
+        F.col(fetched_at_col).alias("fetched_at"),
+    )
+    j = sitemap.join(led, sitemap[loc_col] == F.col("_floc"), "left")
+    verdict = (
+        F.when(F.col("fetched_at").isNull(), F.lit("fetch"))
+        .when(F.col(lastmod_col) == "", F.lit("refetch"))
+        .when(F.col(lastmod_col) > F.col("fetched_at"), F.lit("refetch"))
+        .otherwise(F.lit("skip"))
+    )
+    return j.select(
+        sitemap[loc_col].alias("loc"),
+        sitemap[lastmod_col].alias("lastmod"),
+        F.coalesce(F.col("fetched_at"), F.lit("")).alias("fetched_at"),
+        verdict.alias("verdict"),
+    )

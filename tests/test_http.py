@@ -1,0 +1,96 @@
+"""HTTP response parse (functions/http.py) — 3-dialect agreement on a
+payload battery covering every leg: status variants, header-name case,
+quoted charset, missing headers, non-HTTP payloads, no separator."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.functions.http import (
+    duckdb_http_body,
+    duckdb_http_charset,
+    duckdb_http_content_type,
+    duckdb_http_status,
+    http_body_col,
+    http_charset_col,
+    http_content_type_col,
+    http_parse_py,
+    http_status_col,
+)
+
+PAYLOADS = [
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n<html>hi</html>",
+    "HTTP/1.0 301 Moved Permanently\r\nLocation: /x\r\ncontent-type: TEXT/HTML\r\n\r\nmoved",
+    'HTTP/1.1 200 OK\r\nContent-Type: application/json; charset="iso-8859-1"\r\n\r\n{"a":1}',
+    "HTTP/1.1 404 Not Found\r\nX-Err: 1\r\n\r\n",
+    "HTTP/1.1 200 OK\r\nX-No-CT: yes\r\n\r\nbody only",
+    "HTTP/1.1 500\r\n\r\nterse status line",  # no reason phrase
+    "not an http response at all",  # no separator, no status
+    "HTTP/1.1 200 OK\r\nContent-Type: text/plain",  # truncated: no body
+    "HTTP/1.1 200 OK\r\n\r\nbody\r\n\r\nwith embedded CRLFCRLF",
+    "",
+]
+
+
+def test_http_spark_matches_python(spark):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(PAYLOADS)], "i long, payload string"
+    )
+    got = {
+        r.i: (r.status, r.ct, r.cs, r.body)
+        for r in df.select(
+            "i",
+            http_status_col("payload").alias("status"),
+            http_content_type_col("payload").alias("ct"),
+            http_charset_col("payload").alias("cs"),
+            http_body_col("payload").alias("body"),
+        ).collect()
+    }
+    for i, p in enumerate(PAYLOADS):
+        want = http_parse_py(p)
+        assert got[i] == (
+            want["status"],
+            want["content_type"],
+            want["charset"],
+            want["body"],
+        ), (i, p)
+
+
+def test_http_duckdb_matches_python():
+    con = duckdb.connect()
+    for i, p in enumerate(PAYLOADS):
+        lit = "'" + p.replace("'", "''").replace("\r", "' || chr(13) || '").replace(
+            "\n", "' || chr(10) || '"
+        ) + "'"
+        row = con.execute(
+            f"SELECT {duckdb_http_status(lit)}, {duckdb_http_content_type(lit)},"
+            f" {duckdb_http_charset(lit)}, {duckdb_http_body(lit)}"
+        ).fetchone()
+        want = http_parse_py(p)
+        assert row == (
+            want["status"],
+            want["content_type"],
+            want["charset"],
+            want["body"],
+        ), (i, p)
+
+
+def test_http_expected_values():
+    # spot-pin the spec itself (not just cross-dialect agreement)
+    w = [http_parse_py(p) for p in PAYLOADS]
+    assert [x["status"] for x in w] == [200, 301, 200, 404, 200, 500, 0, 200, 200, 0]
+    assert w[0]["content_type"] == "text/html" and w[0]["charset"] == "utf-8"
+    assert w[1]["content_type"] == "text/html" and w[1]["charset"] == ""
+    assert w[2]["charset"] == "iso-8859-1"
+    assert w[4]["content_type"] == ""
+    assert w[7]["body"] == ""  # truncated response: headers, not body
+    assert w[8]["body"] == "body\r\n\r\nwith embedded CRLFCRLF"  # FIRST sep splits
+
+
+def test_http_jvm_only_plan(spark):
+    df = spark.createDataFrame([(1, PAYLOADS[0])], "i long, payload string")
+    out = df.select(
+        http_status_col("payload").alias("s"),
+        http_body_col("payload").alias("b"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

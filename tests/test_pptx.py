@@ -1,0 +1,36 @@
+"""PPTX slide-text scan (sources/pptx_xml.py) — DOCX-contract parity."""
+
+from doc_redaction_spark.sources.pptx_xml import pptx_paragraphs
+
+SLIDE_1 = (
+    '<p:sld xmlns:a="x"><p:txBody>'
+    "<a:p><a:r><a:t>Hel</a:t></a:r><a:r><a:t>lo world</a:t></a:r></a:p>"
+    "<a:p><a:pPr/></a:p>"  # runless paragraph: dropped, keeps numbering
+    '<a:p><a:r><a:t>Fish &amp; chips &lt;3</a:t></a:r></a:p>'
+    "</p:txBody></p:sld>"
+)
+SLIDE_2 = '<p:sld><a:p><a:r><a:t xml:space="preserve"> padded </a:t></a:r></a:p></p:sld>'
+
+
+def test_pptx_runs_concatenate_and_unescape(spark):
+    df = spark.createDataFrame(
+        [(1, 0, SLIDE_1), (1, 1, SLIDE_2)],
+        "doc_id long, slide_idx int, xml string",
+    )
+    got = [
+        (r.slide_idx, r.para_idx, r.para_text)
+        for r in pptx_paragraphs(df).orderBy("slide_idx", "para_idx").collect()
+    ]
+    assert got == [
+        (0, 0, "Hello world"),
+        (0, 2, "Fish & chips <3"),
+        (1, 0, " padded "),
+    ]
+
+
+def test_pptx_jvm_only_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 0, SLIDE_1)], "doc_id long, slide_idx int, xml string"
+    )
+    plan = pptx_paragraphs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

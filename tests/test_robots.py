@@ -111,3 +111,63 @@ def test_no_python_stage_in_gate_plan(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Broadcast" in plan  # rules dim is broadcast
+
+
+# ---------------------------------------------------------------------------
+# Crawl-delay + politeness schedule
+# ---------------------------------------------------------------------------
+
+BODY_D = """User-agent: Evil-bot
+Crawl-delay: 99
+
+User-agent: *
+Crawl-delay: 5
+
+User-agent: Helper
+User-agent: *
+Crawl-delay: 7
+"""
+
+BODY_E = """User-agent: *
+Crawl-delay: fast
+Disallow: /x
+"""
+
+
+def test_parse_crawl_delay_star_groups_max_and_numeric_only(spark):
+    from doc_redaction_spark.operators.robots import parse_crawl_delay
+
+    df = spark.createDataFrame(
+        [("d.com", BODY_D), ("e.com", BODY_E), ("c.com", BODY_C)],
+        "host string, body string",
+    )
+    got = {(r.host, r.crawl_delay) for r in parse_crawl_delay(df).collect()}
+    # Evil-bot's 99 must not leak in; two star groups -> max(5, 7);
+    # non-numeric 'fast' dropped; no-star host absent entirely
+    assert got == {("d.com", 7)}
+
+
+def test_politeness_schedule_offsets_and_default(spark):
+    from doc_redaction_spark.operators.robots import (
+        parse_crawl_delay,
+        politeness_schedule,
+    )
+
+    delays = parse_crawl_delay(
+        spark.createDataFrame([("d.com", BODY_D)], "host string, body string")
+    )
+    urls = spark.createDataFrame(
+        [(10, "d.com"), (11, "d.com"), (12, "d.com"), (20, "z.com"), (21, "z.com")],
+        "url_id long, host string",
+    )
+    got = {
+        r.url_id: (r.slot, r.delay_s, r.offset_s)
+        for r in politeness_schedule(urls, delays, default_delay=2).collect()
+    }
+    assert got == {
+        10: (1, 7, 0),
+        11: (2, 7, 7),
+        12: (3, 7, 14),
+        20: (1, 2, 0),
+        21: (2, 2, 2),
+    }

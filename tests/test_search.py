@@ -271,3 +271,96 @@ def test_hard_negatives_scores_match_bm25_scale(spark):
     for r in mine_hard_negatives(docs, queries, pos, k=10).collect():
         assert r.score == base[r.doc_id]
         assert r.doc_id != 0
+
+
+# ---------------------------------------------------------------------------
+# exact phrase search
+# ---------------------------------------------------------------------------
+
+
+def _brute_phrase(docs_rows, phrases):
+    from doc_redaction_spark.operators.search import tokenize_py
+
+    out = {}
+    for qid, phrase in phrases:
+        terms = tokenize_py(phrase)
+        k = len(terms)
+        for doc_id, text in docs_rows:
+            toks = tokenize_py(text)
+            starts = [
+                s for s in range(len(toks) - k + 1) if toks[s : s + k] == terms
+            ]
+            if starts:
+                out[(qid, doc_id)] = (len(starts), min(starts))
+    return out
+
+
+def test_phrase_match_equals_brute_force(spark):
+    from doc_redaction_spark.operators.search import phrase_match
+
+    docs, rows = _hn_docs(spark)
+    phrases = [(1, "hash join"), (2, "sort merge join"), (3, "scan")]
+    got = {
+        (r.query_id, r.doc_id): (r.n_hits, r.first_pos)
+        for r in phrase_match(docs, phrases).collect()
+    }
+    assert got == _brute_phrase(rows, phrases) and len(got) > 0
+
+
+def test_phrase_match_overlaps_and_repeated_terms(spark):
+    from doc_redaction_spark.operators.search import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a b"),
+            (2, "the cat the cat the"),
+            (3, "b a b"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = [(10, "a a"), (11, "the cat the"), (12, "A  a\ta")]
+    got = {
+        (r.query_id, r.doc_id): (r.n_hits, r.first_pos)
+        for r in phrase_match(docs, phrases).collect()
+    }
+    assert got == {
+        (10, 1): (3, 0),  # overlapping starts 0,1,2
+        (11, 2): (2, 0),  # repeated-term phrase, overlapping at 0 and 2
+        (12, 1): (2, 0),  # tokenizer folds case/whitespace: 'a a a' x2
+    }
+
+
+def test_phrase_match_oracle_agreement(spark):
+    import duckdb
+
+    from doc_redaction_spark.operators.search import (
+        duckdb_phrase_match_sql,
+        phrase_match,
+    )
+
+    docs, rows = _hn_docs(spark)
+    phrases = [(1, "hash join"), (2, "slow sort merge"), (3, "table TABLE")]
+    got = sorted(
+        (r.query_id, r.doc_id, r.n_hits, r.first_pos)
+        for r in phrase_match(docs, phrases).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(duckdb_phrase_match_sql(phrases)).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_phrase_match_empty_phrase_raises(spark):
+    import pytest
+
+    from doc_redaction_spark.operators.search import phrase_match
+
+    docs, _ = _hn_docs(spark)
+    with pytest.raises(ValueError):
+        phrase_match(docs, [(1, "  \t ")])

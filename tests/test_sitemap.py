@@ -1,0 +1,71 @@
+"""Sitemap parse round trip + recrawl staleness (sources/sitemap_lite.py)."""
+
+from doc_redaction_spark.sources.sitemap_lite import (
+    build_sitemap,
+    recrawl_verdict,
+    sitemap_urls,
+)
+
+
+def test_sitemap_round_trip_with_entities_and_optional_lastmod(spark):
+    entries = [
+        {"loc": "https://a.com/p?x=1&y=2", "lastmod": "2026-01-05"},
+        {"loc": "https://a.com/<odd>", "lastmod": ""},
+        {"loc": "https://a.com/plain", "lastmod": "2026-03-01T10:00:00Z"},
+    ]
+    df = spark.createDataFrame(
+        [(1, build_sitemap(entries))], "site_id long, xml string"
+    )
+    got = [
+        (r.url_idx, r.loc, r.lastmod)
+        for r in sitemap_urls(df).orderBy("url_idx").collect()
+    ]
+    assert got == [
+        (0, "https://a.com/p?x=1&y=2", "2026-01-05"),
+        (1, "https://a.com/<odd>", ""),
+        (2, "https://a.com/plain", "2026-03-01T10:00:00Z"),
+    ]
+
+
+def test_sitemap_empty_loc_dropped_without_renumbering(spark):
+    xml = (
+        "<urlset><url><loc>https://a.com/1</loc></url>"
+        "<url><lastmod>2026-01-01</lastmod></url>"
+        "<url><loc>https://a.com/3</loc></url></urlset>"
+    )
+    df = spark.createDataFrame([(1, xml)], "site_id long, xml string")
+    got = [(r.url_idx, r.loc) for r in sitemap_urls(df).orderBy("url_idx").collect()]
+    assert got == [(0, "https://a.com/1"), (2, "https://a.com/3")]
+
+
+def test_sitemap_jvm_only_plan(spark):
+    df = spark.createDataFrame([(1, "<urlset></urlset>")], "site_id long, xml string")
+    plan = sitemap_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_recrawl_verdict_legs(spark):
+    sm = spark.createDataFrame(
+        [
+            ("https://a.com/new", "2026-01-05"),      # never fetched
+            ("https://a.com/stale", "2026-02-01"),    # lastmod > fetched_at
+            ("https://a.com/fresh", "2026-01-01"),    # lastmod <= fetched_at
+            ("https://a.com/nolm", ""),               # unknown freshness
+        ],
+        "loc string, lastmod string",
+    )
+    fetched = spark.createDataFrame(
+        [
+            ("https://a.com/stale", "2026-01-15T00:00:00Z"),
+            ("https://a.com/fresh", "2026-01-15T00:00:00Z"),
+            ("https://a.com/nolm", "2026-01-15T00:00:00Z"),
+        ],
+        "loc string, fetched_at string",
+    )
+    got = {r.loc: r.verdict for r in recrawl_verdict(sm, fetched).collect()}
+    assert got == {
+        "https://a.com/new": "fetch",
+        "https://a.com/stale": "refetch",
+        "https://a.com/fresh": "skip",
+        "https://a.com/nolm": "refetch",
+    }
