@@ -12804,6 +12804,159 @@ def o_crawl_schedule():
     """
 
 
+def q_charset_decode(spark, sf_dir):
+    """Charset sniff + transcode (sources/encoding.py decode_text_blobs
+    — the byte→text step a real crawl needs before any text stage):
+    documents encoded four ways JVM-side (plain UTF-8, UTF-8 with BOM,
+    UTF-16-LE with BOM, Latin-1 with a trailing 0xE9 that makes the
+    bytes INVALID UTF-8 so the last-resort leg must fire), plus every
+    17th doc overridden with a UTF-16 BOM over an ODD byte count — a
+    violated BOM promise that must come back ok=0/empty, not re-guessed.
+    The Arrow decoder's output text must equal the ORIGINAL document
+    text (closed-form oracle) — the decode is value-checked, not just
+    shape-checked."""
+    from doc_redaction_spark.sources.encoding import decode_text_blobs
+
+    d = F.col("doc_id").cast("long")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    utf8 = F.encode(t, "UTF-8")
+    blob = (
+        F.when(
+            d % 17 == 0,
+            F.concat(F.unhex(F.lit("FFFE")), F.encode(t, "UTF-16LE"), F.unhex(F.lit("41"))),
+        )
+        .when(d % 4 == 0, utf8)
+        .when(d % 4 == 1, F.concat(F.unhex(F.lit("EFBBBF")), utf8))
+        .when(d % 4 == 2, F.concat(F.unhex(F.lit("FFFE")), F.encode(t, "UTF-16LE")))
+        .otherwise(F.encode(F.concat(t, F.lit("é")), "ISO-8859-1"))
+    )
+    blobs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("doc_id"), blob.alias("blob")
+    )
+    return decode_text_blobs(blobs, keys=("doc_id",))
+
+
+def o_charset_decode():
+    return """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN doc_id % 17 = 0 THEN 'utf-16-le'
+                WHEN doc_id % 4 = 0 THEN 'utf-8'
+                WHEN doc_id % 4 = 1 THEN 'utf-8-bom'
+                WHEN doc_id % 4 = 2 THEN 'utf-16-le'
+                ELSE 'latin-1' END AS encoding,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 END AS INTEGER) AS ok,
+           CASE WHEN doc_id % 17 = 0 THEN ''
+                WHEN doc_id % 4 = 3 THEN coalesce(text, '') || 'é'
+                ELSE coalesce(text, '') END AS text
+    FROM documents
+    """
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier capstone — the full fetch-planning chain whose
+    every stage ships separately: sitemap ingest (sitemap_lite) →
+    recrawl staleness vs the ledger (skip fresh URLs) → robots
+    longest-match gate (drop disallowed paths; Allow overrides on
+    longer prefixes) → Crawl-delay politeness schedule over the
+    SURVIVORS only (slots renumber within the fetchable set — a polite
+    crawler doesn't hold a time slot for a URL it will not fetch).
+    Robots bodies per base host: star-group ``Disallow: /doc/<k>`` with
+    a longer ``Allow: /doc/<k><k>`` override AND a ``Crawl-delay``
+    (k+2; host 2 has a second star group with 9 — max wins; host 4 has
+    no delay — default 3). Oracle = the composed closed-form chain."""
+    from doc_redaction_spark.operators.robots import (
+        parse_crawl_delay,
+        parse_robots,
+        politeness_schedule,
+        robots_gate,
+    )
+    from doc_redaction_spark.sources.sitemap_lite import (
+        recrawl_verdict,
+        sitemap_urls,
+    )
+
+    sm = sitemap_urls(_sitemap_files(spark, sf_dir), keys=("site_id",))
+    d = F.col("doc_id").cast("long")
+    fetched = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(d % 4 != 1)
+        .select(
+            _sitemap_loc_spark(d).alias("loc"),
+            F.lit("2026-06-15").alias("fetched_at"),
+        )
+    )
+    todo = recrawl_verdict(sm, fetched).where(F.col("verdict") != "skip")
+    urls = todo.select(
+        F.regexp_extract("loc", r"/doc/([0-9]+)", 1).cast("long").alias("url_id"),
+        F.regexp_extract("loc", _HOST_PATTERN, 1).alias("host"),
+        F.regexp_extract("loc", r"^[a-zA-Z]+://[^/]+(/.*)$", 1).alias("path"),
+        "verdict",
+    )
+    k = F.col("r_regionkey").cast("int")
+    hosts = F.array(*[F.lit(h) for h in URL_HOSTS])
+    body = F.concat(
+        F.lit("User-agent: Evil-bot\nDisallow: /\nCrawl-delay: 99\n\n"),
+        F.lit("User-agent: *\nDisallow: /doc/"), k.cast("string"),
+        F.lit("\nAllow: /doc/"), k.cast("string"), k.cast("string"),
+        F.when(k != 4, F.concat(F.lit("\nCrawl-delay: "), (k + 2).cast("string"))).otherwise(F.lit("")),
+        F.lit("\n"),
+        F.when(
+            k == 2, F.lit("\nUser-agent: Helper\nUser-agent: *\nCrawl-delay: 9\n")
+        ).otherwise(F.lit("")),
+    )
+    robots = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        F.element_at(hosts, k + 1).alias("host"), body.alias("body")
+    )
+    gated = robots_gate(urls, parse_robots(robots)).where(F.col("allowed") == 1)
+    sched = politeness_schedule(
+        gated.select("url_id", "host"), parse_crawl_delay(robots), default_delay=3
+    )
+    return sched.join(
+        urls.select("url_id", "verdict"), "url_id"
+    ).select("url_id", "host", "verdict", "slot", "delay_s", "offset_s")
+
+
+def o_crawl_frontier():
+    alts = ", ".join(f"'{h}'" for h in URL_HOSTS)
+    return f"""
+    WITH sm AS (SELECT doc_id, {_sitemap_loc_sql()} AS loc,
+                       {_SITEMAP_LASTMOD_SQL} AS lastmod
+                FROM documents),
+    v AS (SELECT doc_id, loc,
+                 CASE WHEN doc_id % 4 = 1 THEN 'fetch'
+                      WHEN lastmod = '' THEN 'refetch'
+                      WHEN lastmod > '2026-06-15' THEN 'refetch'
+                      ELSE 'skip' END AS verdict
+          FROM sm),
+    u AS (SELECT CAST(doc_id AS BIGINT) AS url_id,
+                 ([{alts}])[CAST(doc_id % 5 AS INTEGER) + 1] AS host,
+                 CAST(doc_id % 5 AS INTEGER) AS k,
+                 '/doc/' || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN doc_id % 11 = 0 THEN '?a=1&b=2' ELSE '' END
+                   AS path,
+                 verdict
+          FROM v WHERE verdict <> 'skip'),
+    g AS (SELECT url_id, host, k, verdict,
+                 CASE WHEN starts_with(path, '/doc/' || CAST(k AS VARCHAR)
+                                             || CAST(k AS VARCHAR)) THEN 1
+                      WHEN starts_with(path, '/doc/' || CAST(k AS VARCHAR))
+                        THEN 0
+                      ELSE 1 END AS allowed
+          FROM u),
+    a AS (SELECT url_id, host, verdict,
+                 CAST(CASE WHEN k = 2 THEN 9 WHEN k = 4 THEN 3
+                           ELSE k + 2 END AS BIGINT) AS delay_s
+          FROM g WHERE allowed = 1)
+    SELECT url_id, host, verdict,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY url_id)
+                AS INTEGER) AS slot,
+           delay_s,
+           CAST((row_number() OVER (PARTITION BY host ORDER BY url_id) - 1)
+                * delay_s AS BIGINT) AS offset_s
+    FROM a
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12827,6 +12980,8 @@ _QUERIES: dict[str, Callable] = {
     "http_responses": q_http_responses,
     "phrase_search": q_phrase_search,
     "crawl_schedule": q_crawl_schedule,
+    "charset_decode": q_charset_decode,
+    "crawl_frontier": q_crawl_frontier,
     "secrets_scan": q_secrets_scan,
     "secret_leak_audit": q_secret_leak_audit,
     "pii_echo_audit": q_pii_echo_audit,
@@ -13088,6 +13243,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "http_responses": o_http_responses,
     "phrase_search": o_phrase_search,
     "crawl_schedule": o_crawl_schedule,
+    "charset_decode": o_charset_decode,
+    "crawl_frontier": o_crawl_frontier,
     "secrets_scan": o_secrets_scan,
     "secret_leak_audit": o_secret_leak_audit,
     "pii_echo_audit": o_pii_echo_audit,

@@ -1,0 +1,89 @@
+"""Charset sniffing + transcoding for crawled byte payloads — the
+decode step between raw HTTP/WARC bytes and every text stage. A real
+crawl corpus is NOT uniformly UTF-8: legacy servers ship Latin-1,
+Windows tooling ships UTF-16 with BOMs, and a pipeline that assumes
+UTF-8 silently mangles or drops those documents (reference scope:
+doc_redaction consumes already-decoded text/files —
+``/root/reference/tools/file_conversion.py`` — so the byte-level decode
+in front is ours, the same slot as sources/warc_lite.py).
+
+Deterministic sniff order (no statistical guessing — every rule is a
+byte fact, so the verdict is rerun- and engine-stable):
+
+1. ``EF BB BF``  → ``utf-8-bom``   (BOM stripped from the text);
+2. ``FF FE``     → ``utf-16-le``   (BOM stripped);
+3. ``FE FF``     → ``utf-16-be``   (BOM stripped);
+4. strict-valid UTF-8 → ``utf-8``;
+5. else → ``latin-1`` (ISO-8859-1 maps every byte, so this leg cannot
+   fail — it is the browsers' own last resort).
+
+A payload whose BOM PROMISES an encoding its bytes then violate (e.g.
+a UTF-16 BOM over an odd byte count) is ``ok = 0`` with empty text —
+corrupt, not silently re-guessed (the warc_lite tolerance convention:
+callers decide what to do with corrupt rows; they are never dropped
+invisibly inside the decoder).
+
+Spark-side: ``decode_text_blobs`` is Arrow-batched ``mapInPandas`` —
+map-only, no shuffle; Python is unavoidable here (Spark's ``decode()``
+expression has no strict-validity verdict and no BOM policy), so it is
+the repo's sanctioned vectorized escape hatch, one linear pass per
+payload byte.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DECODED_SCHEMA = "encoding string, ok int, text string"
+
+_BOMS = [
+    (b"\xef\xbb\xbf", "utf-8-bom", "utf-8"),
+    (b"\xff\xfe", "utf-16-le", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be", "utf-16-be"),
+]
+
+
+def sniff_decode(blob: bytes) -> tuple[str, int, str]:
+    """One payload → (encoding, ok, text). See module docstring for the
+    sniff order; total function over bytes (None → corrupt)."""
+    if blob is None:
+        return ("", 0, "")
+    for bom, label, codec in _BOMS:
+        if blob.startswith(bom):
+            try:
+                return (label, 1, blob[len(bom) :].decode(codec))
+            except UnicodeDecodeError:
+                return (label, 0, "")
+    try:
+        return ("utf-8", 1, blob.decode("utf-8"))
+    except UnicodeDecodeError:
+        return ("latin-1", 1, blob.decode("iso-8859-1"))
+
+
+def decode_text_blobs(
+    df: DataFrame, blob_col: str = "blob", keys: tuple = ("doc_id",)
+) -> DataFrame:
+    """keys… + binary payload → keys… + (encoding, ok, text) — one row
+    per input row (corrupt payloads kept with ok=0, never dropped)."""
+    key_list = list(keys)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = key_list + ["encoding", "ok", "text"]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = getattr(row, blob_col)
+                enc, ok, text = sniff_decode(
+                    bytes(blob) if blob is not None else None
+                )
+                out.append([getattr(row, k) for k in key_list] + [enc, ok, text])
+            yield pd.DataFrame(out, columns=cols)
+
+    in_schema = df.select(*key_list, blob_col).schema
+    key_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema[:-1])
+    return df.select(*key_list, blob_col).mapInPandas(
+        scan, f"{key_ddl}, {DECODED_SCHEMA}"
+    )

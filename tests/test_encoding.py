@@ -1,0 +1,49 @@
+"""Charset sniff + decode (sources/encoding.py) laws."""
+
+from doc_redaction_spark.sources.encoding import decode_text_blobs, sniff_decode
+
+
+def test_sniff_decode_all_legs():
+    s = "héllo wörld"
+    assert sniff_decode(s.encode("utf-8")) == ("utf-8", 1, s)
+    assert sniff_decode(b"\xef\xbb\xbf" + s.encode("utf-8")) == ("utf-8-bom", 1, s)
+    assert sniff_decode(b"\xff\xfe" + s.encode("utf-16-le")) == ("utf-16-le", 1, s)
+    assert sniff_decode(b"\xfe\xff" + s.encode("utf-16-be")) == ("utf-16-be", 1, s)
+    # invalid UTF-8 -> latin-1 last resort (every byte maps)
+    assert sniff_decode(b"caf\xe9") == ("latin-1", 1, "café")
+    # BOM promise violated: odd byte count after a UTF-16 BOM
+    assert sniff_decode(b"\xff\xfeabc") == ("utf-16-le", 0, "")
+    assert sniff_decode(b"") == ("utf-8", 1, "")
+    assert sniff_decode(None) == ("", 0, "")
+
+
+def test_sniff_bom_beats_utf8_validity():
+    # a UTF-16-LE payload of ASCII is NOT valid UTF-8 (NUL bytes are,
+    # actually, valid UTF-8!) — the BOM rule must fire FIRST or "a\x00"
+    # would decode as utf-8 with embedded NULs
+    blob = b"\xff\xfe" + "ab".encode("utf-16-le")
+    assert sniff_decode(blob) == ("utf-16-le", 1, "ab")
+
+
+def test_decode_text_blobs_spark(spark):
+    rows = [
+        (1, "plain".encode("utf-8")),
+        (2, b"\xef\xbb\xbf" + "bom".encode("utf-8")),
+        (3, b"\xff\xfe" + "wide".encode("utf-16-le")),
+        (4, b"caf\xe9"),
+        (5, b"\xff\xfeodd"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {
+        r.doc_id: (r.encoding, r.ok, r.text)
+        for r in decode_text_blobs(df).collect()
+    }
+    assert got == {
+        1: ("utf-8", 1, "plain"),
+        2: ("utf-8-bom", 1, "bom"),
+        3: ("utf-16-le", 1, "wide"),
+        4: ("latin-1", 1, "café"),
+        5: ("utf-16-le", 0, ""),
+        6: ("", 0, ""),
+    }
