@@ -12957,6 +12957,48 @@ def o_crawl_frontier():
     """
 
 
+def q_phrase_stored(spark, sf_dir):
+    """The STORED-index round trip of phrase_search — the 7th stored-
+    index family member (bands, IVF, PQ, BM25, conv-chains, secrets,
+    and now POSITIONAL postings): the corpus persists as a
+    bucketed+sorted (tok, id, pos) table (save_phrase_index), then the
+    SAME phrases probe it via phrase_match_from_index, whose scan
+    carries a pushed-down literal ``tok IN`` filter (plan-audited in
+    tests) and runs the shared vote-counting kernel over only the
+    phrase terms' posting lists. Values byte-identical to the
+    end-to-end path, so the driver hashes the save→read→probe loop.
+    Same external table + per-pid path + drop-before-return lifecycle
+    as bm25_stored (this query EXECUTES at construction)."""
+    from doc_redaction_spark.operators.search import (
+        phrase_match_from_index,
+        save_phrase_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tbl = f"reg_phrase_postings_{os.getpid()}"
+    tdir = f"/tmp/spark_graft_reg_phrase_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        save_phrase_index(docs, tbl, buckets=8, path=f"{tdir}/postings")
+        spark.catalog.refreshTable(tbl)
+        return (
+            phrase_match_from_index(spark, _PHRASE_QUERIES, table_name=tbl)
+            .orderBy("query_id", "doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+def o_phrase_stored():
+    # the stored index is the materialized positional postings — value-
+    # identical to the end-to-end oracle
+    return o_phrase_search()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12982,6 +13024,7 @@ _QUERIES: dict[str, Callable] = {
     "crawl_schedule": q_crawl_schedule,
     "charset_decode": q_charset_decode,
     "crawl_frontier": q_crawl_frontier,
+    "phrase_stored": q_phrase_stored,
     "secrets_scan": q_secrets_scan,
     "secret_leak_audit": q_secret_leak_audit,
     "pii_echo_audit": q_pii_echo_audit,
@@ -13245,6 +13288,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "crawl_schedule": o_crawl_schedule,
     "charset_decode": o_charset_decode,
     "crawl_frontier": o_crawl_frontier,
+    "phrase_stored": o_phrase_stored,
     "secrets_scan": o_secrets_scan,
     "secret_leak_audit": o_secret_leak_audit,
     "pii_echo_audit": o_pii_echo_audit,

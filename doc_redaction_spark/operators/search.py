@@ -947,20 +947,33 @@ def phrase_match(
     driver-side by ``tokenize_py`` (the same spec the corpus side
     applies JVM-side), so a phrase that tokenizes to nothing raises.
     """
-    spark = docs.sparkSession
+    postings = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
+    )
+    return _phrase_hits(
+        postings, _phrase_terms(docs.sparkSession, phrases), id_col
+    )
+
+
+def _phrase_terms(spark, phrases: list[tuple[int, str]]) -> DataFrame:
+    """(query_id, term_idx, tok, n_terms) phrase-term dim — tokenized
+    driver-side by tokenize_py, shared by the end-to-end and stored-
+    index paths (the _score_and_rank lesson)."""
     rows = []
     for qid, phrase in phrases:
         terms = tokenize_py(phrase)
         if not terms:
             raise ValueError(f"phrase {qid} tokenizes to nothing: {phrase!r}")
         rows += [(qid, i, t, len(terms)) for i, t in enumerate(terms)]
-    pterms = spark.createDataFrame(
+    return spark.createDataFrame(
         rows, "query_id long, term_idx int, tok string, n_terms int"
     )
-    postings = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
-    )
+
+
+def _phrase_hits(postings: DataFrame, pterms: DataFrame, id_col: str) -> DataFrame:
+    """Shared vote-counting kernel over an (id, pos, tok) postings
+    frame; see phrase_match for the exactness argument."""
     votes = postings.join(F.broadcast(pterms), "tok").select(
         "query_id",
         "id",
@@ -980,6 +993,55 @@ def phrase_match(
         )
         .select("query_id", F.col("id").alias(id_col), "n_hits", "first_pos")
     )
+
+
+def save_phrase_index(
+    docs: DataFrame,
+    table_name: str = "phrase_postings",
+    buckets: int = 64,
+    path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist POSITIONAL postings ``(tok, id, pos)`` bucketed AND
+    sorted by ``tok`` — the phrase-query sibling of save_bm25_index
+    (which stores only (tok, id, tf): frequency postings cannot answer
+    adjacency). Build pays the corpus explode once; a probe then reads
+    only the phrase terms' posting lists via a pushed-down ``tok IN``
+    literal (sortBy → row-group pruning, bucketBy → shuffle-free
+    layout). Positional postings need no stats side table and are
+    trivially append-able (pos is per-document, nothing goes stale)."""
+    postings = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
+    ).select("tok", "id", "pos")
+    writer = (
+        postings.repartition(buckets, "tok")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "tok")
+        .sortBy("tok")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def phrase_match_from_index(
+    spark,
+    phrases: list[tuple[int, str]],
+    table_name: str = "phrase_postings",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe a stored positional index: byte-identical output to
+    ``phrase_match`` on the same corpus (pinned by tests), but the scan
+    carries a literal ``tok IN (phrase terms)`` filter that pushes into
+    parquet — at 100 TB the probe reads the phrase's posting lists,
+    not the corpus. The IN-list uses the same tokenize_py terms that
+    are the join keys, so prefilter and join can never disagree."""
+    pterms = _phrase_terms(spark, phrases)
+    terms = sorted({r.tok for r in pterms.select("tok").distinct().collect()})
+    postings = spark.table(table_name).filter(F.col("tok").isin(terms))
+    return _phrase_hits(postings, pterms, id_col)
 
 
 def duckdb_phrase_match_sql(

@@ -364,3 +364,33 @@ def test_phrase_match_empty_phrase_raises(spark):
     docs, _ = _hn_docs(spark)
     with pytest.raises(ValueError):
         phrase_match(docs, [(1, "  \t ")])
+
+
+def test_phrase_stored_index_byte_identical_and_pushes_filter(spark, tmp_path):
+    """save_phrase_index -> phrase_match_from_index must equal
+    phrase_match byte-for-byte, and the probe scan must carry a
+    pushed-down literal tok IN filter with no raw-text scan."""
+    from doc_redaction_spark.operators.search import (
+        phrase_match,
+        phrase_match_from_index,
+        save_phrase_index,
+    )
+
+    docs, _ = _hn_docs(spark)
+    phrases = [(1, "hash join"), (2, "slow sort merge"), (3, "scan scan")]
+    tbl = "test_phrase_postings"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        save_phrase_index(docs, tbl, buckets=4, path=str(tmp_path / "pp"))
+        probe = phrase_match_from_index(spark, phrases, table_name=tbl)
+        want = sorted(map(tuple, phrase_match(docs, phrases).collect()))
+        got = sorted(map(tuple, probe.collect()))
+        assert got == want and len(got) > 0
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        scan = [ln for ln in plan.splitlines() if "FileScan" in ln and tbl in ln]
+        assert scan and "PushedFilters" in scan[0] and "In(tok" in scan[0], plan
+        for ln in plan.splitlines():
+            if "FileScan" in ln:
+                assert "text:string" not in ln, ln
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
