@@ -12999,6 +12999,79 @@ def o_phrase_stored():
     return o_phrase_search()
 
 
+def q_robots_wildcards(spark, sf_dir):
+    """Full-REP wildcard gate (operators/robots.py robots_gate_wild —
+    the ``*`` / trailing-``$`` semantics real robots.txt files use):
+    per base host, ``Disallow: /page?id=*<k>$`` (every id ENDING in the
+    host's digit) with a longer ``Allow: /page?id=*<k><k>$`` override
+    (ids ending in the doubled digit re-allowed). Matching is the
+    pattern→SQL-LIKE translation — identical semantics in Spark and
+    DuckDB, no regex dialect in play — and the oracle applies the
+    DuckDB rendering of the SAME translation to the raw rules, so the
+    translation itself is value-checked."""
+    from doc_redaction_spark.operators.robots import (
+        parse_robots,
+        robots_gate_wild,
+    )
+
+    k = F.col("r_regionkey").cast("int")
+    hosts = F.array(*[F.lit(h) for h in URL_HOSTS])
+    body = F.concat(
+        F.lit("User-agent: Evil-bot\nDisallow: /\n\n"),
+        F.lit("User-agent: *\nDisallow: /page?id=*"), k.cast("string"),
+        F.lit("$\nAllow: /page?id=*"), k.cast("string"), k.cast("string"),
+        F.lit("$\n"),
+    )
+    robots = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        F.element_at(hosts, k + 1).alias("host"), body.alias("body")
+    )
+    d = F.col("doc_id").cast("long")
+    urls = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("url_id"),
+        F.element_at(hosts, (d % 5).cast("int") + 1).alias("host"),
+        F.concat(F.lit("/page?id="), d.cast("string")).alias("path"),
+    )
+    return robots_gate_wild(urls, parse_robots(robots))
+
+
+def o_robots_wildcards():
+    from doc_redaction_spark.operators.robots import duckdb_robots_like
+
+    alts = ", ".join(f"'{h}'" for h in URL_HOSTS)
+    return f"""
+    WITH rules AS (
+      SELECT ([{alts}])[k + 1] AS host, pfx, a AS allow
+      FROM (SELECT CAST(r_regionkey AS INTEGER) AS k FROM region),
+      LATERAL (SELECT * FROM (VALUES
+        ('/page?id=*' || CAST(k AS VARCHAR) || '$', 0),
+        ('/page?id=*' || CAST(k AS VARCHAR) || CAST(k AS VARCHAR) || '$', 1)
+      ) v(pfx, a)) l
+    ),
+    urls AS (
+      SELECT CAST(doc_id AS BIGINT) AS url_id,
+             ([{alts}])[CAST(doc_id % 5 AS INTEGER) + 1] AS host,
+             '/page?id=' || CAST(doc_id AS VARCHAR) AS path
+      FROM documents
+    ),
+    matches AS (
+      SELECT u.url_id, r.allow, len(r.pfx) AS l
+      FROM urls u JOIN rules r
+        ON u.host = r.host
+       AND u.path LIKE {duckdb_robots_like("r.pfx")} ESCAPE '\\'
+    ),
+    ranked AS (
+      SELECT url_id, allow, l,
+             row_number() OVER (PARTITION BY url_id
+                                ORDER BY l DESC, allow DESC) AS rk
+      FROM matches
+    )
+    SELECT u.url_id, u.host, u.path,
+           CAST(coalesce(r.allow, 1) AS INTEGER) AS allowed,
+           CAST(coalesce(r.l, 0) AS INTEGER) AS match_len
+    FROM urls u LEFT JOIN ranked r ON u.url_id = r.url_id AND r.rk = 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13025,6 +13098,7 @@ _QUERIES: dict[str, Callable] = {
     "charset_decode": q_charset_decode,
     "crawl_frontier": q_crawl_frontier,
     "phrase_stored": q_phrase_stored,
+    "robots_wildcards": q_robots_wildcards,
     "secrets_scan": q_secrets_scan,
     "secret_leak_audit": q_secret_leak_audit,
     "pii_echo_audit": q_pii_echo_audit,
@@ -13289,6 +13363,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "charset_decode": o_charset_decode,
     "crawl_frontier": o_crawl_frontier,
     "phrase_stored": o_phrase_stored,
+    "robots_wildcards": o_robots_wildcards,
     "secrets_scan": o_secrets_scan,
     "secret_leak_audit": o_secret_leak_audit,
     "pii_echo_audit": o_pii_echo_audit,

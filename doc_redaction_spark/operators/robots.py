@@ -4,8 +4,9 @@ filter a web-corpus ingestion pipeline runs before anything else
 a 100 TB crawl corpus must first drop URLs its robots policies exclude,
 the same curation slot as functions/urls.py's blocklist gate).
 
-Semantics (the published REP / Google subset, literal prefixes only —
-``*``/``$`` wildcards are out of the supported subset and documented so):
+Semantics (the published REP / Google rules; ``robots_gate`` matches
+literal prefixes, ``robots_gate_wild`` adds the two REP wildcards —
+``*`` and a trailing ``$`` — via a pattern→SQL-LIKE translation):
 
 * only groups whose ``User-agent`` set includes ``*`` apply;
 * consecutive ``User-agent`` lines stack onto ONE group;
@@ -168,6 +169,100 @@ def robots_gate(
         r,
         (urls[host_col] == r["host"])
         & urls[path_col].startswith(r["path_prefix"]),
+        "left",
+    )
+    w = F.max(
+        F.when(
+            r["path_prefix"].isNotNull(),
+            F.struct(
+                F.length(r["path_prefix"]).alias("l"),
+                r["allow"].alias("a"),
+            ),
+        )
+    )
+    return (
+        j.groupBy(urls[id_col], urls[host_col], urls[path_col])
+        .agg(w.alias("w"))
+        .select(
+            F.col(id_col),
+            F.col(host_col),
+            F.col(path_col),
+            F.coalesce(F.col("w.a"), F.lit(1)).cast("int").alias("allowed"),
+            F.coalesce(F.col("w.l"), F.lit(0)).cast("int").alias("match_len"),
+        )
+    )
+
+
+# --- full-REP wildcard rules (* and trailing $) -----------------------------
+#
+# Real robots.txt files lean on the two REP wildcards ('*' matches any
+# char run; a trailing '$' anchors the rule at end-of-path). One
+# pattern→SQL-LIKE translation, rendered identically in Spark and
+# DuckDB (and mirrored in Python for tests):
+#   1. a trailing '$' anchors (and is dropped from the match body);
+#   2. LIKE metacharacters in the literal part are escaped with '\'
+#      (backslash first, then % and _);
+#   3. '*' becomes '%';
+#   4. unanchored rules get a trailing '%' (REP rules are prefixes).
+# Longest-match precedence stays the length of the RAW pattern (the
+# published tie-break counts rule characters; '*' counts as one).
+
+
+def _like_pattern_col(p):
+    anchored = p.endswith("$")
+    core = F.when(anchored, F.substring(p, F.lit(1), F.length(p) - 1)).otherwise(p)
+    esc = F.replace(core, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
+    esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
+    star = F.replace(esc, F.lit("*"), F.lit("%"))
+    return F.when(anchored, star).otherwise(F.concat(star, F.lit("%")))
+
+
+def duckdb_robots_like(expr: str) -> str:
+    """DuckDB rendering of the same pattern→LIKE translation; use as
+    ``path LIKE <this> ESCAPE '\\'`` (chr(92) literals sidestep SQL
+    quoting of the backslash)."""
+    core = (
+        f"CASE WHEN {expr} LIKE '%$' THEN substr({expr}, 1, length({expr}) - 1)"
+        f" ELSE {expr} END"
+    )
+    esc = f"replace({core}, chr(92), chr(92) || chr(92))"
+    esc = f"replace({esc}, '%', chr(92) || '%')"
+    esc = f"replace({esc}, '_', chr(92) || '_')"
+    star = f"replace({esc}, '*', '%')"
+    return (
+        f"CASE WHEN {expr} LIKE '%$' THEN {star} ELSE {star} || '%' END"
+    )
+
+
+def robots_like_py(pattern: str) -> str:
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    core = core.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    core = core.replace("*", "%")
+    return core if anchored else core + "%"
+
+
+def robots_gate_wild(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str = "url_id",
+    host_col: str = "host",
+    path_col: str = "path",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """robots_gate with full REP wildcard semantics: rules may contain
+    ``*`` and a trailing ``$``; matching is SQL LIKE over the
+    translated pattern (identical engine semantics — no regex dialect
+    in play), precedence is max(struct(raw pattern length, allow)) as
+    in the literal gate. Same output contract as robots_gate."""
+    r = rules.withColumn("_lk", _like_pattern_col(F.col("path_prefix")))
+    if broadcast_rules:
+        r = F.broadcast(r)
+    j = urls.join(
+        r,
+        (urls[host_col] == r["host"])
+        & F.like(urls[path_col], r["_lk"], F.lit("\\")),
         "left",
     )
     w = F.max(

@@ -171,3 +171,66 @@ def test_politeness_schedule_offsets_and_default(spark):
         20: (1, 2, 0),
         21: (2, 2, 2),
     }
+
+
+# ---------------------------------------------------------------------------
+# wildcard gate (full REP: * and trailing $)
+# ---------------------------------------------------------------------------
+
+BODY_W = """User-agent: *
+Disallow: /*.php$
+Disallow: /tmp*
+Allow: /tmp/keep
+Disallow: /lit_eral%
+"""
+
+
+def test_gate_wild_star_dollar_and_like_escapes(spark):
+    from doc_redaction_spark.operators.robots import (
+        parse_robots,
+        robots_gate_wild,
+    )
+
+    rules = parse_robots(
+        spark.createDataFrame([("w.com", BODY_W)], "host string, body string")
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "w.com", "/index.php"),       # *.php$ -> disallow
+            (2, "w.com", "/index.php?x=1"),   # $ anchors: NOT matched -> allow
+            (3, "w.com", "/tmp/file"),        # /tmp* -> disallow
+            (4, "w.com", "/tmp/keep/x"),      # Allow /tmp/keep longer -> allow
+            (5, "w.com", "/lit_eralX"),       # _ is LITERAL: no match -> allow
+            (6, "w.com", "/lit_eral%x"),      # literal % matches -> disallow
+            (7, "w.com", "/other"),           # no rule -> allow
+        ],
+        "url_id long, host string, path string",
+    )
+    got = {
+        r.url_id: (r.allowed, r.match_len)
+        for r in robots_gate_wild(urls, rules).collect()
+    }
+    assert got == {
+        1: (0, 7),   # '/*.php$' raw length 7
+        2: (1, 0),
+        3: (0, 5),   # '/tmp*'
+        4: (1, 9),   # '/tmp/keep'
+        5: (1, 0),
+        6: (0, 10),  # '/lit_eral%'
+        7: (1, 0),
+    }
+
+
+def test_like_translation_three_dialects_agree():
+    import duckdb
+
+    from doc_redaction_spark.operators.robots import (
+        duckdb_robots_like,
+        robots_like_py,
+    )
+
+    con = duckdb.connect()
+    for pat in ["/private", "/*.php$", "/a*b*c", "/x$", "/p%q_r", "/end*$", "*"]:
+        lit = "'" + pat.replace("'", "''") + "'"
+        (got,) = con.execute(f"SELECT {duckdb_robots_like(lit)}").fetchone()
+        assert got == robots_like_py(pat), pat
