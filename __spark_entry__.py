@@ -8078,11 +8078,11 @@ def _warc_uri_spark(d):
     )
 
 
-def _warc_uri_sql() -> str:
+def _warc_uri_sql(expr: str = "doc_id") -> str:
     alts = ", ".join(f"'{h}'" for h in URL_HOSTS)
     return (
-        f"'https://' || ([{alts}])[CAST(doc_id % 5 AS INTEGER) + 1]"
-        " || '/doc/' || CAST(doc_id AS VARCHAR)"
+        f"'https://' || ([{alts}])[CAST(({expr}) % 5 AS INTEGER) + 1]"
+        f" || '/doc/' || CAST(({expr}) AS VARCHAR)"
     )
 
 
@@ -12623,11 +12623,23 @@ def _http_payload_spark(d):
     ct = F.element_at(
         F.array(*[F.lit(s) for s in _HTTP_CT_LINES]), (d % 6).cast("int") + 1
     )
+    # 301 responses (d%4==1) carry a Location whose target id is d+4 for
+    # d%8==1 (ANOTHER 301 — builds 2-hop chains) and d+2 otherwise (a
+    # non-redirect terminal) — consumed by http_redirects
+    loc = F.when(
+        d % 4 == 1,
+        F.concat(
+            F.lit("Location: "),
+            _warc_uri_spark(d + F.when(d % 8 == 1, F.lit(4)).otherwise(F.lit(2))),
+            F.lit("\r\n"),
+        ),
+    ).otherwise(F.lit(""))
     return F.concat(
         F.lit("HTTP/1.1 "),
         status,
         F.lit("\r\n"),
         ct,
+        loc,
         F.lit("X-Doc: "),
         d.cast("string"),
         F.lit("\r\n\r\n"),
@@ -12641,9 +12653,15 @@ def _http_payload_sql() -> str:
         "'" + c.replace("\r\n", "\\r\\n") + "'" for c in _HTTP_CT_LINES
     ).replace("\\r\\n", "' || chr(13) || chr(10) || '")
     crlf = "chr(13) || chr(10)"
+    tgt = "doc_id + CASE WHEN doc_id % 8 = 1 THEN 4 ELSE 2 END"
+    loc = (
+        f"CASE WHEN doc_id % 4 = 1 THEN 'Location: '"
+        f" || {_warc_uri_sql(tgt)} || {crlf} ELSE '' END"
+    )
     return (
         f"'HTTP/1.1 ' || ([{sts}])[CAST(doc_id % 4 AS INTEGER) + 1]"
         f" || {crlf} || ([{cts}])[CAST(doc_id % 6 AS INTEGER) + 1]"
+        f" || {loc}"
         f" || 'X-Doc: ' || CAST(doc_id AS VARCHAR)"
         f" || {crlf} || {crlf} || coalesce(text, '')"
     )
@@ -13072,6 +13090,65 @@ def o_robots_wildcards():
     """
 
 
+def q_http_redirects(spark, sf_dir):
+    """The crawl-loop closure: WARC records → HTTP parse → ``Location``
+    headers of 301 responses become redirect-graph edges → pointer-
+    doubling resolution (operators/redirects.py). Fixture chains are
+    real: d%8==1 responses redirect to d+4 (ANOTHER 301 — two-hop
+    chains), other 301s to a non-redirect terminal. The oracle extracts
+    Location with the DuckDB rendering of the same header spec from the
+    reconstructed payload and walks the edges step-by-step — so BOTH
+    the header extraction AND the doubling algebra are value-checked in
+    one hash. Nodes are URI strings (the redirect operator is
+    key-type-agnostic)."""
+    from doc_redaction_spark.functions.http import (
+        http_header_col,
+        http_status_col,
+    )
+    from doc_redaction_spark.operators.redirects import resolve_redirects
+    from doc_redaction_spark.sources.warc_lite import warc_to_records
+
+    recs = warc_to_records(_warc_files(spark, sf_dir, _http_payload_spark))
+    loc = http_header_col("payload", "location")
+    edges = recs.where(
+        http_status_col("payload").isin(301, 302) & (loc != "")
+    ).select(F.col("target_uri").alias("src"), loc.alias("dst"))
+    return resolve_redirects(edges, max_hops=32)
+
+
+def o_http_redirects():
+    from doc_redaction_spark.functions.http import (
+        duckdb_http_header,
+        duckdb_http_status,
+    )
+
+    hloc = duckdb_http_header("payload", "location")
+    return f"""
+    WITH RECURSIVE p AS (SELECT doc_id, {_http_payload_sql()} AS payload,
+                                {_warc_uri_sql()} AS target_uri
+                         FROM documents),
+    e AS (SELECT target_uri AS src, {hloc} AS dst
+          FROM p
+          WHERE {duckdb_http_status("payload")} IN (301, 302)
+            AND {hloc} <> ''),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, CAST(1 AS BIGINT) FROM e
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1
+      FROM walk w JOIN e ON w.cur = e.src
+      WHERE w.hops < 32
+    ),
+    last AS (SELECT src, cur, hops,
+                    row_number() OVER (PARTITION BY src
+                                       ORDER BY hops DESC) AS rn
+             FROM walk)
+    SELECT l.src, l.cur AS final, CAST(l.hops AS BIGINT) AS hops,
+           CAST(CASE WHEN EXISTS (SELECT 1 FROM e e2 WHERE e2.src = l.cur)
+                THEN 0 ELSE 1 END AS INTEGER) AS resolved
+    FROM last l WHERE rn = 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13099,6 +13176,7 @@ _QUERIES: dict[str, Callable] = {
     "crawl_frontier": q_crawl_frontier,
     "phrase_stored": q_phrase_stored,
     "robots_wildcards": q_robots_wildcards,
+    "http_redirects": q_http_redirects,
     "secrets_scan": q_secrets_scan,
     "secret_leak_audit": q_secret_leak_audit,
     "pii_echo_audit": q_pii_echo_audit,
@@ -13364,6 +13442,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "crawl_frontier": o_crawl_frontier,
     "phrase_stored": o_phrase_stored,
     "robots_wildcards": o_robots_wildcards,
+    "http_redirects": o_http_redirects,
     "secrets_scan": o_secrets_scan,
     "secret_leak_audit": o_secret_leak_audit,
     "pii_echo_audit": o_pii_echo_audit,

@@ -68,6 +68,18 @@ def http_charset_col(col) -> Column:
     return F.lower(F.regexp_extract(http_head_col(col), CHARSET_PATTERN, 1))
 
 
+# header NAMES are case-insensitive tokens (RFC 9110); values are
+# returned verbatim minus surrounding whitespace. `name` must be a
+# trusted literal (it is interpolated into the pattern) — callers pass
+# constants like "location", never data.
+_HEADER_PATTERN = r"(?im)^{name}[ \t]*:[ \t]*([^\r\n]*)"
+
+
+def http_header_col(col, name: str) -> Column:
+    pat = _HEADER_PATTERN.format(name=re.escape(name))
+    return F.trim(F.regexp_extract(http_head_col(col), pat, 1))
+
+
 # --- DuckDB renderings (oracle dialect) ------------------------------------
 
 _SEP_SQL = "chr(13) || chr(10) || chr(13) || chr(10)"
@@ -111,11 +123,25 @@ def duckdb_http_charset(expr: str) -> str:
     return f"lower(regexp_extract({h}, '{_sq(CHARSET_PATTERN)}', 1))"
 
 
+def duckdb_http_header(expr: str, name: str) -> str:
+    h = duckdb_http_head(expr)
+    pat = _HEADER_PATTERN.format(name=re.escape(name))
+    return f"trim(regexp_extract({h}, '{_sq(pat)}', 1))"
+
+
 # --- Python reference (unit tests) ------------------------------------------
 
 _STATUS_RE = re.compile(STATUS_PATTERN)
 _CTYPE_RE = re.compile(CTYPE_PATTERN)
 _CHARSET_RE = re.compile(CHARSET_PATTERN)
+
+
+def http_header_py(payload: str, name: str) -> str:
+    p = payload or ""
+    i = p.find(_SEP)
+    head = p[:i] if i >= 0 else p
+    m = re.search(_HEADER_PATTERN.format(name=re.escape(name)), head)
+    return m.group(1).strip() if m else ""
 
 
 def http_parse_py(payload: str) -> dict:

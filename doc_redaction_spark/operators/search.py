@@ -1026,6 +1026,41 @@ def save_phrase_index(
     writer.saveAsTable(table_name)
 
 
+def append_phrase_index(
+    new_docs: DataFrame,
+    table_name: str = "phrase_postings",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally add a document batch to a stored positional index:
+    positions are per-document, so unlike BM25 there is NO stats table
+    to merge and nothing an append can make stale — probing after the
+    append is byte-identical to probing a from-scratch rebuild on the
+    union (pinned by tests). Same caller contract as append_bm25_index:
+    ids must be new to the index (route replays through the
+    ingest-dedup front door)."""
+    spark = new_docs.sparkSession
+    batch = new_docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
+    ).select("tok", "id", "pos")
+    n_buckets = 0
+    try:
+        desc = spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()
+        for r in desc:
+            if r.col_name == "Num Buckets":
+                n_buckets = int(r.data_type)
+    except Exception:
+        pass
+    if n_buckets:
+        batch.repartition(n_buckets, "tok").write.mode("append").bucketBy(
+            n_buckets, "tok"
+        ).sortBy("tok").saveAsTable(table_name)
+    else:
+        batch.write.mode("append").saveAsTable(table_name)
+    spark.catalog.refreshTable(table_name)
+
+
 def phrase_match_from_index(
     spark,
     phrases: list[tuple[int, str]],

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from doc_redaction_spark.sources.docx_xml import XML_UNESCAPES, _unescape
 
 URL_BLOCK_PATTERN = r"(?is)<url(?:\s[^>]*)?>(.*?)</url\s*>"
+INDEX_BLOCK_PATTERN = r"(?is)<sitemap(?:\s[^>]*)?>(.*?)</sitemap\s*>"
 LOC_PATTERN = r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>"
 LASTMOD_PATTERN = r"(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>"
 
@@ -66,7 +67,24 @@ def sitemap_urls(
     is the empty string (NOT NULL — '' < every date, so a no-lastmod
     entry sorts as "unknown, assume stale" in lexicographic compares).
     """
-    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(URL_BLOCK_PATTERN), 1)
+    return _sitemap_entries(df, URL_BLOCK_PATTERN, xml_col, keys)
+
+
+def sitemap_index(
+    df: DataFrame, xml_col: str = "xml", keys: tuple = ("site_id",)
+) -> DataFrame:
+    """``<sitemapindex>`` files — the two-level form big sites serve
+    (an index of child sitemap locations, each with an optional
+    lastmod). Same entry contract as sitemap_urls over ``<sitemap>``
+    blocks; feed the returned locs back through the fetch loop and
+    parse the children with sitemap_urls."""
+    return _sitemap_entries(df, INDEX_BLOCK_PATTERN, xml_col, keys)
+
+
+def _sitemap_entries(
+    df: DataFrame, block_pattern: str, xml_col: str, keys: tuple
+) -> DataFrame:
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(block_pattern), 1)
     ex = df.select(
         *[F.col(k) for k in keys],
         F.posexplode(blocks).alias("url_idx", "_blk"),

@@ -94,3 +94,24 @@ def test_http_jvm_only_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_http_header_extraction_three_dialects():
+    import duckdb
+
+    from doc_redaction_spark.functions.http import (
+        duckdb_http_header,
+        http_header_py,
+    )
+
+    p = (
+        "HTTP/1.1 301 Moved Permanently\r\n"
+        "LOCATION:   https://a.com/x  \r\n"
+        "Content-Type: text/html\r\n\r\nmoved"
+    )
+    assert http_header_py(p, "location") == "https://a.com/x"
+    assert http_header_py(p, "x-missing") == ""
+    lit = "'" + p.replace("\r", "' || chr(13) || '").replace("\n", "' || chr(10) || '") + "'"
+    con = duckdb.connect()
+    (got,) = con.execute(f"SELECT {duckdb_http_header(lit, 'location')}").fetchone()
+    assert got == "https://a.com/x"

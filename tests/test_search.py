@@ -394,3 +394,33 @@ def test_phrase_stored_index_byte_identical_and_pushes_filter(spark, tmp_path):
                 assert "text:string" not in ln, ln
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_append_phrase_index_equals_full_rebuild(spark, tmp_path):
+    from doc_redaction_spark.operators.search import (
+        append_phrase_index,
+        phrase_match_from_index,
+        save_phrase_index,
+    )
+
+    docs, rows = _hn_docs(spark)
+    first = docs.where("doc_id < 40")
+    second = docs.where("doc_id >= 40")
+    phrases = [(1, "hash join"), (2, "slow sort")]
+    t_inc, t_full = "test_pp_inc", "test_pp_full"
+    for t in (t_inc, t_full):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        save_phrase_index(first, t_inc, buckets=4, path=str(tmp_path / "inc"))
+        append_phrase_index(second, t_inc)
+        save_phrase_index(docs, t_full, buckets=4, path=str(tmp_path / "full"))
+        got = sorted(
+            map(tuple, phrase_match_from_index(spark, phrases, t_inc).collect())
+        )
+        want = sorted(
+            map(tuple, phrase_match_from_index(spark, phrases, t_full).collect())
+        )
+        assert got == want and len(got) > 0
+    finally:
+        for t in (t_inc, t_full):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

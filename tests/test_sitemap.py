@@ -69,3 +69,24 @@ def test_recrawl_verdict_legs(spark):
         "https://a.com/fresh": "skip",
         "https://a.com/nolm": "refetch",
     }
+
+
+def test_sitemap_index_entries(spark):
+    xml = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://a.com/s1.xml</loc>"
+        "<lastmod>2026-02-01</lastmod></sitemap>"
+        "<sitemap><loc>https://a.com/s2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    from doc_redaction_spark.sources.sitemap_lite import sitemap_index
+
+    df = spark.createDataFrame([(1, xml)], "site_id long, xml string")
+    got = [
+        (r.url_idx, r.loc, r.lastmod)
+        for r in sitemap_index(df).orderBy("url_idx").collect()
+    ]
+    assert got == [
+        (0, "https://a.com/s1.xml", "2026-02-01"),
+        (1, "https://a.com/s2.xml", ""),
+    ]
