@@ -12390,21 +12390,17 @@ def o_hard_negatives():
 # a query string whose & is XML-escaped in the document (the parse must
 # unescape it back); every 3rd entry has NO <lastmod>.
 def _sitemap_loc_spark(d):
-    hosts = F.array(*[F.lit(h) for h in URL_HOSTS])
+    # composes the ONE host-cycling URI spec (_warc_uri_spark) plus an
+    # optional query-string suffix — never a second copy of the cycling
     return F.concat(
-        F.lit("https://"),
-        F.element_at(hosts, (d % 5).cast("int") + 1),
-        F.lit("/doc/"),
-        d.cast("string"),
+        _warc_uri_spark(d),
         F.when(d % 11 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("")),
     )
 
 
 def _sitemap_loc_sql() -> str:
-    alts = ", ".join(f"'{h}'" for h in URL_HOSTS)
     return (
-        f"'https://' || ([{alts}])[CAST(doc_id % 5 AS INTEGER) + 1]"
-        " || '/doc/' || CAST(doc_id AS VARCHAR)"
+        f"{_warc_uri_sql()}"
         " || CASE WHEN doc_id % 11 = 0 THEN '?a=1&b=2' ELSE '' END"
     )
 

@@ -31,9 +31,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _SEP = "\r\n\r\n"
-STATUS_PATTERN = r"^HTTP/1\.[01] ([0-9]{3})(?: |\r|$)"
-CTYPE_PATTERN = r"(?im)^content-type[ \t]*:[ \t]*([^;\r\n]*)"
-CHARSET_PATTERN = r"(?im)^content-type[^\r\n]*;[ \t]*charset=\"?([A-Za-z0-9_.:\-]+)"
+# Line anchors are NOT in the three-dialect common subset: Java `$`
+# matches before a trailing \n, RE2 `$` only at absolute end; Java
+# multiline `^` matches after a lone \r, RE2/`re` only after \n. So
+# line starts/ends are spelled explicitly — `\n` in the terminator
+# alternation (absolute-end `$` agrees everywhere) and `(?:^|\n)` for
+# "start of a header line" (a header after a lone \r is NOT a header
+# in any dialect; real responses separate with CRLF, whose \n counts).
+STATUS_PATTERN = r"^HTTP/1\.[01] ([0-9]{3})(?: |\r|\n|$)"
+CTYPE_PATTERN = r"(?i)(?:^|\n)content-type[ \t]*:[ \t]*([^;\r\n]*)"
+CHARSET_PATTERN = r"(?i)(?:^|\n)content-type[^\r\n]*;[ \t]*charset=\"?([A-Za-z0-9_.:\-]+)"
 
 
 def _payload(col) -> Column:
@@ -72,7 +79,7 @@ def http_charset_col(col) -> Column:
 # returned verbatim minus surrounding whitespace. `name` must be a
 # trusted literal (it is interpolated into the pattern) — callers pass
 # constants like "location", never data.
-_HEADER_PATTERN = r"(?im)^{name}[ \t]*:[ \t]*([^\r\n]*)"
+_HEADER_PATTERN = r"(?i)(?:^|\n){name}[ \t]*:[ \t]*([^\r\n]*)"
 
 
 def http_header_col(col, name: str) -> Column:

@@ -200,6 +200,35 @@ def save_bm25_index(
     swriter.saveAsTable(f"{table_name}_stats")
 
 
+def _table_num_buckets(spark, table_name: str) -> int:
+    """Bucket count of a saved table via DESCRIBE EXTENDED — 0 when the
+    table is unbucketed, absent, or the catalog row is missing. Shared
+    by both index appends so the mirror-the-table repartition
+    discipline has ONE implementation (a Spark upgrade renaming the
+    DESCRIBE row is fixed once, not per-index-family)."""
+    try:
+        for r in spark.sql(f"DESCRIBE EXTENDED {table_name}").collect():
+            if r.col_name == "Num Buckets":
+                return int(r.data_type)
+    except Exception:
+        pass
+    return 0
+
+
+def _append_bucketed_tok(batch: DataFrame, spark, table_name: str) -> None:
+    """Append posting rows mirroring the stored table's (bucketBy tok,
+    sortBy tok) layout — the pre-write repartition keeps file counts at
+    one-per-bucket-per-append; falls back to a plain append when the
+    table is unbucketed."""
+    n_buckets = _table_num_buckets(spark, table_name)
+    if n_buckets:
+        batch.repartition(n_buckets, "tok").write.mode("append").bucketBy(
+            n_buckets, "tok"
+        ).sortBy("tok").saveAsTable(table_name)
+    else:
+        batch.write.mode("append").saveAsTable(table_name)
+
+
 def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(tok, id, tf, dl) posting rows for a document batch — shared by
     the full build and the incremental append."""
@@ -231,22 +260,7 @@ def append_bm25_index(
     through the ingest-dedup front door, streaming/stream.py)."""
     spark = new_docs.sparkSession
     batch = _postings(new_docs, text_col, id_col)
-    n_buckets = 0
-    try:
-        # mirror the table's bucket count for the pre-write repartition
-        desc = spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()
-        for r in desc:
-            if r.col_name == "Num Buckets":
-                n_buckets = int(r.data_type)
-    except Exception:
-        pass
-    if n_buckets:
-        batch = batch.repartition(n_buckets, "tok")
-        batch.write.mode("append").bucketBy(n_buckets, "tok").sortBy(
-            "tok"
-        ).saveAsTable(table_name)
-    else:
-        batch.write.mode("append").saveAsTable(table_name)
+    _append_bucketed_tok(batch, spark, table_name)
     new_stats = batch.select("id", "dl").distinct().agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
@@ -849,6 +863,8 @@ def mine_hard_negatives(
     >= 1 query term are candidates (a zero-overlap doc is not a HARD
     negative by construction).
     """
+    if k <= 0 or n_salts <= 0:
+        raise ValueError(f"k/n_salts must be positive, got {k}/{n_salts}")
     spark = docs.sparkSession
     tf = (
         docs.select(
@@ -893,9 +909,13 @@ def duckdb_hard_negatives_sql(
     (or derived table) with columns (query_id, doc_id); pass ``pos_k``
     > 0 to instead label the chain's own top-``pos_k`` (``bmtop``) as
     the positives — the self-labeling fixture the registry query uses.
-    The chain's rank cap must cover the exclusions, so the chain is
-    rendered with k + pos_k (only bmtop consumes it; ``sc`` is
-    unfiltered either way)."""
+    In that mode the chain is rendered with rank cap ``pos_k`` so that
+    ``bmtop`` IS exactly the positives set; the negatives are re-ranked
+    from the UNFILTERED ``sc`` (the chain's rank cap only feeds
+    ``bmtop``), so ``k`` never needs to be folded into the chain cap —
+    rendering the chain with ``k + pos_k`` would mislabel the top
+    ``k + pos_k`` docs as positives and silently change the mined
+    negatives."""
     src = "bmtop" if pos_k > 0 else positives_cte
     return f"""
     WITH {duckdb_bm25_chain_sql(queries, k=(pos_k if pos_k > 0 else k), k1=k1, b=b, table=table)},
@@ -1044,20 +1064,7 @@ def append_phrase_index(
         F.col(id_col).alias("id"),
         F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
     ).select("tok", "id", "pos")
-    n_buckets = 0
-    try:
-        desc = spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()
-        for r in desc:
-            if r.col_name == "Num Buckets":
-                n_buckets = int(r.data_type)
-    except Exception:
-        pass
-    if n_buckets:
-        batch.repartition(n_buckets, "tok").write.mode("append").bucketBy(
-            n_buckets, "tok"
-        ).sortBy("tok").saveAsTable(table_name)
-    else:
-        batch.write.mode("append").saveAsTable(table_name)
+    _append_bucketed_tok(batch, spark, table_name)
     spark.catalog.refreshTable(table_name)
 
 
@@ -1074,7 +1081,9 @@ def phrase_match_from_index(
     not the corpus. The IN-list uses the same tokenize_py terms that
     are the join keys, so prefilter and join can never disagree."""
     pterms = _phrase_terms(spark, phrases)
-    terms = sorted({r.tok for r in pterms.select("tok").distinct().collect()})
+    # the IN-list terms are already driver-side (tokenize_py built
+    # pterms) — no Spark job needed to recover them
+    terms = sorted({t for _, p in phrases for t in tokenize_py(p)})
     postings = spark.table(table_name).filter(F.col("tok").isin(terms))
     return _phrase_hits(postings, pterms, id_col)
 

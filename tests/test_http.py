@@ -28,6 +28,12 @@ PAYLOADS = [
     "HTTP/1.1 200 OK\r\nContent-Type: text/plain",  # truncated: no body
     "HTTP/1.1 200 OK\r\n\r\nbody\r\n\r\nwith embedded CRLFCRLF",
     "",
+    # Dialect-divergence regressions: Java `$`/multiline-`^` disagree
+    # with RE2 and `re` on \n / lone-\r line terminators (http.py spec
+    # comment). These payloads diverged before the explicit anchors.
+    "HTTP/1.1 200\n",  # truncated, LF-terminated status (RE2 `$` miss)
+    "HTTP/1.1 200 OK\rContent-Type: text/html\r\n\r\nbody",  # lone-CR header sep
+    "HTTP/1.1 200\nContent-Type: text/a\n\r\n\r\nLF-only header lines",
 ]
 
 
@@ -77,7 +83,14 @@ def test_http_duckdb_matches_python():
 def test_http_expected_values():
     # spot-pin the spec itself (not just cross-dialect agreement)
     w = [http_parse_py(p) for p in PAYLOADS]
-    assert [x["status"] for x in w] == [200, 301, 200, 404, 200, 500, 0, 200, 200, 0]
+    assert [x["status"] for x in w] == [
+        200, 301, 200, 404, 200, 500, 0, 200, 200, 0, 200, 200, 200,
+    ]
+    # a header after a lone \r is NOT a header line (no dialect treats
+    # \r alone as a line start under the explicit (?:^|\n) anchor);
+    # after \n it is
+    assert w[11]["content_type"] == ""
+    assert w[12]["content_type"] == "text/a"
     assert w[0]["content_type"] == "text/html" and w[0]["charset"] == "utf-8"
     assert w[1]["content_type"] == "text/html" and w[1]["charset"] == ""
     assert w[2]["charset"] == "iso-8859-1"
