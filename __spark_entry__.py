@@ -10009,7 +10009,11 @@ def q_dpo_pairs(spark, sf_dir):
     return preference_pairs(_tr_branches(spark, sf_dir))
 
 
-def o_dpo_pairs():
+def _dpo_pr_sql() -> str:
+    """Shared WITH-chain through the ``pr`` divergent-pair CTE — used
+    verbatim by o_dpo_pairs and o_dpo_edit_distance (nested-oracle
+    reuse: the edit report's oracle inherits the pair spec, it never
+    re-derives it)."""
     from doc_redaction_spark.operators.convops import duckdb_turn_hash
 
     return f"""
@@ -10034,7 +10038,12 @@ def o_dpo_pairs():
            FROM dpp a JOIN dpp b
              ON a.chain = b.chain AND a.conv_id < b.conv_id
            WHERE a.next_th <> b.next_th
-             AND a.next_role = 'assistant' AND b.next_role = 'assistant')
+             AND a.next_role = 'assistant' AND b.next_role = 'assistant')"""
+
+
+def o_dpo_pairs():
+    return f"""
+    {_dpo_pr_sql()}
     SELECT conv_a, conv_b, prefix_len,
            CASE WHEN ta >= tb THEN conv_a ELSE conv_b END AS chosen,
            CASE WHEN ta >= tb THEN conv_b ELSE conv_a END AS rejected,
@@ -13145,6 +13154,889 @@ def o_http_redirects():
     """
 
 
+# --- session-12: feed discovery + page-level crawl directives + trap
+# detection + the RLHF preference-evaluation battery ------------------------
+
+
+def _feed_esc(c):
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def _feed_files(spark, sf_dir):
+    """documents packed 10-per-feed; even feed_ids render RSS 2.0, odd
+    render Atom. Teeth: every 13th title carries raw ``<&>`` (escaped in
+    the XML — unescape round trip); every 3rd item has no date element;
+    every 17th item has NO link (dropped without renumbering); Atom
+    entries carry a ``rel="self"`` decoy link BEFORE the alternate, and
+    every 11th Atom link omits its rel attribute (RFC 4287 fallback);
+    channel/feed-level <title>/<link>/<id> elements sit OUTSIDE item
+    blocks and must not leak into rows."""
+    d = F.col("doc_id").cast("long")
+    feed = F.expr("CAST(doc_id AS BIGINT) div 10")
+    title_xml = _feed_esc(
+        F.concat(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+            F.when(d % 13 == 0, F.lit("<&>")).otherwise(F.lit("")),
+        )
+    )
+    link = _warc_uri_spark(d)
+    pub = _sitemap_lastmod_spark(d)
+    guid = F.concat(F.lit("g"), d.cast("string"))
+    rss_item = F.concat(
+        F.lit("<item><title>"),
+        title_xml,
+        F.lit("</title>"),
+        F.when(
+            d % 17 != 0, F.concat(F.lit("<link>"), link, F.lit("</link>"))
+        ).otherwise(F.lit("")),
+        F.lit("<guid>"),
+        guid,
+        F.lit("</guid>"),
+        F.when(
+            pub != "", F.concat(F.lit("<pubDate>"), pub, F.lit("</pubDate>"))
+        ).otherwise(F.lit("")),
+        F.lit("</item>"),
+    )
+    atom_links = F.when(
+        d % 17 != 0,
+        F.concat(
+            F.lit('<link rel="self" href="https://feed.example/self"/>'),
+            F.when(
+                d % 11 == 0,
+                F.concat(F.lit('<link href="'), link, F.lit('"/>')),
+            ).otherwise(
+                F.concat(
+                    F.lit('<link rel="alternate" href="'), link, F.lit('"/>')
+                )
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    atom_entry = F.concat(
+        F.lit("<entry><title>"),
+        title_xml,
+        F.lit("</title>"),
+        atom_links,
+        F.lit("<id>"),
+        guid,
+        F.lit("</id>"),
+        F.when(
+            pub != "", F.concat(F.lit("<updated>"), pub, F.lit("</updated>"))
+        ).otherwise(F.lit("")),
+        F.lit("</entry>"),
+    )
+    item = F.when(feed % 2 == 0, rss_item).otherwise(atom_entry)
+    grouped = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            feed.alias("feed_id"),
+            F.struct(d.alias("doc_id"), item.alias("e")).alias("s"),
+        )
+        .groupBy("feed_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda sr: sr["e"]),
+                "",
+            ).alias("_items")
+        )
+    )
+    xml = F.when(
+        F.col("feed_id") % 2 == 0,
+        F.concat(
+            F.lit(
+                '<?xml version="1.0"?><rss version="2.0"><channel>'
+                "<title>ch</title><link>https://feed.example/</link>"
+            ),
+            F.col("_items"),
+            F.lit("</channel></rss>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit(
+                '<feed xmlns="http://www.w3.org/2005/Atom"><title>f</title>'
+                '<link rel="self" href="https://feed.example/feed.xml"/>'
+                "<id>feedroot</id>"
+            ),
+            F.col("_items"),
+            F.lit("</feed>"),
+        )
+    )
+    return grouped.select("feed_id", xml.alias("xml"))
+
+
+def q_feed_ingest(spark, sf_dir):
+    """RSS 2.0 + Atom feed ingest (sources/feeds.py feed_items — the
+    third crawl-discovery source beside sitemap_ingest and link
+    harvesting): one parser, two dialects sniffed per file, one output
+    contract. Teeth (see _feed_files): escaped-entity titles, missing
+    dates, linkless items dropped without renumbering, rel="self"
+    decoys that a first-link parse would wrongly pick, rel-less Atom
+    links resolved by the RFC 4287 fallback, channel-level title/link
+    elements that must not leak. Oracle = closed-form reconstruction."""
+    from doc_redaction_spark.sources.feeds import feed_items
+
+    return feed_items(_feed_files(spark, sf_dir), keys=("feed_id",))
+
+
+def o_feed_ingest():
+    return f"""
+    SELECT CAST(doc_id // 10 AS BIGINT) AS feed_id,
+           CAST(doc_id % 10 AS BIGINT) AS item_idx,
+           CASE WHEN (doc_id // 10) % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt,
+           substr(coalesce(text, ''), 1, 40)
+             || CASE WHEN doc_id % 13 = 0 THEN '<&>' ELSE '' END AS title,
+           {_warc_uri_sql()} AS link,
+           'g' || CAST(doc_id AS VARCHAR) AS guid,
+           {_SITEMAP_LASTMOD_SQL} AS published
+    FROM documents WHERE doc_id % 17 <> 0
+    """
+
+
+def q_meta_robots_gate(spark, sf_dir):
+    """Per-link index/frontier gate from page-level <meta name=robots>
+    directives + per-link rel=nofollow (operators/html_extract.py
+    meta_robots_links). Teeth: attribute ORDER flips (content before
+    name on d%5==1), a multi-directive content list with a space after
+    the comma, a rel="ugc nofollow" multi-token link with href BEFORE
+    rel, a meta description decoy whose content says 'noindex nofollow'
+    but whose name is not robots, and an <a name=…> anchor without href
+    that must keep its link_idx. Oracle = closed-form truth table."""
+    from doc_redaction_spark.operators.html_extract import meta_robots_links
+
+    d = F.col("doc_id").cast("long")
+    meta = (
+        F.when(d % 5 == 0, F.lit('<meta name="robots" content="noindex">'))
+        .when(d % 5 == 1, F.lit('<meta content="nofollow" name="robots">'))
+        .when(
+            d % 5 == 2,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(d % 5 == 3, F.lit('<meta name="robots" content="index, follow">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        meta,
+        F.lit('<meta name="description" content="noindex nofollow">'),
+        F.lit("</head><body><p>intro</p>"),
+        F.lit('<a href="'),
+        _warc_uri_spark(d * 4),
+        F.lit('">first</a><a rel="nofollow" href="'),
+        _warc_uri_spark(d * 4 + 1),
+        F.lit('">second</a><a href="'),
+        _warc_uri_spark(d * 4 + 2),
+        F.lit('" rel="ugc nofollow">third</a><a name="anchor">fourth</a>'),
+        F.lit("</body></html>"),
+    )
+    pages = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(d.alias("page_id"), html.alias("html"))
+    )
+    return meta_robots_links(pages)
+
+
+def o_meta_robots_gate():
+    return f"""
+    WITH l AS (SELECT unnest([0, 1, 2, 3]) AS li)
+    SELECT doc_id AS page_id,
+           CAST(li AS BIGINT) AS link_idx,
+           CASE WHEN li = 3 THEN ''
+                ELSE {_warc_uri_sql('doc_id * 4 + li')} END AS href,
+           CAST(CASE WHEN doc_id % 5 IN (0, 2) THEN 1 ELSE 0 END AS INTEGER)
+             AS page_noindex,
+           CAST(CASE WHEN doc_id % 5 IN (1, 2) THEN 1 ELSE 0 END AS INTEGER)
+             AS page_nofollow,
+           CAST(CASE WHEN li IN (1, 2) THEN 1 ELSE 0 END AS INTEGER)
+             AS link_nofollow,
+           CAST(CASE WHEN doc_id % 5 NOT IN (1, 2) AND li = 0
+                THEN 1 ELSE 0 END AS INTEGER) AS frontier_ok
+    FROM documents, l
+    """
+
+
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text rollup per canonical link target
+    (operators/html_extract.py anchor_text_rollup): 50 shared targets,
+    each referenced by ~N/50 pages through two anchors — a varying body
+    anchor (every 3rd page's contains a <b> tag the STRIP pass must
+    fold) and a constant 'homepage' anchor whose href is www-prefixed
+    and (every 4th page) utm-tracked: both variants must canonicalize
+    onto the plain target or the rollup splits. top_anchor tie-break =
+    (count DESC, anchor ASC), deterministic at any parallelism."""
+    from doc_redaction_spark.operators.html_extract import anchor_text_rollup
+
+    d = F.col("doc_id").cast("long")
+    target = _warc_uri_spark(d % 50)
+    www = F.regexp_replace(target, r"^https://", "https://www.")
+    anchor0 = (
+        F.when(d % 3 == 0, F.lit("click here"))
+        .when(d % 3 == 1, F.lit("read <b>more</b>"))
+        .otherwise(F.concat(F.lit("Doc "), (d % 50).cast("string")))
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        target,
+        F.lit('">'),
+        anchor0,
+        F.lit('</a> and <a href="'),
+        www,
+        F.when(d % 4 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        F.lit('">homepage</a></body></html>'),
+    )
+    pages = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(d.alias("page_id"), html.alias("html"))
+    )
+    return anchor_text_rollup(pages)
+
+
+def o_anchor_text():
+    return f"""
+    WITH raw AS (
+      SELECT {_warc_uri_sql('doc_id % 50')} AS target,
+             CASE WHEN doc_id % 3 = 0 THEN 'click here'
+                  WHEN doc_id % 3 = 1 THEN 'read more'
+                  ELSE 'Doc ' || CAST(doc_id % 50 AS VARCHAR) END AS anchor
+      FROM documents
+      UNION ALL
+      SELECT {_warc_uri_sql('doc_id % 50')} AS target, 'homepage' AS anchor
+      FROM documents
+    ),
+    pa AS (SELECT target, anchor, count(*) AS cnt
+           FROM raw GROUP BY target, anchor),
+    rk AS (SELECT target, anchor, cnt,
+                  row_number() OVER (PARTITION BY target
+                                     ORDER BY cnt DESC, anchor ASC) AS rn
+           FROM pa)
+    SELECT target,
+           CAST(sum(cnt) AS BIGINT) AS n_links,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
+           CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_count
+    FROM rk GROUP BY target
+    """
+
+
+def q_url_trap_detect(spark, sf_dir):
+    """Spider-trap host report (functions/urls.py trap_host_report):
+    planted /cal/next/next/next/ repeated-segment traps (d%23==0) and
+    depth-10 paths (d%31==0, CASE-ordered so the overlap at lcm is
+    deterministic) against 2-segment clean URLs, rolled up per host.
+    The feature math (segment multiplicity via list lambdas) is
+    re-rendered in DuckDB — the oracle checks the FEATURES, not just
+    the fixture arithmetic."""
+    from doc_redaction_spark.functions.urls import trap_host_report
+
+    d = F.col("doc_id").cast("long")
+    hosts = F.array(*[F.lit(h) for h in URL_HOSTS])
+    path = (
+        F.when(
+            d % 23 == 0,
+            F.concat(F.lit("/cal/next/next/next/"), d.cast("string")),
+        )
+        .when(
+            d % 31 == 0,
+            F.concat(F.lit("/a/b/c/d/e/f/g/h/i/"), d.cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/doc/"), d.cast("string")))
+    )
+    urls = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.concat(
+                F.lit("https://"),
+                F.element_at(hosts, (d % 5).cast("int") + 1),
+                path,
+            ).alias("url")
+        )
+    )
+    return trap_host_report(urls)
+
+
+def o_url_trap_detect():
+    from doc_redaction_spark.functions.urls import duckdb_trap_features
+
+    alts = ", ".join(f"'{h}'" for h in URL_HOSTS)
+    return f"""
+    WITH u AS (
+      SELECT 'https://' || ([{alts}])[CAST(doc_id % 5 AS INTEGER) + 1]
+             || CASE WHEN doc_id % 23 = 0
+                     THEN '/cal/next/next/next/' || CAST(doc_id AS VARCHAR)
+                     WHEN doc_id % 31 = 0
+                     THEN '/a/b/c/d/e/f/g/h/i/' || CAST(doc_id AS VARCHAR)
+                     ELSE '/doc/' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents),
+    f AS (SELECT {duckdb_trap_features('url')} FROM u)
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(is_trap) AS BIGINT) AS n_traps,
+           CAST((10000 * sum(is_trap)) // count(*) AS BIGINT) AS trap_x1e4
+    FROM f GROUP BY host
+    """
+
+
+# preference-judgment fixture: ONE Spark builder + ONE SQL rendering.
+# winner coin: md5-u32('w|'||doc_id) % 10 → 0-5 'a', 6-8 'b', 9 'tie'
+# (deliberately a-biased so winrates are non-trivial); resp_a length
+# varies with d%5 so the length-delta buckets all fire.
+def _judgments(spark, sf_dir):
+    from doc_redaction_spark.operators.sampling import _hash_u32
+
+    d = F.col("doc_id").cast("long")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    coin = _hash_u32(F.concat(F.lit("w|"), d.cast("string"))) % 10
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("prompt_id"),
+        F.concat(F.lit("m"), (d % 4).cast("string")).alias("model_a"),
+        F.concat(F.lit("m"), ((d % 4 + 1 + d % 3) % 4).cast("string")).alias(
+            "model_b"
+        ),
+        F.substring(t, 1, (F.lit(20) + (d % 5) * 10).cast("int")).alias(
+            "resp_a"
+        ),
+        F.substring(t, 1, 40).alias("resp_b"),
+        F.when(coin < 6, F.lit("a"))
+        .when(coin < 9, F.lit("b"))
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    )
+
+
+def _judgments_sql() -> str:
+    from doc_redaction_spark.operators.sampling import duckdb_hash_u32
+
+    coin = duckdb_hash_u32("'w|' || CAST(doc_id AS VARCHAR)") + " % 10"
+    return f"""
+    SELECT doc_id AS prompt_id,
+           'm' || CAST(doc_id % 4 AS VARCHAR) AS model_a,
+           'm' || CAST((doc_id % 4 + 1 + doc_id % 3) % 4 AS VARCHAR)
+             AS model_b,
+           substr(coalesce(text, ''), 1,
+                  CAST(20 + (doc_id % 5) * 10 AS INTEGER)) AS resp_a,
+           substr(coalesce(text, ''), 1, 40) AS resp_b,
+           CASE WHEN ({coin}) < 6 THEN 'a'
+                WHEN ({coin}) < 9 THEN 'b' ELSE 'tie' END AS winner
+    FROM documents
+    """
+
+
+_PAIR_NORM_SQL = """
+    n AS (SELECT least(model_a, model_b) AS model_lo,
+                 greatest(model_a, model_b) AS model_hi,
+                 CASE WHEN model_a <= model_b
+                      THEN CASE WHEN winner = 'a' THEN 1 ELSE 0 END
+                      ELSE CASE WHEN winner = 'b' THEN 1 ELSE 0 END END AS lw,
+                 CASE WHEN model_a <= model_b
+                      THEN CASE WHEN winner = 'b' THEN 1 ELSE 0 END
+                      ELSE CASE WHEN winner = 'a' THEN 1 ELSE 0 END END AS hw,
+                 CASE WHEN winner = 'tie' THEN 1 ELSE 0 END AS tw
+          FROM j),
+    pairs AS (SELECT model_lo, model_hi, count(*) AS n,
+                     sum(lw) AS lo_wins, sum(hw) AS hi_wins, sum(tw) AS ties
+              FROM n GROUP BY model_lo, model_hi)
+"""
+
+
+def q_pref_winrate(spark, sf_dir):
+    """Pairwise model win rates (operators/preference.py
+    pairwise_winrate): unordered-pair normalization (m0-vs-m2 and
+    m2-vs-m0 judgments must aggregate together — the fixture produces
+    both orientations), exact floor(1e4·lo_wins/decided) rates, NULL
+    (not 0) when a pair only ever tied."""
+    from doc_redaction_spark.operators.preference import pairwise_winrate
+
+    return pairwise_winrate(_judgments(spark, sf_dir))
+
+
+def o_pref_winrate():
+    return f"""
+    WITH j AS ({_judgments_sql()}),
+    {_PAIR_NORM_SQL}
+    SELECT model_lo, model_hi,
+           CAST(n AS BIGINT) AS n,
+           CAST(lo_wins AS BIGINT) AS lo_wins,
+           CAST(hi_wins AS BIGINT) AS hi_wins,
+           CAST(ties AS BIGINT) AS ties,
+           CASE WHEN lo_wins + hi_wins > 0
+                THEN CAST((10000 * lo_wins) // (lo_wins + hi_wins) AS BIGINT)
+                END AS lo_winrate_x1e4
+    FROM pairs
+    """
+
+
+def q_pref_copeland(spark, sf_dir):
+    """Copeland tournament scores (operators/preference.py
+    copeland_scores): per-model 2/1/0 points over head-to-head
+    majorities, ×2 so the tied-pair half point stays an integer."""
+    from doc_redaction_spark.operators.preference import copeland_scores
+
+    return copeland_scores(_judgments(spark, sf_dir))
+
+
+def o_pref_copeland():
+    return f"""
+    WITH j AS ({_judgments_sql()}),
+    {_PAIR_NORM_SQL},
+    sides AS (
+      SELECT model_lo AS model, lo_wins AS my, hi_wins AS their FROM pairs
+      UNION ALL
+      SELECT model_hi AS model, hi_wins AS my, lo_wins AS their FROM pairs),
+    pts AS (SELECT model,
+                   CASE WHEN my > their THEN 2
+                        WHEN my = their THEN 1 ELSE 0 END AS p
+            FROM sides)
+    SELECT model,
+           CAST(count(*) AS BIGINT) AS n_opponents,
+           CAST(sum(CASE WHEN p = 2 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+           CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+           CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+           CAST(sum(p) AS BIGINT) AS copeland_x2
+    FROM pts GROUP BY model
+    """
+
+
+def q_length_bias(spark, sf_dir):
+    """Verbosity-bias diagnostic (operators/preference.py
+    length_bias_report): judgments bucketed by response-length delta
+    (exact pmod floor-division — Spark div truncates, DuckDB // floors,
+    so neither native operator survives negative deltas), win share of
+    the LONGER response per bucket."""
+    from doc_redaction_spark.operators.preference import length_bias_report
+
+    return length_bias_report(_judgments(spark, sf_dir), bucket_chars=10)
+
+
+def o_length_bias():
+    delta = "(CAST(length(resp_a) AS BIGINT) - CAST(length(resp_b) AS BIGINT))"
+    bucket = f"CAST(({delta} - ((({delta}) % 10 + 10) % 10)) // 10 AS BIGINT)"
+    return f"""
+    WITH j AS ({_judgments_sql()}),
+    r AS (SELECT {bucket} AS len_delta_bucket,
+                 CASE WHEN winner = 'a' THEN 1 ELSE 0 END AS aw,
+                 CASE WHEN winner = 'b' THEN 1 ELSE 0 END AS bw,
+                 CASE WHEN winner = 'tie' THEN 1 ELSE 0 END AS tw,
+                 CASE WHEN ({delta} > 0 AND winner = 'a')
+                        OR ({delta} < 0 AND winner = 'b')
+                      THEN 1 ELSE 0 END AS lw,
+                 CASE WHEN {delta} <> 0 AND winner <> 'tie'
+                      THEN 1 ELSE 0 END AS du
+          FROM j)
+    SELECT len_delta_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(aw) AS BIGINT) AS a_wins,
+           CAST(sum(bw) AS BIGINT) AS b_wins,
+           CAST(sum(tw) AS BIGINT) AS ties,
+           CASE WHEN sum(du) > 0
+                THEN CAST((10000 * sum(lw)) // sum(du) AS BIGINT)
+                END AS longer_wins_x1e4
+    FROM r GROUP BY len_delta_bucket
+    """
+
+
+def q_rater_agreement(spark, sf_dir):
+    """Exact Cohen's kappa per labeling task (operators/preference.py
+    cohens_kappa): md5-coin raters agree ~3/4 of the time; kappa stays a
+    RATIONAL (kappa_num/kappa_den BIGINT pair) because float division
+    is not bit-identical cross-engine and kappa can be negative, where
+    Spark div and DuckDB // floor differently."""
+    from doc_redaction_spark.operators.preference import cohens_kappa
+    from doc_redaction_spark.operators.sampling import _hash_u32
+
+    d = F.col("doc_id").cast("long")
+    labels = F.array(F.lit("pos"), F.lit("neg"), F.lit("neu"))
+    r1 = _hash_u32(F.concat(F.lit("r1|"), d.cast("string"))) % 3
+    coin = _hash_u32(F.concat(F.lit("ag|"), d.cast("string"))) % 4
+    flip = _hash_u32(F.concat(F.lit("r2|"), d.cast("string"))) % 2
+    r2 = F.when(coin < 3, r1).otherwise((r1 + 1 + flip) % 3)
+    wide = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("t"), (d % 5).cast("string")).alias("task"),
+        F.element_at(labels, r1.cast("int") + 1).alias("label1"),
+        F.element_at(labels, r2.cast("int") + 1).alias("label2"),
+    )
+    return cohens_kappa(wide, group_col="task")
+
+
+def o_rater_agreement():
+    from doc_redaction_spark.operators.sampling import duckdb_hash_u32
+
+    k1 = "'r1|' || CAST(doc_id AS VARCHAR)"
+    k2 = "'ag|' || CAST(doc_id AS VARCHAR)"
+    k3 = "'r2|' || CAST(doc_id AS VARCHAR)"
+    r1 = f"({duckdb_hash_u32(k1)} % 3)"
+    coin = f"({duckdb_hash_u32(k2)} % 4)"
+    flip = f"({duckdb_hash_u32(k3)} % 2)"
+    return f"""
+    WITH wide AS (
+      SELECT 't' || CAST(doc_id % 5 AS VARCHAR) AS task,
+             (['pos', 'neg', 'neu'])[CAST({r1} AS INTEGER) + 1] AS label1,
+             (['pos', 'neg', 'neu'])[CAST(
+                 CASE WHEN {coin} < 3 THEN {r1}
+                      ELSE ({r1} + 1 + {flip}) % 3 END AS INTEGER) + 1]
+               AS label2
+      FROM documents),
+    per AS (SELECT task, count(*) AS n,
+                   sum(CASE WHEN label1 = label2 THEN 1 ELSE 0 END) AS agree
+            FROM wide GROUP BY task),
+    m1 AS (SELECT task, label1 AS k, count(*) AS n1 FROM wide
+           GROUP BY task, label1),
+    m2 AS (SELECT task, label2 AS k, count(*) AS n2 FROM wide
+           GROUP BY task, label2),
+    pe AS (SELECT m1.task, sum(n1 * n2) AS pe_num
+           FROM m1 JOIN m2 ON m1.task = m2.task AND m1.k = m2.k
+           GROUP BY m1.task)
+    SELECT per.task,
+           CAST(per.n AS BIGINT) AS n,
+           CAST(per.agree AS BIGINT) AS agree,
+           CAST((10000 * per.agree) // per.n AS BIGINT) AS po_x1e4,
+           CAST(per.n * per.agree - coalesce(pe.pe_num, 0) AS BIGINT)
+             AS kappa_num,
+           CAST(per.n * per.n - coalesce(pe.pe_num, 0) AS BIGINT)
+             AS kappa_den
+    FROM per LEFT JOIN pe ON per.task = pe.task
+    """
+
+
+def q_best_of_n(spark, sf_dir):
+    """Best-of-n candidate selection (operators/preference.py
+    best_of_n): 4 candidates per prompt, md5-derived integer rewards
+    (collisions happen — the idx tie-break is driver-hashed), margin =
+    best − runner-up via ONE per-prompt window over bounded partitions."""
+    from doc_redaction_spark.operators.preference import best_of_n
+    from doc_redaction_spark.operators.sampling import _hash_u32
+
+    d = F.col("doc_id").cast("long")
+    cands = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr("CAST(doc_id AS BIGINT) div 4").alias("prompt_id"),
+        (d % 4).alias("cand_idx"),
+        (_hash_u32(F.concat(F.lit("q|"), d.cast("string"))) % 1000).alias(
+            "reward"
+        ),
+    )
+    return best_of_n(cands)
+
+
+def o_best_of_n():
+    from doc_redaction_spark.operators.sampling import duckdb_hash_u32
+
+    kq = "'q|' || CAST(doc_id AS VARCHAR)"
+    rew = f"({duckdb_hash_u32(kq)} % 1000)"
+    return f"""
+    WITH c AS (SELECT doc_id // 4 AS prompt_id,
+                      doc_id % 4 AS cand_idx,
+                      {rew} AS reward
+               FROM documents),
+    rk AS (SELECT prompt_id, cand_idx, reward,
+                  row_number() OVER (PARTITION BY prompt_id
+                                     ORDER BY reward DESC, cand_idx ASC)
+                    AS rn,
+                  lead(reward) OVER (PARTITION BY prompt_id
+                                     ORDER BY reward DESC, cand_idx ASC)
+                    AS nxt,
+                  count(*) OVER (PARTITION BY prompt_id) AS nc
+           FROM c)
+    SELECT CAST(prompt_id AS BIGINT) AS prompt_id,
+           CAST(cand_idx AS BIGINT) AS best_idx,
+           CAST(reward AS BIGINT) AS best_reward,
+           CAST(reward - nxt AS BIGINT) AS margin,
+           CAST(nc AS BIGINT) AS n_cands
+    FROM rk WHERE rn = 1
+    """
+
+
+def q_canonical_collapse(spark, sf_dir):
+    """rel=canonical dedup collapse (operators/html_extract.py
+    canonical_collapse over functions/urls.py resolve_href_col): pages
+    on one host declare canonicals three ways — root-relative
+    (/canon/t at d%9==0), absolute with www+utm noise that the
+    canonical_url pass must strip (d%9==3, href attribute BEFORE rel),
+    and dir-relative (d%9==6, resolved against the page's directory);
+    undeclared pages collapse to themselves. A rel="stylesheet" decoy
+    link is on every page. Oracle = closed-form group reconstruction."""
+    from doc_redaction_spark.operators.html_extract import canonical_collapse
+
+    d = F.col("doc_id").cast("long")
+    t = (d % 50).cast("string")
+    url = F.concat(F.lit("https://pages.example/p/"), d.cast("string"))
+    canon = (
+        F.when(
+            d % 9 == 0,
+            F.concat(F.lit('<link rel="canonical" href="/canon/'), t, F.lit('">')),
+        )
+        .when(
+            d % 9 == 3,
+            F.concat(
+                F.lit('<link href="https://www.pages.example/canon/'),
+                t,
+                F.lit('?utm_source=x" rel="canonical">'),
+            ),
+        )
+        .when(
+            d % 9 == 6,
+            F.concat(F.lit('<link rel="canonical" href="c'), t, F.lit('">')),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
+        canon,
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("page_id"), url.alias("url"), html.alias("html")
+    )
+    return canonical_collapse(pages)
+
+
+def o_canonical_collapse():
+    return """
+    WITH eff AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 IN (0, 3)
+                  THEN 'https://pages.example/canon/'
+                       || CAST(doc_id % 50 AS VARCHAR)
+                  WHEN doc_id % 9 = 6
+                  THEN 'https://pages.example/p/c'
+                       || CAST(doc_id % 50 AS VARCHAR)
+                  ELSE 'https://pages.example/p/'
+                       || CAST(doc_id AS VARCHAR) END AS canonical_target,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS declared
+      FROM documents)
+    SELECT canonical_target,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(declared) AS BIGINT) AS n_declared,
+           CAST(min(doc_id) AS BIGINT) AS kept_page_id
+    FROM eff GROUP BY canonical_target
+    """
+
+
+def q_pagination_chains(spark, sf_dir):
+    """Paginated-article reassembly (operators/html_extract.py
+    next_link_edges + operators/redirects.py resolve_redirects): pages
+    declare <link rel="next"> in chains of 4 (dir-relative hrefs on
+    even pages, root-relative on odd — both must resolve); the
+    harvested edges are REVERSED into parent pointers and
+    pointer-doubled to the chain root, giving every page (url,
+    first_url, position) in O(log len) rounds; roots join back via
+    anti-join at position 0. Executes at construction (the documented
+    iterative-operator exception). Oracle = closed-form d−d%4."""
+    from doc_redaction_spark.operators.html_extract import next_link_edges
+    from doc_redaction_spark.operators.redirects import resolve_redirects
+
+    d = F.col("doc_id").cast("long")
+    url = F.concat(F.lit("https://pages.example/doc/"), d.cast("string"))
+    nxt = F.when(
+        d % 4 != 3,
+        F.when(
+            d % 2 == 0, (d + 1).cast("string")
+        ).otherwise(F.concat(F.lit("/doc/"), (d + 1).cast("string"))),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            nxt != "",
+            F.concat(F.lit('<link rel="next" href="'), nxt, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        url.alias("url"), html.alias("html")
+    )
+    edges = next_link_edges(pages)
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    res = resolve_redirects(rev, max_hops=4)
+    part = res.select(
+        F.col("src").alias("url"),
+        F.col("final").alias("first_url"),
+        F.col("hops").cast("long").alias("position"),
+    )
+    roots = pages.join(
+        rev.select(F.col("src").alias("url")).distinct(), "url", "left_anti"
+    ).select(
+        "url",
+        F.col("url").alias("first_url"),
+        F.lit(0).cast("long").alias("position"),
+    )
+    return part.unionByName(roots)
+
+
+def o_pagination_chains():
+    return """
+    SELECT 'https://pages.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           'https://pages.example/doc/'
+             || CAST(doc_id - doc_id % 4 AS VARCHAR) AS first_url,
+           CAST(doc_id % 4 AS BIGINT) AS position
+    FROM documents
+    """
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap: directive harvest from robots.txt
+    (operators/robots.py robots_sitemaps): per-file directives in file
+    order — a leading '# Sitemap:' comment decoy that must NOT match,
+    a lowercase 'sitemap:' second directive on d%3==0, CRLF line
+    endings on odd docs (\\S+ must not eat the \\r). Oracle =
+    closed-form directive list."""
+    from doc_redaction_spark.operators.robots import robots_sitemaps
+
+    d = F.col("doc_id").cast("long")
+    nl = F.when(d % 2 == 1, F.lit("\r\n")).otherwise(F.lit("\n"))
+    body = F.concat(
+        F.lit("# Sitemap: https://decoy.example/never.xml"),
+        nl,
+        F.lit("User-agent: *"),
+        nl,
+        F.lit("Disallow: /private"),
+        nl,
+        F.lit("Sitemap: https://h.example/"),
+        d.cast("string"),
+        F.lit("/s1.xml"),
+        nl,
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("sitemap: https://h.example/"),
+                d.cast("string"),
+                F.lit("/s2.xml"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    robots = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("h"), d.cast("string")).alias("host"),
+        body.alias("body"),
+    )
+    return robots_sitemaps(robots)
+
+
+def o_robots_sitemaps():
+    return """
+    SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+           CAST(0 AS BIGINT) AS sm_idx,
+           'https://h.example/' || CAST(doc_id AS VARCHAR) || '/s1.xml'
+             AS sitemap_url
+    FROM documents
+    UNION ALL
+    SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+           CAST(1 AS BIGINT) AS sm_idx,
+           'https://h.example/' || CAST(doc_id AS VARCHAR) || '/s2.xml'
+             AS sitemap_url
+    FROM documents WHERE doc_id % 3 = 0
+    """
+
+
+def q_xrobots_gate(spark, sf_dir):
+    """X-Robots-Tag HTTP-header directives unioned with the page's
+    <meta name=robots> (a crawler must honor BOTH surfaces — composes
+    functions/http.py header/body extraction with the html_extract
+    directive parser): header-only noindex (d%4==0, header name case
+    alternates with d%2), header noarchive+nofollow list (d%4==1),
+    meta-only noindex (d%4==2), clean (d%4==3). Oracle = closed-form
+    truth table."""
+    from doc_redaction_spark.functions.http import (
+        http_body_col,
+        http_header_col,
+    )
+    from doc_redaction_spark.operators.html_extract import (
+        _DIRECTIVE_SPLIT,
+        _robots_directives,
+    )
+
+    d = F.col("doc_id").cast("long")
+    hname = F.when(d % 2 == 0, F.lit("X-Robots-Tag")).otherwise(
+        F.lit("x-robots-tag")
+    )
+    hdr = (
+        F.when(d % 4 == 0, F.concat(hname, F.lit(": noindex\r\n")))
+        .when(d % 4 == 1, F.concat(hname, F.lit(": noarchive, nofollow\r\n")))
+        .otherwise(F.lit(""))
+    )
+    body = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            d % 4 == 2, F.lit('<meta name="robots" content="noindex">')
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
+        hdr,
+        F.lit("\r\n"),
+        body,
+    )
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("page_id"), payload.alias("payload")
+    )
+    hdr_tokens = F.split(
+        F.lower(http_header_col(F.col("payload"), "x-robots-tag")),
+        _DIRECTIVE_SPLIT,
+    )
+    meta_dirs = _robots_directives(http_body_col(F.col("payload")))
+    hdr_noindex = F.array_contains(hdr_tokens, "noindex").cast("int")
+    hdr_nofollow = F.array_contains(hdr_tokens, "nofollow").cast("int")
+    meta_noindex = F.array_contains(meta_dirs, "noindex").cast("int")
+    return pages.select(
+        "page_id",
+        hdr_noindex.alias("hdr_noindex"),
+        hdr_nofollow.alias("hdr_nofollow"),
+        meta_noindex.alias("meta_noindex"),
+        ((hdr_noindex == 0) & (meta_noindex == 0))
+        .cast("int")
+        .alias("indexable"),
+    )
+
+
+def o_xrobots_gate():
+    return """
+    SELECT doc_id AS page_id,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS hdr_noindex,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS INTEGER)
+             AS hdr_nofollow,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS INTEGER)
+             AS meta_noindex,
+           CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 1 ELSE 0 END AS INTEGER)
+             AS indexable
+    FROM documents
+    """
+
+
+def q_dpo_edit_distance(spark, sf_dir):
+    """Edit-distance report over mined preference pairs
+    (operators/preference.py preference_pair_edits): the divergent turn
+    texts of every dpo_pairs row scored with JVM levenshtein (exact
+    integers, exists verbatim in DuckDB) plus the floor(1e4·lev/max)
+    normalized form — cosmetic retries vs real preference signal.
+    Oracle = the shared _dpo_pr_sql pair chain + two rank joins."""
+    from doc_redaction_spark.operators.preference import preference_pair_edits
+
+    return preference_pair_edits(_tr_branches(spark, sf_dir))
+
+
+def o_dpo_edit_distance():
+    return f"""
+    {_dpo_pr_sql()},
+    sel AS (SELECT prefix_len,
+                   CASE WHEN ta >= tb THEN conv_a ELSE conv_b END AS chosen,
+                   CASE WHEN ta >= tb THEN conv_b ELSE conv_a END AS rejected
+            FROM pr),
+    dtx AS (SELECT conv_id,
+                   row_number() OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS rk,
+                   text
+            FROM trb)
+    SELECT s.chosen, s.rejected, s.prefix_len,
+           CAST(levenshtein(tc.text, tj.text) AS BIGINT) AS edit_dist,
+           CAST(greatest(length(tc.text), length(tj.text)) AS BIGINT)
+             AS max_len,
+           CAST((10000 * levenshtein(tc.text, tj.text))
+                // greatest(length(tc.text), length(tj.text)) AS BIGINT)
+             AS edit_x1e4
+    FROM sel s
+    JOIN dtx tc ON tc.conv_id = s.chosen AND tc.rk = s.prefix_len + 1
+    JOIN dtx tj ON tj.conv_id = s.rejected AND tj.rk = s.prefix_len + 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13158,6 +14050,20 @@ _QUERIES: dict[str, Callable] = {
     # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
     # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
     # driver greens and inputs untouched this round
+    "feed_ingest": q_feed_ingest,
+    "canonical_collapse": q_canonical_collapse,
+    "pagination_chains": q_pagination_chains,
+    "robots_sitemaps": q_robots_sitemaps,
+    "xrobots_gate": q_xrobots_gate,
+    "dpo_edit_distance": q_dpo_edit_distance,
+    "meta_robots_gate": q_meta_robots_gate,
+    "anchor_text": q_anchor_text,
+    "url_trap_detect": q_url_trap_detect,
+    "pref_winrate": q_pref_winrate,
+    "pref_copeland": q_pref_copeland,
+    "length_bias": q_length_bias,
+    "rater_agreement": q_rater_agreement,
+    "best_of_n": q_best_of_n,
     "chat_jsonl_ingest": q_chat_jsonl_ingest,
     "robots_gate": q_robots_gate,
     "redirect_resolve": q_redirect_resolve,
@@ -13424,6 +14330,20 @@ _QUERIES: dict[str, Callable] = {
 }
 
 _ORACLES: dict[str, Callable[[], str]] = {
+    "feed_ingest": o_feed_ingest,
+    "canonical_collapse": o_canonical_collapse,
+    "pagination_chains": o_pagination_chains,
+    "robots_sitemaps": o_robots_sitemaps,
+    "xrobots_gate": o_xrobots_gate,
+    "dpo_edit_distance": o_dpo_edit_distance,
+    "meta_robots_gate": o_meta_robots_gate,
+    "anchor_text": o_anchor_text,
+    "url_trap_detect": o_url_trap_detect,
+    "pref_winrate": o_pref_winrate,
+    "pref_copeland": o_pref_copeland,
+    "length_bias": o_length_bias,
+    "rater_agreement": o_rater_agreement,
+    "best_of_n": o_best_of_n,
     "chat_jsonl_ingest": o_chat_jsonl_ingest,
     "robots_gate": o_robots_gate,
     "redirect_resolve": o_redirect_resolve,

@@ -175,3 +175,190 @@ def domain_blocklist_verdict(
         F.col("_best").getField("s").alias("blocked_domain"),
         F.col("_best").isNotNull().cast("int").alias("blocked"),
     )
+
+
+# --- spider-trap detection -------------------------------------------------
+# Crawl frontiers die in URL traps: calendar pages that link "next month"
+# forever, session-id path segments, breadcrumb loops. The detector is a
+# per-URL feature pair rendered identically in Spark and DuckDB (list
+# lambdas exist in both): path depth and the maximum multiplicity of any
+# single path segment. A URL is trap-suspect when the path is deeper than
+# ``max_depth`` or repeats one segment ``max_repeat``+ times (the classic
+# /next/next/next loop signature). Host-level rollup feeds the crawl
+# scheduler: a host whose trap share spikes gets its frontier quota cut.
+
+TRAP_MAX_DEPTH = 8
+TRAP_MAX_REPEAT = 3
+
+
+def _url_path_segments(url: Column) -> Column:
+    rest = F.regexp_replace(url, _SCHEME_PREFIX, "")
+    path = F.regexp_extract(rest, r"^[^/?#]*(/[^?#]*)", 1)
+    return F.filter(F.split(path, "/"), lambda sg: sg != "")
+
+
+def url_trap_features(
+    urls: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-URL trap features: ``(…input cols…, host, depth,
+    max_seg_repeat, is_trap)``. depth = number of non-empty path
+    segments; max_seg_repeat = the highest count of one identical
+    segment within the path (0 for an empty path). Map-only JVM
+    expressions — the quadratic segment-count HOF runs on paths of at
+    most a few dozen elements, never on the corpus axis."""
+    u = F.col(url_col)
+    rest = F.regexp_replace(u, _SCHEME_PREFIX, "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?#:]*)", 1))
+    segs = _url_path_segments(u)
+    max_rep = F.coalesce(
+        F.array_max(
+            F.transform(
+                segs,
+                lambda sg: F.size(F.filter(segs, lambda other: other == sg)),
+            )
+        ),
+        F.lit(0),
+    )
+    depth = F.size(segs)
+    return urls.select(
+        "*",
+        host.alias("host"),
+        depth.cast("long").alias("depth"),
+        max_rep.cast("long").alias("max_seg_repeat"),
+        (
+            (depth > TRAP_MAX_DEPTH) | (max_rep >= TRAP_MAX_REPEAT)
+        )
+        .cast("int")
+        .alias("is_trap"),
+    )
+
+
+def trap_host_report(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Host rollup of ``url_trap_features``: ``(host, n_urls, n_traps,
+    trap_x1e4)`` with trap_x1e4 = floor(10000·traps/urls) — the integer
+    domain keeps the ratio bit-identical cross-engine. ONE map-side-
+    combinable groupBy on host; near-unique keys need no salt."""
+    feats = url_trap_features(urls, url_col)
+    return feats.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("is_trap").alias("n_traps"),
+        F.expr("CAST((10000 * sum(is_trap)) div count(1) AS BIGINT)").alias(
+            "trap_x1e4"
+        ),
+    )
+
+
+def duckdb_trap_features(url_expr: str) -> str:
+    """DuckDB rendering of the per-URL trap features as a STRUCT-free
+    projection fragment: returns SELECT-list SQL for (host, depth,
+    max_seg_repeat, is_trap) over ``url_expr`` — the same spec as
+    ``url_trap_features``, list lambdas in place of HOFs."""
+    rest = f"regexp_replace({url_expr}, '{_SCHEME_PREFIX}', '')"
+    host = f"lower(regexp_extract({rest}, '^([^/?#:]*)', 1))"
+    path = f"regexp_extract({rest}, '^[^/?#]*(/[^?#]*)', 1)"
+    segs = f"list_filter(string_split({path}, '/'), sg -> sg <> '')"
+    max_rep = (
+        f"coalesce(list_max(list_transform({segs},"
+        f" sg -> len(list_filter({segs}, o -> o = sg)))), 0)"
+    )
+    depth = f"len({segs})"
+    return (
+        f"{host} AS host, CAST({depth} AS BIGINT) AS depth,"
+        f" CAST({max_rep} AS BIGINT) AS max_seg_repeat,"
+        f" CAST(CASE WHEN {depth} > {TRAP_MAX_DEPTH}"
+        f" OR {max_rep} >= {TRAP_MAX_REPEAT} THEN 1 ELSE 0 END AS INTEGER)"
+        f" AS is_trap"
+    )
+
+
+# --- relative-href resolution ----------------------------------------------
+# Anchor hrefs, rel=canonical and rel=next/prev targets in real pages are
+# mostly RELATIVE; a frontier/dedup key built from the raw attribute is
+# garbage. ONE resolution spec (a pragmatic RFC-3986 §5 subset), three
+# dialects:
+#   absolute (scheme://…)    → the href itself
+#   protocol-relative //h/p  → base scheme + ':' + href
+#   root-relative /p         → base origin + href
+#   query-only ?q            → base minus its query/fragment + href
+#   fragment-only #f         → base minus its fragment-and-beyond (same doc)
+#   dir-relative p           → base directory (up to last path '/') + href
+# Dot segments (../ ./) are NOT normalized (documented subset — feed the
+# result through canonical_url_col for the dedup key; dot-segment inputs
+# stay distinct rather than wrongly merging). Empty href resolves to ''
+# so callers can filter "absent" cheaply.
+
+_QF_TAIL = r"(?s)[?#].*"  # one match to end-of-string (query or fragment on)
+_F_TAIL = r"(?s)#.*"
+
+
+def resolve_href_col(base: Column, href: Column) -> Column:
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    rest = F.regexp_replace(base, _SCHEME_PREFIX, "")
+    auth = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    origin = F.concat(scheme, F.lit("://"), auth)
+    base_nq = F.regexp_replace(base, _QF_TAIL, "")
+    pathq = F.substring(rest, F.length(auth) + F.lit(1), F.length(rest))
+    has_slash = F.regexp_extract(pathq, r"^([^?#]*)", 1).contains("/")
+    basedir = F.when(
+        has_slash, F.regexp_replace(base_nq, r"[^/]*$", "")
+    ).otherwise(F.concat(origin, F.lit("/")))
+    return (
+        F.when(href == "", F.lit(""))
+        .when(href.rlike(_SCHEME_PREFIX), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .when(href.startswith("?"), F.concat(base_nq, href))
+        .when(href.startswith("#"), F.regexp_replace(base, _F_TAIL, ""))
+        .otherwise(F.concat(basedir, href))
+    )
+
+
+def duckdb_resolve_href(base: str, href: str) -> str:
+    scheme = f"regexp_extract({base}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)"
+    rest = f"regexp_replace({base}, '{_SCHEME_PREFIX}', '')"
+    auth = f"regexp_extract({rest}, '^([^/?#]*)', 1)"
+    origin = f"({scheme} || '://' || {auth})"
+    base_nq = f"regexp_replace({base}, '{_QF_TAIL}', '')"
+    pathq = f"substr({rest}, length({auth}) + 1)"
+    has_slash = f"contains(regexp_extract({pathq}, '^([^?#]*)', 1), '/')"
+    basedir = (
+        f"(CASE WHEN {has_slash}"
+        f" THEN regexp_replace({base_nq}, '[^/]*$', '')"
+        f" ELSE {origin} || '/' END)"
+    )
+    return (
+        f"(CASE WHEN {href} = '' THEN ''"
+        f" WHEN regexp_matches({href}, '{_SCHEME_PREFIX}') THEN {href}"
+        f" WHEN {href} LIKE '//%' THEN {scheme} || ':' || {href}"
+        f" WHEN {href} LIKE '/%' THEN {origin} || {href}"
+        f" WHEN {href} LIKE '?%' THEN {base_nq} || {href}"
+        f" WHEN {href} LIKE '#%' THEN regexp_replace({base}, '{_F_TAIL}', '')"
+        f" ELSE {basedir} || {href} END)"
+    )
+
+
+def resolve_href_py(base: str, href: str) -> str:
+    if href == "":
+        return ""
+    if _SCHEME_RE.match(href):
+        return href
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", base)
+    scheme = m.group(1) if m else ""
+    rest = _SCHEME_RE.sub("", base)
+    auth = re.match(r"^([^/?#]*)", rest).group(1)
+    origin = f"{scheme}://{auth}"
+    if href.startswith("//"):
+        return scheme + ":" + href
+    if href.startswith("/"):
+        return origin + href
+    base_nq = re.sub(_QF_TAIL, "", base)
+    if href.startswith("?"):
+        return base_nq + href
+    if href.startswith("#"):
+        return re.sub(_F_TAIL, "", base)
+    pathq = rest[len(auth):]
+    path = re.match(r"^([^?#]*)", pathq).group(1)
+    basedir = (
+        re.sub(r"[^/]*$", "", base_nq) if "/" in path else origin + "/"
+    )
+    return basedir + href

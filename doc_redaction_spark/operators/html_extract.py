@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # --- pattern spec (ONE home; rendered to Spark/DuckDB/Python) -------------
@@ -308,4 +308,238 @@ def extract_tables(
         "col_idx",
         text.alias("cell"),
         F.lower(F.substring("_cell", 1, 3)).eqNullSafe("<th").cast("int").alias("is_header"),
+    )
+
+
+# --- crawl-politeness HTML directives -------------------------------------
+# A polite indexer honors per-page <meta name="robots"> directives and
+# per-link rel="nofollow" hints (Google/REP microformat) — robots.txt
+# (operators/robots.py) gates the FETCH, these gate what the fetched page
+# contributes to the index and the frontier. Tag-level extract first, then
+# attribute extracts on the captured tag string, so attribute ORDER never
+# matters (the same trick as sources/feeds.py link selection).
+META_ROBOTS_TAG_PATTERN = (
+    r"(?is)<meta\b[^>]*name\s*=\s*[\"']robots[\"'][^>]*>"
+)
+CONTENT_ATTR_PATTERN = r"(?is)content\s*=\s*[\"']([^\"']*)[\"']"
+A_TAG_PATTERN = r"(?is)<a\b([^>]*)>(.*?)</a\s*>"
+HREF_ATTR_PATTERN = r"(?is)href\s*=\s*[\"']([^\"']*)[\"']"
+# rel is a space-separated token list ("ugc nofollow" carries nofollow)
+REL_NOFOLLOW_PATTERN = r"(?is)rel\s*=\s*[\"'][^\"']*\bnofollow\b[^\"']*[\"']"
+# directive tokens inside content="…" split on commas/whitespace
+_DIRECTIVE_SPLIT = r"[,\s]+"
+
+
+def _robots_directives(html: Column) -> Column:
+    """All directive tokens from every <meta name=robots> tag on the page
+    (HTML spec: multiple tags union their directives). ONE transform —
+    both directive checks read the same array, so no sibling HOFs ever
+    share a lambda variable (the Spark 4 cross-binding trap)."""
+    tags = F.regexp_extract_all(html, F.lit(META_ROBOTS_TAG_PATTERN), 0)
+    return F.flatten(
+        F.transform(
+            tags,
+            lambda mtag: F.split(
+                F.lower(F.regexp_extract(mtag, CONTENT_ATTR_PATTERN, 1)),
+                _DIRECTIVE_SPLIT,
+            ),
+        )
+    )
+
+
+def meta_robots_links(
+    pages: DataFrame, html_col: str = "html", id_col: str = "page_id"
+) -> DataFrame:
+    """Per-link crawl/index gate: one row per ``<a>`` tag with the page's
+    meta-robots verdict attached — ``(id_col, link_idx, href,
+    page_noindex, page_nofollow, link_nofollow, frontier_ok)``.
+
+    ``frontier_ok`` = the link may enter the crawl frontier: the page
+    does not declare ``nofollow``, the link itself carries no
+    ``rel=…nofollow…`` token, and href is non-empty. ``page_noindex``
+    rides along so the indexer downstream can drop the PAGE without a
+    second parse. Anchors without href keep their link_idx (href '') —
+    dropped rows would renumber and break offset joins.
+
+    Map-only: one tag-level extract_all per directive family plus one
+    posexplode; no shuffle, no UDF — partitions by page file at 100 TB.
+    """
+    html = F.col(html_col)
+    dirs = _robots_directives(html)
+    noindex = F.array_contains(dirs, "noindex").cast("int")
+    nofollow = F.array_contains(dirs, "nofollow").cast("int")
+    attrs = F.regexp_extract_all(html, F.lit(A_TAG_PATTERN), 1)
+    ex = pages.select(
+        id_col,
+        noindex.alias("page_noindex"),
+        nofollow.alias("page_nofollow"),
+        F.posexplode(attrs).alias("link_idx", "_attrs"),
+    )
+    href = F.regexp_extract(F.col("_attrs"), HREF_ATTR_PATTERN, 1)
+    link_nofollow = F.col("_attrs").rlike(REL_NOFOLLOW_PATTERN).cast("int")
+    return ex.select(
+        id_col,
+        F.col("link_idx").cast("long").alias("link_idx"),
+        href.alias("href"),
+        "page_noindex",
+        "page_nofollow",
+        link_nofollow.alias("link_nofollow"),
+        (
+            (F.col("page_nofollow") == 0)
+            & (link_nofollow == 0)
+            & (href != "")
+        )
+        .cast("int")
+        .alias("frontier_ok"),
+    )
+
+
+def anchor_text_rollup(
+    pages: DataFrame, html_col: str = "html", id_col: str = "page_id"
+) -> DataFrame:
+    """Anchor-text aggregation per link TARGET — the classic web-search
+    ranking signal (anchor words describe the target better than the
+    target's own boilerplate): extract every ``<a href>…</a>`` pair,
+    canonicalize the target URL (functions/urls.py — so utm-tracked and
+    www-prefixed variants of one target aggregate together), tag-strip +
+    whitespace-normalize the anchor text, then roll up per target:
+    ``(target, n_links, n_anchors, top_anchor, top_count)`` where
+    ``top_anchor`` is the most frequent anchor string (ties broken by
+    lexicographically smallest anchor — deterministic at any
+    parallelism).
+
+    Two index-aligned extract_all calls (attrs group / text group) zip
+    into (href, anchor) pairs without a second regex pass over the page.
+    Shuffle shape: ONE groupBy on (target, anchor) with map-side combine,
+    then a per-target window over the already-reduced counts — the window
+    never sees raw link rows, so a hot target costs |distinct anchors|,
+    not |links|.
+    """
+    from doc_redaction_spark.functions.urls import canonical_url_col
+
+    html = F.col(html_col)
+    attrs = F.regexp_extract_all(html, F.lit(A_TAG_PATTERN), 1)
+    texts = F.regexp_extract_all(html, F.lit(A_TAG_PATTERN), 2)
+    pairs = F.arrays_zip(attrs.alias("a"), texts.alias("t"))
+    ex = pages.select(id_col, F.explode(pairs).alias("_p"))
+    href = F.regexp_extract(F.col("_p")["a"], HREF_ATTR_PATTERN, 1)
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_p")["t"], STRIP_PATTERN, " "),
+            WS_PATTERN,
+            " ",
+        )
+    )
+    links = ex.select(
+        canonical_url_col(href).alias("target"), anchor.alias("anchor")
+    ).filter(F.col("target") != "")
+    per_anchor = links.groupBy("target", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.col("cnt").desc(), F.col("anchor").asc()
+    )
+    return (
+        per_anchor.withColumn("_rn", F.row_number().over(w))
+        .groupBy("target")
+        .agg(
+            F.sum("cnt").alias("n_links"),
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.max(F.when(F.col("_rn") == 1, F.col("anchor"))).alias(
+                "top_anchor"
+            ),
+            F.max(F.when(F.col("_rn") == 1, F.col("cnt"))).alias("top_count"),
+        )
+    )
+
+
+# --- <head> link-relation harvesting (canonical / pagination) --------------
+LINK_TAG_PATTERN = r"(?is)<link\b[^>]*>"
+
+
+def _rel_link_href(html: Column, rel: str) -> Column:
+    """href of the FIRST <link> tag whose rel attribute is exactly
+    ``rel`` ('' when absent). Tag-level extract then attribute extracts,
+    so attribute order never matters. The lambda parameter name embeds
+    the rel so sibling calls never share a variable (Spark 4
+    cross-binding)."""
+    rel_pat = rf"(?is)rel\s*=\s*[\"']{re.escape(rel)}[\"']"
+    tags = F.regexp_extract_all(html, F.lit(LINK_TAG_PATTERN), 0)
+    # PySpark names the HOF variable after the Python parameter; embed the
+    # rel in the name so two _rel_link_href calls can sit in one select
+    # without sharing a lambda var (and never use a default second param —
+    # PySpark would read it as the (element, index) form).
+    var = "ltag_" + re.sub(r"[^A-Za-z0-9]", "_", rel)
+    pred = eval(  # noqa: S307 — fixed template over a sanitized name
+        f"lambda {var}: {var}.rlike(_relp)", {"_relp": rel_pat}
+    )
+    matches = F.filter(tags, pred)
+    return F.when(
+        F.size(matches) > 0,
+        F.regexp_extract(F.element_at(matches, 1), HREF_ATTR_PATTERN, 1),
+    ).otherwise(F.lit(""))
+
+
+def canonical_collapse(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """rel=canonical dedup collapse — the duplicate signal the SITE
+    declares (print views, session-id variants, mobile mirrors all point
+    their canonical at one URL), complementing the content-based dedup
+    family (operators/dedup.py). Per page: resolve the first
+    ``<link rel="canonical" href>`` against the page URL
+    (functions/urls.py resolve_href_col — canonicals are routinely
+    root-relative), fall back to the page's own URL when absent, and
+    canonicalize (utm/www/fragment normalization) into the group key.
+    Rollup per group: ``(canonical_target, n_pages, n_declared,
+    kept_page_id)`` with keep-first = min page id (the dedup family's
+    tie rule). ONE map-side-combinable groupBy; group sizes = duplicate
+    fan-in per canonical target."""
+    from doc_redaction_spark.functions.urls import (
+        canonical_url_col,
+        resolve_href_col,
+    )
+
+    html = F.col(html_col)
+    url = F.col(url_col)
+    href = _rel_link_href(html, "canonical")
+    resolved = resolve_href_col(url, href)
+    effective = canonical_url_col(
+        F.when(resolved != "", resolved).otherwise(url)
+    )
+    rows = pages.select(
+        F.col(id_col).alias("_pid"),
+        effective.alias("canonical_target"),
+        (href != "").cast("long").alias("_declared"),
+    )
+    return rows.groupBy("canonical_target").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("_declared").alias("n_declared"),
+        F.min("_pid").alias("kept_page_id"),
+    )
+
+
+def next_link_edges(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Pagination edges: ``(src, dst)`` for every page declaring a
+    ``<link rel="next" href>`` (resolved against the page URL). Reverse
+    them (dst→src) and run operators/redirects.py resolve_redirects to
+    assign every page its chain ROOT and position in O(log chain-length)
+    rounds — the pointer-doubling kernel reused for paginated-article
+    reassembly."""
+    from doc_redaction_spark.functions.urls import resolve_href_col
+
+    href = _rel_link_href(F.col(html_col), "next")
+    return (
+        pages.select(
+            F.col(url_col).alias("src"),
+            resolve_href_col(F.col(url_col), href).alias("dst"),
+        )
+        .filter(F.col("dst") != "")
     )

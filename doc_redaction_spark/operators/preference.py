@@ -1,0 +1,282 @@
+"""Preference-data (RLHF/RLAIF) aggregation operators.
+
+A transcripts pipeline that mines preference pairs (operators/convops.py
+``dpo_pairs``) needs the evaluation half too: given a judgments table
+``(prompt_id, model_a, model_b, resp_a, resp_b, winner ∈ {'a','b','tie'})``,
+aggregate pairwise win rates, Copeland tournament scores, length-bias
+diagnostics, and best-of-n selection — the standard battery behind every
+arena-style leaderboard and reward-model sanity check (reference scope:
+doc_redaction has no evaluation stage; this extends the transcripts
+payload the way the dedup/quality suite extends documents).
+
+All scores live in the exact integer/rational domain (win rates as
+floor(10000·x), Copeland as 2·wins + ties) so every operator is
+value-oracle-able bit-for-bit in DuckDB — the repo convention for
+anything a float ``avg()`` would render engine-dependent.
+
+Shuffle shapes: every aggregate is ONE map-side-combinable groupBy on a
+near-unique small key space (model pairs, buckets, prompts); no windows
+over raw judgment rows except best_of_n's per-prompt rank, which
+partitions on prompt_id (bounded candidates per prompt by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pairwise_winrate(j: DataFrame) -> DataFrame:
+    """Per unordered model pair: ``(model_lo, model_hi, n, lo_wins,
+    hi_wins, ties, lo_winrate_x1e4)``. The pair is key-normalized so
+    (A,B) and (B,A) judgments aggregate together; ``lo_winrate_x1e4`` =
+    floor(10000·lo_wins / decided) over decided (non-tie) judgments,
+    NULL when every judgment tied (0/0 stays honest, not 0)."""
+    lo_is_a = F.col("model_a") <= F.col("model_b")
+    lo_win = F.when(lo_is_a, (F.col("winner") == "a").cast("long")).otherwise(
+        (F.col("winner") == "b").cast("long")
+    )
+    hi_win = F.when(lo_is_a, (F.col("winner") == "b").cast("long")).otherwise(
+        (F.col("winner") == "a").cast("long")
+    )
+    norm = j.select(
+        F.least("model_a", "model_b").alias("model_lo"),
+        F.greatest("model_a", "model_b").alias("model_hi"),
+        lo_win.alias("_lw"),
+        hi_win.alias("_hw"),
+        (F.col("winner") == "tie").cast("long").alias("_tie"),
+    )
+    return norm.groupBy("model_lo", "model_hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_lw").alias("lo_wins"),
+        F.sum("_hw").alias("hi_wins"),
+        F.sum("_tie").alias("ties"),
+        F.expr(
+            "CASE WHEN sum(_lw) + sum(_hw) > 0 THEN"
+            " CAST((10000 * sum(_lw)) div (sum(_lw) + sum(_hw)) AS BIGINT)"
+            " END"
+        ).alias("lo_winrate_x1e4"),
+    )
+
+
+def copeland_scores(j: DataFrame) -> DataFrame:
+    """Copeland tournament score per model: for each OPPONENT, a model
+    collects 2 points for a head-to-head majority win, 1 for a tied
+    head-to-head, 0 for a loss; ``copeland_x2`` sums them (×2 keeps the
+    half-point tie in integers). Output ``(model, n_opponents, wins,
+    ties, losses, copeland_x2)``, covering every model that appears on
+    either side. Two tiny aggregates: judgments → pair majorities →
+    per-model sum (symmetric explode via unpivoted union)."""
+    pairs = pairwise_winrate(j)
+    mine = pairs.select(
+        F.col("model_lo").alias("model"),
+        F.col("lo_wins").alias("_my"),
+        F.col("hi_wins").alias("_their"),
+    ).unionByName(
+        pairs.select(
+            F.col("model_hi").alias("model"),
+            F.col("hi_wins").alias("_my"),
+            F.col("lo_wins").alias("_their"),
+        )
+    )
+    pts = F.when(F.col("_my") > F.col("_their"), F.lit(2)).when(
+        F.col("_my") == F.col("_their"), F.lit(1)
+    ).otherwise(F.lit(0))
+    per = mine.select("model", pts.alias("_pts"))
+    return per.groupBy("model").agg(
+        F.count(F.lit(1)).alias("n_opponents"),
+        F.sum((F.col("_pts") == 2).cast("long")).alias("wins"),
+        F.sum((F.col("_pts") == 1).cast("long")).alias("ties"),
+        F.sum((F.col("_pts") == 0).cast("long")).alias("losses"),
+        F.sum("_pts").alias("copeland_x2"),
+    )
+
+
+def length_bias_report(j: DataFrame, bucket_chars: int = 10) -> DataFrame:
+    """Verbosity-bias diagnostic: judgments bucketed by the character-
+    length delta of the two responses: floor((len_a−len_b)/bucket_chars)
+    computed IN THE INTEGER DOMAIN as (d − pmod(d, b)) / b — Spark's
+    ``div`` truncates toward zero and DuckDB's ``//`` floors, so neither
+    native operator is safe for negative deltas; the pmod form is
+    bit-identical in both. Per bucket:
+    ``(len_delta_bucket, n, a_wins, b_wins, ties,
+    longer_wins_x1e4)`` where longer_wins counts decided judgments won
+    by the LONGER response (equal lengths contribute to n but never to
+    longer/shorter). A healthy reward signal is flat in
+    longer_wins_x1e4; a monotone rise is length bias."""
+    la = F.length("resp_a")
+    lb = F.length("resp_b")
+    delta = (la - lb).cast("long")
+    b = F.lit(int(bucket_chars))
+    # exact floor division for signed deltas: (d - pmod(d, b)) / b
+    bucket = ((delta - F.pmod(delta, b)) / b).cast("long")
+    longer_win = (
+        ((delta > 0) & (F.col("winner") == "a"))
+        | ((delta < 0) & (F.col("winner") == "b"))
+    ).cast("long")
+    decided_unequal = ((delta != 0) & (F.col("winner") != "tie")).cast("long")
+    rows = j.select(
+        bucket.alias("len_delta_bucket"),
+        (F.col("winner") == "a").cast("long").alias("_aw"),
+        (F.col("winner") == "b").cast("long").alias("_bw"),
+        (F.col("winner") == "tie").cast("long").alias("_tw"),
+        longer_win.alias("_lw"),
+        decided_unequal.alias("_du"),
+    )
+    return rows.groupBy("len_delta_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_aw").alias("a_wins"),
+        F.sum("_bw").alias("b_wins"),
+        F.sum("_tw").alias("ties"),
+        F.expr(
+            "CASE WHEN sum(_du) > 0 THEN"
+            " CAST((10000 * sum(_lw)) div sum(_du) AS BIGINT) END"
+        ).alias("longer_wins_x1e4"),
+    )
+
+
+def cohens_kappa(labels: DataFrame, group_col: str = "task") -> DataFrame:
+    """Exact Cohen's kappa per group over a wide label table
+    ``(group_col, label1, label2)`` — inter-rater agreement for a
+    labeling campaign. Output ``(group_col, n, agree, po_x1e4,
+    kappa_num, kappa_den)``: po_x1e4 = floor(10000·agree/n);
+    kappa = kappa_num/kappa_den stays an exact RATIONAL
+    (kappa_num = n·agree − Σ_k n1k·n2k, kappa_den = n² − Σ_k n1k·n2k)
+    because a float division is not bit-identical cross-engine and
+    kappa can be negative (integer floor-division semantics diverge
+    between Spark ``div`` and DuckDB ``//`` below zero).
+
+    Shape: two label-marginal aggregates joined on (group, label) —
+    each is map-side combinable over the tiny (group × label) space —
+    plus the per-group agreement aggregate; no window, no explode."""
+    base = labels.select(
+        F.col(group_col).alias("g"), "label1", "label2"
+    )
+    per_group = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("label1") == F.col("label2")).cast("long")).alias(
+            "agree"
+        ),
+    )
+    m1 = base.groupBy("g", F.col("label1").alias("k")).agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    m2 = base.groupBy("g", F.col("label2").alias("k")).agg(
+        F.count(F.lit(1)).alias("n2")
+    )
+    pe = (
+        m1.join(m2, ["g", "k"], "inner")
+        .groupBy("g")
+        .agg(F.sum(F.col("n1") * F.col("n2")).alias("pe_num"))
+    )
+    out = per_group.join(pe, "g", "left").select(
+        F.col("g").alias(group_col),
+        "n",
+        "agree",
+        F.expr("CAST((10000 * agree) div n AS BIGINT)").alias("po_x1e4"),
+        (F.col("n") * F.col("agree") - F.coalesce("pe_num", F.lit(0)))
+        .cast("long")
+        .alias("kappa_num"),
+        (F.col("n") * F.col("n") - F.coalesce("pe_num", F.lit(0)))
+        .cast("long")
+        .alias("kappa_den"),
+    )
+    return out
+
+
+def best_of_n(
+    cands: DataFrame,
+    prompt_col: str = "prompt_id",
+    idx_col: str = "cand_idx",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """Best-of-n selection over a candidates table: per prompt, keep the
+    highest-reward candidate (ties broken by smallest candidate index —
+    deterministic at any parallelism) and report the margin to the
+    runner-up: ``(prompt_col, best_idx, best_reward, margin, n_cands)``;
+    margin is NULL for single-candidate prompts. One window per prompt
+    partition — candidate counts per prompt are bounded by construction
+    (the n in best-of-n), so no skew leg is needed."""
+    w = Window.partitionBy(prompt_col).orderBy(
+        F.col(reward_col).desc(), F.col(idx_col).asc()
+    )
+    ranked = cands.select(
+        prompt_col,
+        F.col(idx_col).alias("_idx"),
+        F.col(reward_col).alias("_r"),
+        F.row_number().over(w).alias("_rn"),
+        F.lead(reward_col).over(w).alias("_next"),
+        F.count(F.lit(1)).over(Window.partitionBy(prompt_col)).alias("_n"),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        prompt_col,
+        F.col("_idx").alias("best_idx"),
+        F.col("_r").alias("best_reward"),
+        (F.col("_r") - F.col("_next")).alias("margin"),
+        F.col("_n").cast("long").alias("n_cands"),
+    )
+
+
+def preference_pair_edits(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance report over mined preference pairs: for every
+    divergent-retry pair (operators/convops.py preference_pairs), fetch
+    the two DIVERGENT turn texts (rank prefix_len+1 in each branch) and
+    score how far apart the accepted and abandoned responses actually
+    are — ``(chosen, rejected, prefix_len, edit_dist, max_len,
+    edit_x1e4)`` with edit_x1e4 = floor(10000·lev/max_len). Near-zero
+    distances flag cosmetic retries (punctuation edits) a DPO feed
+    should drop; large ones are real preference signal.
+
+    ``levenshtein`` runs JVM-side (and exists verbatim in DuckDB —
+    unit-cost character edits, exact integers both sides). max_len ≥ 1
+    always: the pair exists because the two turn hashes DIFFER, so at
+    least one text is non-empty. Plan: the pairs join (hash-keyed,
+    texts never enter it) plus two (conv, rank) equi-joins that fetch
+    exactly one turn text per side — no text ever rides a chain hash.
+    """
+    from doc_redaction_spark.operators.convops import preference_pairs
+
+    pairs = preference_pairs(turns, "assistant", conv_col, idx_col, role_col, text_col)
+    w = Window.partitionBy("_c").orderBy("_i")
+    ranked = turns.select(
+        F.col(conv_col).alias("_c"),
+        F.col(idx_col).alias("_i"),
+        F.col(text_col).alias("_t"),
+    ).withColumn("_rk", F.row_number().over(w).cast("long"))
+    tc = ranked.select(
+        F.col("_c").alias("_cc"), F.col("_rk").alias("_crk"), F.col("_t").alias("_ct")
+    )
+    tr = ranked.select(
+        F.col("_c").alias("_rc"), F.col("_rk").alias("_rrk"), F.col("_t").alias("_rt")
+    )
+    j = (
+        pairs.join(
+            tc,
+            (F.col("chosen") == F.col("_cc"))
+            & (F.col("_crk") == F.col("prefix_len") + 1),
+        )
+        .join(
+            tr,
+            (F.col("rejected") == F.col("_rc"))
+            & (F.col("_rrk") == F.col("prefix_len") + 1),
+        )
+    )
+    edit = F.levenshtein("_ct", "_rt").cast("long")
+    mx = F.greatest(F.length("_ct"), F.length("_rt")).cast("long")
+    return j.select(
+        "chosen",
+        "rejected",
+        "prefix_len",
+        edit.alias("edit_dist"),
+        mx.alias("max_len"),
+        F.expr(
+            "CAST((10000 * CAST(levenshtein(_ct, _rt) AS BIGINT))"
+            " div greatest(length(_ct), length(_rt)) AS BIGINT)"
+        ).alias("edit_x1e4"),
+    )

@@ -285,3 +285,34 @@ def robots_gate_wild(
             F.coalesce(F.col("w.l"), F.lit(0)).cast("int").alias("match_len"),
         )
     )
+
+
+# --- Sitemap: directives ----------------------------------------------------
+# REP §"other records": `Sitemap: <absolute-url>` lines are GLOBAL (they
+# belong to no User-agent group and may appear anywhere in the file,
+# any case). They are how most sites actually advertise their sitemaps —
+# a frontier that only probes /sitemap.xml misses them.
+SITEMAP_DIRECTIVE_PATTERN = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"
+
+
+def robots_sitemaps(
+    df: DataFrame, body_col: str = "body", keys: tuple = ("host",)
+) -> DataFrame:
+    """keys… + robots.txt body → one row per Sitemap directive:
+    keys… + (sm_idx long, sitemap_url string), in file order. Matching
+    is line-anchored and case-insensitive; comment lines (`# Sitemap:`)
+    and path decoys inside Allow/Disallow values never match because the
+    line must START with the directive name. CRLF bodies work — `\\S+`
+    cannot consume the trailing ``\\r``. Map-only (extract_all +
+    posexplode); feed the URLs to sources/sitemap_lite.py."""
+    locs = F.regexp_extract_all(
+        F.col(body_col), F.lit(SITEMAP_DIRECTIVE_PATTERN), 1
+    )
+    return df.select(
+        *[F.col(k) for k in keys],
+        F.posexplode(locs).alias("sm_idx", "sitemap_url"),
+    ).select(
+        *[F.col(k) for k in keys],
+        F.col("sm_idx").cast("long").alias("sm_idx"),
+        "sitemap_url",
+    )

@@ -1,0 +1,201 @@
+"""RSS 2.0 / Atom feed ingest — the third crawl-discovery source beside
+sitemaps (sources/sitemap_lite.py) and link harvesting: news sites and
+blogs announce fresh URLs through feeds long before sitemaps regenerate,
+so a recrawl frontier that ignores ``/feed.xml`` is systematically stale
+(reference scope: doc_redaction consumes already-fetched documents —
+``/root/reference/tools/file_conversion.py`` dispatch — the discovery
+stage in front of it is ours to build).
+
+Format subset:
+
+* **RSS 2.0** — a ``<channel>`` of ``<item>`` blocks; per item ``<title>``,
+  ``<link>`` (element TEXT), ``<guid>``, ``<pubDate>``.
+* **Atom (RFC 4287)** — a ``<feed>`` of ``<entry>`` blocks; per entry
+  ``<title>``, ``<link href="…"/>`` (an ATTRIBUTE, possibly several link
+  tags — ``rel="alternate"`` wins, else the first link), ``<id>``,
+  ``<updated>``.
+
+Both formats surface through ONE output contract so the frontier join
+downstream never branches: ``(keys…, item_idx long, fmt string,
+title string, link string, guid string, published string)``. ``published``
+passes through as a STRING (Atom dates are ISO-8601 and compare
+lexicographically, matching the sitemap_lite recrawl convention; RSS
+pubDate is RFC-822 and must be normalized by the caller before any
+compare — this parser never interprets dates). Items that resolve to an
+empty link are dropped without renumbering the rest (the sitemap empty-
+``<loc>`` rule).
+
+Same machinery as the DOCX/sitemap scans: machine-written XML decomposed
+with patterns from the Java/RE2/Python-``re`` common subset — root-format
+sniff → block extract_all → posexplode → per-block field extracts →
+entity unescape (shared ``XML_UNESCAPES`` table, ``&amp;`` last).
+Map-only: no shuffle, no UDF, no XML parser library — at 100 TB the feed
+corpus partitions by file and every partition parses independently.
+
+``build_rss`` / ``build_atom`` write the same subset deterministically so
+build → parse round trips are testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.sources.docx_xml import XML_UNESCAPES, _unescape
+
+# root sniff: optional XML declaration / leading whitespace, then the
+# first element decides the dialect ('rss' may be wrapped as
+# <rss><channel>…; Atom's root IS <feed>).
+ROOT_PATTERN = r"(?is)^\s*(?:<\?xml[^>]*\?>)?\s*<(rss|feed)[\s>]"
+
+RSS_ITEM_PATTERN = r"(?is)<item(?:\s[^>]*)?>(.*?)</item\s*>"
+ATOM_ENTRY_PATTERN = r"(?is)<entry(?:\s[^>]*)?>(.*?)</entry\s*>"
+
+# title keeps its exact bytes (NO \s* trim — titles are human text where
+# leading/trailing whitespace is content; the machine fields below trim).
+TITLE_PATTERN = r"(?is)<title(?:\s[^>]*)?>(.*?)</title\s*>"
+# RSS link is element text — the open tag must be bare `<link>` so Atom
+# style `<link href=…/>` tags never match this one.
+RSS_LINK_PATTERN = r"(?is)<link\s*>\s*(.*?)\s*</link\s*>"
+GUID_PATTERN = r"(?is)<guid(?:\s[^>]*)?>\s*(.*?)\s*</guid\s*>"
+ATOM_ID_PATTERN = r"(?is)<id\s*>\s*(.*?)\s*</id\s*>"
+PUBDATE_PATTERN = r"(?is)<pubDate\s*>\s*(.*?)\s*</pubDate\s*>"
+UPDATED_PATTERN = r"(?is)<updated\s*>\s*(.*?)\s*</updated\s*>"
+
+# Atom link tags as whole strings (group 0), then attribute extracts on
+# the chosen tag — attr-order agnostic by construction (the tag is
+# grabbed whole; href/rel are pulled out independently).
+ATOM_LINK_TAG_PATTERN = r"(?is)<link\b[^>]*>"
+HREF_PATTERN = r"(?is)href\s*=\s*[\"']([^\"']*)[\"']"
+REL_ALTERNATE_PATTERN = r"(?is)rel\s*=\s*[\"']alternate[\"']"
+REL_ANY_PATTERN = r"(?is)\brel\s*="
+
+
+def _escape_py(s: str) -> str:
+    for ent, ch in reversed(XML_UNESCAPES):  # & first when escaping
+        s = s.replace(ch, ent)
+    return s
+
+
+def build_rss(items: list[dict], channel_title: str = "feed") -> str:
+    """Items → RSS 2.0 XML. Each item: ``title``, ``link``, ``guid``,
+    ``pubdate`` (all optional — absent elements are omitted, not
+    emptied). Values are XML-escaped, so build → parse round trips."""
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n<rss version="2.0"><channel>',
+        "<title>" + _escape_py(channel_title) + "</title>",
+    ]
+    for it in items:
+        parts.append("<item>")
+        if it.get("title"):
+            parts.append("<title>" + _escape_py(it["title"]) + "</title>")
+        if it.get("link"):
+            parts.append("<link>" + _escape_py(it["link"]) + "</link>")
+        if it.get("guid"):
+            parts.append("<guid>" + _escape_py(it["guid"]) + "</guid>")
+        if it.get("pubdate"):
+            parts.append("<pubDate>" + _escape_py(it["pubdate"]) + "</pubDate>")
+        parts.append("</item>")
+    parts.append("</channel></rss>")
+    return "".join(parts)
+
+
+def build_atom(entries: list[dict], feed_title: str = "feed") -> str:
+    """Entries → Atom XML. Each entry: ``title``, ``link`` (written as
+    ``rel="alternate"``), ``id``, ``updated``; ``self_link`` adds a
+    ``rel="self"`` tag BEFORE the alternate (the parse-priority case)."""
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<feed xmlns="http://www.w3.org/2005/Atom">',
+        "<title>" + _escape_py(feed_title) + "</title>",
+    ]
+    for e in entries:
+        parts.append("<entry>")
+        if e.get("title"):
+            parts.append("<title>" + _escape_py(e["title"]) + "</title>")
+        if e.get("self_link"):
+            parts.append(
+                '<link rel="self" href="' + _escape_py(e["self_link"]) + '"/>'
+            )
+        if e.get("link"):
+            parts.append(
+                '<link rel="alternate" href="' + _escape_py(e["link"]) + '"/>'
+            )
+        if e.get("id"):
+            parts.append("<id>" + _escape_py(e["id"]) + "</id>")
+        if e.get("updated"):
+            parts.append("<updated>" + _escape_py(e["updated"]) + "</updated>")
+        parts.append("</entry>")
+    parts.append("</feed>")
+    return "".join(parts)
+
+
+def feed_items(
+    df: DataFrame, xml_col: str = "xml", keys: tuple = ("feed_id",)
+) -> DataFrame:
+    """keys… + feed XML → one row per item/entry: keys… + (item_idx long,
+    fmt string ∈ {'rss','atom',''}, title, link, guid, published — all
+    strings, '' when absent). ``item_idx`` is the item's position in the
+    document; items whose link resolves empty are dropped but do not
+    renumber the rest. Unrecognized roots parse to zero rows (fmt '').
+
+    Atom link selection: the first ``<link>`` tag whose rel is
+    ``alternate`` or ABSENT wins (RFC 4287 §4.2.7.2: a rel-less link IS
+    an alternate); only when every link carries some other rel (self,
+    enclosure, …) does the first tag win as a last resort.
+    ``rel="self"`` decoys before the alternate/rel-less link are the
+    regression case pinned by tests and the driver oracle.
+    """
+    root = F.lower(F.regexp_extract(F.col(xml_col), ROOT_PATTERN, 1))
+    is_atom = root == "feed"  # Atom's root element is <feed>
+    fmt = F.when(is_atom, F.lit("atom")).otherwise(root)
+    blocks = F.when(
+        is_atom,
+        F.regexp_extract_all(F.col(xml_col), F.lit(ATOM_ENTRY_PATTERN), 1),
+    ).otherwise(
+        F.regexp_extract_all(F.col(xml_col), F.lit(RSS_ITEM_PATTERN), 1)
+    )
+    ex = df.select(
+        *[F.col(k) for k in keys],
+        fmt.alias("fmt"),
+        F.posexplode(blocks).alias("item_idx", "_blk"),
+    )
+    blk = F.col("_blk")
+    title = _unescape(F.regexp_extract(blk, TITLE_PATTERN, 1))
+    link_tags = F.regexp_extract_all(blk, F.lit(ATOM_LINK_TAG_PATTERN), 0)
+    # RFC 4287 §4.2.7.2: rel="alternate" OR a rel-less link both mean
+    # "the entry's page"; links with any OTHER rel (self, enclosure, …)
+    # only win as a last resort.
+    alt_tags = F.filter(
+        link_tags,
+        lambda lt: lt.rlike(REL_ALTERNATE_PATTERN) | ~lt.rlike(REL_ANY_PATTERN),
+    )
+    chosen_tag = F.when(F.size(alt_tags) > 0, F.element_at(alt_tags, 1)).otherwise(
+        F.when(F.size(link_tags) > 0, F.element_at(link_tags, 1)).otherwise(
+            F.lit("")
+        )
+    )
+    atom_link = _unescape(F.regexp_extract(chosen_tag, HREF_PATTERN, 1))
+    rss_link = _unescape(F.regexp_extract(blk, RSS_LINK_PATTERN, 1))
+    link = F.when(F.col("fmt") == "atom", atom_link).otherwise(rss_link)
+    guid = F.when(
+        F.col("fmt") == "atom",
+        _unescape(F.regexp_extract(blk, ATOM_ID_PATTERN, 1)),
+    ).otherwise(_unescape(F.regexp_extract(blk, GUID_PATTERN, 1)))
+    published = F.when(
+        F.col("fmt") == "atom",
+        _unescape(F.regexp_extract(blk, UPDATED_PATTERN, 1)),
+    ).otherwise(_unescape(F.regexp_extract(blk, PUBDATE_PATTERN, 1)))
+    return (
+        ex.withColumn("link", link)
+        .filter(F.col("link") != "")
+        .select(
+            *[F.col(k) for k in keys],
+            F.col("item_idx").cast("long").alias("item_idx"),
+            "fmt",
+            title.alias("title"),
+            "link",
+            guid.alias("guid"),
+            published.alias("published"),
+        )
+    )

@@ -1,0 +1,111 @@
+"""RSS/Atom feed ingest (sources/feeds.py) — build→parse round trips and
+the link-selection priority rules the closed-form driver oracle also pins."""
+
+from doc_redaction_spark.sources.feeds import build_atom, build_rss, feed_items
+
+
+def _parse(spark, xml):
+    df = spark.createDataFrame([(1, xml)], "feed_id int, xml string")
+    return {
+        r["item_idx"]: r.asDict()
+        for r in feed_items(df).orderBy("item_idx").collect()
+    }
+
+
+def test_rss_round_trip_escapes(spark):
+    xml = build_rss(
+        [
+            {
+                "title": "a <b> & 'q' \"z\"",
+                "link": "https://h/x?a=1&b=2",
+                "guid": "g1",
+                "pubdate": "2026-01-02",
+            },
+            {"title": "no date", "link": "https://h/y", "guid": "g2"},
+        ]
+    )
+    rows = _parse(spark, xml)
+    assert rows[0]["fmt"] == "rss"
+    assert rows[0]["title"] == "a <b> & 'q' \"z\""
+    assert rows[0]["link"] == "https://h/x?a=1&b=2"
+    assert rows[0]["published"] == "2026-01-02"
+    assert rows[1]["published"] == ""
+
+
+def test_atom_round_trip_and_self_decoy(spark):
+    xml = build_atom(
+        [
+            {
+                "title": "t1",
+                "self_link": "https://h/feed.xml",
+                "link": "https://h/article-1",
+                "id": "i1",
+                "updated": "2026-03-04T05:06:07Z",
+            }
+        ]
+    )
+    rows = _parse(spark, xml)
+    assert rows[0]["fmt"] == "atom"
+    # rel="self" precedes rel="alternate" — the alternate must win
+    assert rows[0]["link"] == "https://h/article-1"
+    assert rows[0]["guid"] == "i1"
+    assert rows[0]["published"] == "2026-03-04T05:06:07Z"
+
+
+def test_atom_relless_link_beats_self(spark):
+    # RFC 4287: a link WITHOUT rel is an alternate; self must lose
+    xml = (
+        "<feed><entry><title>x</title>"
+        '<link rel="self" href="https://h/self"/>'
+        '<link href="https://h/page"/>'
+        "<id>i</id></entry></feed>"
+    )
+    rows = _parse(spark, xml)
+    assert rows[0]["link"] == "https://h/page"
+
+
+def test_atom_all_other_rels_falls_back_to_first(spark):
+    xml = (
+        "<feed><entry><title>x</title>"
+        '<link rel="self" href="https://h/self"/>'
+        '<link rel="enclosure" href="https://h/audio.mp3"/>'
+        "<id>i</id></entry></feed>"
+    )
+    rows = _parse(spark, xml)
+    assert rows[0]["link"] == "https://h/self"
+
+
+def test_linkless_item_dropped_without_renumbering(spark):
+    xml = build_rss(
+        [
+            {"title": "a", "link": "https://h/a"},
+            {"title": "no-link"},
+            {"title": "c", "link": "https://h/c"},
+        ]
+    )
+    rows = _parse(spark, xml)
+    assert sorted(rows) == [0, 2]
+    assert rows[2]["title"] == "c"
+
+
+def test_channel_level_elements_do_not_leak(spark):
+    # channel has its own <title>/<link>; item fields must come from the
+    # item block only
+    xml = build_rss(
+        [{"title": "only", "link": "https://h/only"}], channel_title="CHAN"
+    )
+    rows = _parse(spark, xml)
+    assert len(rows) == 1
+    assert rows[0]["title"] == "only"
+    assert rows[0]["link"] == "https://h/only"
+
+
+def test_unrecognized_root_parses_to_zero_rows(spark):
+    df = _parse(spark, "<html><body>not a feed</body></html>")
+    assert df == {}
+
+
+def test_title_keeps_exact_bytes(spark):
+    xml = build_rss([{"title": "  padded  ", "link": "https://h/p"}])
+    rows = _parse(spark, xml)
+    assert rows[0]["title"] == "  padded  "

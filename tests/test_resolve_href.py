@@ -1,0 +1,50 @@
+"""resolve_href (functions/urls.py) — three-dialect agreement battery +
+the rel-link harvest operators built on it (canonical collapse,
+pagination edges, robots Sitemap directives)."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.functions.urls import (
+    duckdb_resolve_href,
+    resolve_href_col,
+    resolve_href_py,
+)
+
+CASES = [
+    # (base, href, expected)
+    ("https://h.com/a/b?q=1#f", "c.html", "https://h.com/a/c.html"),
+    ("https://h.com/a/b", "/root/x", "https://h.com/root/x"),
+    ("https://h.com", "x", "https://h.com/x"),  # no path → origin + /
+    ("https://h.com/a/b", "//cdn.h/i.png", "https://cdn.h/i.png"),
+    ("https://h.com/a/b", "http://o.com/z", "http://o.com/z"),
+    ("https://h.com/a/b?q=1", "?p=2", "https://h.com/a/b?p=2"),
+    ("https://h.com/a/b#x", "#y", "https://h.com/a/b"),
+    ("https://h.com/a/b", "", ""),
+    ("http://h.com:8080/d/e/f.html", "g.html", "http://h.com:8080/d/e/g.html"),
+    ("https://h.com/?q=1", "p", "https://h.com/p"),
+]
+
+
+def test_python_mirror():
+    for base, href, want in CASES:
+        assert resolve_href_py(base, href) == want, (base, href)
+
+
+def test_spark_rendering(spark):
+    df = spark.createDataFrame(CASES, "base string, href string, want string")
+    out = df.select(
+        resolve_href_col(F.col("base"), F.col("href")).alias("got"), "want"
+    ).collect()
+    for r in out:
+        assert r["got"] == r["want"]
+
+
+def test_duckdb_rendering():
+    con = duckdb.connect()
+    expr = duckdb_resolve_href("base", "href")
+    for base, href, want in CASES:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS base, ? AS href)", [base, href]
+        ).fetchone()[0]
+        assert got == want, (base, href, got)

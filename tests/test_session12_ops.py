@@ -1,0 +1,317 @@
+"""Session-12 operators: meta-robots/nofollow gate, anchor-text rollup,
+spider-trap detection, and the preference-evaluation battery."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.functions.urls import (
+    trap_host_report,
+    url_trap_features,
+)
+from doc_redaction_spark.operators.html_extract import (
+    anchor_text_rollup,
+    meta_robots_links,
+)
+from doc_redaction_spark.operators.preference import (
+    best_of_n,
+    cohens_kappa,
+    copeland_scores,
+    length_bias_report,
+    pairwise_winrate,
+)
+
+
+# --- meta robots ----------------------------------------------------------
+
+
+def _links(spark, html):
+    df = spark.createDataFrame([(1, html)], "page_id int, html string")
+    return {
+        r["link_idx"]: r.asDict()
+        for r in meta_robots_links(df).orderBy("link_idx").collect()
+    }
+
+
+def test_meta_robots_attr_order_and_union(spark):
+    html = (
+        '<head><meta content="noindex" name="robots">'
+        '<meta name="robots" content="nofollow"></head>'
+        '<body><a href="https://h/a">x</a></body>'
+    )
+    rows = _links(spark, html)
+    assert rows[0]["page_noindex"] == 1  # content-before-name variant
+    assert rows[0]["page_nofollow"] == 1  # second tag unions in
+    assert rows[0]["frontier_ok"] == 0
+
+
+def test_meta_description_decoy_ignored(spark):
+    html = (
+        '<head><meta name="description" content="noindex nofollow"></head>'
+        '<body><a href="https://h/a">x</a></body>'
+    )
+    rows = _links(spark, html)
+    assert rows[0]["page_noindex"] == 0
+    assert rows[0]["frontier_ok"] == 1
+
+
+def test_link_nofollow_multitoken_and_hrefless(spark):
+    html = (
+        '<body><a href="https://h/a" rel="ugc nofollow">x</a>'
+        '<a name="top">y</a><a href="https://h/b">z</a></body>'
+    )
+    rows = _links(spark, html)
+    assert rows[0]["link_nofollow"] == 1 and rows[0]["frontier_ok"] == 0
+    assert rows[1]["href"] == "" and rows[1]["frontier_ok"] == 0
+    assert rows[2]["frontier_ok"] == 1  # indices never renumber
+
+
+# --- anchor text ----------------------------------------------------------
+
+
+def test_anchor_rollup_canonicalizes_and_ranks(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, '<a href="https://www.h.com/p?utm_source=x">Read</a>'),
+            (2, '<a href="https://h.com/p">Read</a>'),
+            (3, '<a href="https://h.com/p">Other <b>text</b></a>'),
+            (4, '<a href="https://h.com/q">Read</a>'),
+        ],
+        "page_id int, html string",
+    )
+    out = {
+        r["target"]: r.asDict() for r in anchor_text_rollup(pages).collect()
+    }
+    p = out["https://h.com/p"]
+    assert p["n_links"] == 3  # www + utm variants merged
+    assert p["n_anchors"] == 2
+    assert p["top_anchor"] == "Read" and p["top_count"] == 2
+    assert out["https://h.com/q"]["n_links"] == 1
+
+
+def test_anchor_tie_breaks_lexicographically(spark):
+    pages = spark.createDataFrame(
+        [(1, '<a href="https://h/t">beta</a><a href="https://h/t">alpha</a>')],
+        "page_id int, html string",
+    )
+    row = anchor_text_rollup(pages).collect()[0]
+    assert row["top_anchor"] == "alpha" and row["top_count"] == 1
+
+
+# --- spider traps ---------------------------------------------------------
+
+
+def test_trap_features(spark):
+    urls = spark.createDataFrame(
+        [
+            ("https://h.com/doc/1",),
+            ("https://h.com/cal/next/next/next/2",),
+            ("https://h.com/a/b/c/d/e/f/g/h/i/3",),
+            ("https://h.com/",),
+        ],
+        "url string",
+    )
+    rows = {r["url"]: r.asDict() for r in url_trap_features(urls).collect()}
+    assert rows["https://h.com/doc/1"]["is_trap"] == 0
+    t = rows["https://h.com/cal/next/next/next/2"]
+    assert t["max_seg_repeat"] == 3 and t["is_trap"] == 1
+    deep = rows["https://h.com/a/b/c/d/e/f/g/h/i/3"]
+    assert deep["depth"] == 10 and deep["is_trap"] == 1
+    empty = rows["https://h.com/"]
+    assert empty["depth"] == 0 and empty["max_seg_repeat"] == 0
+    rep = trap_host_report(urls).collect()[0]
+    assert rep["n_urls"] == 4 and rep["n_traps"] == 2
+    assert rep["trap_x1e4"] == 5000
+
+
+# --- preference battery ---------------------------------------------------
+
+
+def _j(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "prompt_id int, model_a string, model_b string,"
+        " resp_a string, resp_b string, winner string",
+    )
+
+
+def test_pairwise_winrate_normalizes_orientation(spark):
+    j = _j(
+        spark,
+        [
+            (1, "m0", "m1", "x", "y", "a"),  # m0 beats m1
+            (2, "m1", "m0", "x", "y", "b"),  # m0 beats m1 (flipped row)
+            (3, "m0", "m1", "x", "y", "b"),
+            (4, "m0", "m1", "x", "y", "tie"),
+        ],
+    )
+    row = pairwise_winrate(j).collect()[0]
+    assert (row["model_lo"], row["model_hi"]) == ("m0", "m1")
+    assert row["lo_wins"] == 2 and row["hi_wins"] == 1 and row["ties"] == 1
+    assert row["lo_winrate_x1e4"] == 6666
+
+
+def test_winrate_all_ties_is_null(spark):
+    j = _j(spark, [(1, "m0", "m1", "x", "y", "tie")])
+    assert pairwise_winrate(j).collect()[0]["lo_winrate_x1e4"] is None
+
+
+def test_copeland_scores(spark):
+    j = _j(
+        spark,
+        [
+            (1, "m0", "m1", "x", "y", "a"),  # m0 > m1
+            (2, "m0", "m2", "x", "y", "b"),  # m2 > m0
+            (3, "m1", "m2", "x", "y", "a"),
+            (4, "m2", "m1", "x", "y", "a"),  # m2 wins back → m1-m2 tied 1-1
+        ],
+    )
+    out = {r["model"]: r.asDict() for r in copeland_scores(j).collect()}
+    assert out["m0"]["copeland_x2"] == 2  # one win, one loss
+    assert out["m1"]["copeland_x2"] == 1  # one loss, one tied pair
+    assert out["m2"]["copeland_x2"] == 3  # one win, one tied pair
+    assert out["m2"]["wins"] == 1 and out["m2"]["ties"] == 1
+
+
+def test_length_bias_buckets_and_longer_wins(spark):
+    j = _j(
+        spark,
+        [
+            (1, "m0", "m1", "a" * 30, "b" * 10, "a"),  # +20 → bucket 2, longer won
+            (2, "m0", "m1", "a" * 10, "b" * 30, "a"),  # −20 → bucket −2, shorter won
+            (3, "m0", "m1", "a" * 5, "b" * 22, "b"),  # −17 → bucket −2, longer won
+            (4, "m0", "m1", "a" * 10, "b" * 10, "a"),  # 0 → bucket 0, excluded
+        ],
+    )
+    out = {
+        r["len_delta_bucket"]: r.asDict()
+        for r in length_bias_report(j, bucket_chars=10).collect()
+    }
+    assert out[2]["longer_wins_x1e4"] == 10000
+    assert out[-2]["n"] == 2 and out[-2]["longer_wins_x1e4"] == 5000
+    assert out[0]["longer_wins_x1e4"] is None  # no unequal decided rows
+
+
+def test_cohens_kappa_exact(spark):
+    # task t: labels (pos,pos) (pos,neg) (neg,neg) (neg,neg)
+    df = spark.createDataFrame(
+        [
+            ("t", "pos", "pos"),
+            ("t", "pos", "neg"),
+            ("t", "neg", "neg"),
+            ("t", "neg", "neg"),
+        ],
+        "task string, label1 string, label2 string",
+    )
+    row = cohens_kappa(df).collect()[0]
+    # n=4 agree=3; marginals: r1 pos=2,neg=2; r2 pos=1,neg=3 → pe_num=2+6=8
+    assert row["n"] == 4 and row["agree"] == 3
+    assert row["po_x1e4"] == 7500
+    assert row["kappa_num"] == 4 * 3 - 8 == 4
+    assert row["kappa_den"] == 16 - 8 == 8  # kappa = 0.5 exactly
+
+
+def test_kappa_negative_rational(spark):
+    # perfect disagreement → negative kappa, exact as a rational
+    df = spark.createDataFrame(
+        [("t", "pos", "neg"), ("t", "neg", "pos")],
+        "task string, label1 string, label2 string",
+    )
+    row = cohens_kappa(df).collect()[0]
+    assert row["agree"] == 0
+    assert row["kappa_num"] == -2 and row["kappa_den"] == 2
+
+
+def test_best_of_n_tiebreak_and_margin(spark):
+    cands = spark.createDataFrame(
+        [(1, 0, 70), (1, 1, 90), (1, 2, 90), (2, 0, 50)],
+        "prompt_id int, cand_idx int, reward int",
+    )
+    out = {r["prompt_id"]: r.asDict() for r in best_of_n(cands).collect()}
+    assert out[1]["best_idx"] == 1  # lowest idx wins the 90-90 tie
+    assert out[1]["margin"] == 0 and out[1]["n_cands"] == 3
+    assert out[2]["margin"] is None and out[2]["n_cands"] == 1
+
+
+# --- canonical / pagination / robots-sitemap / edit distance ---------------
+
+
+def test_canonical_collapse_groups(spark):
+    from doc_redaction_spark.operators.html_extract import canonical_collapse
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://h/p/1",
+             '<link rel="canonical" href="/c/1"><body>x</body>'),
+            (2, "https://h/p/2",
+             '<link href="https://www.h/c/1?utm_source=x" rel="canonical">'),
+            (3, "https://h/p/3", "<body>no canonical</body>"),
+            (4, "https://h/p/4",
+             '<link rel="stylesheet" href="/c/1"><body>decoy only</body>'),
+        ],
+        "page_id int, url string, html string",
+    )
+    out = {r["canonical_target"]: r.asDict()
+           for r in canonical_collapse(pages).collect()}
+    grp = out["https://h/c/1"]
+    assert grp["n_pages"] == 2 and grp["n_declared"] == 2
+    assert grp["kept_page_id"] == 1
+    assert out["https://h/p/3"]["n_declared"] == 0
+    assert out["https://h/p/4"]["n_declared"] == 0  # stylesheet ignored
+
+
+def test_next_link_edges_resolution(spark):
+    from doc_redaction_spark.operators.html_extract import next_link_edges
+
+    pages = spark.createDataFrame(
+        [
+            ("https://h/doc/0", '<link rel="next" href="1">'),
+            ("https://h/doc/1", '<link rel="next" href="/doc/2">'),
+            ("https://h/doc/2", "<body>last</body>"),
+            ("https://h/doc/9", '<link rel="prev" href="/doc/8">'),  # not next
+        ],
+        "url string, html string",
+    )
+    edges = {r["src"]: r["dst"] for r in next_link_edges(pages).collect()}
+    assert edges == {
+        "https://h/doc/0": "https://h/doc/1",
+        "https://h/doc/1": "https://h/doc/2",
+    }
+
+
+def test_robots_sitemaps_directives(spark):
+    from doc_redaction_spark.operators.robots import robots_sitemaps
+
+    body = (
+        "# Sitemap: https://h/decoy.xml\r\n"
+        "User-agent: *\r\n"
+        "Disallow: /sitemap:trap\r\n"
+        "Sitemap: https://h/s1.xml\r\n"
+        "SITEMAP: https://h/s2.xml\r\n"
+    )
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    rows = robots_sitemaps(df).orderBy("sm_idx").collect()
+    assert [r["sitemap_url"] for r in rows] == [
+        "https://h/s1.xml",
+        "https://h/s2.xml",  # any case; \r never captured
+    ]
+
+
+def test_preference_pair_edits_levenshtein(spark):
+    from doc_redaction_spark.operators.preference import preference_pair_edits
+
+    turns = spark.createDataFrame(
+        [
+            ("a", 0, "user", "hi", "", None),
+            ("a", 1, "assistant", "kitten", "", None),
+            ("b", 0, "user", "hi", "", None),
+            ("b", 1, "assistant", "sitting", "", None),
+            ("b", 2, "assistant", "extra turn", "", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    row = preference_pair_edits(turns).collect()[0]
+    assert row["chosen"] == "b" and row["rejected"] == "a"  # longer branch
+    assert row["edit_dist"] == 3  # kitten→sitting, the classic
+    assert row["max_len"] == 7
+    assert row["edit_x1e4"] == 10000 * 3 // 7

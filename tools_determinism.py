@@ -28,6 +28,9 @@ DEFAULT_PICKS = [
     # and the Arrow media/mail round trips
     "safety_verdict", "padding_waste", "tool_grounding",
     "transcripts_secrets", "mbox_ingest", "wav_windows",
+    # session-12 representatives: the window-ranked rollups (the only
+    # order-sensitive shapes in the wave) + the dual-dialect feed parse
+    "anchor_text", "best_of_n", "feed_ingest",
 ]
 
 CONFIGS = [(4, 7), (16, 48)]  # (cores, shuffle partitions) — coprime-ish
