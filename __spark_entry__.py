@@ -13500,6 +13500,12 @@ def _judgments(spark, sf_dir):
         .when(coin < 9, F.lit("b"))
         .otherwise(F.lit("tie"))
         .alias("winner"),
+        (_hash_u32(F.concat(F.lit("ra|"), d.cast("string"))) % 1000).alias(
+            "reward_a"
+        ),
+        (_hash_u32(F.concat(F.lit("rb|"), d.cast("string"))) % 1000).alias(
+            "reward_b"
+        ),
     )
 
 
@@ -13507,6 +13513,8 @@ def _judgments_sql() -> str:
     from doc_redaction_spark.operators.sampling import duckdb_hash_u32
 
     coin = duckdb_hash_u32("'w|' || CAST(doc_id AS VARCHAR)") + " % 10"
+    ka = "'ra|' || CAST(doc_id AS VARCHAR)"
+    kb = "'rb|' || CAST(doc_id AS VARCHAR)"
     return f"""
     SELECT doc_id AS prompt_id,
            'm' || CAST(doc_id % 4 AS VARCHAR) AS model_a,
@@ -13516,7 +13524,9 @@ def _judgments_sql() -> str:
                   CAST(20 + (doc_id % 5) * 10 AS INTEGER)) AS resp_a,
            substr(coalesce(text, ''), 1, 40) AS resp_b,
            CASE WHEN ({coin}) < 6 THEN 'a'
-                WHEN ({coin}) < 9 THEN 'b' ELSE 'tie' END AS winner
+                WHEN ({coin}) < 9 THEN 'b' ELSE 'tie' END AS winner,
+           ({duckdb_hash_u32(ka)} % 1000) AS reward_a,
+           ({duckdb_hash_u32(kb)} % 1000) AS reward_b
     FROM documents
     """
 
@@ -14037,6 +14047,263 @@ def o_dpo_edit_distance():
     """
 
 
+def q_reward_calibration(spark, sf_dir):
+    """Reward-model calibration curve (operators/preference.py
+    reward_calibration — the shared _delta_win_report kernel with
+    length_bias): judgments bucketed by assigned reward delta, win
+    share of the higher-reward response per bucket. The fixture's
+    md5-derived rewards are independent of the winner coin, so the
+    oracled curve is flat — exactly what an uninformative reward model
+    must report."""
+    from doc_redaction_spark.operators.preference import reward_calibration
+
+    return reward_calibration(_judgments(spark, sf_dir), bucket_size=200)
+
+
+def o_reward_calibration():
+    delta = "(CAST(reward_a AS BIGINT) - CAST(reward_b AS BIGINT))"
+    bucket = (
+        f"CAST(({delta} - ((({delta}) % 200 + 200) % 200)) // 200 AS BIGINT)"
+    )
+    return f"""
+    WITH j AS ({_judgments_sql()}),
+    r AS (SELECT {bucket} AS reward_delta_bucket,
+                 CASE WHEN winner = 'a' THEN 1 ELSE 0 END AS aw,
+                 CASE WHEN winner = 'b' THEN 1 ELSE 0 END AS bw,
+                 CASE WHEN winner = 'tie' THEN 1 ELSE 0 END AS tw,
+                 CASE WHEN ({delta} > 0 AND winner = 'a')
+                        OR ({delta} < 0 AND winner = 'b')
+                      THEN 1 ELSE 0 END AS pw,
+                 CASE WHEN {delta} <> 0 AND winner <> 'tie'
+                      THEN 1 ELSE 0 END AS du
+          FROM j)
+    SELECT reward_delta_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(aw) AS BIGINT) AS a_wins,
+           CAST(sum(bw) AS BIGINT) AS b_wins,
+           CAST(sum(tw) AS BIGINT) AS ties,
+           CASE WHEN sum(du) > 0
+                THEN CAST((10000 * sum(pw)) // sum(du) AS BIGINT)
+                END AS higher_wins_x1e4
+    FROM r GROUP BY reward_delta_bucket
+    """
+
+
+def q_hreflang_clusters(spark, sf_dir):
+    """i18n alternate harvest (operators/html_extract.py
+    hreflang_alternates): en (root-relative) / fr (dir-relative) / DE
+    uppercase absolute (must lowercase the tag) alternates per page,
+    plus TWO decoys — an RSS autodiscovery link (rel=alternate WITHOUT
+    hreflang, the classic false positive) placed FIRST so a wrong
+    parse shifts every alt_idx, and a canonical link. Oracle =
+    closed-form alternate list."""
+    from doc_redaction_spark.operators.html_extract import hreflang_alternates
+
+    d = F.col("doc_id").cast("long")
+    url = F.concat(F.lit("https://pages.example/a/"), d.cast("string"))
+    html = F.concat(
+        F.lit(
+            '<head><link rel="alternate" type="application/rss+xml"'
+            ' href="/feed.xml">'
+            '<link rel="canonical" href="/a/'
+        ),
+        d.cast("string"),
+        F.lit('"><link rel="alternate" hreflang="en" href="/en/'),
+        d.cast("string"),
+        F.lit('"><link rel="alternate" hreflang="fr" href="fr-'),
+        d.cast("string"),
+        F.lit('"><link hreflang="DE" rel="alternate"'),
+        F.lit(' href="https://de.pages.example/'),
+        d.cast("string"),
+        F.lit('"></head>'),
+    )
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("page_id"), url.alias("url"), html.alias("html")
+    )
+    return hreflang_alternates(pages)
+
+
+def o_hreflang_clusters():
+    return """
+    WITH l AS (SELECT unnest([0, 1, 2]) AS li)
+    SELECT doc_id AS page_id,
+           CAST(li AS BIGINT) AS alt_idx,
+           CASE li WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'de' END
+             AS hreflang,
+           CASE li
+             WHEN 0 THEN 'https://pages.example/en/' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'https://pages.example/a/fr-' || CAST(doc_id AS VARCHAR)
+             ELSE 'https://de.pages.example/' || CAST(doc_id AS VARCHAR) END
+             AS target
+    FROM documents, l
+    """
+
+
+def q_conditional_fetch(spark, sf_dir):
+    """Conditional-refetch planning (HTTP revalidation — composes
+    functions/http.py header extraction): the crawl ledger's stored
+    validators meet the NEW response's ETag / Last-Modified headers.
+    validator precedence: etag > date > none; outcome: etag equality,
+    else lexicographic ISO-date compare (the sitemap_lite convention —
+    equal-date boundary must NOT refetch), else 'fetched'. Header-name
+    case alternates with parity. Oracle = closed-form truth table."""
+    from doc_redaction_spark.functions.http import http_header_col
+
+    d = F.col("doc_id").cast("long")
+    url = F.concat(F.lit("https://pages.example/r/"), d.cast("string"))
+    stored_etag = F.when(
+        d % 3 != 0, F.concat(F.lit('W/"e'), (d % 7).cast("string"), F.lit('"'))
+    ).otherwise(F.lit(""))
+    stored_lm = F.when(d % 4 != 0, F.lit("2026-06-15")).otherwise(F.lit(""))
+    ename = F.when(d % 2 == 0, F.lit("ETag")).otherwise(F.lit("etag"))
+    new_etag_val = F.concat(F.lit('W/"e'), (d % 5).cast("string"), F.lit('"'))
+    new_lm_val = F.concat(
+        F.lit("2026-"),
+        F.lpad(((d % 12) + 1).cast("string"), 2, "0"),
+        F.lit("-15"),
+    )
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\n"),
+        ename,
+        F.lit(": "),
+        new_etag_val,
+        F.lit("\r\nLast-Modified: "),
+        new_lm_val,
+        F.lit("\r\nContent-Type: text/html\r\n\r\n<html>x</html>"),
+    )
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        url.alias("url"),
+        stored_etag.alias("stored_etag"),
+        stored_lm.alias("stored_lm"),
+        payload.alias("payload"),
+    )
+    new_etag = http_header_col(F.col("payload"), "etag")
+    new_lm = http_header_col(F.col("payload"), "last-modified")
+    validator = (
+        F.when(F.col("stored_etag") != "", F.lit("etag"))
+        .when(F.col("stored_lm") != "", F.lit("date"))
+        .otherwise(F.lit("none"))
+    )
+    outcome = (
+        F.when(
+            validator == "etag",
+            F.when(new_etag == F.col("stored_etag"), F.lit("not_modified"))
+            .otherwise(F.lit("changed")),
+        )
+        .when(
+            validator == "date",
+            F.when(new_lm <= F.col("stored_lm"), F.lit("not_modified"))
+            .otherwise(F.lit("changed")),
+        )
+        .otherwise(F.lit("fetched"))
+    )
+    return rows.select(
+        "url", validator.alias("validator"), outcome.alias("outcome")
+    )
+
+
+def o_conditional_fetch():
+    return """
+    SELECT 'https://pages.example/r/' || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 3 <> 0 THEN 'etag'
+                WHEN doc_id % 4 <> 0 THEN 'date'
+                ELSE 'none' END AS validator,
+           CASE WHEN doc_id % 3 <> 0 THEN
+                  CASE WHEN doc_id % 7 = doc_id % 5
+                        AND doc_id % 7 < 5
+                       THEN 'not_modified' ELSE 'changed' END
+                WHEN doc_id % 4 <> 0 THEN
+                  CASE WHEN '2026-'
+                            || lpad(CAST((doc_id % 12) + 1 AS VARCHAR), 2, '0')
+                            || '-15' <= '2026-06-15'
+                       THEN 'not_modified' ELSE 'changed' END
+                ELSE 'fetched' END AS outcome
+    FROM documents
+    """
+
+
+def q_ctype_mismatch(spark, sf_dir):
+    """Declared-vs-sniffed content-type audit (composes
+    functions/http.py Content-Type extraction with body-prefix magic
+    sniffing — the text-protocol twin of blob_dispatch's magic bytes):
+    servers routinely label PDFs text/html and XML text/plain; a
+    corpus pipeline that trusts the header routes bytes to the wrong
+    parser. Legs: honest html/pdf/xml (d%6∈0,1,2), PDF mislabeled
+    text/html (d%6==3), XML mislabeled text/plain (d%6==4), html
+    labeled application/pdf (d%6==5). Oracle = closed-form table."""
+    from doc_redaction_spark.functions.http import (
+        http_body_col,
+        http_content_type_col,
+    )
+
+    d = F.col("doc_id").cast("long")
+    declared = (
+        F.when(d % 6 == 0, F.lit("text/html"))
+        .when(d % 6 == 1, F.lit("application/pdf"))
+        .when(d % 6 == 2, F.lit("text/xml"))
+        .when(d % 6 == 3, F.lit("text/html"))
+        .when(d % 6 == 4, F.lit("text/plain"))
+        .otherwise(F.lit("application/pdf"))
+    )
+    body = (
+        F.when(d % 6 == 0, F.lit("<html><body>x</body></html>"))
+        .when(d % 6 == 1, F.lit("%PDF-1.4 obj"))
+        .when(d % 6 == 2, F.lit('<?xml version="1.0"?><r/>'))
+        .when(d % 6 == 3, F.lit("%PDF-1.7 obj"))
+        .when(d % 6 == 4, F.lit('<?xml version="1.0"?><r/>'))
+        .otherwise(F.lit("<!DOCTYPE html><html>y</html>"))
+    )
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: "),
+        declared,
+        F.lit("\r\n\r\n"),
+        body,
+    )
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        d.alias("page_id"), payload.alias("payload")
+    )
+    got_body = http_body_col(F.col("payload"))
+    sniffed = (
+        F.when(got_body.startswith("%PDF"), F.lit("pdf"))
+        .when(got_body.startswith("<?xml"), F.lit("xml"))
+        .when(
+            F.lower(got_body).rlike(r"^(?:<!doctype html|<html)"),
+            F.lit("html"),
+        )
+        .otherwise(F.lit("other"))
+    )
+    declared_class = (
+        F.when(
+            http_content_type_col(F.col("payload")) == "application/pdf",
+            F.lit("pdf"),
+        )
+        .when(http_content_type_col(F.col("payload")) == "text/html", F.lit("html"))
+        .when(http_content_type_col(F.col("payload")) == "text/xml", F.lit("xml"))
+        .otherwise(F.lit("other"))
+    )
+    return pages.select(
+        "page_id",
+        declared_class.alias("declared"),
+        sniffed.alias("sniffed"),
+        (declared_class != sniffed).cast("int").alias("mismatch"),
+    )
+
+
+def o_ctype_mismatch():
+    return """
+    SELECT doc_id AS page_id,
+           CASE doc_id % 6 WHEN 0 THEN 'html' WHEN 1 THEN 'pdf'
+                WHEN 2 THEN 'xml' WHEN 3 THEN 'html'
+                WHEN 4 THEN 'other' ELSE 'pdf' END AS declared,
+           CASE doc_id % 6 WHEN 0 THEN 'html' WHEN 1 THEN 'pdf'
+                WHEN 2 THEN 'xml' WHEN 3 THEN 'pdf'
+                WHEN 4 THEN 'xml' ELSE 'html' END AS sniffed,
+           CAST(CASE WHEN doc_id % 6 IN (3, 4, 5) THEN 1 ELSE 0 END
+                AS INTEGER) AS mismatch
+    FROM documents
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14056,6 +14323,10 @@ _QUERIES: dict[str, Callable] = {
     "robots_sitemaps": q_robots_sitemaps,
     "xrobots_gate": q_xrobots_gate,
     "dpo_edit_distance": q_dpo_edit_distance,
+    "reward_calibration": q_reward_calibration,
+    "hreflang_clusters": q_hreflang_clusters,
+    "conditional_fetch": q_conditional_fetch,
+    "ctype_mismatch": q_ctype_mismatch,
     "meta_robots_gate": q_meta_robots_gate,
     "anchor_text": q_anchor_text,
     "url_trap_detect": q_url_trap_detect,
@@ -14336,6 +14607,10 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "robots_sitemaps": o_robots_sitemaps,
     "xrobots_gate": o_xrobots_gate,
     "dpo_edit_distance": o_dpo_edit_distance,
+    "reward_calibration": o_reward_calibration,
+    "hreflang_clusters": o_hreflang_clusters,
+    "conditional_fetch": o_conditional_fetch,
+    "ctype_mismatch": o_ctype_mismatch,
     "meta_robots_gate": o_meta_robots_gate,
     "anchor_text": o_anchor_text,
     "url_trap_detect": o_url_trap_detect,

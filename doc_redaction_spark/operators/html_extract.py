@@ -543,3 +543,49 @@ def next_link_edges(
         )
         .filter(F.col("dst") != "")
     )
+
+
+HREFLANG_ATTR_PATTERN = r"(?is)hreflang\s*=\s*[\"']([^\"']*)[\"']"
+_REL_ALT_PATTERN = r"(?is)\brel\s*=\s*[\"']alternate[\"']"
+
+
+def hreflang_alternates(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """i18n alternate harvest: one row per ``<link rel="alternate"
+    hreflang="…" href="…">`` — ``(id_col, alt_idx, hreflang, target)``
+    with the target resolved against the page URL and the language tag
+    lowercased (BCP-47 tags are case-insensitive). Feed/RSS
+    autodiscovery links (rel="alternate" WITHOUT hreflang) are
+    excluded — the classic false positive. alt_idx numbers the
+    qualifying tags in document order; empty-href rows are dropped
+    without renumbering (the sitemap rule). Map-only."""
+    from doc_redaction_spark.functions.urls import resolve_href_col
+
+    tags = F.regexp_extract_all(F.col(html_col), F.lit(LINK_TAG_PATTERN), 0)
+    alts = F.filter(
+        tags,
+        lambda hlt: hlt.rlike(_REL_ALT_PATTERN)
+        & hlt.rlike(r"(?is)\bhreflang\s*="),
+    )
+    ex = pages.select(
+        id_col,
+        F.col(url_col).alias("_u"),
+        F.posexplode(alts).alias("alt_idx", "_tag"),
+    )
+    lang = F.lower(F.regexp_extract(F.col("_tag"), HREFLANG_ATTR_PATTERN, 1))
+    href = F.regexp_extract(F.col("_tag"), HREF_ATTR_PATTERN, 1)
+    target = resolve_href_col(F.col("_u"), href)
+    return (
+        ex.withColumn("target", target)
+        .filter(F.col("target") != "")
+        .select(
+            id_col,
+            F.col("alt_idx").cast("long").alias("alt_idx"),
+            lang.alias("hreflang"),
+            "target",
+        )
+    )

@@ -104,34 +104,64 @@ def length_bias_report(j: DataFrame, bucket_chars: int = 10) -> DataFrame:
     by the LONGER response (equal lengths contribute to n but never to
     longer/shorter). A healthy reward signal is flat in
     longer_wins_x1e4; a monotone rise is length bias."""
-    la = F.length("resp_a")
-    lb = F.length("resp_b")
-    delta = (la - lb).cast("long")
-    b = F.lit(int(bucket_chars))
-    # exact floor division for signed deltas: (d - pmod(d, b)) / b
+    delta = (F.length("resp_a") - F.length("resp_b")).cast("long")
+    return _delta_win_report(
+        j, delta, bucket_chars, "len_delta_bucket", "longer_wins_x1e4"
+    )
+
+
+def reward_calibration(
+    j: DataFrame,
+    reward_a_col: str = "reward_a",
+    reward_b_col: str = "reward_b",
+    bucket_size: int = 100,
+) -> DataFrame:
+    """Reward-model calibration curve — THE standard RM evaluation:
+    judgments bucketed by the reward DELTA the model assigned the two
+    responses; per bucket, the empirical win share of the
+    higher-reward response. A calibrated reward model rises monotonely
+    from ~0 at large negative deltas to ~1 at large positive ones; a
+    flat curve means the reward carries no preference signal. Output
+    ``(reward_delta_bucket, n, a_wins, b_wins, ties,
+    higher_wins_x1e4)`` — same exact integer domain and pmod
+    floor-division bucketing as length_bias_report (shared kernel)."""
+    delta = (F.col(reward_a_col) - F.col(reward_b_col)).cast("long")
+    return _delta_win_report(
+        j, delta, bucket_size, "reward_delta_bucket", "higher_wins_x1e4"
+    )
+
+
+def _delta_win_report(
+    j: DataFrame, delta, bucket_size: int, bucket_alias: str, win_alias: str
+) -> DataFrame:
+    """Shared kernel for length_bias_report / reward_calibration: bucket
+    a signed per-judgment delta (exact pmod floor-division), then per
+    bucket report win counts and the win share of the POSITIVE-delta
+    side among decided, unequal judgments (NULL when none)."""
+    b = F.lit(int(bucket_size))
     bucket = ((delta - F.pmod(delta, b)) / b).cast("long")
-    longer_win = (
+    pos_win = (
         ((delta > 0) & (F.col("winner") == "a"))
         | ((delta < 0) & (F.col("winner") == "b"))
     ).cast("long")
     decided_unequal = ((delta != 0) & (F.col("winner") != "tie")).cast("long")
     rows = j.select(
-        bucket.alias("len_delta_bucket"),
+        bucket.alias(bucket_alias),
         (F.col("winner") == "a").cast("long").alias("_aw"),
         (F.col("winner") == "b").cast("long").alias("_bw"),
         (F.col("winner") == "tie").cast("long").alias("_tw"),
-        longer_win.alias("_lw"),
+        pos_win.alias("_pw"),
         decided_unequal.alias("_du"),
     )
-    return rows.groupBy("len_delta_bucket").agg(
+    return rows.groupBy(bucket_alias).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("_aw").alias("a_wins"),
         F.sum("_bw").alias("b_wins"),
         F.sum("_tw").alias("ties"),
         F.expr(
             "CASE WHEN sum(_du) > 0 THEN"
-            " CAST((10000 * sum(_lw)) div sum(_du) AS BIGINT) END"
-        ).alias("longer_wins_x1e4"),
+            f" CAST((10000 * sum(_pw)) div sum(_du) AS BIGINT) END"
+        ).alias(win_alias),
     )
 
 

@@ -315,3 +315,46 @@ def test_preference_pair_edits_levenshtein(spark):
     assert row["edit_dist"] == 3  # kitten→sitting, the classic
     assert row["max_len"] == 7
     assert row["edit_x1e4"] == 10000 * 3 // 7
+
+
+def test_reward_calibration_shared_kernel(spark):
+    from doc_redaction_spark.operators.preference import reward_calibration
+
+    j = spark.createDataFrame(
+        [
+            (1, "m0", "m1", "x", "y", "a", 900, 100),  # +800 → bucket 4, higher won
+            (2, "m0", "m1", "x", "y", "b", 100, 900),  # −800 → bucket −4, higher won
+            (3, "m0", "m1", "x", "y", "b", 900, 100),  # +800 → bucket 4, higher lost
+            (4, "m0", "m1", "x", "y", "a", 500, 500),  # 0 → excluded from rate
+        ],
+        "prompt_id int, model_a string, model_b string, resp_a string,"
+        " resp_b string, winner string, reward_a int, reward_b int",
+    )
+    out = {
+        r["reward_delta_bucket"]: r.asDict()
+        for r in reward_calibration(j, bucket_size=200).collect()
+    }
+    assert out[4]["higher_wins_x1e4"] == 5000  # 1 of 2 decided
+    assert out[-4]["higher_wins_x1e4"] == 10000
+    assert out[0]["higher_wins_x1e4"] is None
+
+
+def test_hreflang_alternates(spark):
+    from doc_redaction_spark.operators.html_extract import hreflang_alternates
+
+    pages = spark.createDataFrame(
+        [
+            (
+                1,
+                "https://h/a/1",
+                '<link rel="alternate" type="application/rss+xml" href="/f.xml">'
+                '<link rel="alternate" hreflang="EN-us" href="/en/1">'
+                '<link hreflang="fr" rel="alternate" href="fr1">',
+            )
+        ],
+        "page_id int, url string, html string",
+    )
+    rows = hreflang_alternates(pages).orderBy("alt_idx").collect()
+    assert [r["hreflang"] for r in rows] == ["en-us", "fr"]  # RSS decoy out
+    assert rows[0]["target"] == "https://h/en/1"
+    assert rows[1]["target"] == "https://h/a/fr1"  # dir-relative resolve
