@@ -148,6 +148,11 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "injection_scan",
         # the composed three-audit capstone (windows + three conv-keyed joins)
         "safety_verdict",
+        # session-12 representatives: the dual-dialect feed parse (the
+        # wave's heaviest regex battery) and the anchor-text rollup
+        # (the wave's only shuffle: groupBy + reduced-count window)
+        "feed_ingest",
+        "anchor_text",
     ]
     qs = entrymod.queries()
     out = {}

@@ -713,3 +713,43 @@ def test_conv_digest_no_cartesian_no_python(spark, queries):
     plan = _plan(queries["conv_digest"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_feed_ingest_parse_is_map_only(spark, queries):
+    """Feed parsing after the fixture's pack-aggregate: the parse side
+    (sniff → block extract → posexplode → field extracts) adds NO
+    exchange beyond the fixture's own groupBy and NO Python stage."""
+    plan = _plan(queries["feed_ingest"](spark, SF))
+    assert plan.count("Exchange") <= 2, plan  # fixture pack agg only
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Generate" in plan
+
+
+def test_meta_robots_gate_is_map_only_no_python(spark, queries):
+    plan = _plan(queries["meta_robots_gate"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_anchor_text_windows_reduced_counts_only(spark, queries):
+    """anchor_text's window must run over the REDUCED (target, anchor)
+    counts, never raw link rows: exactly the aggregate exchanges plus
+    the window's own partitioning — and the partial_count map-side
+    combine is present before the shuffle."""
+    plan = _plan(queries["anchor_text"](spark, SF))
+    assert "partial_count" in plan, plan
+    assert "Window" in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_url_trap_report_single_combinable_agg(spark, queries):
+    plan = _plan(queries["url_trap_detect"](spark, SF))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert plan.count("Exchange") == 1, plan  # one groupBy on host
+
+
+def test_preference_aggregates_map_side_combine(spark, queries):
+    for q in ("pref_winrate", "length_bias", "reward_calibration"):
+        plan = _plan(queries[q](spark, SF))
+        assert "partial_count" in plan or "partial_sum" in plan, (q, plan)
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
