@@ -13355,17 +13355,11 @@ def o_meta_robots_gate():
     """
 
 
-def q_anchor_text(spark, sf_dir):
-    """Anchor-text rollup per canonical link target
-    (operators/html_extract.py anchor_text_rollup): 50 shared targets,
-    each referenced by ~N/50 pages through two anchors — a varying body
-    anchor (every 3rd page's contains a <b> tag the STRIP pass must
-    fold) and a constant 'homepage' anchor whose href is www-prefixed
-    and (every 4th page) utm-tracked: both variants must canonicalize
-    onto the plain target or the rollup splits. top_anchor tie-break =
-    (count DESC, anchor ASC), deterministic at any parallelism."""
-    from doc_redaction_spark.operators.html_extract import anchor_text_rollup
-
+def _anchor_pages(spark, sf_dir):
+    """Shared anchor-harvest fixture (q_anchor_text + q_discovery_merge):
+    two links per page onto 50 shared targets — a plain one and a
+    www-prefixed, sometimes-utm-tracked 'homepage' one that must
+    canonicalize onto the same target."""
     d = F.col("doc_id").cast("long")
     target = _warc_uri_spark(d % 50)
     www = F.regexp_replace(target, r"^https://", "https://www.")
@@ -13384,11 +13378,24 @@ def q_anchor_text(spark, sf_dir):
         F.when(d % 4 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
         F.lit('">homepage</a></body></html>'),
     )
-    pages = (
+    return (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select(d.alias("page_id"), html.alias("html"))
     )
-    return anchor_text_rollup(pages)
+
+
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text rollup per canonical link target
+    (operators/html_extract.py anchor_text_rollup): 50 shared targets,
+    each referenced by ~N/50 pages through two anchors — a varying body
+    anchor (every 3rd page's contains a <b> tag the STRIP pass must
+    fold) and a constant 'homepage' anchor whose href is www-prefixed
+    and (every 4th page) utm-tracked: both variants must canonicalize
+    onto the plain target or the rollup splits. top_anchor tie-break =
+    (count DESC, anchor ASC), deterministic at any parallelism."""
+    from doc_redaction_spark.operators.html_extract import anchor_text_rollup
+
+    return anchor_text_rollup(_anchor_pages(spark, sf_dir))
 
 
 def o_anchor_text():
@@ -14304,6 +14311,142 @@ def o_ctype_mismatch():
     """
 
 
+def q_discovery_merge(spark, sf_dir):
+    """URL-discovery merge capstone: the three crawl-discovery sources —
+    sitemap entries (sources/sitemap_lite.py), feed items
+    (sources/feeds.py), and anchor-harvested links (the shared
+    _anchor_pages fixture) — canonicalized onto ONE frontier key with
+    per-source counts and a sitemap > feed > link provenance pick. Real
+    overlap by construction: feed links equal sitemap locs except where
+    the sitemap carries its d%11 query string, anchor targets re-hit
+    docs 0..49, and d%17 linkless feed items leave sitemap-only URLs —
+    all three first_source legs fire. ONE combinable groupBy on the
+    canonical URL."""
+    from doc_redaction_spark.functions.urls import canonical_url_col
+    from doc_redaction_spark.operators.html_extract import (
+        A_TAG_PATTERN,
+        HREF_ATTR_PATTERN,
+    )
+    from doc_redaction_spark.sources.feeds import feed_items
+    from doc_redaction_spark.sources.sitemap_lite import sitemap_urls
+
+    sm = sitemap_urls(_sitemap_files(spark, sf_dir), keys=("site_id",)).select(
+        canonical_url_col(F.col("loc")).alias("url"),
+        F.lit("sitemap").alias("src"),
+    )
+    fd = feed_items(_feed_files(spark, sf_dir), keys=("feed_id",)).select(
+        canonical_url_col(F.col("link")).alias("url"),
+        F.lit("feed").alias("src"),
+    )
+    attrs = F.regexp_extract_all(F.col("html"), F.lit(A_TAG_PATTERN), 1)
+    lk = (
+        _anchor_pages(spark, sf_dir)
+        .select(F.explode(attrs).alias("_attrs"))
+        .select(
+            canonical_url_col(
+                F.regexp_extract(F.col("_attrs"), HREF_ATTR_PATTERN, 1)
+            ).alias("url"),
+            F.lit("link").alias("src"),
+        )
+    )
+    allu = sm.unionByName(fd).unionByName(lk)
+    agg = allu.groupBy("url").agg(
+        F.sum((F.col("src") == "sitemap").cast("long")).alias("n_sitemap"),
+        F.sum((F.col("src") == "feed").cast("long")).alias("n_feed"),
+        F.sum((F.col("src") == "link").cast("long")).alias("n_link"),
+    )
+    return agg.withColumn(
+        "first_source",
+        F.when(F.col("n_sitemap") > 0, F.lit("sitemap"))
+        .when(F.col("n_feed") > 0, F.lit("feed"))
+        .otherwise(F.lit("link")),
+    )
+
+
+def o_discovery_merge():
+    return f"""
+    WITH s AS (SELECT {_sitemap_loc_sql()} AS url FROM documents),
+    f AS (SELECT {_warc_uri_sql()} AS url FROM documents
+          WHERE doc_id % 17 <> 0),
+    l AS (SELECT {_warc_uri_sql('doc_id % 50')} AS url FROM documents
+          UNION ALL
+          SELECT {_warc_uri_sql('doc_id % 50')} AS url FROM documents),
+    a AS (SELECT url, 1 AS sm, 0 AS fd, 0 AS lk FROM s
+          UNION ALL SELECT url, 0, 1, 0 FROM f
+          UNION ALL SELECT url, 0, 0, 1 FROM l)
+    SELECT url,
+           CAST(sum(sm) AS BIGINT) AS n_sitemap,
+           CAST(sum(fd) AS BIGINT) AS n_feed,
+           CAST(sum(lk) AS BIGINT) AS n_link,
+           CASE WHEN sum(sm) > 0 THEN 'sitemap'
+                WHEN sum(fd) > 0 THEN 'feed'
+                ELSE 'link' END AS first_source
+    FROM a GROUP BY url
+    """
+
+
+def q_odt_paragraphs(spark, sf_dir):
+    """ODT paragraph scan (sources/odt_xml.py odt_paragraphs — the 4th
+    zip-office member): per doc a heading, a self-closing empty
+    paragraph (<text:p/> — never matches, occupies NO index), a body
+    paragraph whose text is split mid-word by a text:span and carries
+    <text:tab/> and <text:s/> whitespace ELEMENTS that must expand to
+    real characters (plus the d%13 escaped <&> tooth), a matched-but-
+    empty <text:p></text:p> (drops its row but KEEPS its index — tail
+    must be para_idx 3), and a tail paragraph. Oracle = closed-form
+    paragraph reconstruction."""
+    from doc_redaction_spark.sources.odt_xml import odt_paragraphs
+
+    d = F.col("doc_id").cast("long")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    raw = F.concat(
+        F.substring(t, 1, 30),
+        F.when(d % 13 == 0, F.lit("<&>")).otherwise(F.lit("")),
+    )
+
+    def esc(c):
+        c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+        return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+    xml = F.concat(
+        F.lit('<office:text><text:h text:outline-level="1">Title '),
+        d.cast("string"),
+        F.lit("</text:h><text:p/><text:p>Hel"),
+        F.lit('<text:span text:style-name="T1">lo,<text:tab/>wo</text:span>'),
+        F.lit("rld x<text:s/>y "),
+        esc(raw),
+        F.lit("</text:p><text:p></text:p><text:p>tail "),
+        d.cast("string"),
+        F.lit("</text:p></office:text>"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", xml.alias("xml")
+    )
+    return odt_paragraphs(docs)
+
+
+def o_odt_paragraphs():
+    return """
+    SELECT doc_id, CAST(0 AS BIGINT) AS para_idx,
+           CAST(1 AS INTEGER) AS is_heading,
+           'Title ' || CAST(doc_id AS VARCHAR) AS para_text
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT) AS para_idx,
+           CAST(0 AS INTEGER) AS is_heading,
+           'Hello,' || chr(9) || 'world x y '
+             || substr(coalesce(text, ''), 1, 30)
+             || CASE WHEN doc_id % 13 = 0 THEN '<&>' ELSE '' END AS para_text
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(3 AS BIGINT) AS para_idx,
+           CAST(0 AS INTEGER) AS is_heading,
+           'tail ' || CAST(doc_id AS VARCHAR) AS para_text
+    FROM documents
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14327,6 +14470,8 @@ _QUERIES: dict[str, Callable] = {
     "hreflang_clusters": q_hreflang_clusters,
     "conditional_fetch": q_conditional_fetch,
     "ctype_mismatch": q_ctype_mismatch,
+    "discovery_merge": q_discovery_merge,
+    "odt_paragraphs": q_odt_paragraphs,
     "meta_robots_gate": q_meta_robots_gate,
     "anchor_text": q_anchor_text,
     "url_trap_detect": q_url_trap_detect,
@@ -14611,6 +14756,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "hreflang_clusters": o_hreflang_clusters,
     "conditional_fetch": o_conditional_fetch,
     "ctype_mismatch": o_ctype_mismatch,
+    "discovery_merge": o_discovery_merge,
+    "odt_paragraphs": o_odt_paragraphs,
     "meta_robots_gate": o_meta_robots_gate,
     "anchor_text": o_anchor_text,
     "url_trap_detect": o_url_trap_detect,

@@ -1,0 +1,79 @@
+"""ODT (OpenDocument text, ODF 1.2) paragraph scan — the fourth member
+of the zip-office family (DOCX: sources/docx_xml.py, XLSX:
+sources/xlsx_lite.py, PPTX: sources/pptx_xml.py). The reference's file
+dispatch converts office formats before redacting
+(``/root/reference/tools/file_conversion.py``); LibreOffice corpora are
+ODT, and their paragraphs carry the same PII.
+
+ODF differs structurally from OOXML: character data lives DIRECTLY
+inside ``<text:p>``/``<text:h>`` elements, interleaved with formatting
+``<text:span>`` wrappers (which split words mid-glyph exactly like
+OOXML runs) and whitespace ELEMENTS — ``<text:tab/>`` (tab),
+``<text:line-break/>`` (newline), ``<text:s/>`` (a literal space;
+multi-space ``text:c`` counts are outside this subset and documented
+so). Extraction therefore inverts the OOXML strategy: instead of
+concatenating run elements, it extracts whole paragraph BLOCKS
+(``<text:[ph]>…</text:[ph]>`` — both tags are single-letter, so a
+character class replaces the backreference RE2 would reject), expands
+the whitespace elements, strips the remaining tags to '' (NOT a space —
+span boundaries are mid-word), and unescapes entities last (shared
+XML_UNESCAPES table).
+
+``para_idx`` numbers the MATCHED blocks in document order; blocks whose
+visible text is empty are dropped without renumbering (the family
+rule). Self-closing empty paragraphs (``<text:p/>``) never match the
+block pattern, so they neither produce rows nor occupy an index —
+documented asymmetry with `<text:p></text:p>` (matched, then dropped).
+
+Map-only: extract_all → posexplode → per-block replaces; no shuffle,
+no UDF, no parser library. The zip layer is upstream (the XML columns
+here are already-extracted ``content.xml`` parts — the same contract
+the other three office scans use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.sources.docx_xml import _unescape
+
+PARA_BLOCK_PATTERN = r"(?is)<text:[ph](?:\s[^>]*)?>(.*?)</text:[ph]\s*>"
+TAB_PATTERN = r"(?is)<text:tab(?:\s[^>]*)?/?>"
+LINEBREAK_PATTERN = r"(?is)<text:line-break(?:\s[^>]*)?/?>"
+SPACE_PATTERN = r"(?is)<text:s\s*/>"
+TAG_STRIP_PATTERN = r"(?s)<[^>]*>"
+
+
+def odt_paragraphs(
+    df: DataFrame, xml_col: str = "xml", keys: tuple = ("doc_id",)
+) -> DataFrame:
+    """keys… + content.xml → one row per non-empty paragraph/heading:
+    keys… + (para_idx long, is_heading int, para_text string)."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(PARA_BLOCK_PATTERN), 0
+    )
+    ex = df.select(
+        *[F.col(k) for k in keys],
+        F.posexplode(blocks).alias("para_idx", "_blk"),
+    )
+    blk = F.col("_blk")
+    is_heading = F.lower(F.substring(blk, 1, 8)).eqNullSafe("<text:h ") | (
+        F.lower(F.substring(blk, 1, 8)) == "<text:h>"
+    )
+    inner = F.regexp_extract(blk, PARA_BLOCK_PATTERN, 1)
+    inner = F.regexp_replace(inner, TAB_PATTERN, "\t")
+    inner = F.regexp_replace(inner, LINEBREAK_PATTERN, "\n")
+    inner = F.regexp_replace(inner, SPACE_PATTERN, " ")
+    inner = F.regexp_replace(inner, TAG_STRIP_PATTERN, "")
+    text = _unescape(inner)
+    return (
+        ex.withColumn("para_text", text)
+        .filter(F.col("para_text") != "")
+        .select(
+            *[F.col(k) for k in keys],
+            F.col("para_idx").cast("long").alias("para_idx"),
+            is_heading.cast("int").alias("is_heading"),
+            "para_text",
+        )
+    )

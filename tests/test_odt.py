@@ -1,0 +1,52 @@
+"""ODT paragraph scan (sources/odt_xml.py) — block matching, whitespace
+elements, span reassembly, index semantics."""
+
+from doc_redaction_spark.sources.odt_xml import odt_paragraphs
+
+
+def _rows(spark, xml):
+    df = spark.createDataFrame([(1, xml)], "doc_id int, xml string")
+    return {
+        r["para_idx"]: r.asDict()
+        for r in odt_paragraphs(df).orderBy("para_idx").collect()
+    }
+
+
+def test_span_midword_and_whitespace_elements(spark):
+    xml = (
+        "<office:text><text:p>Hel"
+        '<text:span text:style-name="T1">lo,<text:tab/>wo</text:span>'
+        "rld a<text:s/>b<text:line-break/>c</text:p></office:text>"
+    )
+    rows = _rows(spark, xml)
+    assert rows[0]["para_text"] == "Hello,\tworld a b\nc"
+    assert rows[0]["is_heading"] == 0
+
+
+def test_heading_flag_and_entities(spark):
+    xml = (
+        "<office:text><text:h text:outline-level='2'>A &amp; B &lt;ok&gt;"
+        "</text:h></office:text>"
+    )
+    rows = _rows(spark, xml)
+    assert rows[0]["is_heading"] == 1
+    assert rows[0]["para_text"] == "A & B <ok>"
+
+
+def test_empty_matched_block_keeps_numbering(spark):
+    xml = (
+        "<office:text><text:p>first</text:p><text:p></text:p>"
+        "<text:p>third</text:p></office:text>"
+    )
+    rows = _rows(spark, xml)
+    assert sorted(rows) == [0, 2]
+    assert rows[2]["para_text"] == "third"
+
+
+def test_self_closing_paragraph_occupies_no_index(spark):
+    xml = (
+        "<office:text><text:p/><text:p>only</text:p></office:text>"
+    )
+    rows = _rows(spark, xml)
+    assert list(rows) == [0]
+    assert rows[0]["para_text"] == "only"
