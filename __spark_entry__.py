@@ -14447,6 +14447,59 @@ def o_odt_paragraphs():
     """
 
 
+def q_tool_call_errors(spark, sf_dir):
+    """Tool-call argument hygiene (operators/convops.py
+    tool_call_errors): per-tool malformed-JSON and missing-required-arg
+    rates over synthesized call payloads — truncated JSON at d%13,
+    missing 'query' at d%7 (CASE-ordered so the overlap is malformed),
+    JSON null query at d%11 (counts as missing — get_json_object cannot
+    distinguish, documented), valid otherwise. The JSON parse runs
+    JVM-side (get_json_object); the oracle is the closed-form truth
+    table, so the parser's verdicts are value-checked without DuckDB
+    JSON functions."""
+    from doc_redaction_spark.operators.convops import tool_call_errors
+
+    d = F.col("doc_id").cast("long")
+    args = (
+        F.when(d % 13 == 0, F.lit('{"query": "x", "limit"'))
+        .when(d % 7 == 0, F.lit('{"limit": 5}'))
+        .when(d % 11 == 0, F.lit('{"query": null, "limit": 5}'))
+        .otherwise(
+            F.concat(
+                F.lit('{"query": "q'),
+                d.cast("string"),
+                F.lit('", "limit": '),
+                (d % 10).cast("string"),
+                F.lit("}"),
+            )
+        )
+    )
+    calls = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("t"), (d % 3).cast("string")).alias("tool"),
+        args.alias("args_json"),
+    )
+    return tool_call_errors(calls)
+
+
+def o_tool_call_errors():
+    return """
+    WITH c AS (
+      SELECT 't' || CAST(doc_id % 3 AS VARCHAR) AS tool,
+             CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS mf,
+             CASE WHEN doc_id % 13 <> 0
+                   AND (doc_id % 7 = 0 OR doc_id % 11 = 0)
+                  THEN 1 ELSE 0 END AS ma
+      FROM documents)
+    SELECT tool,
+           CAST(count(*) AS BIGINT) AS n_calls,
+           CAST(sum(mf) AS BIGINT) AS n_malformed,
+           CAST(sum(ma) AS BIGINT) AS n_missing_arg,
+           CAST((10000 * sum(CASE WHEN mf = 0 AND ma = 0 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS ok_x1e4
+    FROM c GROUP BY tool
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14472,6 +14525,7 @@ _QUERIES: dict[str, Callable] = {
     "ctype_mismatch": q_ctype_mismatch,
     "discovery_merge": q_discovery_merge,
     "odt_paragraphs": q_odt_paragraphs,
+    "tool_call_errors": q_tool_call_errors,
     "meta_robots_gate": q_meta_robots_gate,
     "anchor_text": q_anchor_text,
     "url_trap_detect": q_url_trap_detect,
@@ -14758,6 +14812,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "ctype_mismatch": o_ctype_mismatch,
     "discovery_merge": o_discovery_merge,
     "odt_paragraphs": o_odt_paragraphs,
+    "tool_call_errors": o_tool_call_errors,
     "meta_robots_gate": o_meta_robots_gate,
     "anchor_text": o_anchor_text,
     "url_trap_detect": o_url_trap_detect,

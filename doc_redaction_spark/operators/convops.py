@@ -2018,3 +2018,45 @@ def compose_safety_verdict(
         "n_echoes",
         verdict.alias("verdict"),
     )
+
+
+def tool_call_errors(
+    calls: DataFrame,
+    tool_col: str = "tool",
+    args_col: str = "args_json",
+    required: tuple = ("query",),
+) -> DataFrame:
+    """Tool-call argument hygiene per tool — the agent-transcript twin of
+    the dq_report: a training feed built from agent traces must know
+    which tools' call payloads parse and carry their required arguments
+    (malformed JSON poisons downstream extraction like tool_json_pii;
+    missing required args mark broken few-shot templates).
+
+    Per tool: ``(tool, n_calls, n_malformed, n_missing_arg, ok_x1e4)``.
+    malformed = the payload does not parse as JSON at all
+    (``get_json_object($)`` NULL — JVM-side, no UDF); missing_arg =
+    parses but lacks ANY of ``required`` at the top level (absent key
+    and JSON ``null`` both count — get_json_object cannot distinguish
+    them, documented). ok_x1e4 = floor(1e4·ok/n). ONE map-side-
+    combinable groupBy on the near-unique tool key."""
+    parsed = F.get_json_object(F.col(args_col), "$")
+    missing = F.lit(False)
+    for arg in required:
+        missing = missing | F.get_json_object(
+            F.col(args_col), f"$.{arg}"
+        ).isNull()
+    malformed = parsed.isNull()
+    rows = calls.select(
+        F.col(tool_col).alias("tool"),
+        malformed.cast("long").alias("_mf"),
+        (~malformed & missing).cast("long").alias("_ma"),
+        (~malformed & ~missing).cast("long").alias("_ok"),
+    )
+    return rows.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.sum("_mf").alias("n_malformed"),
+        F.sum("_ma").alias("n_missing_arg"),
+        F.expr("CAST((10000 * sum(_ok)) div count(1) AS BIGINT)").alias(
+            "ok_x1e4"
+        ),
+    )

@@ -358,3 +358,22 @@ def test_hreflang_alternates(spark):
     assert [r["hreflang"] for r in rows] == ["en-us", "fr"]  # RSS decoy out
     assert rows[0]["target"] == "https://h/en/1"
     assert rows[1]["target"] == "https://h/a/fr1"  # dir-relative resolve
+
+
+def test_tool_call_errors_legs(spark):
+    from doc_redaction_spark.operators.convops import tool_call_errors
+
+    calls = spark.createDataFrame(
+        [
+            ("t0", '{"query": "ok", "limit": 1}'),
+            ("t0", '{"query": "x", "limit"'),  # malformed
+            ("t0", '{"limit": 5}'),  # missing query
+            ("t0", '{"query": null}'),  # JSON null counts as missing
+        ],
+        "tool string, args_json string",
+    )
+    row = tool_call_errors(calls).collect()[0]
+    assert row["n_calls"] == 4
+    assert row["n_malformed"] == 1
+    assert row["n_missing_arg"] == 2
+    assert row["ok_x1e4"] == 2500
