@@ -12560,20 +12560,15 @@ def q_pptx_slides(spark, sf_dir):
     )
     raw1 = F.substring(t, 41, 60)
 
-    def esc(c):
-        c = F.replace(c, F.lit("&"), F.lit("&amp;"))
-        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
-        return F.replace(c, F.lit(">"), F.lit("&gt;"))
-
     xml = F.concat(
         F.lit("<p:sld><p:txBody><a:p><a:r><a:t>Slide "),
         d.cast("string"),
         F.lit("</a:t></a:r></a:p><a:p><a:r><a:t>"),
-        esc(F.substring(raw0, 1, 20)),
+        _xml_esc(F.substring(raw0, 1, 20)),
         F.lit('</a:t></a:r><a:r><a:t xml:space="preserve">'),
-        esc(F.substring(raw0, 21, 100)),
+        _xml_esc(F.substring(raw0, 21, 100)),
         F.lit("</a:t></a:r></a:p><a:p><a:pPr/></a:p><a:p><a:r><a:t>"),
-        esc(raw1),
+        _xml_esc(raw1),
         F.lit("</a:t></a:r></a:p></p:txBody></p:sld>"),
     )
     slides = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -13158,7 +13153,11 @@ def o_http_redirects():
 # detection + the RLHF preference-evaluation battery ------------------------
 
 
-def _feed_esc(c):
+def _xml_esc(c):
+    """ONE fixture-side XML escape (&<> — the inverse of the parsers'
+    shared XML_UNESCAPES subset), used by the pptx, feed, and ODT
+    fixtures: escape chains that exist twice desynchronize silently
+    (the _MEMO_SECRET / WARC-fixture lesson, review finding)."""
     c = F.replace(c, F.lit("&"), F.lit("&amp;"))
     c = F.replace(c, F.lit("<"), F.lit("&lt;"))
     return F.replace(c, F.lit(">"), F.lit("&gt;"))
@@ -13175,7 +13174,7 @@ def _feed_files(spark, sf_dir):
     blocks and must not leak into rows."""
     d = F.col("doc_id").cast("long")
     feed = F.expr("CAST(doc_id AS BIGINT) div 10")
-    title_xml = _feed_esc(
+    title_xml = _xml_esc(
         F.concat(
             F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
             F.when(d % 13 == 0, F.lit("<&>")).otherwise(F.lit("")),
@@ -13860,7 +13859,13 @@ def q_pagination_chains(spark, sf_dir):
         url.alias("url"), html.alias("html")
     )
     edges = next_link_edges(pages)
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # a last page whose rel=next points past the corpus (doc-count not a
+    # multiple of 4) would otherwise fabricate a row for a nonexistent
+    # page — only edges whose TARGET exists as a page become parent
+    # pointers (review finding; 500/5000 docs are layout-lucky ≡0 mod 4)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).join(pages.select(F.col("url").alias("src")), "src", "left_semi")
     res = resolve_redirects(rev, max_hops=4)
     part = res.select(
         F.col("src").alias("url"),
@@ -14404,18 +14409,13 @@ def q_odt_paragraphs(spark, sf_dir):
         F.when(d % 13 == 0, F.lit("<&>")).otherwise(F.lit("")),
     )
 
-    def esc(c):
-        c = F.replace(c, F.lit("&"), F.lit("&amp;"))
-        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
-        return F.replace(c, F.lit(">"), F.lit("&gt;"))
-
     xml = F.concat(
         F.lit('<office:text><text:h text:outline-level="1">Title '),
         d.cast("string"),
         F.lit("</text:h><text:p/><text:p>Hel"),
         F.lit('<text:span text:style-name="T1">lo,<text:tab/>wo</text:span>'),
         F.lit("rld x<text:s/>y "),
-        esc(raw),
+        _xml_esc(raw),
         F.lit("</text:p><text:p></text:p><text:p>tail "),
         d.cast("string"),
         F.lit("</text:p></office:text>"),

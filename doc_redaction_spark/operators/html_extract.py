@@ -359,7 +359,9 @@ def meta_robots_links(
     ``rel=…nofollow…`` token, and href is non-empty. ``page_noindex``
     rides along so the indexer downstream can drop the PAGE without a
     second parse. Anchors without href keep their link_idx (href '') —
-    dropped rows would renumber and break offset joins.
+    dropped rows would renumber and break offset joins. A page with NO
+    anchors still emits ONE row (link_idx −1, href '') so its
+    page-level verdict survives to the indexer.
 
     Map-only: one tag-level extract_all per directive family plus one
     posexplode; no shuffle, no UDF — partitions by page file at 100 TB.
@@ -369,17 +371,25 @@ def meta_robots_links(
     noindex = F.array_contains(dirs, "noindex").cast("int")
     nofollow = F.array_contains(dirs, "nofollow").cast("int")
     attrs = F.regexp_extract_all(html, F.lit(A_TAG_PATTERN), 1)
+    # posexplode_OUTER: a linkless page (error page, paywall leaf) must
+    # still surface its page-level verdict — one row with link_idx -1
+    # and href '' (review finding: plain posexplode dropped the page's
+    # noindex verdict entirely)
     ex = pages.select(
         id_col,
         noindex.alias("page_noindex"),
         nofollow.alias("page_nofollow"),
-        F.posexplode(attrs).alias("link_idx", "_attrs"),
+        F.posexplode_outer(attrs).alias("link_idx", "_attrs"),
     )
-    href = F.regexp_extract(F.col("_attrs"), HREF_ATTR_PATTERN, 1)
-    link_nofollow = F.col("_attrs").rlike(REL_NOFOLLOW_PATTERN).cast("int")
+    href = F.coalesce(
+        F.regexp_extract(F.col("_attrs"), HREF_ATTR_PATTERN, 1), F.lit("")
+    )
+    link_nofollow = F.coalesce(
+        F.col("_attrs").rlike(REL_NOFOLLOW_PATTERN).cast("int"), F.lit(0)
+    )
     return ex.select(
         id_col,
-        F.col("link_idx").cast("long").alias("link_idx"),
+        F.coalesce(F.col("link_idx"), F.lit(-1)).cast("long").alias("link_idx"),
         href.alias("href"),
         "page_noindex",
         "page_nofollow",
@@ -459,25 +469,18 @@ LINK_TAG_PATTERN = r"(?is)<link\b[^>]*>"
 
 def _rel_link_href(html: Column, rel: str) -> Column:
     """href of the FIRST <link> tag whose rel attribute is exactly
-    ``rel`` ('' when absent). Tag-level extract then attribute extracts,
-    so attribute order never matters. The lambda parameter name embeds
-    the rel so sibling calls never share a variable (Spark 4
-    cross-binding)."""
-    rel_pat = rf"(?is)rel\s*=\s*[\"']{re.escape(rel)}[\"']"
-    tags = F.regexp_extract_all(html, F.lit(LINK_TAG_PATTERN), 0)
-    # PySpark names the HOF variable after the Python parameter; embed the
-    # rel in the name so two _rel_link_href calls can sit in one select
-    # without sharing a lambda var (and never use a default second param —
-    # PySpark would read it as the (element, index) form).
-    var = "ltag_" + re.sub(r"[^A-Za-z0-9]", "_", rel)
-    pred = eval(  # noqa: S307 — fixed template over a sanitized name
-        f"lambda {var}: {var}.rlike(_relp)", {"_relp": rel_pat}
+    ``rel`` ('' when absent). ONE regexp_extract of the first matching
+    tag (first-match and attr-order-agnostic by construction — any
+    attributes may precede rel inside the tag), then the href attribute
+    is pulled from the captured tag string independently. No HOF, so no
+    lambda variables exist to cross-bind when two calls share a select
+    (review finding: the previous filter-HOF needed an eval()-fabricated
+    parameter name just to stay safe)."""
+    tag_pat = (
+        rf"(?is)<link\b[^>]*rel\s*=\s*[\"']{re.escape(rel)}[\"'][^>]*>"
     )
-    matches = F.filter(tags, pred)
-    return F.when(
-        F.size(matches) > 0,
-        F.regexp_extract(F.element_at(matches, 1), HREF_ATTR_PATTERN, 1),
-    ).otherwise(F.lit(""))
+    tag = F.regexp_extract(html, tag_pat, 0)
+    return F.regexp_extract(tag, HREF_ATTR_PATTERN, 1)
 
 
 def canonical_collapse(

@@ -139,19 +139,32 @@ def _delta_win_report(
     bucket report win counts and the win share of the POSITIVE-delta
     side among decided, unequal judgments (NULL when none)."""
     b = F.lit(int(bucket_size))
-    bucket = ((delta - F.pmod(delta, b)) / b).cast("long")
+    # the numerator is an exact multiple of b, but DOUBLE division would
+    # round it above 2^53 (review finding) — stay integral: SQL `div` is
+    # safe here precisely BECAUSE the numerator is already floored onto
+    # a multiple (truncation == floor for exact multiples).
+    numer = (delta - F.pmod(delta, b)).cast("long")
     pos_win = (
         ((delta > 0) & (F.col("winner") == "a"))
         | ((delta < 0) & (F.col("winner") == "b"))
     ).cast("long")
     decided_unequal = ((delta != 0) & (F.col("winner") != "tie")).cast("long")
     rows = j.select(
-        bucket.alias(bucket_alias),
+        numer.alias("_bn"),
         (F.col("winner") == "a").cast("long").alias("_aw"),
         (F.col("winner") == "b").cast("long").alias("_bw"),
         (F.col("winner") == "tie").cast("long").alias("_tw"),
         pos_win.alias("_pw"),
         decided_unequal.alias("_du"),
+    ).select(
+        F.expr(f"CAST(_bn div {int(bucket_size)} AS BIGINT)").alias(
+            bucket_alias
+        ),
+        "_aw",
+        "_bw",
+        "_tw",
+        "_pw",
+        "_du",
     )
     return rows.groupBy(bucket_alias).agg(
         F.count(F.lit(1)).alias("n"),

@@ -149,11 +149,20 @@ def feed_items(
     root = F.lower(F.regexp_extract(F.col(xml_col), ROOT_PATTERN, 1))
     is_atom = root == "feed"  # Atom's root element is <feed>
     fmt = F.when(is_atom, F.lit("atom")).otherwise(root)
-    blocks = F.when(
-        is_atom,
-        F.regexp_extract_all(F.col(xml_col), F.lit(ATOM_ENTRY_PATTERN), 1),
-    ).otherwise(
-        F.regexp_extract_all(F.col(xml_col), F.lit(RSS_ITEM_PATTERN), 1)
+    # unrecognized roots (RDF/RSS-1.0, HTML, …) parse to ZERO rows even
+    # when they contain <item>-shaped markup — only the two recognized
+    # dialects ever extract blocks (review finding: a bare otherwise-RSS
+    # branch injected fmt='' rows from any XML carrying <item> tags)
+    blocks = (
+        F.when(
+            is_atom,
+            F.regexp_extract_all(F.col(xml_col), F.lit(ATOM_ENTRY_PATTERN), 1),
+        )
+        .when(
+            root == "rss",
+            F.regexp_extract_all(F.col(xml_col), F.lit(RSS_ITEM_PATTERN), 1),
+        )
+        .otherwise(F.array().cast("array<string>"))
     )
     ex = df.select(
         *[F.col(k) for k in keys],

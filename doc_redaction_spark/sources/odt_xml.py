@@ -58,9 +58,10 @@ def odt_paragraphs(
         F.posexplode(blocks).alias("para_idx", "_blk"),
     )
     blk = F.col("_blk")
-    is_heading = F.lower(F.substring(blk, 1, 8)).eqNullSafe("<text:h ") | (
-        F.lower(F.substring(blk, 1, 8)) == "<text:h>"
-    )
+    # any whitespace may follow the tag name (the block pattern permits
+    # it via (?:\s[^>]*)?) — a fixed-width substring compare misreads
+    # pretty-printed '<text:h\n…>' headings as body paragraphs
+    is_heading = blk.rlike(r"(?is)^<text:h[\s>]")
     inner = F.regexp_extract(blk, PARA_BLOCK_PATTERN, 1)
     inner = F.regexp_replace(inner, TAB_PATTERN, "\t")
     inner = F.regexp_replace(inner, LINEBREAK_PATTERN, "\n")

@@ -109,3 +109,13 @@ def test_title_keeps_exact_bytes(spark):
     xml = build_rss([{"title": "  padded  ", "link": "https://h/p"}])
     rows = _parse(spark, xml)
     assert rows[0]["title"] == "  padded  "
+
+
+def test_rdf_root_with_item_blocks_yields_zero_rows(spark):
+    # RSS 1.0 / RDF is NOT in the dialect subset: its <item> blocks must
+    # not leak fmt='' rows into the frontier (review finding)
+    xml = (
+        "<rdf:RDF><item><title>t</title><link>https://h/x</link></item>"
+        "</rdf:RDF>"
+    )
+    assert _parse(spark, xml) == {}

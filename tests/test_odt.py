@@ -50,3 +50,10 @@ def test_self_closing_paragraph_occupies_no_index(spark):
     rows = _rows(spark, xml)
     assert list(rows) == [0]
     assert rows[0]["para_text"] == "only"
+
+
+def test_heading_flag_survives_pretty_printed_whitespace(spark):
+    # review finding: '<text:h\n…>' is a heading too
+    xml = "<office:text><text:h\n  text:outline-level='1'>T</text:h></office:text>"
+    rows = _rows(spark, xml)
+    assert rows[0]["is_heading"] == 1

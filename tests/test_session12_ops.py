@@ -377,3 +377,30 @@ def test_tool_call_errors_legs(spark):
     assert row["n_malformed"] == 1
     assert row["n_missing_arg"] == 2
     assert row["ok_x1e4"] == 2500
+
+
+def test_meta_robots_linkless_page_keeps_verdict(spark):
+    # review finding: a page with no anchors must still surface its
+    # page-level directive (one link_idx=-1 row)
+    html = '<head><meta name="robots" content="noindex"></head><body>x</body>'
+    df = spark.createDataFrame([(1, html)], "page_id int, html string")
+    rows = meta_robots_links(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["link_idx"] == -1 and r["href"] == ""
+    assert r["page_noindex"] == 1 and r["frontier_ok"] == 0
+
+
+def test_delta_report_exact_beyond_double_precision(spark):
+    # review finding: bucket math must stay integral — a double division
+    # would round deltas above 2^53
+    from doc_redaction_spark.operators.preference import reward_calibration
+
+    big = (1 << 53) + 200
+    j = spark.createDataFrame(
+        [(1, "m0", "m1", "x", "y", "a", big, 0)],
+        "prompt_id int, model_a string, model_b string, resp_a string,"
+        " resp_b string, winner string, reward_a long, reward_b long",
+    )
+    row = reward_calibration(j, bucket_size=200).collect()[0]
+    assert row["reward_delta_bucket"] == big // 200
