@@ -14500,6 +14500,90 @@ def o_tool_call_errors():
     """
 
 
+def q_conv_merge_adjacent(spark, sf_dir):
+    """Adjacent same-role turn merge (operators/convops.py
+    merge_adjacent_turns — chat-template normalization): the loop
+    fixture's planted 4-turn identical-assistant run and 6-turn A-B
+    assistant alternation BOTH collapse into single merged turns
+    (alternating TEXT but constant ROLE merges — the island key is the
+    role, not the hash), while base conversations' u/a/t/s rotation
+    merges nothing. Texts join with blank-line separators in turn
+    order. Oracle = the same island construction in SQL with ordered
+    string_agg."""
+    from doc_redaction_spark.operators.convops import merge_adjacent_turns
+
+    return merge_adjacent_turns(_tr_loops(spark, sf_dir))
+
+
+def o_conv_merge_adjacent():
+    return f"""
+    {TR_CTE},
+    {TRL_LOOP_CTE},
+    f AS (SELECT conv_id, turn_idx, role, text,
+                 CASE WHEN lag(role) OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx) IS NULL
+                       OR role <> lag(role) OVER (PARTITION BY conv_id
+                                                  ORDER BY turn_idx)
+                      THEN 1 ELSE 0 END AS chg
+          FROM trl),
+    g AS (SELECT conv_id, turn_idx, role, text,
+                 sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS isl
+          FROM f)
+    SELECT conv_id,
+           CAST(isl - 1 AS BIGINT) AS new_idx,
+           max(role) AS role,
+           string_agg(text, chr(10) || chr(10) ORDER BY turn_idx) AS text,
+           CAST(min(turn_idx) AS BIGINT) AS first_idx,
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM g GROUP BY conv_id, isl
+    """
+
+
+def q_feed_recrawl(spark, sf_dir):
+    """Feed-driven recrawl verdicts (composes sources/feeds.py
+    feed_items with sources/sitemap_lite.py recrawl_verdict — the
+    staleness kernel is source-agnostic): parsed feed items join the
+    crawl ledger on the exact URL; 'fetch' (never fetched, d%4==1),
+    'refetch' via missing published date (d%3==0) or published >
+    fetched_at, 'skip' otherwise — the published strings are the
+    fixture's ISO dates, compared lexicographically."""
+    from doc_redaction_spark.sources.feeds import feed_items
+    from doc_redaction_spark.sources.sitemap_lite import recrawl_verdict
+
+    fd = feed_items(_feed_files(spark, sf_dir), keys=("feed_id",))
+    d = F.col("doc_id").cast("long")
+    fetched = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(d % 4 != 1)
+        .select(
+            # recrawl_verdict keys BOTH sides by loc_col
+            _warc_uri_spark(d).alias("link"),
+            F.lit("2026-06-15").alias("fetched_at"),
+        )
+    )
+    return recrawl_verdict(
+        fd, fetched, loc_col="link", lastmod_col="published"
+    )
+
+
+def o_feed_recrawl():
+    return f"""
+    WITH fd AS (SELECT doc_id, {_warc_uri_sql()} AS loc,
+                       {_SITEMAP_LASTMOD_SQL} AS lastmod
+                FROM documents WHERE doc_id % 17 <> 0)
+    SELECT loc, lastmod,
+           CASE WHEN doc_id % 4 <> 1 THEN '2026-06-15' ELSE '' END
+             AS fetched_at,
+           CASE WHEN doc_id % 4 = 1 THEN 'fetch'
+                WHEN lastmod = '' THEN 'refetch'
+                WHEN lastmod > '2026-06-15' THEN 'refetch'
+                ELSE 'skip' END AS verdict
+    FROM fd
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14526,6 +14610,8 @@ _QUERIES: dict[str, Callable] = {
     "discovery_merge": q_discovery_merge,
     "odt_paragraphs": q_odt_paragraphs,
     "tool_call_errors": q_tool_call_errors,
+    "conv_merge_adjacent": q_conv_merge_adjacent,
+    "feed_recrawl": q_feed_recrawl,
     "meta_robots_gate": q_meta_robots_gate,
     "anchor_text": q_anchor_text,
     "url_trap_detect": q_url_trap_detect,
@@ -14813,6 +14899,8 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "discovery_merge": o_discovery_merge,
     "odt_paragraphs": o_odt_paragraphs,
     "tool_call_errors": o_tool_call_errors,
+    "conv_merge_adjacent": o_conv_merge_adjacent,
+    "feed_recrawl": o_feed_recrawl,
     "meta_robots_gate": o_meta_robots_gate,
     "anchor_text": o_anchor_text,
     "url_trap_detect": o_url_trap_detect,

@@ -2060,3 +2060,70 @@ def tool_call_errors(
             "ok_x1e4"
         ),
     )
+
+
+def merge_adjacent_turns(
+    turns: DataFrame,
+    sep: str = "\n\n",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chat-format normalization: merge CONSECUTIVE same-role turns into
+    one (most chat templates require strictly alternating roles; agent
+    traces routinely emit split assistant messages and retried tool
+    outputs back-to-back). Texts join with ``sep`` in turn order.
+
+    Output one row per merged run: ``(conv_id, new_idx, role, text,
+    first_idx, n_merged)`` — new_idx is the run's 0-based position in
+    the normalized conversation (the role-change island id is already
+    contiguous per conversation, so no second window is needed),
+    first_idx the original index of the run's first turn.
+
+    Plan: ONE conv-keyed window family (lag + running sum — the
+    island-id idiom shared with agent_loop_report) and ONE groupBy on
+    (conv, island) whose text join uses array_sort(collect_list(struct))
+    — deterministic at any parallelism; run lengths are bounded by the
+    conversation, the same skew envelope every conv-keyed operator here
+    carries."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    change = F.when(
+        F.lag(role_col).over(w).isNull()
+        | (F.col(role_col) != F.lag(role_col).over(w)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    isl = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("_idx"),
+        F.col(role_col).alias("role"),
+        F.col(text_col).alias("_txt"),
+        F.sum(change)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_isl"),
+    )
+    return (
+        isl.groupBy("conv_id", "_isl")
+        .agg(
+            F.max("role").alias("role"),  # constant within the island
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_idx"), F.col("_txt")))
+                    ),
+                    lambda st: st["_txt"],
+                ),
+                sep,
+            ).alias("text"),
+            F.min("_idx").cast("long").alias("first_idx"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .select(
+            "conv_id",
+            (F.col("_isl") - 1).cast("long").alias("new_idx"),
+            "role",
+            "text",
+            "first_idx",
+            "n_merged",
+        )
+    )

@@ -404,3 +404,29 @@ def test_delta_report_exact_beyond_double_precision(spark):
     )
     row = reward_calibration(j, bucket_size=200).collect()[0]
     assert row["reward_delta_bucket"] == big // 200
+
+
+def test_merge_adjacent_turns(spark):
+    from doc_redaction_spark.operators.convops import merge_adjacent_turns
+
+    turns = spark.createDataFrame(
+        [
+            ("c", 0, "user", "hi", "", None),
+            ("c", 1, "assistant", "part one", "", None),
+            ("c", 2, "assistant", "part two", "", None),
+            ("c", 3, "assistant", "part three", "", None),
+            ("c", 4, "user", "thanks", "", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    rows = {
+        r["new_idx"]: r.asDict()
+        for r in merge_adjacent_turns(turns).collect()
+    }
+    assert len(rows) == 3
+    m = rows[1]
+    assert m["role"] == "assistant" and m["n_merged"] == 3
+    assert m["text"] == "part one\n\npart two\n\npart three"
+    assert m["first_idx"] == 1
+    assert rows[2]["text"] == "thanks" and rows[2]["n_merged"] == 1
