@@ -13836,8 +13836,7 @@ def q_pagination_chains(spark, sf_dir):
     first_url, position) in O(log len) rounds; roots join back via
     anti-join at position 0. Executes at construction (the documented
     iterative-operator exception). Oracle = closed-form d−d%4."""
-    from doc_redaction_spark.operators.html_extract import next_link_edges
-    from doc_redaction_spark.operators.redirects import resolve_redirects
+    from doc_redaction_spark.operators.html_extract import pagination_chains
 
     d = F.col("doc_id").cast("long")
     url = F.concat(F.lit("https://pages.example/doc/"), d.cast("string"))
@@ -13858,28 +13857,7 @@ def q_pagination_chains(spark, sf_dir):
     pages = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         url.alias("url"), html.alias("html")
     )
-    edges = next_link_edges(pages)
-    # a last page whose rel=next points past the corpus (doc-count not a
-    # multiple of 4) would otherwise fabricate a row for a nonexistent
-    # page — only edges whose TARGET exists as a page become parent
-    # pointers (review finding; 500/5000 docs are layout-lucky ≡0 mod 4)
-    rev = edges.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    ).join(pages.select(F.col("url").alias("src")), "src", "left_semi")
-    res = resolve_redirects(rev, max_hops=4)
-    part = res.select(
-        F.col("src").alias("url"),
-        F.col("final").alias("first_url"),
-        F.col("hops").cast("long").alias("position"),
-    )
-    roots = pages.join(
-        rev.select(F.col("src").alias("url")).distinct(), "url", "left_anti"
-    ).select(
-        "url",
-        F.col("url").alias("first_url"),
-        F.lit(0).cast("long").alias("position"),
-    )
-    return part.unionByName(roots)
+    return pagination_chains(pages)
 
 
 def o_pagination_chains():
@@ -14520,10 +14498,9 @@ def o_conv_merge_adjacent():
     {TR_CTE},
     {TRL_LOOP_CTE},
     f AS (SELECT conv_id, turn_idx, role, text,
-                 CASE WHEN lag(role) OVER (PARTITION BY conv_id
-                                           ORDER BY turn_idx) IS NULL
-                       OR role <> lag(role) OVER (PARTITION BY conv_id
-                                                  ORDER BY turn_idx)
+                 CASE WHEN role IS DISTINCT FROM
+                           lag(role, 1, chr(1)) OVER (PARTITION BY conv_id
+                                                      ORDER BY turn_idx)
                       THEN 1 ELSE 0 END AS chg
           FROM trl),
     g AS (SELECT conv_id, turn_idx, role, text,

@@ -2088,11 +2088,19 @@ def merge_adjacent_turns(
     conversation, the same skew envelope every conv-keyed operator here
     carries."""
     w = Window.partitionBy(conv_col).orderBy(idx_col)
-    change = F.when(
-        F.lag(role_col).over(w).isNull()
-        | (F.col(role_col) != F.lag(role_col).over(w)),
-        F.lit(1),
-    ).otherwise(F.lit(0))
+    # NULL-SAFE role comparison (review finding): with plain `!=`, a
+    # NULL-role turn compares NULL to its neighbor (chg=0) and is
+    # absorbed into the PREVIOUS island, while consecutive NULL-role
+    # turns never merge with each other. eqNullSafe treats NULL as its
+    # own role; the lag DEFAULT is a \x01 sentinel (not a legal role)
+    # so a conversation's FIRST turn always opens island 1 even when
+    # its role is NULL — matching the oracle's IS DISTINCT FROM over
+    # the same sentinel.
+    change = (
+        ~F.col(role_col).eqNullSafe(
+            F.lag(F.col(role_col), 1, "\x01").over(w)
+        )
+    ).cast("int")
     isl = turns.select(
         F.col(conv_col).alias("conv_id"),
         F.col(idx_col).alias("_idx"),

@@ -480,7 +480,8 @@ def _rel_link_href(html: Column, rel: str) -> Column:
         rf"(?is)<link\b[^>]*rel\s*=\s*[\"']{re.escape(rel)}[\"'][^>]*>"
     )
     tag = F.regexp_extract(html, tag_pat, 0)
-    return F.regexp_extract(tag, HREF_ATTR_PATTERN, 1)
+    # coalesce: NULL html (failed fetch) must honor the '' contract
+    return F.coalesce(F.regexp_extract(tag, HREF_ATTR_PATTERN, 1), F.lit(""))
 
 
 def canonical_collapse(
@@ -592,3 +593,45 @@ def hreflang_alternates(
             "target",
         )
     )
+
+
+def pagination_chains(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Paginated-article reassembly: harvest rel=next edges, REVERSE
+    them into parent pointers, pointer-double to the chain root
+    (operators/redirects.py resolve_redirects — O(log len) rounds), and
+    return every page's ``(url, first_url, position)``; chain roots
+    join back via anti-join at position 0. A rel=next pointing OUTSIDE
+    the page set (the last crawled page of a longer chain) is dropped
+    by a left_semi guard before reversal — otherwise the resolver would
+    fabricate a row for a page that was never fetched.
+
+    Executes at construction (the resolver's documented
+    iterative-operator exception)."""
+    from doc_redaction_spark.operators.redirects import resolve_redirects
+
+    edges = next_link_edges(pages, html_col, url_col)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).join(
+        pages.select(F.col(url_col).alias("src")), "src", "left_semi"
+    )
+    res = resolve_redirects(rev, max_hops=4)
+    part = res.select(
+        F.col("src").alias("url"),
+        F.col("final").alias("first_url"),
+        F.col("hops").cast("long").alias("position"),
+    )
+    roots = pages.join(
+        rev.select(F.col("src").alias(url_col)).distinct(),
+        url_col,
+        "left_anti",
+    ).select(
+        F.col(url_col).alias("url"),
+        F.col(url_col).alias("first_url"),
+        F.lit(0).cast("long").alias("position"),
+    )
+    return part.unionByName(roots)

@@ -430,3 +430,61 @@ def test_merge_adjacent_turns(spark):
     assert m["text"] == "part one\n\npart two\n\npart three"
     assert m["first_idx"] == 1
     assert rows[2]["text"] == "thanks" and rows[2]["n_merged"] == 1
+
+
+def test_merge_adjacent_null_roles_island_correctly(spark):
+    # review finding: NULL-role turns form their OWN islands (merging
+    # with adjacent NULLs), never absorb into the previous role — and a
+    # conversation STARTING with a NULL role still opens island 0
+    from doc_redaction_spark.operators.convops import merge_adjacent_turns
+
+    turns = spark.createDataFrame(
+        [
+            ("c", 0, None, "sys a", "", None),
+            ("c", 1, None, "sys b", "", None),
+            ("c", 2, "user", "q", "", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    rows = {
+        r["new_idx"]: r.asDict()
+        for r in merge_adjacent_turns(turns).collect()
+    }
+    assert sorted(rows) == [0, 1]
+    assert rows[0]["role"] is None and rows[0]["n_merged"] == 2
+    assert rows[0]["text"] == "sys a\n\nsys b"
+    assert rows[1]["role"] == "user"
+
+
+def test_pagination_guard_drops_out_of_corpus_next(spark):
+    # review finding: a rel=next pointing past the crawled set must not
+    # fabricate a row for the never-fetched page; the declaring page is
+    # a chain member, not a phantom root
+    from doc_redaction_spark.operators.html_extract import pagination_chains
+
+    def page(i, nxt=None):
+        link = f'<link rel="next" href="/doc/{nxt}">' if nxt is not None else ""
+        return (f"https://h/doc/{i}", f"<head>{link}</head><body>x</body>")
+
+    pages = spark.createDataFrame(
+        [page(0, 1), page(1, 2), page(2), page(4, 5)],  # 4's next is unfetched
+        "url string, html string",
+    )
+    rows = {r["url"]: r.asDict() for r in pagination_chains(pages).collect()}
+    assert "https://h/doc/5" not in rows  # no phantom
+    assert rows["https://h/doc/4"]["position"] == 0  # root of its own chain
+    assert rows["https://h/doc/2"]["first_url"] == "https://h/doc/0"
+    assert rows["https://h/doc/2"]["position"] == 2
+    assert len(rows) == 4
+
+
+def test_rel_link_href_null_html_is_empty(spark):
+    from doc_redaction_spark.operators.html_extract import canonical_collapse
+
+    pages = spark.createDataFrame(
+        [(1, "https://h/p/1", None)], "page_id int, url string, html string"
+    )
+    row = canonical_collapse(pages).collect()[0]
+    assert row["canonical_target"] == "https://h/p/1"  # self-group
+    assert row["n_declared"] == 0
