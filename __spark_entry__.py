@@ -14561,6 +14561,77 @@ def o_feed_recrawl():
     """
 
 
+def q_ods_cells(spark, sf_dir):
+    """ODS spreadsheet cell scan (sources/ods_xml.py ods_cells — the
+    5th zip-office member): per doc one table with a self-closing
+    padding cell (occupies col 1, emits nothing), a typed float cell
+    whose col_idx must be 2 (shifted by the padding), a
+    number-columns-repeated="3" EMPTY run that only advances the
+    cursor (col 3 follows it), the d%13 escaped <&> tooth, and a
+    repeated="2" NON-empty cell that fans out into cols 4 and 5.
+    Oracle = closed-form cell table."""
+    from doc_redaction_spark.sources.ods_xml import ods_cells
+
+    d = F.col("doc_id").cast("long")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    body = _xml_esc(
+        F.concat(
+            F.substring(t, 1, 20),
+            F.when(d % 13 == 0, F.lit("<&>")).otherwise(F.lit("")),
+        )
+    )
+    xml = F.concat(
+        F.lit(
+            '<office:spreadsheet><table:table table:name="S">'
+            "<table:table-row>"
+            '<table:table-cell office:value-type="string">'
+            "<text:p>Name</text:p></table:table-cell>"
+            "<table:table-cell/>"
+            '<table:table-cell office:value-type="float" office:value="'
+        ),
+        d.cast("string"),
+        F.lit('"><text:p>'),
+        d.cast("string"),
+        F.lit(
+            "</text:p></table:table-cell></table:table-row>"
+            "<table:table-row>"
+            '<table:table-cell table:number-columns-repeated="3"/>'
+            "<table:table-cell><text:p>"
+        ),
+        body,
+        F.lit(
+            "</text:p></table:table-cell>"
+            '<table:table-cell table:number-columns-repeated="2">'
+            "<text:p>R</text:p></table:table-cell>"
+            "</table:table-row></table:table></office:spreadsheet>"
+        ),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", xml.alias("xml")
+    )
+    return ods_cells(docs)
+
+
+def o_ods_cells():
+    return """
+    WITH l AS (SELECT unnest([0, 1, 2, 3, 4]) AS li)
+    SELECT doc_id,
+           CAST(0 AS BIGINT) AS table_idx,
+           'S' AS table_name,
+           CAST(CASE WHEN li <= 1 THEN 0 ELSE 1 END AS BIGINT) AS row_idx,
+           CAST(CASE li WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3
+                WHEN 3 THEN 4 ELSE 5 END AS BIGINT) AS col_idx,
+           CASE li WHEN 0 THEN 'Name'
+                WHEN 1 THEN CAST(doc_id AS VARCHAR)
+                WHEN 2 THEN substr(coalesce(text, ''), 1, 20)
+                     || CASE WHEN doc_id % 13 = 0 THEN '<&>' ELSE '' END
+                ELSE 'R' END AS cell_text,
+           CASE li WHEN 0 THEN 'string' WHEN 1 THEN 'float'
+                ELSE '' END AS value_type
+    FROM documents, l
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14586,6 +14657,7 @@ _QUERIES: dict[str, Callable] = {
     "ctype_mismatch": q_ctype_mismatch,
     "discovery_merge": q_discovery_merge,
     "odt_paragraphs": q_odt_paragraphs,
+    "ods_cells": q_ods_cells,
     "tool_call_errors": q_tool_call_errors,
     "conv_merge_adjacent": q_conv_merge_adjacent,
     "feed_recrawl": q_feed_recrawl,
@@ -14875,6 +14947,7 @@ _ORACLES: dict[str, Callable[[], str]] = {
     "ctype_mismatch": o_ctype_mismatch,
     "discovery_merge": o_discovery_merge,
     "odt_paragraphs": o_odt_paragraphs,
+    "ods_cells": o_ods_cells,
     "tool_call_errors": o_tool_call_errors,
     "conv_merge_adjacent": o_conv_merge_adjacent,
     "feed_recrawl": o_feed_recrawl,

@@ -1,0 +1,144 @@
+"""ODS (OpenDocument spreadsheet) cell scan — the fifth zip-office
+member and the ODF sibling of sources/xlsx_lite.py. The reference's
+tabular anonymiser consumes spreadsheets
+(``/root/reference/tools/file_conversion.py`` dispatch); LibreOffice
+corpora ship them as ODS.
+
+Structure subset (content.xml): ``<table:table table:name="…">`` →
+``<table:table-row>`` → ``<table:table-cell>`` with
+``<text:p>`` content. Two ODS-specific semantics naive parsers break
+on, both handled here:
+
+* **Self-closing padding cells** (``<table:table-cell/>``) occupy
+  column POSITIONS without content — dropping them must not shift
+  later columns. The cell pattern matches both the paired and the
+  self-closing form, so padding participates in position math.
+* **``table:number-columns-repeated="K"``** — one element stands for K
+  consecutive columns. Repeated EMPTY cells only advance the column
+  cursor (writers pad to the sheet width with repeats in the
+  thousands — they never explode into output rows); repeated NON-empty
+  cells emit K rows with consecutive col_idx.
+
+Output is sparse (non-empty cells only), one row per occupied cell:
+``(keys…, table_idx, table_name, row_idx, col_idx, cell_text,
+value_type)`` — value_type is the raw ``office:value-type`` attribute
+('' when untyped; the displayed text is NOT re-derived from
+``office:value``, documented subset).
+
+Plan shape: three posexplode stages (tables → rows → positioned
+cells) with the per-row column cursor computed by ONE aggregate
+higher-order function over the row's cell array — running sums never
+shuffle (the conv_chain_rows idiom); the whole operator is map-only.
+Quadratic array-append inside the fold is bounded by cells-per-row,
+never the corpus axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from doc_redaction_spark.sources.docx_xml import _unescape
+
+TABLE_BLOCK_PATTERN = r"(?is)<table:table(?:\s[^>]*)?>.*?</table:table\s*>"
+TABLE_OPEN_PATTERN = r"(?is)^<table:table(?:\s[^>]*)?>"
+NAME_ATTR_PATTERN = r"(?is)table:name\s*=\s*[\"']([^\"']*)[\"']"
+ROW_BLOCK_PATTERN = r"(?is)<table:table-row(?:\s[^>]*)?>(.*?)</table:table-row\s*>"
+# paired OR self-closing cell, whole element as group 0. The attribute
+# run is LAZY ([^>]*?) so it cannot swallow the self-closing '/' — a
+# greedy run would eat it and misroute '<…/>' into the paired branch,
+# merging the padding cell with its right-hand neighbor.
+CELL_BLOCK_PATTERN = (
+    r"(?is)<table:table-cell(?:\s[^>]*?)?(?:/>|>.*?</table:table-cell\s*>)"
+)
+REP_ATTR_PATTERN = r"(?is)table:number-columns-repeated\s*=\s*[\"']([0-9]+)[\"']"
+VTYPE_ATTR_PATTERN = r"(?is)office:value-type\s*=\s*[\"']([^\"']*)[\"']"
+TEXTP_PATTERN = r"(?is)<text:p(?:\s[^>]*)?>(.*?)</text:p\s*>"
+
+
+def _rep_of(cell):
+    return F.coalesce(
+        F.nullif(F.regexp_extract(cell, REP_ATTR_PATTERN, 1), F.lit(""))
+        .cast("long"),
+        F.lit(1),
+    )
+
+
+def ods_cells(
+    df: DataFrame, xml_col: str = "xml", keys: tuple = ("doc_id",)
+) -> DataFrame:
+    """keys… + content.xml → one row per occupied cell (see module
+    docstring for the contract)."""
+    tables = F.regexp_extract_all(
+        F.col(xml_col), F.lit(TABLE_BLOCK_PATTERN), 0
+    )
+    t = df.select(
+        *[F.col(k) for k in keys],
+        F.posexplode(tables).alias("table_idx", "_tbl"),
+    )
+    open_tag = F.regexp_extract(F.col("_tbl"), TABLE_OPEN_PATTERN, 0)
+    name = F.regexp_extract(open_tag, NAME_ATTR_PATTERN, 1)
+    rows = F.regexp_extract_all(F.col("_tbl"), F.lit(ROW_BLOCK_PATTERN), 1)
+    r = t.select(
+        *[F.col(k) for k in keys],
+        F.col("table_idx").cast("long").alias("table_idx"),
+        name.alias("table_name"),
+        F.posexplode(rows).alias("row_idx", "_row"),
+    )
+    cells_arr = F.regexp_extract_all(F.col("_row"), F.lit(CELL_BLOCK_PATTERN), 0)
+    # running column cursor via ONE fold — (cell, start) pairs, no window
+    out_type = "array<struct<cell:string,start:bigint>>"
+    zipped = F.aggregate(
+        cells_arr,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.array().cast(out_type).alias("outs"),
+        ),
+        lambda acc, cel: F.struct(
+            (acc["cum"] + _rep_of(cel)).alias("cum"),
+            F.concat(
+                acc["outs"],
+                F.array(
+                    F.struct(cel.alias("cell"), acc["cum"].alias("start"))
+                ),
+            ).alias("outs"),
+        ),
+        lambda accf: accf["outs"],
+    )
+    c = r.select(
+        *[F.col(k) for k in keys],
+        "table_idx",
+        "table_name",
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.explode(zipped).alias("_z"),
+    )
+    cell = F.col("_z")["cell"]
+    start = F.col("_z")["start"]
+    text = _unescape(
+        F.array_join(
+            F.regexp_extract_all(cell, F.lit(TEXTP_PATTERN), 1), ""
+        )
+    )
+    vtype = F.regexp_extract(cell, VTYPE_ATTR_PATTERN, 1)
+    occupied = c.select(
+        *[F.col(k) for k in keys],
+        "table_idx",
+        "table_name",
+        "row_idx",
+        start.alias("_start"),
+        _rep_of(cell).alias("_rep"),
+        text.alias("cell_text"),
+        vtype.alias("value_type"),
+    ).filter(F.col("cell_text") != "")
+    # non-empty repeats fan out into K consecutive columns
+    return occupied.select(
+        *[F.col(k) for k in keys],
+        "table_idx",
+        "table_name",
+        "row_idx",
+        F.explode(
+            F.sequence(F.col("_start"), F.col("_start") + F.col("_rep") - 1)
+        ).alias("col_idx"),
+        "cell_text",
+        "value_type",
+    )

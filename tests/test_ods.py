@@ -1,0 +1,62 @@
+"""ODS cell scan (sources/ods_xml.py) — padding, repeats, typing."""
+
+from doc_redaction_spark.sources.ods_xml import ods_cells
+
+
+def _cells(spark, xml):
+    df = spark.createDataFrame([(1, xml)], "doc_id int, xml string")
+    return {
+        (r["row_idx"], r["col_idx"]): r.asDict()
+        for r in ods_cells(df).collect()
+    }
+
+
+def test_padding_and_repeats(spark):
+    xml = (
+        '<table:table table:name="T"><table:table-row>'
+        "<table:table-cell><text:p>a</text:p></table:table-cell>"
+        "<table:table-cell/>"  # padding: col 1 skipped
+        '<table:table-cell table:number-columns-repeated="3"/>'  # cols 2-4
+        "<table:table-cell><text:p>b</text:p></table:table-cell>"  # col 5
+        '<table:table-cell table:number-columns-repeated="2">'
+        "<text:p>r</text:p></table:table-cell>"  # cols 6,7
+        "</table:table-row></table:table>"
+    )
+    cells = _cells(spark, xml)
+    assert sorted(cells) == [(0, 0), (0, 5), (0, 6), (0, 7)]
+    assert cells[(0, 5)]["cell_text"] == "b"
+    assert cells[(0, 6)]["cell_text"] == "r" == cells[(0, 7)]["cell_text"]
+    assert cells[(0, 0)]["table_name"] == "T"
+
+
+def test_value_type_and_entities(spark):
+    xml = (
+        "<table:table><table:table-row>"
+        '<table:table-cell office:value-type="float" office:value="2">'
+        "<text:p>2</text:p></table:table-cell>"
+        "<table:table-cell><text:p>A &amp; B</text:p></table:table-cell>"
+        "</table:table-row></table:table>"
+    )
+    cells = _cells(spark, xml)
+    assert cells[(0, 0)]["value_type"] == "float"
+    assert cells[(0, 1)]["cell_text"] == "A & B"
+    assert cells[(0, 1)]["value_type"] == ""
+
+
+def test_multiple_tables_and_rows(spark):
+    xml = (
+        '<table:table table:name="A"><table:table-row>'
+        "<table:table-cell><text:p>x</text:p></table:table-cell>"
+        "</table:table-row><table:table-row>"
+        "<table:table-cell><text:p>y</text:p></table:table-cell>"
+        "</table:table-row></table:table>"
+        '<table:table table:name="B"><table:table-row>'
+        "<table:table-cell><text:p>z</text:p></table:table-cell>"
+        "</table:table-row></table:table>"
+    )
+    df = ods_cells(
+        spark.createDataFrame([(1, xml)], "doc_id int, xml string")
+    )
+    rows = [(r["table_idx"], r["table_name"], r["row_idx"], r["cell_text"])
+            for r in df.orderBy("table_idx", "row_idx").collect()]
+    assert rows == [(0, "A", 0, "x"), (0, "A", 1, "y"), (1, "B", 0, "z")]

@@ -30,7 +30,7 @@ DEFAULT_PICKS = [
     "transcripts_secrets", "mbox_ingest", "wav_windows",
     # session-12 representatives: the window-ranked rollups (the only
     # order-sensitive shapes in the wave) + the dual-dialect feed parse
-    "anchor_text", "best_of_n", "feed_ingest",
+    "anchor_text", "best_of_n", "feed_ingest", "conv_merge_adjacent",
 ]
 
 CONFIGS = [(4, 7), (16, 48)]  # (cores, shuffle partitions) — coprime-ish
