@@ -14641,60 +14641,11 @@ def o_ods_cells():
 # dialect trap — both round-1 and round-2 red rows lived there); the 19
 # queries green in BOTH r01 and r02 driver runs sit past the sample cap.
 _QUERIES: dict[str, Callable] = {
-    # round-5 new oracles lead (never driver-hashed); the rotated-out
-    # tail (redact_pseudonym_email, url_extraction, deny_list_aho,
-    # pdf_rawdict_chars, coverage_qa, review_prune, ...) all have r04
-    # driver greens and inputs untouched this round
-    "feed_ingest": q_feed_ingest,
-    "canonical_collapse": q_canonical_collapse,
-    "pagination_chains": q_pagination_chains,
-    "robots_sitemaps": q_robots_sitemaps,
-    "xrobots_gate": q_xrobots_gate,
-    "dpo_edit_distance": q_dpo_edit_distance,
-    "reward_calibration": q_reward_calibration,
-    "hreflang_clusters": q_hreflang_clusters,
-    "conditional_fetch": q_conditional_fetch,
-    "ctype_mismatch": q_ctype_mismatch,
-    "discovery_merge": q_discovery_merge,
-    "odt_paragraphs": q_odt_paragraphs,
-    "ods_cells": q_ods_cells,
-    "tool_call_errors": q_tool_call_errors,
-    "conv_merge_adjacent": q_conv_merge_adjacent,
-    "feed_recrawl": q_feed_recrawl,
-    "meta_robots_gate": q_meta_robots_gate,
-    "anchor_text": q_anchor_text,
-    "url_trap_detect": q_url_trap_detect,
-    "pref_winrate": q_pref_winrate,
-    "pref_copeland": q_pref_copeland,
-    "length_bias": q_length_bias,
-    "rater_agreement": q_rater_agreement,
-    "best_of_n": q_best_of_n,
-    "chat_jsonl_ingest": q_chat_jsonl_ingest,
-    "robots_gate": q_robots_gate,
-    "redirect_resolve": q_redirect_resolve,
-    "hard_negatives": q_hard_negatives,
-    "sitemap_ingest": q_sitemap_ingest,
-    "recrawl_stale": q_recrawl_stale,
-    "pptx_slides": q_pptx_slides,
-    "http_responses": q_http_responses,
-    "phrase_search": q_phrase_search,
-    "crawl_schedule": q_crawl_schedule,
-    "charset_decode": q_charset_decode,
-    "crawl_frontier": q_crawl_frontier,
-    "phrase_stored": q_phrase_stored,
-    "robots_wildcards": q_robots_wildcards,
-    "http_redirects": q_http_redirects,
-    "secrets_scan": q_secrets_scan,
-    "secret_leak_audit": q_secret_leak_audit,
-    "pii_echo_audit": q_pii_echo_audit,
-    "pii_loss_mask": q_pii_loss_mask,
-    "transcripts_secrets": q_transcripts_secrets,
-    "lang_fertility": q_lang_fertility,
-    "injection_scan": q_injection_scan,
-    "entropy_scan": q_entropy_scan,
-    "confusable_scan": q_confusable_scan,
-    "confusable_fold": q_confusable_fold,
-    "conv_digest": q_conv_digest,
+    # r06 rotation: the 138 never-driver-hashed oracles lead (prefix =
+    # first 50 of them, oldest first); the 141 with a green driver row in
+    # some CORRECTNESS_r0*.json follow. Relative order within each group
+    # is unchanged. Repeat the rotation next round until the backlog of
+    # never-verified oracles drains (~2 more rounds).
     "injection_outcome": q_injection_outcome,
     "tool_grounding": q_tool_grounding,
     "safety_verdict": q_safety_verdict,
@@ -14833,6 +14784,57 @@ _QUERIES: dict[str, Callable] = {
     "line_dedup": q_line_dedup,
     "quality_percentile": q_quality_percentile,
     "top_ngrams": q_top_ngrams,
+    # --- driver-verified (>=1 green hash row in r01-r05) ---
+    "feed_ingest": q_feed_ingest,
+    "canonical_collapse": q_canonical_collapse,
+    "pagination_chains": q_pagination_chains,
+    "robots_sitemaps": q_robots_sitemaps,
+    "xrobots_gate": q_xrobots_gate,
+    "dpo_edit_distance": q_dpo_edit_distance,
+    "reward_calibration": q_reward_calibration,
+    "hreflang_clusters": q_hreflang_clusters,
+    "conditional_fetch": q_conditional_fetch,
+    "ctype_mismatch": q_ctype_mismatch,
+    "discovery_merge": q_discovery_merge,
+    "odt_paragraphs": q_odt_paragraphs,
+    "ods_cells": q_ods_cells,
+    "tool_call_errors": q_tool_call_errors,
+    "conv_merge_adjacent": q_conv_merge_adjacent,
+    "feed_recrawl": q_feed_recrawl,
+    "meta_robots_gate": q_meta_robots_gate,
+    "anchor_text": q_anchor_text,
+    "url_trap_detect": q_url_trap_detect,
+    "pref_winrate": q_pref_winrate,
+    "pref_copeland": q_pref_copeland,
+    "length_bias": q_length_bias,
+    "rater_agreement": q_rater_agreement,
+    "best_of_n": q_best_of_n,
+    "chat_jsonl_ingest": q_chat_jsonl_ingest,
+    "robots_gate": q_robots_gate,
+    "redirect_resolve": q_redirect_resolve,
+    "hard_negatives": q_hard_negatives,
+    "sitemap_ingest": q_sitemap_ingest,
+    "recrawl_stale": q_recrawl_stale,
+    "pptx_slides": q_pptx_slides,
+    "http_responses": q_http_responses,
+    "phrase_search": q_phrase_search,
+    "crawl_schedule": q_crawl_schedule,
+    "charset_decode": q_charset_decode,
+    "crawl_frontier": q_crawl_frontier,
+    "phrase_stored": q_phrase_stored,
+    "robots_wildcards": q_robots_wildcards,
+    "http_redirects": q_http_redirects,
+    "secrets_scan": q_secrets_scan,
+    "secret_leak_audit": q_secret_leak_audit,
+    "pii_echo_audit": q_pii_echo_audit,
+    "pii_loss_mask": q_pii_loss_mask,
+    "transcripts_secrets": q_transcripts_secrets,
+    "lang_fertility": q_lang_fertility,
+    "injection_scan": q_injection_scan,
+    "entropy_scan": q_entropy_scan,
+    "confusable_scan": q_confusable_scan,
+    "confusable_fold": q_confusable_fold,
+    "conv_digest": q_conv_digest,
     "doc_lang_ngram": q_doc_lang_ngram,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "corpus_curation": q_corpus_curation,
@@ -14875,13 +14877,6 @@ _QUERIES: dict[str, Callable] = {
     "redact_mask_postcode": q_redact_mask_postcode,
     "detect_entity_counts": q_detect_entity_counts,
     "allow_list_filter": q_allow_list_filter,
-    # r04 fixture change (URL host variety) altered every transcript-
-    # derived query's values, so ALL 20 _tr users must sit inside the
-    # driver's 50-entry sample prefix this round. Rotated past the cap
-    # instead: pdf/word, embeddings-near-dup, multimodal and per-image
-    # queries plus the documents-based dedup suite — all with r03 driver
-    # greens AND inputs untouched by this round's fixture change (rotate
-    # a query out ONLY when both of those hold).
     "island_runs": q_island_runs,
     "transcripts_spans": q_transcripts_spans,
     "redact_pseudonym_email": q_redact_pseudonym_email,
@@ -14890,7 +14885,6 @@ _QUERIES: dict[str, Callable] = {
     "pdf_rawdict_chars": q_pdf_rawdict_chars,
     "coverage_qa": q_coverage_qa,
     "review_prune": q_review_prune,
-    # --- driver sample prefix ends here (50 entries) ---
     "pdf_word_punct_split": q_pdf_word_punct_split,
     "pdf_chars_to_words": q_pdf_chars_to_words,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
