@@ -1,0 +1,45 @@
+"""Extra per-query measurement harness (guide §1.4 noop-sink isolation).
+
+bench.py is FROZEN for the driver's measurement; this file mirrors its
+per-pick protocol (same session factory, clearCache + noop write,
+min-of-2 after the first timed rep doubles as warm-up) for optimization
+A/Bs. Usage: python bench_extra.py <query> [query ...] [--reps N]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    reps = 2
+    for a in sys.argv[1:]:
+        if a.startswith("--reps"):
+            reps = int(a.split("=")[1])
+    import __spark_entry__ as entrymod
+    from doc_redaction_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_extra", cores=CPUS, shuffle_partitions=2 * CPUS)
+    qs = entrymod.queries()
+    out = {}
+    for name in args:
+        fn = qs[name]
+        times = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 3))
+        out[name] = {"min": min(times), "samples": times}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

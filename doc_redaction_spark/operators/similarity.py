@@ -105,6 +105,46 @@ def hyperplane_signature(vec_col, n_planes: int = 8, dim: int = 64, seed: int = 
     return F.array_join(bits, "")
 
 
+def _nearest_cid(
+    rows: DataFrame, cent_df: DataFrame, id_col: str, vec_col: str = "vec"
+) -> DataFrame:
+    """``rows(id, vec) → (id, vec, cid)`` with ``cid`` the argmax-cosine
+    centroid — broadcast crossJoin + per-id (csim DESC, cid ASC)
+    row_number pick. ONE definition: _build_ivf's Lloyd/final assignment
+    and save_pq_index's stored-centroid code assignment both call this
+    (they were two hand-kept window copies before r06).
+
+    Two restructures were measured in r06 and REJECTED (bench_extra
+    min-of-3, sf0.1, identical session shape — window vs candidate):
+
+    * map-only argmax fold over a collect_list'd broadcast centroid
+      array: embedding_ivf 2.60→4.3 s, pq_encode 4.32→10.9 s. Catalyst
+      inlines the giant fold through Project boundaries (inferred
+      isnotnull join conditions re-evaluate it per row) — the
+      interpreted-HOF re-evaluation trap this module already documents
+      for sq8.
+    * groupBy(id).agg(max_by(struct(vec,cid), struct(csim,-cid))): 2.74 /
+      3.75 / 4.65 s vs 2.60 / 3.45 / 4.32 s for ivf/ivf_stored/pq_encode
+      — a struct ordering key has no mutable HashAggregate buffer, so
+      every assignment becomes a SortAggregate (12 in the ivf plan):
+      the exchange shrinks n·k→n rows but the added partial+final sorts
+      cost more than the window at any scale where the aggregate cannot
+      hash. The window's n·k exchange carries the vec payload, but each
+      Lloyd pass needs vec at the reducer anyway (the means groupBy).
+    """
+    sim_c = _dot(F.col(vec_col), F.col("cvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("cid"))
+    return (
+        rows.crossJoin(F.broadcast(cent_df))
+        .withColumn("csim", sim_c)
+        .withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+
+
 def _build_ivf(
     corpus: DataFrame,
     n_centroids: int,
@@ -139,17 +179,11 @@ def _build_ivf(
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("vec"))
-    sim_c = _dot(F.col("vec"), F.col("cvec")) / (_norm(F.col("vec")) * _norm(F.col("cvec")))
-    assign_w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.col("cid"))
 
     def _assign(cent_df):
-        return (
-            c.crossJoin(F.broadcast(cent_df))
-            .withColumn("csim", sim_c)
-            .withColumn("crk", F.row_number().over(assign_w))
-            .filter(F.col("crk") == 1)
-            .select(id_col, "vec", "cid")
-        )
+        # max_by aggregate (see _nearest_cid) — replaces the former
+        # crossJoin + per-id row_number window
+        return _nearest_cid(c, cent_df, id_col).select(id_col, "vec", "cid")
 
     for _ in range(refine_iters):
         assigned = _assign(cent)
@@ -775,16 +809,10 @@ def save_pq_index(
             F.slice(v, s * dsub + 1, dsub).alias("vec"),
         )
         cs = stored.filter(F.col("sub") == s).select("cid", "cvec")
-        sim_c = _dot(F.col("vec"), F.col("cvec")) / (
-            _norm(F.col("vec")) * _norm(F.col("cvec"))
-        )
-        w = Window.partitionBy("id").orderBy(F.desc("csim"), F.col("cid"))
+        # max_by aggregate (see _nearest_cid) — replaces the former
+        # crossJoin + per-id row_number window
         code_parts.append(
-            sub.crossJoin(F.broadcast(cs))
-            .withColumn("csim", sim_c)
-            .withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") == 1)
-            .select("id", F.lit(s).alias("sub"), "cid")
+            _nearest_cid(sub, cs, "id").select("id", F.lit(s).alias("sub"), "cid")
         )
     allk = code_parts[0]
     for p in code_parts[1:]:
