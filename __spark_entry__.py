@@ -104,6 +104,24 @@ def _oracle_span_count(expr: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+def _spread(df: DataFrame, *cols) -> DataFrame:
+    """Respread a local single-split fixture scan across cores before a
+    heavy map-only stage (Arrow UDF / mapInPandas / JVM regex battery).
+
+    Every local fixture is ONE parquet row group, so a scan yields ONE
+    partition no matter how small ``maxPartitionBytes`` is — a map-only
+    plan then runs its whole Python/regex kernel in a single task
+    (measured: fuzzy_deny2 4.6 s single-task vs 1.4 s spread). Adaptive:
+    when the plan already has >= defaultParallelism partitions (a
+    corpus-scale input brings its own splits) this is a no-op, so the
+    exchange exists only where the serialization problem exists."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    n = 2 * sc.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def _tr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcripts_from_documents(spark, sf_dir)
 
@@ -1914,7 +1932,7 @@ def o_doc_winnow_fingerprints():
 
 def q_doc_quality(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", *quality_score_cols("text"))
+    return _spread(docs, "doc_id").select("doc_id", *quality_score_cols("text"))
 
 
 def o_doc_quality():
@@ -4946,7 +4964,7 @@ def q_html_main_content(spark, sf_dir):
     from doc_redaction_spark.operators.html_extract import extract_main_content
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pages = docs.select("doc_id", _html_page_spark().alias("html"))
+    pages = _spread(docs.select("doc_id", _html_page_spark().alias("html")), "doc_id")
     out = extract_main_content(pages)
     return out.select(
         "doc_id",
@@ -5727,7 +5745,7 @@ def q_ner_gazetteer(spark, sf_dir):
     cfg = PipelineConfig(entities=(), ner_engine="gazetteer")
     from doc_redaction_spark.operators.detect import detect_spans_udf
 
-    spans = t.withColumn("spans", detect_spans_udf(cfg)(F.col("text")))
+    spans = _spread(t, "row_key").withColumn("spans", detect_spans_udf(cfg)(F.col("text")))
     ex = spans.select("row_key", F.explode_outer("spans").alias("sp")).filter(
         F.col("sp").isNotNull()
     )

@@ -105,12 +105,27 @@ def extract_and_redact(
     # salted repartition AFTER the window: the window exchange clusters
     # whole conversations (hash(conv_id)), which would pin a 10^6-turn
     # conversation's detection onto one task — re-spread by (conv_id, salt)
-    if not salted_rank and cfg.salt_buckets > 1 and cfg.num_partitions > 0:
-        df = df.repartition(
-            cfg.num_partitions,
-            F.col("conv_id"),
-            F.pmod(F.xxhash64("turn_idx"), F.lit(cfg.salt_buckets)),
-        )
+    if not salted_rank and cfg.salt_buckets > 1:
+        n_parts = cfg.num_partitions
+        if n_parts == 0:
+            # num_partitions=0 means "leave to input partitioning" — but a
+            # single-row-group parquet file (every local fixture) yields ONE
+            # scan partition no matter how small maxPartitionBytes is, which
+            # serializes the whole Arrow detect stage onto one core
+            # (measured: fuzzy_deny2 3.5 s single-task vs ~0.9 s spread).
+            # Respread ADAPTIVELY: only when the plan has fewer partitions
+            # than cores; a corpus-scale input brings its own splits and
+            # skips the exchange entirely (guide §2 — scale-adaptive, not a
+            # constant tuned for either mode).
+            sc = df.sparkSession.sparkContext
+            if df.rdd.getNumPartitions() < sc.defaultParallelism:
+                n_parts = 2 * sc.defaultParallelism
+        if n_parts > 0:
+            df = df.repartition(
+                n_parts,
+                F.col("conv_id"),
+                F.pmod(F.xxhash64("turn_idx"), F.lit(cfg.salt_buckets)),
+            )
     text = F.col("text")
     if cfg.html_extract:
         # DOM text-density boilerplate removal first (map-only HOFs), then
