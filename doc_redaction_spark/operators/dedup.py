@@ -1518,7 +1518,12 @@ def _duplicated_gram_positions(
 ) -> DataFrame:
     """(id, pos) of every token position whose n-gram occurs >= min_count
     times corpus-wide."""
-    pos = _gram_positions(df, text_col, id_col, n)
+    # one column-keyed repartition under BOTH consumers: the frequency
+    # aggregate and the hot-join read the same exchange (ReuseExchange), so
+    # the tokenize+md5 explode runs once instead of once per consumer, and
+    # the explode itself spreads across cores even from a single-split
+    # local scan. No numPartitions literal — AQE may still coalesce.
+    pos = _gram_positions(df, text_col, id_col, n).repartition("g")
     hot = pos.groupBy("g").agg(F.count("*").alias("_cnt")).filter(
         F.col("_cnt") >= min_count
     )
