@@ -714,7 +714,15 @@ def tfidf_cosine_pairs(
         "term",
         (F.log((F.col("_n_docs") + 1.0) / (F.col("_df") + 1.0)) + 1.0).alias("idf"),
     )
-    w = tf.join(F.broadcast(idf), "term").withColumn("w", F.col("tf") * F.col("idf"))
+    # column-keyed repartition on term: the pair self-join's two sides and
+    # the norms aggregate all re-ran the scan->tokenize->tf->idf-join chain
+    # (three copies); one reused exchange computes it once (ReuseExchange —
+    # the quality_rank_filter lesson from r05)
+    w = (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn("w", F.col("tf") * F.col("idf"))
+        .repartition("term")
+    )
     norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     a = w.select(F.col("id").alias("id1"), "term", F.col("w").alias("w1"))
     b = w.select(F.col("id").alias("id2"), "term", F.col("w").alias("w2"))
