@@ -2320,8 +2320,11 @@ _MH_BANDS = 4  # 4 rows per band
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    # _spread: the per-shingle md5+mix signature stage ran in the 3-union
+    # input partitions (0.71 s of a 2.7 s query) — see _spread docstring
     return dd.minhash_lsh_pairs(
-        documents_plus(spark, sf_dir), num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        _spread(documents_plus(spark, sf_dir), "doc_id"),
+        num_hashes=_MH_HASHES, bands=_MH_BANDS,
         threshold=0.5,
     )
 
