@@ -11115,11 +11115,28 @@ def o_padding_waste():
 
 
 def _q_span_values(spark, sf_dir):
-    """Shared: pipeline spans joined with role + covered text."""
+    """Shared: pipeline spans with role + covered text — one posexplode of
+    the pipeline output instead of span_table(out) self-joined back onto
+    out (the join recomputed the clean->detect->apply chain once per side
+    and paid a (conv_id, turn_idx) exchange; spans and clean_text live on
+    the same row — see q_transcripts_secrets)."""
     out = extract_and_redact(_tr(spark, sf_dir), PIPE_CFG, with_row_number=False)
-    spans = span_table(out).join(
-        out.select("conv_id", "turn_idx", "role", "clean_text"),
-        ["conv_id", "turn_idx"],
+    ex = out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "clean_text",
+        F.posexplode_outer("spans").alias("_span_idx", "_sp"),
+    ).filter(F.col("_sp").isNotNull())
+    spans = ex.select(
+        "conv_id",
+        "turn_idx",
+        F.col("_sp.entity_type").alias("entity_type"),
+        F.col("_sp.start").alias("start"),
+        F.col("_sp.end").alias("end"),
+        F.col("_sp.score").alias("score"),
+        "role",
+        "clean_text",
     )
     return spans.withColumn(
         "value", F.expr("substring(clean_text, start + 1, end - start)")
@@ -11211,12 +11228,23 @@ def q_transcripts_secrets(spark, sf_dir):
     planted = tr.withColumn("text", F.concat(F.col("text"), F.lit(" key "), secret))
     cfg = PipelineConfig(entities=("AWS_ACCESS_KEY",), strategy="entity_type")
     out = extract_and_redact(planted, cfg, with_row_number=False)
-    sp = span_table(out)
-    return sp.join(
-        out.select("conv_id", "turn_idx", "redacted_text"),
-        ["conv_id", "turn_idx"],
-    ).select(
-        "conv_id", "turn_idx", "entity_type", "start", "end", "redacted_text"
+    # one posexplode instead of span_table(out) self-joined back onto out:
+    # the join recomputed the whole clean->detect->apply chain for each
+    # side (two ArrowEvalPython stages) and paid a (conv_id, turn_idx)
+    # exchange; the spans and redacted_text live on the SAME row, so
+    # exploding in place is the identical row set (inner join on the
+    # span rows' own keys) with one pipeline pass and zero joins
+    ex = out.select(
+        "conv_id", "turn_idx", "redacted_text",
+        F.posexplode_outer("spans").alias("_span_idx", "_sp"),
+    ).filter(F.col("_sp").isNotNull())
+    return ex.select(
+        "conv_id",
+        "turn_idx",
+        F.col("_sp.entity_type").alias("entity_type"),
+        F.col("_sp.start").alias("start"),
+        F.col("_sp.end").alias("end"),
+        "redacted_text",
     )
 
 
