@@ -5286,8 +5286,19 @@ def q_review_prune(spark, sf_dir):
     from doc_redaction_spark.plans.pipeline import extract_and_redact as _er
 
     out = _er(_tr(spark, sf_dir), PIPE_CFG, with_row_number=False)
-    spans = span_table(out).join(
-        out.select("conv_id", "turn_idx", "clean_text"), ["conv_id", "turn_idx"]
+    # posexplode in place of the span_table self-join (see _q_span_values)
+    ex = out.select(
+        "conv_id", "turn_idx", "clean_text",
+        F.posexplode_outer("spans").alias("_span_idx", "_sp"),
+    ).filter(F.col("_sp").isNotNull())
+    spans = ex.select(
+        "conv_id",
+        "turn_idx",
+        F.col("_sp.entity_type").alias("entity_type"),
+        F.col("_sp.start").alias("start"),
+        F.col("_sp.end").alias("end"),
+        F.col("_sp.score").alias("score"),
+        "clean_text",
     )
     review = spans.withColumn(
         "span_text", F.expr("substring(clean_text, start + 1, end - start)")
