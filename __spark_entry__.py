@@ -3030,7 +3030,7 @@ def q_decontamination(spark, sf_dir):
     and +200000 exact-dup copies score high, the rest only via genuine
     template collisions). Benchmark grams distinct once (broadcastable),
     corpus grams exploded once — dedup.decontaminate_ngrams."""
-    corpus = documents_plus(spark, sf_dir)
+    corpus = _spread(documents_plus(spark, sf_dir), "doc_id")
     bench = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter(F.col("doc_id") % 17 == 0)
