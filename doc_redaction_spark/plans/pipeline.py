@@ -107,7 +107,7 @@ def extract_and_redact(
     # conversation's detection onto one task — re-spread by (conv_id, salt)
     if not salted_rank and cfg.salt_buckets > 1:
         n_parts = cfg.num_partitions
-        if n_parts == 0:
+        if n_parts == 0 and not with_row_number:
             # num_partitions=0 means "leave to input partitioning" — but a
             # single-row-group parquet file (every local fixture) yields ONE
             # scan partition no matter how small maxPartitionBytes is, which
@@ -116,7 +116,10 @@ def extract_and_redact(
             # Respread ADAPTIVELY: only when the plan has fewer partitions
             # than cores; a corpus-scale input brings its own splits and
             # skips the exchange entirely (guide §2 — scale-adaptive, not a
-            # constant tuned for either mode).
+            # constant tuned for either mode). Window-ordered plans are
+            # excluded: the row_number exchange already spread the rows, and
+            # the pinned one-exchange plan contract
+            # (test_pipeline_one_shuffle_one_python_stage) holds.
             sc = df.sparkSession.sparkContext
             if df.rdd.getNumPartitions() < sc.defaultParallelism:
                 n_parts = 2 * sc.defaultParallelism
